@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}.
+
+Each query is fully materialized through the noop sink (forces every
+column/row to be computed, no driver collect bottleneck).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from lakehouse_weather_spark.registry import load_all  # noqa: E402
+from lakehouse_weather_spark.session import default_sf_dir, get_spark  # noqa: E402
+
+# Representative heavy queries across the operator surface; extended as
+# new operator families land.
+HEADLINE = [
+    "q_agg_basic",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_range",
+    "q_filter_pred",
+    "q_win_frame",
+    "q_topk",
+    "q_scalar_mix",
+    "q_agg_distinct",
+    "q_dedup_hash",
+    "q_chunk_split",
+    "q_vector_topk",
+    "q_minhash_neardup",
+    "q_text_quality",
+]
+
+
+def main() -> None:
+    sf_dir = default_sf_dir()
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    specs = load_all()
+    spark = get_spark("bench")
+
+    # Warm the JVM + parquet footers so per-query numbers measure the
+    # query, not session bootstrap (bootstrap is reported separately).
+    t0 = time.time()
+    spark.range(1).collect()
+    warm_sec = time.time() - t0
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = specs.get(name)
+        if spec is None:
+            continue
+        t0 = time.time()
+        df = spec.fn(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "warm_sec": round(warm_sec, 3),
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

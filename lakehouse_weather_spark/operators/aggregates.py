@@ -1,0 +1,139 @@
+"""Aggregation queries (SURVEY.md §2.4).
+
+The reference's only aggregation is COUNT(*) per object
+(``dags/utils/chunks_data.py:66,98,104``); the rest is the DERIVED
+relational closure. Every groupBy below benefits from Spark's partial
+(map-side) aggregation: at 100 TB the shuffle carries only per-group
+partials, not rows. Double sums/averages go through exact DECIMAL
+accumulation (see ``functions.dsum``) so results are identical across
+partition orders, cluster sizes, and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.functions import DEC, davg, dsum, sql_davg, sql_dsum
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@register(
+    "q_count_per_source",
+    oracle="SELECT source, count(*) AS cnt FROM documents GROUP BY source",
+    doc="Per-group record count (ref: len(docs) per object, "
+    "chunks_data.py:66,98 — COUNT(*) per source at scale).",
+)
+def q_count_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "q_agg_basic",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')}      AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_davg('l_quantity')}      AS avg_qty,
+               {sql_davg('l_discount')}      AS avg_disc,
+               min(l_extendedprice) AS min_price,
+               max(l_extendedprice) AS max_price,
+               count(*) AS count_order
+        FROM lineitem
+        GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-style pricing summary: sum/avg/min/max/count groupBy."
+    " Flagship query (entry()). Map-side partials + 6-group shuffle.",
+)
+def q_agg_basic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc_price).alias("sum_disc_price"),
+        davg("l_quantity").alias("avg_qty"),
+        davg("l_discount").alias("avg_disc"),
+        F.min("l_extendedprice").alias("min_price"),
+        F.max("l_extendedprice").alias("max_price"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@register(
+    "q_agg_distinct",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(DISTINCT l_partkey) AS BIGINT) AS distinct_parts,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS distinct_supps,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="count(DISTINCT …): expands to a two-stage shuffle; at scale"
+    " prefer approx_count_distinct (HLL) when exactness isn't required.",
+)
+def q_agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("distinct_parts"),
+        F.countDistinct("l_suppkey").alias("distinct_supps"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_agg_rollup",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_quantity')} AS sum_qty,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP grouping sets: subtotals + grand total in one pass"
+    " (Spark expands to a single Expand+Aggregate, one shuffle).",
+)
+def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_agg_filtered",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(round(sum(CASE WHEN l_discount > 0.05
+                             THEN CAST(l_extendedprice AS DECIMAL(28,10)) END), 4)
+                    AS DOUBLE) AS high_disc_revenue,
+               count(*) FILTER (WHERE l_quantity > 30) AS big_qty_cnt,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="Filtered aggregation (FILTER / sum(when(...))) — conditional"
+    " partial aggregates, still a single shuffle.",
+)
+def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            F.sum(
+                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC))
+            ),
+            4,
+        )
+        .cast("double")
+        .alias("high_disc_revenue"),
+        F.count(F.when(F.col("l_quantity") > 30, F.lit(1))).alias("big_qty_cnt"),
+        F.count(F.lit(1)).alias("cnt"),
+    )

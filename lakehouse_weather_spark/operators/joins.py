@@ -1,0 +1,126 @@
+"""Join queries (SURVEY.md §2.3 — all DERIVED; the reference has no joins,
+only in-memory set-membership lookups (``dags/utils/crawl_web.py:119,145``,
+``dags/bronze.py:67``) which are semantically left-anti joins).
+
+Scale notes: the fact side (lineitem/orders) shuffles on the join key;
+dimensions (region/nation/supplier, and customer up to ~SF1k) are
+broadcast so the fact table never shuffles for them. q_join_anti is the
+visited-set pattern at scale — a shuffled left-anti, no driver-side set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.functions import dsum
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@register(
+    "q_join_inner",
+    oracle="""
+        SELECT o.o_orderkey, c.c_name, o.o_totalprice
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Equi inner join orders×customer (chunk×document association the"
+    " reference denormalizes via metadata.source, chunks_data.py:107-110).",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return orders.join(
+        customer, orders.o_custkey == customer.c_custkey, "inner"
+    ).select("o_orderkey", "c_name", "o_totalprice")
+
+
+@register(
+    "q_join_left",
+    oracle="""
+        SELECT c.c_custkey, c.c_name, o.o_orderkey
+        FROM customer c LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+    """,
+    doc="Left outer join: keep customers with no orders (null o_orderkey).",
+)
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        orders, orders.o_custkey == customer.c_custkey, "left"
+    ).select("c_custkey", "c_name", "o_orderkey")
+
+
+@register(
+    "q_join_anti",
+    oracle="""
+        SELECT c_custkey, c_name FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_totalprice > 100000)
+    """,
+    doc="Left-anti join: the reference's visited-URL/visited-hash dedup"
+    " pattern (crawl_web.py:114-122, bronze.py:64-70) expressed as a"
+    " distributed anti join instead of a driver-side Python set."
+    " (Probe side filtered so the result is non-empty at every SF.)",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    big_orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    customer = load_table(spark, sf_dir, "customer")
+    return customer.join(
+        big_orders, big_orders.o_custkey == customer.c_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "q_join_broadcast",
+    oracle="""
+        SELECT n.n_name,
+               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue
+        FROM lineitem l
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """,
+    doc="Broadcast dimension join: supplier and nation ship to every"
+    " executor; the 100 TB lineitem scan never shuffles for the join"
+    " (only the final small groupBy aggregates exchange).",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    supplier = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        li.join(supplier, li.l_suppkey == supplier.s_suppkey)
+        .join(nation, supplier.s_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_join_range",
+    oracle="""
+        SELECT p.event_id AS probe_id, e.event_id
+        FROM (SELECT * FROM events WHERE event_id % 997 = 0) p
+        JOIN events e
+          ON e.ts >= p.ts
+         AND e.ts < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+    doc="Non-equi range (theta) join: all events within 1 hour after each"
+    " probed event. At scale: band-join via bucketed time prefix + equi"
+    " pre-filter; here the probe side is tiny so Spark broadcasts it and"
+    " runs a nested-loop probe.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    probe = events.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("probe_id"), F.col("ts").alias("probe_ts")
+    )
+    cond = (events.ts >= probe.probe_ts) & (
+        events.ts < probe.probe_ts + F.expr("INTERVAL 1 HOUR")
+    )
+    return F.broadcast(probe).join(events, cond).select("probe_id", "event_id")

@@ -1,0 +1,245 @@
+"""Scalar-function queries (SURVEY.md §2.8): string / regex / hash / URL /
+date / JSON / array / math surface, each mirroring a reference behavior.
+
+All expressions are built-in ``pyspark.sql.functions`` — JVM-side,
+inside whole-stage codegen; no Python UDFs anywhere on this path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@register(
+    "q_str_regex_clean",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean_text
+        FROM documents
+    """,
+    doc="Whitespace collapse (ref: crawl_web.py:23 re.sub('\\n\\n+', ...)"
+    " .strip()) as a vectorized regexp_replace.",
+)
+def q_str_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("clean_text"),
+    )
+
+
+@register(
+    "q_str_sha2",
+    oracle="SELECT doc_id, sha256(text) AS content_hash FROM documents",
+    doc="sha256 content fingerprint (ref: bronze.py:22, crawl_web.py:59).",
+)
+def q_str_sha2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.sha2("text", 256).alias("content_hash")
+    )
+
+
+@register(
+    "q_str_parse_url",
+    oracle="""
+        SELECT doc_id,
+               regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1) AS path,
+               replace(regexp_extract(url, '^[a-z]+://[^/]+(/.*)$', 1), '/', '_')
+                   AS mangled
+        FROM (
+            SELECT doc_id,
+                   'https://kttv.gov.vn/' || source || '/post' || doc_id || '.html'
+                       AS url
+            FROM documents
+        )
+    """,
+    doc="URL host/path parse + '/'→'_' name mangling (ref: bronze.py:75-81"
+    " urlparse(url).netloc/path + replace). Spark's parse_url is the"
+    " native form; the oracle uses the equivalent regexes.",
+)
+def q_str_parse_url(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://kttv.gov.vn/"),
+        F.col("source"),
+        F.lit("/post"),
+        F.col("doc_id").cast("string"),
+        F.lit(".html"),
+    )
+    with_url = docs.select("doc_id", url.alias("url"))
+    return with_url.select(
+        "doc_id",
+        F.parse_url("url", F.lit("HOST")).alias("host"),
+        F.parse_url("url", F.lit("PATH")).alias("path"),
+        F.replace(
+            F.parse_url("url", F.lit("PATH")), F.lit("/"), F.lit("_")
+        ).alias("mangled"),
+    )
+
+
+@register(
+    "q_str_filename",
+    oracle="""
+        SELECT doc_id, key,
+               regexp_extract(key, '([^/]+)$', 1) AS basename,
+               regexp_extract(key, '([^/]+)\\.[a-z]+$', 1) AS stem,
+               regexp_extract(key, '([^/]+)\\.[a-z]+$', 1) || '_chunked.json'
+                   AS chunked_name
+        FROM (
+            SELECT doc_id,
+                   'crawl_web/2024-12-26/' || source || '_' || doc_id || '.json'
+                       AS key
+            FROM documents
+        )
+    """,
+    doc="Filename munging: strip prefix, basename, splitext, '_chunked'"
+    " suffix (ref: chunks_data.py:7-26).",
+)
+def q_str_filename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    key = F.concat(
+        F.lit("crawl_web/2024-12-26/"),
+        F.col("source"),
+        F.lit("_"),
+        F.col("doc_id").cast("string"),
+        F.lit(".json"),
+    )
+    with_key = docs.select("doc_id", key.alias("key"))
+    stem = F.regexp_extract("key", r"([^/]+)\.[a-z]+$", 1)
+    return with_key.select(
+        "doc_id",
+        "key",
+        F.regexp_extract("key", r"([^/]+)$", 1).alias("basename"),
+        stem.alias("stem"),
+        F.concat(stem, F.lit("_chunked.json")).alias("chunked_name"),
+    )
+
+
+@register(
+    "q_str_endswith",
+    oracle="""
+        SELECT doc_id, fname,
+               (lower(fname) LIKE '%.pdf') AS is_pdf
+        FROM (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0 THEN source || '.PDF'
+                        ELSE source || '.html' END AS fname
+            FROM documents
+        )
+    """,
+    doc="Extension / content-type dispatch test (ref: crawl_web.py:127,"
+    "135,138 url.lower().endswith('.pdf')).",
+)
+def q_str_endswith(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fname = F.when(
+        F.col("doc_id") % 3 == 0, F.concat(F.col("source"), F.lit(".PDF"))
+    ).otherwise(F.concat(F.col("source"), F.lit(".html")))
+    with_f = docs.select("doc_id", fname.alias("fname"))
+    return with_f.select(
+        "doc_id", "fname", F.lower("fname").endswith(".pdf").alias("is_pdf")
+    )
+
+
+@register(
+    "q_date_format",
+    oracle="""
+        SELECT o_orderkey,
+               strftime(o_orderdate, '%Y-%m-%d') AS order_day,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start
+        FROM orders
+    """,
+    doc="Date formatting / extraction (ref: bronze.py:53 strftime"
+    " '%Y-%m-%d' partition values).",
+)
+def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("order_day"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("month_start"),
+    )
+
+
+@register(
+    "q_json_roundtrip",
+    oracle="""
+        SELECT event_id,
+               CAST(props->>'k' AS BIGINT) AS k,
+               (props->>'k') IS NOT NULL AS has_k
+        FROM events
+    """,
+    doc="JSON field extraction (ref: json.loads at minio_io_manager.py:79;"
+    " canonical json.dumps at bronze.py:21). from_json/get_json_object"
+    " on the events.props JSON column.",
+)
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k.cast("bigint").alias("k"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "q_array_explode",
+    oracle="""
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents
+    """,
+    doc="Array construction + explode (ref: links list build + doc-list"
+    " flatten, crawl_web.py:90-94,143-158) — flatMap as explode.",
+)
+def q_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+
+
+@register(
+    "q_scalar_mix",
+    oracle="""
+        SELECT l_orderkey, l_linenumber,
+               l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge,
+               abs(l_discount - 0.05) AS disc_dev,
+               CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+               CAST(year(l_shipdate) AS INTEGER) AS ship_year,
+               CAST(datediff('day', TIMESTAMP '1995-01-01', l_shipdate) AS INTEGER)
+                   AS days_since_95,
+               upper(l_returnflag) || '-' || lower(l_linestatus) AS flag_status,
+               substr(l_returnflag, 1, 1) AS flag1
+        FROM lineitem
+    """,
+    doc="Core math/date/string scalar mix (DERIVED closure, SURVEY §2.8):"
+    " arithmetic, abs, floor, year, datediff, concat, upper/lower, substr."
+    " Per-row arithmetic is left unrounded: IEEE ops in identical order"
+    " are bit-identical across engines.",
+)
+def q_scalar_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))
+        ).alias("charge"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor("l_quantity").alias("qty_floor"),
+        F.year("l_shipdate").alias("ship_year"),
+        F.datediff(
+            F.col("l_shipdate"), F.lit("1995-01-01").cast("timestamp_ntz")
+        ).alias("days_since_95"),
+        F.concat(
+            F.upper("l_returnflag"), F.lit("-"), F.lower("l_linestatus")
+        ).alias("flag_status"),
+        F.substring("l_returnflag", 1, 1).alias("flag1"),
+    )

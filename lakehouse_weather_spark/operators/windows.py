@@ -1,0 +1,101 @@
+"""Window-function queries (SURVEY.md §2.5).
+
+The reference computes a chunk ordinal implicitly via split order
+(``dags/utils/chunks_data.py:102``; int64 chunk-index field 106 in the
+Milvus segment) — i.e. row_number over (partition by source, order by
+position). Windows shuffle once on the partition key; order keys are
+fully deterministic (unique tiebreakers) so results are stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@register(
+    "q_win_rownum",
+    oracle="""
+        SELECT doc_id, source,
+               CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id) AS INTEGER) AS rn,
+               CAST(rank() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS INTEGER) AS rnk
+        FROM documents
+    """,
+    doc="row_number/rank per partition — the chunk-ordinal-per-source"
+    " pattern (chunks_data.py:102) as an explicit window.",
+)
+def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w1 = Window.partitionBy("source").orderBy("doc_id")
+    w2 = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w1).alias("rn"),
+        F.rank().over(w2).alias("rnk"),
+    )
+
+
+@register(
+    "q_win_laglead",
+    oracle="""
+        SELECT event_id, user_id, value,
+               value - lag(value) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+               lead(event_type) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+        FROM events
+    """,
+    doc="lag/lead per user ordered by event time (event deltas; chunk"
+    " overlap-check analogue). event_id tiebreaker keeps it deterministic;"
+    " the delta subtraction is a single IEEE op — bit-stable everywhere.",
+)
+def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        (F.col("value") - F.lag("value").over(w)).alias("delta"),
+        F.lead("event_type").over(w).alias("next_type"),
+    )
+
+
+@register(
+    "q_win_frame",
+    oracle="""
+        SELECT event_id, user_id,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+                   / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10)))
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+                    AS DOUBLE) AS running_sum
+        FROM events
+    """,
+    doc="Sliding-frame aggregates: 5-row moving average + running sum per"
+    " user. Frame sums accumulate in DECIMAL so the result is independent"
+    " of the engine's frame-evaluation algorithm (running vs segment-tree).",
+)
+def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    vdec = F.col("value").cast("decimal(28,10)")
+    frame5 = w.rowsBetween(-4, 0)
+    running = w.rowsBetween(Window.unboundedPreceding, 0)
+    return ev.select(
+        "event_id",
+        "user_id",
+        (
+            F.round(F.sum(vdec).over(frame5), 4).cast("double")
+            / F.count(F.lit(1)).over(frame5)
+        ).alias("moving_avg"),
+        F.round(F.sum(vdec).over(running), 4).cast("double").alias("running_sum"),
+    )

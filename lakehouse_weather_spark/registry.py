@@ -1,0 +1,70 @@
+"""Query registry: the single source of truth for the engine's surface.
+
+Every operator from SURVEY.md §2 that has a ``query`` name registers
+here with (a) a Spark implementation ``(spark, sf_dir) -> DataFrame``
+and (b) where SQL-expressible, a DuckDB oracle SQL string over the same
+parquet tables. ``__spark_entry__.py`` and the test suite both read
+this registry, so a query is "done" exactly when it appears here.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: QueryFn
+    oracle: str | None  # DuckDB SQL, or None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QuerySpec] = {}
+
+# Modules that register queries on import; order is the SURVEY §2 order.
+_QUERY_MODULES = [
+    "lakehouse_weather_spark.operators.scans",
+    "lakehouse_weather_spark.operators.filters",
+    "lakehouse_weather_spark.operators.joins",
+    "lakehouse_weather_spark.operators.aggregates",
+    "lakehouse_weather_spark.operators.windows",
+    "lakehouse_weather_spark.operators.sorts",
+    "lakehouse_weather_spark.operators.setops",
+    "lakehouse_weather_spark.operators.scalars",
+    "lakehouse_weather_spark.operators.textops",
+    "lakehouse_weather_spark.operators.dedup",
+    "lakehouse_weather_spark.operators.similarity",
+    "lakehouse_weather_spark.operators.multimodal",
+    "lakehouse_weather_spark.streaming.events",
+]
+
+_loaded = False
+
+
+def register(name: str, oracle: str | None = None, doc: str = ""):
+    """Decorator: add a query implementation to the registry."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name: {name}")
+        REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc)
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, QuerySpec]:
+    """Import every query module (idempotent) and return the registry."""
+    global _loaded
+    if not _loaded:
+        for mod in _QUERY_MODULES:
+            importlib.import_module(mod)
+        _loaded = True
+    return REGISTRY

@@ -1,0 +1,65 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference runs single-threaded Python on one node
+(``dags/utils/chunks_data.py:69``, ``dags/access/test.py:15-16``); this
+engine targets a 1000-executor cluster reading ~100 TB. The configs here
+are chosen so the SAME code runs on ``local[32]`` for tests and on a
+real cluster unchanged:
+
+- AQE on (runtime shuffle-coalesce, skew-join splitting, plan re-opt).
+- Arrow on (vectorized pandas_udf / mapInPandas exchange).
+- UTC session timezone + NTZ parquet timestamps so results are
+  byte-identical across cluster timezones (and match the DuckDB oracle).
+- Shuffle partitions sized from the local core count; on a cluster this
+  is expected to be overridden (or left to AQE's initialPartitionNum).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEF_SF_DIR = "/root/testdata/sf0.1"
+
+
+def default_sf_dir() -> str:
+    return os.environ.get("SPARK_GRAFT_SF_DIR", _DEF_SF_DIR)
+
+
+def get_spark(
+    app_name: str = "lakehouse_weather_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if master is None:
+        master = f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = cpus
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- correctness / determinism ---
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
+        # --- adaptive execution: the 100 TB safety net ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # --- shuffle sizing ---
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # 128 MB splits: standard cluster-friendly scan granularity
+        .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
+        # --- broadcast: dims like region/nation/supplier stay broadcast
+        # even at SF100k (they grow slowly or not at all) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # --- python exchange ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # keep the local UI off (test/bench hygiene)
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+    )
+    return builder.getOrCreate()
