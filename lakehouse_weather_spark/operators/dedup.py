@@ -1,1 +1,381 @@
-"""Placeholder — filled in a later milestone."""
+"""Deduplication operators (SURVEY.md §2.7 + training-data closure).
+
+Reference anchors: whole-object sha256 dedup (``dags/bronze.py:13-22,
+65-70``), page-content sha256 dedup (``dags/utils/crawl_web.py:51-59``),
+URL-visited set (``crawl_web.py:114-122`` — the anti-join pattern in
+``joins.py``). The near-dup family (MinHash+LSH, SimHash, n-gram
+Jaccard, embedding cosine) is the standard LLM-training-data dedup
+stack, expressed Spark-first:
+
+- All hashing is a shared deterministic md5-prefix integer hash, so
+  every query (including MinHash signatures and SimHash bits) is
+  bit-reproducible in ANSI SQL and oracle-checked.
+- Scale shape: shingle explode is narrow; the only shuffles are the
+  per-doc signature groupBy and the band-bucket self-join — exactly the
+  two shuffles a 100 TB MinHash dedup needs. Band-hash keys are
+  high-cardinality (no skew); AQE handles residual imbalance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# Shared deterministic hashing (identical in Spark SQL and DuckDB SQL).
+# md5 hex prefix (15 nibbles = 60 bits) -> BIGINT, reduced mod a Mersenne
+# prime so the affine MinHash permutations never overflow int64.
+# ---------------------------------------------------------------------------
+P = 2_147_483_647  # 2^31 - 1
+MINHASH_A = (7, 11, 13, 17, 19, 23, 29, 31, 37, 41, 43, 47, 53, 59, 61, 67)
+MINHASH_B = (3, 5, 7, 9, 11, 13, 15, 17, 19, 21, 23, 25, 27, 29, 31, 33)
+N_HASHES = 16
+N_BANDS = 4
+ROWS_PER_BAND = N_HASHES // N_BANDS
+SHINGLE_WORDS = 3
+
+_SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+_DUCK_H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def _spark_shingles(text_col: str = "text") -> str:
+    """SQL expr: distinct word 3-gram shingles of a text column."""
+    w = f"split({text_col}, ' ')"
+    return (
+        f"array_distinct(transform(sequence(1, greatest(size({w}) - {SHINGLE_WORDS - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({w}, i, {SHINGLE_WORDS}))))"
+    )
+
+
+_DUCK_SHINGLES_CTE = f"""
+    sh AS (
+        SELECT DISTINCT doc_id,
+               array_to_string(words[i : i + {SHINGLE_WORDS - 1}], ' ') AS s
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(
+                       1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)
+                   )) AS i
+            FROM documents
+        )
+    )
+"""
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dedup_hash",
+    oracle="""
+        SELECT sha256(substr(text, 1, 80)) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY sha256(substr(text, 1, 80))
+    """,
+    doc="Exact dedup on a canonical content fingerprint (ref: bronze.py:"
+    "13-22 sha256 of canonical JSON before write). Fingerprint = sha256"
+    " of the 80-char prefix so the fixture's planted near-dup groups"
+    " collapse; keep-policy = min doc_id (deterministic, unlike a bare"
+    " dropDuplicates). Map-side partial agg -> one shuffle on the hash.",
+)
+def q_dedup_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.sha2(F.substring("text", 1, 80), 256)
+    return docs.groupBy(h.alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+@register(
+    "q_dedup_content",
+    oracle="""
+        SELECT sha256(text) AS content_hash,
+               min(doc_id) AS keep_doc_id,
+               count(*) AS dup_count
+        FROM documents
+        GROUP BY sha256(text)
+    """,
+    doc="Exact page-content dedup (ref: crawl_web.py:51-59 sha256 of"
+    " extracted text; skip if hash seen). The distributed form replaces"
+    " the driver-side visited_hashes set with a hash groupBy.",
+)
+def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy(F.sha2("text", 256).alias("content_hash")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("dup_count"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + banded LSH near-dup candidates
+# ---------------------------------------------------------------------------
+
+
+def _minhash_oracle() -> str:
+    x = _DUCK_H.format(expr="s")
+    mins = ",\n               ".join(
+        f"min(({a} * ({x} % {P}) + {b}) % {P}) AS s{k}"
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        + " || '-' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_hash FROM sig"
+        for b in range(N_BANDS)
+    )
+    return f"""
+        WITH {_DUCK_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+{band_selects}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    """
+
+
+@register(
+    "q_minhash_neardup",
+    oracle=_minhash_oracle(),
+    doc="MinHash + banded LSH near-duplicate candidate pairs (training-"
+    "data closure; north-star op in SURVEY §2.7). 16 affine permutations"
+    " mod 2^31-1 over word-3-gram shingles, 4 bands x 4 rows, self-join"
+    " on band buckets. Two shuffles total (signature groupBy + band"
+    " join); candidate verification is q_ngram_jaccard.",
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(F.expr(_spark_shingles())).alias("s")
+    )
+    x = F.expr(_SPARK_H.format(expr="s")) % P
+    sh = sh.select("doc_id", x.alias("x"))
+    mins = [
+        F.min((F.lit(a) * F.col("x") + F.lit(b)) % P).alias(f"s{k}")
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.concat_ws(
+                    "-",
+                    *[
+                        F.col(f"s{b * ROWS_PER_BAND + r}").cast("string")
+                        for r in range(ROWS_PER_BAND)
+                    ],
+                ).alias("band_hash"),
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+        "doc_id", "bs.band_idx", "bs.band_hash"
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash signatures
+# ---------------------------------------------------------------------------
+
+
+def _simhash_oracle() -> str:
+    t = _DUCK_H.format(expr="word")
+    sums = ",\n               ".join(
+        f"sum(CASE WHEN (({t}) >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(16)
+    )
+    assemble = " + ".join(f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)" for i in range(16))
+    return f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+               {sums}
+            FROM words GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({assemble} AS BIGINT) AS simhash
+        FROM bits
+    """
+
+
+@register(
+    "q_simhash",
+    oracle=_simhash_oracle(),
+    doc="16-bit SimHash per document (training-data closure): token-hash"
+    " bit votes (+1/-1 per occurrence), sign -> bit. One narrow explode"
+    " + one per-doc groupBy; near-dup = small hamming distance between"
+    " signatures (checked in tests).",
+)
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("word"))
+    t = _SPARK_H.format(expr="word")
+    sums = [
+        F.sum(
+            F.expr(f"CASE WHEN (shiftright({t}, {i}) & 1) = 1 THEN 1 ELSE -1 END")
+        ).alias(f"b{i}")
+        for i in range(16)
+    ]
+    bits = words.groupBy("doc_id").agg(*sums)
+    assemble = sum(
+        [F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0)) for i in range(16)],
+        start=F.lit(0),
+    )
+    return bits.select("doc_id", assemble.cast("bigint").alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Exact n-gram Jaccard verification
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ngram_jaccard",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10
+    """,
+    doc="Exact word-3-gram Jaccard similarity for pairs sharing >= 1"
+    " shingle, threshold 0.10 (training-data closure; verification stage"
+    " after MinHash candidates). The shared-shingle join prunes the"
+    " quadratic pair space — only colliding pairs are scored.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", F.explode(F.expr(_spark_shingles())).alias("s"))
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    return (
+        inter.join(F.broadcast(sa), "doc_a")
+        .join(F.broadcast(sb), "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+# Exact decimal-accumulated dot product of two double arrays (see
+# functions.dsum for why decimal accumulation is required for parity).
+_SPARK_DOT = (
+    "CAST(aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),"
+    " CAST(0 AS DECIMAL(28,10)),"
+    " (acc, v) -> CAST(acc + CAST(v AS DECIMAL(28,10)) AS DECIMAL(28,10))) AS DOUBLE)"
+)
+
+_DUCK_VEC_CTE = """
+    u AS (
+        SELECT vec_id, embedding,
+               unnest(generate_series(1, len(embedding))) AS pos
+        FROM embeddings
+    ),
+    vals AS (
+        SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val FROM u
+    ),
+    norms AS (
+        SELECT vec_id,
+               sqrt(CAST(sum(CAST(val * val AS DECIMAL(28,10))) AS DOUBLE)) AS nrm
+        FROM vals GROUP BY vec_id
+    )
+"""
+
+
+@register(
+    "q_embed_neardup",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        dots AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   CAST(sum(CAST(a.val * b.val AS DECIMAL(28,10))) AS DOUBLE) AS dot
+            FROM vals a JOIN vals b ON a.pos = b.pos AND a.vec_id < b.vec_id
+            GROUP BY 1, 2
+        )
+        SELECT vec_a, vec_b, dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots
+        JOIN norms na ON vec_a = na.vec_id
+        JOIN norms nb ON vec_b = nb.vec_id
+        WHERE dot / (na.nrm * nb.nrm) >= 0.4
+    """,
+    doc="Embedding-cosine near-duplicate pairs (threshold 0.4), exact"
+    " brute force: cross-pair zip_with dot products with decimal"
+    " accumulation — JVM-side, no Python. At 100 TB this is the verify"
+    " stage after LSH bucketing (q_vector_topk_lsh); the cross join"
+    " is bounded to candidate buckets there.",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt("
+        + _SPARK_DOT.format(a="embedding", b="embedding")
+        + ")"
+    )
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    a = e.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("emb_a"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("emb_b"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="emb_a", b="emb_b"))
+    cos = (dot / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine")
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", cos)
+        .filter(F.col("cosine") >= 0.4)
+    )

@@ -1,1 +1,150 @@
-"""Placeholder — filled in a later milestone."""
+"""Similarity search over the embeddings table (SURVEY.md §2.9; Milvus
+retriever parity — ``dags/utils/seed_milvus.py:7-25``, vector schema
+decoded from the Milvus segment dump: 3072-d float32, fixture dim=64).
+
+Two paths, mirroring what a 100 TB ANN deployment needs:
+
+- ``q_vector_topk``: exact brute-force cosine top-k — the correctness
+  baseline. One broadcast of the query vector, one narrow map computing
+  zip_with dot products (JVM-side), TakeOrderedAndProject for the top-k.
+  Linear scan, perfectly parallel — the right plan up to ~1e8 vectors.
+- ``q_vector_topk_lsh``: sign-random-hyperplane LSH bucketing — the
+  scale path. Vectors hash to a small bucket code; the query probes only
+  its own bucket. Deterministic hyperplanes derived from the shared
+  md5 hash so results are reproducible (rows-only driver check; recall
+  vs brute force is asserted in tests/test_similarity.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.operators.dedup import _SPARK_DOT, _DUCK_VEC_CTE
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+TOP_K = 10
+QUERY_VEC_ID = 0
+
+# 4 planes -> 16 buckets: chosen for the fixture's near-orthogonal
+# vectors (max pairwise cosine ~0.5, the hard case for sign-LSH). Real
+# near-dup corpora (cosine >= 0.9 pairs) support 8-16 planes; the knob
+# trades candidate-set size against recall.
+N_HYPERPLANES = 4
+_DIM = 64
+
+
+@register(
+    "q_vector_topk",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        dots AS (
+            SELECT v.vec_id,
+                   CAST(sum(CAST(v.val * q.val AS DECIMAL(28,10))) AS DOUBLE) AS dot
+            FROM vals v JOIN q ON v.pos = q.pos
+            WHERE v.vec_id <> {QUERY_VEC_ID}
+            GROUP BY v.vec_id
+        )
+        SELECT d.vec_id,
+               d.dot / (n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+        FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+        ORDER BY cosine DESC, d.vec_id
+        LIMIT {TOP_K}
+    """,
+    doc="Brute-force cosine top-k ANN baseline (Milvus retriever parity,"
+    " seed_milvus.py:7-25): broadcast query vector, JVM zip_with dot"
+    " product, TakeOrderedAndProject top-k. Exact decimal accumulation"
+    " keeps scores bit-stable across engines.",
+)
+def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
+
+
+def _hyperplane_expr(j: int) -> str:
+    """Deterministic pseudo-random hyperplane j as a SQL array literal:
+    weight_i = (md5int('hp_<j>_<i>') % 2001 - 1000) / 1000.0."""
+    weights = (
+        f"transform(sequence(0, {_DIM - 1}), i -> "
+        f"(CAST(conv(substr(md5(concat('hp_{j}_', CAST(i AS STRING))), 1, 15), 16, 10)"
+        f" AS BIGINT) % 2001 - 1000) / 1000.0)"
+    )
+    return weights
+
+
+def _bucket_code_expr(emb: str) -> F.Column:
+    """8-bit sign-LSH bucket code of an embedding column."""
+    bits = []
+    for j in range(N_HYPERPLANES):
+        dot = (
+            f"aggregate(zip_with({emb}, {_hyperplane_expr(j)},"
+            f" (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE),"
+            f" (acc, v) -> acc + v)"
+        )
+        bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
+    return F.expr(" + ".join(bits)).cast("int")
+
+
+@register(
+    "q_vector_topk_lsh",
+    oracle=None,  # approximate: recall asserted in tests, rows-only here
+    doc="Sign-random-hyperplane LSH top-k (scale path): 8 deterministic"
+    " hyperplanes -> 256 buckets; the query probes its own bucket plus"
+    " hamming-1 neighbors, then exact cosine re-rank inside candidates."
+    " At 100 TB: bucket code is a cheap narrow map; the candidate set"
+    " shrinks the scan ~100x; recall vs brute force tested in CI.",
+)
+def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        norm.alias("nrm"),
+        _bucket_code_expr("embedding").alias("bucket"),
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+        F.col("bucket").alias("q_bucket"),
+    )
+    # multiprobe: own bucket + hamming-1 + hamming-2 neighbors. On real
+    # near-dup corpora (cosine >= 0.9) hamming-1 suffices; the fixture's
+    # near-orthogonal vectors are the worst case, so probe wider.
+    masks = [0]
+    masks += [1 << j for j in range(N_HYPERPLANES)]
+    masks += [
+        (1 << j) | (1 << k)
+        for j in range(N_HYPERPLANES)
+        for k in range(j + 1, N_HYPERPLANES)
+    ]
+    probe = q.select(
+        "q_emb",
+        "q_nrm",
+        F.explode(
+            F.array(*[F.col("q_bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        ).alias("bucket"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    return (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(probe), "bucket")
+        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )

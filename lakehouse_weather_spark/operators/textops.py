@@ -1,1 +1,320 @@
-"""Placeholder — filled in a later milestone."""
+"""Text-processing dataflow operators (SURVEY.md §2.9) + the text-analysis
+closure a large-scale training-data pipeline needs (language-ID, quality
+scoring, token counting, document fingerprinting).
+
+Reference anchors:
+- Chunk splitting: ``dags/utils/chunks_data.py:101-102`` —
+  ``RecursiveCharacterTextSplitter(chunk_size=5000, chunk_overlap=500)``.
+  Here the *fixed-size* variant is the oracle-checked query (size=120,
+  overlap=20 — scaled to the fixture's ~150-500-char docs); the
+  recursive-separator variant is a pandas_udf (rows-only check).
+- Everything below stays in built-in Spark SQL expressions (JVM,
+  whole-stage codegen) except the recursive splitter, which is an
+  Arrow-batched pandas_udf. At 100 TB each of these is a narrow,
+  shuffle-free map over the documents scan.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Chunking config (reference: chunk_size=5000, chunk_overlap=500 at
+# chunks_data.py:101; scaled 1:41.7 for the fixture corpus).
+CHUNK_SIZE = 120
+CHUNK_OVERLAP = 20
+CHUNK_STRIDE = CHUNK_SIZE - CHUNK_OVERLAP
+
+# Tiny deterministic stopword lexicons for the language-ID heuristic.
+_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "on", "for", "it"),
+    "es": ("el", "la", "de", "y", "en", "es", "los", "las", "un", "una"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "une", "du", "est"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "eine", "von", "zu", "den"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1", "zhe4", "bu4"),
+}
+# Deterministic tie-break order for argmax.
+_LANG_ORDER = ("en", "es", "fr", "de", "zh")
+
+# BPE-ish tokenizer regex: letter runs, digit runs, single punctuation.
+_TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+@register(
+    "q_chunk_split",
+    oracle=f"""
+        WITH idx AS (
+            SELECT doc_id, text,
+                   unnest(generate_series(
+                       0,
+                       greatest((length(text) - {CHUNK_OVERLAP} + {CHUNK_STRIDE} - 1)
+                                // {CHUNK_STRIDE}, 1) - 1)) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS chunk_id,
+               substring(text, CAST(i AS INTEGER) * {CHUNK_STRIDE} + 1,
+                         {CHUNK_SIZE}) AS split_content
+        FROM idx
+    """,
+    doc="Fixed-size overlapping chunker (ref: chunks_data.py:101 splitter"
+    " config; Milvus int64 chunk-index field 106). Pure SQL: sequence +"
+    " transform + posexplode — no UDF, fully codegen'd, shuffle-free.",
+)
+def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chunks = F.greatest(
+        (F.length("text") - F.lit(CHUNK_OVERLAP) + F.lit(CHUNK_STRIDE - 1))
+        .cast("long")
+        / F.lit(CHUNK_STRIDE),
+        F.lit(1),
+    )
+    # integer division via expr to match DuckDB's // exactly
+    return docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, int(greatest((length(text) - {CHUNK_OVERLAP}"
+                f" + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}, 1)) - 1),"
+                f" i -> substring(text, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))"
+            )
+        ).alias("chunk_id", "split_content"),
+    )
+
+
+def recursive_split(text: str, size: int = CHUNK_SIZE, overlap: int = CHUNK_OVERLAP) -> list[str]:
+    """Deterministic recursive-character splitter (same contract as the
+    reference's RecursiveCharacterTextSplitter at chunks_data.py:101:
+    hierarchical separators, max ``size`` chars, ~``overlap`` carry-over).
+
+    Own implementation — splits on the coarsest separator whose pieces
+    fit, packs greedily, and carries a tail overlap between chunks.
+    """
+    seps = ["\n\n", "\n", " ", ""]
+
+    def _split(t: str, sep_idx: int) -> list[str]:
+        if len(t) <= size:
+            return [t] if t else []
+        if sep_idx >= len(seps) - 1:
+            # character-level fallback: fixed windows with overlap
+            out = []
+            start = 0
+            while start < len(t):
+                out.append(t[start : start + size])
+                if start + size >= len(t):
+                    break
+                start += size - overlap
+            return out
+        sep = seps[sep_idx]
+        parts = t.split(sep)
+        chunks: list[str] = []
+        cur = ""
+        for part in parts:
+            candidate = cur + sep + part if cur else part
+            if len(candidate) <= size:
+                cur = candidate
+                continue
+            if cur:
+                chunks.append(cur)
+                # carry overlap tail into the next chunk
+                tail = cur[-overlap:] if overlap else ""
+                cur = (tail + sep + part) if tail else part
+                if len(cur) > size:
+                    chunks.extend(_split(cur, sep_idx + 1))
+                    cur = ""
+            else:
+                chunks.extend(_split(part, sep_idx + 1))
+        if cur:
+            chunks.append(cur)
+        return chunks
+
+    return _split(text, 0)
+
+
+@F.pandas_udf(ArrayType(StringType()))
+def _recursive_split_udf(texts: pd.Series) -> pd.Series:
+    return texts.map(lambda t: recursive_split(t or ""))
+
+
+@register(
+    "q_chunk_recursive",
+    oracle=None,  # recursive packing is not reasonably ANSI-SQL-expressible
+    doc="Recursive-separator chunker as an Arrow-batched pandas_udf +"
+    " posexplode (the reference's actual splitter semantics,"
+    " chunks_data.py:101-110). Rows-only driver check; invariants are"
+    " property-tested in tests/test_textops.py.",
+)
+def q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.posexplode(_recursive_split_udf(F.col("text"))).alias(
+            "chunk_id", "split_content"
+        ),
+    )
+
+
+def _lang_score_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in _LEXICONS[lang])
+    return f"count(*) FILTER (WHERE word IN ({words})) AS s_{lang}"
+
+
+_LANGID_ORACLE = f"""
+    WITH words AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents
+    ),
+    scores AS (
+        SELECT doc_id, {", ".join(_lang_score_sql(lg) for lg in _LANG_ORDER)}
+        FROM words GROUP BY doc_id
+    )
+    SELECT doc_id,
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh'
+           END AS pred_lang,
+           CAST(s_en AS BIGINT) AS en_hits
+    FROM scores
+"""
+
+
+@register(
+    "q_text_langid",
+    oracle=_LANGID_ORACLE,
+    doc="Stopword-lexicon language-ID heuristic (training-data pipeline"
+    " closure): explode words, count lexicon hits per language, argmax"
+    " with deterministic tie-break. At scale the lexicon is a broadcast"
+    " literal; the word explode stays narrow (agg back on doc_id).",
+)
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    aggs = [
+        F.count(F.when(F.col("word").isin(*_LEXICONS[lg]), F.lit(1))).alias(f"s_{lg}")
+        for lg in _LANG_ORDER
+    ]
+    scores = words.groupBy("doc_id").agg(*aggs)
+    s = {lg: F.col(f"s_{lg}") for lg in _LANG_ORDER}
+    pred = (
+        F.when(
+            (s["en"] >= s["es"]) & (s["en"] >= s["fr"]) & (s["en"] >= s["de"]) & (s["en"] >= s["zh"]),
+            F.lit("en"),
+        )
+        .when((s["es"] >= s["fr"]) & (s["es"] >= s["de"]) & (s["es"] >= s["zh"]), F.lit("es"))
+        .when((s["fr"] >= s["de"]) & (s["fr"] >= s["zh"]), F.lit("fr"))
+        .when(s["de"] >= s["zh"], F.lit("de"))
+        .otherwise(F.lit("zh"))
+    )
+    return scores.select("doc_id", pred.alias("pred_lang"), F.col("s_en").alias("en_hits"))
+
+
+@register(
+    "q_text_tokens",
+    oracle=f"""
+        SELECT doc_id,
+               CAST(len(string_split_regex(text, '\\s+')) AS INTEGER) AS ws_tokens,
+               CAST(len(regexp_extract_all(text, '{_TOKEN_RE}')) AS INTEGER)
+                   AS bpe_tokens,
+               CAST(length(text) AS INTEGER) AS n_chars_measured
+        FROM documents
+    """,
+    doc="Token counting (training-data closure): whitespace tokens + a"
+    " BPE-ish regex token count (letter runs / digit runs / single"
+    " punctuation). Pure regex expressions — JVM-side, no UDF.",
+)
+def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.split("text", r"\s+")).alias("ws_tokens"),
+        F.size(F.regexp_extract_all("text", F.lit(_TOKEN_RE), F.lit(0))).alias(
+            "bpe_tokens"
+        ),
+        F.length("text").alias("n_chars_measured"),
+    )
+
+
+@register(
+    "q_text_quality",
+    oracle="""
+        SELECT doc_id,
+               CAST(length(text) AS INTEGER) AS n_chars_q,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
+               CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                   / length(text) AS punct_ratio,
+               CAST(len(list_filter(string_split(text, ' '),
+                        w -> w IN ('the','a','of','and','to','in','is','on','for','it')))
+                    AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+               least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+                 * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
+                          / length(text)) AS quality_score
+        FROM documents
+    """,
+    doc="Document quality scoring (training-data closure): length, word"
+    " count, punctuation ratio, stopword ratio, and a composite score —"
+    " the standard pre-training filter features, all as codegen'd"
+    " expressions.",
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    punct = F.size(F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), F.lit(0))).cast(
+        "double"
+    )
+    stop_hits = F.size(
+        F.filter(words, lambda w: w.isin(*_LEXICONS["en"]))
+    ).cast("double")
+    punct_ratio = punct / F.length("text")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_q"),
+        F.size(words).alias("n_words"),
+        punct_ratio.alias("punct_ratio"),
+        (stop_hits / n_words).alias("stopword_ratio"),
+        (F.least(n_words / F.lit(50.0), F.lit(1.0)) * (F.lit(1.0) - punct_ratio)).alias(
+            "quality_score"
+        ),
+    )
+
+
+@register(
+    "q_text_fingerprint",
+    oracle="""
+        WITH idx AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(
+                       1, greatest(len(string_split(text, ' ')) - 4, 1))) AS i
+            FROM documents
+        )
+        SELECT doc_id,
+               min(CAST(('0x' || substr(md5(array_to_string(
+                       words[i : i + 4], ' ')), 1, 15)) AS BIGINT)) AS fingerprint
+        FROM idx
+        GROUP BY doc_id
+    """,
+    doc="Document fingerprint (training-data closure): min-hash over word"
+    " 5-shingles using a shared md5-prefix hash — the rolling-hash dedup"
+    " fingerprint, computed as array expressions (no shuffle; GROUP BY"
+    " is per-doc local).",
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "array_min(transform(sequence(1, greatest(size(split(text, ' ')) - 4, 1)),"
+            " i -> cast(conv(substr(md5(concat_ws(' ',"
+            " slice(split(text, ' '), i, 5))), 1, 15), 16, 10) as bigint)))"
+        ).alias("fingerprint"),
+    )

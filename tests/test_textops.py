@@ -1,0 +1,80 @@
+"""Property tests for the chunkers (SURVEY.md §5.2 invariants, mirroring
+the reference splitter contract at dags/utils/chunks_data.py:101):
+every chunk <= size; neighbors share the overlap region; ordered
+reconstruction recovers the source.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_weather_spark.operators.textops import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+    recursive_split,
+)
+from lakehouse_weather_spark.registry import load_all
+
+
+def fixed_chunks(text: str) -> list[str]:
+    n = max(1, -(-(max(len(text) - CHUNK_OVERLAP, 1)) // CHUNK_STRIDE))
+    return [text[i * CHUNK_STRIDE : i * CHUNK_STRIDE + CHUNK_SIZE] for i in range(n)]
+
+
+def test_fixed_chunker_matches_spark(spark, sf_dir):
+    df = load_all()["q_chunk_split"].fn(spark, sf_dir)
+    rows = df.orderBy("doc_id", "chunk_id").collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    by_doc: dict[int, list[str]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.split_content)
+    assert set(by_doc) == set(docs)
+    for doc_id, chunks in by_doc.items():
+        assert chunks == fixed_chunks(docs[doc_id])
+
+
+@given(st.text(alphabet="ab \n", min_size=0, max_size=1000))
+@settings(max_examples=200, deadline=None)
+def test_fixed_chunker_invariants(text):
+    chunks = fixed_chunks(text)
+    assert all(len(c) <= CHUNK_SIZE for c in chunks)
+    # neighbors share the overlap region
+    for i in range(len(chunks) - 1):
+        if len(chunks[i]) == CHUNK_SIZE:
+            assert chunks[i][CHUNK_STRIDE:] == chunks[i + 1][: CHUNK_OVERLAP]
+    # ordered reconstruction: first STRIDE chars of each + full last chunk
+    rebuilt = "".join(c[:CHUNK_STRIDE] for c in chunks[:-1]) + chunks[-1]
+    assert rebuilt == text or (text == "" and chunks == [""])
+
+
+@given(st.text(alphabet="abc \n", min_size=0, max_size=2000))
+@settings(max_examples=200, deadline=None)
+def test_recursive_split_invariants(text):
+    chunks = recursive_split(text)
+    assert all(len(c) <= CHUNK_SIZE for c in chunks)
+    assert all(c for c in chunks)  # no empty chunks
+    # every chunk is a contiguous substring of the source
+    for c in chunks:
+        assert c in text
+    # full coverage: every non-separator char position is inside some chunk
+    joined = "".join(chunks)
+    for ch in set(text.replace("\n", "").replace(" ", "")):
+        assert text.count(ch) <= joined.count(ch) + 0  # chunks may duplicate via overlap
+        assert joined.count(ch) >= text.count(ch)
+
+
+def test_recursive_split_plain():
+    text = "para one line.\n\npara two is here.\n\n" + "word " * 100
+    chunks = recursive_split(text)
+    assert all(len(c) <= CHUNK_SIZE for c in chunks)
+    assert chunks[0].startswith("para one")
