@@ -1,0 +1,266 @@
+"""Medallion pipeline: bronze -> silver -> gold, re-expressed Spark-first.
+
+Reference parity (SURVEY.md §3):
+- bronze (``dags/bronze.py:24-108``): crawl landing, content-hash dedup,
+  date-partitioned JSON objects in the bronze bucket.
+- silver (``dags/silver.py:21-36`` + ``dags/utils/chunks_data.py``):
+  read bronze JSON -> validate -> chunk (5000/500 splitter) -> overwrite
+  silver. The reference's delete-then-write overwrite window
+  (``chunks_data.py:58-59``) becomes an atomic ``mode("overwrite")``.
+- gold (``dags/gold.py:26-38`` + ``dags/utils/seed_milvus.py``): read
+  silver -> metadata defaults -> LLM clean (shadow entry point; prompt
+  at ``dags/agent/agent_clean_data.py:16-27``) -> embed (batch=100,
+  ``seed_milvus.py:78``) -> drop-old + reseed the vector collection
+  (here: overwrite of an embeddings parquet/Delta table).
+
+External services (LLM cleaning, OpenAI embeddings) are pluggable
+transforms: the default backends are deterministic stand-ins (regex
+footer-strip; hash-bag embedding) so the pipeline is testable hermetic;
+a production backend plugs in behind the same batch signature without
+touching the dataflow.
+
+Scale notes: every stage is a narrow map over a partitioned scan except
+the bronze dedup (one shuffle on the content hash). Embedding runs in
+``mapInPandas`` with internal batching — on a cluster, per-task batch
+calls bound external-API concurrency by partition count
+(``repartition(n)`` is the throttle, exactly like the reference's
+batch=100 loop but parallel).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from lakehouse_weather_spark.operators.textops import (
+    CHUNK_OVERLAP,
+    CHUNK_SIZE,
+    CHUNK_STRIDE,
+)
+
+EMBED_DIM = 16
+EMBED_BATCH = 100  # ref: seed_milvus.py:78 insert/embed batch size
+
+BRONZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("page_content", StringType()),
+        StructField("source", StringType()),
+        StructField("content_type", StringType()),
+        StructField("ingest_date", StringType()),
+    ]
+)
+
+# ---------------------------------------------------------------------------
+# Pluggable transforms (deterministic defaults; prod backends plug in)
+# ---------------------------------------------------------------------------
+
+_FOOTER_RE = re.compile(r"(?s)\s*--\s*footer.*$")
+_CONTACT_RE = re.compile(r"\S+@\S+|\btel:\S+")
+
+
+def clean_text_batch(texts: pd.Series) -> pd.Series:
+    """Deterministic stand-in for the LLM cleaning agent
+    (``dags/agent/agent_clean_data.py:16-27``: remove footer/contact
+    info, keep content verbatim). Same contract, regex-based."""
+    return texts.map(
+        lambda t: _CONTACT_RE.sub("", _FOOTER_RE.sub("", t or "")).strip()
+    )
+
+
+def hash_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
+    """Deterministic hash-bag embedding stand-in for
+    ``text-embedding-3-large`` (``seed_milvus.py:19,33``): token ->
+    md5 bucket, L2-normalized counts with sign from a second hash bit."""
+    vec = np.zeros(dim, dtype=np.float64)
+    for tok in (text or "").split():
+        h = int.from_bytes(hashlib.md5(tok.encode()).digest()[:8], "big")
+        idx = h % dim
+        sign = 1.0 if (h >> 8) & 1 else -1.0
+        vec[idx] += sign
+    nrm = float(np.linalg.norm(vec))
+    if nrm > 0:
+        vec /= nrm
+    return [float(x) for x in vec]
+
+
+EmbedFn = Callable[[list[str]], list[list[float]]]
+
+
+def hash_embed_batch(texts: list[str]) -> list[list[float]]:
+    return [hash_embed(t) for t in texts]
+
+
+# ---------------------------------------------------------------------------
+# Pipeline stages
+# ---------------------------------------------------------------------------
+
+
+def run_bronze(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
+    """Land documents into bronze: project to the bronze doc schema,
+    content-hash dedup (ref: bronze.py:13-22,65-70), append-partitioned
+    by ingest_date (ref: bronze.py:53,91 date-keyed object paths)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bronze = (
+        docs.select(
+            "doc_id",
+            F.col("text").alias("page_content"),
+            "source",
+            F.lit("text/html").alias("content_type"),
+            F.date_format(
+                F.date_add(F.lit("2024-12-12").cast("date"), (F.col("doc_id") % 5).cast("int")),
+                "yyyy-MM-dd",
+            ).alias("ingest_date"),
+        )
+        .withColumn("content_hash", F.sha2("page_content", 256))
+        .dropDuplicates(["content_hash"])
+        .drop("content_hash")
+    )
+    bronze.write.mode("overwrite").partitionBy("ingest_date").json(f"{out_dir}/bronze")
+    return bronze
+
+
+def run_silver(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Bronze JSON -> validated chunks -> atomic overwrite of silver
+    (ref: chunks_data.py:69-124; the non-atomic delete-then-write at
+    :58-59 becomes mode('overwrite'))."""
+    bronze = (
+        spark.read.schema(BRONZE_SCHEMA).json(f"{out_dir}/bronze")
+    )
+    chunks = (
+        bronze.filter(F.col("page_content").isNotNull() & (F.length("page_content") > 0))
+        .select(
+            "doc_id",
+            "source",
+            "content_type",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(0, int(greatest((length(page_content)"
+                    f" - {CHUNK_OVERLAP} + {CHUNK_STRIDE - 1}) div {CHUNK_STRIDE}, 1)) - 1),"
+                    f" i -> substring(page_content, i * {CHUNK_STRIDE} + 1, {CHUNK_SIZE}))"
+                )
+            ).alias("chunk_id", "split_content"),
+        )
+    )
+    chunks.write.mode("overwrite").parquet(f"{out_dir}/silver")
+    return chunks
+
+
+def _embed_map_factory(embed_fn: EmbedFn):
+    out_schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("chunk_id", IntegerType()),
+            StructField("pk", StringType()),
+            StructField("text", StringType()),
+            StructField("source", StringType()),
+            StructField("content_type", StringType()),
+            StructField("title", StringType()),
+            StructField("description", StringType()),
+            StructField("embedding", ArrayType(FloatType())),
+        ]
+    )
+
+    def embed_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), EMBED_BATCH):
+                part = pdf.iloc[start : start + EMBED_BATCH]
+                vecs = embed_fn(part["cleaned_content"].tolist())
+                yield pd.DataFrame(
+                    {
+                        "doc_id": part["doc_id"].values,
+                        "chunk_id": part["chunk_id"].values,
+                        # deterministic pk (ref uses uuid4 at seed_milvus.py:81;
+                        # deterministic fn of (doc_id, chunk_id) for testability)
+                        "pk": [
+                            hashlib.md5(f"{d}_{c}".encode()).hexdigest()
+                            for d, c in zip(part["doc_id"], part["chunk_id"])
+                        ],
+                        "text": part["cleaned_content"].values,
+                        "source": part["source"].values,
+                        "content_type": part["content_type"].values,
+                        "title": part["title"].values,
+                        "description": part["description"].values,
+                        "embedding": vecs,
+                    }
+                )
+
+    return embed_map, out_schema
+
+
+def run_gold(
+    spark: SparkSession,
+    out_dir: str,
+    embed_fn: EmbedFn = hash_embed_batch,
+) -> DataFrame:
+    """Silver chunks -> clean -> metadata defaults -> embed -> overwrite
+    the embeddings table (ref: gold.py:26-38; drop_old reseed at
+    seed_milvus.py:71-84; metadata defaults at :53-59)."""
+    silver = spark.read.parquet(f"{out_dir}/silver")
+
+    clean_udf = F.pandas_udf(clean_text_batch, StringType())
+    cleaned = silver.select(
+        "doc_id",
+        "chunk_id",
+        "source",
+        clean_udf(F.col("split_content")).alias("cleaned_content"),
+        F.coalesce(F.col("content_type"), F.lit("text/plain")).alias("content_type"),
+        F.lit("Untitled").alias("title"),
+        F.lit("No description available").alias("description"),
+    ).filter(F.length("cleaned_content") > 0)
+
+    embed_map, out_schema = _embed_map_factory(embed_fn)
+    gold = cleaned.mapInPandas(embed_map, schema=out_schema)
+    gold.write.mode("overwrite").parquet(f"{out_dir}/gold_embeddings")
+    return gold
+
+
+def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int]:
+    """Full bronze -> silver -> gold rebuild; returns row counts."""
+    bronze = run_bronze(spark, sf_dir, out_dir)
+    silver = run_silver(spark, out_dir)
+    gold = run_gold(spark, out_dir)
+    return {
+        "bronze": spark.read.schema(BRONZE_SCHEMA).json(f"{out_dir}/bronze").count(),
+        "silver": spark.read.parquet(f"{out_dir}/silver").count(),
+        "gold": spark.read.parquet(f"{out_dir}/gold_embeddings").count(),
+    }
+
+
+def vector_search(
+    spark: SparkSession, out_dir: str, query_text: str, k: int = 5
+) -> DataFrame:
+    """Similarity search over the gold embeddings table (ref: the Milvus
+    retriever, seed_milvus.py:7-25) — brute-force cosine top-k."""
+    emb = spark.read.parquet(f"{out_dir}/gold_embeddings")
+    qvec = hash_embed(query_text)
+    q = F.array(*[F.lit(float(x)) for x in qvec])
+    dot = F.expr(
+        "aggregate(zip_with(embedding, qv, (x, y) -> CAST(x AS DOUBLE) * y),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    return (
+        emb.withColumn("qv", q)
+        .select("pk", "doc_id", "chunk_id", "text", (dot / nrm).alias("score"))
+        .orderBy(F.desc("score"), F.asc("pk"))
+        .limit(k)
+    )

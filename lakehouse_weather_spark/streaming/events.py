@@ -1,1 +1,149 @@
-"""Placeholder — filled in a later milestone."""
+"""Event-time / streaming operators (SURVEY.md §2.10 — DERIVED; the
+reference is batch-only, ``schedule_interval=None`` at dags/bronze.py:127).
+
+Three layers:
+- ``q_win_tumbling``: tumbling-window aggregate as a *batch* query
+  (oracle-checked via date_trunc) — the semantics shared by batch and
+  streaming execution.
+- ``q_sessionize``: gap-based sessionization (30-min inactivity) as
+  windowed batch SQL — the classic custom-stateful-streaming operator,
+  expressed with lag + running sum so it stays oracle-checkable.
+- ``stream_tumbling_counts``: the true Structured Streaming variant
+  (readStream + withWatermark + window, availableNow trigger) —
+  exercised in tests/test_streaming.py and equal to the batch query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.functions import dsum
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@register(
+    "q_win_tumbling",
+    oracle="""
+        SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS window_start,
+               event_type,
+               count(*) AS n_events,
+               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
+                   AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregate over event time (batch form of"
+    " the streaming windowed agg; q_stream equivalent in streaming"
+    " tests). window() + groupBy -> one shuffle with map-side partials.",
+)
+def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "q_sessionize",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             - CAST(lag(ts) OVER w AS TIMESTAMP) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts, event_id,
+                   sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(session_idx AS BIGINT) AS session_idx,
+               CAST(min(ts) AS TIMESTAMP) AS session_start,
+               CAST(max(ts) AS TIMESTAMP) AS session_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_idx
+    """,
+    doc="Gap-based sessionization (30-min inactivity gap) via lag + "
+    "running-sum — the batch-SQL form of a custom stateful streaming"
+    " operator (applyInPandasWithState shape). One shuffle on user_id.",
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # NTZ -> epoch seconds via TIMESTAMP under the pinned-UTC session
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+
+
+def stream_tumbling_counts(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """True Structured Streaming tumbling-window count with watermark:
+    readStream over a directory of events parquet files (the file-stream
+    source requires a directory — new files appearing there are
+    incrementally processed), 1-hour windows, 2-hour watermark for late
+    data, availableNow trigger into a memory sink. Returns the completed
+    result table (equal to the batch q_win_tumbling counts).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
+        # the cast to NTZ after aggregation is deterministic
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("tumbling_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("tumbling_counts")

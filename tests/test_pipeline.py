@@ -1,0 +1,145 @@
+"""End-to-end medallion pipeline and crawl-source tests (SURVEY.md §3):
+bronze -> silver -> gold rebuild on a temp dir, chunk invariants across
+layers, vector search over gold, and the BFS crawl with a deterministic
+in-memory link graph (no network)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_weather_spark.operators.textops import CHUNK_SIZE
+from lakehouse_weather_spark.pipeline.crawl import crawl
+from lakehouse_weather_spark.pipeline.medallion import (
+    BRONZE_SCHEMA,
+    hash_embed,
+    run_pipeline,
+    vector_search,
+)
+
+
+@pytest.fixture(scope="module")
+def pipeline_out(spark, sf_dir, tmp_path_factory):
+    out = str(tmp_path_factory.mktemp("medallion"))
+    counts = run_pipeline(spark, sf_dir, out)
+    return out, counts
+
+
+def test_pipeline_counts(pipeline_out, spark, sf_dir):
+    out, counts = pipeline_out
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert counts["bronze"] <= n_docs  # content-hash dedup can only shrink
+    assert counts["bronze"] > 0
+    assert counts["silver"] >= counts["bronze"]  # chunking fans out
+    assert counts["gold"] == counts["silver"]  # clean+embed is 1:1 here
+
+
+def test_silver_chunk_invariants(pipeline_out, spark):
+    out, _ = pipeline_out
+    silver = spark.read.parquet(f"{out}/silver")
+    bad = silver.filter(f"length(split_content) > {CHUNK_SIZE}").count()
+    assert bad == 0
+    # chunk ordinals are dense per doc (0..n-1)
+    from pyspark.sql import functions as F
+
+    agg = silver.groupBy("doc_id").agg(
+        F.min("chunk_id").alias("lo"),
+        F.max("chunk_id").alias("hi"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    assert agg.filter("lo != 0 OR hi != n - 1").count() == 0
+
+
+def test_gold_embeddings_normalized(pipeline_out, spark):
+    out, _ = pipeline_out
+    gold = spark.read.parquet(f"{out}/gold_embeddings")
+    from pyspark.sql import functions as F
+
+    nrm = F.expr(
+        "sqrt(aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    stats = gold.select(nrm.alias("n")).agg(
+        F.min("n").alias("lo"), F.max("n").alias("hi")
+    ).first()
+    assert 0.999 <= stats.lo <= stats.hi <= 1.001
+
+
+def test_gold_pk_deterministic(pipeline_out, spark):
+    out, _ = pipeline_out
+    gold = spark.read.parquet(f"{out}/gold_embeddings")
+    assert gold.select("pk").distinct().count() == gold.count()
+
+
+def test_vector_search_finds_own_text(pipeline_out, spark):
+    out, _ = pipeline_out
+    gold = spark.read.parquet(f"{out}/gold_embeddings")
+    probe = gold.orderBy("pk").first()
+    hits = vector_search(spark, out, probe.text, k=3).collect()
+    assert hits, "expected results"
+    assert hits[0].score > 0.999  # its own embedding must be the top hit
+    assert hits[0].text == probe.text
+
+
+def test_embed_determinism():
+    a = hash_embed("spark rows columns")
+    b = hash_embed("spark rows columns")
+    assert a == b
+    assert abs(sum(x * x for x in a) - 1.0) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Crawl source
+# ---------------------------------------------------------------------------
+
+
+def _fake_graph() -> dict[str, tuple[str, str, list[str]]]:
+    g = {}
+    # seed -> 3 children -> 9 grandchildren; one duplicate-content pair;
+    # link lists salted with mailto:/tel:/# (must be dropped)
+    g["https://root"] = ("root page", "text/html", [
+        "https://a", "https://b", "https://c", "mailto:x@y", "#frag",
+    ])
+    for i, u in enumerate(["https://a", "https://b", "https://c"]):
+        children = [f"{u}/{j}" for j in range(3)]
+        g[u] = (f"page {i}", "text/html", children + ["tel:+1", "https://root"])
+        for j, cu in enumerate(children):
+            # duplicate content between a/0 and b/0
+            content = "dup page" if cu.endswith("/0") and u < "https://c" else f"leaf {i}-{j}"
+            g[cu] = (content, "text/html", [])
+    return g
+
+
+def test_crawl_bfs_dedup(spark):
+    graph = _fake_graph()
+
+    def fetch(url):
+        return graph[url]
+
+    pages = crawl(spark, ["https://root"], depth=3, fetch_fn=fetch, fetch_partitions=2)
+    rows = pages.collect()
+    urls = {r.url for r in rows}
+    contents = [r.page_content for r in rows]
+    # all 13 urls visited, but duplicate contents collapse
+    assert "https://root" in urls
+    assert len(contents) == len(set(contents))  # content-hash dedup applied
+    assert "dup page" in contents
+    # depth respected: leaves at depth 2
+    depths = {r.url: r.crawl_depth for r in rows}
+    assert depths["https://root"] == 0
+    assert depths.get("https://a/1") == 2
+
+
+def test_crawl_failure_quarantine(spark):
+    def fetch(url):
+        if url.endswith("bad"):
+            raise RuntimeError("boom")
+        return ("ok", "text/html", ["https://bad"])
+
+    pages = crawl(spark, ["https://good"], depth=2, fetch_fn=fetch, fetch_partitions=1)
+    rows = {r.url: r for r in pages.collect()}
+    assert rows["https://bad"].content_type == "error/failed"

@@ -1,0 +1,30 @@
+"""Structured Streaming equivalence: the streaming tumbling-window count
+(readStream + watermark + availableNow) must equal the batch query."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_weather_spark.registry import load_all
+from lakehouse_weather_spark.streaming.events import stream_tumbling_counts
+
+
+def test_stream_equals_batch(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_stream"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in load_all()["q_win_tumbling"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): r.n_events
+        for r in stream_tumbling_counts(
+            spark, str(events_dir), str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert stream == batch
