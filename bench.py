@@ -35,7 +35,11 @@ HEADLINE = [
     "q_chunk_split",
     "q_vector_topk",
     "q_minhash_neardup",
+    "q_ngram_jaccard",
+    "q_embed_neardup",
     "q_text_quality",
+    "q_sessionize",
+    "q_win_tumbling",
 ]
 
 

@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.functions import DEC, davg, dsum, sql_davg, sql_dsum
+from lakehouse_weather_spark.functions import SCALE, davg, dsum, sql_davg, sql_dsum
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
@@ -112,9 +112,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_filtered",
     oracle="""
         SELECT l_returnflag,
-               CAST(round(sum(CASE WHEN l_discount > 0.05
-                             THEN CAST(l_extendedprice AS DECIMAL(28,10)) END), 4)
-                    AS DOUBLE) AS high_disc_revenue,
+               (CAST(sum(CASE WHEN l_discount > 0.05
+                              THEN CAST(round(l_extendedprice * 10000) AS BIGINT) END)
+                     AS DOUBLE) / 10000) AS high_disc_revenue,
                count(*) FILTER (WHERE l_quantity > 30) AS big_qty_cnt,
                count(*) AS cnt
         FROM lineitem
@@ -125,14 +125,9 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
+    fx_price = F.round(F.col("l_extendedprice") * SCALE, 0).cast("bigint")
     return li.groupBy("l_returnflag").agg(
-        F.round(
-            F.sum(
-                F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice").cast(DEC))
-            ),
-            4,
-        )
-        .cast("double")
+        (F.sum(F.when(F.col("l_discount") > 0.05, fx_price)).cast("double") / SCALE)
         .alias("high_disc_revenue"),
         F.count(F.when(F.col("l_quantity") > 30, F.lit(1))).alias("big_qty_cnt"),
         F.count(F.lit(1)).alias("cnt"),

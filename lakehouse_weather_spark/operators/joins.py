@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.functions import dsum
+from lakehouse_weather_spark.functions import dsum, sql_dsum
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
@@ -76,10 +76,9 @@ def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_join_broadcast",
-    oracle="""
+    oracle=f"""
         SELECT n.n_name,
-               CAST(round(sum(CAST(l.l_extendedprice * (1 - l.l_discount)
-                             AS DECIMAL(28,10))), 4) AS DOUBLE) AS revenue
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
         FROM lineitem l
         JOIN supplier s ON l.l_suppkey = s.s_suppkey
         JOIN nation n ON s.s_nationkey = n.n_nationkey

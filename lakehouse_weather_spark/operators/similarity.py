@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_weather_spark.functions import duck_dot_sum
 from lakehouse_weather_spark.operators.dedup import _SPARK_DOT, _DUCK_VEC_CTE
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
@@ -42,7 +43,7 @@ _DIM = 64
         q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
         dots AS (
             SELECT v.vec_id,
-                   CAST(sum(CAST(v.val * q.val AS DECIMAL(28,10))) AS DOUBLE) AS dot
+                   {duck_dot_sum('v.val', 'q.val')} AS dot
             FROM vals v JOIN q ON v.pos = q.pos
             WHERE v.vec_id <> {QUERY_VEC_ID}
             GROUP BY v.vec_id

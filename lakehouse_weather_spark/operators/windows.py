@@ -69,33 +69,35 @@ def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_win_frame",
     oracle="""
         SELECT event_id, user_id,
-               CAST(round(sum(CAST(value AS DECIMAL(28,10)))
+               CAST(sum(CAST(round(value * 10000) AS BIGINT))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS DOUBLE)
+                              ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                   / 10000
                    / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
-               CAST(round(sum(CAST(value AS DECIMAL(28,10)))
+               CAST(sum(CAST(round(value * 10000) AS BIGINT))
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
-                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
-                    AS DOUBLE) AS running_sum
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / 10000 AS running_sum
         FROM events
     """,
     doc="Sliding-frame aggregates: 5-row moving average + running sum per"
-    " user. Frame sums accumulate in DECIMAL so the result is independent"
-    " of the engine's frame-evaluation algorithm (running vs segment-tree).",
+    " user. Frame sums accumulate fixed-point (see functions.dsum) so the"
+    " result is independent of the engine's frame-evaluation algorithm"
+    " (running vs segment-tree).",
 )
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    vdec = F.col("value").cast("decimal(28,10)")
+    vfx = F.round(F.col("value") * 10000, 0).cast("bigint")
     frame5 = w.rowsBetween(-4, 0)
     running = w.rowsBetween(Window.unboundedPreceding, 0)
     return ev.select(
         "event_id",
         "user_id",
         (
-            F.round(F.sum(vdec).over(frame5), 4).cast("double")
+            F.sum(vfx).over(frame5).cast("double") / 10000
             / F.count(F.lit(1)).over(frame5)
         ).alias("moving_avg"),
-        F.round(F.sum(vdec).over(running), 4).cast("double").alias("running_sum"),
+        (F.sum(vfx).over(running).cast("double") / 10000).alias("running_sum"),
     )

@@ -18,20 +18,19 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.functions import dsum
+from lakehouse_weather_spark.functions import dsum, sql_dsum
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
 
 @register(
     "q_win_tumbling",
-    oracle="""
+    oracle=f"""
         SELECT CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
                    AS window_start,
                event_type,
                count(*) AS n_events,
-               CAST(round(sum(CAST(value AS DECIMAL(28,10))), 4) AS DOUBLE)
-                   AS sum_value
+               {sql_dsum('value')} AS sum_value
         FROM events
         GROUP BY 1, 2
     """,

@@ -1,0 +1,81 @@
+"""Physical-plan quality gates: these assert the *plans* stay the ones
+we'd want at 100 TB — filters pushed into the parquet scan, dimensions
+broadcast, top-k as TakeOrderedAndProject, no Python UDFs in the
+relational path. A regression here is a performance bug even if results
+stay correct.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_weather_spark.registry import load_all
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = load_all()[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_parquet")
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThan(l_quantity,25.0)" in plan
+
+
+def test_column_pruning_reaches_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_scan_parquet")
+    # only the 3 projected columns in ReadSchema — not all 11
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    assert "l_orderkey" in read_schema and "l_extendedprice" not in read_schema
+
+
+def test_broadcast_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_join_broadcast")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_small_dim_join_auto_broadcasts(spark, sf_dir):
+    # even without an explicit hint, customer joins should broadcast at
+    # test scale thanks to the size threshold
+    plan = _plan(spark, sf_dir, "q_join_inner")
+    assert "BroadcastHashJoin" in plan
+
+
+def test_topk_is_take_ordered(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_topk")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_relational_path_has_no_python_udf(spark, sf_dir):
+    # every oracle-checked query must stay JVM-side (pandas_udf allowed
+    # only in the explicitly rows-only ops)
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        plan = _plan(spark, sf_dir, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_agg_has_partial_aggregation(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_agg_basic")
+    # two HashAggregate nodes (partial + final) around one exchange
+    assert plan.count("HashAggregate") >= 2
+    assert "Exchange" in plan
+
+
+def test_whole_stage_codegen_covers_scan(spark, sf_dir):
+    # formatted mode marks codegen'd operators with "[codegen id : N]"
+    plan = _plan(spark, sf_dir, "q_filter_pred")
+    assert "codegen id" in plan
+    # filter + project fused into the scan stage
+    assert "Filter [codegen id : 1]" in plan
