@@ -109,6 +109,63 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_cube",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               {sql_dsum('l_extendedprice')} AS sum_price,
+               count(*) AS cnt
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="CUBE grouping sets: all 4 grouping combinations in one Expand+"
+    "Aggregate pass (one shuffle).",
+)
+def q_agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        dsum("l_extendedprice").alias("sum_price"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+
+
+@register(
+    "q_agg_median",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag, l_quantity AS median_qty
+        FROM ranked WHERE rn = (n + 1) // 2
+    """,
+    doc="Exact order-statistic median (lower median, deterministic"
+    " tiebreak) — avoids engine-specific interpolation arithmetic while"
+    " exercising rank-based quantiles. At scale prefer approx_percentile"
+    " (rows-only sibling: see tests).",
+)
+def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n + 1) div 2")
+    ).select("l_returnflag", F.col("l_quantity").alias("median_qty"))
+
+
+@register(
     "q_agg_filtered",
     oracle="""
         SELECT l_returnflag,

@@ -77,6 +77,37 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "q_embed_centroid",
+    oracle=f"""
+        WITH u AS (
+            SELECT label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        )
+        SELECT label, CAST(pos AS INTEGER) AS pos,
+               {duck_dot_sum('embedding[pos]', '1.0')} / count(*) AS centroid
+        FROM u
+        GROUP BY label, pos
+    """,
+    doc="Per-label embedding centroid (k-means seed / class prototype):"
+    " posexplode + fixed-point mean per dimension. One shuffle on"
+    " (label, pos); at 100 TB pre-aggregate per partition first (free"
+    " via partial aggregation).",
+)
+def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select("label", (F.col("pos0") + 1).alias("pos"), "val")
+    fx = F.round(F.col("val").cast("double") * F.lit(1.0) * DOT_SCALE, 0).cast("bigint")
+    return exploded.groupBy("label", "pos").agg(
+        (F.sum(fx).cast("double") / DOT_SCALE / F.count(F.lit(1))).alias("centroid")
+    )
+
+
 def _hyperplane_expr(j: int) -> str:
     """Deterministic pseudo-random hyperplane j as a SQL array literal:
     weight_i = (md5int('hp_<j>_<i>') % 2001 - 1000) / 1000.0."""

@@ -1,0 +1,103 @@
+"""Classic multi-join analytic queries (TPC-H-shaped; DERIVED closure).
+
+These exercise what single-operator queries can't: join ordering,
+broadcast selection across 3-6 tables, aggregate-after-join, and
+top-k-after-aggregate. Catalyst + AQE pick the physical plan; the
+assertions in tests/test_plans.py keep the dimensions broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.functions import dsum, sql_dsum
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@register(
+    "q_tpch_q3",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 shape (shipping priority): 3-way join with selective"
+    " dimension filters -> grouped revenue -> top-10. The customer"
+    " filter pushes down before the join; TakeOrderedAndProject caps"
+    " the sort.",
+)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q_tpch_q5",
+    oracle=f"""
+        SELECT n.n_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                       AND c.c_nationkey = s.s_nationkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n.n_name
+        ORDER BY revenue DESC
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): 6-way star join with a"
+    " region filter that prunes through nation -> supplier; all"
+    " dimensions broadcast, lineitem never shuffles for the joins.",
+)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(s, (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey))
+        .join(n, s.s_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"))
+    )

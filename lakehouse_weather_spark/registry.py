@@ -33,6 +33,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.scans",
     "lakehouse_weather_spark.operators.filters",
     "lakehouse_weather_spark.operators.joins",
+    "lakehouse_weather_spark.operators.tpch",
     "lakehouse_weather_spark.operators.aggregates",
     "lakehouse_weather_spark.operators.windows",
     "lakehouse_weather_spark.operators.sorts",

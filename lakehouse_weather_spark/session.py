@@ -58,6 +58,13 @@ def get_spark(
         # --- python exchange ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # local warehouse for bucketed/managed tables (static conf — must
+        # be set at session build; harmless on a real cluster where the
+        # deployment overrides it)
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/lws_warehouse"),
+        )
         # keep the local UI off (test/bench hygiene)
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")

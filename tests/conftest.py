@@ -15,6 +15,12 @@ SF_DIR = "/root/testdata/sf0.001"
 
 @pytest.fixture(scope="session")
 def spark():
+    import os
+    import tempfile
+
+    # fresh warehouse per test session: managed-table locations outlive
+    # the in-memory catalog, so a reused dir breaks saveAsTable
+    os.environ["SPARK_GRAFT_WAREHOUSE"] = tempfile.mkdtemp(prefix="lws_wh_")
     s = get_spark("tests", shuffle_partitions=8)
     yield s
     s.stop()
