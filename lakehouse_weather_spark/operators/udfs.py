@@ -1,0 +1,87 @@
+"""UDF surface demos (SURVEY.md §2.11): the reference's "UDFs" are plain
+Python functions applied in loops; the engine's surface is the full
+Spark ladder — row Python UDF (slowest, only for genuinely scalar
+Python logic), Arrow pandas_udf (scalar + grouped-agg), and
+mapInPandas / UDTF-via-explode (covered in textops/medallion).
+
+``q_udf_urljoin`` deliberately uses a *row* Python UDF wrapping
+``urllib.parse.urljoin`` — the reference's exact logic
+(``dags/utils/crawl_web.py:91``). The oracle replicates the
+relative-URL resolution rules in SQL for the synthetic inputs, so this
+is the one place a row UDF is oracle-checked. Everything hot stays off
+this path (see test_plans.py's no-Python-UDF gate for relational ops).
+"""
+
+from __future__ import annotations
+
+from urllib.parse import urljoin
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import DoubleType, StringType
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+@F.udf(StringType(), useArrow=False)
+def _urljoin_udf(base, href):
+    return urljoin(base or "", href or "")
+
+
+@register(
+    "q_udf_urljoin",
+    oracle="""
+        SELECT doc_id, href,
+               CASE
+                 WHEN href LIKE 'http://%' OR href LIKE 'https://%' THEN href
+                 WHEN href LIKE '/%' THEN 'https://' || source || href
+                 ELSE 'https://' || source || '/a/' || href
+               END AS absolute_url
+        FROM (
+            SELECT doc_id, source,
+                   unnest(['page2.html',
+                           '/rooted/x.html',
+                           'https://other.example/abs.html']) AS href
+            FROM documents
+        )
+    """,
+    doc="Relative->absolute URL resolution via a row Python UDF wrapping"
+    " urllib.parse.urljoin (ref: crawl_web.py:91). Base is"
+    " 'https://<source>/a/b.html'; the three href shapes (relative,"
+    " root-relative, absolute) cover urljoin's main branches.",
+)
+def q_udf_urljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = F.concat(F.lit("https://"), F.col("source"), F.lit("/a/b.html"))
+    hrefs = F.array(
+        F.lit("page2.html"),
+        F.lit("/rooted/x.html"),
+        F.lit("https://other.example/abs.html"),
+    )
+    return docs.select(
+        "doc_id", base.alias("base"), F.explode(hrefs).alias("href")
+    ).select(
+        "doc_id", "href", _urljoin_udf("base", "href").alias("absolute_url")
+    )
+
+
+@register(
+    "q_pandas_grouped_agg",
+    oracle=None,  # float accumulation order inside pandas is engine-specific
+    doc="Grouped-aggregate pandas_udf (Arrow-batched): interquartile"
+    " range of order totals per priority — the §2.11 grouped-agg UDF"
+    " shape for statistics Spark lacks as builtins. Rows-only check;"
+    " distribution sanity asserted in tests.",
+)
+def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    @F.pandas_udf(DoubleType())
+    def iqr(v: pd.Series) -> float:
+        return float(v.quantile(0.75) - v.quantile(0.25))
+
+    orders = load_table(spark, sf_dir, "orders")
+    # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg
+    return orders.groupBy("o_orderpriority").agg(
+        iqr("o_totalprice").alias("price_iqr")
+    )

@@ -39,6 +39,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.sorts",
     "lakehouse_weather_spark.operators.setops",
     "lakehouse_weather_spark.operators.scalars",
+    "lakehouse_weather_spark.operators.udfs",
     "lakehouse_weather_spark.operators.textops",
     "lakehouse_weather_spark.operators.dedup",
     "lakehouse_weather_spark.operators.similarity",

@@ -28,6 +28,11 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    # Pin determinism-critical confs even when running inside a caller's
+    # session (e.g. the verification driver): UTC rendering and NTZ
+    # parquet timestamps keep results identical across host timezones.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if name == "events":
         return _load_events(spark, sf_dir)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
