@@ -40,6 +40,11 @@ HEADLINE = [
     "q_text_quality",
     "q_sessionize",
     "q_win_tumbling",
+    "q_word_topk",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q10",
 ]
 
 

@@ -289,6 +289,31 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_word_topk",
+    oracle="""
+        SELECT word, count(*) AS freq
+        FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+        GROUP BY word
+        ORDER BY freq DESC, word
+        LIMIT 20
+    """,
+    doc="Corpus word-frequency top-k (the canonical distributed"
+    " word count; vocabulary statistics for tokenizer training)."
+    " explode -> partial-agg -> final agg -> TakeOrderedAndProject;"
+    " the shuffle carries only (word, partial_count) pairs.",
+)
+def q_word_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(20)
+    )
+
+
+@register(
     "q_text_fingerprint",
     oracle="""
         WITH idx AS (

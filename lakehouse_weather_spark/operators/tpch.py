@@ -58,6 +58,76 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tpch_q6",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+               count(*) AS cnt
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1996-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    doc="TPC-H Q6 shape (forecast revenue change): pure scan-filter-"
+    "aggregate — every predicate pushes into the parquet reader; the"
+    " ideal single-stage 100 TB query.",
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q10",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               n.n_name
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE o.o_orderdate >= TIMESTAMP '1995-10-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+          AND l.l_returnflag = 'R'
+        GROUP BY c.c_custkey, c.c_name, n.n_name
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+    """,
+    doc="TPC-H Q10 shape (returned-item reporting): fact-fact join plus"
+    " broadcast nation, grouped revenue, top-20 customers.",
+)
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-10-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(n, c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "q_tpch_q5",
     oracle=f"""
         SELECT n.n_name,

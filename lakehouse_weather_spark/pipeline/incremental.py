@@ -1,0 +1,71 @@
+"""Incremental-maintenance operators: the overwrite/append/upsert
+patterns the reference fakes with object deletes (SURVEY.md §2.12).
+
+- ``merge_upsert``: MERGE-style upsert without Delta — new/changed rows
+  replace base rows by key (anti-join + union). On Delta/Iceberg this is
+  a native MERGE INTO; the dataflow below is the engine-agnostic shape
+  and stays a two-shuffle plan (anti join + write).
+- ``append_partition``: the reference's date-partition append
+  (``dags/bronze.py:53,91``) done atomically per partition.
+- ``compact_partitions``: small-file compaction — the 100 TB lakehouse
+  maintenance job (AQE-coalesced rewrite of a partition's files).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def merge_upsert(
+    spark: SparkSession, base_dir: str, updates: DataFrame, key: str, out_dir: str
+) -> DataFrame:
+    """Upsert ``updates`` into the parquet table at ``base_dir`` by
+    ``key``; result written to ``out_dir`` and returned. Semantics match
+    ``MERGE INTO base USING updates ON base.key = updates.key WHEN
+    MATCHED THEN UPDATE * WHEN NOT MATCHED THEN INSERT *``.
+
+    ``updates`` must be unique on ``key``: duplicate update keys all
+    land in the result (SQL MERGE would raise on multiple matches —
+    dedupe updates first, e.g. ``row_number() == 1`` by recency)."""
+    base = spark.read.parquet(base_dir)
+    survivors = base.join(updates.select(key), key, "left_anti")
+    merged = survivors.unionByName(updates)
+    merged.write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir)
+
+
+def append_partition(
+    df: DataFrame, out_dir: str, partition_col: str
+) -> None:
+    """Append new date partitions without touching existing ones (the
+    bronze landing pattern; dynamic partition overwrite keeps reruns
+    idempotent per partition)."""
+    (
+        df.sparkSession.conf.set(
+            "spark.sql.sources.partitionOverwriteMode", "dynamic"
+        )
+    )
+    df.write.mode("overwrite").partitionBy(partition_col).parquet(out_dir)
+
+
+def compact_partitions(
+    spark: SparkSession, table_dir: str, target_files: int = 4
+) -> int:
+    """Rewrite a parquet directory into ``target_files`` files (small-
+    file compaction). Returns the resulting file count. At scale this
+    runs per-partition with a size-based target instead of a count."""
+    df = spark.read.parquet(table_dir)
+    tmp = table_dir.rstrip("/") + "__compacted"
+    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
+    out = spark.read.parquet(tmp)
+    out.write.mode("overwrite").parquet(table_dir)
+    import shutil
+
+    shutil.rmtree(tmp)
+    return len(
+        [
+            f
+            for f in __import__("os").listdir(table_dir)
+            if f.endswith(".parquet")
+        ]
+    )

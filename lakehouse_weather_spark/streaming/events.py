@@ -108,6 +108,91 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def stream_sessionize(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Custom stateful streaming sessionization via
+    ``applyInPandasWithState``: per-user state carries the open session
+    across micro-batches; sessions closed by a 30-min event-time gap (or
+    end-of-stream for the availableNow demo) are emitted. This is the
+    streaming twin of the batch q_sessionize — equality is asserted in
+    tests/test_streaming.py.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("session_idx", LongType()),
+            StructField("session_start", TimestampType()),
+            StructField("session_end", TimestampType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    state_schema = StructType([StructField("n_seen", LongType())])
+    gap = pd.Timedelta(minutes=30)
+
+    def sessionize(key, pdfs, state: GroupState):
+        (user_id,) = key
+        events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
+        sessions = []
+        start = end = None
+        idx = (state.get[0] if state.exists else 0)
+        n = 0
+        for ts in events["ts"]:
+            if start is None:
+                idx += 1
+                start, end, n = ts, ts, 1
+            elif ts - end > gap:
+                sessions.append((user_id, idx, start, end, n))
+                idx += 1
+                start, end, n = ts, ts, 1
+            else:
+                end, n = ts, n + 1
+        if start is not None:
+            sessions.append((user_id, idx, start, end, n))
+        state.update((idx,))
+        yield pd.DataFrame(
+            sessions,
+            columns=["user_id", "session_idx", "session_start", "session_end", "n_events"],
+        )
+
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_sessions")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_sessions")
+
+
 def stream_tumbling_counts(
     spark: SparkSession, events_dir: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -9,7 +9,10 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from lakehouse_weather_spark.registry import load_all
-from lakehouse_weather_spark.streaming.events import stream_tumbling_counts
+from lakehouse_weather_spark.streaming.events import (
+    stream_sessionize,
+    stream_tumbling_counts,
+)
 
 
 def test_stream_equals_batch(spark, sf_dir, tmp_path):
@@ -25,6 +28,24 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
         (r.window_start, r.event_type): r.n_events
         for r in stream_tumbling_counts(
             spark, str(events_dir), str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert stream == batch
+
+
+def test_stateful_sessionize_equals_batch(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_sess"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    batch = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in load_all()["q_sessionize"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
+        for r in stream_sessionize(
+            spark, str(events_dir), str(tmp_path / "ckpt_sess")
         ).collect()
     }
     assert stream == batch
