@@ -54,10 +54,14 @@ def main() -> None:
     specs = load_all()
     spark = get_spark("bench")
 
-    # Warm the JVM + parquet footers so per-query numbers measure the
-    # query, not session bootstrap (bootstrap is reported separately).
+    # Warm the JVM, codegen, and parquet footers so per-query numbers
+    # measure the query, not session bootstrap (warmup time is reported
+    # separately as warm_sec).
     t0 = time.time()
     spark.range(1).collect()
+    warm = specs.get("q_agg_basic")
+    if warm is not None:
+        warm.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
     warm_sec = time.time() - t0
 
     timings: dict[str, float] = {}

@@ -32,6 +32,43 @@ def q_str_regex_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_html_strip",
+    oracle="""
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(html, '<[^>]*>', ' ', 'g'),
+                                   '\\s+', ' ', 'g')) AS extracted_text
+        FROM (
+            SELECT doc_id,
+                   '<html><head><title>t</title></head><body><p>' || text
+                       || '</p><a href="/x">link</a></body></html>' AS html
+            FROM documents
+        )
+    """,
+    doc="HTML -> text extraction, SQL-expressible core (ref:"
+    " crawl_web.py:14-23 bs4 .text + whitespace collapse): tag-strip"
+    " regexp_replace + whitespace collapse, fully codegen'd. The full"
+    " bs4 path (entity decoding, script/style removal) lives in the"
+    " crawl fetcher behind an import-try.",
+)
+def q_html_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit('<html><head><title>t</title></head><body><p>'),
+        F.col("text"),
+        F.lit('</p><a href="/x">link</a></body></html>'),
+    )
+    with_html = docs.select("doc_id", html.alias("html"))
+    return with_html.select(
+        "doc_id",
+        F.trim(
+            F.regexp_replace(
+                F.regexp_replace("html", "<[^>]*>", " "), r"\s+", " "
+            )
+        ).alias("extracted_text"),
+    )
+
+
+@register(
     "q_str_sha2",
     oracle="SELECT doc_id, sha256(text) AS content_hash FROM documents",
     doc="sha256 content fingerprint (ref: bronze.py:22, crawl_web.py:59).",
