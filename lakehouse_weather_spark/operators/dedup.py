@@ -180,6 +180,9 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min((F.lit(a) * x + F.lit(b)) % P).alias(f"s{k}")
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
+    # the band table feeds both sides of the self-join; Spark's
+    # ReusedExchange dedupes the identical shuffle subtree, so no
+    # explicit persist is needed (measured: persist is a net loss)
     sig = sh.groupBy("doc_id").agg(*mins)
     band_structs = F.array(
         *[
