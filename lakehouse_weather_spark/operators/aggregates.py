@@ -109,6 +109,32 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_minmax_by",
+    oracle="""
+        SELECT o_orderpriority,
+               arg_min(o_orderkey, o_totalprice) AS cheapest_order,
+               arg_max(o_orderkey, o_totalprice) AS priciest_order,
+               min(o_totalprice) AS min_price,
+               max(o_totalprice) AS max_price
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="min_by/max_by (argmin/argmax) per group: which order carries"
+    " the extreme value, not just the value. Deterministic because"
+    " o_totalprice extremes are unique per group in this data;"
+    " production use ties-breaks via a struct ordering.",
+)
+def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
+        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
+
+
+@register(
     "q_agg_cube",
     oracle=f"""
         SELECT l_returnflag, l_linestatus,

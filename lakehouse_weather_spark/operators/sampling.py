@@ -1,0 +1,134 @@
+"""Training-data sampling / splitting / packing operators.
+
+The operations a 100 TB training-data pipeline runs between dedup and
+tokenization: reproducible sampling, train/val/test assignment, source
+mixing, and token-budget packing. All use the shared deterministic
+md5 hash (never ``rand()``: engine- and partitioning-dependent), so
+every one is oracle-checked and replays identically on any cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+_SPARK_H100 = (
+    "pmod(cast(conv(substr(md5(concat('smp_', cast(doc_id as string))), 1, 15),"
+    " 16, 10) as bigint), 100)"
+)
+_DUCK_H100 = (
+    "CAST(('0x' || substr(md5('smp_' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT) % 100"
+)
+
+
+@register(
+    "q_sample_hash",
+    oracle=f"""
+        SELECT doc_id, lang, n_chars
+        FROM documents
+        WHERE {_DUCK_H100} < 20
+    """,
+    doc="Reproducible 20% sample via content-key hashing — the"
+    " production alternative to rand() sampling (stable across"
+    " partitioning, cluster size, and reruns; a doc is in or out"
+    " forever). Narrow, shuffle-free.",
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.filter(F.expr(_SPARK_H100) < 20).select("doc_id", "lang", "n_chars")
+
+
+@register(
+    "q_split_assign",
+    oracle=f"""
+        SELECT doc_id,
+               CASE WHEN ({_DUCK_H100}) < 80 THEN 'train'
+                    WHEN ({_DUCK_H100}) < 90 THEN 'valid'
+                    ELSE 'test' END AS split
+        FROM documents
+    """,
+    doc="Deterministic 80/10/10 train/valid/test assignment by key hash"
+    " — leakage-safe (same doc always lands in the same split, even"
+    " across dataset versions).",
+)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(_SPARK_H100)
+    return docs.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@register(
+    "q_mix_weighted",
+    oracle=f"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE ({_DUCK_H100}) <
+              CASE lang WHEN 'en' THEN 100 WHEN 'zh' THEN 50 ELSE 25 END
+    """,
+    doc="Weighted source mixing: per-language sampling rates (en 100%,"
+    " zh 50%, others 25%) — the dataset-mixture knob of a pre-training"
+    " pipeline, deterministic via key hashing.",
+)
+def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    rate = (
+        F.when(F.col("lang") == "en", 100)
+        .when(F.col("lang") == "zh", 50)
+        .otherwise(25)
+    )
+    return docs.filter(F.expr(_SPARK_H100) < rate).select("doc_id", "lang")
+
+
+@register(
+    "q_token_packing",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        runs AS (
+            SELECT doc_id, source, n_tokens,
+                   sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS cum_tokens
+            FROM toks
+        )
+        SELECT doc_id, source, n_tokens,
+               CAST((cum_tokens - 1) // 256 AS BIGINT) AS batch_id
+        FROM runs
+    """,
+    doc="Token-budget packing: assign documents to ~256-token training"
+    " batches per source via a running token sum (greedy sequential"
+    " packing — the standard pre-tokenization batching op). One window"
+    " shuffle on source.",
+)
+def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return toks.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.expr(
+            "cast((sum(n_tokens) over (partition by source order by doc_id"
+            " rows between unbounded preceding and current row) - 1) div 256"
+            " as bigint)"
+        ).alias("batch_id"),
+    )

@@ -40,6 +40,34 @@ def q_win_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_win_rank_stats",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INTEGER) AS price_quartile,
+               percent_rank() OVER w AS pct_rank,
+               cume_dist() OVER w AS cdist
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Rank statistics per group: ntile quartiles, percent_rank,"
+    " cume_dist over order value (price-band features). Deterministic"
+    " via the o_orderkey tiebreak; the ratio outputs are exact"
+    " divisions of identical ints.",
+)
+def q_win_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("price_quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cdist"),
+    )
+
+
+@register(
     "q_win_laglead",
     oracle="""
         SELECT event_id, user_id, value,
