@@ -315,6 +315,89 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Near-dup cluster consolidation (connected components)
+# ---------------------------------------------------------------------------
+
+_CLUSTER_THRESHOLD = 0.8
+
+
+@register(
+    "q_dedup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_CLUSTER_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.n = e.b
+        )
+        SELECT n AS doc_id, min(r) AS cluster_rep
+        FROM reach GROUP BY n
+    """,
+    doc="Near-duplicate cluster consolidation: connected components over"
+    " the jaccard >= 0.8 similarity graph via iterative min-label"
+    " propagation (driver loop of joins until fixpoint — diameter-bounded;"
+    " at 100 TB checkpoint labels every few rounds to cut lineage)."
+    " The keep-policy is then one doc per cluster_rep. Oracle replays"
+    " the same closure with a recursive CTE.",
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = (
+        q_ngram_jaccard(spark, sf_dir)
+        .filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
+        "label", F.col("doc_id")
+    )
+    for _ in range(20):  # diameter bound; fixpoint usually in 2-3 rounds
+        neighbor_min = (
+            edges.join(labels, edges.doc_b == labels.doc_id)
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 

@@ -1,0 +1,149 @@
+"""Reshaping + subquery + null-semantics operators (DERIVED closure):
+pivot/unpivot, correlated subqueries (Catalyst decorrelation), and the
+SQL null-handling surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "q_pivot_events",
+    oracle=f"""
+        SELECT user_id,
+               {", ".join(f"count(*) FILTER (WHERE event_type = '{t}') AS {t}"
+                          for t in EVENT_TYPES)}
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Pivot: per-user event-type count matrix (wide feature table)."
+    " Explicit value list keeps the output schema static — mandatory at"
+    " scale (dynamic pivot needs an extra distinct pass).",
+)
+def q_pivot_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+@register(
+    "q_unpivot",
+    oracle="""
+        SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+        FROM lineitem WHERE l_orderkey % 991 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'discount', l_discount
+        FROM lineitem WHERE l_orderkey % 991 = 0
+        UNION ALL
+        SELECT l_orderkey, l_linenumber, 'tax', l_tax
+        FROM lineitem WHERE l_orderkey % 991 = 0
+    """,
+    doc="Unpivot/melt: wide metric columns to long (metric, value) rows"
+    " — the feature-store long format. Spark's unpivot is a zero-shuffle"
+    " Expand.",
+)
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") % 991 == 0)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).withColumn(
+        "metric",
+        F.when(F.col("metric") == "l_quantity", "quantity")
+        .when(F.col("metric") == "l_discount", "discount")
+        .otherwise("tax"),
+    )
+
+
+@register(
+    "q_scalar_subquery",
+    oracle="""
+        SELECT c_custkey, c_acctbal,
+               (SELECT max(o.o_totalprice) FROM orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        FROM customer c
+        WHERE c_acctbal > 9000
+    """,
+    doc="Correlated scalar subquery: each customer's max order value."
+    " Catalyst decorrelates to an aggregate + left outer join — no"
+    " per-row execution (check the plan: one join, not N subqueries).",
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders")
+    return spark.sql(
+        """
+        SELECT c_custkey, c_acctbal,
+               (SELECT max(o.o_totalprice) FROM v_orders o
+                WHERE o.o_custkey = c.c_custkey) AS max_order_price
+        FROM v_customer c
+        WHERE c_acctbal > 9000
+        """
+    )
+
+
+@register(
+    "q_exists_subquery",
+    oracle="""
+        SELECT p_partkey, p_name
+        FROM part p
+        WHERE EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+    """,
+    doc="EXISTS subquery (decorrelates to left-semi join): parts ever"
+    " ordered at max quantity.",
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_name
+        FROM v_part p
+        WHERE EXISTS (SELECT 1 FROM v_lineitem l
+                      WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 49)
+        """
+    )
+
+
+@register(
+    "q_null_semantics",
+    oracle="""
+        SELECT doc_id,
+               nullif(lang, 'en') AS maybe_lang,
+               coalesce(nullif(lang, 'en'), 'fallback') AS with_fallback,
+               (nullif(lang, 'en') IS NULL) AS is_null_flag,
+               (nullif(lang, 'en') IS NOT DISTINCT FROM 'es') AS null_safe_eq_es,
+               CASE WHEN nullif(lang, 'en') IS NOT NULL THEN 'has_value'
+                    ELSE 'was_null' END AS nvl2_style
+        FROM documents
+    """,
+    doc="Null-handling surface: nullif/coalesce/IS NULL/null-safe"
+    " equality (<=>)/nvl2-style branching — the semantics the"
+    " reference's defensive dict.get defaults imply (seed_milvus.py:"
+    "53-59), as three-valued SQL logic.",
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    maybe = F.nullif(F.col("lang"), F.lit("en"))
+    return docs.select(
+        "doc_id",
+        maybe.alias("maybe_lang"),
+        F.coalesce(maybe, F.lit("fallback")).alias("with_fallback"),
+        maybe.isNull().alias("is_null_flag"),
+        maybe.eqNullSafe(F.lit("es")).alias("null_safe_eq_es"),
+        F.when(maybe.isNotNull(), "has_value").otherwise("was_null").alias("nvl2_style"),
+    )
