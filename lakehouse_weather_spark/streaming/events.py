@@ -193,6 +193,39 @@ def stream_sessionize(
     return spark.table("stream_sessions")
 
 
+def stream_dedup(
+    spark: SparkSession, events_dir: str, checkpoint_dir: str
+) -> DataFrame:
+    """Streaming exact dedup with bounded state:
+    ``dropDuplicatesWithinWatermark`` on a content key — the reference's
+    crawl-time visited-hash dedup (``bronze.py:64-70``) as a streaming
+    operator whose state is garbage-collected by the watermark instead
+    of growing forever (the driver-side Python set's failure mode).
+    Demo keys on (user_id, event_type): first event per pair survives.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_dedup")
+
+
 def stream_tumbling_counts(
     spark: SparkSession, events_dir: str, checkpoint_dir: str
 ) -> DataFrame:

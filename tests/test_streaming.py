@@ -10,6 +10,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from lakehouse_weather_spark.registry import load_all
 from lakehouse_weather_spark.streaming.events import (
+    stream_dedup,
     stream_sessionize,
     stream_tumbling_counts,
 )
@@ -31,6 +32,22 @@ def test_stream_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stream == batch
+
+
+def test_stream_dedup_one_per_key(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_dd"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    result = stream_dedup(spark, str(events_dir), str(tmp_path / "ckpt_dd"))
+    batch_keys = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id", "event_type")
+        .distinct()
+        .count()
+    )
+    assert result.count() == batch_keys  # exactly one survivor per key
+    assert result.select("user_id", "event_type").distinct().count() == batch_keys
 
 
 def test_stateful_sessionize_equals_batch(spark, sf_dir, tmp_path):
