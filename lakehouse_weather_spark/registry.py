@@ -43,6 +43,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.textops",
     "lakehouse_weather_spark.operators.sampling",
     "lakehouse_weather_spark.operators.reshape",
+    "lakehouse_weather_spark.operators.profiling",
     "lakehouse_weather_spark.operators.dedup",
     "lakehouse_weather_spark.operators.similarity",
     "lakehouse_weather_spark.operators.multimodal",

@@ -48,6 +48,9 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # runtime bloom-filter pushdown: semi-join reduction of big scans
+        # from selective join sides (off by default; a large-join win)
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         # --- shuffle sizing ---
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # 128 MB splits: standard cluster-friendly scan granularity
