@@ -87,6 +87,60 @@ def q_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_pack_sequences",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id, source, text,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        runs AS (
+            SELECT doc_id, source, text,
+                   CAST((sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1)
+                        // 256 AS BIGINT) AS batch_id
+            FROM toks
+        )
+        SELECT source, batch_id,
+               string_agg(text, '<|sep|>' ORDER BY doc_id) AS sequence,
+               count(*) AS n_docs
+        FROM runs
+        GROUP BY source, batch_id
+    """,
+    doc="Sequence packing: concatenate each token-budget batch's"
+    " documents (doc_id order, '<|sep|>' separators) into one training"
+    " sequence — the final pre-tokenization step. Deterministic ordered"
+    " aggregation via sort_array(collect_list(struct(...))).",
+)
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    runs = toks.select(
+        "doc_id",
+        "source",
+        "text",
+        F.expr(
+            "cast((sum(n_tokens) over (partition by source order by doc_id"
+            " rows between unbounded preceding and current row) - 1) div 256"
+            " as bigint)"
+        ).alias("batch_id"),
+    )
+    ordered = F.transform(
+        F.sort_array(F.collect_list(F.struct("doc_id", "text"))),
+        lambda s: s.getField("text"),
+    )
+    return runs.groupBy("source", "batch_id").agg(
+        F.array_join(ordered, "<|sep|>").alias("sequence"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@register(
     "q_token_packing",
     oracle="""
         WITH toks AS (

@@ -1,0 +1,37 @@
+"""Multi-format ingest surface (SURVEY §2.1 DERIVED row): CSV and JSON
+round-trips with explicit schemas preserve data exactly."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def test_csv_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "docs_csv")
+    (
+        docs.write.option("header", True)
+        .option("quoteAll", True)
+        .mode("overwrite")
+        .csv(out)
+    )
+    back = (
+        spark.read.schema(docs.schema)
+        .option("header", True)
+        .csv(out)
+    )
+    assert back.count() == docs.count()
+    assert back.schema == docs.schema
+    assert back.exceptAll(docs).isEmpty() and docs.exceptAll(back).isEmpty()
+
+
+def test_json_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = str(tmp_path / "orders_json")
+    ev.write.mode("overwrite").json(out)
+    back = spark.read.schema(ev.schema).json(out)
+    assert back.count() == ev.count()
+    assert back.exceptAll(ev).isEmpty()
