@@ -45,6 +45,11 @@ HEADLINE = [
     "q_tpch_q5",
     "q_tpch_q6",
     "q_tpch_q10",
+    "q_pivot_events",
+    "q_profile_lineitem",
+    "q_pack_sequences",
+    "q_embed_centroid",
+    "q_dedup_clusters",
 ]
 
 

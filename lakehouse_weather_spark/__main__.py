@@ -33,6 +33,12 @@ def main(argv: list[str] | None = None) -> int:
     p_s.add_argument("--out", required=True, help="pipeline output dir")
     p_s.add_argument("-k", type=int, default=5)
 
+    p_sql = sub.add_parser(
+        "sql", help="run ad-hoc SQL over the test tables (registered as views)"
+    )
+    p_sql.add_argument("statement")
+    p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = ap.parse_args(argv)
 
     from lakehouse_weather_spark.registry import load_all
@@ -64,6 +70,11 @@ def main(argv: list[str] | None = None) -> int:
             vector_search(spark, args.out, args.text, k=args.k).show(
                 args.k, truncate=60
             )
+        elif args.cmd == "sql":
+            from lakehouse_weather_spark.sources.tables import register_views
+
+            register_views(spark, args.sf_dir)
+            spark.sql(args.statement).show(50, truncate=80)
     finally:
         spark.stop()
     return 0

@@ -367,6 +367,9 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )
+    # materialize the similarity graph once; otherwise every iteration's
+    # join re-derives the full shingle/jaccard pipeline
+    edges = edges.localCheckpoint(eager=True)
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
@@ -385,13 +388,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))

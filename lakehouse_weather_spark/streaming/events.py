@@ -193,6 +193,44 @@ def stream_sessionize(
     return spark.table("stream_sessions")
 
 
+def stream_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    sf_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream-static join: enrich the event stream with the (static)
+    customer dimension on user_id % customer-count — the streaming
+    analogue of the broadcast dimension join. The static side is
+    re-read per micro-batch (picks up dimension updates); Spark plans a
+    broadcast join, so the stream never shuffles.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static_schema = spark.read.parquet(events_dir).schema
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_mktsegment"
+    )
+    n_cust = customer.count()
+    stream = (
+        spark.readStream.schema(static_schema)
+        .parquet(events_dir)
+        .withColumn("c_custkey", F.col("user_id") % n_cust)
+        .join(customer, "c_custkey")
+        .select("event_id", "user_id", "event_type", "c_mktsegment")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("stream_enriched")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("stream_enriched")
+
+
 def stream_dedup(
     spark: SparkSession, events_dir: str, checkpoint_dir: str
 ) -> DataFrame:

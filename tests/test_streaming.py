@@ -11,6 +11,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 from lakehouse_weather_spark.registry import load_all
 from lakehouse_weather_spark.streaming.events import (
     stream_dedup,
+    stream_enrich,
     stream_sessionize,
     stream_tumbling_counts,
 )
@@ -48,6 +49,19 @@ def test_stream_dedup_one_per_key(spark, sf_dir, tmp_path):
     )
     assert result.count() == batch_keys  # exactly one survivor per key
     assert result.select("user_id", "event_type").distinct().count() == batch_keys
+
+
+def test_stream_static_enrich(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_en"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    result = stream_enrich(
+        spark, str(events_dir), sf_dir, str(tmp_path / "ckpt_en")
+    )
+    n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    assert result.count() == n_events  # every event found its dimension row
+    assert result.filter("c_mktsegment IS NULL").count() == 0
 
 
 def test_stateful_sessionize_equals_batch(spark, sf_dir, tmp_path):
