@@ -183,6 +183,60 @@ def q_str_endswith(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_str_extra",
+    oracle="""
+        SELECT doc_id,
+               levenshtein(source, 'src0') AS edit_dist,
+               lpad(CAST(doc_id AS VARCHAR), 6, '0') AS padded_id,
+               reverse(source) AS rev_source,
+               translate(source, 'rs', 'RS') AS swapped,
+               repeat('ab', 3) || source AS prefixed
+        FROM documents
+    """,
+    doc="Extended string surface: levenshtein edit distance (fuzzy-match"
+    " dedup primitive), lpad (stable ids), reverse, translate, repeat —"
+    " all JVM built-ins with exact cross-engine semantics.",
+)
+def q_str_extra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.levenshtein("source", F.lit("src0")).alias("edit_dist"),
+        F.lpad(F.col("doc_id").cast("string"), 6, "0").alias("padded_id"),
+        F.reverse("source").alias("rev_source"),
+        F.translate("source", "rs", "RS").alias("swapped"),
+        F.concat(F.repeat(F.lit("ab"), 3), F.col("source")).alias("prefixed"),
+    )
+
+
+@register(
+    "q_histogram",
+    oracle="""
+        SELECT CAST(least(floor((o_totalprice - 1000.0) / 50000.0), 9) AS INTEGER)
+                   AS bucket,
+               count(*) AS cnt,
+               min(o_totalprice) AS bucket_min,
+               max(o_totalprice) AS bucket_max
+        FROM orders
+        GROUP BY 1
+    """,
+    doc="Value-distribution histogram: arithmetic bucketing of order"
+    " totals into 10 fixed-width bins (the data-profiling histogram"
+    " pass; identical floor arithmetic both engines).",
+)
+def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - 1000.0) / 50000.0), F.lit(9)
+    ).cast("int")
+    return orders.groupBy(bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("o_totalprice").alias("bucket_min"),
+        F.max("o_totalprice").alias("bucket_max"),
+    )
+
+
+@register(
     "q_date_format",
     oracle="""
         SELECT o_orderkey,

@@ -68,6 +68,38 @@ def q_udf_urljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_group_normalize",
+    oracle=None,  # pandas float accumulation differs at the last ulp
+    doc="Grouped-map applyInPandas: per-user z-score normalization of"
+    " event values (each group arrives as one pandas DataFrame) — the"
+    " §2.11 grouped-map UDF shape for group-local algorithms (fit,"
+    " normalize, resample). Equivalence to the window-SQL z-score is"
+    " asserted (1e-9) in tests/test_udfs.py.",
+)
+def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("value_z", DoubleType()),
+        ]
+    )
+
+    def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+        std = pdf["value"].std(ddof=1)
+        mean = pdf["value"].mean()
+        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        return pd.DataFrame(
+            {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "value_z": z}
+        )
+
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").applyInPandas(normalize, schema=out_schema)
+
+
+@register(
     "q_pandas_grouped_agg",
     oracle=None,  # float accumulation order inside pandas is engine-specific
     doc="Grouped-aggregate pandas_udf (Arrow-batched): interquartile"
