@@ -231,6 +231,115 @@ def stream_enrich(
     return spark.table("stream_enriched")
 
 
+def stream_merge_sink(
+    spark: SparkSession,
+    events_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+) -> int:
+    """foreachBatch streaming-merge sink: each micro-batch upserts the
+    latest event per user into the target table via ``merge_upsert`` —
+    the standard streaming-lakehouse pattern (exactly-once per batch via
+    the checkpoint + idempotent merge). Returns the target row count.
+    """
+    from lakehouse_weather_spark.pipeline.incremental import merge_upsert
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static_schema = spark.read.parquet(events_dir).schema
+
+    # seed an empty target with the right schema
+    empty = spark.createDataFrame(
+        [], "user_id long, event_id long, value double"
+    )
+    empty.write.mode("overwrite").parquet(target_dir)
+
+    def upsert_batch(batch_df, batch_id: int) -> None:
+        latest = (
+            batch_df.groupBy("user_id")
+            .agg(
+                F.max_by("event_id", F.col("ts")).alias("event_id"),
+                F.max_by("value", F.col("ts")).alias("value"),
+            )
+        )
+        merge_upsert(
+            batch_df.sparkSession, target_dir, latest, "user_id", target_dir + "__next"
+        )
+        import shutil
+
+        shutil.rmtree(target_dir)
+        shutil.move(target_dir + "__next", target_dir)
+
+    q = (
+        spark.readStream.schema(static_schema)
+        .parquet(events_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .writeStream.foreachBatch(upsert_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.read.parquet(target_dir).count()
+
+
+def stream_stream_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """Stream-stream inner join with watermarked state: match each
+    'view' event to 'click' events by the same user within 1 hour after
+    the view. Both sides carry watermarks so the join state is bounded —
+    the canonical funnel/attribution streaming join.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(left_dir).schema
+
+    views = (
+        spark.readStream.schema(schema)
+        .parquet(left_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        spark.readStream.schema(schema)
+        .parquet(right_dir)
+        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+    ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("view_click_joins")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("view_click_joins")
+
+
 def stream_dedup(
     spark: SparkSession, events_dir: str, checkpoint_dir: str
 ) -> DataFrame:

@@ -8,11 +8,15 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
+from pyspark.sql import functions as F
+
 from lakehouse_weather_spark.registry import load_all
 from lakehouse_weather_spark.streaming.events import (
     stream_dedup,
     stream_enrich,
+    stream_merge_sink,
     stream_sessionize,
+    stream_stream_join,
     stream_tumbling_counts,
 )
 
@@ -62,6 +66,52 @@ def test_stream_static_enrich(spark, sf_dir, tmp_path):
     n_events = spark.read.parquet(f"{sf_dir}/events.parquet").count()
     assert result.count() == n_events  # every event found its dimension row
     assert result.filter("c_mktsegment IS NULL").count() == 0
+
+
+def test_stream_merge_sink_latest_per_user(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_ms"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    target = str(tmp_path / "target")
+    n = stream_merge_sink(
+        spark, str(events_dir), target, str(tmp_path / "ckpt_ms")
+    )
+    n_users = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert n == n_users  # exactly one (latest) row per user
+
+
+def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_ss"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    result = stream_stream_join(
+        spark, str(events_dir), str(events_dir), str(tmp_path / "ckpt_ss")
+    )
+    # batch equivalent over the same data
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS v_user", "ts AS view_ts"
+    )
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS c_user", "ts AS click_ts"
+    )
+    batch = views.join(
+        clicks,
+        (views.v_user == clicks.c_user)
+        & (clicks.click_ts >= views.view_ts)
+        & (clicks.click_ts < views.view_ts + F.expr("INTERVAL 1 HOUR")),
+    )
+    assert result.count() == batch.count()
+    assert result.count() > 0
 
 
 def test_stateful_sessionize_equals_batch(spark, sf_dir, tmp_path):
