@@ -192,6 +192,53 @@ def q_agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_agg_quantiles",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag, l_quantity,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               min(CASE WHEN rn = greatest(1, (n * 25) // 100)
+                        THEN l_quantity END) AS p25,
+               min(CASE WHEN rn = greatest(1, (n * 50) // 100)
+                        THEN l_quantity END) AS p50,
+               min(CASE WHEN rn = greatest(1, (n * 75) // 100)
+                        THEN l_quantity END) AS p75
+        FROM ranked
+        GROUP BY l_returnflag
+    """,
+    doc="Exact order-statistic quartiles per group (rank selection, no"
+    " interpolation — engine-portable). One window shuffle; at 100 TB"
+    " prefer approx_percentile unless exactness is required.",
+)
+def q_agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wc = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    def at(pct: int):
+        pos = F.greatest(F.lit(1), F.expr(f"(n * {pct}) div 100"))
+        return F.min(F.when(F.col("rn") == pos, F.col("l_quantity")))
+
+    return ranked.groupBy("l_returnflag").agg(
+        at(25).alias("p25"), at(50).alias("p50"), at(75).alias("p75")
+    )
+
+
+@register(
     "q_agg_filtered",
     oracle="""
         SELECT l_returnflag,

@@ -101,6 +101,62 @@ def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_join_asof",
+    oracle="""
+        WITH errors AS (
+            SELECT event_id AS err_id, user_id, ts AS err_ts
+            FROM events WHERE event_type = 'error'
+        ),
+        views AS (
+            SELECT event_id AS view_id, user_id, ts AS view_ts
+            FROM events WHERE event_type = 'view'
+        )
+        SELECT e.err_id, e.user_id,
+               CAST(e.err_ts AS TIMESTAMP) AS err_ts,
+               v.view_id AS last_view_id
+        FROM errors e
+        ASOF LEFT JOIN views v
+          ON e.user_id = v.user_id AND v.view_ts <= e.err_ts
+    """,
+    doc="As-of join: each error event matched to the user's most recent"
+    " view at-or-before it (point-in-time correctness — the operator"
+    " Spark lacks natively). Implemented as a single-pass union +"
+    " last(ignorenulls) carry-forward window: one shuffle on user_id,"
+    " no range-join explosion — the scalable shape for 100 TB"
+    " time-series. Oracle uses DuckDB's native ASOF JOIN."
+    " Ties (view at the exact error ts) match, per ASOF <= semantics;"
+    " view_id tiebreak makes simultaneous views deterministic.",
+)
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # union-tag the two sides; views sort before errors at equal ts so
+    # a same-instant view is visible to the error (ASOF <= semantics)
+    tagged = ev.filter(F.col("event_type").isin("error", "view")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "view", F.col("event_id")).alias("view_id"),
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_error", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = tagged.withColumn(
+        "last_view_id", F.last("view_id", ignorenulls=True).over(w)
+    )
+    return carried.filter(F.col("is_error") == 1).select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        "last_view_id",
+    )
+
+
+@register(
     "q_join_range",
     oracle="""
         SELECT p.event_id AS probe_id, e.event_id
