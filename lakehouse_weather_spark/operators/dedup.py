@@ -401,6 +401,59 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
+@register(
+    "q_dedup_keep_best",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_CLUSTER_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.n = e.b
+        ),
+        clusters AS (
+            SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY n
+        )
+        SELECT c.cluster_rep,
+               arg_max(d.doc_id, d.n_chars * 10000000 - d.doc_id) AS keep_doc_id,
+               max(d.n_chars) AS keep_n_chars,
+               count(*) AS cluster_size
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+        GROUP BY c.cluster_rep
+    """,
+    doc="Dedup keep-policy: within each near-dup cluster keep the"
+    " longest document (min doc_id tiebreak) — the final survivor"
+    " selection of the dedup pipeline (clusters -> one kept doc each)."
+    " max_by over n_chars*1e7 - doc_id makes ties deterministic"
+    " (longest wins; equal length -> smallest doc_id).",
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    joined = clusters.join(docs, "doc_id")
+    pref = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    return joined.groupBy("cluster_rep").agg(
+        F.max_by("doc_id", pref).alias("keep_doc_id"),
+        F.max("n_chars").alias("keep_n_chars"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------

@@ -289,6 +289,32 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_lang_doc_stats",
+    oracle="""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(CAST(len(string_split(text, ' ')) AS BIGINT)) AS BIGINT)
+                   AS total_tokens,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM documents
+        GROUP BY lang
+    """,
+    doc="Per-language corpus statistics (dataset-card material: docs,"
+    " tokens, chars, sources per language) — the summary pass after"
+    " language-ID in a training-data pipeline.",
+)
+def q_lang_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " ")).cast("bigint")).alias("total_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@register(
     "q_word_topk",
     oracle="""
         SELECT word, count(*) AS freq
