@@ -128,6 +128,101 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q_tpch_q4",
+    oracle="""
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1995-07-01'
+          AND o.o_orderdate < TIMESTAMP '1995-10-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4 shape (order-priority checking): correlated EXISTS"
+    " with an inequality -> left-semi join, then a tiny groupBy.",
+)
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q4")
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q4")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM v_orders_q4 o
+        WHERE o.o_orderdate >= TIMESTAMP_NTZ '1995-07-01'
+          AND o.o_orderdate < TIMESTAMP_NTZ '1995-10-01'
+          AND EXISTS (SELECT 1 FROM v_lineitem_q4 l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate)
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@register(
+    "q_tpch_q12",
+    oracle="""
+        SELECT l_linestatus,
+               count(*) FILTER (WHERE o_orderpriority IN
+                   ('1-URGENT', '2-HIGH')) AS high_line_count,
+               count(*) FILTER (WHERE o_orderpriority NOT IN
+                   ('1-URGENT', '2-HIGH')) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1996-01-01'
+        GROUP BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape (shipping modes / priority): fact-fact join +"
+    " conditional counts per class.",
+)
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp_ntz"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, F.lit(1))).alias("high_line_count"),
+            F.count(F.when(~high, F.lit(1))).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q_tpch_q14",
+    oracle=f"""
+        SELECT 100.0 * {sql_dsum("CASE WHEN p.p_type LIKE 'PROMO%'"
+                                 " THEN l.l_extendedprice * (1 - l.l_discount)"
+                                 " ELSE 0.0 END")}
+               / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')}
+                   AS promo_revenue_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1995-09-01'
+          AND l.l_shipdate < TIMESTAMP '1995-10-01'
+    """,
+    doc="TPC-H Q14 shape (promotion effect): ratio of two exact"
+    " fixed-point sums — the division of identical doubles is"
+    " bit-stable across engines. Part joins broadcast.",
+)
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-09-01").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1995-10-01").cast("timestamp_ntz"))
+    )
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .agg((F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_revenue_pct"))
+    )
+
+
+@register(
     "q_tpch_q5",
     oracle=f"""
         SELECT n.n_name,
