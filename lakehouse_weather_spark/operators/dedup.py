@@ -54,12 +54,27 @@ def _spark_shingles(text_col: str = "text") -> str:
 def _spark_shingle_hashes(spark, sf_dir) -> DataFrame:
     """Distinct (doc_id, h) word-3-gram shingle hashes — the join/
     signature currency for minhash + jaccard (60-bit ints join ~5x
-    faster than shingle strings and shrink the shuffle)."""
+    faster than shingle strings and shrink the shuffle).
+
+    Per-doc dedup happens NARROWLY via array_distinct before the
+    explode — no shuffle (the old ``.distinct()`` paid a full exchange
+    for rows that are already unique within each document). A small
+    single-file input is also fanned out first: one parquet file = one
+    input split, which would otherwise run the whole md5 stage on one
+    core (on a real 100 TB input there are thousands of splits and the
+    repartition is skipped)."""
     docs = load_table(spark, sf_dir, "documents")
-    sh = docs.select("doc_id", F.explode(F.expr(_spark_shingles())).alias("s"))
-    return sh.select(
-        "doc_id", F.expr(_SPARK_H.format(expr="s")).alias("h")
-    ).distinct()
+    # 8 tasks is enough to hide the md5 stage for a ~MB-scale file while
+    # keeping scheduling overhead low; a real input has >> 8 splits and
+    # skips this branch entirely.
+    par = min(spark.sparkContext.defaultParallelism, 8)
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    hashes = F.expr(
+        f"array_distinct(transform({_spark_shingles()},"
+        f" s -> {_SPARK_H.format(expr='s')}))"
+    )
+    return docs.select("doc_id", F.explode(hashes).alias("h"))
 
 
 _DUCK_SHINGLES_CTE = f"""
@@ -271,17 +286,85 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Exact n-gram Jaccard verification
 # ---------------------------------------------------------------------------
 
+# Document-frequency cap: a shingle appearing in more than DF_CAP docs is
+# a stop-phrase — it carries no near-dup identity but emits O(df^2) join
+# rows (one hot shingle in 1M docs => 5e11 pairs). Capping bounds the
+# per-shingle pair fan-out at DF_CAP^2/2 regardless of corpus size; the
+# cap applies symmetrically to intersections AND set sizes, so jaccard
+# stays a true similarity over the capped shingle universe. The oracle
+# applies the identical cap.
+DF_CAP = 500
+
+_DUCK_CAPPED_CTE = f"""
+    hdf AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+    capped AS (
+        SELECT sh.doc_id, sh.h FROM sh JOIN hdf USING (h)
+        WHERE hdf.df <= {DF_CAP}
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM capped GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+"""
+
+
+def _capped_shingle_buckets(spark, sf_dir) -> DataFrame:
+    """(h, ids) inverted index of shingle hash -> sorted doc list, with
+    stop-phrase shingles (df > DF_CAP) dropped. ONE shuffle; both the
+    pair stream and the per-doc set sizes derive from it narrowly, so
+    the whole jaccard pipeline is 1 wide exchange + partial-agg
+    groupBys — the old plan shuffled the shingle table twice more for
+    a self-join."""
+    sh = _spark_shingle_hashes(spark, sf_dir)
+    return (
+        sh.groupBy("h")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") <= DF_CAP)
+    )
+
+
+def _jaccard_pairs(spark, sf_dir) -> DataFrame:
+    """(doc_a, doc_b, jaccard) for pairs sharing >= 1 capped shingle.
+    Pairs are generated inside each inverted-index bucket (ids sorted,
+    so doc_a < doc_b by construction) — a narrow nested transform, not
+    a self-join."""
+    buckets = _capped_shingle_buckets(spark, sf_dir)
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x AS doc_a, y AS doc_b))))"
+    )
+    inter = (
+        buckets.filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.doc_a").alias("doc_a"), F.col("p.doc_b").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    sizes = (
+        buckets.select(F.explode("ids").alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
+    # no broadcast hint: sizes is one row per document — broadcastable at
+    # fixture stats (planner picks BHJ), but at 1e9+ docs the planner /
+    # AQE must be free to fall back to a shuffle join
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+    )
+
 
 @register(
     "q_ngram_jaccard",
     oracle=f"""
         WITH {_DUCK_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
+        {_DUCK_CAPPED_CTE}
         SELECT doc_a, doc_b,
                CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
         FROM inter
@@ -290,28 +373,15 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.10
     """,
     doc="Exact word-3-gram Jaccard similarity for pairs sharing >= 1"
-    " shingle, threshold 0.10 (training-data closure; verification stage"
-    " after MinHash candidates). The shared-shingle join prunes the"
-    " quadratic pair space — only colliding pairs are scored.",
+    " shingle with document frequency <= DF_CAP, threshold 0.10"
+    " (training-data closure; verification stage after MinHash"
+    " candidates). Pairs come from the inverted index per-bucket (sorted"
+    " doc list -> nested transform), so the plan is one wide shuffle —"
+    " no shingle self-join — and the df cap bounds every bucket's pair"
+    " fan-out at scale.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sh = _spark_shingle_hashes(spark, sf_dir)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("i").cast("double") / (F.col("na") + F.col("nb") - F.col("i"))
-    return (
-        inter.join(F.broadcast(sa), "doc_a")
-        .join(F.broadcast(sb), "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= 0.10)
-    )
+    return _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.10)
 
 
 # ---------------------------------------------------------------------------
@@ -321,16 +391,23 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CLUSTER_THRESHOLD = 0.8
 
 
+def _checkpoint(df: DataFrame) -> DataFrame:
+    """Truncate lineage. Uses a RELIABLE checkpoint (survives executor
+    loss — required for multi-round iteration on a real cluster) when a
+    checkpoint dir is configured (session.py sets one; point
+    SPARK_GRAFT_CHECKPOINT_DIR at shared storage on a cluster), falling
+    back to executor-local checkpoint otherwise."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is not None:
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 @register(
     "q_dedup_clusters",
     oracle=f"""
         WITH RECURSIVE {_DUCK_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
+        {_DUCK_CAPPED_CTE},
         pairs AS (
             SELECT doc_a, doc_b
             FROM inter
@@ -354,7 +431,7 @@ _CLUSTER_THRESHOLD = 0.8
     doc="Near-duplicate cluster consolidation: connected components over"
     " the jaccard >= 0.8 similarity graph via iterative min-label"
     " propagation (driver loop of joins until fixpoint — diameter-bounded;"
-    " at 100 TB checkpoint labels every few rounds to cut lineage)."
+    " labels checkpoint each round to cut lineage)."
     " The keep-policy is then one doc per cluster_rep. Oracle replays"
     " the same closure with a recursive CTE.",
 )
@@ -369,7 +446,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the similarity graph once; otherwise every iteration's
     # join re-derives the full shingle/jaccard pipeline
-    edges = edges.localCheckpoint(eager=True)
+    edges = _checkpoint(edges)
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
@@ -388,7 +465,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("label"),
             )
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
+        new_labels = _checkpoint(new_labels)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "doc_id")
@@ -405,12 +482,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_dedup_keep_best",
     oracle=f"""
         WITH RECURSIVE {_DUCK_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.h = b.h AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
+        {_DUCK_CAPPED_CTE},
         pairs AS (
             SELECT doc_a, doc_b FROM inter
             JOIN sizes sa ON doc_a = sa.doc_id
@@ -496,18 +568,20 @@ _DUCK_VEC_CTE = f"""
         WHERE dot / (na.nrm * nb.nrm) >= 0.4
     """,
     doc="Embedding-cosine near-duplicate pairs (threshold 0.4), exact"
-    " brute force as a blocked matrix product: the corpus matrix is a"
-    " Spark broadcast; each partition scores its vectors against it in"
-    " vectorized numpy inside Arrow mapInPandas (~100x the interpreted"
-    " zip_with lambda path). Fixed-point rounding (see functions.py)"
-    " reproduces the JVM/oracle dot products bit-exactly. At 100 TB the"
-    " broadcast side becomes LSH buckets (q_vector_topk_lsh) and the"
-    " same kernel scores bucket-local candidates.",
+    " brute force as a BLOCKED all-pairs matrix product: vectors hash"
+    " into N_BLOCKS blocks; each of the N*(N+1)/2 block pairs is scored"
+    " independently by a vectorized numpy kernel inside cogrouped"
+    " applyInPandas (~100x the interpreted zip_with lambda path)."
+    " Nothing ever materializes on the driver — the shuffle replicates"
+    " each vector N_BLOCKS times and every task holds only two blocks"
+    " (choose N_BLOCKS so 2*n/N_BLOCKS vectors fit an executor)."
+    " Fixed-point rounding (see functions.py) reproduces the JVM/oracle"
+    " dot products bit-exactly. At 100 TB the same kernel scores"
+    " LSH-bucket-local candidates instead of all block pairs.",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
-    from collections.abc import Iterator
 
     from pyspark.sql.types import (
         DoubleType,
@@ -518,10 +592,24 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_weather_spark.functions import DOT_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    corpus = emb.select("vec_id", "embedding").toPandas()
-    ids = corpus["vec_id"].to_numpy(dtype=np.int64)
-    M = np.stack(corpus["embedding"].map(np.asarray)).astype(np.float64)
+    n_blocks = 8
+    threshold = 0.4
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # every vector joins each block pair (bi, bj) that contains its own
+    # block: B replicas per vector, B*(B+1)/2 independent score tasks
+    blk = F.pmod(F.hash("vec_id"), F.lit(n_blocks))
+    rep = (
+        emb.withColumn("blk", blk)
+        .withColumn("other", F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))))
+        .select(
+            "vec_id",
+            "embedding",
+            "blk",
+            F.least("blk", "other").alias("bi"),
+            F.greatest("blk", "other").alias("bj"),
+        )
+    )
 
     def _fxround(x: np.ndarray) -> np.ndarray:
         # half-away-from-zero, matching Spark round() and DuckDB round()
@@ -531,10 +619,6 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ints = _fxround((mat * mat) * DOT_SCALE).sum(axis=1)
         return np.sqrt(ints.astype(np.float64) / DOT_SCALE)
 
-    corpus_norms = _norms(M)
-    bc = spark.sparkContext.broadcast((ids, M, corpus_norms))
-    threshold = 0.4
-
     schema = StructType(
         [
             StructField("vec_a", LongType()),
@@ -543,30 +627,48 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
 
-    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        c_ids, c_mat, c_nrm = bc.value
-        for pdf in batches:
-            a_ids = pdf["vec_id"].to_numpy(dtype=np.int64)
-            A = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
-            a_nrm = _norms(A)
-            # phase 1 — BLAS scan: float dots differ from the fixed-point
-            # truth by < 64 * 0.5/DOT_SCALE, so a 1e-6 guard band cannot
-            # miss a true candidate.
-            cos_fast = (A @ c_mat.T) / (a_nrm[:, None] * c_nrm[None, :])
-            ai, bi = np.nonzero(
-                (a_ids[:, None] < c_ids[None, :]) & (cos_fast >= threshold - 1e-6)
-            )
-            # phase 2 — exact fixed-point re-score of the few candidates
-            prods = A[ai] * c_mat[bi]
-            dots = _fxround(prods * DOT_SCALE).sum(axis=1)
-            cos = dots.astype(np.float64) / DOT_SCALE / (a_nrm[ai] * c_nrm[bi])
-            keep = cos >= threshold
-            yield pd.DataFrame(
-                {
-                    "vec_a": a_ids[ai[keep]],
-                    "vec_b": c_ids[bi[keep]],
-                    "cosine": cos[keep],
-                }
-            )
+    def score_block_pair(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+            {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64}
+        )
+        bi, bj = int(pdf["bi"].iloc[0]), int(pdf["bj"].iloc[0])
+        left = pdf[pdf["blk"] == bi]
+        right = pdf[pdf["blk"] == bj] if bi != bj else left
+        if len(left) == 0 or len(right) == 0:
+            return empty
+        a_ids = left["vec_id"].to_numpy(dtype=np.int64)
+        b_ids = right["vec_id"].to_numpy(dtype=np.int64)
+        A = np.stack(left["embedding"].map(np.asarray)).astype(np.float64)
+        B = (
+            np.stack(right["embedding"].map(np.asarray)).astype(np.float64)
+            if bi != bj
+            else A
+        )
+        a_nrm, b_nrm = _norms(A), _norms(B)
+        # phase 1 — BLAS scan: float dots differ from the fixed-point
+        # truth by < 64 * 0.5/DOT_SCALE, so a 1e-6 guard band cannot
+        # miss a true candidate. Each unordered pair lives in exactly
+        # one block pair: same-block pairs dedupe via the strict upper
+        # triangle; cross-block pairs are all valid and are oriented
+        # afterwards (the smaller id may sit in either block).
+        cos_fast = (A @ B.T) / (a_nrm[:, None] * b_nrm[None, :])
+        if bi == bj:
+            pair_mask = a_ids[:, None] < b_ids[None, :]
+        else:
+            pair_mask = np.ones((len(a_ids), len(b_ids)), dtype=bool)
+        ai, bix = np.nonzero(pair_mask & (cos_fast >= threshold - 1e-6))
+        # phase 2 — exact fixed-point re-score of the few candidates
+        prods = A[ai] * B[bix]
+        dots = _fxround(prods * DOT_SCALE).sum(axis=1)
+        cos = dots.astype(np.float64) / DOT_SCALE / (a_nrm[ai] * b_nrm[bix])
+        keep = cos >= threshold
+        ka, kb = a_ids[ai[keep]], b_ids[bix[keep]]
+        return pd.DataFrame(
+            {
+                "vec_a": np.minimum(ka, kb),
+                "vec_b": np.maximum(ka, kb),
+                "cosine": cos[keep],
+            }
+        )
 
-    return emb.select("vec_id", "embedding").mapInPandas(score, schema=schema)
+    return rep.groupBy("bi", "bj").applyInPandas(score_block_pair, schema=schema)

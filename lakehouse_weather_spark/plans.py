@@ -29,9 +29,14 @@ def salted_join(
 ) -> DataFrame:
     """Equi-join with key salting: left gets salt = hash(all cols) % n,
     right is exploded to all n salt values. Result equals a plain join;
-    the hot key's rows spread across ``salt`` reducers."""
+    the hot key's rows spread across ``salt`` reducers.
+
+    pmod, not abs(hash)%salt: hash() can return Int.MinValue, where
+    abs() stays negative and a non-power-of-2 salt would yield a _salt
+    outside 0..salt-1 that never matches the replicated right side —
+    silently dropping the row from an inner join."""
     salted_left = left.withColumn(
-        "_salt", (F.abs(F.hash(*left.columns)) % salt).cast("int")
+        "_salt", F.pmod(F.hash(*left.columns), F.lit(salt)).cast("int")
     )
     salted_right = right.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))

@@ -72,4 +72,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable checkpoint location for iterative algorithms (connected-
+    # components label propagation). localCheckpoint() is executor-local
+    # and lost on executor failure; a real cluster must point this at a
+    # shared filesystem (HDFS/S3) via SPARK_GRAFT_CHECKPOINT_DIR.
+    if spark.sparkContext.getCheckpointDir() is None:
+        spark.sparkContext.setCheckpointDir(
+            os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/lws_checkpoints")
+        )
+    return spark
