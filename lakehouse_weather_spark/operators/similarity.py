@@ -9,10 +9,12 @@ Two paths, mirroring what a 100 TB ANN deployment needs:
   zip_with dot products (JVM-side), TakeOrderedAndProject for the top-k.
   Linear scan, perfectly parallel — the right plan up to ~1e8 vectors.
 - ``q_vector_topk_lsh``: sign-random-hyperplane LSH bucketing — the
-  scale path. Vectors hash to a small bucket code; the query probes only
-  its own bucket. Deterministic hyperplanes derived from the shared
-  md5 hash so results are reproducible (rows-only driver check; recall
-  vs brute force is asserted in tests/test_similarity.py).
+  scale path. Vectors hash to a small bucket code (N_HYPERPLANES planes
+  -> 2^N buckets); the query probes its bucket + hamming-1/-2
+  neighbors. Deterministic md5-derived hyperplanes + fixed-point plane
+  dots make bucket codes bit-reproducible, so the whole probe+rerank is
+  oracle-checked in DuckDB; recall vs brute force is additionally
+  asserted in tests/test_similarity.py.
 """
 
 from __future__ import annotations
@@ -20,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.functions import duck_dot_sum
+from lakehouse_weather_spark.functions import duck_dot_sum, spark_dot
 from lakehouse_weather_spark.operators.dedup import _SPARK_DOT, _DUCK_VEC_CTE
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
@@ -120,26 +122,89 @@ def _hyperplane_expr(j: int) -> str:
 
 
 def _bucket_code_expr(emb: str) -> F.Column:
-    """8-bit sign-LSH bucket code of an embedding column."""
+    """4-bit sign-LSH bucket code (N_HYPERPLANES planes -> 2^N buckets)
+    of an embedding column. The plane dots use the shared FIXED-POINT
+    dot product, not a float fold: integer accumulation is associative
+    (cluster-order-independent) and bit-identical to the DuckDB oracle,
+    so bucket assignment is deterministic across engines."""
     bits = []
     for j in range(N_HYPERPLANES):
-        dot = (
-            f"aggregate(zip_with({emb}, {_hyperplane_expr(j)},"
-            f" (x, w) -> CAST(x AS DOUBLE) * w), CAST(0.0 AS DOUBLE),"
-            f" (acc, v) -> acc + v)"
-        )
+        dot = spark_dot(emb, _hyperplane_expr(j))
         bits.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << j} ELSE 0 END)")
     return F.expr(" + ".join(bits)).cast("int")
 
 
+def _probe_masks() -> list[int]:
+    """XOR masks for multiprobe: own bucket + hamming-1 + hamming-2."""
+    masks = [0]
+    masks += [1 << j for j in range(N_HYPERPLANES)]
+    masks += [
+        (1 << j) | (1 << k)
+        for j in range(N_HYPERPLANES)
+        for k in range(j + 1, N_HYPERPLANES)
+    ]
+    return masks
+
+
+def _lsh_oracle() -> str:
+    """DuckDB replay of bucket+probe+rerank: identical md5-derived
+    hyperplanes, identical fixed-point plane dots (bit-equal bucket
+    codes), then exact cosine re-rank inside the probed buckets."""
+    masks = ", ".join(f"({m})" for m in _probe_masks())
+    bit = "CAST(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END AS INTEGER)"
+    return f"""
+        WITH {_DUCK_VEC_CTE},
+        hp AS (
+            SELECT j, i + 1 AS pos,
+                   (CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))
+                         AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+            FROM (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS j),
+                 (SELECT unnest(generate_series(0, {_DIM - 1})) AS i)
+        ),
+        hpdots AS (
+            SELECT v.vec_id, hp.j, {duck_dot_sum('v.val', 'hp.w')} AS dot
+            FROM vals v JOIN hp ON v.pos = hp.pos
+            GROUP BY v.vec_id, hp.j
+        ),
+        codes AS (
+            SELECT vec_id, CAST(sum({bit}) AS INTEGER) AS bucket
+            FROM hpdots GROUP BY vec_id
+        ),
+        probes AS (
+            SELECT DISTINCT xor(c.bucket, m.m) AS bucket
+            FROM codes c, (VALUES {masks}) AS m(m)
+            WHERE c.vec_id = {QUERY_VEC_ID}
+        ),
+        cands AS (
+            SELECT c.vec_id FROM codes c JOIN probes p ON c.bucket = p.bucket
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+        ),
+        q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        dots AS (
+            SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN cands USING (vec_id) JOIN q ON v.pos = q.pos
+            GROUP BY v.vec_id
+        )
+        SELECT d.vec_id,
+               d.dot / (n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+        FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+        ORDER BY cosine DESC, d.vec_id
+        LIMIT {TOP_K}
+    """
+
+
 @register(
     "q_vector_topk_lsh",
-    oracle=None,  # approximate: recall asserted in tests, rows-only here
-    doc="Sign-random-hyperplane LSH top-k (scale path): 8 deterministic"
-    " hyperplanes -> 256 buckets; the query probes its own bucket plus"
-    " hamming-1 neighbors, then exact cosine re-rank inside candidates."
-    " At 100 TB: bucket code is a cheap narrow map; the candidate set"
-    " shrinks the scan ~100x; recall vs brute force tested in CI.",
+    oracle=_lsh_oracle(),
+    doc=f"Sign-random-hyperplane LSH top-k (scale path): {N_HYPERPLANES}"
+    f" deterministic hyperplanes -> {1 << N_HYPERPLANES} buckets; the"
+    " query probes its own bucket plus hamming-1/-2 neighbors, then"
+    " exact cosine re-rank inside candidates. Fully oracle-checked:"
+    " md5-derived hyperplanes + fixed-point plane dots give bit-equal"
+    " bucket codes in both engines. At 100 TB: bucket code is a cheap"
+    " narrow map; the candidate set shrinks the scan; recall vs brute"
+    " force additionally tested in CI.",
 )
 def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -158,13 +223,7 @@ def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # multiprobe: own bucket + hamming-1 + hamming-2 neighbors. On real
     # near-dup corpora (cosine >= 0.9) hamming-1 suffices; the fixture's
     # near-orthogonal vectors are the worst case, so probe wider.
-    masks = [0]
-    masks += [1 << j for j in range(N_HYPERPLANES)]
-    masks += [
-        (1 << j) | (1 << k)
-        for j in range(N_HYPERPLANES)
-        for k in range(j + 1, N_HYPERPLANES)
-    ]
+    masks = _probe_masks()
     probe = q.select(
         "q_emb",
         "q_nrm",
