@@ -51,21 +51,28 @@ def append_partition(
 def compact_partitions(
     spark: SparkSession, table_dir: str, target_files: int = 4
 ) -> int:
-    """Rewrite a parquet directory into ``target_files`` files (small-
-    file compaction). Returns the resulting file count. At scale this
-    runs per-partition with a size-based target instead of a count."""
-    df = spark.read.parquet(table_dir)
-    tmp = table_dir.rstrip("/") + "__compacted"
-    df.coalesce(target_files).write.mode("overwrite").parquet(tmp)
-    out = spark.read.parquet(tmp)
-    out.write.mode("overwrite").parquet(table_dir)
-    import shutil
+    """Small-file compaction of a VERSIONED table (see
+    ``pipeline.atomic``): the coalesced rewrite lands as a new version
+    directory and becomes visible only at the atomic pointer commit, so
+    a reader never sees a half-compacted table and a crash mid-rewrite
+    leaves the committed version untouched. Returns the resulting file
+    count. At scale this runs per-partition with a size-based target
+    instead of a count."""
+    import os
 
-    shutil.rmtree(tmp)
+    from lakehouse_weather_spark.pipeline.atomic import (
+        publish,
+        read_current,
+        resolve,
+    )
+
+    df = read_current(spark, table_dir)
+    publish(
+        table_dir,
+        lambda path: df.coalesce(target_files)
+        .write.mode("errorifexists")
+        .parquet(path),
+    )
     return len(
-        [
-            f
-            for f in __import__("os").listdir(table_dir)
-            if f.endswith(".parquet")
-        ]
+        [f for f in os.listdir(resolve(table_dir)) if f.endswith(".parquet")]
     )

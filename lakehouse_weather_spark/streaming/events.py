@@ -109,14 +109,20 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def stream_sessionize(
-    spark: SparkSession, events_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming sessionization via
-    ``applyInPandasWithState``: per-user state carries the open session
-    across micro-batches; sessions closed by a 30-min event-time gap (or
-    end-of-stream for the availableNow demo) are emitted. This is the
-    streaming twin of the batch q_sessionize — equality is asserted in
-    tests/test_streaming.py.
+    ``applyInPandasWithState``: per-user state carries the OPEN session
+    (idx, start, end, n_events) across micro-batches, so a session whose
+    events straddle a batch boundary is stitched back together instead
+    of being split. A session is emitted only once it is CLOSED — by a
+    later event more than 30 minutes after its end, or by the event-time
+    timeout when the watermark passes end+gap. Multi-batch equality with
+    the batch q_sessionize is asserted in tests/test_streaming.py under
+    maxFilesPerTrigger=1.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -140,16 +146,51 @@ def stream_sessionize(
             StructField("n_events", LongType()),
         ]
     )
-    state_schema = StructType([StructField("n_seen", LongType())])
+    # the open session, timestamps as epoch micros (exact integers)
+    state_schema = StructType(
+        [
+            StructField("session_idx", LongType()),
+            StructField("start_us", LongType()),
+            StructField("end_us", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
     gap = pd.Timedelta(minutes=30)
+    gap_ms = 30 * 60 * 1000
+
+    def _us(ts: pd.Timestamp) -> int:
+        return ts.value // 1_000
+
+    def _ts(us: int) -> pd.Timestamp:
+        return pd.Timestamp(us * 1_000)
 
     def sessionize(key, pdfs, state: GroupState):
         (user_id,) = key
+        if state.hasTimedOut:
+            # watermark passed end+gap: the open session can no longer
+            # be extended — emit it, but KEEP the session counter in
+            # state (n_events=0 marks "nothing open") so a later event
+            # for this user continues the per-user numbering
+            idx, start_us, end_us, n = state.get
+            state.update((idx, end_us, end_us, 0))
+            cols = [
+                "user_id", "session_idx", "session_start",
+                "session_end", "n_events",
+            ]
+            if n > 0:
+                yield pd.DataFrame(
+                    [(user_id, idx, _ts(start_us), _ts(end_us), n)],
+                    columns=cols,
+                )
+            return
         events = pd.concat(list(pdfs)).sort_values(["ts", "event_id"])
         sessions = []
-        start = end = None
-        idx = (state.get[0] if state.exists else 0)
-        n = 0
+        if state.exists:
+            idx, start_us, end_us, n = state.get
+            start = _ts(start_us) if n > 0 else None
+            end = _ts(end_us) if n > 0 else None
+        else:
+            idx, start, end, n = 0, None, None, 0
         for ts in events["ts"]:
             if start is None:
                 idx += 1
@@ -159,26 +200,35 @@ def stream_sessionize(
                 idx += 1
                 start, end, n = ts, ts, 1
             else:
-                end, n = ts, n + 1
-        if start is not None:
-            sessions.append((user_id, idx, start, end, n))
-        state.update((idx,))
+                # max() guards against in-watermark late rows that sort
+                # before the carried session end
+                end, n = max(end, ts), n + 1
+        # carry the still-open session; flush it when the watermark
+        # passes its close point
+        state.update((idx, _us(start), _us(end), n))
+        state.setTimeoutTimestamp(end.value // 1_000_000 + gap_ms)
         yield pd.DataFrame(
             sessions,
-            columns=["user_id", "session_idx", "session_start", "session_end", "n_events"],
+            columns=[
+                "user_id", "session_idx", "session_start",
+                "session_end", "n_events",
+            ],
         )
 
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(static.schema)
-        .parquet(events_dir)
+        reader.parquet(events_dir)
         .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .withWatermark("ts", "1 minute")
         .groupBy("user_id")
         .applyInPandasWithState(
             sessionize,
             outputStructType=out_schema,
             stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
     q = (
@@ -238,37 +288,53 @@ def stream_merge_sink(
     checkpoint_dir: str,
 ) -> int:
     """foreachBatch streaming-merge sink: each micro-batch upserts the
-    latest event per user into the target table via ``merge_upsert`` —
-    the standard streaming-lakehouse pattern (exactly-once per batch via
-    the checkpoint + idempotent merge). Returns the target row count.
+    latest event per user into a VERSIONED target table (see
+    ``pipeline.atomic``) — the standard streaming-lakehouse pattern.
+    Each batch's merge lands as a new version committed by an atomic
+    pointer replace, so readers never see a half state; on failure and
+    replay the merge is idempotent against the last committed version
+    (checkpoint + idempotent merge = effectively-once). Returns the
+    target row count.
     """
+    from lakehouse_weather_spark.pipeline.atomic import (
+        publish,
+        publish_df,
+        read_current,
+        resolve,
+    )
     from lakehouse_weather_spark.pipeline.incremental import merge_upsert
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     static_schema = spark.read.parquet(events_dir).schema
 
-    # seed an empty target with the right schema
+    # seed an empty committed version with the right schema
     empty = spark.createDataFrame(
         [], "user_id long, event_id long, value double"
     )
-    empty.write.mode("overwrite").parquet(target_dir)
+    publish_df(empty, target_dir)
 
     def upsert_batch(batch_df, batch_id: int) -> None:
+        # ONE struct-valued max_by: the surviving (event_id, value) come
+        # from the same source row (two independent max_bys could stitch
+        # a torn record from different rows on tied timestamps), and the
+        # (ts, event_id) ordering key makes the winner deterministic.
         latest = (
             batch_df.groupBy("user_id")
             .agg(
-                F.max_by("event_id", F.col("ts")).alias("event_id"),
-                F.max_by("value", F.col("ts")).alias("value"),
+                F.max_by(
+                    F.struct("event_id", "value"),
+                    F.struct(F.col("ts"), F.col("event_id")),
+                ).alias("r")
             )
+            .select("user_id", "r.event_id", "r.value")
         )
-        merge_upsert(
-            batch_df.sparkSession, target_dir, latest, "user_id", target_dir + "__next"
+        s = batch_df.sparkSession
+        base_path = resolve(target_dir)
+        publish(
+            target_dir,
+            lambda path: merge_upsert(s, base_path, latest, "user_id", path),
         )
-        import shutil
-
-        shutil.rmtree(target_dir)
-        shutil.move(target_dir + "__next", target_dir)
 
     q = (
         spark.readStream.schema(static_schema)
@@ -280,7 +346,7 @@ def stream_merge_sink(
         .start()
     )
     q.awaitTermination(120)
-    return spark.read.parquet(target_dir).count()
+    return read_current(spark, target_dir).count()
 
 
 def stream_stream_join(

@@ -14,16 +14,37 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-_BITS = 16
+# 8 bits/dim = 256 quantile buckets per column, 65536 z-cells — plenty
+# of resolution for file-level min/max skipping while keeping the
+# boundary arrays small
+_BITS = 8
 
 
-def _rank_pct(col: str, bits: int) -> Column:
-    """Map a column to its 0..2^bits-1 percent-rank bucket (rank-based
-    normalization handles skew and any orderable type)."""
-    from pyspark.sql import Window
+def _quantile_cuts(
+    df: DataFrame, cols: list[str], bits: int, relative_error: float = 0.001
+) -> dict[str, list[float]]:
+    """2^bits-quantile cut points per column via approxQuantile
+    (Greenwald-Khanna sketch: one distributed pass, tiny driver
+    result). Rank-based normalization handles skew; a global
+    ``percent_rank`` window would funnel the whole table through ONE
+    task — the opposite of this module's purpose."""
+    n = 1 << bits
+    probs = [i / n for i in range(1, n)]
+    all_cuts = df.approxQuantile(cols, probs, relative_error)
+    return dict(zip(cols, all_cuts))
 
-    w = Window.orderBy(F.col(col))
-    return (F.percent_rank().over(w) * ((1 << bits) - 1)).cast("long")
+
+def _bucket_by_cuts(col: str, cuts: list[float]) -> Column:
+    """0..len(cuts) bucket index of ``col`` against sorted cut points:
+    a narrow per-row fold over the boundary array literal (no shuffle,
+    no window)."""
+    arr = F.array(*[F.lit(float(c)) for c in cuts])
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, b: acc
+        + F.when(F.col(col).cast("double") >= b, 1).otherwise(0).cast("long"),
+    )
 
 
 def morton_code(a: Column, b: Column, bits: int = _BITS) -> Column:
@@ -43,10 +64,11 @@ def zorder_write(
     df: DataFrame, out_dir: str, col_a: str, col_b: str, n_files: int = 8
 ) -> None:
     """Write ``df`` into ``n_files`` files clustered by the z-order of
-    (col_a, col_b): rank-normalize both columns, interleave bits, and
-    range-partition + sort by the Morton code."""
-    ranked = df.withColumn("_za", _rank_pct(col_a, _BITS)).withColumn(
-        "_zb", _rank_pct(col_b, _BITS)
+    (col_a, col_b): quantile-bucket both columns (one sketch pass),
+    interleave bits, and range-partition + sort by the Morton code."""
+    cuts = _quantile_cuts(df, [col_a, col_b], _BITS)
+    ranked = df.withColumn("_za", _bucket_by_cuts(col_a, cuts[col_a])).withColumn(
+        "_zb", _bucket_by_cuts(col_b, cuts[col_b])
     )
     coded = ranked.withColumn("_z", morton_code(F.col("_za"), F.col("_zb")))
     (

@@ -64,11 +64,63 @@ def test_append_partition_idempotent(spark, sf_dir, tmp_path):
 
 
 def test_compaction(spark, sf_dir, tmp_path):
+    from lakehouse_weather_spark.pipeline.atomic import (
+        publish,
+        read_current,
+        resolve,
+    )
+
     out = str(tmp_path / "frag")
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    docs.repartition(16).write.parquet(out)
-    before = len([f for f in os.listdir(out) if f.endswith(".parquet")])
+    publish(
+        out, lambda p: docs.repartition(16).write.mode("errorifexists").parquet(p)
+    )
+    before = len([f for f in os.listdir(resolve(out)) if f.endswith(".parquet")])
     assert before >= 16
     after = compact_partitions(spark, out, target_files=2)
     assert after <= 2
-    assert spark.read.parquet(out).count() == docs.count()
+    assert read_current(spark, out).count() == docs.count()
+
+
+def test_atomic_publish_never_exposes_half_state(spark, sf_dir, tmp_path):
+    """Crash-safety of the versioned-table commit protocol: a writer
+    that dies mid-write (version directory written, pointer not yet
+    replaced) leaves readers on the old committed version; the next
+    successful publish supersedes and prunes the orphan."""
+    from lakehouse_weather_spark.pipeline.atomic import (
+        current_version,
+        publish_df,
+        read_current,
+    )
+
+    table = str(tmp_path / "vt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    publish_df(docs.limit(100), table)
+    assert read_current(spark, table).count() == 100
+
+    # simulate a crash BETWEEN the data write and the pointer commit:
+    # the new version dir exists in full, but _CURRENT was never updated
+    v_before = current_version(table)
+    crashed = os.path.join(table, "v999999")
+    docs.limit(7).write.parquet(crashed)
+    assert current_version(table) == v_before
+    assert read_current(spark, table).count() == 100  # reader unaffected
+
+    # next successful publish wins and prunes the orphan
+    publish_df(docs.limit(55), table)
+    assert read_current(spark, table).count() == 55
+    assert not os.path.exists(crashed)
+
+
+def test_atomic_publish_retains_previous_versions(spark, sf_dir, tmp_path):
+    from lakehouse_weather_spark.pipeline.atomic import publish_df, resolve
+
+    table = str(tmp_path / "vt2")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    paths = [publish_df(docs.limit(n), table) for n in (10, 20, 30, 40)]
+    assert resolve(table) == paths[-1]
+    # latest + `keep`=2 predecessors retained; the oldest is pruned
+    live = {d for d in os.listdir(table) if d.startswith("v")}
+    assert os.path.basename(paths[-1]) in live
+    assert os.path.basename(paths[-2]) in live
+    assert os.path.basename(paths[0]) not in live

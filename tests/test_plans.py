@@ -55,6 +55,15 @@ def test_topk_is_take_ordered(spark, sf_dir):
     assert "TakeOrderedAndProject" in plan
 
 
+# Oracle-checked queries whose kernel is DELIBERATELY a vectorized
+# Arrow-batch Python stage (numpy BLAS beats any JVM expression for
+# dense matrix work). Row-at-a-time and scalar Python stages remain
+# banned everywhere; these are the only sanctioned Python plan nodes.
+_ARROW_KERNEL_ALLOWED = {
+    "q_embed_neardup": ("FlatMapGroupsInPandas",),
+}
+
+
 def test_relational_path_has_no_python_udf(spark, sf_dir):
     # every oracle-checked query must stay JVM-side (pandas_udf allowed
     # only in the explicitly rows-only ops and the §2.11 UDF-surface
@@ -65,6 +74,10 @@ def test_relational_path_has_no_python_udf(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+        allowed = _ARROW_KERNEL_ALLOWED.get(name, ())
+        for node in ("MapInPandas", "FlatMapGroupsInPandas"):
+            if node not in allowed:
+                assert node not in plan, (name, node)
 
 
 def test_agg_has_partial_aggregation(spark, sf_dir):

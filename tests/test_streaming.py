@@ -114,10 +114,55 @@ def test_stream_stream_join_equals_batch(spark, sf_dir, tmp_path):
     assert result.count() > 0
 
 
-def test_stateful_sessionize_equals_batch(spark, sf_dir, tmp_path):
+def test_stateful_sessionize_equals_batch_multibatch(spark, sf_dir, tmp_path):
+    """The REAL stateful test: events split into time-ordered files
+    consumed one per micro-batch (maxFilesPerTrigger=1), so sessions
+    straddling batch boundaries must be stitched from carried state.
+    Two far-future sentinel files advance the watermark so every open
+    session times out and flushes (sentinel N advances the watermark at
+    the end of its batch; sentinel N+1's batch then fires the timeouts)."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
     events_dir = tmp_path / "events_sess"
     events_dir.mkdir()
-    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+    t = pq.read_table(Path(sf_dir) / "events.parquet")
+    ts_type = t.schema.field("ts").type
+    ts = pc.cast(t.column("ts"), pa.int64())  # epoch nanos
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    cut1 = lo + (hi - lo) // 3
+    cut2 = lo + 2 * (hi - lo) // 3
+    parts = [
+        t.filter(pc.less(ts, cut1)),
+        t.filter(pc.and_(pc.greater_equal(ts, cut1), pc.less(ts, cut2))),
+        t.filter(pc.greater_equal(ts, cut2)),
+    ]
+    assert all(p.num_rows > 0 for p in parts)
+
+    year_ns = 365 * 24 * 3600 * 1_000_000_000
+    sentinels = []
+    for k in (1, 2):
+        row = t.slice(0, 1)
+        row = row.set_column(
+            row.schema.get_field_index("ts"),
+            "ts",
+            pa.array([hi + k * year_ns], type=pa.int64()).cast(ts_type),
+        )
+        row = row.set_column(
+            row.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([-1], type=t.schema.field("user_id").type),
+        )
+        sentinels.append(row)
+
+    for i, part in enumerate(parts + sentinels):
+        path = events_dir / f"{i:02d}.parquet"
+        pq.write_table(part, path)
+        # file-stream source processes oldest-mtime first
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
 
     batch = {
         (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
@@ -126,7 +171,11 @@ def test_stateful_sessionize_equals_batch(spark, sf_dir, tmp_path):
     stream = {
         (r.user_id, r.session_idx): (r.session_start, r.session_end, r.n_events)
         for r in stream_sessionize(
-            spark, str(events_dir), str(tmp_path / "ckpt_sess")
+            spark,
+            str(events_dir),
+            str(tmp_path / "ckpt_sess"),
+            max_files_per_trigger=1,
         ).collect()
+        if r.user_id != -1
     }
     assert stream == batch
