@@ -44,6 +44,48 @@ ASSET_SCHEMA = StructType(
 )
 
 
+_EXT_MEDIA_TYPE = {
+    "png": "image/png",
+    "jpg": "image/jpeg",
+    "jpeg": "image/jpeg",
+    "gif": "image/gif",
+    "wav": "audio/wav",
+    "mp3": "audio/mpeg",
+    "mp4": "video/mp4",
+    "html": "text/html",
+    "htm": "text/html",
+    "pdf": "application/pdf",
+}
+
+
+def land_binary_assets(
+    spark: SparkSession, assets_dir: str, glob: str | None = None
+) -> DataFrame:
+    """REAL raw-object landing via ``spark.read.format('binaryFile')``
+    (the reference's bronze raw dump: ``minio/data/bronze/web/
+    04-01-2025/{html,image}/``, 51 HTML + 100 images). Produces
+    ASSET_SCHEMA rows: media type from the file extension, a stable
+    64-bit doc_id from the file path hash, content as an opaque binary
+    column. The binaryFile source parallelizes by file and prunes the
+    ``content`` column when only metadata is selected."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    raw = reader.load(assets_dir)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    media_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MEDIA_TYPE.items() for x in kv]
+    )
+    return raw.select(
+        F.xxhash64("path").alias("doc_id"),
+        F.coalesce(media_map[ext], F.lit("application/octet-stream")).alias(
+            "media_type"
+        ),
+        "content",
+        F.col("length").alias("n_bytes"),
+    )
+
+
 def assets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a binary-asset table from documents (UTF-8 payloads
     standing in for image/audio bytes; in production this is a

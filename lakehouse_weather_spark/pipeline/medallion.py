@@ -100,6 +100,10 @@ def hash_embed(text: str, dim: int = EMBED_DIM) -> list[float]:
 
 
 EmbedFn = Callable[[list[str]], list[list[float]]]
+# cleaning transform: batch of raw texts -> batch of cleaned texts.
+# The production backend is the LLM agent (agent_clean_data.py:13-48);
+# the default is the deterministic regex stand-in with the same contract.
+CleanFn = Callable[[pd.Series], pd.Series]
 
 
 def hash_embed_batch(texts: list[str]) -> list[list[float]]:
@@ -207,13 +211,17 @@ def run_gold(
     spark: SparkSession,
     out_dir: str,
     embed_fn: EmbedFn = hash_embed_batch,
+    clean_fn: CleanFn = clean_text_batch,
 ) -> DataFrame:
     """Silver chunks -> clean -> metadata defaults -> embed -> overwrite
     the embeddings table (ref: gold.py:26-38; drop_old reseed at
-    seed_milvus.py:71-84; metadata defaults at :53-59)."""
+    seed_milvus.py:71-84; metadata defaults at :53-59). Both external
+    transforms are injectable with deterministic defaults: ``clean_fn``
+    is the LLM-cleaning seam (agent_clean_data.py:13-48), ``embed_fn``
+    the embedding-model seam (seed_milvus.py:19,33)."""
     silver = spark.read.parquet(f"{out_dir}/silver")
 
-    clean_udf = F.pandas_udf(clean_text_batch, StringType())
+    clean_udf = F.pandas_udf(clean_fn, StringType())
     cleaned = silver.select(
         "doc_id",
         "chunk_id",
@@ -240,6 +248,35 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
         "silver": spark.read.parquet(f"{out_dir}/silver").count(),
         "gold": spark.read.parquet(f"{out_dir}/gold_embeddings").count(),
     }
+
+
+def seed_vector_store(
+    gold: DataFrame,
+    insert_factory: Callable[[], Callable[[list[dict]], None]],
+    batch: int = EMBED_BATCH,
+) -> None:
+    """External vector-store sink via ``foreachPartition`` (ref:
+    ``seed_milvus.py:71-84`` drops and reseeds a Milvus collection with
+    batch inserts). Each partition builds its OWN client via
+    ``insert_factory`` (clients are not picklable and must not cross
+    the driver/executor boundary) and inserts row-dict batches of
+    ``batch``. Partition count is the concurrency throttle against the
+    external service — ``repartition(n)`` upstream to tune. The real
+    Milvus/pgvector/ES backend plugs in as an ``insert_factory``; tests
+    inject a file-backed recorder."""
+
+    def write_partition(rows) -> None:
+        insert = insert_factory()
+        buf: list[dict] = []
+        for row in rows:
+            buf.append(row.asDict())
+            if len(buf) >= batch:
+                insert(buf)
+                buf = []
+        if buf:
+            insert(buf)
+
+    gold.foreachPartition(write_partition)
 
 
 def vector_search(

@@ -72,6 +72,31 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
+    # --- object store (opt-in; ref deployment is MinIO-backed,
+    # docker-compose.yml:309-323). Point SPARK_GRAFT_S3_ENDPOINT at an
+    # S3/MinIO endpoint and supply AWS_ACCESS_KEY_ID /
+    # AWS_SECRET_ACCESS_KEY in the environment; the public connector
+    # must be on the classpath, e.g.
+    # SPARK_GRAFT_EXTRA_PACKAGES="org.apache.hadoop:hadoop-aws:3.4.1".
+    # Every engine path flows through sources/paths.py:dataset_path, so
+    # s3a:// table locations then work unchanged.
+    endpoint = os.environ.get("SPARK_GRAFT_S3_ENDPOINT")
+    if endpoint:
+        builder = (
+            builder.config("spark.hadoop.fs.s3a.endpoint", endpoint)
+            .config("spark.hadoop.fs.s3a.path.style.access", "true")
+            .config(
+                "spark.hadoop.fs.s3a.connection.ssl.enabled",
+                os.environ.get("SPARK_GRAFT_S3_SSL", "false"),
+            )
+            .config(
+                "spark.hadoop.fs.s3a.aws.credentials.provider",
+                "com.amazonaws.auth.EnvironmentVariableCredentialsProvider",
+            )
+        )
+    packages = os.environ.get("SPARK_GRAFT_EXTRA_PACKAGES")
+    if packages:
+        builder = builder.config("spark.jars.packages", packages)
     spark = builder.getOrCreate()
     # Reliable checkpoint location for iterative algorithms (connected-
     # components label propagation). localCheckpoint() is executor-local

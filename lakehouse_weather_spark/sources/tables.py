@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from lakehouse_weather_spark.sources.paths import dataset_path
+
 TABLES = (
     "region",
     "nation",
@@ -35,7 +37,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
     if name == "events":
         return _load_events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return spark.read.parquet(dataset_path(sf_dir, f"{name}.parquet"))
 
 
 def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -47,7 +49,7 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    df = spark.read.parquet(dataset_path(sf_dir, "events.parquet"))
     return df.withColumn(
         "ts",
         F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),

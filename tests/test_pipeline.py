@@ -143,3 +143,54 @@ def test_crawl_failure_quarantine(spark):
     pages = crawl(spark, ["https://good"], depth=2, fetch_fn=fetch, fetch_partitions=1)
     rows = {r.url: r for r in pages.collect()}
     assert rows["https://bad"].content_type == "error/failed"
+
+
+def test_gold_clean_fn_is_injectable(pipeline_out, spark):
+    """The LLM-cleaning seam: a custom clean_fn plugs into run_gold just
+    like embed_fn (the production backend is the agent contract,
+    agent_clean_data.py:13-48)."""
+    from lakehouse_weather_spark.pipeline.medallion import run_gold
+
+    out, _ = pipeline_out
+    gold = run_gold(spark, out, clean_fn=lambda s: s.str.upper())
+    sample = [r.text for r in gold.limit(20).collect()]
+    assert sample and all(t == t.upper() for t in sample)
+
+
+def test_seed_vector_store_foreach_partition(pipeline_out, spark, tmp_path):
+    """foreachPartition vector sink: every gold row reaches the store in
+    batches, one client per partition (ref seed_milvus.py:71-84)."""
+    import glob
+    import json
+    import os
+    import uuid
+
+    from lakehouse_weather_spark.pipeline.medallion import (
+        EMBED_BATCH,
+        seed_vector_store,
+    )
+
+    sink_dir = str(tmp_path / "ann_store")
+    os.makedirs(sink_dir, exist_ok=True)
+
+    def insert_factory():
+        # one "client" (file handle) per partition, like a Milvus conn
+        path = os.path.join(sink_dir, f"part-{uuid.uuid4().hex}.jsonl")
+
+        def insert(batch: list[dict]) -> None:
+            assert len(batch) <= EMBED_BATCH
+            with open(path, "a") as fh:
+                for row in batch:
+                    fh.write(json.dumps({"pk": row["pk"]}) + "\n")
+
+        return insert
+
+    out, counts = pipeline_out
+    gold = spark.read.parquet(f"{out}/gold_embeddings")
+    seed_vector_store(gold.repartition(4), insert_factory)
+
+    inserted = []
+    for f in glob.glob(f"{sink_dir}/*.jsonl"):
+        with open(f) as fh:
+            inserted += [json.loads(line)["pk"] for line in fh]
+    assert sorted(inserted) == sorted(r.pk for r in gold.select("pk").collect())
