@@ -41,10 +41,15 @@ HEADLINE = [
     "q_sessionize",
     "q_win_tumbling",
     "q_word_topk",
+    "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
     "q_tpch_q6",
+    "q_tpch_q8",
     "q_tpch_q10",
+    "q_tpch_q13",
+    "q_tpch_q18",
+    "q_vector_topk_lsh",
     "q_pivot_events",
     "q_profile_lineitem",
     "q_pack_sequences",

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.functions import dsum, sql_dsum
+from lakehouse_weather_spark.functions import davg, dsum, sql_davg, sql_dsum
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
@@ -265,4 +265,406 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q1",
+    oracle=f"""
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               {sql_dsum('l_extendedprice')} AS sum_base_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+               {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+               avg(l_quantity) AS avg_qty,
+               {sql_davg('l_extendedprice')} AS avg_price,
+               {sql_davg('l_discount')} AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1 shape (pricing summary report): the canonical full-"
+    "scan aggregate — 8 aggregates over 2 grouping columns, all"
+    " map-side partial; quantity sums stay exact (integer-valued"
+    " doubles), money sums/avgs use fixed-point accumulation.",
+)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            davg("l_extendedprice").alias("avg_price"),
+            davg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "q_tpch_q7",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS INTEGER) AS l_year,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1995-01-01'
+                               AND TIMESTAMP '1996-12-31'
+        GROUP BY 1, 2, 3
+        ORDER BY 1, 2, 3
+    """,
+    doc="TPC-H Q7 shape (volume shipping between two nations): double"
+    " nation dimension (supplier side + customer side), disjunctive"
+    " nation-pair predicate, per-year revenue. Both nation copies"
+    " broadcast; the fact join is orders-lineitem.",
+)
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate").between(
+            F.lit("1995-01-01").cast("timestamp_ntz"),
+            F.lit("1996-12-31").cast("timestamp_ntz"),
+        )
+    )
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(li, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, c.c_custkey == o.o_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@register(
+    "q_tpch_q8",
+    oracle=f"""
+        SELECT o_year,
+               {sql_dsum("CASE WHEN nation = 'NATION_1' THEN volume ELSE 0.0 END")}
+               / {sql_dsum('volume')} AS mkt_share
+        FROM (
+            SELECT CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+                   l.l_extendedprice * (1 - l.l_discount) AS volume,
+                   n2.n_name AS nation
+            FROM part p
+            JOIN lineitem l ON p.p_partkey = l.l_partkey
+            JOIN supplier s ON s.s_suppkey = l.l_suppkey
+            JOIN orders o ON o.o_orderkey = l.l_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n1 ON c.c_nationkey = n1.n_nationkey
+            JOIN region r ON n1.n_regionkey = r.r_regionkey
+            JOIN nation n2 ON s.s_nationkey = n2.n_nationkey
+            WHERE r.r_name = 'AMERICA' AND p.p_type = 'PROMO'
+        )
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    doc="TPC-H Q8 shape (national market share): 8-way star join, then"
+    " a conditional-share ratio per order year — a ratio of two exact"
+    " fixed-point sums, bit-stable across engines.",
+)
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_type") == "PROMO")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    n1 = F.broadcast(n.select(F.col("n_nationkey").alias("n1_key"), F.col("n_regionkey").alias("n1_region")))
+    n2 = F.broadcast(n.select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("nation")))
+    r = F.broadcast(
+        load_table(spark, sf_dir, "region").filter(F.col("r_name") == "AMERICA")
+    )
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    national = F.when(F.col("nation") == "NATION_1", volume).otherwise(F.lit(0.0))
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(n1, F.col("c_nationkey") == F.col("n1_key"))
+        .join(r, F.col("n1_region") == r.r_regionkey)
+        .join(n2, F.col("s_nationkey") == F.col("n2_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(national) / dsum(volume)).alias("mkt_share"))
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q_tpch_q13",
+    oracle="""
+        SELECT c_count, count(*) AS custdist
+        FROM (
+            SELECT c.c_custkey, count(o.o_orderkey) AS c_count
+            FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+            GROUP BY c.c_custkey
+        )
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H Q13 shape (customer order-count distribution): left join"
+    " preserving order-less customers, count per customer, then a"
+    " histogram of the counts — two chained aggregations.",
+)
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+@register(
+    "q_tpch_q15",
+    oracle=f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1995-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+    """,
+    doc="TPC-H Q15 shape (top supplier): quarterly revenue per supplier,"
+    " then an equality filter against the scalar max — the CTE is"
+    " referenced twice (revenue + its max), which Spark plans as a"
+    " reused subquery. Fixed-point revenue makes the max/equality"
+    " bit-stable.",
+)
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q15")
+    load_table(spark, sf_dir, "supplier").createOrReplaceTempView("v_supplier_q15")
+    return spark.sql(
+        f"""
+        WITH revenue AS (
+            SELECT l_suppkey AS supplier_no,
+                   {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+            FROM v_lineitem_q15
+            WHERE l_shipdate >= TIMESTAMP_NTZ '1995-01-01'
+              AND l_shipdate < TIMESTAMP_NTZ '1995-04-01'
+            GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM v_supplier_q15 s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT max(total_revenue) FROM revenue)
+        ORDER BY s.s_suppkey
+        """
+    )
+
+
+@register(
+    "q_tpch_q17",
+    oracle=f"""
+        SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+          )
+    """,
+    doc="TPC-H Q17 shape (small-quantity-order revenue; p_container"
+    " predicate dropped — column absent from the fixture schema):"
+    " correlated scalar average per part -> de-correlated into an"
+    " aggregate + join by Spark. Quantity averages are exact"
+    " (integer-valued doubles), so the 0.2*avg threshold is"
+    " bit-identical across engines.",
+)
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("v_lineitem_q17")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("v_part_q17")
+    return spark.sql(
+        f"""
+        SELECT {sql_dsum('l.l_extendedprice')} / 7.0 AS avg_yearly
+        FROM v_lineitem_q17 l JOIN v_part_q17 p ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand = 'Brand#23'
+          AND l.l_quantity < (
+              SELECT 0.2 * avg(l2.l_quantity)
+              FROM v_lineitem_q17 l2 WHERE l2.l_partkey = p.p_partkey
+          )
+        """
+    )
+
+
+@register(
+    "q_tpch_q18",
+    oracle="""
+        SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice, sum(l.l_quantity) AS total_qty
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE o.o_orderkey IN (
+            SELECT l_orderkey FROM lineitem
+            GROUP BY l_orderkey HAVING sum(l_quantity) > 300
+        )
+        GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+                 o.o_totalprice
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q18 shape (large-volume customers): IN over a grouped"
+    " HAVING subquery -> left-semi join against a pre-aggregated fact,"
+    " then re-aggregate and top-100. Quantity sums are exact"
+    " integer-valued doubles.",
+)
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .filter(F.col("q") > 300)
+        .select("l_orderkey")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+@register(
+    "q_tpch_q19",
+    oracle=f"""
+        SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 25
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#34' AND p.p_size BETWEEN 1 AND 35
+               AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H Q19 shape (discounted revenue; container/shipmode"
+    " predicates replaced by size/quantity — columns absent from the"
+    " fixture schema): three OR'd conjunctive predicate groups spanning"
+    " both join sides — the optimizer must keep the join equi-key and"
+    " evaluate the disjunction post-join.",
+)
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.broadcast(load_table(spark, sf_dir, "part"))
+    g1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 11)
+    )
+    g2 = (
+        (F.col("p_brand") == "Brand#23")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 20)
+    )
+    g3 = (
+        (F.col("p_brand") == "Brand#34")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 30)
+    )
+    return (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .filter(g1 | g2 | g3)
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+@register(
+    "q_tpch_q22",
+    oracle=f"""
+        SELECT c_mktsegment AS segment,
+               count(*) AS numcust,
+               {sql_dsum('c_acctbal')} AS totacctbal
+        FROM customer c
+        WHERE c_acctbal > (
+            SELECT {sql_davg('c2.c_acctbal')}
+            FROM customer c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY segment
+    """,
+    doc="TPC-H Q22 shape (global sales opportunity; phone-prefix"
+    " predicate replaced by market segment — column absent from the"
+    " fixture schema): scalar above-average-balance subquery + NOT"
+    " EXISTS anti join against recent orders. The average threshold"
+    " uses fixed-point accumulation so the cut is bit-identical across"
+    " engines.",
+)
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("v_customer_q22")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("v_orders_q22")
+    return spark.sql(
+        f"""
+        SELECT c_mktsegment AS segment,
+               count(*) AS numcust,
+               {sql_dsum('c_acctbal')} AS totacctbal
+        FROM v_customer_q22 c
+        WHERE c_acctbal > (
+            SELECT {sql_davg('c2.c_acctbal')}
+            FROM v_customer_q22 c2 WHERE c2.c_acctbal > 0.0
+        )
+        AND NOT EXISTS (
+            SELECT 1 FROM v_orders_q22 o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP_NTZ '1999-01-01'
+        )
+        GROUP BY c_mktsegment
+        ORDER BY segment
+        """
     )
