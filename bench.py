@@ -50,6 +50,7 @@ HEADLINE = [
     "q_tpch_q13",
     "q_tpch_q18",
     "q_vector_topk_lsh",
+    "q_vector_topk_ivf",
     "q_pivot_events",
     "q_profile_lineitem",
     "q_pack_sequences",

@@ -86,6 +86,35 @@ def land_binary_assets(
     )
 
 
+_MEDIA_TYPE_EXT = {v: k for k, v in reversed(_EXT_MEDIA_TYPE.items())}
+
+
+def write_binary_objects(assets: DataFrame, out_dir: str) -> int:
+    """Raw-object sink: the inverse of :func:`land_binary_assets` — each
+    ASSET_SCHEMA row becomes one object file named
+    ``<media-kind>/<doc_id>.<ext>`` (the reference's bronze raw dump
+    layout, ``minio/data/bronze/web/04-01-2025/{html,image}/``).
+    Runs as ``foreachPartition`` so each task streams its rows straight
+    to storage (no driver collect); on an object store the same loop
+    does put_object per row. Returns the number of objects written."""
+    import os
+
+    def write_partition(rows) -> None:
+        for row in rows:
+            media = row.media_type or "application/octet-stream"
+            ext = _MEDIA_TYPE_EXT.get(media, "bin")
+            kind = media.split("/", 1)[0]
+            d = os.path.join(out_dir, kind)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"{row.doc_id}.{ext}"), "wb") as fh:
+                fh.write(bytes(row.content or b""))
+
+    assets.foreachPartition(write_partition)
+    import glob
+
+    return len(glob.glob(os.path.join(out_dir, "*", "*")))
+
+
 def assets_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Synthesize a binary-asset table from documents (UTF-8 payloads
     standing in for image/audio bytes; in production this is a

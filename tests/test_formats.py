@@ -35,3 +35,15 @@ def test_json_roundtrip_with_schema(spark, sf_dir, tmp_path):
     back = spark.read.schema(ev.schema).json(out)
     assert back.count() == ev.count()
     assert back.exceptAll(ev).isEmpty()
+
+
+def test_orc_roundtrip_with_schema(spark, sf_dir, tmp_path):
+    """ORC round-trip: the third columnar format Spark ships natively
+    (generic byte/string/file/DF sink coverage)."""
+    out = str(tmp_path / "orc")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.write.mode("overwrite").orc(out)
+    back = spark.read.orc(out)
+    assert back.schema == docs.schema
+    assert back.count() == docs.count()
+    assert back.exceptAll(docs).isEmpty()
