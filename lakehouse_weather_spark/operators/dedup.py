@@ -179,26 +179,27 @@ def _minhash_oracle() -> str:
     """
 
 
-@register(
-    "q_minhash_neardup",
-    oracle=_minhash_oracle(),
-    doc="MinHash + banded LSH near-duplicate candidate pairs (training-"
-    "data closure; north-star op in SURVEY §2.7). 16 affine permutations"
-    " mod 2^31-1 over word-3-gram shingles, 4 bands x 4 rows, self-join"
-    " on band buckets. Two shuffles total (signature groupBy + band"
-    " join); candidate verification is q_ngram_jaccard.",
-)
-def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, s0..s15) MinHash signature table — the REUSABLE dedup
+    artifact. At 100 TB this is computed once per corpus snapshot and
+    persisted (see :func:`write_signature_artifacts`); every subsequent
+    dedup run, incremental ingest, or threshold sweep derives candidate
+    pairs from the stored signatures without re-shingling the corpus."""
     sh = _spark_shingle_hashes(spark, sf_dir)
     x = F.col("h") % P
     mins = [
         F.min((F.lit(a) * x + F.lit(b)) % P).alias(f"s{k}")
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
     ]
-    # the band table feeds both sides of the self-join; Spark's
-    # ReusedExchange dedupes the identical shuffle subtree, so no
-    # explicit persist is needed (measured: persist is a net loss)
-    sig = sh.groupBy("doc_id").agg(*mins)
+    return sh.groupBy("doc_id").agg(*mins)
+
+
+def minhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature table (stored or
+    freshly derived): explode to (band_idx, band_hash) buckets,
+    self-join on the bucket key. The band table feeds both join sides;
+    Spark's ReusedExchange dedupes the identical shuffle subtree, so no
+    explicit persist is needed (measured: persist is a net loss)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -228,6 +229,30 @@ def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def write_signature_artifacts(
+    spark: SparkSession, sf_dir: str, table_dir: str
+) -> str:
+    """Persist the MinHash signature table as a versioned artifact
+    (atomic pointer commit, see ``pipeline.atomic``) — the amortization
+    lever for repeated 100 TB dedup runs. Returns the committed path."""
+    from lakehouse_weather_spark.pipeline.atomic import publish_df
+
+    return publish_df(minhash_signatures(spark, sf_dir), table_dir)
+
+
+@register(
+    "q_minhash_neardup",
+    oracle=_minhash_oracle(),
+    doc="MinHash + banded LSH near-duplicate candidate pairs (training-"
+    "data closure; north-star op in SURVEY §2.7). 16 affine permutations"
+    " mod 2^31-1 over word-3-gram shingles, 4 bands x 4 rows, self-join"
+    " on band buckets. Two shuffles total (signature groupBy + band"
+    " join); candidate verification is q_ngram_jaccard.",
+)
+def q_minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_pairs_from_signatures(minhash_signatures(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

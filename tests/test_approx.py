@@ -28,3 +28,28 @@ def test_approx_percentile_brackets_exact_median(spark, sf_dir):
         "percentile(l_quantity, 0.45)", "percentile(l_quantity, 0.55)"
     ).first()
     assert lo <= approx <= hi, (lo, approx, hi)
+
+
+def test_signature_artifacts_reusable(spark, sf_dir, tmp_path):
+    """Dedup amortization: candidate pairs derived from the PERSISTED
+    signature artifact equal the directly-computed q_minhash_neardup
+    pairs — no re-shingling of the corpus on reuse."""
+    from lakehouse_weather_spark.operators.dedup import (
+        minhash_pairs_from_signatures,
+        write_signature_artifacts,
+    )
+    from lakehouse_weather_spark.pipeline.atomic import read_current
+    from lakehouse_weather_spark.registry import load_all
+
+    table = str(tmp_path / "signatures")
+    write_signature_artifacts(spark, sf_dir, table)
+    stored = read_current(spark, table)
+    from_artifact = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs_from_signatures(stored).collect()
+    }
+    direct = {
+        (r.doc_a, r.doc_b)
+        for r in load_all()["q_minhash_neardup"].fn(spark, sf_dir).collect()
+    }
+    assert from_artifact == direct and len(direct) > 0

@@ -93,3 +93,41 @@ def test_whole_stage_codegen_covers_scan(spark, sf_dir):
     assert "codegen id" in plan
     # filter + project fused into the scan stage
     assert "Filter [codegen id : 1]" in plan
+
+
+def test_q18_semi_join_and_topk(spark, sf_dir):
+    # the HAVING-IN subquery must plan as a left-semi join, and the
+    # top-100 as TakeOrderedAndProject (no full sort)
+    plan = _plan(spark, sf_dir, "q_tpch_q18")
+    assert "LeftSemi" in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q8_star_join_all_broadcast(spark, sf_dir):
+    # 8-way star join: every dimension broadcasts; the fact tables never
+    # shuffle for the joins
+    plan = _plan(spark, sf_dir, "q_tpch_q8")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_is_pure_partial_aggregate(spark, sf_dir):
+    # Q1 is scan -> partial agg -> one exchange -> final agg; no joins
+    plan = _plan(spark, sf_dir, "q_tpch_q1")
+    assert plan.count("HashAggregate") >= 2
+    assert "Join" not in plan
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+
+
+def test_ann_paths_use_take_ordered(spark, sf_dir):
+    for name in ("q_vector_topk", "q_vector_topk_lsh", "q_vector_topk_ivf"):
+        plan = _plan(spark, sf_dir, name)
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_jaccard_has_no_shingle_self_join(spark, sf_dir):
+    # pair generation is the narrow per-bucket transform; the only joins
+    # are the (broadcastable) per-doc size lookups
+    plan = _plan(spark, sf_dir, "q_ngram_jaccard")
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Generate") >= 2  # shingle explode + pair explode
