@@ -14,12 +14,12 @@ from pyspark.sql import DataFrame, SparkSession
 
 from lakehouse_weather_spark.registry import load_all
 
-_FLAGSHIP = "q_agg_basic"
+_FLAGSHIP = "q_tpch_q1"
 _SMOKE_SF_DIR = "/root/testdata/sf0.001"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query (TPC-H Q1-style pricing summary) on sf0.001."""
+    """Flagship query (TPC-H Q1 pricing summary) on sf0.001."""
     return load_all()[_FLAGSHIP].fn(spark, _SMOKE_SF_DIR)
 
 
