@@ -186,3 +186,48 @@ def q_token_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as bigint)"
         ).alias("batch_id"),
     )
+
+
+@register(
+    "q_sample_stratified",
+    oracle="""
+        SELECT doc_id, lang
+        FROM (
+            SELECT doc_id, lang,
+                   row_number() OVER (
+                       PARTITION BY lang
+                       ORDER BY CAST(('0x' || substr(md5('strat_' ||
+                           CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT),
+                           doc_id
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY lang) AS n
+            FROM documents
+        )
+        WHERE rk <= CAST(ceil(0.1 * n) AS BIGINT)
+    """,
+    doc="Stratified 10% sample with EXACT per-stratum counts: rank each"
+    " stratum (language) by a deterministic md5 key and keep the first"
+    " ceil(0.1*n) — unlike independent Bernoulli sampling, every"
+    " stratum hits its quota exactly, which is what a mixture-balanced"
+    " training set needs. One shuffle on the stratum key; strata are"
+    " windowed independently, so skew in one language never blocks"
+    " the others.",
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.expr(
+        "cast(conv(substr(md5(concat('strat_', cast(doc_id as string))), 1, 15),"
+        " 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("lang").orderBy(h, F.col("doc_id"))
+    wn = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.1 * F.col("n")).cast("bigint"))
+        .select("doc_id", "lang")
+    )

@@ -368,3 +368,90 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Lloyd (k-means) refinement for IVF seeds
+# ---------------------------------------------------------------------------
+
+
+def _sq_dist_expr(a: str, b: str) -> str:
+    """Fixed-point squared L2 distance between two array columns
+    (each squared difference rounded at DOT_SCALE then integer-summed:
+    associative, bit-identical in numpy)."""
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    return (
+        f"(CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * {DOT_SCALE}, 0) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {DOT_SCALE})"
+    )
+
+
+def kmeans_refine(
+    emb: DataFrame, n_iter: int = 2, k: int = N_CENTROIDS
+) -> tuple[DataFrame, DataFrame]:
+    """Deterministic Lloyd refinement of the IVF coarse centroids:
+    ``n_iter`` rounds of (assign each vector to its nearest centroid by
+    fixed-point squared L2, tie-break on cluster id) then (recompute
+    each centroid as the fixed-point per-dimension mean; empty clusters
+    keep their previous centroid). Seeds are the same md5-ordered
+    deterministic sample the IVF query uses, so the whole refinement is
+    reproducible on any cluster/partitioning — verified bit-exact
+    against a numpy replay in tests/test_similarity.py.
+
+    Returns (centroids, assignment): (cluster_id, centroid) with
+    double-typed arrays, and (vec_id, cluster_id).
+
+    Scale shape per iteration: one broadcast of k centroids + a narrow
+    argmin map over the corpus, then one (cluster, dim) partial-agg
+    shuffle — the textbook distributed k-means; nothing accumulates on
+    the driver."""
+    from pyspark.sql import Window
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    e = emb.select(
+        "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
+    )
+    centroids = (
+        e.orderBy(F.expr(_SEED_H), "vec_id")
+        .limit(k)
+        .select(
+            F.row_number()
+            .over(Window.orderBy(F.expr(_SEED_H), "vec_id"))
+            .alias("cluster_id"),
+            F.col("v").alias("centroid"),
+        )
+    )
+    assignment = None
+    for _ in range(n_iter):
+        dist = F.expr(_sq_dist_expr("v", "centroid"))
+        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster_id"))
+        assignment = (
+            e.crossJoin(F.broadcast(centroids))
+            .select("vec_id", "v", "cluster_id", dist.alias("d"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "v", "cluster_id")
+        )
+        fx = F.expr(f"CAST(round(val * {DOT_SCALE}, 0) AS BIGINT)")
+        means = (
+            assignment.select("cluster_id", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cluster_id", "pos")
+            .agg((F.sum(fx).cast("double") / DOT_SCALE / F.count(F.lit(1))).alias("m"))
+            .groupBy("cluster_id")
+            .agg(
+                F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
+                .alias("new_centroid")
+            )
+        )
+        centroids = (
+            centroids.join(means, "cluster_id", "left")
+            .select(
+                "cluster_id",
+                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
+            )
+        )
+    return centroids, assignment.select("vec_id", "cluster_id")

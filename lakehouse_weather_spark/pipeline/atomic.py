@@ -106,3 +106,27 @@ def publish_df(df: DataFrame, table_dir: str, keep: int = 2) -> str:
     return publish(
         table_dir, lambda path: df.write.mode("errorifexists").parquet(path), keep
     )
+
+
+def list_versions(table_dir: str) -> list[str]:
+    """Version names still on disk, oldest first (the committed one plus
+    up to ``keep`` retained predecessors)."""
+    try:
+        names = os.listdir(table_dir)
+    except FileNotFoundError:
+        return []
+    return sorted(
+        (d for d in names if d.startswith("v") and d[1:].isdigit()),
+        key=lambda d: int(d[1:]),
+    )
+
+
+def read_version(spark: SparkSession, table_dir: str, version: str) -> DataFrame:
+    """Time travel: read a specific retained version (cheap snapshot
+    isolation — version dirs are immutable once committed)."""
+    if version not in list_versions(table_dir):
+        raise FileNotFoundError(
+            f"version {version!r} not retained in {table_dir}"
+            f" (have {list_versions(table_dir)})"
+        )
+    return spark.read.parquet(os.path.join(table_dir, version))

@@ -124,3 +124,25 @@ def test_atomic_publish_retains_previous_versions(spark, sf_dir, tmp_path):
     assert os.path.basename(paths[-1]) in live
     assert os.path.basename(paths[-2]) in live
     assert os.path.basename(paths[0]) not in live
+
+
+def test_time_travel_reads_retained_versions(spark, sf_dir, tmp_path):
+    from lakehouse_weather_spark.pipeline.atomic import (
+        list_versions,
+        publish_df,
+        read_current,
+        read_version,
+    )
+
+    table = str(tmp_path / "tt")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    publish_df(docs.limit(10), table)
+    publish_df(docs.limit(20), table)
+    publish_df(docs.limit(30), table)
+    versions = list_versions(table)
+    assert read_current(spark, table).count() == 30
+    assert read_version(spark, table, versions[-2]).count() == 20
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, table, "v000099")

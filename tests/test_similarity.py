@@ -49,3 +49,52 @@ def test_simhash_of_neardups_is_close(spark, sf_dir):
     for a, b in high:
         hamming = bin(sim[a] ^ sim[b]).count("1")
         assert hamming <= 4, (a, b, hamming)
+
+
+def test_kmeans_refine_matches_numpy_replay(spark, sf_dir):
+    """Lloyd refinement is fully deterministic: an independent numpy
+    replay (same md5 seed order, same fixed-point distances and means,
+    same tie-breaks) reproduces the Spark assignments and centroids
+    BIT-exactly."""
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+    from lakehouse_weather_spark.operators.similarity import (
+        N_CENTROIDS,
+        kmeans_refine,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent_df, assign_df = kmeans_refine(emb, n_iter=2)
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    A = np.array([r.embedding for r in rows], dtype=np.float64)
+
+    def h(vid: int) -> int:
+        return int(hashlib.md5(str(vid).encode()).hexdigest()[:15], 16)
+
+    def fxround(x):
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    order = sorted(range(len(ids)), key=lambda i: (h(int(ids[i])), int(ids[i])))
+    C = A[order[:N_CENTROIDS]].copy()  # cluster_id = index + 1
+    for _ in range(2):
+        D = fxround(((A[:, None, :] - C[None, :, :]) ** 2) * DOT_SCALE).sum(-1)
+        assign = D.argmin(axis=1)  # first min == smallest cluster_id
+        for c in range(N_CENTROIDS):
+            members = A[assign == c]
+            if len(members):
+                ints = fxround(members * DOT_SCALE).sum(axis=0)
+                C[c] = ints.astype(np.float64) / DOT_SCALE / len(members)
+
+    got_assign = {r.vec_id: r.cluster_id for r in assign_df.collect()}
+    want_assign = {int(v): int(a) + 1 for v, a in zip(ids, assign)}
+    assert got_assign == want_assign
+
+    got_cent = {r.cluster_id: list(r.centroid) for r in cent_df.collect()}
+    for c in range(N_CENTROIDS):
+        assert got_cent[c + 1] == list(C[c]), f"cluster {c + 1}"
