@@ -477,3 +477,58 @@ def stream_tumbling_counts(
     )
     q.awaitTermination(120)
     return spark.table("tumbling_counts")
+
+
+@register(
+    "q_time_rollup",
+    oracle=f"""
+        SELECT CAST('hour' AS VARCHAR) AS grain,
+               CAST(date_trunc('hour', CAST(ts AS TIMESTAMP)) AS TIMESTAMP)
+                   AS bucket_start,
+               event_type, count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'day',
+               CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+               event_type, count(*), {sql_dsum('value')}
+        FROM events GROUP BY 2, 3
+        UNION ALL
+        SELECT 'week',
+               CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
+               event_type, count(*), {sql_dsum('value')}
+        FROM events GROUP BY 2, 3
+    """,
+    doc="Multi-resolution time rollup (hour/day/week) in ONE pass — the"
+    " TimescaleDB-continuous-aggregate / hypertable-rollup shape."
+    " GROUPING SETS over pre-computed truncations: Spark plans a single"
+    " Expand + partial/final aggregate (one shuffle for all three"
+    " grains) instead of three scans. At 100 TB the coarser grains"
+    " piggyback on the hour aggregation nearly for free.",
+)
+def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("v_events_rollup")
+    inner = (
+        "SELECT event_type, value,"
+        " date_trunc('hour', ts) AS h,"
+        " date_trunc('day', ts) AS d,"
+        " date_trunc('week', ts) AS w"
+        " FROM v_events_rollup"
+    )
+    dsum_sql = (
+        "CAST(sum(CAST(round((value) * 10000) AS BIGINT)) AS DOUBLE) / 10000"
+    )
+    return spark.sql(
+        f"""
+        SELECT CASE WHEN h IS NOT NULL THEN 'hour'
+                    WHEN d IS NOT NULL THEN 'day'
+                    ELSE 'week' END AS grain,
+               coalesce(h, d, w) AS bucket_start,
+               event_type,
+               count(*) AS n_events,
+               {dsum_sql} AS sum_value
+        FROM ({inner})
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (w, event_type))
+        """
+    )

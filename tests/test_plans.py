@@ -131,3 +131,12 @@ def test_jaccard_has_no_shingle_self_join(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ngram_jaccard")
     assert "SortMergeJoin" not in plan
     assert plan.count("Generate") >= 2  # shingle explode + pair explode
+
+
+def test_time_rollup_is_single_pass(spark, sf_dir):
+    # three grains from ONE scan: GROUPING SETS plans Expand + one
+    # aggregate pair, not three separate scans/unions
+    plan = _plan(spark, sf_dir, "q_time_rollup")
+    assert "Expand" in plan
+    assert "Union" not in plan
+    assert plan.count("Location: InMemoryFileIndex") == 1
