@@ -532,3 +532,54 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (w, event_type))
         """
     )
+
+
+@register(
+    "q_session_window",
+    oracle="""
+        WITH flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             - CAST(lag(ts) OVER w AS TIMESTAMP) > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS session_idx
+            FROM flagged
+        )
+        SELECT user_id,
+               CAST(min(ts) AS TIMESTAMP) AS w_start,
+               CAST(max(ts) AS TIMESTAMP) + INTERVAL 30 MINUTE AS w_end,
+               count(*) AS n_events
+        FROM sess
+        GROUP BY user_id, session_idx
+    """,
+    doc="Sessionization via Spark's NATIVE session_window(ts, gap) —"
+    " the built-in dynamic-gap session aggregate (window end = last"
+    " event + gap), usable identically in batch and Structured"
+    " Streaming. Complements the hand-rolled q_sessionize (lag +"
+    " running sum) and the stateful applyInPandasWithState variant;"
+    " one shuffle on (user_id, session merge).",
+)
+def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # session_window needs TIMESTAMP (LTZ); session tz pinned UTC makes
+    # the NTZ<->LTZ casts deterministic
+    ev = ev.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
+    return (
+        ev.groupBy("user_id", F.session_window("ts_ltz", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("w_end"),
+            "n_events",
+        )
+    )
