@@ -194,12 +194,10 @@ def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sh.groupBy("doc_id").agg(*mins)
 
 
-def minhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
-    """Banded-LSH candidate pairs from a signature table (stored or
-    freshly derived): explode to (band_idx, band_hash) buckets,
-    self-join on the bucket key. The band table feeds both join sides;
-    Spark's ReusedExchange dedupes the identical shuffle subtree, so no
-    explicit persist is needed (measured: persist is a net loss)."""
+def _band_table(sig: DataFrame) -> DataFrame:
+    """(doc_id, band_idx, band_hash) LSH bucket rows of a signature
+    table: each signature explodes to N_BANDS rows keyed by the
+    concatenated in-band minima."""
     band_structs = F.array(
         *[
             F.struct(
@@ -215,9 +213,18 @@ def minhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
+    return sig.select("doc_id", F.explode(band_structs).alias("bs")).select(
         "doc_id", "bs.band_idx", "bs.band_hash"
     )
+
+
+def minhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
+    """Banded-LSH candidate pairs from a signature table (stored or
+    freshly derived): explode to (band_idx, band_hash) buckets,
+    self-join on the bucket key. The band table feeds both join sides;
+    Spark's ReusedExchange dedupes the identical shuffle subtree, so no
+    explicit persist is needed (measured: persist is a net loss)."""
+    bands = _band_table(sig)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(
@@ -227,6 +234,34 @@ def minhash_pairs_from_signatures(sig: DataFrame) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def incremental_neardup_candidates(
+    new_sig: DataFrame, base_sig: DataFrame
+) -> DataFrame:
+    """Candidate pairs INTRODUCED by a new ingest batch: band-join the
+    new batch's signatures against (stored + new) signatures. Exactly
+    the full-corpus candidate pairs that touch at least one new doc —
+    at O(|new| x bucket density) cost instead of re-running the whole
+    corpus self-join. This is the incremental path the persisted
+    signature artifact (write_signature_artifacts) exists for: shingle
+    + sign the new batch only, append, and verify just the new
+    candidates."""
+    nb = _band_table(new_sig)
+    ab = _band_table(base_sig.unionByName(new_sig))
+    joined = nb.alias("a").join(
+        ab.alias("b"),
+        (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    )
+    return (
+        joined.select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
         .distinct()
     )
 

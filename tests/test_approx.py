@@ -53,3 +53,50 @@ def test_signature_artifacts_reusable(spark, sf_dir, tmp_path):
         for r in load_all()["q_minhash_neardup"].fn(spark, sf_dir).collect()
     }
     assert from_artifact == direct and len(direct) > 0
+
+
+def test_incremental_candidates_equal_full_run_restriction(spark, sf_dir):
+    """Incremental dedup: candidates from band-joining a NEW batch's
+    signatures against the stored artifact equal the full-corpus
+    candidate pairs that touch a new doc."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.dedup import (
+        incremental_neardup_candidates,
+        minhash_signatures,
+    )
+    from lakehouse_weather_spark.registry import load_all
+
+    sig = minhash_signatures(spark, sf_dir)
+    new_sig = sig.filter(F.col("doc_id") % 5 == 0)
+    base_sig = sig.filter(F.col("doc_id") % 5 != 0)
+
+    got = {
+        (r.doc_a, r.doc_b)
+        for r in incremental_neardup_candidates(new_sig, base_sig).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b)
+        for r in load_all()["q_minhash_neardup"].fn(spark, sf_dir).collect()
+    }
+    want = {p for p in full if p[0] % 5 == 0 or p[1] % 5 == 0}
+    assert got == want and len(want) > 0
+
+
+def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
+    """The approximate aggregates a 100 TB pipeline leans on, checked
+    against exact answers: HLL distinct counts within the standard
+    error envelope, GK quantiles within the requested rank error."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem")
+    exact = li.select(F.countDistinct("l_orderkey")).first()[0]
+    approx = li.select(F.approx_count_distinct("l_orderkey", rsd=0.02)).first()[0]
+    assert abs(approx - exact) <= 0.1 * exact  # 5 sigma of rsd=2%
+
+    qs = li.approxQuantile("l_extendedprice", [0.5], 0.01)[0]
+    n = li.count()
+    rank = li.filter(F.col("l_extendedprice") <= qs).count()
+    assert abs(rank / n - 0.5) <= 0.011  # requested rank error + slack

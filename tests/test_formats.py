@@ -47,3 +47,22 @@ def test_orc_roundtrip_with_schema(spark, sf_dir, tmp_path):
     assert back.schema == docs.schema
     assert back.count() == docs.count()
     assert back.exceptAll(docs).isEmpty()
+
+
+def test_schema_evolution_merge(spark, sf_dir, tmp_path):
+    """Schema evolution on append: new columns appear via mergeSchema;
+    old files read them as NULL (the additive-evolution contract a
+    long-lived 100 TB table needs)."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.select("doc_id", "lang").write.parquet(out)
+    docs.select(
+        "doc_id", "lang", F.lit("round2").alias("ingest_tag")
+    ).write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "lang", "ingest_tag"}
+    assert merged.count() == 2 * docs.count()
+    assert merged.filter("ingest_tag IS NULL").count() == docs.count()
