@@ -732,3 +732,67 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return rep.groupBy("bi", "bj").applyInPandas(score_block_pair, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Sub-document (paragraph-level) dedup
+# ---------------------------------------------------------------------------
+
+PARA_WORDS = 40
+
+
+@register(
+    "q_dedup_paragraphs",
+    oracle=f"""
+        WITH paras AS (
+            SELECT doc_id,
+                   CAST(i AS BIGINT) AS para_idx,
+                   array_to_string(
+                       words[(i * {PARA_WORDS} + 1) : ((i + 1) * {PARA_WORDS})], ' '
+                   ) AS para
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       unnest(generate_series(
+                           0, CAST(ceil(len(string_split(text, ' '))
+                                        / {PARA_WORDS}.0) AS BIGINT) - 1
+                       )) AS i
+                FROM documents
+            )
+        )
+        SELECT sha256(para) AS para_hash,
+               count(*) AS n_copies,
+               min(doc_id * 1000000 + para_idx) AS keep_key
+        FROM paras
+        GROUP BY sha256(para)
+        HAVING count(*) > 1
+    """,
+    doc="Sub-document (paragraph-level) exact dedup — the standard"
+    " training-corpus pass that document-level dedup misses (boiler-"
+    "plate paragraphs repeated across distinct pages). Documents split"
+    f" into {PARA_WORDS}-word paragraphs narrowly (explode, no"
+    " shuffle), hashed, one groupBy on the hash; keep-policy = lowest"
+    " (doc_id, para_idx). At 100 TB this is one shuffle over the"
+    " paragraph hashes with map-side partials.",
+)
+def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    par = min(spark.sparkContext.defaultParallelism, 8)
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    w = "split(text, ' ')"
+    paras = F.expr(
+        f"transform(sequence(0, cast(ceil(size({w}) / {PARA_WORDS}.0) as int) - 1),"
+        f" i -> struct(cast(i as bigint) AS para_idx,"
+        f" concat_ws(' ', slice({w}, i * {PARA_WORDS} + 1, {PARA_WORDS})) AS para))"
+    )
+    exploded = docs.select("doc_id", F.explode(paras).alias("p")).select(
+        "doc_id", "p.para_idx", "p.para"
+    )
+    return (
+        exploded.groupBy(F.sha2("para", 256).alias("para_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min(F.col("doc_id") * 1_000_000 + F.col("para_idx")).alias("keep_key"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )

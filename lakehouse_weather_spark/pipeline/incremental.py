@@ -76,3 +76,40 @@ def compact_partitions(
     return len(
         [f for f in os.listdir(resolve(table_dir)) if f.endswith(".parquet")]
     )
+
+
+def write_sized(
+    spark: SparkSession,
+    df: DataFrame,
+    out_dir: str,
+    target_mb: int = 128,
+    sample_rows: int = 1000,
+) -> int:
+    """Write ``df`` as parquet with the file count derived from a
+    measured bytes-per-row estimate, targeting ``target_mb`` per file —
+    the proactive answer to the small-files problem (compaction is the
+    reactive one). A ``sample_rows`` prefix is written to a scratch dir
+    to measure the actual encoded+compressed row width (schema- and
+    data-dependent; guessing is routinely off by 10x), then the full
+    write uses ceil(total_bytes / target) partitions. Returns the file
+    count written. At 100 TB the same estimate feeds
+    ``spark.sql.files.maxRecordsPerFile`` instead of a repartition."""
+    import glob
+    import math
+    import os
+    import shutil
+
+    scratch = out_dir.rstrip("/") + "__sizing"
+    df.limit(sample_rows).write.mode("overwrite").parquet(scratch)
+    sampled = spark.read.parquet(scratch)
+    n_sampled = sampled.count()
+    sample_bytes = sum(
+        os.path.getsize(f) for f in glob.glob(f"{scratch}/*.parquet")
+    )
+    shutil.rmtree(scratch)
+
+    total_rows = df.count()
+    bytes_per_row = sample_bytes / max(n_sampled, 1)
+    n_files = max(1, math.ceil(total_rows * bytes_per_row / (target_mb * 1024 * 1024)))
+    df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
+    return len(glob.glob(f"{out_dir}/*.parquet"))

