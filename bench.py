@@ -56,6 +56,10 @@ HEADLINE = [
     "q_pack_sequences",
     "q_embed_centroid",
     "q_dedup_clusters",
+    "q_dedup_paragraphs",
+    "q_time_rollup",
+    "q_session_window",
+    "q_sample_stratified",
 ]
 
 

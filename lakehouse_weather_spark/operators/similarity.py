@@ -111,14 +111,21 @@ def q_embed_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _hyperplane_expr(j: int) -> str:
-    """Deterministic pseudo-random hyperplane j as a SQL array literal:
-    weight_i = (md5int('hp_<j>_<i>') % 2001 - 1000) / 1000.0."""
-    weights = (
-        f"transform(sequence(0, {_DIM - 1}), i -> "
-        f"(CAST(conv(substr(md5(concat('hp_{j}_', CAST(i AS STRING))), 1, 15), 16, 10)"
-        f" AS BIGINT) % 2001 - 1000) / 1000.0)"
-    )
-    return weights
+    """Deterministic pseudo-random hyperplane j as a SQL array LITERAL:
+    weight_i = (md5int('hp_<j>_<i>') % 2001 - 1000) / 1000.0. The md5
+    derivation runs ONCE here in Python (hashlib md5 == SQL md5, so the
+    DuckDB oracle recomputing it symbolically gets identical weights);
+    inlining literals keeps the per-row plane dot free of 64 md5 calls
+    per row per plane — constant folding Spark cannot do through a
+    lambda."""
+    import hashlib
+
+    weights = [
+        (int(hashlib.md5(f"hp_{j}_{i}".encode()).hexdigest()[:15], 16) % 2001 - 1000)
+        / 1000.0
+        for i in range(_DIM)
+    ]
+    return "array(" + ", ".join(f"CAST({w} AS DOUBLE)" for w in weights) + ")"
 
 
 def _bucket_code_expr(emb: str) -> F.Column:
