@@ -231,3 +231,50 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= F.ceil(0.1 * F.col("n")).cast("bigint"))
         .select("doc_id", "lang")
     )
+
+
+@register(
+    "q_sample_quality_weighted",
+    oracle="""
+        SELECT doc_id, quality_score
+        FROM (
+            SELECT doc_id,
+                   least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
+                     * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]'))
+                                   AS DOUBLE) / length(text)) AS quality_score,
+                   CAST(CAST(('0x' || substr(md5('qw_' || CAST(doc_id AS VARCHAR)),
+                                             1, 15)) AS BIGINT) AS DOUBLE)
+                     / 1152921504606846976.0 AS u
+            FROM documents
+        )
+        WHERE u < quality_score
+    """,
+    doc="Quality-weighted sampling (training-data closure): keep each"
+    " document with probability equal to its quality score, using the"
+    " deterministic md5 uniform instead of rand() — the doc set is"
+    " stable across reruns/partitioning, and higher-quality documents"
+    " are proportionally over-represented (the standard corpus-"
+    "curation reweighting). Narrow, shuffle-free.",
+)
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words).cast("double")
+    punct = F.size(
+        F.regexp_extract_all("text", F.lit("[^a-z0-9 ]"), F.lit(0))
+    ).cast("double")
+    score = F.least(n_words / F.lit(50.0), F.lit(1.0)) * (
+        F.lit(1.0) - punct / F.length("text")
+    )
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat('qw_', cast(doc_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        docs.select("doc_id", score.alias("quality_score"), u.alias("u"))
+        .filter(F.col("u") < F.col("quality_score"))
+        .select("doc_id", "quality_score")
+    )

@@ -130,3 +130,37 @@ def read_version(spark: SparkSession, table_dir: str, version: str) -> DataFrame
             f" (have {list_versions(table_dir)})"
         )
     return spark.read.parquet(os.path.join(table_dir, version))
+
+
+def table_changes(
+    spark: SparkSession,
+    table_dir: str,
+    key: str,
+    from_version: str,
+    to_version: str,
+) -> DataFrame:
+    """CDC-style change feed between two retained versions: every row
+    keyed by ``key`` tagged ``insert`` (key only in the newer version),
+    ``delete`` (key only in the older; columns from the old row), or
+    ``update`` (key in both with any differing column). Computed as a
+    full outer join on the key — at scale this is the standard
+    snapshot-diff CDC when the writer doesn't emit a row-level log."""
+    from pyspark.sql import functions as F
+
+    old = read_version(spark, table_dir, from_version)
+    new = read_version(spark, table_dir, to_version)
+    cols = [c for c in new.columns if c != key]
+    o = old.select(key, F.struct(*cols).alias("_old"))
+    n = new.select(key, F.struct(*cols).alias("_new"))
+    joined = o.join(n, key, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(F.col("_old") != F.col("_new"), F.lit("update"))
+    )
+    return (
+        joined.withColumn("_change", change)
+        .filter(F.col("_change").isNotNull())
+        .select(key, "_change", F.coalesce(F.col("_new"), F.col("_old")).alias("row"))
+        .select(key, "_change", "row.*")
+    )

@@ -583,3 +583,62 @@ def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "q_funnel",
+    oracle="""
+        WITH v AS (
+            SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'view'
+        ),
+        c AS (
+            SELECT user_id, CAST(ts AS TIMESTAMP) AS ts
+            FROM events WHERE event_type = 'click'
+        ),
+        conv AS (
+            SELECT DISTINCT v.event_id
+            FROM v JOIN c ON c.user_id = v.user_id
+                         AND c.ts > v.ts
+                         AND c.ts <= v.ts + INTERVAL 1 HOUR
+        )
+        SELECT CAST(date_trunc('hour', v.ts) AS TIMESTAMP) AS hr,
+               count(*) AS n_views,
+               count(conv.event_id) AS n_converted
+        FROM v LEFT JOIN conv ON v.event_id = conv.event_id
+        GROUP BY 1
+    """,
+    doc="Funnel conversion (view -> click within 1 hour, same user) per"
+    " event hour — the batch twin of the watermarked stream-stream join"
+    " (stream_stream_join). The view-click match is an equi-join on"
+    " user_id with a range predicate; at 100 TB the range narrows each"
+    " user's sort-merge group, or the streaming form bounds state with"
+    " watermarks.",
+)
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").select(
+        "event_id", F.col("user_id").alias("v_user"), F.col("ts").alias("v_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    conv = (
+        v.join(
+            c,
+            (F.col("c_user") == F.col("v_user"))
+            & (F.col("c_ts") > F.col("v_ts"))
+            & (F.col("c_ts") <= F.col("v_ts") + F.expr("INTERVAL 1 HOUR")),
+        )
+        .select("event_id")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        v.join(conv, "event_id", "left")
+        .groupBy(F.date_trunc("hour", "v_ts").alias("hr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_views"),
+            F.count("converted").alias("n_converted"),
+        )
+    )

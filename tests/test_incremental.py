@@ -162,3 +162,44 @@ def test_write_sized_targets_file_size(spark, sf_dir, tmp_path):
     assert spark.read.parquet(out).count() == docs.count()
     # no file wildly above target (2x slack for row-group granularity)
     assert max(sizes) <= 2 * 1024 * 1024
+
+
+def test_table_changes_cdc_between_versions(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        list_versions,
+        publish_df,
+        table_changes,
+    )
+
+    table = str(tmp_path / "cdc")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    publish_df(cust.filter("c_custkey < 100"), table)
+    v2 = (
+        cust.filter("c_custkey >= 5 AND c_custkey < 103")  # drop 0-4, add 100-102
+        .withColumn(
+            "c_acctbal",
+            F.when(F.col("c_custkey") == 7, F.col("c_acctbal") + 1).otherwise(
+                F.col("c_acctbal")
+            ),
+        )
+    )
+    publish_df(v2, table)
+    v_old, v_new = list_versions(table)[-2:]
+    changes = table_changes(spark, table, "c_custkey", v_old, v_new)
+    by_kind = {
+        k: sorted(r.c_custkey for r in rows)
+        for k, rows in __import__("itertools").groupby(
+            sorted(changes.collect(), key=lambda r: r._change),
+            key=lambda r: r._change,
+        )
+    }
+    assert by_kind["delete"] == [0, 1, 2, 3, 4]
+    assert by_kind["insert"] == [100, 101, 102]
+    assert by_kind["update"] == [7]
+    # updated row carries the NEW values
+    assert changes.filter("c_custkey = 7").first().c_acctbal == \
+        cust.filter("c_custkey = 7").first().c_acctbal + 1
