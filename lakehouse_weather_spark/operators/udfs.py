@@ -117,3 +117,42 @@ def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.groupBy("o_orderpriority").agg(
         iqr("o_totalprice").alias("price_iqr")
     )
+
+
+@register(
+    "q_udtf_ngrams",
+    oracle="""
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS pos,
+               array_to_string(words[i : i + 1], ' ') AS bigram
+        FROM (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   unnest(generate_series(
+                       1, len(string_split(text, ' ')) - 1
+                   )) AS i
+            FROM documents WHERE doc_id < 50
+        )
+    """,
+    doc="Python UDTF (Spark 4 table function): one input row expands to"
+    " N output rows — word bigrams with positions. The lateral-join"
+    " UDTF shape complements the explode-based UDTF-via-builtin"
+    " (q_array_explode): use a real Python UDTF only when the expansion"
+    " logic genuinely needs Python; the oracle replays it in SQL.",
+)
+def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import lit, udtf
+
+    @udtf(returnType="pos: int, bigram: string")
+    class BigramUDTF:
+        def eval(self, text: str):
+            words = (text or "").split(" ")
+            for i in range(len(words) - 1):
+                yield i + 1, f"{words[i]} {words[i + 1]}"
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    spark.udtf.register("bigrams_udtf", BigramUDTF)
+    docs.createOrReplaceTempView("v_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, b.pos, b.bigram"
+        " FROM v_docs_udtf d, LATERAL bigrams_udtf(d.text) b"
+    )

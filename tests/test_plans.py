@@ -69,7 +69,9 @@ def test_relational_path_has_no_python_udf(spark, sf_dir):
     # only in the explicitly rows-only ops and the §2.11 UDF-surface
     # demos, which exist to exercise the Python paths)
     for name, spec in load_all().items():
-        if spec.oracle is None or name.startswith(("q_udf_", "q_pandas_")):
+        if spec.oracle is None or name.startswith(
+            ("q_udf_", "q_udtf_", "q_pandas_")
+        ):
             continue
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
