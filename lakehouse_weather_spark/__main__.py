@@ -39,6 +39,13 @@ def main(argv: list[str] | None = None) -> int:
     p_sql.add_argument("statement")
     p_sql.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    p_c = sub.add_parser(
+        "crawl", help="BFS-crawl live URLs with the real fetch backend"
+    )
+    p_c.add_argument("seeds", nargs="+")
+    p_c.add_argument("--depth", type=int, default=1)
+    p_c.add_argument("--out", help="optional parquet output dir")
+
     args = ap.parse_args(argv)
 
     from lakehouse_weather_spark.registry import load_all
@@ -75,6 +82,15 @@ def main(argv: list[str] | None = None) -> int:
 
             register_views(spark, args.sf_dir)
             spark.sql(args.statement).show(50, truncate=80)
+        elif args.cmd == "crawl":
+            from lakehouse_weather_spark.pipeline.crawl import crawl
+
+            pages = crawl(spark, args.seeds, args.depth)
+            if args.out:
+                pages.write.mode("overwrite").parquet(args.out)
+            pages.select("url", "content_type", "crawl_depth").show(
+                50, truncate=80
+            )
     finally:
         spark.stop()
     return 0

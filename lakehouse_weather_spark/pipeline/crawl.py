@@ -63,11 +63,20 @@ def crawl(
     spark: SparkSession,
     seeds: list[str],
     depth: int,
-    fetch_fn: FetchFn,
+    fetch_fn: FetchFn | None = None,
     fetch_partitions: int = 8,
 ) -> DataFrame:
     """BFS crawl to ``depth`` levels; returns the deduped page table
-    (url, page_content, content_type, links, crawl_depth)."""
+    (url, page_content, content_type, links, crawl_depth).
+
+    ``fetch_fn`` defaults to the real HTTP backend
+    (``sources.fetchers.http_fetch_fn``: requests/bs4/pypdf when
+    installed, stdlib fallbacks otherwise) — point ``seeds`` at live
+    URLs and this crawls them. Tests inject deterministic fetchers."""
+    if fetch_fn is None:
+        from lakehouse_weather_spark.sources.fetchers import http_fetch_fn
+
+        fetch_fn = http_fetch_fn()
     visited = spark.createDataFrame([(u,) for u in seeds], "url string").limit(0)
     frontier = spark.createDataFrame([(u,) for u in seeds], "url string").distinct()
     pages: DataFrame | None = None
