@@ -668,3 +668,306 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY segment
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# The six classically-partsupp/column-dependent queries, adapted to the
+# fixture schema (no partsupp table; no receiptdate/container/phone
+# columns). Each keeps the ORIGINAL query's structural challenge —
+# the join topology, subquery correlation, and aggregation shape — with
+# the missing relation replaced by the lineitem-derived part-supplier
+# relationship and missing predicates by equivalents, documented per
+# query.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_tpch_q2",
+    oracle="""
+        SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+              SELECT max(s2.s_acctbal)
+              FROM lineitem l2
+              JOIN supplier s2 ON s2.s_suppkey = l2.l_suppkey
+              JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+    """,
+    doc="TPC-H Q2 shape (best supplier per part; partsupp replaced by"
+    " the lineitem-evidenced part-supplier relationship, min supplycost"
+    " by max acctbal): correlated per-part scalar subquery over the"
+    " same 4-way dimension join as the outer query — the classic"
+    " decorrelation stress test.",
+)
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem", "supplier", "nation", "region"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_q2")
+    return spark.sql(
+        """
+        SELECT DISTINCT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type
+        FROM v_part_q2 p
+        JOIN v_lineitem_q2 l ON p.p_partkey = l.l_partkey
+        JOIN v_supplier_q2 s ON s.s_suppkey = l.l_suppkey
+        JOIN v_nation_q2 n ON s.s_nationkey = n.n_nationkey
+        JOIN v_region_q2 r ON n.n_regionkey = r.r_regionkey
+        WHERE p.p_size = 15 AND r.r_name = 'EUROPE'
+          AND s.s_acctbal = (
+              SELECT max(s2.s_acctbal)
+              FROM v_lineitem_q2 l2
+              JOIN v_supplier_q2 s2 ON s2.s_suppkey = l2.l_suppkey
+              JOIN v_nation_q2 n2 ON s2.s_nationkey = n2.n_nationkey
+              JOIN v_region_q2 r2 ON n2.n_regionkey = r2.r_regionkey
+              WHERE l2.l_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+          )
+        ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+        LIMIT 100
+        """
+    )
+
+
+@register(
+    "q_tpch_q9",
+    oracle=f"""
+        SELECT n.n_name AS nation,
+               CAST(year(o.o_orderdate) AS INTEGER) AS o_year,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)'
+                         ' - 0.1 * p.p_retailprice * l.l_quantity')} AS sum_profit
+        FROM part p
+        JOIN lineitem l ON p.p_partkey = l.l_partkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN orders o ON o.o_orderkey = l.l_orderkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%red%'
+        GROUP BY 1, 2
+        ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape (product-type profit; ps_supplycost replaced by"
+    " 10% of p_retailprice as the unit cost): 5-way join filtered by a"
+    " part-name LIKE, profit aggregated per supplier nation and order"
+    " year. The part filter must push down before the fact join.",
+)
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = F.broadcast(
+        load_table(spark, sf_dir, "part").filter(F.col("p_name").like("%red%"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = F.broadcast(load_table(spark, sf_dir, "supplier"))
+    o = load_table(spark, sf_dir, "orders")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - 0.1 * F.col("p_retailprice") * F.col("l_quantity")
+    )
+    return (
+        p.join(li, p.p_partkey == li.l_partkey)
+        .join(s, s.s_suppkey == li.l_suppkey)
+        .join(o, o.o_orderkey == li.l_orderkey)
+        .join(n, F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(profit).alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+_Q11_VALUE = "sum(CAST(round(l_extendedprice * 10000) AS BIGINT))"
+
+
+@register(
+    "q_tpch_q11",
+    oracle=f"""
+        WITH pv AS (
+            SELECT l.l_partkey, {sql_dsum('l.l_extendedprice')} AS value
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, value
+        FROM pv
+        WHERE value > (SELECT {sql_davg('value')} * 1.2 FROM pv)
+        ORDER BY value DESC, l_partkey
+    """,
+    doc="TPC-H Q11 shape (important stock; partsupp value replaced by"
+    " shipped lineitem value per part, the scale-dependent fraction by"
+    " 1.2x the mean — scale-free): grouped values filtered against a"
+    " scalar aggregate over the SAME grouped CTE, referenced twice."
+    " Both the values and the threshold use fixed-point accumulation so"
+    " the cut is bit-identical across engines.",
+)
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("lineitem", "supplier", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_q11")
+    from lakehouse_weather_spark.functions import sql_davg as _davg, sql_dsum as _dsum
+
+    return spark.sql(
+        f"""
+        WITH pv AS (
+            SELECT l.l_partkey, {_dsum('l.l_extendedprice')} AS value
+            FROM v_lineitem_q11 l
+            JOIN v_supplier_q11 s ON l.l_suppkey = s.s_suppkey
+            JOIN v_nation_q11 n ON s.s_nationkey = n.n_nationkey
+            WHERE n.n_name = 'NATION_3'
+            GROUP BY l.l_partkey
+        )
+        SELECT l_partkey, value
+        FROM pv
+        WHERE value > (SELECT {_davg('value')} * 1.2 FROM pv)
+        ORDER BY value DESC, l_partkey
+        """
+    )
+
+
+@register(
+    "q_tpch_q16",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 7)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+    """,
+    doc="TPC-H Q16 shape (supplier counts per part attributes; partsupp"
+    " replaced by the lineitem part-supplier relationship, the"
+    " complaint-comment filter by negative account balance): negated"
+    " predicates + NOT IN anti subquery + count(DISTINCT) per group.",
+)
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("part", "lineitem", "supplier"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_q16")
+    return spark.sql(
+        """
+        SELECT p.p_brand, p.p_type, p.p_size,
+               count(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM v_part_q16 p JOIN v_lineitem_q16 l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#45'
+          AND p.p_type NOT LIKE 'MEDIUM%'
+          AND p.p_size IN (1, 4, 7)
+          AND l.l_suppkey NOT IN (
+              SELECT s_suppkey FROM v_supplier_q16 WHERE s_acctbal < 0
+          )
+        GROUP BY 1, 2, 3
+        ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+        """
+    )
+
+
+@register(
+    "q_tpch_q20",
+    oracle="""
+        SELECT s.s_name, n.n_name
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey FROM lineitem l
+            JOIN part p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(l.l_quantity) > 0.1 * (
+                SELECT sum(l2.l_quantity) FROM lineitem l2
+                WHERE l2.l_partkey = l.l_partkey
+            )
+        )
+        ORDER BY s.s_name
+    """,
+    doc="TPC-H Q20 shape (suppliers with significant stock; the"
+    " availqty-vs-half-of-shipped test becomes supplier-ships->10% of a"
+    " PROMO part's total quantity): IN over a grouped HAVING whose"
+    " threshold is a correlated scalar aggregate — a doubly-nested"
+    " decorrelation. Quantity sums are exact integer-valued doubles.",
+)
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "nation", "lineitem", "part"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_q20")
+    return spark.sql(
+        """
+        SELECT s.s_name, n.n_name
+        FROM v_supplier_q20 s JOIN v_nation_q20 n ON s.s_nationkey = n.n_nationkey
+        WHERE s.s_suppkey IN (
+            SELECT l.l_suppkey FROM v_lineitem_q20 l
+            JOIN v_part_q20 p ON p.p_partkey = l.l_partkey AND p.p_type = 'PROMO'
+            GROUP BY l.l_suppkey, l.l_partkey
+            HAVING sum(l.l_quantity) > 0.1 * (
+                SELECT sum(l2.l_quantity) FROM v_lineitem_q20 l2
+                WHERE l2.l_partkey = l.l_partkey
+            )
+        )
+        ORDER BY s.s_name
+        """
+    )
+
+
+@register(
+    "q_tpch_q21",
+    oracle="""
+        SELECT s.s_name, count(*) AS numwait
+        FROM supplier s
+        JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting; the"
+    " receiptdate-vs-commitdate lateness becomes shipped->60-days after"
+    " the order date): EXISTS (another supplier on the order) + NOT"
+    " EXISTS (no OTHER supplier was late) — the double-correlated"
+    " semi/anti join pair that makes Q21 the optimizer's hardest"
+    " decorrelation.",
+)
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("supplier", "lineitem", "orders"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_q21")
+    return spark.sql(
+        """
+        SELECT s.s_name, count(*) AS numwait
+        FROM v_supplier_q21 s
+        JOIN v_lineitem_q21 l1 ON s.s_suppkey = l1.l_suppkey
+        JOIN v_orders_q21 o ON o.o_orderkey = l1.l_orderkey
+        WHERE o.o_orderstatus = 'F'
+          AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          AND EXISTS (
+              SELECT 1 FROM v_lineitem_q21 l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey
+          )
+          AND NOT EXISTS (
+              SELECT 1 FROM v_lineitem_q21 l3
+              WHERE l3.l_orderkey = l1.l_orderkey
+                AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY s.s_name
+        ORDER BY numwait DESC, s.s_name
+        LIMIT 100
+        """
+    )
