@@ -49,6 +49,9 @@ HEADLINE = [
     "q_tpch_q10",
     "q_tpch_q13",
     "q_tpch_q18",
+    "q_tpch_q2",
+    "q_tpch_q9",
+    "q_tpch_q21",
     "q_vector_topk_lsh",
     "q_vector_topk_ivf",
     "q_pivot_events",
