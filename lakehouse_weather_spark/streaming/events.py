@@ -440,8 +440,17 @@ def stream_dedup(
 
 
 def stream_tumbling_counts(
-    spark: SparkSession, events_dir: str, checkpoint_dir: str
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    output_mode: str = "complete",
 ) -> DataFrame:
+    """output_mode semantics matter for late data: in COMPLETE mode all
+    window state is retained and late rows still aggregate; in APPEND
+    mode a window emits once the watermark passes its end, its state is
+    evicted, and rows older than the watermark are DROPPED (bounded
+    state) — asserted in tests/test_streaming.py."""
     """True Structured Streaming tumbling-window count with watermark:
     readStream over a directory of events parquet files (the file-stream
     source requires a directory — new files appearing there are
@@ -452,8 +461,11 @@ def stream_tumbling_counts(
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     static = spark.read.parquet(events_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(static.schema)
+        reader
         .parquet(events_dir)
         # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
         # the cast to NTZ after aggregation is deterministic
@@ -470,7 +482,7 @@ def stream_tumbling_counts(
     q = (
         stream.writeStream.format("memory")
         .queryName("tumbling_counts")
-        .outputMode("complete")
+        .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -142,3 +142,16 @@ def test_time_rollup_is_single_pass(spark, sf_dir):
     assert "Expand" in plan
     assert "Union" not in plan
     assert plan.count("Location: InMemoryFileIndex") == 1
+
+
+def test_q21_decorrelates_to_semi_and_anti(spark, sf_dir):
+    # EXISTS -> left-semi, NOT EXISTS -> left-anti: the double
+    # correlation must become two join passes, never a per-row subplan
+    plan = _plan(spark, sf_dir, "q_tpch_q21")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+
+
+def test_q20_having_subquery_decorrelates_to_semi(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q_tpch_q20")
+    assert "LeftSemi" in plan

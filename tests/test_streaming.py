@@ -179,3 +179,73 @@ def test_stateful_sessionize_equals_batch_multibatch(spark, sf_dir, tmp_path):
         if r.user_id != -1
     }
     assert stream == batch
+
+
+def test_append_mode_emits_each_window_once(spark, sf_dir, tmp_path):
+    """Append-mode finalization semantics: a window is emitted exactly
+    once, when the watermark passes its end (state evicted — bounded
+    memory). Note Spark's documented guarantee is one-sided: data
+    within the watermark is never dropped; older data MAY still be
+    aggregated (here the late file's windows are created and finalized
+    in the same batch), so the assertion is exactly-once emission and
+    equality with the batch aggregate — not input dropping."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    events_dir = tmp_path / "events_late"
+    events_dir.mkdir()
+    t = pq.read_table(Path(sf_dir) / "events.parquet")
+    ts = pc.cast(t.column("ts"), pa.int64())
+    lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
+    cut = lo + (hi - lo) // 3
+    early = t.filter(pc.less(ts, cut))          # will arrive LATE
+    recent = t.filter(pc.greater_equal(ts, cut))
+    assert early.num_rows > 0 and recent.num_rows > 0
+
+    # two far-future sentinels advance the watermark so the recent
+    # windows finalize and emit in append mode (same trick as the
+    # sessionize test); the late file arrives after the watermark
+    # passed its event times
+    ts_type = t.schema.field("ts").type
+    year_ns = 365 * 24 * 3600 * 1_000_000_000
+    files = [("00_recent", recent), ("01_late", early)]
+    for k in (1, 2):
+        row = t.slice(0, 1)
+        row = row.set_column(
+            row.schema.get_field_index("ts"),
+            "ts",
+            pa.array([hi + k * year_ns], type=pa.int64()).cast(ts_type),
+        )
+        files.append((f"0{1 + k}_sentinel", row))
+    for i, (name, part) in enumerate(files):
+        path = events_dir / f"{name}.parquet"
+        pq.write_table(part, path)
+        os.utime(path, (1_700_000_000 + i, 1_700_000_000 + i))
+
+    result = stream_tumbling_counts(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt_late"),
+        max_files_per_trigger=1,
+        output_mode="append",
+    )
+    rows = [r for r in result.collect() if r.window_start.year < 2090]
+    # exactly-once: no (window, event_type) emitted twice
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
+    # finalized output equals the batch aggregate over the real events
+    # (sentinel windows excluded; the last sentinel's window is still
+    # open and correctly absent)
+    batch = {
+        (r.window_start, r.event_type): r.n_events
+        for r in load_all()["q_win_tumbling"].fn(spark, sf_dir).collect()
+    }
+    got = {
+        (r.window_start.replace(tzinfo=None), r.event_type): r.n_events
+        for r in rows
+        if r.window_start.year < 2025
+    }
+    assert got == batch
