@@ -94,3 +94,61 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect(F.array_distinct(words), kws)).alias("kw_hits"),
         F.array_join(F.slice(uniq, 1, 3), "|").alias("first3"),
     )
+
+
+@register(
+    "q_dq_constraints",
+    oracle="""
+        SELECT
+            (SELECT count(*) FROM orders WHERE o_custkey IS NULL)
+                AS null_custkeys,
+            (SELECT count(*) FROM (
+                 SELECT o_orderkey FROM orders
+                 GROUP BY o_orderkey HAVING count(*) > 1))
+                AS dup_orderkeys,
+            (SELECT count(*) FROM orders o
+              WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders,
+            (SELECT count(*) FROM lineitem
+              WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+                AS range_violations,
+            (SELECT count(*) FROM lineitem l
+              WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                WHERE o.o_orderkey = l.l_orderkey))
+                AS orphan_lineitems
+    """,
+    doc="Data-quality constraint suite in one query (Deequ/dbt-test"
+    " shape): null checks, key uniqueness, referential integrity"
+    " (orders->customer, lineitem->orders), and value-range assertions"
+    " — each violation count computable from one scan + anti joins."
+    " A CI gate asserts all-zeros on trusted tables; at 100 TB the"
+    " anti joins ride the same broadcast/shuffle machinery as queries.",
+)
+def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # one declarative plan (scalar subqueries -> anti joins), no driver
+    # actions: the whole suite is a single job the scheduler can overlap
+    for t in ("orders", "customer", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_dq")
+    return spark.sql(
+        """
+        SELECT
+            (SELECT count(*) FROM v_orders_dq WHERE o_custkey IS NULL)
+                AS null_custkeys,
+            (SELECT count(*) FROM (
+                 SELECT o_orderkey FROM v_orders_dq
+                 GROUP BY o_orderkey HAVING count(*) > 1))
+                AS dup_orderkeys,
+            (SELECT count(*) FROM v_orders_dq o
+              WHERE NOT EXISTS (SELECT 1 FROM v_customer_dq c
+                                WHERE c.c_custkey = o.o_custkey))
+                AS orphan_orders,
+            (SELECT count(*) FROM v_lineitem_dq
+              WHERE l_quantity <= 0 OR l_discount < 0 OR l_discount > 1)
+                AS range_violations,
+            (SELECT count(*) FROM v_lineitem_dq l
+              WHERE NOT EXISTS (SELECT 1 FROM v_orders_dq o
+                                WHERE o.o_orderkey = l.l_orderkey))
+                AS orphan_lineitems
+        """
+    )
