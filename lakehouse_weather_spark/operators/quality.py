@@ -1,0 +1,160 @@
+"""Repetition-based document quality filters (training-data closure).
+
+Gopher/C4-style corpus hygiene: beyond the length/punctuation/stopword
+signals in ``q_text_quality`` (operators/textops.py), production
+pretraining filters remove documents dominated by *repetition* — a few
+words or phrases looping (boilerplate, keyword stuffing, scraper junk).
+The canonical signals (Rae et al. 2021 "Scaling Language Models:
+Gopher", §A1.1) are the duplicate-word fraction, the top-word /
+top-bigram concentration, and mean word length bounds.
+
+Everything here is built-in array algebra (split / array_distinct /
+transform / filter / aggregate) — per-row, shuffle-free, whole-stage
+codegen, no UDF — so the filter runs at scan speed at 100 TB. Ratios
+are single IEEE divisions of exact integer counts, so the DuckDB oracle
+matches bit-for-bit (see tools/check_oracle.py hashing).
+
+The reference has no quality filtering at all (every crawled page is
+chunked and embedded as-is, ``dags/utils/chunks_data.py:24-44``); this
+module is the missing pre-training hygiene stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Keep-thresholds: a document survives when it is long enough and not
+# repetition-dominated. Values chosen to split the synthetic corpus
+# (word-soup docs: 10-99 words, dup-word median ~0.54).
+MIN_WORDS = 30
+MAX_DUP_WORD_FRAC = 0.6
+MAX_TOP_WORD_FRAC = 0.15
+MAX_TOP_BIGRAM_FRAC = 0.10
+MIN_MEAN_WORD_LEN = 3.0
+MAX_MEAN_WORD_LEN = 10.0
+
+_QUALITY_ORACLE = f"""
+    WITH s AS (
+        SELECT doc_id,
+               string_split(text, ' ') AS w,
+               len(string_split(text, ' ')) AS n
+        FROM documents
+    ), b AS (
+        SELECT doc_id, w, n,
+               list_transform(generate_series(1, n - 1),
+                              i -> w[i] || ' ' || w[i + 1]) AS bg
+        FROM s
+    ), m AS (
+        SELECT doc_id,
+               CAST(n AS INTEGER) AS n_words,
+               1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / n
+                   AS dup_word_frac,
+               CAST(list_max(list_transform(list_distinct(w),
+                        u -> len(list_filter(w, x -> x = u)))) AS DOUBLE)
+                   / n AS top_word_frac,
+               CAST(list_max(list_transform(list_distinct(bg),
+                        u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
+                   / (n - 1) AS top_bigram_frac,
+               CAST(list_sum(list_transform(w, u -> len(u))) AS DOUBLE) / n
+                   AS mean_word_len
+        FROM b
+    )
+    SELECT doc_id, n_words, dup_word_frac, top_word_frac,
+           top_bigram_frac, mean_word_len,
+           CAST(CASE WHEN n_words >= {MIN_WORDS}
+                      AND dup_word_frac <= {MAX_DUP_WORD_FRAC}
+                      AND top_word_frac <= {MAX_TOP_WORD_FRAC}
+                      AND top_bigram_frac <= {MAX_TOP_BIGRAM_FRAC}
+                      AND mean_word_len BETWEEN {MIN_MEAN_WORD_LEN}
+                                            AND {MAX_MEAN_WORD_LEN}
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM m
+"""
+
+
+@register(
+    "q_quality_repetition",
+    oracle=_QUALITY_ORACLE,
+    doc="Gopher-style repetition filter: duplicate-word fraction,"
+    " top-word and top-bigram concentration, mean word length, and the"
+    " combined keep decision — all per-row array algebra inside"
+    " whole-stage codegen (no shuffle, no UDF), i.e. scan-speed corpus"
+    " hygiene at 100 TB. keep emitted as int for engine-neutral"
+    " hashing.",
+)
+def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_words = docs.select(
+        "doc_id",
+        F.split("text", " ").alias("w"),
+        F.size(F.split("text", " ")).alias("n"),
+    )
+    with_bigrams = with_words.select(
+        "doc_id",
+        "w",
+        "n",
+        F.expr(
+            "transform(sequence(1, n - 1),"
+            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+        ).alias("bg"),
+    )
+    w, bg = F.col("w"), F.col("bg")
+    top_count = lambda arr: F.array_max(  # noqa: E731
+        F.transform(
+            F.array_distinct(arr),
+            lambda u: F.size(F.filter(arr, lambda x: x == u)),
+        )
+    )
+    sum_lens = F.aggregate(
+        F.transform(w, lambda u: F.length(u)), F.lit(0), lambda a, x: a + x
+    )
+    metrics = with_bigrams.select(
+        "doc_id",
+        F.col("n").alias("n_words"),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(w)).cast("double") / F.col("n")
+        ).alias("dup_word_frac"),
+        (top_count(w).cast("double") / F.col("n")).alias("top_word_frac"),
+        (top_count(bg).cast("double") / (F.col("n") - 1)).alias(
+            "top_bigram_frac"
+        ),
+        (sum_lens.cast("double") / F.col("n")).alias("mean_word_len"),
+    )
+    keep = (
+        (F.col("n_words") >= MIN_WORDS)
+        & (F.col("dup_word_frac") <= MAX_DUP_WORD_FRAC)
+        & (F.col("top_word_frac") <= MAX_TOP_WORD_FRAC)
+        & (F.col("top_bigram_frac") <= MAX_TOP_BIGRAM_FRAC)
+        & (F.col("mean_word_len") >= MIN_MEAN_WORD_LEN)
+        & (F.col("mean_word_len") <= MAX_MEAN_WORD_LEN)
+    )
+    return metrics.withColumn("keep", keep.cast("int"))
+
+
+def apply_quality_filter(docs: DataFrame) -> DataFrame:
+    """Pipeline form: drop repetition-dominated documents. Same
+    expressions as q_quality_repetition, reusable in the medallion
+    silver stage (pipeline/medallion.py) ahead of dedup + embedding.
+    """
+    w = F.split("text", " ")
+    n = F.size(w)
+    dup = F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n
+    topw = (
+        F.array_max(
+            F.transform(
+                F.array_distinct(w),
+                lambda u: F.size(F.filter(w, lambda x: x == u)),
+            )
+        ).cast("double")
+        / n
+    )
+    return docs.filter(
+        (n >= MIN_WORDS)
+        & (dup <= MAX_DUP_WORD_FRAC)
+        & (topw <= MAX_TOP_WORD_FRAC)
+    )

@@ -1,0 +1,125 @@
+"""Mergeable-sketch aggregation (100 TB closure beyond SURVEY §2.4).
+
+At cluster scale, "count distinct" is the canonical shuffle-killer:
+exact ``COUNT(DISTINCT x)`` re-shuffles raw values, while a *mergeable
+sketch* reduces each partition to a small binary summary that combines
+associatively — the map-side partial carries kilobytes, not rows, and
+the same artifact can be stored per-partition and re-merged later
+(incremental rollups, cross-table overlap) without touching the data
+again. Spark 4 ships two built-in mergeable families:
+
+- **Roaring-style bitmaps** (``bitmap_construct_agg`` /
+  ``bitmap_or_agg`` / ``bitmap_count``): EXACT distinct counts of
+  integral keys, so ``q_bitmap_distinct`` is fully oracle-checkable
+  against ``COUNT(DISTINCT ...)``.
+- **Apache DataSketches HLL** (``hll_sketch_agg`` / ``hll_union_agg`` /
+  ``hll_sketch_estimate``): approximate but fixed-size for arbitrary
+  types. Estimates are implementation-defined, so ``q_hll_distinct``
+  is registered rows-only; accuracy (<5% vs exact) and merge
+  consistency (union-of-partials vs direct sketch) are asserted in
+  tests/test_sketches.py.
+
+The reference has no sketch surface (its distinct counts are Python
+``set`` scans over collected lists, e.g. pandas ``drop_duplicates`` in
+``dags/utils/chunks_data.py``); these operators are the scale-out
+replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# lgConfigK for every HLL sketch in this module. 12 -> 2^12 registers
+# (~2.5 KB dense), relative error ~1.6%/sqrt(2^12) ~= 2.5%. Partials
+# built with one lgK merge losslessly; mixing lgKs degrades to the
+# smaller, so it is pinned here and shared by build + union sites.
+HLL_LG_K = 12
+
+
+@register(
+    "q_bitmap_distinct",
+    oracle="""
+        SELECT o_orderpriority,
+               CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        GROUP BY o_orderpriority
+    """,
+    doc="Exact distinct customers per order priority via mergeable"
+    " roaring bitmaps: map bucket/bit-position per key, OR partial"
+    " bitmaps per (priority, bucket), then sum popcounts. Two narrow"
+    " shuffles of kilobyte bitmaps replace a COUNT(DISTINCT) shuffle of"
+    " raw keys; the per-bucket bitmap artifacts are reusable for later"
+    " re-merges. Oracle-exact (bitmaps are not approximate).",
+)
+def q_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        "o_orderpriority",
+        F.bitmap_bucket_number("o_custkey").alias("bucket"),
+        F.bitmap_bit_position("o_custkey").alias("pos"),
+    )
+    per_bucket = keyed.groupBy("o_orderpriority", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return per_bucket.groupBy("o_orderpriority").agg(
+        F.sum(F.bitmap_count("bm")).alias("n_customers"),
+        F.sum("n_rows").alias("n_orders"),
+    )
+
+
+@register(
+    "q_hll_distinct",
+    oracle=None,  # DataSketches HLL estimates are impl-defined; DuckDB
+    # cannot replay them. Accuracy + mergeability asserted in pytest.
+    doc="Approximate distinct order-dates per priority via DataSketches"
+    " HLL (lgK=12, ~2.5 KB per sketch), plus an ALL row merged from the"
+    " per-priority sketches with hll_union_agg — the store-partials-"
+    "then-remerge pattern that makes 100 TB rollups incremental."
+    " Rows-only by necessity; tests assert <5% error vs exact and"
+    " union-vs-direct consistency.",
+)
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_prio = orders.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg(F.col("o_custkey"), F.lit(HLL_LG_K)).alias("sk")
+    )
+    detail = per_prio.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    merged = per_prio.agg(
+        F.hll_union_agg(F.col("sk")).alias("sk")
+    ).select(
+        F.lit("ALL").alias("o_orderpriority"),
+        F.hll_sketch_estimate("sk").alias("approx_customers"),
+    )
+    return detail.unionByName(merged)
+
+
+def hll_partition_sketches(
+    df: DataFrame, key_col: str, value_col: str
+) -> DataFrame:
+    """Reduce ``df`` to one HLL sketch row per ``key_col`` — the
+    storable partial artifact. ``hll_merge_estimates`` re-merges any
+    union of these (across runs, tables, or partitions) without
+    rescanning raw data; pair with the incremental-signature pattern in
+    operators/dedup.py (incremental_neardup_candidates).
+    """
+    return df.groupBy(key_col).agg(
+        F.hll_sketch_agg(F.col(value_col), F.lit(HLL_LG_K)).alias("hll_sketch")
+    )
+
+
+def hll_merge_estimates(sketches: DataFrame, key_col: str) -> DataFrame:
+    """Merge stored sketch partials per key and estimate cardinality."""
+    return sketches.groupBy(key_col).agg(
+        F.hll_sketch_estimate(
+            F.hll_union_agg(F.col("hll_sketch"))
+        ).alias("approx_ndv")
+    )

@@ -56,6 +56,10 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.windows",
     "lakehouse_weather_spark.operators.sorts",
     "lakehouse_weather_spark.operators.setops",
+    # Round-2 late additions: appended LAST so they do not displace the
+    # still-unverified families above from the gate's fixed budget.
+    "lakehouse_weather_spark.operators.sketches",
+    "lakehouse_weather_spark.operators.quality",
 ]
 
 _loaded = False

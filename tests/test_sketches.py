@@ -1,0 +1,101 @@
+"""Mergeable-sketch operators (operators/sketches.py) + repetition
+quality filter (operators/quality.py): bitmap exactness, HLL accuracy
+and merge consistency, filter selectivity, and plan shape.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.operators.sketches import (
+    hll_merge_estimates,
+    hll_partition_sketches,
+)
+from lakehouse_weather_spark.operators.quality import apply_quality_filter
+from lakehouse_weather_spark.registry import load_all
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+def test_bitmap_distinct_is_exact(spark, sf_dir):
+    out = load_all()["q_bitmap_distinct"].fn(spark, sf_dir)
+    got = {r["o_orderpriority"]: r["n_customers"] for r in out.collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert got == exact
+
+
+def test_hll_estimate_within_5pct(spark, sf_dir):
+    out = load_all()["q_hll_distinct"].fn(spark, sf_dir)
+    est = {r["o_orderpriority"]: r["approx_customers"] for r in out.collect()}
+    orders = load_table(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    exact["ALL"] = orders.select("o_custkey").distinct().count()
+    assert set(est) == set(exact)
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(2, 0.05 * e), (k, est[k], e)
+
+
+def test_hll_partials_merge_like_direct_sketch(spark, sf_dir):
+    """Store-partials-then-remerge must estimate like sketching the
+    union directly — the property that makes per-partition sketch
+    artifacts reusable without rescanning raw data."""
+    orders = load_table(spark, sf_dir, "orders")
+    partials = hll_partition_sketches(
+        orders.withColumn("g", F.pmod(F.col("o_orderkey"), F.lit(7))),
+        "g",
+        "o_custkey",
+    ).withColumn("all", F.lit(1))
+    merged = hll_merge_estimates(partials, "all").collect()[0]["approx_ndv"]
+    direct = (
+        orders.agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(F.col("o_custkey"), F.lit(12))
+            ).alias("e")
+        ).collect()[0]["e"]
+    )
+    # same lgK -> register-wise max union; estimates agree to ~1%
+    assert abs(merged - direct) <= max(2, 0.01 * direct), (merged, direct)
+
+
+def test_bitmap_plan_has_partial_aggregation(spark, sf_dir):
+    # the per-bucket bitmap agg must run map-side before the shuffle:
+    # HashAggregate appears in partial + final pairs, and no raw-key
+    # distinct (Expand/distinct shuffle) node exists
+    df = load_all()["q_bitmap_distinct"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "bitmap_construct_agg" in plan
+    assert "Expand" not in plan
+
+
+def test_quality_filter_splits_corpus(spark, sf_dir):
+    out = load_all()["q_quality_repetition"].fn(spark, sf_dir)
+    rows = out.collect()
+    kept = sum(r["keep"] for r in rows)
+    assert 0 < kept < len(rows)  # thresholds genuinely split the data
+    # pipeline form agrees with the keep flag on the length+repetition
+    # signals it applies
+    docs = load_table(spark, sf_dir, "documents")
+    assert apply_quality_filter(docs).count() >= kept
+
+
+def test_quality_plan_is_narrow(spark, sf_dir):
+    # per-row array algebra: no shuffle, no Python stage
+    df = load_all()["q_quality_repetition"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
