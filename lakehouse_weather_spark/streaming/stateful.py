@@ -1,0 +1,190 @@
+"""Custom stateful streaming operator: incremental per-user profile.
+
+The running aggregate every event pipeline ends up needing — per-key
+counters/totals/last-seen maintained across micro-batches — expressed
+on Spark's arbitrary-state API ladder:
+
+- **transformWithStateInPandas** (Spark 4 StatefulProcessor, RocksDB
+  state store): the preferred backend — typed ValueState, timers, TTL,
+  independent state evolution. It needs ``google.protobuf`` in the
+  Python workers (the driver<->state-server protocol is protobuf);
+  this container does not ship protobuf, so the backend is gated on
+  ``HAS_TWS_DEPS`` and exercised where the dependency exists
+  (tests/test_stateful.py skips it cleanly otherwise).
+- **applyInPandasWithState** (GroupState): dependency-free fallback
+  with the same output contract, fully tested here multi-batch.
+
+Both backends emit one updated profile row per (user, micro-batch), so
+an Update-mode sink converges to the batch groupBy aggregate — asserted
+in tests/test_stateful.py under maxFilesPerTrigger=1.
+
+The reference has no streaming at all (hourly Airflow full rebuilds,
+``dags/weather_dag.py``); this operator is the incremental replacement
+for its recompute-the-world loop.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+try:
+    # find_spec on a dotted name imports the parent package, so a
+    # missing `google` namespace raises instead of returning None
+    HAS_TWS_DEPS = importlib.util.find_spec("google.protobuf") is not None
+except ModuleNotFoundError:
+    HAS_TWS_DEPS = False
+
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+# state carried per user: event count, value total, last event-time
+# (epoch micros — exact integer, no float drift across batches)
+_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("total", DoubleType()),
+        StructField("last_us", LongType()),
+    ]
+)
+PROFILE_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("total_value", DoubleType()),
+        StructField("last_ts_us", LongType()),
+    ]
+)
+
+
+def _fold(pdf, n: int, total: float, last_us: int):
+    n += len(pdf)
+    total += float(pdf["value"].sum())
+    # ts arrives as int64 epoch-nanos (the fixtures' raw encoding)
+    last_us = max(last_us, int(pdf["ts"].max()) // 1_000)
+    return n, total, last_us
+
+
+def _profile_rows(user_id: int, n: int, total: float, last_us: int):
+    import pandas as pd
+
+    return pd.DataFrame(
+        [(user_id, n, total, last_us)],
+        columns=["user_id", "n_events", "total_value", "last_ts_us"],
+    )
+
+
+def _make_stateful_processor():
+    """Build the StatefulProcessor lazily — the import ladder exists
+    only when the TWS backend is actually selected."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class UserProfileProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("profile", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, total, last_us = (
+                self._state.get() if self._state.exists() else (0, 0.0, 0)
+            )
+            for pdf in rows:
+                n, total, last_us = _fold(pdf, n, total, last_us)
+            self._state.update((n, total, last_us))
+            yield _profile_rows(key[0], n, total, last_us)
+
+        def close(self) -> None:
+            pass
+
+    return UserProfileProcessor()
+
+
+def _tws_transform(grouped):
+    return grouped.transformWithStateInPandas(
+        statefulProcessor=_make_stateful_processor(),
+        outputStructType=PROFILE_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def _gswp_transform(grouped):
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def profile(key, pdfs, state: GroupState):
+        n, total, last_us = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdfs:
+            n, total, last_us = _fold(pdf, n, total, last_us)
+        state.update((n, total, last_us))
+        yield _profile_rows(key[0], n, total, last_us)
+
+    return grouped.applyInPandasWithState(
+        profile,
+        outputStructType=PROFILE_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def stream_running_profile(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+    backend: str = "auto",
+) -> DataFrame:
+    """Run the incremental per-user profile over a file stream and
+    return the Update-mode memory-sink table (latest row per user =
+    converged profile). backend: 'tws' | 'gswp' | 'auto' (tws when its
+    protobuf dependency is importable, else gswp).
+    """
+    if backend == "auto":
+        backend = "tws" if HAS_TWS_DEPS else "gswp"
+    if backend not in ("tws", "gswp"):
+        raise ValueError(f"unknown backend {backend!r}")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if backend == "tws":
+        # transformWithState requires the RocksDB state store
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
+    static = spark.read.parquet(events_dir)
+
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    grouped = reader.parquet(events_dir).groupBy("user_id")
+    stream = _tws_transform(grouped) if backend == "tws" else _gswp_transform(grouped)
+
+    name = f"profile_{abs(hash(checkpoint_dir)) % 10_000_000}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def latest_profiles(updates: DataFrame) -> DataFrame:
+    """Collapse the Update-mode log to the converged row per user
+    (n_events is monotone, so max_by on it picks the final update)."""
+    return updates.groupBy("user_id").agg(
+        F.max_by(
+            F.struct("n_events", "total_value", "last_ts_us"), F.col("n_events")
+        ).alias("p")
+    ).select("user_id", "p.n_events", "p.total_value", "p.last_ts_us")

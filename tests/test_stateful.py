@@ -1,0 +1,106 @@
+"""Incremental per-user profile (streaming/stateful.py): multi-batch
+state carry must converge to the batch aggregate; the TWS backend runs
+where its protobuf dependency exists, else skips (fallback still
+covers the contract).
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+from pathlib import Path
+
+import pyarrow.parquet as pq
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.streaming.stateful import (
+    HAS_TWS_DEPS,
+    latest_profiles,
+    stream_running_profile,
+)
+
+
+def _split_events(sf_dir: str, out_dir: Path) -> None:
+    t = pq.read_table(f"{sf_dir}/events.parquet")
+    half = t.num_rows // 2
+    out_dir.mkdir()
+    # version 2.6 keeps the fixtures' TIMESTAMP(NANOS) encoding intact
+    pq.write_table(t.slice(0, half), out_dir / "f1.parquet", version="2.6")
+    pq.write_table(t.slice(half), out_dir / "f2.parquet", version="2.6")
+
+
+def _run_and_check(spark, sf_dir, tmp_path, backend: str) -> None:
+    events_dir = tmp_path / f"events_{backend}"
+    _split_events(sf_dir, events_dir)
+
+    updates = stream_running_profile(
+        spark,
+        str(events_dir),
+        str(tmp_path / f"ckpt_{backend}"),
+        max_files_per_trigger=1,
+        backend=backend,
+    )
+    got = {
+        r["user_id"]: r for r in latest_profiles(updates).collect()
+    }
+
+    ev = spark.read.parquet(str(events_dir))  # ts as raw int64 nanos
+    exp = {
+        r["user_id"]: r
+        for r in ev.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+            F.expr("max(ts) div 1000").alias("last_ts_us"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exp)
+    for uid, e in exp.items():
+        g = got[uid]
+        assert g["n_events"] == e["n_events"], uid
+        assert g["last_ts_us"] == e["last_ts_us"], uid
+        # incremental float addition vs batch sum: last-ulp tolerance
+        assert math.isclose(
+            g["total_value"], e["total_value"], rel_tol=1e-9
+        ), uid
+
+    # statefulness proof: one update row per (user, batch-with-events),
+    # so the update log is strictly larger than the user set whenever
+    # users span both files
+    users_f1 = {
+        r["user_id"]
+        for r in spark.read.parquet(str(events_dir / "f1.parquet"))
+        .select("user_id").distinct().collect()
+    }
+    users_f2 = {
+        r["user_id"]
+        for r in spark.read.parquet(str(events_dir / "f2.parquet"))
+        .select("user_id").distinct().collect()
+    }
+    assert updates.count() == len(users_f1) + len(users_f2)
+    assert users_f1 & users_f2, "fixture must exercise cross-batch state"
+
+
+def test_running_profile_gswp_multibatch(spark, sf_dir, tmp_path):
+    _run_and_check(spark, sf_dir, tmp_path, "gswp")
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_DEPS, reason="transformWithState needs google.protobuf"
+)
+def test_running_profile_tws_multibatch(spark, sf_dir, tmp_path):
+    _run_and_check(spark, sf_dir, tmp_path, "tws")
+
+
+def test_auto_backend_resolves(spark, sf_dir, tmp_path):
+    events_dir = tmp_path / "events_auto"
+    _split_events(sf_dir, events_dir)
+    out = stream_running_profile(
+        spark, str(events_dir), str(tmp_path / "ckpt_auto")
+    )
+    assert out.count() > 0
