@@ -60,6 +60,7 @@ _QUERY_MODULES = [
     # still-unverified families above from the gate's fixed budget.
     "lakehouse_weather_spark.operators.sketches",
     "lakehouse_weather_spark.operators.quality",
+    "lakehouse_weather_spark.operators.decontam",
 ]
 
 _loaded = False
