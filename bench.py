@@ -63,6 +63,10 @@ HEADLINE = [
     "q_time_rollup",
     "q_session_window",
     "q_sample_stratified",
+    "q_bitmap_distinct",
+    "q_quality_repetition",
+    "q_decontaminate",
+    "q_containment",
 ]
 
 

@@ -510,12 +510,16 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
         "label", F.col("doc_id")
     )
-    for _ in range(20):  # diameter bound; fixpoint usually in 2-3 rounds
+    prev_persisted = None
+    for rnd in range(20):  # diameter bound; fixpoint usually in 2-3 rounds
         neighbor_min = (
             edges.join(labels, edges.doc_b == labels.doc_id)
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("label").alias("nbr_label"))
         )
+        # carry the old label alongside the new one: the convergence
+        # check is then a single agg over this frame — no third join
+        # and no separate scan per round
         new_labels = (
             labels.join(neighbor_min, "doc_id", "left")
             .select(
@@ -523,17 +527,26 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(
                     F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
                 ).alias("label"),
+                F.col("label").alias("old_label"),
             )
         )
-        new_labels = _checkpoint(new_labels)
+        # cut lineage every 3rd round: edges below is already
+        # checkpointed, so between cuts the plan grows by at most three
+        # shallow join rounds (each materialized by its convergence agg)
+        if rnd % 3 == 2:
+            new_labels = _checkpoint(new_labels)
+        else:
+            new_labels = new_labels.persist()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
+            new_labels.agg(
+                F.sum((F.col("label") != F.col("old_label")).cast("int")).alias("c")
+            ).collect()[0]["c"]
         )
-        labels = new_labels
-        if changed == 0:
+        if prev_persisted is not None:
+            prev_persisted.unpersist(blocking=False)
+        prev_persisted = new_labels if new_labels.is_cached else None
+        labels = new_labels.select("doc_id", "label")
+        if not changed:
             break
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
