@@ -41,6 +41,11 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.similarity",
     "lakehouse_weather_spark.operators.textops",
     "lakehouse_weather_spark.operators.sampling",
+    # round-2 flagship additions sit inside the gate's ~50-query budget,
+    # ahead of the UDF-surface demos and the scalar tail
+    "lakehouse_weather_spark.operators.decontam",
+    "lakehouse_weather_spark.operators.quality",
+    "lakehouse_weather_spark.operators.sketches",
     "lakehouse_weather_spark.operators.reshape",
     "lakehouse_weather_spark.operators.profiling",
     "lakehouse_weather_spark.operators.multimodal",
@@ -56,11 +61,6 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.windows",
     "lakehouse_weather_spark.operators.sorts",
     "lakehouse_weather_spark.operators.setops",
-    # Round-2 late additions: appended LAST so they do not displace the
-    # still-unverified families above from the gate's fixed budget.
-    "lakehouse_weather_spark.operators.sketches",
-    "lakehouse_weather_spark.operators.quality",
-    "lakehouse_weather_spark.operators.decontam",
 ]
 
 _loaded = False
