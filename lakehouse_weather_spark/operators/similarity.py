@@ -462,3 +462,170 @@ def kmeans_refine(
             )
         )
     return centroids, assignment.select("vec_id", "cluster_id")
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: compressed codes + ADC scan
+# ---------------------------------------------------------------------------
+
+PQ_M = 4  # subspaces (dim 64 -> 16 dims each)
+PQ_SUB = _DIM // PQ_M
+PQ_RERANK = 50  # ADC candidates kept for exact rerank
+
+
+def _sq_dist_fx(a: str, b: str) -> str:
+    """Fixed-point squared-L2 as a raw BIGINT (no final division):
+    per-dim squared diffs rounded at DOT_SCALE then integer-summed, so
+    per-subspace distances ADD EXACTLY across subspaces — the property
+    ADC needs for a deterministic, engine-portable ranking."""
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    return (
+        f"aggregate(zip_with({a}, {b}, (x, y) ->"
+        f" CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * {DOT_SCALE}, 0) AS BIGINT)),"
+        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def _pq_oracle() -> str:
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    return f"""
+        WITH {_DUCK_VEC_CTE},
+        seeds AS (
+            SELECT vec_id AS seed_id FROM embeddings
+            ORDER BY {_DUCK_SEED_H}, vec_id LIMIT {N_CENTROIDS}
+        ),
+        svals AS (
+            SELECT s.seed_id, v.pos, v.val
+            FROM vals v JOIN seeds s ON v.vec_id = s.seed_id
+        ),
+        sqd AS (
+            SELECT v.vec_id, s.seed_id,
+                   CAST((v.pos - 1) // {PQ_SUB} AS INTEGER) AS m,
+                   sum(CAST(round((v.val - s.val) * (v.val - s.val)
+                                  * {DOT_SCALE}) AS BIGINT)) AS d
+            FROM vals v JOIN svals s ON v.pos = s.pos
+            GROUP BY 1, 2, 3
+        ),
+        codes AS (
+            SELECT vec_id, m, seed_id AS code FROM (
+                SELECT vec_id, m, seed_id,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, seed_id) AS rn
+                FROM sqd
+            ) WHERE rn = 1
+        ),
+        qtab AS (
+            SELECT m, seed_id, d FROM sqd WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        approx AS (
+            SELECT c.vec_id, sum(q.d) AS asqd
+            FROM codes c JOIN qtab q ON c.m = q.m AND c.code = q.seed_id
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+            GROUP BY 1
+        ),
+        cands AS (
+            SELECT vec_id FROM approx ORDER BY asqd, vec_id LIMIT {PQ_RERANK}
+        ),
+        q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        dots AS (
+            SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN cands USING (vec_id) JOIN q ON v.pos = q.pos
+            GROUP BY v.vec_id
+        )
+        SELECT d.vec_id,
+               d.dot / (n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+        FROM dots d JOIN norms n ON d.vec_id = n.vec_id
+        ORDER BY cosine DESC, d.vec_id
+        LIMIT {TOP_K}
+    """
+
+
+@register(
+    "q_vector_topk_pq",
+    oracle=_pq_oracle(),
+    doc=f"Product-quantization ANN top-k: the embedding splits into"
+    f" {PQ_M} subspaces of {PQ_SUB} dims; each subspace quantizes to"
+    f" the nearest of {N_CENTROIDS} codewords (md5-ordered corpus"
+    " seeds play the trained codebook), so a vector compresses to"
+    f" {PQ_M} small codes. The query scans codes via an asymmetric-"
+    "distance (ADC) lookup table — per-subspace fixed-point squared-L2"
+    " to every codeword, integer-added across subspaces — then exact-"
+    f" reranks the best {PQ_RERANK} candidates by cosine. At 100 TB"
+    " the code table is ~2 orders of magnitude smaller than the raw"
+    " vectors and the ADC scan is a narrow broadcast-table map;"
+    " only the rerank touches full vectors. Bit-exact vs the oracle"
+    " (integer ADC distances, deterministic tie-breaks).",
+)
+def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    seeds = F.broadcast(
+        e.orderBy(F.expr(_SEED_H), "vec_id")
+        .limit(N_CENTROIDS)
+        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("s_emb"))
+    )
+
+    def sub(col: str, m: int) -> str:
+        return f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+
+    # (vector x codeword) grid with one integer distance per subspace
+    pairs = e.crossJoin(seeds).select(
+        "vec_id",
+        "seed_id",
+        *[
+            F.expr(_sq_dist_fx(sub("embedding", m), sub("s_emb", m))).alias(f"d{m}")
+            for m in range(PQ_M)
+        ],
+    )
+    # encode: argmin codeword per subspace (min struct = smallest
+    # distance, then smallest seed_id — same tie-break as the oracle)
+    codes = pairs.groupBy("vec_id").agg(
+        *[
+            F.min(F.struct(F.col(f"d{m}"), F.col("seed_id")))
+            .getField("seed_id")
+            .alias(f"code_{m}")
+            for m in range(PQ_M)
+        ]
+    )
+    # ADC lookup table: the query row of the same grid, unpivoted to
+    # (m, seed_id, qd) — 64 rows, broadcast to every executor
+    qtab = F.broadcast(
+        pairs.filter(F.col("vec_id") == QUERY_VEC_ID).selectExpr(
+            "seed_id",
+            "stack(" + str(PQ_M) + ", "
+            + ", ".join(f"{m}, d{m}" for m in range(PQ_M))
+            + ") AS (qm, qd)",
+        )
+    )
+    code_long = codes.selectExpr(
+        "vec_id",
+        "stack(" + str(PQ_M) + ", "
+        + ", ".join(f"{m}, code_{m}" for m in range(PQ_M))
+        + ") AS (m, code)",
+    )
+    cands = (
+        code_long.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(qtab, (F.col("m") == F.col("qm")) & (F.col("code") == F.col("seed_id")))
+        .groupBy("vec_id")
+        .agg(F.sum("qd").alias("asqd"))
+        .orderBy(F.asc("asqd"), F.asc("vec_id"))
+        .limit(PQ_RERANK)
+    )
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        )
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    return (
+        e.join(cands.select("vec_id"), "vec_id")
+        .crossJoin(q)
+        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+    )
