@@ -123,3 +123,76 @@ def hll_merge_estimates(sketches: DataFrame, key_col: str) -> DataFrame:
             F.hll_union_agg(F.col("hll_sketch"))
         ).alias("approx_ndv")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-memory heavy hitters (Misra-Gries candidates + exact recount)
+# ---------------------------------------------------------------------------
+
+HH_K = 50  # summary size; reported items have frequency > N/HH_K
+
+
+@register(
+    "q_heavy_hitters",
+    oracle=f"""
+        WITH w AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        tot AS (SELECT count(*) AS n FROM w)
+        SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+        FROM w
+        GROUP BY word
+        HAVING count(*) > (SELECT n FROM tot) / {HH_K}.0
+    """,
+    doc=f"Exact frequency-threshold heavy hitters (words with global"
+    f" frequency > N/{HH_K}) via the two-pass bounded-memory pattern:"
+    f" pass 1 runs a Misra-Gries summary of size {HH_K} per partition"
+    " inside mapInPandas (constant memory regardless of vocabulary"
+    " size — the union of per-partition summaries provably contains"
+    " every global heavy hitter), pass 2 exactly recounts ONLY the"
+    " candidate set via a broadcast semi-join and applies the"
+    " threshold. The full groupBy the oracle runs would shuffle the"
+    " whole vocabulary; this shuffles candidates only — the standard"
+    " trick when the item universe (URLs, tokens, IPs) is unbounded"
+    " at 100 TB. Result is exact, so the oracle is a plain HAVING.",
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents")
+    par = min(spark.sparkContext.defaultParallelism, 8)
+    if docs.rdd.getNumPartitions() < par:
+        docs = docs.repartition(par, "doc_id")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+
+    def mg_candidates(batches):
+        counters: dict[str, int] = {}
+        for pdf in batches:
+            for w in pdf["word"]:
+                if w in counters:
+                    counters[w] += 1
+                elif len(counters) < HH_K - 1:
+                    counters[w] = 1
+                else:
+                    # decrement-all step: drop zeros
+                    dead = []
+                    for k in counters:
+                        counters[k] -= 1
+                        if counters[k] == 0:
+                            dead.append(k)
+                    for k in dead:
+                        del counters[k]
+        yield pd.DataFrame({"word": list(counters.keys())})
+
+    candidates = F.broadcast(
+        words.mapInPandas(mg_candidates, schema="word string").distinct()
+    )
+    total = words.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        words.join(candidates, "word", "left_semi")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("n_occurrences") > F.col("n_total") / HH_K)
+        .select("word", "n_occurrences")
+    )

@@ -129,3 +129,33 @@ def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("moving_avg"),
         (F.sum(vfx).over(running).cast("double") / 10000).alias("running_sum"),
     )
+
+
+@register(
+    "q_win_distribution",
+    oracle="""
+        SELECT o_orderkey, o_orderpriority,
+               percent_rank() OVER w AS pr,
+               cume_dist() OVER w AS cd,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority
+                     ORDER BY o_totalprice, o_orderkey)
+    """,
+    doc="Distribution window functions (percent_rank / cume_dist /"
+    " ntile) per order priority — the relative-standing surface"
+    " (percentile features for ML, quartile bucketing). The ORDER BY"
+    " includes the key so every row has a unique rank: ntile and the"
+    " rank ratios are then deterministic and engine-portable. One"
+    " shuffle on the partition key; ANSI semantics in both engines.",
+)
+def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+        F.ntile(4).over(w).alias("quartile"),
+    )

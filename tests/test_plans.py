@@ -61,6 +61,9 @@ def test_topk_is_take_ordered(spark, sf_dir):
 # banned everywhere; these are the only sanctioned Python plan nodes.
 _ARROW_KERNEL_ALLOWED = {
     "q_embed_neardup": ("FlatMapGroupsInPandas",),
+    # Misra-Gries candidate pass: bounded-memory streaming summary has
+    # no JVM-builtin equivalent; the exact recount stays relational
+    "q_heavy_hitters": ("MapInPandas",),
 }
 
 
