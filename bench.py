@@ -67,6 +67,9 @@ HEADLINE = [
     "q_quality_repetition",
     "q_decontaminate",
     "q_containment",
+    "q_vector_topk_pq",
+    "q_heavy_hitters",
+    "q_win_distribution",
 ]
 
 

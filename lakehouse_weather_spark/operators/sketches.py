@@ -196,3 +196,31 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_occurrences") > F.col("n_total") / HH_K)
         .select("word", "n_occurrences")
     )
+
+
+def hll_overlap_estimate(
+    df_a: DataFrame, df_b: DataFrame, value_col: str
+) -> dict[str, float]:
+    """Estimate |A|, |B|, |A∪B| and (by inclusion-exclusion) |A∩B|
+    between two keysets from three HLL sketches — the cross-corpus
+    overlap probe (shared users, URL overlap between crawls,
+    train/eval contamination rate) that at 100 TB replaces a raw
+    distinct-join with three kilobyte-sized aggregates. Returns driver-
+    side floats because the result is four scalars, not a dataset.
+    Accuracy bounds are asserted in tests/test_sketches.py.
+    """
+    sk = lambda df: F.hll_sketch_agg(F.col(value_col), F.lit(HLL_LG_K))  # noqa: E731
+    a = df_a.agg(sk(df_a).alias("s"))
+    b = df_b.agg(sk(df_b).alias("s"))
+    est = lambda frame: float(  # noqa: E731
+        frame.select(F.hll_sketch_estimate("s").alias("e")).collect()[0]["e"]
+    )
+    na, nb = est(a), est(b)
+    union = a.unionByName(b).agg(F.hll_union_agg(F.col("s")).alias("s"))
+    nu = est(union)
+    return {
+        "n_a": na,
+        "n_b": nb,
+        "n_union": nu,
+        "n_intersect": max(0.0, na + nb - nu),
+    }

@@ -99,3 +99,23 @@ def test_quality_plan_is_narrow(spark, sf_dir):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_hll_overlap_inclusion_exclusion(spark, sf_dir):
+    from lakehouse_weather_spark.operators.sketches import hll_overlap_estimate
+
+    orders = load_table(spark, sf_dir, "orders")
+    # two overlapping slices of the customer keyspace
+    a = orders.filter(F.col("o_orderkey") % 3 != 0).select("o_custkey")
+    b = orders.filter(F.col("o_orderkey") % 2 != 0).select("o_custkey")
+    est = hll_overlap_estimate(a, b, "o_custkey")
+    exact_a = a.distinct().count()
+    exact_b = b.distinct().count()
+    exact_i = a.intersect(b).count()
+    assert abs(est["n_a"] - exact_a) <= max(2, 0.05 * exact_a)
+    assert abs(est["n_b"] - exact_b) <= max(2, 0.05 * exact_b)
+    # intersection inherits three sketches' error: generous 15% bound
+    assert abs(est["n_intersect"] - exact_i) <= max(5, 0.15 * exact_i), (
+        est,
+        exact_i,
+    )
