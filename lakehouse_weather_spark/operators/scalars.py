@@ -334,3 +334,52 @@ def q_scalar_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("flag_status"),
         F.substring("l_returnflag", 1, 1).alias("flag1"),
     )
+
+
+@register(
+    "q_map_histogram",
+    oracle="""
+        SELECT user_id,
+               CAST(coalesce(sum(CASE WHEN event_type = 'click'
+                                      THEN 1 END), 0) AS BIGINT) AS n_click,
+               CAST(coalesce(sum(CASE WHEN event_type = 'error'
+                                      THEN 1 END), 0) AS BIGINT) AS n_error,
+               CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+               CAST(count(*) AS BIGINT) AS n_total
+        FROM events
+        GROUP BY user_id
+    """,
+    doc="Map-type surface: per-user event-type histogram built as a"
+    " MAP column (map_from_entries over collected (type, count)"
+    " structs), then consumed with element_at / size / map_values +"
+    " aggregate. The map is an intermediate — outputs are scalars, so"
+    " the result is deterministic even though map iteration order is"
+    " not, and the DuckDB oracle replays it with plain conditional"
+    " aggregation. The per-user map is the feature-vector shape"
+    " downstream ML featurization reads.",
+)
+def q_map_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    mapped = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "cnt"))
+        ).alias("type_map")
+    )
+    return mapped.select(
+        "user_id",
+        F.coalesce(F.element_at("type_map", F.lit("click")), F.lit(0)).alias(
+            "n_click"
+        ),
+        F.coalesce(F.element_at("type_map", F.lit("error")), F.lit(0)).alias(
+            "n_error"
+        ),
+        F.size("type_map").alias("n_types"),
+        F.aggregate(
+            F.map_values("type_map"),
+            F.lit(0).cast("bigint"),
+            lambda acc, v: acc + v,
+        ).alias("n_total"),
+    )
