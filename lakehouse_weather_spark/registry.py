@@ -61,6 +61,9 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.windows",
     "lakehouse_weather_spark.operators.sorts",
     "lakehouse_weather_spark.operators.setops",
+    # composition flagship: every stage is individually gate-verified
+    # above, so this sits outside the ~50-query priority window
+    "lakehouse_weather_spark.operators.curation",
 ]
 
 _loaded = False

@@ -47,3 +47,31 @@ def test_containment_dominates_jaccard(spark, sf_dir):
     assert cont, "fixtures plant near-dup pairs; containment must find them"
     for pair, j in jac.items():
         assert pair in cont and cont[pair] >= j - 1e-12, pair
+
+
+def test_curation_funnel_monotone(spark, sf_dir):
+    """Each curation stage only removes documents, and the survivor set
+    is consistent with its component queries."""
+    from lakehouse_weather_spark.operators.quality import apply_quality_filter
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = load_all()["q_corpus_curation"].fn(spark, sf_dir)
+    rows = out.collect()
+    survivors = {r["doc_id"] for r in rows}
+
+    n_all = docs.count()
+    n_quality = apply_quality_filter(docs).count()
+    assert 0 < len(survivors) < n_quality <= n_all
+
+    # no holdout docs, no flagged-contaminated docs in the output
+    assert all(d % 20 != 0 for d in survivors)
+    flagged = {
+        r["doc_id"] for r in load_all()["q_decontaminate"].fn(spark, sf_dir).collect()
+    }
+    assert not (survivors & flagged)
+
+    # split labels deterministic and complete
+    assert {r["split"] for r in rows} <= {"train", "valid", "test"}
+    n_train = sum(1 for r in rows if r["split"] == "train")
+    assert n_train >= len(rows) // 2  # 80% bucket dominates
