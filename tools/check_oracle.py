@@ -90,6 +90,13 @@ def compare_one(name: str, spec, spark, con, sf_dir: str) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    ap.add_argument(
+        "--json",
+        metavar="PATH",
+        help="also write per-query results as a JSON record (the local"
+        " mirror of the driver's CORRECTNESS file, but over the FULL"
+        " registry)",
+    )
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -98,6 +105,7 @@ def main() -> int:
     spark = get_spark("check_oracle", shuffle_partitions=8)
     con = duck_con(args.sf_dir)
     failures = 0
+    record: dict[str, dict] = {}
     for name in names:
         if name not in specs:
             print(f"?? unknown query {name}")
@@ -105,8 +113,14 @@ def main() -> int:
             continue
         try:
             res = compare_one(name, specs[name], spark, con, args.sf_dir)
+            record[name] = {
+                k: res.get(k)
+                for k in ("status", "spark_rows", "duck_rows", "spark_sec", "detail")
+                if res.get(k) is not None
+            }
         except Exception as e:  # noqa: BLE001
             print(f"ERROR      {name}: {type(e).__name__}: {e}")
+            record[name] = {"status": "ERROR", "detail": f"{type(e).__name__}: {e}"}
             failures += 1
             continue
         ok = res["status"] in ("OK", "ROWS_ONLY")
@@ -119,6 +133,18 @@ def main() -> int:
             line += f"\n    {res.get('detail', '')}"
         print(line)
     print(f"\n{len(names) - failures}/{len(names)} passed")
+    if args.json:
+        import json
+
+        summary = {
+            "sf_dir": args.sf_dir,
+            "n_queries": len(names),
+            "n_passed": len(names) - failures,
+            "queries": record,
+        }
+        with open(args.json, "w") as fh:
+            json.dump(summary, fh, indent=1, sort_keys=True)
+        print(f"wrote {args.json}")
     spark.stop()
     return 1 if failures else 0
 
