@@ -179,3 +179,65 @@ def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.ts < probe.probe_ts + F.expr("INTERVAL 1 HOUR")
     )
     return F.broadcast(probe).join(events, cond).select("probe_id", "event_id")
+
+
+@register(
+    "q_join_asof_tolerance",
+    oracle="""
+        WITH errors AS (
+            SELECT event_id AS err_id, user_id, ts AS err_ts
+            FROM events WHERE event_type = 'error'
+        ),
+        purchases AS (
+            SELECT event_id AS p_id, user_id, ts AS p_ts
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT e.err_id, e.user_id,
+               CAST(e.err_ts AS TIMESTAMP) AS err_ts,
+               CASE WHEN p.p_ts <= CAST(e.err_ts AS TIMESTAMP)
+                                   + INTERVAL 30 MINUTE
+                    THEN p.p_id END AS next_purchase_id
+        FROM errors e
+        ASOF LEFT JOIN purchases p
+          ON e.user_id = p.user_id AND p.p_ts >= e.err_ts
+    """,
+    doc="Forward as-of join with tolerance: each error matched to the"
+    " user's NEXT purchase, but only within 30 minutes (did the error"
+    " block conversion?). Same single-pass union + window shape as"
+    " q_join_asof, mirrored forward: conditional struct carried by"
+    " first(ignorenulls) over the following frame keeps (ts, id) from"
+    " one source row atomically, then the tolerance bound nulls out"
+    " matches beyond the horizon. One shuffle on user_id; the fixture"
+    " has no (user_id, ts) duplicates, so nearest-match is unique."
+    " Oracle: DuckDB ASOF JOIN with >= plus the same tolerance CASE.",
+)
+def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("error", "purchase")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("event_type") == "purchase", F.struct("ts", "event_id")
+        ).alias("p"),
+        (F.col("event_type") == "error").cast("int").alias("is_error"),
+    )
+    # errors sort before purchases at equal ts so a same-instant
+    # purchase is inside the forward frame (ASOF >= semantics)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.desc("is_error"), "event_id")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    carried = tagged.withColumn("nxt", F.first("p", ignorenulls=True).over(w))
+    horizon = F.col("ts") + F.expr("INTERVAL 30 MINUTES")
+    return carried.filter(F.col("is_error") == 1).select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        F.col("ts").alias("err_ts"),
+        F.when(F.col("nxt.ts") <= horizon, F.col("nxt.event_id")).alias(
+            "next_purchase_id"
+        ),
+    )
