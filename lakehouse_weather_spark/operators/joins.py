@@ -241,3 +241,33 @@ def q_join_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
             "next_purchase_id"
         ),
     )
+
+
+@register(
+    "q_join_salted",
+    oracle="""
+        SELECT o.o_orderkey, o.o_custkey, c.c_nationkey
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_totalprice > 100000
+    """,
+    doc="Hot-key salted shuffle join (plans.salted_join): the fact side"
+    " carries salt = pmod(hash(row), 16), the dimension side replicates"
+    " across all 16 salt values, so a pathological hot customer spreads"
+    " over 16 reducers instead of melting one. Result provably equals"
+    " the plain equi-join the oracle runs — salting changes the"
+    " physical layout only. (AQE skew-split handles moderate skew"
+    " automatically; explicit salting is for the single-key hot spot"
+    " whose build side itself needs spreading.)",
+)
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.plans import salted_join
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    return salted_join(orders, cust, "o_custkey").select(
+        "o_orderkey", "o_custkey", "c_nationkey"
+    )
