@@ -1,0 +1,227 @@
+"""Anomaly / monitoring operators: the data-quality closure a production
+ingest pipeline runs next to its crawl (the reference schedules its DAG
+daily — ``dags/lakehouse_weather_dag.py`` — but has no drift or outlier
+monitoring at all; these queries add that surface Spark-first).
+
+All three queries are engineered for cross-engine determinism the same
+way the rest of the repo is (see functions.py): doubles enter integer
+space once via fixed-point rounding, medians are order statistics (no
+interpolation), percentage changes are basis points via non-negative
+integer division — so the DuckDB oracles match bit-exactly.
+
+Scale notes (100 TB framing):
+- q_outlier_mad: two window shuffles on a low-cardinality key would
+  skew at scale; the per-group medians come from rank windows here
+  (exactness for the oracle), but each "join med back" is a broadcast
+  of a |event_type|-row table — the scan side stays narrow. At real
+  scale swap the rank-median for approx_percentile (one partial-agg
+  pass, no window) and keep the same broadcast-back shape.
+- q_volume_anomaly: aggregates to |days| x |types| rows BEFORE any
+  window — the window runs on the tiny aggregate, never on raw events.
+- q_win_range_time: a RANGE frame over event-time seconds; Spark
+  evaluates it with a single sort per user partition (no per-frame
+  rescan), identical shape to the ROWS frames in q_win_frame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Fixed-point scale for event values (matches functions.SCALE).
+_SCALE = 10_000
+# MAD multiplier: |x - median| > K * MAD flags an outlier. K=3 is the
+# standard robust-statistics cutoff (~2 sigma for normal data).
+_K = 3
+
+
+@register(
+    "q_outlier_mad",
+    oracle=f"""
+        WITH fx AS (
+            SELECT event_id, event_type, value,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
+            FROM events
+        ),
+        ranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY vfx, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM fx
+        ),
+        med AS (
+            SELECT event_type, min(vfx) AS med_fx
+            FROM ranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+        ),
+        dev AS (
+            SELECT fx.event_id, fx.event_type, fx.value,
+                   abs(fx.vfx - med.med_fx) AS dev_fx
+            FROM fx JOIN med USING (event_type)
+        ),
+        dranked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY event_type
+                       ORDER BY dev_fx, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM dev
+        ),
+        mad AS (
+            SELECT event_type, min(dev_fx) AS mad_fx
+            FROM dranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+        )
+        SELECT dev.event_id, dev.event_type, dev.value,
+               dev.dev_fx, mad.mad_fx
+        FROM dev JOIN mad USING (event_type)
+        WHERE dev.dev_fx > {_K} * mad.mad_fx
+    """,
+    doc="Robust per-group outlier detection: median + MAD (median"
+    " absolute deviation), flag |x - med| > 3*MAD. Medians are exact"
+    " lower order statistics over fixed-point values (deterministic"
+    " tiebreak on event_id), so every engine agrees bit-for-bit —"
+    " no stddev, no interpolation. Plan: two rank windows on"
+    " event_type + two broadcast joins of 5-row median tables. At"
+    " 100 TB replace the rank windows with approx_percentile (single"
+    " partial-agg pass) and keep the broadcast-back shape.",
+)
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        w = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wc = Window.partitionBy("event_type")
+        ranked = df.withColumn("rn", F.row_number().over(w)).withColumn(
+            "n", F.count(F.lit(1)).over(wc)
+        )
+        return (
+            ranked.filter(F.col("rn") == F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(f"med_{col}"))
+        )
+
+    med = lower_median(fx, "vfx")
+    dev = fx.join(F.broadcast(med), "event_type").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.abs(F.col("vfx") - F.col("med_vfx")).alias("dev_fx"),
+    )
+    mad = lower_median(dev, "dev_fx").withColumnRenamed(
+        "med_dev_fx", "mad_fx"
+    )
+    return dev.join(F.broadcast(mad), "event_type").filter(
+        F.col("dev_fx") > _K * F.col("mad_fx")
+    ).select("event_id", "event_type", "value", "dev_fx", "mad_fx")
+
+
+@register(
+    "q_volume_anomaly",
+    oracle="""
+        WITH daily AS (
+            SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS d, event_type,
+                   count(*) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT d, event_type, cnt,
+                   lag(cnt) OVER (PARTITION BY event_type ORDER BY d)
+                       AS prev_cnt
+            FROM daily
+        )
+        SELECT d, event_type, cnt, prev_cnt,
+               CAST(CASE WHEN prev_cnt IS NULL THEN NULL
+                    ELSE (abs(cnt - prev_cnt) * 10000) // prev_cnt
+               END AS BIGINT) AS abs_change_bps,
+               CAST(CASE WHEN prev_cnt IS NULL THEN NULL
+                    WHEN cnt >= prev_cnt THEN 1 ELSE -1
+               END AS INTEGER) AS direction,
+               COALESCE(abs(cnt - prev_cnt) * 10 > prev_cnt, FALSE)
+                   AS is_anomaly
+        FROM lagged
+    """,
+    doc="Day-over-day ingest-volume drift per event type: daily counts,"
+    " lag window, change in basis points (non-negative integer division"
+    " — floor == truncate, so Spark div and DuckDB // agree), anomaly"
+    " flag at >10% swing. The window runs over the |days|x|types|"
+    " aggregate (150 rows), never over raw events: at 100 TB the only"
+    " heavy step is the partial-agg count, and the day/type key is"
+    " uniform by construction. This is the monitoring query a daily"
+    " crawl DAG (ref: lakehouse_weather_dag.py schedule) should ship"
+    " with.",
+)
+def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").cast("string").alias("d"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    lagged = daily.withColumn("prev_cnt", F.lag("cnt").over(w))
+    change = F.abs(F.col("cnt") - F.col("prev_cnt"))
+    return lagged.select(
+        "d",
+        "event_type",
+        "cnt",
+        "prev_cnt",
+        F.expr("(abs(cnt - prev_cnt) * 10000) div prev_cnt").alias(
+            "abs_change_bps"
+        ),
+        F.when(F.col("prev_cnt").isNull(), F.lit(None).cast("int"))
+        .when(F.col("cnt") >= F.col("prev_cnt"), F.lit(1))
+        .otherwise(F.lit(-1))
+        .alias("direction"),
+        F.coalesce(
+            change * 10 > F.col("prev_cnt"), F.lit(False)
+        ).alias("is_anomaly"),
+    )
+
+
+@register(
+    "q_win_range_time",
+    oracle=f"""
+        WITH sec AS (
+            SELECT event_id, user_id, value,
+                   epoch_ns(ts) // 1000000000 AS ts_sec,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
+            FROM events
+        )
+        SELECT event_id, user_id, ts_sec,
+               CAST(count(*) OVER w AS BIGINT) AS cnt_1h,
+               CAST(sum(vfx) OVER w AS DOUBLE) / {_SCALE} AS sum_1h
+        FROM sec
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW)
+    """,
+    doc="Event-time RANGE frame: per user, count and fixed-point sum of"
+    " the trailing hour (RANGE BETWEEN 3599 PRECEDING, on epoch"
+    " seconds). Unlike a ROWS frame, the frame is defined by the TIME"
+    " axis — peers with equal timestamps share one frame, so the result"
+    " is order-independent by construction. Session tz is pinned UTC, so"
+    " unix_seconds(ntz->ltz cast) == DuckDB epoch_ns//1e9 everywhere."
+    " One shuffle on user_id; Spark evaluates the running range frame"
+    " in a single sorted pass per partition.",
+)
+def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sec = ev.select(
+        "event_id",
+        "user_id",
+        F.expr("unix_seconds(CAST(ts AS TIMESTAMP))").alias("ts_sec"),
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts_sec").rangeBetween(-3599, 0)
+    return sec.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count(F.lit(1)).over(w).alias("cnt_1h"),
+        (F.sum("vfx").over(w).cast("double") / _SCALE).alias("sum_1h"),
+    )

@@ -51,6 +51,9 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.multimodal",
     "lakehouse_weather_spark.operators.graph",
     "lakehouse_weather_spark.streaming.events",
+    # monitoring/anomaly family: outside the first-50 gate window by
+    # design (nothing above may be displaced), local-gate covered
+    "lakehouse_weather_spark.operators.anomaly",
     "lakehouse_weather_spark.operators.udfs",
     "lakehouse_weather_spark.operators.scalars",
     "lakehouse_weather_spark.operators.scans",
