@@ -54,6 +54,7 @@ _QUERY_MODULES = [
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered
     "lakehouse_weather_spark.operators.anomaly",
+    "lakehouse_weather_spark.operators.cms",
     "lakehouse_weather_spark.operators.udfs",
     "lakehouse_weather_spark.operators.scalars",
     "lakehouse_weather_spark.operators.scans",

@@ -119,3 +119,43 @@ def test_hll_overlap_inclusion_exclusion(spark, sf_dir):
         est,
         exact_i,
     )
+
+
+def test_countmin_one_sided_error_and_merge(spark, sf_dir):
+    from lakehouse_weather_spark.operators.cms import (
+        CMS_DEPTH,
+        CMS_WIDTH,
+        cms_estimate,
+        cms_sketch,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokens = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    rows = load_all()["q_countmin_words"].fn(spark, sf_dir).collect()
+    assert len(rows) == 20
+    # CMS never underestimates
+    assert all(r.est_cnt >= r.true_cnt for r in rows)
+    # with W=1024 vs a small fixture vocabulary, most top words should
+    # be exact (few collisions among heavy cells)
+    assert sum(1 for r in rows if r.est_cnt == r.true_cnt) >= 10
+
+    # mergeability: sketch(all) == merge(sketch(half1), sketch(half2))
+    h1 = cms_sketch(tokens.filter(F.col("doc_id") % 2 == 0), "word")
+    h2 = cms_sketch(tokens.filter(F.col("doc_id") % 2 == 1), "word")
+    merged = (
+        h1.unionByName(h2)
+        .groupBy("d", "bucket")
+        .agg(F.sum("c").alias("c"))
+    )
+    full = cms_sketch(tokens, "word")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    assert full.count() <= CMS_DEPTH * CMS_WIDTH
+
+    # probing the merged sketch gives identical estimates
+    probe = spark.createDataFrame([("the",), ("of",)], ["word"])
+    est_m = {r.word: r.est_cnt for r in cms_estimate(merged, probe).collect()}
+    est_f = {r.word: r.est_cnt for r in cms_estimate(full, probe).collect()}
+    assert est_m == est_f
