@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     # design (nothing above may be displaced), local-gate covered
     "lakehouse_weather_spark.operators.anomaly",
     "lakehouse_weather_spark.operators.cms",
+    "lakehouse_weather_spark.operators.bloom",
     "lakehouse_weather_spark.operators.udfs",
     "lakehouse_weather_spark.operators.scalars",
     "lakehouse_weather_spark.operators.scans",

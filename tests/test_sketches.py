@@ -159,3 +159,34 @@ def test_countmin_one_sided_error_and_merge(spark, sf_dir):
     est_m = {r.word: r.est_cnt for r in cms_estimate(merged, probe).collect()}
     est_f = {r.word: r.est_cnt for r in cms_estimate(full, probe).collect()}
     assert est_m == est_f
+
+
+def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
+    from lakehouse_weather_spark.operators.bloom import (
+        BLOOM_BITS,
+        bloom_build,
+        bloom_probe,
+    )
+
+    rows = load_all()["q_bloom_filter"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    members = [r for r in rows if r.exact_member]
+    assert len(members) > 0
+    # the defining Bloom guarantee: every member is bloom-maybe
+    assert all(r.bloom_maybe for r in members)
+
+    # merge = union of bit sets: filter(A ∪ B) == filter(A) | filter(B)
+    ev = load_table(spark, sf_dir, "events")
+    a = ev.filter(F.col("user_id") % 2 == 0).select("user_id").distinct()
+    b = ev.filter(F.col("user_id") % 2 == 1).select("user_id").distinct()
+    merged = bloom_build(a, "user_id").union(
+        bloom_build(b, "user_id")
+    ).distinct()
+    full = bloom_build(a.union(b), "user_id")
+    assert merged.exceptAll(full).count() == 0
+    assert full.exceptAll(merged).count() == 0
+    assert full.count() <= BLOOM_BITS
+
+    # probing the merged filter finds every key from both halves
+    verdicts = bloom_probe(merged, a.union(b).distinct(), "user_id")
+    assert verdicts.filter(~F.col("bloom_maybe")).count() == 0
