@@ -65,6 +65,7 @@ def crawl(
     depth: int,
     fetch_fn: FetchFn | None = None,
     fetch_partitions: int = 8,
+    bloom_prefilter: bool = False,
 ) -> DataFrame:
     """BFS crawl to ``depth`` levels; returns the deduped page table
     (url, page_content, content_type, links, crawl_depth).
@@ -72,7 +73,17 @@ def crawl(
     ``fetch_fn`` defaults to the real HTTP backend
     (``sources.fetchers.http_fetch_fn``: requests/bs4/pypdf when
     installed, stdlib fallbacks otherwise) — point ``seeds`` at live
-    URLs and this crawls them. Tests inject deterministic fetchers."""
+    URLs and this crawls them. Tests inject deterministic fetchers.
+
+    ``bloom_prefilter=True`` screens harvested links through a Bloom
+    filter of the visited set (operators/bloom.py) before the exact
+    anti-join. Links whose bits miss are *definitely* unvisited and
+    bypass the join; only the bloom-maybe subset (true hits + the
+    bounded false-positive tail) pays the shuffle. At crawl scale the
+    visited table is the billion-row side — the bit set is <= M rows
+    and broadcasts — so the anti-join input shrinks from |links| to
+    |maybe-visited|. Results are identical either way (Bloom has no
+    false negatives; the exact join settles the maybes)."""
     if fetch_fn is None:
         from lakehouse_weather_spark.sources.fetchers import http_fetch_fn
 
@@ -105,7 +116,20 @@ def crawl(
             )
             .distinct()
         )
-        frontier = links.join(visited, "url", "left_anti")
+        if bloom_prefilter:
+            from lakehouse_weather_spark.operators.bloom import (
+                bloom_build,
+                bloom_probe,
+            )
+
+            verdicts = bloom_probe(bloom_build(visited, "url"), links, "url")
+            definitely_new = verdicts.filter(~F.col("bloom_maybe")).select("url")
+            maybe = verdicts.filter(F.col("bloom_maybe")).select("url")
+            frontier = definitely_new.union(
+                maybe.join(visited, "url", "left_anti")
+            ).distinct()
+        else:
+            frontier = links.join(visited, "url", "left_anti")
 
     if pages is None:
         return spark.createDataFrame([], PAGE_SCHEMA).withColumn(

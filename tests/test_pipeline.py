@@ -194,3 +194,23 @@ def test_seed_vector_store_foreach_partition(pipeline_out, spark, tmp_path):
         with open(f) as fh:
             inserted += [json.loads(line)["pk"] for line in fh]
     assert sorted(inserted) == sorted(r.pk for r in gold.select("pk").collect())
+
+
+def test_crawl_bloom_prefilter_identical(spark):
+    graph = _fake_graph()
+
+    def fetch(url):
+        return graph[url]
+
+    plain = crawl(spark, ["https://root"], depth=3, fetch_fn=fetch, fetch_partitions=2)
+    bloom = crawl(
+        spark,
+        ["https://root"],
+        depth=3,
+        fetch_fn=fetch,
+        fetch_partitions=2,
+        bloom_prefilter=True,
+    )
+    a = {(r.url, r.page_content, r.crawl_depth) for r in plain.collect()}
+    b = {(r.url, r.page_content, r.crawl_depth) for r in bloom.collect()}
+    assert a == b
