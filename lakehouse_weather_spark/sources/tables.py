@@ -40,20 +40,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(dataset_path(sf_dir, f"{name}.parquet"))
 
 
-def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet stores ``ts`` as parquet TIMESTAMP(NANOS), which the
-    vectorized Spark reader rejects. Read nanos as raw int64 and convert
-    to TIMESTAMP_NTZ at microsecond precision (the nanos are verified
-    micro-aligned in the test data, so this is lossless). Session tz is
-    pinned to UTC so the LTZ->NTZ rendering is deterministic everywhere.
+def with_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
+    """Normalize the events ``ts`` column to a timestamp, whatever the
+    file layout. Generator versions have stored ``ts`` as parquet
+    TIMESTAMP(NANOS) (readable only as raw int64 via the nanosAsLong
+    conf) or as TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ/LTZ depending
+    on inferTimestampNTZ); branch on the scanned type so every layout
+    loads identically. Nanos are micro-aligned in the test data, so the
+    int64 path is lossless. Session tz is pinned UTC by the callers, so
+    LTZ<->NTZ casts are deterministic everywhere.
+
+    ntz=True yields TIMESTAMP_NTZ (batch/oracle comparisons); ntz=False
+    yields TIMESTAMP (LTZ), which streaming watermarks require.
     """
+    src = dict(df.dtypes)["ts"]
+    col = (
+        F.expr("timestamp_micros(ts div 1000)")
+        if src == "bigint"
+        else F.col("ts")
+    )
+    target = "timestamp_ntz" if ntz else "timestamp"
+    return df.withColumn("ts", col.cast(target))
+
+
+def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(dataset_path(sf_dir, "events.parquet"))
-    return df.withColumn(
-        "ts",
-        F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)"),
-    )
+    return with_event_ts(df, ntz=True)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

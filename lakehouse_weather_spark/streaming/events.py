@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.functions import dsum, sql_dsum
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, with_event_ts
+
+
+def _ts_ltz(df):
+    """Event-time column as TIMESTAMP (LTZ) — required by watermarks;
+    schema-adaptive to both the int64-nanos and timestamp[us] layouts."""
+    return with_event_ts(df, ntz=False)
 
 
 @register(
@@ -220,7 +226,7 @@ def stream_sessionize(
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
         reader.parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_ts_ltz)
         .withWatermark("ts", "1 minute")
         .groupBy("user_id")
         .applyInPandasWithState(
@@ -339,7 +345,7 @@ def stream_merge_sink(
     q = (
         spark.readStream.schema(static_schema)
         .parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_ts_ltz)
         .writeStream.foreachBatch(upsert_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
@@ -367,7 +373,7 @@ def stream_stream_join(
     views = (
         spark.readStream.schema(schema)
         .parquet(left_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_ts_ltz)
         .filter(F.col("event_type") == "view")
         .select(
             F.col("event_id").alias("view_id"),
@@ -379,7 +385,7 @@ def stream_stream_join(
     clicks = (
         spark.readStream.schema(schema)
         .parquet(right_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_ts_ltz)
         .filter(F.col("event_type") == "click")
         .select(
             F.col("event_id").alias("click_id"),
@@ -422,7 +428,7 @@ def stream_dedup(
     stream = (
         spark.readStream.schema(static.schema)
         .parquet(events_dir)
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_ts_ltz)
         .withWatermark("ts", "24 hours")
         .dropDuplicatesWithinWatermark(["user_id", "event_type"])
         .select("user_id", "event_type", "event_id")
@@ -469,7 +475,7 @@ def stream_tumbling_counts(
         .parquet(events_dir)
         # watermarks require TIMESTAMP (LTZ); session tz is pinned UTC so
         # the cast to NTZ after aggregation is deterministic
-        .withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        .transform(_ts_ltz)
         .withWatermark("ts", "2 hours")
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))

@@ -67,10 +67,19 @@ PROFILE_SCHEMA = StructType(
 
 
 def _fold(pdf, n: int, total: float, last_us: int):
+    import pandas as pd
+
     n += len(pdf)
     total += float(pdf["value"].sum())
-    # ts arrives as int64 epoch-nanos (the fixtures' raw encoding)
-    last_us = max(last_us, int(pdf["ts"].max()) // 1_000)
+    # ts arrives as int64 epoch-nanos (legacy fixture encoding) or as
+    # datetime64 (timestamp[us] files); both reduce to exact epoch-micros
+    tmax = pdf["ts"].max()
+    us = (
+        int(tmax) // 1_000
+        if not isinstance(tmax, pd.Timestamp)
+        else tmax.value // 1_000
+    )
+    last_us = max(last_us, us)
     return n, total, last_us
 
 

@@ -48,14 +48,21 @@ def _run_and_check(spark, sf_dir, tmp_path, backend: str) -> None:
         r["user_id"]: r for r in latest_profiles(updates).collect()
     }
 
-    ev = spark.read.parquet(str(events_dir))  # ts as raw int64 nanos
+    ev = spark.read.parquet(str(events_dir))
+    # ts is raw int64 epoch-nanos in the legacy layout, timestamp[us]
+    # in the current one; both reduce to exact epoch-micros (UTC session)
+    last_us_expr = (
+        "max(ts) div 1000"
+        if dict(ev.dtypes)["ts"] == "bigint"
+        else "max(unix_micros(cast(ts as timestamp)))"
+    )
     exp = {
         r["user_id"]: r
         for r in ev.groupBy("user_id")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
             F.sum("value").alias("total_value"),
-            F.expr("max(ts) div 1000").alias("last_ts_us"),
+            F.expr(last_us_expr).alias("last_ts_us"),
         )
         .collect()
     }

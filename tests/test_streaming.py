@@ -21,6 +21,18 @@ from lakehouse_weather_spark.streaming.events import (
 )
 
 
+def _century_in_ts_units(ts_type) -> int:
+    """100 years expressed in the events file's native ts unit (int64
+    epoch-nanos legacy layout, or timestamp[s/ms/us/ns]). Sentinel rows
+    use +1/+2 centuries: far enough to advance every watermark, near
+    enough to stay pandas datetime64[ns]-representable (< year 2262)."""
+    import pyarrow as pa
+
+    unit = ts_type.unit if pa.types.is_timestamp(ts_type) else "ns"
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    return 100 * 365 * 24 * 3600 * per_sec
+
+
 def test_stream_equals_batch(spark, sf_dir, tmp_path):
     events_dir = tmp_path / "events_stream"
     events_dir.mkdir()
@@ -131,7 +143,7 @@ def test_stateful_sessionize_equals_batch_multibatch(spark, sf_dir, tmp_path):
     events_dir.mkdir()
     t = pq.read_table(Path(sf_dir) / "events.parquet")
     ts_type = t.schema.field("ts").type
-    ts = pc.cast(t.column("ts"), pa.int64())  # epoch nanos
+    ts = pc.cast(t.column("ts"), pa.int64())  # epoch in the file's unit
     lo, hi = pc.min(ts).as_py(), pc.max(ts).as_py()
     cut1 = lo + (hi - lo) // 3
     cut2 = lo + 2 * (hi - lo) // 3
@@ -142,14 +154,14 @@ def test_stateful_sessionize_equals_batch_multibatch(spark, sf_dir, tmp_path):
     ]
     assert all(p.num_rows > 0 for p in parts)
 
-    year_ns = 365 * 24 * 3600 * 1_000_000_000
+    century = _century_in_ts_units(ts_type)
     sentinels = []
     for k in (1, 2):
         row = t.slice(0, 1)
         row = row.set_column(
             row.schema.get_field_index("ts"),
             "ts",
-            pa.array([hi + k * year_ns], type=pa.int64()).cast(ts_type),
+            pa.array([hi + k * century], type=pa.int64()).cast(ts_type),
         )
         row = row.set_column(
             row.schema.get_field_index("user_id"),
@@ -210,14 +222,14 @@ def test_append_mode_emits_each_window_once(spark, sf_dir, tmp_path):
     # sessionize test); the late file arrives after the watermark
     # passed its event times
     ts_type = t.schema.field("ts").type
-    year_ns = 365 * 24 * 3600 * 1_000_000_000
+    century = _century_in_ts_units(ts_type)
     files = [("00_recent", recent), ("01_late", early)]
     for k in (1, 2):
         row = t.slice(0, 1)
         row = row.set_column(
             row.schema.get_field_index("ts"),
             "ts",
-            pa.array([hi + k * year_ns], type=pa.int64()).cast(ts_type),
+            pa.array([hi + k * century], type=pa.int64()).cast(ts_type),
         )
         files.append((f"0{1 + k}_sentinel", row))
     for i, (name, part) in enumerate(files):
@@ -232,7 +244,11 @@ def test_append_mode_emits_each_window_once(spark, sf_dir, tmp_path):
         max_files_per_trigger=1,
         output_mode="append",
     )
-    rows = [r for r in result.collect() if r.window_start.year < 2090]
+    import pandas as pd
+
+    unit = ts_type.unit if pa.types.is_timestamp(ts_type) else "ns"
+    max_real_year = pd.Timestamp(hi, unit=unit).year  # sentinels are +100y
+    rows = [r for r in result.collect() if r.window_start.year <= max_real_year]
     # exactly-once: no (window, event_type) emitted twice
     keys = [(r.window_start, r.event_type) for r in rows]
     assert len(keys) == len(set(keys))
@@ -246,6 +262,6 @@ def test_append_mode_emits_each_window_once(spark, sf_dir, tmp_path):
     got = {
         (r.window_start.replace(tzinfo=None), r.event_type): r.n_events
         for r in rows
-        if r.window_start.year < 2025
+        if r.window_start.year <= max_real_year
     }
     assert got == batch
