@@ -66,15 +66,20 @@ def _spark_shingle_hashes(spark, sf_dir) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     # 8 tasks is enough to hide the md5 stage for a ~MB-scale file while
     # keeping scheduling overhead low; a real input has >> 8 splits and
-    # skips this branch entirely.
+    # skips this branch entirely. File count is a cheap split-count
+    # proxy (listing only — checking rdd.getNumPartitions() would cost
+    # a full physical-planning pass per calling query).
     par = min(spark.sparkContext.defaultParallelism, 8)
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:
         docs = docs.repartition(par, "doc_id")
-    hashes = F.expr(
-        f"array_distinct(transform({_spark_shingles()},"
-        f" s -> {_SPARK_H.format(expr='s')}))"
-    )
-    return docs.select("doc_id", F.explode(hashes).alias("h"))
+    # array_distinct over the shingle STRINGS keeps the per-doc dedup
+    # narrow; md5->int runs AFTER the explode, on a flat column, where
+    # whole-stage codegen vectorizes it (hashing inside the transform
+    # lambda is evaluated interpreted, per element — ~2x slower).
+    shingles = F.expr(f"array_distinct({_spark_shingles()})")
+    return docs.select(
+        "doc_id", F.explode(shingles).alias("s")
+    ).select("doc_id", F.expr(_SPARK_H.format(expr="s")).alias("h"))
 
 
 _DUCK_SHINGLES_CTE = f"""
