@@ -259,6 +259,41 @@ _SEED_H = "cast(conv(substr(md5(cast(vec_id as string)), 1, 15), 16, 10) as bigi
 _DUCK_SEED_H = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)"
 
 
+def _fxround_np(x):
+    """Half-away-from-zero to int64 — replicates Spark round() and
+    DuckDB round() bit-exactly (numpy's own round() is half-to-even)."""
+    import numpy as np
+
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def _codebook(emb: DataFrame):
+    """Driver-side fetch of the N_CENTROIDS codebook — the md5-ordered
+    deterministic corpus sample both oracles use — returned sorted by
+    seed_id so numpy first-index argmin/argmax reproduces the SQL
+    (metric, seed_id) tie-break. K rows: a codebook fetch (the moral
+    equivalent of broadcasting a trained model), NOT a corpus collect."""
+    import numpy as np
+
+    rows = (
+        emb.orderBy(F.expr(_SEED_H), "vec_id")
+        .limit(N_CENTROIDS)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    rows.sort(key=lambda r: r.vec_id)
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    mat = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    return ids, mat
+
+
+def _query_vec(emb: DataFrame):
+    import numpy as np
+
+    row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
+    return np.asarray(list(row.embedding), dtype=np.float64)
+
+
 def _ivf_oracle() -> str:
     return f"""
         WITH {_DUCK_VEC_CTE},
@@ -329,44 +364,64 @@ def _ivf_oracle() -> str:
     " refining seeds with k-means iterations keeps the same dataflow.",
 )
 def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    import numpy as np
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
 
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    seeds = F.broadcast(
-        e.orderBy(F.expr(_SEED_H), "vec_id")
-        .limit(N_CENTROIDS)
-        .select(
-            F.col("vec_id").alias("seed_id"),
-            F.col("embedding").alias("s_emb"),
-            F.col("nrm").alias("s_nrm"),
+    seed_ids, S = _codebook(emb)
+    s_nrm = np.sqrt(
+        _fxround_np(S * S * DOT_SCALE).sum(axis=1).astype(np.float64) / DOT_SCALE
+    )
+
+    def cos_to_seeds(X):
+        # per-product fixed-point rounding, then the same double
+        # expression tree as the SQL: (int_dot / SCALE) / (|x| * |s|)
+        dots = _fxround_np(X[:, None, :] * S[None, :, :] * DOT_SCALE).sum(axis=2)
+        nx = np.sqrt(
+            _fxround_np(X * X * DOT_SCALE).sum(axis=1).astype(np.float64)
+            / DOT_SCALE
         )
+        return (dots.astype(np.float64) / DOT_SCALE) / (
+            nx[:, None] * s_nrm[None, :]
+        )
+
+    def assign_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            # first-index argmax == the SQL (cos DESC, seed_id ASC)
+            # tie-break: S is sorted by seed_id
+            best = np.argmax(cos_to_seeds(X), axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "seed_id": seed_ids[best],
+                }
+            )
+
+    # narrow Arrow-batched assignment: no (corpus x centroids) grid row
+    # blow-up, no per-vector window shuffle — the codebook rides along
+    # in the kernel closure exactly like a broadcast variable
+    assign = emb.select("vec_id", "embedding").mapInPandas(
+        assign_kernel, "vec_id long, seed_id long"
     )
-    cdot = F.expr(_SPARK_DOT.format(a="embedding", b="s_emb"))
-    ccos = e.crossJoin(seeds).select(
-        "vec_id",
-        "seed_id",
-        (cdot / (F.col("nrm") * F.col("s_nrm"))).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), F.asc("seed_id"))
-    assign = (
-        ccos.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "seed_id")
-    )
-    probe = F.broadcast(
-        ccos.filter(F.col("vec_id") == QUERY_VEC_ID)
-        .orderBy(F.desc("cos"), F.asc("seed_id"))
-        .limit(N_PROBE)
-        .select("seed_id")
-    )
+    qcos = cos_to_seeds(_query_vec(emb)[None, :])[0]
+    order = np.lexsort((seed_ids, -qcos))
+    probe_ids = [int(seed_ids[i]) for i in order[:N_PROBE]]
     q = F.broadcast(
         e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
             F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
         )
     )
-    cands = assign.join(probe, "seed_id").filter(F.col("vec_id") != QUERY_VEC_ID)
+    cands = assign.filter(
+        F.col("seed_id").isin(probe_ids) & (F.col("vec_id") != QUERY_VEC_ID)
+    )
     dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
     return (
         e.join(cands.select("vec_id"), "vec_id")
@@ -473,21 +528,6 @@ PQ_SUB = _DIM // PQ_M
 PQ_RERANK = 50  # ADC candidates kept for exact rerank
 
 
-def _sq_dist_fx(a: str, b: str) -> str:
-    """Fixed-point squared-L2 as a raw BIGINT (no final division):
-    per-dim squared diffs rounded at DOT_SCALE then integer-summed, so
-    per-subspace distances ADD EXACTLY across subspaces — the property
-    ADC needs for a deterministic, engine-portable ranking."""
-    from lakehouse_weather_spark.functions import DOT_SCALE
-
-    return (
-        f"aggregate(zip_with({a}, {b}, (x, y) ->"
-        f" CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * {DOT_SCALE}, 0) AS BIGINT)),"
-        f" CAST(0 AS BIGINT), (acc, v) -> acc + v)"
-    )
-
-
 def _pq_oracle() -> str:
     from lakehouse_weather_spark.functions import DOT_SCALE
 
@@ -561,45 +601,60 @@ def _pq_oracle() -> str:
     " (integer ADC distances, deterministic tie-breaks).",
 )
 def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    seeds = F.broadcast(
-        e.orderBy(F.expr(_SEED_H), "vec_id")
-        .limit(N_CENTROIDS)
-        .select(F.col("vec_id").alias("seed_id"), F.col("embedding").alias("s_emb"))
-    )
+    seed_ids, S = _codebook(emb)
 
-    def sub(col: str, m: int) -> str:
-        return f"slice({col}, {m * PQ_SUB + 1}, {PQ_SUB})"
+    def sub_dists(X):
+        # (n, K, PQ_M) int64 per-subspace fixed-point squared-L2 — the
+        # same round-each-term-then-integer-sum the oracle computes
+        out = np.empty((len(X), len(seed_ids), PQ_M), dtype=np.int64)
+        for m in range(PQ_M):
+            sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
+            diff = X[:, None, sl] - S[None, :, sl]
+            out[:, :, m] = _fxround_np(diff * diff * DOT_SCALE).sum(axis=2)
+        return out
 
-    # (vector x codeword) grid with one integer distance per subspace
-    pairs = e.crossJoin(seeds).select(
-        "vec_id",
-        "seed_id",
-        *[
-            F.expr(_sq_dist_fx(sub("embedding", m), sub("s_emb", m))).alias(f"d{m}")
-            for m in range(PQ_M)
-        ],
+    def encode_kernel(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+            # first-index argmin == the SQL (d, seed_id) tie-break:
+            # S is sorted by seed_id
+            codes_m = seed_ids[np.argmin(sub_dists(X), axis=1)]
+            data = {"vec_id": pdf["vec_id"].to_numpy(np.int64)}
+            for m in range(PQ_M):
+                data[f"code_{m}"] = codes_m[:, m]
+            yield pd.DataFrame(data)
+
+    # narrow Arrow-batched encode: each vector reduces to PQ_M codes in
+    # one pass against the in-closure codebook — no (corpus x codeword)
+    # grid rows, no encode shuffle. At 100 TB this is the offline
+    # build-the-codes step; the ADC scan below touches only the codes.
+    codes = emb.select("vec_id", "embedding").mapInPandas(
+        encode_kernel,
+        "vec_id long, " + ", ".join(f"code_{m} long" for m in range(PQ_M)),
     )
-    # encode: argmin codeword per subspace (min struct = smallest
-    # distance, then smallest seed_id — same tie-break as the oracle)
-    codes = pairs.groupBy("vec_id").agg(
-        *[
-            F.min(F.struct(F.col(f"d{m}"), F.col("seed_id")))
-            .getField("seed_id")
-            .alias(f"code_{m}")
-            for m in range(PQ_M)
-        ]
-    )
-    # ADC lookup table: the query row of the same grid, unpivoted to
-    # (m, seed_id, qd) — 64 rows, broadcast to every executor
+    # ADC lookup table: the query's distance to every codeword in every
+    # subspace — (PQ_M x K) rows, built driver-side with the identical
+    # kernel math and broadcast to every executor
+    qd = sub_dists(_query_vec(emb)[None, :])[0]
     qtab = F.broadcast(
-        pairs.filter(F.col("vec_id") == QUERY_VEC_ID).selectExpr(
-            "seed_id",
-            "stack(" + str(PQ_M) + ", "
-            + ", ".join(f"{m}, d{m}" for m in range(PQ_M))
-            + ") AS (qm, qd)",
+        spark.createDataFrame(
+            [
+                (m, int(seed_ids[j]), int(qd[j, m]))
+                for j in range(len(seed_ids))
+                for m in range(PQ_M)
+            ],
+            "qm int, seed_id bigint, qd bigint",
         )
     )
     code_long = codes.selectExpr(

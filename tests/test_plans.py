@@ -64,6 +64,12 @@ _ARROW_KERNEL_ALLOWED = {
     # Misra-Gries candidate pass: bounded-memory streaming summary has
     # no JVM-builtin equivalent; the exact recount stays relational
     "q_heavy_hitters": ("MapInPandas",),
+    # codebook assignment/encode: dense (corpus x centroid) arithmetic
+    # — a narrow numpy kernel with the codebook in the closure beats
+    # the interpreted higher-order-function grid by ~3x; fixed-point
+    # math keeps both bit-exact vs the DuckDB oracle
+    "q_vector_topk_ivf": ("MapInPandas",),
+    "q_vector_topk_pq": ("MapInPandas",),
 }
 
 
