@@ -23,7 +23,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.functions import duck_dot_sum, spark_dot
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import fan_out, load_table
 
 # ---------------------------------------------------------------------------
 # Shared deterministic hashing (identical in Spark SQL and DuckDB SQL).
@@ -63,15 +63,9 @@ def _spark_shingle_hashes(spark, sf_dir) -> DataFrame:
     input split, which would otherwise run the whole md5 stage on one
     core (on a real 100 TB input there are thousands of splits and the
     repartition is skipped)."""
-    docs = load_table(spark, sf_dir, "documents")
-    # 8 tasks is enough to hide the md5 stage for a ~MB-scale file while
-    # keeping scheduling overhead low; a real input has >> 8 splits and
-    # skips this branch entirely. File count is a cheap split-count
-    # proxy (listing only — checking rdd.getNumPartitions() would cost
-    # a full physical-planning pass per calling query).
-    par = min(spark.sparkContext.defaultParallelism, 8)
-    if len(docs.inputFiles()) < par:
-        docs = docs.repartition(par, "doc_id")
+    # 8 tasks is enough to hide the md5 stage for a ~MB-scale file
+    # while keeping scheduling overhead low (see tables.fan_out)
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     # array_distinct over the shingle STRINGS keeps the per-doc dedup
     # narrow; md5->int runs AFTER the explode, on a flat column, where
     # whole-stage codegen vectorizes it (hashing inside the transform

@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import fan_out, load_table
 
 # Keep-thresholds: a document survives when it is long enough and not
 # repetition-dominated. Values chosen to split the synthetic corpus
@@ -87,7 +87,7 @@ _QUALITY_ORACLE = f"""
     " hashing.",
 )
 def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     with_words = docs.select(
         "doc_id",
         F.split("text", " ").alias("w"),
@@ -102,13 +102,25 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
         ).alias("bg"),
     )
-    w, bg = F.col("w"), F.col("bg")
-    top_count = lambda arr: F.array_max(  # noqa: E731
-        F.transform(
-            F.array_distinct(arr),
-            lambda u: F.size(F.filter(arr, lambda x: x == u)),
+    w = F.col("w")
+
+    def top_count(arr: str) -> F.Column:
+        # max occurrence count of any element: sort + one run-length
+        # fold pass — O(n log n) with ~3 lambda evals per element,
+        # vs the naive distinct x filter scan's O(n^2). Same integer
+        # as the oracle's max-count (max run of a sorted array ==
+        # max multiplicity).
+        return F.expr(
+            f"aggregate(array_sort({arr}),"
+            " named_struct('prev', cast(null as string), 'run', 0, 'best', 0),"
+            " (acc, x) -> named_struct("
+            "   'prev', x,"
+            "   'run', IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1),"
+            "   'best', greatest(acc.best,"
+            "     IF(acc.prev IS NOT NULL AND x = acc.prev, acc.run + 1, 1))),"
+            " acc -> acc.best)"
         )
-    )
+
     sum_lens = F.aggregate(
         F.transform(w, lambda u: F.length(u)), F.lit(0), lambda a, x: a + x
     )
@@ -119,8 +131,8 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(1.0)
             - F.size(F.array_distinct(w)).cast("double") / F.col("n")
         ).alias("dup_word_frac"),
-        (top_count(w).cast("double") / F.col("n")).alias("top_word_frac"),
-        (top_count(bg).cast("double") / (F.col("n") - 1)).alias(
+        (top_count("w").cast("double") / F.col("n")).alias("top_word_frac"),
+        (top_count("bg").cast("double") / (F.col("n") - 1)).alias(
             "top_bigram_frac"
         ),
         (sum_lens.cast("double") / F.col("n")).alias("mean_word_len"),

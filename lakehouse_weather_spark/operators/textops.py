@@ -22,7 +22,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, StringType
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import fan_out, load_table
 
 # Chunking config (reference: chunk_size=5000, chunk_overlap=500 at
 # chunks_data.py:101; scaled 1:41.7 for the fixture corpus).
@@ -195,7 +195,7 @@ _LANGID_ORACLE = f"""
     " literal; the word explode stays narrow (agg back on doc_id).",
 )
 def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     )

@@ -70,6 +70,20 @@ def _load_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_event_ts(df, ntz=True)
 
 
+def fan_out(df: DataFrame, key: str, par: int = 8) -> DataFrame:
+    """Spread a small single-file input across ``par`` tasks so narrow
+    compute-heavy stages (shingling, per-doc array algebra) use the
+    whole machine — one parquet file is one input split, which would
+    otherwise pin the stage to a single core. File count is a cheap
+    split-count proxy; a real multi-TB input has >> par splits and
+    skips the repartition (no shuffle at scale)."""
+    spark = df.sparkSession
+    par = min(spark.sparkContext.defaultParallelism, par)
+    if len(df.inputFiles()) < par:
+        return df.repartition(par, key)
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql use."""
     for name in TABLES:
