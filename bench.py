@@ -70,6 +70,7 @@ HEADLINE = [
     "q_vector_topk_pq",
     "q_heavy_hitters",
     "q_win_distribution",
+    "q_editdist_neardup",
 ]
 
 

@@ -46,6 +46,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.decontam",
     "lakehouse_weather_spark.operators.quality",
     "lakehouse_weather_spark.operators.sketches",
+    "lakehouse_weather_spark.operators.fuzzy",
     "lakehouse_weather_spark.operators.reshape",
     "lakehouse_weather_spark.operators.profiling",
     "lakehouse_weather_spark.operators.multimodal",
