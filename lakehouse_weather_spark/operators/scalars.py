@@ -383,3 +383,118 @@ def q_map_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, v: acc + v,
         ).alias("n_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-pipeline closure)
+# ---------------------------------------------------------------------------
+
+# The reference's visited-set dedup compares raw URL strings
+# (``dags/utils/crawl_web.py:114-122``), so `HTTP://Host/a/` and
+# `http://host/a?b=1&a=2` recrawl the same page. Canonicalization is
+# pure engine-portable string algebra: lowercase scheme+host, strip the
+# scheme's default port and a leading `www.`, drop the fragment,
+# normalize an empty path to `/` and strip a trailing slash elsewhere,
+# and sort the query parameters. Narrow, shuffle-free, codegen'd —
+# scan-speed at 100 TB; the canonical key is what the visited-set
+# anti-join and content dedup should group on.
+
+
+def _canon_url_sql(url: str) -> str:
+    """Spark SQL expression for the canonical form of ``url``."""
+    proto = f"lower(regexp_extract({url}, '^([A-Za-z]+)://', 1))"
+    hostport = f"lower(regexp_extract({url}, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({hostport},"
+        f" CASE WHEN {proto} = 'http' THEN ':80$'"
+        f"      WHEN {proto} = 'https' THEN ':443$'"
+        f"      ELSE 'a^' END, ''),"
+        " '^www\\\\.', '')"
+    )
+    raw_path = f"regexp_extract({url}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN {raw_path} = '' THEN '/'"
+        f" WHEN length({raw_path}) > 1 AND {raw_path} LIKE '%/'"
+        f" THEN substr({raw_path}, 1, length({raw_path}) - 1)"
+        f" ELSE {raw_path} END"
+    )
+    query = f"regexp_extract({url}, '\\\\?([^#]*)', 1)"
+    sorted_q = f"concat_ws('&', sort_array(split({query}, '&')))"
+    return (
+        f"concat({proto}, '://', {host}, {path},"
+        f" CASE WHEN {query} = '' THEN '' ELSE concat('?', {sorted_q}) END)"
+    )
+
+
+def canonical_url_col(url_col: str) -> F.Column:
+    """Canonical URL as a Column — usable standalone (e.g. keying the
+    crawl visited set) and by q_url_canonical."""
+    return F.expr(_canon_url_sql(url_col))
+
+
+def _canon_url_duck(url: str) -> str:
+    """The identical canonicalization in DuckDB SQL."""
+    proto = f"lower(regexp_extract({url}, '^([A-Za-z]+)://', 1))"
+    hostport = f"lower(regexp_extract({url}, '^[A-Za-z]+://([^/?#]+)', 1))"
+    host = (
+        f"regexp_replace(regexp_replace({hostport},"
+        f" CASE WHEN {proto} = 'http' THEN ':80$'"
+        f"      WHEN {proto} = 'https' THEN ':443$'"
+        f"      ELSE 'a^' END, ''),"
+        " '^www\\.', '')"
+    )
+    raw_path = f"regexp_extract({url}, '^[A-Za-z]+://[^/?#]+([^?#]*)', 1)"
+    path = (
+        f"CASE WHEN {raw_path} = '' THEN '/'"
+        f" WHEN length({raw_path}) > 1 AND {raw_path} LIKE '%/'"
+        f" THEN substr({raw_path}, 1, length({raw_path}) - 1)"
+        f" ELSE {raw_path} END"
+    )
+    query = f"regexp_extract({url}, '\\?([^#]*)', 1)"
+    sorted_q = (
+        f"array_to_string(list_sort(string_split({query}, '&')), '&')"
+    )
+    return (
+        f"concat({proto}, '://', {host}, {path},"
+        f" CASE WHEN {query} = '' THEN '' ELSE concat('?', {sorted_q}) END)"
+    )
+
+
+# deterministic messy-URL synthesis: five shapes cycling by doc_id,
+# exercising every canonicalization rule (case, default port, www,
+# trailing slash, unsorted query, fragment)
+_RAW_URL_SQL = (
+    "CASE doc_id % 5"
+    " WHEN 0 THEN concat('HTTP://WWW.', source, ':80/a/', doc_id, '/')"
+    " WHEN 1 THEN concat('https://', source, ':443/a/', doc_id,"
+    "   '?z=9&a=1&m=', lang)"
+    " WHEN 2 THEN concat('http://', upper(source), '/a/', doc_id,"
+    "   '#frag')"
+    " WHEN 3 THEN concat('https://www.', source, '')"
+    " ELSE concat('http://', source, ':8080/a/', doc_id, '/?b=2&a=1#x')"
+    " END"
+)
+
+
+@register(
+    "q_url_canonical",
+    oracle=f"""
+        WITH u AS (
+            SELECT doc_id, {_RAW_URL_SQL} AS url FROM documents
+        )
+        SELECT doc_id, url, {_canon_url_duck('url')} AS canon_url
+        FROM u
+    """,
+    doc="URL canonicalization: lowercase scheme/host, strip default"
+    " port + leading www., drop fragment, normalize path slash, sort"
+    " query params — all narrow codegen'd string algebra, replayed"
+    " bit-identically in DuckDB. The canonical key is what the crawl"
+    " visited-set and URL-level dedup should compare on (the reference"
+    " compares raw strings and recrawls trivially-different URLs).",
+)
+def q_url_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", F.expr(_RAW_URL_SQL).alias("url"))
+    return with_url.select(
+        "doc_id", "url", canonical_url_col("url").alias("canon_url")
+    )

@@ -66,6 +66,7 @@ def crawl(
     fetch_fn: FetchFn | None = None,
     fetch_partitions: int = 8,
     bloom_prefilter: bool = False,
+    canonicalize: bool = False,
 ) -> DataFrame:
     """BFS crawl to ``depth`` levels; returns the deduped page table
     (url, page_content, content_type, links, crawl_depth).
@@ -83,13 +84,29 @@ def crawl(
     visited table is the billion-row side — the bit set is <= M rows
     and broadcasts — so the anti-join input shrinks from |links| to
     |maybe-visited|. Results are identical either way (Bloom has no
-    false negatives; the exact join settles the maybes)."""
+    false negatives; the exact join settles the maybes).
+
+    ``canonicalize=True`` keys the visited set on canonical URL form
+    (operators/scalars.canonical_url_col: case, default port, www,
+    trailing slash, query order, fragment) so trivially-different
+    spellings of one page are fetched once — the reference compares raw
+    strings (crawl_web.py:114-122) and recrawls them."""
     if fetch_fn is None:
         from lakehouse_weather_spark.sources.fetchers import http_fetch_fn
 
         fetch_fn = http_fetch_fn()
+
+    def _canon(df: DataFrame) -> DataFrame:
+        if not canonicalize:
+            return df
+        from lakehouse_weather_spark.operators.scalars import canonical_url_col
+
+        return df.select(canonical_url_col("url").alias("url"))
+
     visited = spark.createDataFrame([(u,) for u in seeds], "url string").limit(0)
-    frontier = spark.createDataFrame([(u,) for u in seeds], "url string").distinct()
+    frontier = _canon(
+        spark.createDataFrame([(u,) for u in seeds], "url string")
+    ).distinct()
     pages: DataFrame | None = None
 
     for level in range(depth):
@@ -107,15 +124,13 @@ def crawl(
 
         # next frontier: harvested links minus visited, scheme-filtered
         # (ref: crawl_web.py:90-94 drops mailto:/tel:/#)
-        links = (
-            fetched.select(F.explode("links").alias("url"))
-            .filter(
+        links = _canon(
+            fetched.select(F.explode("links").alias("url")).filter(
                 ~F.col("url").startswith("mailto:")
                 & ~F.col("url").startswith("tel:")
                 & ~F.col("url").startswith("#")
             )
-            .distinct()
-        )
+        ).distinct()
         if bloom_prefilter:
             from lakehouse_weather_spark.operators.bloom import (
                 bloom_build,

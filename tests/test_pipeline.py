@@ -214,3 +214,39 @@ def test_crawl_bloom_prefilter_identical(spark):
     a = {(r.url, r.page_content, r.crawl_depth) for r in plain.collect()}
     b = {(r.url, r.page_content, r.crawl_depth) for r in bloom.collect()}
     assert a == b
+
+
+def test_crawl_canonicalize_fetches_each_page_once(spark):
+    """canonicalize=True keys the visited set on canonical URL form, so
+    trivially-different spellings (case, :443, www., trailing slash,
+    query order, fragment) of one page fetch exactly once."""
+    spellings = [
+        "HTTPS://WWW.site:443/page/",
+        "https://site/page",
+        "https://site/page#frag",
+    ]
+    graph = {
+        # graph is keyed by CANONICAL form: the seed's empty path
+        # normalizes to '/'
+        "https://root/": ("root page", "text/html", spellings),
+        "https://site/page": ("the page", "text/html", []),
+    }
+
+    def fetch(url):
+        # the graph has ONLY canonical keys: any non-canonical spelling
+        # reaching the fetcher raises and lands as an error/failed row
+        return graph[url]
+
+    pages = crawl(
+        spark,
+        ["https://root"],
+        depth=2,
+        fetch_fn=fetch,
+        fetch_partitions=1,
+        canonicalize=True,
+    )
+    rows = {r.url: r for r in pages.collect()}
+    # exactly the two canonical URLs, no quarantined raw spellings
+    assert set(rows) == {"https://root/", "https://site/page"}
+    assert rows["https://site/page"].page_content == "the page"
+    assert all(r.content_type != "error/failed" for r in rows.values())
