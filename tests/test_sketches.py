@@ -94,10 +94,14 @@ def test_quality_filter_splits_corpus(spark, sf_dir):
 
 
 def test_quality_plan_is_narrow(spark, sf_dir):
-    # per-row array algebra: no shuffle, no Python stage
+    # per-row array algebra: no Python stage, and the ONLY exchange is
+    # the explicit small-fixture fan-out (tables.fan_out, skipped on
+    # real multi-split inputs) — no aggregation/join shuffle
     df = load_all()["q_quality_repetition"].fn(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert "Exchange" not in plan
+    n_exchanges = plan.count("Exchange ")
+    assert n_exchanges == plan.count("REPARTITION_BY_NUM") <= 1
+    assert "ENSURE_REQUIREMENTS" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
