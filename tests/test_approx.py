@@ -100,3 +100,34 @@ def test_sketch_aggregates_within_error_bounds(spark, sf_dir):
     n = li.count()
     rank = li.filter(F.col("l_extendedprice") <= qs).count()
     assert abs(rank / n - 0.5) <= 0.011  # requested rank error + slack
+
+
+def test_corr_matrix_matches_numpy(spark, sf_dir):
+    """q_corr_matrix's moment-form Pearson agrees with numpy's
+    two-pass corrcoef to float precision (engine parity alone would
+    not catch a formula error present on both sides)."""
+    import numpy as np
+
+    from lakehouse_weather_spark.registry import load_all
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    got = {
+        (r.x_name, r.y_name): r.r
+        for r in load_all()["q_corr_matrix"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice", "l_discount"
+    ).collect()
+    cols = {
+        "quantity": np.array([round(r.l_quantity) for r in li], dtype=np.float64),
+        "price": np.array(
+            [round(r.l_extendedprice * 100) for r in li], dtype=np.float64
+        ),
+        "discount": np.array(
+            [round(r.l_discount * 100) for r in li], dtype=np.float64
+        ),
+    }
+    for (x, y), r in got.items():
+        want = np.corrcoef(cols[x], cols[y])[0, 1]
+        assert abs(r - want) < 1e-9, (x, y, r, want)
+    assert len(got) == 3
