@@ -170,3 +170,83 @@ def apply_quality_filter(docs: DataFrame) -> DataFrame:
         & (dup <= MAX_DUP_WORD_FRAC)
         & (topw <= MAX_TOP_WORD_FRAC)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document bigram novelty (boilerplate detection)
+# ---------------------------------------------------------------------------
+
+# The per-document signals above cannot see text repeated ACROSS
+# documents (site chrome, scraper boilerplate, license blocks). Bigram
+# novelty measures it without a near-dup pass: the fraction of a
+# document's distinct bigrams appearing in no other document. Low
+# novelty => the document is assembled from corpus-common phrases.
+# All-integer counts and one final IEEE division keep it oracle-exact —
+# no perplexity-style log() whose libm rounding differs per engine.
+# Scale shape: narrow distinct-bigram explode, ONE df groupBy, one
+# join back keyed on the bigram hash (high-cardinality, no skew), one
+# per-doc partial-agg groupBy.
+
+_BIGRAMS_SQL = (
+    "array_distinct(transform("
+    " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 2))))"
+)
+
+
+@register(
+    "q_bigram_novelty",
+    oracle="""
+        WITH bg AS (
+            SELECT DISTINCT doc_id,
+                   words[i] || ' ' || words[i + 1] AS b
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       unnest(generate_series(
+                           1, greatest(len(string_split(text, ' ')) - 1, 1)
+                       )) AS i
+                FROM documents
+            )
+        ),
+        df AS (SELECT b, count(*) AS n_docs FROM bg GROUP BY b),
+        per_doc AS (
+            SELECT bg.doc_id,
+                   count(*) AS n_bigrams,
+                   CAST(sum(CASE WHEN df.n_docs = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_unique
+            FROM bg JOIN df USING (b)
+            GROUP BY bg.doc_id
+        )
+        SELECT doc_id, n_bigrams, n_unique,
+               CAST(n_unique AS DOUBLE) / n_bigrams AS novelty
+        FROM per_doc
+    """,
+    doc="Cross-document bigram novelty: per doc, the fraction of its"
+    " distinct word bigrams that appear in NO other document — the"
+    " boilerplate/site-chrome signal per-document metrics cannot see."
+    " Narrow distinct-bigram explode, one document-frequency groupBy,"
+    " one hash-keyed join back, one per-doc partial agg; integer"
+    " counts + a single IEEE division, oracle-exact.",
+)
+def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    bg = docs.select(
+        "doc_id", F.explode(F.expr(_BIGRAMS_SQL)).alias("b")
+    )
+    df = bg.groupBy("b").agg(F.count(F.lit(1)).alias("n_docs"))
+    per_doc = (
+        bg.join(df, "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum((F.col("n_docs") == 1).cast("bigint")).alias("n_unique"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unique",
+        (F.col("n_unique").cast("double") / F.col("n_bigrams")).alias(
+            "novelty"
+        ),
+    )
