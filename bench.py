@@ -71,6 +71,9 @@ HEADLINE = [
     "q_heavy_hitters",
     "q_win_distribution",
     "q_editdist_neardup",
+    "q_skyline",
+    "q_corr_matrix",
+    "q_bigram_novelty",
 ]
 
 
