@@ -152,3 +152,102 @@ def q_dq_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS orphan_lineitems
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram via a deterministic bounded sample
+# ---------------------------------------------------------------------------
+
+# Equi-depth bucketing (each bucket holds ~the same row count) is the
+# primitive under range partitioning, z-order ranks (zorder.py), and
+# skew diagnosis — but the naive global ntile() window funnels the
+# whole table through ONE task. The scale-safe form: take a FIXED-SIZE
+# deterministic sample (top-SAMPLE_K rows by md5 of the key — a
+# TakeOrderedAndProject, no shuffle of the table), compute exact
+# quantile cut points of the sample on the driver side of the plan
+# (SAMPLE_K rows — bounded), broadcast them, and bucket rows narrowly.
+# Bucket counts are approximate equi-depth (sampling error ~1/sqrt(K))
+# but every step is deterministic, so the DuckDB oracle replays it
+# bit-for-bit — including the cut points.
+
+EQUI_BUCKETS = 8
+SAMPLE_K = 1009  # fixed sample size: bounded at ANY table size
+
+_SAMPLE_H_SPARK = (
+    "cast(conv(substr(md5(cast(l_orderkey as string) || '-' ||"
+    " cast(l_linenumber as string)), 1, 15), 16, 10) as bigint)"
+)
+_SAMPLE_H_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '-' ||"
+    " CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "q_equidepth_hist",
+    oracle=f"""
+        WITH s AS (
+            SELECT l_extendedprice AS v
+            FROM lineitem
+            ORDER BY {_SAMPLE_H_DUCK}, l_orderkey, l_linenumber
+            LIMIT {SAMPLE_K}
+        ),
+        ranked AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
+        ),
+        cuts AS (
+            SELECT k,
+                   (SELECT v FROM ranked
+                    WHERE rn = (k * {SAMPLE_K}) // {EQUI_BUCKETS}) AS cut
+            FROM (SELECT unnest(generate_series(1, {EQUI_BUCKETS - 1})) AS k)
+        ),
+        bucketed AS (
+            SELECT (SELECT count(*) FROM cuts
+                    WHERE cut < l.l_extendedprice) AS bucket
+            FROM lineitem l
+        )
+        SELECT CAST(bucket AS INTEGER) AS bucket, count(*) AS n_rows
+        FROM bucketed GROUP BY bucket
+    """,
+    doc=f"Approximate equi-depth histogram of l_extendedprice in"
+    f" {EQUI_BUCKETS} buckets: fixed-size deterministic sample"
+    f" (top-{SAMPLE_K} by md5 of the row key — TakeOrdered, bounded at"
+    " any scale), exact sample quantiles as cut points, broadcast"
+    " bucket assignment. The scale-safe replacement for a global"
+    " ntile() window (one-task bottleneck); the same sampled-cutpoint"
+    " machinery backs zorder.py's rank computation. Deterministic"
+    " end-to-end, so even the cut points oracle-match.",
+)
+def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sample = (
+        li.select(
+            F.col("l_extendedprice").alias("v"),
+            F.expr(_SAMPLE_H_SPARK).alias("h"),
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .orderBy("h", "l_orderkey", "l_linenumber")
+        .limit(SAMPLE_K)
+    )
+    ranked = sample.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rn")
+    )
+    ks = [(k * SAMPLE_K) // EQUI_BUCKETS for k in range(1, EQUI_BUCKETS)]
+    # all cut points as ONE sorted array row, broadcast: bucket
+    # assignment is then a narrow per-row array filter (no row
+    # blow-up, no extra shuffle — the only wide op is the final
+    # 8-group count)
+    cuts_arr = F.broadcast(
+        ranked.filter(F.col("rn").isin(ks)).agg(
+            F.sort_array(F.collect_list("v")).alias("cuts")
+        )
+    )
+    bucketed = li.crossJoin(cuts_arr).select(
+        F.expr(
+            "cast(size(filter(cuts, c -> c < l_extendedprice)) as int)"
+        ).alias("bucket")
+    )
+    return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))

@@ -48,7 +48,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.sketches",
     "lakehouse_weather_spark.operators.fuzzy",
     "lakehouse_weather_spark.operators.skyline",
-    "lakehouse_weather_spark.operators.stats",
+    "lakehouse_weather_spark.operators.stats",  # + profiling additions
     "lakehouse_weather_spark.operators.reshape",
     "lakehouse_weather_spark.operators.profiling",
     "lakehouse_weather_spark.operators.multimodal",

@@ -131,3 +131,21 @@ def test_corr_matrix_matches_numpy(spark, sf_dir):
         want = np.corrcoef(cols[x], cols[y])[0, 1]
         assert abs(r - want) < 1e-9, (x, y, r, want)
     assert len(got) == 3
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_dir):
+    """Sampled cut points really produce ~equal bucket depths (within
+    sampling error), and the sample is a bounded TakeOrdered — not a
+    table-wide sort."""
+    from lakehouse_weather_spark.registry import load_all
+    from lakehouse_weather_spark.operators.profiling import EQUI_BUCKETS
+
+    df = load_all()["q_equidepth_hist"].fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    rows = {r.bucket: r.n_rows for r in df.collect()}
+    assert set(rows) == set(range(EQUI_BUCKETS))
+    total = sum(rows.values())
+    target = total / EQUI_BUCKETS
+    for b, n in rows.items():
+        assert 0.7 * target <= n <= 1.3 * target, (b, n, target)
