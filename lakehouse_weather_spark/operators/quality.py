@@ -250,3 +250,92 @@ def q_bigram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing (pretraining hygiene)
+# ---------------------------------------------------------------------------
+
+# C4/RefinedWeb-style redaction: emails, phone numbers, and bare IPv4
+# addresses are replaced with typed placeholder tokens before training.
+# Pure regexp_replace — narrow, codegen'd, scan-speed — with patterns
+# restricted to constructs whose semantics are identical in Java regex
+# (Spark) and RE2 (DuckDB): explicit character classes, no lookaround.
+# The fixture corpus has no PII, so the query plants deterministic PII
+# spans first and then scrubs them — the oracle replays both steps, so
+# the match boundaries themselves are verified cross-engine.
+
+# no backslashes: Spark SQL string literals eat them, DuckDB's don't —
+# bracketed classes ([.], [+], [(]) mean the same pattern text works
+# verbatim inside both engines' quoted literals
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+_PII_IP = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+_PII_PHONE = "[+][0-9]{1,2} [(][0-9]{3}[)] [0-9]{3}-[0-9]{4}"
+
+# plant: every 2nd doc gets an email, every 3rd a phone, every 5th an IP
+_PII_PLANT_SPARK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' reach user', doc_id,"
+    "   '@mail.example.org') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 (555) 010-',"
+    "   lpad(cast(doc_id % 10000 as string), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.1.',"
+    "   cast(doc_id % 256 as string), '.7') ELSE '' END)"
+)
+_PII_PLANT_DUCK = (
+    "concat(text,"
+    " CASE WHEN doc_id % 2 = 0 THEN concat(' reach user', doc_id,"
+    "   '@mail.example.org') ELSE '' END,"
+    " CASE WHEN doc_id % 3 = 0 THEN concat(' call +1 (555) 010-',"
+    "   lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')) ELSE '' END,"
+    " CASE WHEN doc_id % 5 = 0 THEN concat(' from 10.1.',"
+    "   CAST(doc_id % 256 AS VARCHAR), '.7') ELSE '' END)"
+)
+
+
+@register(
+    "q_pii_redact",
+    oracle=f"""
+        WITH planted AS (
+            SELECT doc_id, {_PII_PLANT_DUCK} AS text FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '{_PII_EMAIL}'))
+                    AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(text, '{_PII_PHONE}'))
+                    AS INTEGER) AS n_phones,
+               regexp_replace(
+                   regexp_replace(
+                       regexp_replace(text, '{_PII_EMAIL}', '[EMAIL]', 'g'),
+                       '{_PII_PHONE}', '[PHONE]', 'g'),
+                   '{_PII_IP}', '[IP]', 'g') AS scrubbed
+        FROM planted
+    """,
+    doc="PII scrubbing: emails, phone numbers, and IPv4 addresses"
+    " replaced with typed placeholders via chained regexp_replace —"
+    " narrow codegen'd scan-speed hygiene. Patterns avoid every"
+    " Java-vs-RE2 divergence (no lookaround, explicit classes), and"
+    " the oracle replays plant + scrub so match boundaries are"
+    " verified cross-engine. Redaction counts emitted per doc.",
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id", F.expr(_PII_PLANT_SPARK).alias("text")
+    )
+    scrub = (
+        f"regexp_replace(regexp_replace(regexp_replace(text,"
+        f" '{_PII_EMAIL}', '[EMAIL]'),"
+        f" '{_PII_PHONE}', '[PHONE]'),"
+        f" '{_PII_IP}', '[IP]')"
+    )
+    return planted.select(
+        "doc_id",
+        F.expr(f"size(regexp_extract_all(text, '{_PII_EMAIL}', 0))")
+        .cast("int")
+        .alias("n_emails"),
+        F.expr(f"size(regexp_extract_all(text, '{_PII_PHONE}', 0))")
+        .cast("int")
+        .alias("n_phones"),
+        F.expr(scrub).alias("scrubbed"),
+    )

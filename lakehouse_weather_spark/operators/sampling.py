@@ -278,3 +278,76 @@ def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("quality_score"))
         .select("doc_id", "quality_score")
     )
+
+
+@register(
+    "q_mix_temperature",
+    oracle="""
+        WITH tagged AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 100 < 85 THEN 'web'
+                        WHEN doc_id % 100 < 95 THEN 'books'
+                        ELSE 'code' END AS domain
+            FROM documents
+        ),
+        dom AS (
+            SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+            FROM tagged GROUP BY domain
+        ),
+        rates AS (
+            SELECT domain, n_docs,
+                   sqrt(CAST((SELECT min(n_docs) FROM dom) AS DOUBLE)
+                        / CAST(n_docs AS DOUBLE)) AS p_keep
+            FROM dom
+        )
+        SELECT t.doc_id, t.domain, r.p_keep
+        FROM tagged t JOIN rates r USING (domain)
+        WHERE CAST(CAST(('0x' || substr(md5('tmp_' || CAST(t.doc_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS DOUBLE)
+                / 1152921504606846976.0 < r.p_keep
+    """,
+    doc="Temperature-flattened domain mixture (alpha=0.5): per-source"
+    " keep rate sqrt(n_min/n_d), so post-sample domain shares go as"
+    " sqrt(n_d) — the standard pretraining flattening that stops a"
+    " huge domain drowning small ones; the smallest domain keeps"
+    " everything. One tiny per-domain count aggregate broadcast back,"
+    " then a narrow deterministic md5-uniform accept per row. sqrt and"
+    " division are IEEE-identical in both engines, so even the float"
+    " keep-rates oracle-match.",
+)
+def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    # the fixture's sources are uniform, so tag a skewed 85/10/5 domain
+    # split to exercise the flattening (in production `domain` is a
+    # real column)
+    tagged = docs.select(
+        "doc_id",
+        F.expr(
+            "CASE WHEN doc_id % 100 < 85 THEN 'web'"
+            " WHEN doc_id % 100 < 95 THEN 'books'"
+            " ELSE 'code' END"
+        ).alias("domain"),
+    )
+    dom = tagged.groupBy("domain").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    n_min = dom.agg(F.min("n_docs").alias("n_min"))
+    rates = dom.crossJoin(F.broadcast(n_min)).select(
+        "domain",
+        F.sqrt(
+            F.col("n_min").cast("double") / F.col("n_docs").cast("double")
+        ).alias("p_keep"),
+    )
+    u = (
+        F.expr(
+            "cast(conv(substr(md5(concat('tmp_', cast(doc_id as string))), 1, 15),"
+            " 16, 10) as bigint)"
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return (
+        tagged.join(F.broadcast(rates), "domain")
+        .select("doc_id", "domain", "p_keep", u.alias("u"))
+        .filter(F.col("u") < F.col("p_keep"))
+        .select("doc_id", "domain", "p_keep")
+    )
