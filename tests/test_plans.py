@@ -85,6 +85,10 @@ def test_relational_path_has_no_python_udf(spark, sf_dir):
         plan = _plan(spark, sf_dir, name)
         assert "BatchEvalPython" not in plan, name
         assert "ArrowEvalPython" not in plan, name
+        # a true CartesianProduct (big x big, no broadcast) is never
+        # acceptable; intentional cross joins against 1-row bounds or
+        # tiny codebooks plan as BroadcastNestedLoopJoin instead
+        assert "CartesianProduct" not in plan, name
         allowed = _ARROW_KERNEL_ALLOWED.get(name, ())
         for node in ("MapInPandas", "FlatMapGroupsInPandas"):
             if node not in allowed:
