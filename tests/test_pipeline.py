@@ -250,3 +250,41 @@ def test_crawl_canonicalize_fetches_each_page_once(spark):
     assert set(rows) == {"https://root/", "https://site/page"}
     assert rows["https://site/page"].page_content == "the page"
     assert all(r.content_type != "error/failed" for r in rows.values())
+
+
+def test_canonical_url_is_idempotent(spark):
+    """canon(canon(u)) == canon(u): the visited set stays stable when
+    already-canonical URLs are re-canonicalized (links harvested from a
+    canonicalized crawl frontier pass through _canon again)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.scalars import canonical_url_col
+
+    urls = [
+        "HTTP://WWW.Example.COM:80/A/b/./c/?z=1&a=2#frag",
+        "https://example.com:443/",
+        "https://example.com",
+        "http://example.com:8080/path/",
+        "https://www.sub.example.com/x?b=2&a=1&a=0",
+        "ftp://example.com:21/file",
+        "https://example.com/trailing/",
+        "http://example.com/?",
+        "https://example.com/UPPER/Case/Path",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "url string")
+    out = df.select(
+        "url",
+        canonical_url_col("url").alias("c1"),
+    ).select(
+        "url", "c1", canonical_url_col("c1").alias("c2")
+    )
+    for r in out.collect():
+        assert r.c1 == r.c2, (r.url, r.c1, r.c2)
+    got = {r.url: r.c1 for r in out.collect()}
+    # spot semantics: case, default port, www., sort, fragment
+    assert got["HTTP://WWW.Example.COM:80/A/b/./c/?z=1&a=2#frag"] == (
+        "http://example.com/A/b/./c?a=2&z=1"
+    )
+    assert got["https://example.com:443/"] == "https://example.com/"
+    assert got["https://example.com"] == "https://example.com/"
+    assert got["http://example.com:8080/path/"] == "http://example.com:8080/path"
