@@ -17,7 +17,8 @@ from lakehouse_weather_spark.registry import load_all
 
 # one per accumulation pattern: plain agg (dsum), iterative CC loop,
 # Arrow-kernel cogroup, Python-candidates + recount, ADC integer rank,
-# window-frame sums
+# window-frame sums, blocked fuzzy join, sampled cut points, exact
+# moment sums
 _QUERIES = [
     "q_agg_basic",
     "q_dedup_clusters",
@@ -25,6 +26,9 @@ _QUERIES = [
     "q_heavy_hitters",
     "q_vector_topk_pq",
     "q_win_frame",
+    "q_editdist_neardup",
+    "q_equidepth_hist",
+    "q_corr_matrix",
 ]
 
 
