@@ -505,10 +505,30 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the similarity graph once; otherwise every iteration's
     # join re-derives the full shingle/jaccard pipeline
-    edges = _checkpoint(edges)
-    labels = edges.select(F.col("doc_a").alias("doc_id")).distinct().withColumn(
-        "label", F.col("doc_id")
+    labels = label_propagate(_checkpoint(edges))
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+def label_propagate(edges: DataFrame, seed: DataFrame | None = None) -> DataFrame:
+    """Min-label propagation to fixpoint over a BIDIRECTIONAL edge set
+    (doc_a, doc_b); returns (doc_id, label). ``seed`` optionally
+    provides starting labels (doc_id, label) — nodes absent from it
+    start at their own id. Callers should checkpoint ``edges`` first if
+    it derives from an expensive pipeline."""
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
     )
+    if seed is not None:
+        labels = (
+            labels.join(seed.withColumnRenamed("label", "seed_label"),
+                        "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("seed_label", "label").alias("label"),
+            )
+        )
     prev_persisted = None
     for rnd in range(20):  # diameter bound; fixpoint usually in 2-3 rounds
         neighbor_min = (
@@ -547,7 +567,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.select("doc_id", "label")
         if not changed:
             break
-    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+    return labels
 
 
 @register(
@@ -807,4 +827,63 @@ def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min(F.col("doc_id") * 1_000_000 + F.col("para_idx")).alias("keep_key"),
         )
         .filter(F.col("n_copies") > 1)
+    )
+
+
+def update_clusters(labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
+    """Incremental cluster maintenance: merge newly-discovered near-dup
+    pairs into a STORED clustering without re-running connected
+    components over the corpus.
+
+    ``labels``: (doc_id, cluster_rep) — the persisted clustering
+    artifact (q_dedup_clusters output). ``new_pairs``: (doc_a, doc_b) —
+    e.g. :func:`incremental_neardup_candidates` output verified for a
+    fresh ingest batch (may connect new docs to old, new to new, or
+    previously-separate old clusters).
+
+    Scale shape: every new pair LIFTS to an edge between its endpoints'
+    cluster reps (docs unknown to ``labels`` rep as themselves);
+    min-label propagation runs on that QUOTIENT graph — bounded by the
+    new batch size, not the corpus — and one join-back rewrites the
+    affected reps. Because stored reps are the minima of their old
+    components, the quotient minimum equals the full-recompute minimum,
+    so the result is IDENTICAL to rerunning CC on all edges (asserted
+    in tests/test_incremental.py)."""
+    la = labels.select(
+        F.col("doc_id").alias("doc_a"), F.col("cluster_rep").alias("ra")
+    )
+    lb = labels.select(
+        F.col("doc_id").alias("doc_b"), F.col("cluster_rep").alias("rb")
+    )
+    lifted = (
+        new_pairs.join(la, "doc_a", "left")
+        .join(lb, "doc_b", "left")
+        .select(
+            F.coalesce("ra", F.col("doc_a")).alias("doc_a"),
+            F.coalesce("rb", F.col("doc_b")).alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+        .distinct()
+    )
+    rep_edges = lifted.unionByName(
+        lifted.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    resolved = label_propagate(rep_edges).withColumnRenamed(
+        "doc_id", "old_rep"
+    )
+    new_docs = (
+        new_pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(new_pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .join(labels.select("doc_id"), "doc_id", "left_anti")
+        .withColumn("cluster_rep", F.col("doc_id"))
+    )
+    base = labels.unionByName(new_docs)
+    return base.join(
+        resolved, base.cluster_rep == resolved.old_rep, "left"
+    ).select(
+        "doc_id",
+        F.coalesce(resolved.label, base.cluster_rep).alias("cluster_rep"),
     )

@@ -203,3 +203,49 @@ def test_table_changes_cdc_between_versions(spark, sf_dir, tmp_path):
     # updated row carries the NEW values
     assert changes.filter("c_custkey = 7").first().c_acctbal == \
         cust.filter("c_custkey = 7").first().c_acctbal + 1
+
+
+def test_update_clusters_equals_full_recompute(spark):
+    """Incremental cluster maintenance: folding a new edge batch into a
+    stored clustering via the quotient-rep graph gives EXACTLY the
+    labels a full CC recompute over all edges gives — including merges
+    of two previously-separate old clusters and brand-new docs."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.dedup import (
+        label_propagate,
+        update_clusters,
+    )
+
+    def pairs_df(pairs):
+        return spark.createDataFrame(pairs, "doc_a long, doc_b long")
+
+    def bidir(df):
+        return df.unionByName(
+            df.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+        )
+
+    # old graph: {1,2,3} and {10,11}; {20} untouched elsewhere, {30,31}
+    old_pairs = [(1, 2), (2, 3), (10, 11), (30, 31)]
+    old_labels = label_propagate(bidir(pairs_df(old_pairs))).select(
+        "doc_id", F.col("label").alias("cluster_rep")
+    )
+    # singleton doc 20 exists in the stored artifact too
+    old_labels = old_labels.unionByName(
+        spark.createDataFrame([(20, 20)], "doc_id long, cluster_rep long")
+    )
+
+    # new batch: merges old clusters {1,2,3}+{10,11} via (3,10); links
+    # a NEW doc 99 into {30,31}; creates a fresh pair (40,41)
+    new_pairs = [(3, 10), (99, 31), (40, 41)]
+    got = {
+        (r.doc_id, r.cluster_rep)
+        for r in update_clusters(old_labels, pairs_df(new_pairs)).collect()
+    }
+
+    full = label_propagate(bidir(pairs_df(old_pairs + new_pairs)))
+    want = {(r.doc_id, r.label) for r in full.collect()}
+    want.add((20, 20))  # the untouched singleton
+    assert got == want
+    # spot: merged cluster takes the global min rep
+    assert (11, 1) in got and (99, 30) in got and (41, 40) in got
