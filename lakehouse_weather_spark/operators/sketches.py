@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import fan_out, load_table
 
 # lgConfigK for every HLL sketch in this module. 12 -> 2^12 registers
 # (~2.5 KB dense), relative error ~1.6%/sqrt(2^12) ~= 2.5%. Partials
@@ -159,10 +159,7 @@ HH_K = 50  # summary size; reported items have frequency > N/HH_K
 def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
-    docs = load_table(spark, sf_dir, "documents")
-    par = min(spark.sparkContext.defaultParallelism, 8)
-    if docs.rdd.getNumPartitions() < par:
-        docs = docs.repartition(par, "doc_id")
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
     words = docs.select(F.explode(F.split("text", " ")).alias("word"))
 
     def mg_candidates(batches):

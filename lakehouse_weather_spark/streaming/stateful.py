@@ -197,3 +197,119 @@ def latest_profiles(updates: DataFrame) -> DataFrame:
             F.struct("n_events", "total_value", "last_ts_us"), F.col("n_events")
         ).alias("p")
     ).select("user_id", "p.n_events", "p.total_value", "p.last_ts_us")
+
+
+# ---------------------------------------------------------------------------
+# Streaming heavy hitters: Misra-Gries summary carried across batches
+# ---------------------------------------------------------------------------
+
+HH_STREAM_K = 20  # summary size: candidates cover freq > n/K exactly
+
+
+def stream_heavy_users(
+    spark,
+    events_dir: str,
+    checkpoint_dir: str,
+    k: int = HH_STREAM_K,
+    max_files_per_trigger: int | None = None,
+):
+    """Per-event-type heavy USERS over a file stream: a Misra-Gries
+    summary of user_id lives in per-key state and folds each
+    micro-batch in arrival order — so after the stream drains, the
+    summary equals a single sequential MG pass over all events, and its
+    classical guarantee holds EXACTLY: every user with frequency
+    > n/k for that event_type is in the candidate set (asserted with an
+    exact recount in tests/test_stateful.py). This is the streaming
+    form of q_heavy_hitters' bounded-memory pass: state is O(k) per
+    key forever, however unbounded the user universe grows.
+
+    Returns the Update-mode memory-sink table; the final summary per
+    event_type is the row with the largest n_seen."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        ArrayType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("items", ArrayType(LongType())),
+            StructField("counts", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+    out_schema = StructType(
+        [
+            StructField("event_type", StringType()),
+            StructField("users", ArrayType(LongType())),
+            StructField("n_seen", LongType()),
+        ]
+    )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.exists:
+            items, counts, n = state.get
+            mg = dict(zip(items, counts))
+        else:
+            mg, n = {}, 0
+        for pdf in pdfs:
+            for u in pdf["user_id"]:
+                u = int(u)
+                n += 1
+                if u in mg:
+                    mg[u] += 1
+                elif len(mg) < k - 1:
+                    mg[u] = 1
+                else:
+                    dead = []
+                    for key_u in mg:
+                        mg[key_u] -= 1
+                        if mg[key_u] == 0:
+                            dead.append(key_u)
+                    for key_u in dead:
+                        del mg[key_u]
+        state.update((list(mg.keys()), list(mg.values()), n))
+        yield pd.DataFrame(
+            {
+                "event_type": [key[0]],
+                "users": [list(mg.keys())],
+                "n_seen": [n],
+            }
+        )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = (
+        reader.parquet(events_dir)
+        .groupBy("event_type")
+        .applyInPandasWithState(
+            fold,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+    name = f"hh_{abs(hash(checkpoint_dir)) % 10_000_000}"
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    from pyspark.sql import functions as F
+
+    tbl = spark.table(name)
+    return tbl.groupBy("event_type").agg(
+        F.max_by(F.struct("users", "n_seen"), "n_seen").alias("s")
+    ).select("event_type", "s.users", "s.n_seen")

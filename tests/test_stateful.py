@@ -111,3 +111,47 @@ def test_auto_backend_resolves(spark, sf_dir, tmp_path):
         spark, str(events_dir), str(tmp_path / "ckpt_auto")
     )
     assert out.count() > 0
+
+
+def test_stream_heavy_users_covers_true_heavy_hitters(spark, sf_dir, tmp_path):
+    """The state-carried Misra-Gries summary equals one sequential MG
+    pass over the whole stream, so its guarantee holds across batch
+    boundaries: every user with freq > n/k per event_type is in the
+    candidate set. Exact recount of candidates + threshold == exact
+    heavy hitters."""
+    import pyspark.sql.functions as F
+
+    from lakehouse_weather_spark.streaming.stateful import (
+        HH_STREAM_K,
+        stream_heavy_users,
+    )
+
+    events_dir = tmp_path / "events_hh"
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev.repartition(3).write.parquet(str(events_dir))  # 3 files -> 3 batches
+
+    out = stream_heavy_users(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt_hh"),
+        max_files_per_trigger=1,
+    )
+    cands = {r.event_type: set(r.users) for r in out.collect()}
+    totals = {r.event_type: r.n_seen for r in out.collect()}
+
+    exact = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    by_type: dict[str, dict[int, int]] = {}
+    for r in exact:
+        by_type.setdefault(r.event_type, {})[r.user_id] = r.n
+    for et, counts in by_type.items():
+        n = sum(counts.values())
+        assert totals[et] == n, et
+        true_heavy = {u for u, c in counts.items() if c > n / HH_STREAM_K}
+        # MG guarantee: candidates cover every true heavy hitter
+        assert true_heavy <= cands[et], (et, true_heavy - cands[et])
+        # and the summary is bounded
+        assert len(cands[et]) < HH_STREAM_K
