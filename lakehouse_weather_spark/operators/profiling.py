@@ -251,3 +251,55 @@ def q_equidepth_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket")
     )
     return bucketed.groupBy("bucket").agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "q_skew_profile",
+    oracle="""
+        WITH freq AS (
+            SELECT l_suppkey AS key, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_suppkey
+        ),
+        stats AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM freq
+        )
+        SELECT f.key, f.cnt,
+               CAST(f.cnt AS DOUBLE) * s.n_keys / s.n_rows AS skew_factor
+        FROM freq f CROSS JOIN stats s
+        ORDER BY f.cnt DESC, f.key
+        LIMIT 20
+    """,
+    doc="Join-key skew diagnostic: top-20 hottest l_suppkey values with"
+    " their skew factor (key count / mean key count). One partial-agg"
+    " groupBy + a 3-number broadcast + TakeOrderedAndProject — the"
+    " cheap pre-flight that tells you WHICH keys need the salted-join"
+    " treatment (plans.salted_join) before a billion-row shuffle"
+    " stalls on them. skew_factor ~1 = uniform; >>1 = salt or isolate.",
+)
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_suppkey").alias("key")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    stats = freq.agg(
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+    )
+    return (
+        freq.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            "cnt",
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("n_rows")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), F.asc("key"))
+        .limit(20)
+    )

@@ -66,3 +66,26 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert set(merged.columns) == {"doc_id", "lang", "ingest_tag"}
     assert merged.count() == 2 * docs.count()
     assert merged.filter("ingest_tag IS NULL").count() == docs.count()
+
+
+def test_schema_evolution_merge(spark, tmp_path):
+    """Additive schema evolution across parquet file generations:
+    mergeSchema unifies old (no `lang`) and new (with `lang`) files —
+    old rows read back with NULL lang, no rewrite of historical data.
+    The medallion layers rely on this when a column lands mid-stream."""
+    out = str(tmp_path / "evolving")
+    v1 = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta")], "doc_id long, text string"
+    )
+    v1.write.parquet(out)
+    v2 = spark.createDataFrame(
+        [(3, "gamma", "en")], "doc_id long, text string, lang string"
+    )
+    v2.write.mode("append").parquet(out)
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"doc_id", "text", "lang"}
+    rows = {r.doc_id: r for r in merged.collect()}
+    assert rows[1].lang is None and rows[3].lang == "en"
+    # default read (no mergeSchema) still works on any single footer
+    assert spark.read.parquet(out).count() == 3
