@@ -147,3 +147,91 @@ def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         maybe.eqNullSafe(F.lit("es")).alias("null_safe_eq_es"),
         F.when(maybe.isNotNull(), "has_value").otherwise("was_null").alias("nvl2_style"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series resampling: regular grid + zero-fill + forward-fill
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_resample_ffill",
+    oracle="""
+        WITH hours AS (
+            SELECT unnest(generate_series(
+                (SELECT date_trunc('hour', min(ts)) FROM events),
+                (SELECT date_trunc('hour', max(ts)) FROM events),
+                INTERVAL 1 HOUR)) AS hour
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT event_type, hour FROM types CROSS JOIN hours),
+        agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000 / count(*) AS avg_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.event_type, g.hour,
+               CAST(coalesce(a.cnt, 0) AS BIGINT) AS n_events,
+               last_value(a.avg_value IGNORE NULLS) OVER (
+                   PARTITION BY g.event_type ORDER BY g.hour
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS avg_value_ffill
+        FROM grid g LEFT JOIN agg a
+          ON g.event_type = a.event_type AND g.hour = a.hour
+    """,
+    doc="Time-series resampling per event_type: a dense hourly grid"
+    " (sequence between global min/max hour — two scalars broadcast),"
+    " zero-filled counts, and forward-filled hourly mean value via"
+    " last-non-null over an ordered window. The gap-filling shape"
+    " feature pipelines and monitors need; the window partitions by"
+    " key so no global sort, and the mean uses fixed-point dsum so the"
+    " forward-filled doubles oracle-match bit-for-bit.",
+)
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    agg = ev.groupBy(
+        "event_type", hour.alias("hour")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        (
+            F.sum(F.expr("CAST(round(value * 10000, 0) AS BIGINT)"))
+            .cast("double")
+            / 10000
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    types = ev.select("event_type").distinct()
+    grid = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.expr("sequence(lo, hi, interval 1 hour)")
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(agg, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("avg_value", ignorenulls=True)
+            .over(w)
+            .alias("avg_value_ffill"),
+        )
+    )
