@@ -159,3 +159,51 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cd"),
         F.ntile(4).over(w).alias("quartile"),
     )
+
+
+@register(
+    "q_win_navigation",
+    oracle="""
+        SELECT event_id, user_id,
+               first_value(event_type) OVER w AS first_type,
+               last_value(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS final_type,
+               nth_value(event_id, 3) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+               ) AS third_event_id,
+               last_value(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
+                   OVER w AS last_big_value
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    doc="Window navigation surface: first_value, whole-frame last_value"
+    " and nth_value, and running last-non-null (IGNORE NULLS) — the"
+    " carry-forward primitive — per user over a TOTAL order"
+    " (ts, event_id), so every function is deterministic and"
+    " oracle-exact. One key-partitioned sort, no global window.",
+)
+def q_win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    full = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    big = F.when(F.col("value") >= 0.5, F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.first("event_type").over(running).alias("first_type"),
+        F.last("event_type").over(full).alias("final_type"),
+        F.nth_value("event_id", 3).over(full).alias("third_event_id"),
+        F.last(big, ignorenulls=True).over(running).alias("last_big_value"),
+    )
