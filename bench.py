@@ -74,6 +74,9 @@ HEADLINE = [
     "q_skyline",
     "q_corr_matrix",
     "q_bigram_novelty",
+    "q_resample_ffill",
+    "q_skew_profile",
+    "q_win_navigation",
 ]
 
 
