@@ -235,3 +235,81 @@ def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("avg_value_ffill"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gaps-and-islands: merge overlapping per-user activity intervals
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_interval_merge",
+    oracle="""
+        WITH iv AS (
+            SELECT user_id, ts AS s,
+                   ts + to_seconds(CAST(round(value * 3600) AS BIGINT)) AS e
+            FROM events
+        ),
+        flagged AS (
+            SELECT user_id, s, e,
+                   CASE WHEN s > max(e) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) THEN 1 ELSE 0 END AS new_island
+            FROM iv
+        ),
+        islands AS (
+            SELECT user_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY user_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        )
+        SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+               min(s) AS island_start, max(e) AS island_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM islands
+        GROUP BY user_id, island_id
+    """,
+    doc="Gaps-and-islands interval union: each event opens an activity"
+    " interval [ts, ts + value*3600 s]; overlapping intervals per user"
+    " merge into islands via the running-max-of-end window (an island"
+    " starts exactly when a start exceeds every previous end). One"
+    " key-partitioned sort + one groupBy — the coverage/uptime/session"
+    " primitive that naive self-joins make O(n^2). Timestamp compares"
+    " are exact, so island boundaries oracle-match.",
+)
+def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        F.col("ts").alias("s"),
+        F.expr(
+            "ts + make_dt_interval(0, 0, 0, CAST(round(value * 3600, 0) AS BIGINT))"
+        ).alias("e"),
+    )
+    prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = iv.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn(
+        "island_id", F.sum("new_island").over(running).cast("bigint")
+    )
+    return islands.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("island_start"),
+        F.max("e").alias("island_end"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
