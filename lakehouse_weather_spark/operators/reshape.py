@@ -313,3 +313,54 @@ def q_interval_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("e").alias("island_end"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q_not_in_nulls",
+    oracle="""
+        WITH probe AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+        FROM customer WHERE c_custkey NOT IN (SELECT k FROM probe)
+        UNION ALL
+        SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+        UNION ALL
+        SELECT 'not_in_null_filtered', CAST(count(*) AS BIGINT)
+        FROM customer
+        WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+    """,
+    doc="The NOT IN null trap, pinned as behavior: a NULL in the"
+    " subquery makes `x NOT IN (...)` UNKNOWN for every row (count 0),"
+    " while NOT EXISTS and the null-filtered NOT IN return the real"
+    " anti-join count. Spark plans NOT IN as a null-aware anti join"
+    " (expensive at scale — another reason to prefer NOT EXISTS); both"
+    " engines implement identical three-valued logic, so all three"
+    " counts oracle-match.",
+)
+def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    for t in ("orders", "customer"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}_nin")
+    return spark.sql(
+        """
+        WITH probe AS (
+            SELECT CASE WHEN o_orderkey % 97 = 0 THEN NULL
+                        ELSE o_custkey END AS k
+            FROM v_orders_nin WHERE o_orderstatus = 'F'
+        )
+        SELECT 'not_in' AS variant, CAST(count(*) AS BIGINT) AS n
+        FROM v_customer_nin WHERE c_custkey NOT IN (SELECT k FROM probe)
+        UNION ALL
+        SELECT 'not_exists', CAST(count(*) AS BIGINT)
+        FROM v_customer_nin c
+        WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey)
+        UNION ALL
+        SELECT 'not_in_null_filtered', CAST(count(*) AS BIGINT)
+        FROM v_customer_nin
+        WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
+        """
+    )
