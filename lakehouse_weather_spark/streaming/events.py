@@ -660,3 +660,69 @@ def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("converted").alias("n_converted"),
         )
     )
+
+
+@register(
+    "q_event_pattern",
+    oracle="""
+        WITH seqs AS (
+            SELECT user_id,
+                   string_agg(CASE event_type
+                                  WHEN 'view' THEN 'v'
+                                  WHEN 'click' THEN 'c'
+                                  WHEN 'purchase' THEN 'p'
+                                  WHEN 'signup' THEN 's'
+                                  ELSE 'e' END, ''
+                              ORDER BY ts, event_id) AS seq
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id,
+               CAST(length(seq) AS INTEGER) AS n_events,
+               CAST(length(regexp_extract_all(seq, 'v[^p]*p'))
+                    AS INTEGER) AS n_conversions,
+               (seq LIKE '%e%') AS saw_error,
+               CAST(length(regexp_extract_all(seq, 'ee+'))
+                    AS INTEGER) AS error_bursts
+        FROM seqs
+    """,
+    doc="MATCH_RECOGNIZE-style sequence pattern matching: each user's"
+    " event history compresses to a symbol string in strict"
+    " (ts, event_id) order, then behavioral patterns are plain regexes"
+    " — conversions = non-overlapping 'view ... purchase' episodes"
+    " (v[^p]*p), error bursts = runs of 2+ errors. One groupBy builds"
+    " the per-key sequence (bounded by events-per-user); the regex"
+    " scan is narrow. Symbol alphabet + patterns avoid every"
+    " Java-vs-RE2 divergence, so episode counts oracle-match exactly"
+    " — the sessionless behavioral-pattern primitive SQL engines"
+    " bolt on as MATCH_RECOGNIZE.",
+)
+def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sym = (
+        F.when(F.col("event_type") == "view", "v")
+        .when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("e")
+    )
+    seqs = (
+        ev.select("user_id", "ts", "event_id", sym.alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, sym))), x -> x.sym), '')"
+            ).alias("seq")
+        )
+    )
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("int").alias("n_events"),
+        F.expr("size(regexp_extract_all(seq, 'v[^p]*p', 0))")
+        .cast("int")
+        .alias("n_conversions"),
+        F.col("seq").contains("e").alias("saw_error"),
+        F.expr("size(regexp_extract_all(seq, 'ee+', 0))")
+        .cast("int")
+        .alias("error_bursts"),
+    )
