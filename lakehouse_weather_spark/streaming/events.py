@@ -726,3 +726,105 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("error_bursts"),
     )
+
+
+@register(
+    "q_event_transitions",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        cnt AS (
+            SELECT event_type AS from_type, next_type AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(n AS DOUBLE)
+                   / sum(n) OVER (PARTITION BY from_type) AS prob
+        FROM cnt
+    """,
+    doc="First-order Markov transition matrix of user behavior:"
+    " P(next event type | current type) from per-user lead() pairs —"
+    " one key-partitioned window + one 25-group count, probabilities"
+    " as single exact-integer divisions (oracle-exact). The behavioral"
+    " summary that powers next-action prediction features and funnel"
+    " drop-off analysis; at 100 TB the transition table stays 25 rows"
+    " however large the event log grows.",
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+    )
+    cnt = pairs.groupBy("from_type", "to_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_from = Window.partitionBy("from_type")
+    return cnt.select(
+        "from_type",
+        "to_type",
+        "n",
+        (F.col("n").cast("double") / F.sum("n").over(per_from)).alias("prob"),
+    )
+
+
+@register(
+    "q_retention_cohorts",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        activity AS (
+            SELECT DISTINCT e.user_id, f.cohort_week,
+                   date_diff('week', f.cohort_week,
+                             date_trunc('week', e.ts)) AS week_offset
+            FROM events e JOIN firsts f USING (user_id)
+        )
+        SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week,
+               CAST(week_offset AS INTEGER) AS week_offset,
+               CAST(count(*) AS BIGINT) AS n_active_users
+        FROM activity
+        GROUP BY 1, 2
+    """,
+    doc="Retention cohort matrix: users cohorted by first-seen week,"
+    " counted distinct-active per (cohort, week offset) — the"
+    " product-analytics staple. Two shuffles (per-user min, then the"
+    " distinct-activity count); offsets are integer week arithmetic on"
+    " truncated timestamps, so every cell oracle-matches. At scale the"
+    " firsts table is one row per user and broadcast-joins back.",
+)
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("timestamp_ntz").alias(
+            "cohort_week"
+        )
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.expr(
+                "CAST(datediff(week, cohort_week,"
+                " date_trunc('week', ts)) AS INT)"
+            ).alias("week_offset"),
+        )
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active_users")
+    )
