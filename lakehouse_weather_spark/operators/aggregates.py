@@ -262,3 +262,78 @@ def q_agg_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("l_quantity") > 30, F.lit(1))).alias("big_qty_cnt"),
         F.count(F.lit(1)).alias("cnt"),
     )
+
+
+@register(
+    "q_abc_classification",
+    oracle="""
+        WITH rev AS (
+            SELECT s.s_nationkey AS nationkey, l.l_suppkey AS suppkey,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS rev_c
+            FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT nationkey, suppkey, rev_c,
+                   sum(rev_c) OVER (
+                       PARTITION BY nationkey
+                       ORDER BY rev_c DESC, suppkey
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum_c,
+                   sum(rev_c) OVER (PARTITION BY nationkey) AS tot_c
+            FROM rev
+        )
+        SELECT nationkey, suppkey, rev_c,
+               CAST(cum_c AS DOUBLE) / tot_c AS cum_share,
+               CASE WHEN CAST(cum_c AS DOUBLE) / tot_c <= 0.6 THEN 'A'
+                    WHEN CAST(cum_c AS DOUBLE) / tot_c <= 0.9 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    """,
+    doc="ABC / Pareto classification of suppliers by revenue within"
+    " each nation: revenue accumulates as exact integer cents, the"
+    " running share is one key-partitioned window over a total"
+    " (revenue DESC, suppkey) order, and class boundaries are single"
+    " IEEE divisions — fully oracle-exact. The 80/20 contribution"
+    " analysis every procurement/curation dashboard runs; partitioned"
+    " windows keep it shuffle-bounded at any scale.",
+)
+def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sup = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy(
+            F.col("s_nationkey").alias("nationkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.sum(
+                F.expr("CAST(round(l_extendedprice * 100, 0) AS BIGINT)")
+            )
+            .cast("bigint")
+            .alias("rev_c")
+        )
+    )
+    running = (
+        Window.partitionBy("nationkey")
+        .orderBy(F.desc("rev_c"), F.asc("suppkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    total = Window.partitionBy("nationkey")
+    cum_share = F.sum("rev_c").over(running).cast("double") / F.sum(
+        "rev_c"
+    ).over(total)
+    return rev.select(
+        "nationkey",
+        "suppkey",
+        "rev_c",
+        cum_share.alias("cum_share"),
+        F.when(cum_share <= 0.6, "A")
+        .when(cum_share <= 0.9, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
