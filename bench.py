@@ -77,6 +77,9 @@ HEADLINE = [
     "q_resample_ffill",
     "q_skew_profile",
     "q_win_navigation",
+    "q_interval_merge",
+    "q_event_pattern",
+    "q_abc_classification",
 ]
 
 
