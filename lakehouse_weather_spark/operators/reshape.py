@@ -364,3 +364,62 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL)
         """
     )
+
+
+@register(
+    "q_scd2_intervals",
+    oracle="""
+        WITH ordered AS (
+            SELECT user_id, event_type AS state, ts, event_id,
+                   lag(event_type) OVER w AS prev_state
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        changes AS (
+            SELECT user_id, state, ts AS valid_from, event_id
+            FROM ordered
+            WHERE prev_state IS NULL OR state <> prev_state
+        )
+        SELECT user_id, state,
+               CAST(valid_from AS TIMESTAMP) AS valid_from,
+               CAST(lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) AS TIMESTAMP) AS valid_to,
+               (lead(valid_from) OVER (
+                   PARTITION BY user_id ORDER BY valid_from, event_id
+               ) IS NULL) AS is_current
+        FROM changes
+    """,
+    doc="SCD2 (slowly-changing-dimension) interval construction from a"
+    " change log: consecutive repeats of the same state compress away"
+    " (lag-change filter), each surviving change opens a validity"
+    " interval closed by the next change's timestamp (lead), the last"
+    " one staying open as is_current — the dimension-history shape"
+    " MERGE-based SCD2 pipelines maintain. Two key-partitioned windows"
+    " on a total order, no self-join; timestamps compare exactly, so"
+    " the interval table oracle-matches.",
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        F.col("event_type").alias("state"),
+        "ts",
+        "event_id",
+        F.lag("event_type").over(w).alias("prev_state"),
+    )
+    changes = ordered.filter(
+        F.col("prev_state").isNull() | (F.col("state") != F.col("prev_state"))
+    ).select("user_id", "state", F.col("ts").alias("valid_from"), "event_id")
+    w2 = Window.partitionBy("user_id").orderBy("valid_from", "event_id")
+    nxt = F.lead("valid_from").over(w2)
+    return changes.select(
+        "user_id",
+        "state",
+        "valid_from",
+        nxt.alias("valid_to"),
+        nxt.isNull().alias("is_current"),
+    )
