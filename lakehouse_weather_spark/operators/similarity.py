@@ -684,3 +684,69 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization (SQ8): 4x embedding compression + error audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_sq8",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        rng AS (
+            SELECT pos, min(val) AS lo, max(val) AS hi
+            FROM vals GROUP BY pos
+        ),
+        coded AS (
+            SELECT v.vec_id, v.pos,
+                   CAST(round((v.val - r.lo) / (r.hi - r.lo) * 255)
+                        AS BIGINT) AS code,
+                   v.val, r.lo, r.hi
+            FROM vals v JOIN rng r USING (pos)
+        )
+        SELECT vec_id,
+               CAST(sum(CAST(round(abs(
+                   (lo + code * (hi - lo) / 255) - val
+               ) * 1000000000000) AS BIGINT)) AS BIGINT) AS abs_err_fx,
+               CAST(sum(code) AS BIGINT) AS code_sum
+        FROM coded
+        GROUP BY vec_id
+    """,
+    doc="Scalar quantization (SQ8) of the embedding corpus: per-"
+    "dimension global [min, max] (a {_DIM}-row broadcast artifact),"
+    " each float maps to an 8-bit code — 4x smaller vectors for the"
+    " ANN scan tier — and the per-vector total absolute reconstruction"
+    " error is audited in fixed point (round-each-term-then-integer-"
+    "sum, so the audit itself is oracle-exact). The dequantize"
+    " expression mirrors the oracle verbatim; at 100 TB the range"
+    " artifact is computed once per snapshot like the PQ codebook.",
+)
+def q_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .alias("pos0", "val"),
+    ).select("vec_id", (F.col("pos0") + 1).alias("pos"), "val")
+    rng = vals.groupBy("pos").agg(
+        F.min("val").alias("lo"), F.max("val").alias("hi")
+    )
+    coded = vals.join(F.broadcast(rng), "pos").select(
+        "vec_id",
+        "val",
+        "lo",
+        "hi",
+        F.expr("CAST(round((val - lo) / (hi - lo) * 255, 0) AS BIGINT)").alias(
+            "code"
+        ),
+    )
+    err_fx = F.expr(
+        "CAST(round(abs((lo + code * (hi - lo) / 255) - val)"
+        " * 1000000000000, 0) AS BIGINT)"
+    )
+    return coded.groupBy("vec_id").agg(
+        F.sum(err_fx).cast("bigint").alias("abs_err_fx"),
+        F.sum("code").cast("bigint").alias("code_sum"),
+    )
