@@ -337,3 +337,49 @@ def q_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("C")
         .alias("abc_class"),
     )
+
+
+@register(
+    "q_decayed_engagement",
+    oracle="""
+        WITH mx AS (SELECT max(ts) AS now FROM events),
+        aged AS (
+            SELECT user_id,
+                   CAST(round(value * 10000) AS BIGINT) AS value_fx,
+                   date_diff('day', date_trunc('day', ts),
+                             date_trunc('day', (SELECT now FROM mx)))
+                       AS age_days
+            FROM events
+        )
+        SELECT user_id,
+               CAST(sum(value_fx // CAST(pow(2, least(age_days, 62))
+                                         AS BIGINT)) AS BIGINT)
+                   AS score_fx,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM aged GROUP BY user_id
+    """,
+    doc="Half-life-decayed engagement score per user: each event's"
+    " fixed-point value halves per day of age (integer division by"
+    " 2^age_days — exact, associative, order-independent, no libm"
+    " exp() whose rounding differs per engine). The recency-weighted"
+    " feature recommender pipelines maintain; one partial-agg groupBy,"
+    " and the integer math means incremental daily maintenance is a"
+    " shift-and-add over stored partials.",
+)
+def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.max("ts").alias("now"))
+    aged = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("CAST(round(value * 10000, 0) AS BIGINT)").alias("value_fx"),
+        F.expr(
+            "datediff(date_trunc('day', now), date_trunc('day', ts))"
+        ).alias("age_days"),
+    )
+    decayed = F.expr(
+        "value_fx div CAST(pow(2, least(age_days, 62)) AS BIGINT)"
+    )
+    return aged.groupBy("user_id").agg(
+        F.sum(decayed).cast("bigint").alias("score_fx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )
