@@ -123,3 +123,62 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+@register(
+    "q_data_card",
+    oracle="""
+        WITH w AS (
+            SELECT doc_id, len(string_split(text, ' ')) AS n_words
+            FROM documents
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+            (SELECT CAST(count(DISTINCT lang) AS BIGINT) FROM documents)
+                AS n_langs,
+            (SELECT CAST(count(DISTINCT source) AS BIGINT) FROM documents)
+                AS n_sources,
+            (SELECT CAST(sum(n_words) AS BIGINT) FROM w) AS total_words,
+            (SELECT CAST(min(n_words) AS BIGINT) FROM w) AS min_words,
+            (SELECT CAST(max(n_words) AS BIGINT) FROM w) AS max_words,
+            (SELECT CAST(count(*) AS BIGINT) FROM w WHERE n_words >= 30)
+                AS n_docs_min_len,
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT sha256(text) FROM documents
+                GROUP BY sha256(text) HAVING count(*) > 1))
+                AS n_dup_content_groups
+    """,
+    doc="Corpus data card in ONE declarative plan: document/language/"
+    "source counts, token volume, length extremes, length-gate pass"
+    " count, and exact duplicate-content groups — the summary artifact"
+    " a training run records next to its data snapshot (datasheets-"
+    "for-datasets practice). Scalar subqueries fold into one job;"
+    " every number is an exact integer, oracle-identical.",
+)
+def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView(
+        "v_documents_card"
+    )
+    return spark.sql(
+        """
+        WITH w AS (
+            SELECT doc_id, size(split(text, ' ')) AS n_words
+            FROM v_documents_card
+        )
+        SELECT
+            (SELECT CAST(count(*) AS BIGINT) FROM v_documents_card) AS n_docs,
+            (SELECT CAST(count(DISTINCT lang) AS BIGINT)
+             FROM v_documents_card) AS n_langs,
+            (SELECT CAST(count(DISTINCT source) AS BIGINT)
+             FROM v_documents_card) AS n_sources,
+            (SELECT CAST(sum(n_words) AS BIGINT) FROM w) AS total_words,
+            (SELECT CAST(min(n_words) AS BIGINT) FROM w) AS min_words,
+            (SELECT CAST(max(n_words) AS BIGINT) FROM w) AS max_words,
+            (SELECT CAST(count(*) AS BIGINT) FROM w WHERE n_words >= 30)
+                AS n_docs_min_len,
+            (SELECT CAST(count(*) AS BIGINT) FROM (
+                SELECT sha2(text, 256) FROM v_documents_card
+                GROUP BY sha2(text, 256) HAVING count(*) > 1))
+                AS n_dup_content_groups
+        """
+    )
