@@ -750,3 +750,128 @@ def q_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(err_fx).cast("bigint").alias("abs_err_fx"),
         F.sum("code").cast("bigint").alias("code_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: keyword + vector rankings fused by RRF
+# ---------------------------------------------------------------------------
+
+RRF_K = 60  # the standard reciprocal-rank-fusion damping constant
+RRF_TOPN = 50  # per-ranker candidate list length
+_KW = ("data", "system", "table")  # the "query text" terms
+
+
+@register(
+    "q_hybrid_rrf",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        vec_rank AS (
+            SELECT vec_id AS doc_id,
+                   row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
+            FROM (
+                SELECT d.vec_id,
+                       d.dot / (n.nrm * (SELECT nrm FROM norms
+                                         WHERE vec_id = {QUERY_VEC_ID}))
+                           AS cosine
+                FROM (
+                    SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
+                    FROM vals v JOIN q ON v.pos = q.pos
+                    WHERE v.vec_id <> {QUERY_VEC_ID}
+                    GROUP BY v.vec_id
+                ) d JOIN norms n ON d.vec_id = n.vec_id
+            )
+            ORDER BY r LIMIT {RRF_TOPN}
+        ),
+        kw_rank AS (
+            SELECT doc_id,
+                   row_number() OVER (ORDER BY hits DESC, doc_id) AS r
+            FROM (
+                SELECT doc_id,
+                       CAST({' + '.join(
+                           f"len(list_filter(string_split(text, ' '),"
+                           f" x -> x = '{w}'))" for w in _KW
+                       )} AS BIGINT) AS hits
+                FROM documents
+            )
+            WHERE hits > 0
+            ORDER BY r LIMIT {RRF_TOPN}
+        )
+        SELECT coalesce(v.doc_id, k.doc_id) AS doc_id,
+               (CASE WHEN v.r IS NULL THEN 0.0
+                     ELSE 1.0 / ({RRF_K} + v.r) END)
+               + (CASE WHEN k.r IS NULL THEN 0.0
+                       ELSE 1.0 / ({RRF_K} + k.r) END) AS rrf_score
+        FROM vec_rank v FULL OUTER JOIN kw_rank k ON v.doc_id = k.doc_id
+        ORDER BY rrf_score DESC, doc_id
+        LIMIT {TOP_K}
+    """,
+    doc=f"Hybrid retrieval: a vector ranking (fixed-point cosine to the"
+    f" query embedding) and a keyword ranking (exact term-hit counts)"
+    f" each produce a top-{RRF_TOPN} list via TakeOrdered — never a"
+    " global sort — and reciprocal-rank fusion (1/(60+rank), the"
+    " standard RRF constant) merges them over a full outer join of the"
+    " two small lists. Ranks are integers from totally-ordered"
+    " row_numbers and the fusion is two exact divisions, so the fused"
+    " scores oracle-match. The keyword/vector fusion every modern"
+    " RAG/search stack runs; at 100 TB only the two top-k scans touch"
+    " the corpus.",
+)
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        )
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    vec_top = (
+        e.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .crossJoin(q)
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("doc_id"))
+        .limit(RRF_TOPN)
+    )
+    vec_rank = vec_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cosine"), F.asc("doc_id")))
+        .alias("vr"),
+    )
+    hits = F.expr(
+        " + ".join(
+            f"size(filter(split(text, ' '), x -> x = '{w}'))" for w in _KW
+        )
+    ).cast("bigint")
+    kw_top = (
+        docs.select("doc_id", hits.alias("hits"))
+        .filter(F.col("hits") > 0)
+        .orderBy(F.desc("hits"), F.asc("doc_id"))
+        .limit(RRF_TOPN)
+    )
+    kw_rank = kw_top.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("hits"), F.asc("doc_id")))
+        .alias("kr"),
+    )
+    fused = vec_rank.join(kw_rank, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.when(F.col("vr").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("vr"))
+            )
+            + F.when(F.col("kr").isNull(), F.lit(0.0)).otherwise(
+                F.lit(1.0) / (F.lit(RRF_K) + F.col("kr"))
+            )
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOP_K)
