@@ -225,3 +225,82 @@ def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("cnt_1h"),
         (F.sum("vfx").over(w).cast("double") / _SCALE).alias("sum_1h"),
     )
+
+
+@register(
+    "q_dist_drift",
+    oracle="""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        halves AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                   CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid_us FROM bounds)
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+            FROM events GROUP BY event_type
+        ),
+        tot AS (
+            SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+                   CAST(sum(n_new) AS BIGINT) AS t_new
+            FROM halves
+        )
+        SELECT h.event_type, h.n_old, h.n_new,
+               CAST(h.n_old AS DOUBLE) / t.t_old AS p_old,
+               CAST(h.n_new AS DOUBLE) / t.t_new AS p_new,
+               (CAST(h.n_new AS DOUBLE) / t.t_new
+                - CAST(h.n_old AS DOUBLE) / t.t_old)
+               * (CAST(h.n_new AS DOUBLE) / t.t_new
+                  - CAST(h.n_old AS DOUBLE) / t.t_old)
+               / (CAST(h.n_old AS DOUBLE) / t.t_old) AS chi2_term
+        FROM halves h CROSS JOIN tot t
+    """,
+    doc="Categorical distribution drift between the stream's first and"
+    " second time halves: per-type shares in each half plus the"
+    " chi-square contribution (p_new - p_old)^2 / p_old — the"
+    " ingest-monitoring check that flags a category surging or"
+    " vanishing. Integer counts + mirrored IEEE divisions (deliberately"
+    " no PSI: its ln() rounds differently per libm), so every float"
+    " oracle-matches. One conditional-aggregation scan + a 2-number"
+    " broadcast.",
+)
+def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # midpoint in exact epoch-micros (integer) — timestamp-interval
+    # halving rounds differently across engines; integers do not
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    halves = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.when(F.expr(us) < F.col("mid_us"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_old"),
+            F.sum(
+                F.when(F.expr(us) >= F.col("mid_us"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    tot = halves.agg(
+        F.sum("n_old").cast("bigint").alias("t_old"),
+        F.sum("n_new").cast("bigint").alias("t_new"),
+    )
+    p_old = F.col("n_old").cast("double") / F.col("t_old")
+    p_new = F.col("n_new").cast("double") / F.col("t_new")
+    return halves.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n_old",
+        "n_new",
+        p_old.alias("p_old"),
+        p_new.alias("p_new"),
+        ((p_new - p_old) * (p_new - p_old) / p_old).alias("chi2_term"),
+    )
