@@ -383,3 +383,49 @@ def q_decayed_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(decayed).cast("bigint").alias("score_fx"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "q_user_features",
+    oracle="""
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                   / 10000 AS total_value,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(max(epoch_us(ts)) AS BIGINT) AS last_seen_us,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_purchases,
+               CAST(sum(CASE WHEN event_type = 'error'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+        FROM events GROUP BY user_id
+    """,
+    doc="User feature-store snapshot in ONE scan: activity volume,"
+    " fixed-point exact value total, behavioral breadth (distinct"
+    " types), recency (last-seen epoch-micros), and conditional"
+    " purchase/error counts — the materialized per-entity feature row"
+    " online stores serve. Map-side partial aggregation makes the"
+    " shuffle one row per user; every value is exact, so the feature"
+    " table is reproducible across cluster layouts (the property"
+    " training/serving skew audits need).",
+)
+def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (
+            F.sum(F.expr("CAST(round(value * 10000, 0) AS BIGINT)"))
+            .cast("double")
+            / 10000
+        ).alias("total_value"),
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.max(F.expr("unix_micros(cast(ts as timestamp))"))
+        .cast("bigint")
+        .alias("last_seen_us"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchases"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_errors"),
+    )

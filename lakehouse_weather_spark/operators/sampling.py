@@ -351,3 +351,56 @@ def q_mix_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("u") < F.col("p_keep"))
         .select("doc_id", "domain", "p_keep")
     )
+
+
+@register(
+    "q_temporal_split",
+    oracle="""
+        WITH b AS (
+            SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+            FROM events
+        ),
+        cuts AS (
+            SELECT lo + CAST((hi - lo) * 8 AS BIGINT) / 10 AS cut_us,
+                   lo + CAST((hi - lo) * 75 AS BIGINT) / 100 AS gap_us
+            FROM b
+        )
+        SELECT CASE WHEN epoch_us(ts) < gap_us THEN 'train'
+                    WHEN epoch_us(ts) >= cut_us THEN 'test'
+                    ELSE 'gap' END AS split,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events CROSS JOIN cuts
+        GROUP BY 1
+    """,
+    doc="Temporal train/test split with a leakage gap: train ends at"
+    " 75% of the time range, test starts at 80%, and the 5% between is"
+    " DROPPED — the guard that stops near-boundary events leaking"
+    " label information across the split (hash splits cannot give this"
+    " property for time-dependent targets). Cutoffs are exact integer"
+    " epoch-micros arithmetic, so membership oracle-matches row for"
+    " row.",
+)
+def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    b = ev.agg(
+        F.expr(f"min({us})").alias("lo"), F.expr(f"max({us})").alias("hi")
+    )
+    cuts = b.select(
+        F.expr("lo + CAST((hi - lo) * 8 AS BIGINT) div 10").alias("cut_us"),
+        F.expr("lo + CAST((hi - lo) * 75 AS BIGINT) div 100").alias("gap_us"),
+    )
+    split = (
+        F.when(F.expr(us) < F.col("gap_us"), "train")
+        .when(F.expr(us) >= F.col("cut_us"), "test")
+        .otherwise("gap")
+    )
+    return (
+        ev.crossJoin(F.broadcast(cuts))
+        .groupBy(split.alias("split"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+    )
