@@ -221,3 +221,91 @@ def hll_overlap_estimate(
         "n_union": nu,
         "n_intersect": max(0.0, na + nb - nu),
     }
+
+
+@register(
+    "q_type_overlap",
+    oracle="""
+        WITH pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM events) a
+            JOIN (SELECT DISTINCT event_type FROM events) b
+              ON a.event_type < b.event_type
+        )
+        SELECT p.type_a, p.type_b,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+                 WHERE event_type = p.type_a) AS n_a,
+               (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events
+                 WHERE event_type = p.type_b) AS n_b,
+               (SELECT CAST(count(DISTINCT e1.user_id) AS BIGINT)
+                  FROM events e1
+                 WHERE e1.event_type = p.type_a
+                   AND EXISTS (SELECT 1 FROM events e2
+                                WHERE e2.event_type = p.type_b
+                                  AND e2.user_id = e1.user_id))
+                   AS n_shared
+        FROM pairs p
+    """,
+    doc="Exact audience-overlap matrix from MERGEABLE bitmap artifacts:"
+    " one bitmap per (event_type, bucket) — built in a single pass —"
+    " gives |A|, |B| directly and |A union B| by OR-merging, so"
+    " |A intersect B| = |A| + |B| - |A union B| by inclusion-exclusion"
+    " with NO pairwise join over raw users. The oracle recomputes each"
+    " overlap the expensive way (distinct + EXISTS); at 100 TB the"
+    " bitmap route touches the event log once and the k^2 pair math"
+    " runs over kilobyte summaries. Exact (bitmaps, not sketches).",
+)
+def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # one pass: per (type, bucket) bitmap partials
+    keyed = ev.select(
+        "event_type",
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    per_bucket = keyed.groupBy("event_type", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    singles = per_bucket.groupBy("event_type").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("n")
+    )
+    # pairwise: union cardinality by OR-merging the two types' bucket
+    # bitmaps (two rows per pair-bucket -> bitmap_or_agg -> popcount)
+    a = per_bucket.select(
+        F.col("event_type").alias("type_a"),
+        "bucket",
+        F.col("bm").alias("bm_a"),
+    )
+    b = per_bucket.select(
+        F.col("event_type").alias("type_b"),
+        "bucket",
+        F.col("bm").alias("bm_b"),
+    )
+    pair_buckets = (
+        a.join(b, "bucket")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            "bucket",
+            F.explode(F.array("bm_a", "bm_b")).alias("bm"),
+        )
+        .groupBy("type_a", "type_b", "bucket")
+        .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_bits"))
+    )
+    union_counts = pair_buckets.groupBy("type_a", "type_b").agg(
+        F.sum("n_bits").cast("bigint").alias("n_union")
+    )
+    sa = singles.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = singles.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        union_counts.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_shared"),
+        )
+    )
