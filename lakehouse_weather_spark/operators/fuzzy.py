@@ -117,3 +117,53 @@ def editdist_join(keyed: DataFrame) -> DataFrame:
     return cands.select(
         "doc_a", "doc_b", dist.alias("dist")
     ).filter(F.col("dist") <= EDIT_MAX)
+
+
+@register(
+    "q_fuzzy_clusters",
+    oracle=f"""
+        WITH RECURSIVE k AS (
+            SELECT doc_id, {_KEY_EXPR_DUCK} AS key FROM documents
+        ),
+        pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM k a JOIN k b ON a.doc_id < b.doc_id
+            WHERE levenshtein(a.key, b.key) <= {EDIT_MAX}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.n = e.b
+        )
+        SELECT n AS doc_id, min(r) AS cluster_rep
+        FROM reach GROUP BY n
+    """,
+    doc="Fuzzy-duplicate cluster consolidation: connected components"
+    " over the blocked edit-distance graph (PassJoin candidates +"
+    " exact levenshtein verify feed the same min-label propagation as"
+    " the jaccard clusters) — typo families and near-identical titles"
+    " collapse to one representative. Oracle replays brute-force pairs"
+    " + a recursive-CTE closure, so both the blocking AND the"
+    " clustering are certified end to end.",
+)
+def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import (
+        _checkpoint,
+        label_propagate,
+    )
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    keyed = docs.select("doc_id", F.expr(_KEY_EXPR_SPARK).alias("key"))
+    pairs = editdist_join(keyed).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+        )
+    )
+    labels = label_propagate(_checkpoint(edges))
+    return labels.select("doc_id", F.col("label").alias("cluster_rep"))
