@@ -369,3 +369,69 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             " slice(split(text, ' '), i, 5))), 1, 15), 16, 10) as bigint)))"
         ).alias("fingerprint"),
     )
+
+
+@register(
+    "q_keyword_extract",
+    oracle="""
+        WITH tf AS (
+            SELECT doc_id, word, CAST(count(*) AS BIGINT) AS tf
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+            GROUP BY doc_id, word
+        ),
+        df AS (
+            SELECT word, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tf GROUP BY word
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.word,
+                   CAST(t.tf AS DOUBLE) * n.n_docs / d.df AS score,
+                   row_number() OVER (
+                       PARTITION BY t.doc_id
+                       ORDER BY CAST(t.tf AS DOUBLE) * n.n_docs / d.df DESC,
+                                t.word
+                   ) AS rn
+            FROM tf t JOIN df d USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, score, CAST(rn AS INTEGER) AS rn
+        FROM scored WHERE rn <= 3
+    """,
+    doc="Keyword extraction: top-3 terms per document by the rational"
+    " tf-idf surrogate tf * N/df (one exact division — deliberately no"
+    " log-idf, whose libm rounding differs per engine; the RANKING it"
+    " induces is identical for single-term scores). One tf groupBy,"
+    " one df groupBy joined back on the term, a per-doc window for the"
+    " top-3 — the summarize/tag stage of corpus curation, shuffle-"
+    "bounded by the term and doc keys.",
+)
+def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = words.groupBy("doc_id", "word").agg(
+        F.count(F.lit(1)).cast("bigint").alias("tf")
+    )
+    df = tf.groupBy("word").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("df")
+    )
+    n = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    score = F.col("tf").cast("double") * F.col("n_docs") / F.col("df")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("word")
+    )
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "word", score.alias("score"))
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return scored.filter(F.col("rn") <= 3).select(
+        "doc_id", "word", "score", F.col("rn").cast("int").alias("rn")
+    )
