@@ -887,3 +887,138 @@ def update_clusters(labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
         "doc_id",
         F.coalesce(resolved.label, base.cluster_rep).alias("cluster_rep"),
     )
+
+
+def _minhash_estimate_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(({a} * (h % {P}) + {b}) % {P}) AS s{k}"
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        + " || '-' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_hash FROM sig"
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(N_HASHES)
+    )
+    return f"""
+        WITH {_DUCK_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+{band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS i
+            FROM cand c
+            JOIN sh x ON x.doc_id = c.doc_a
+            JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               CAST(({matches}) AS BIGINT) AS n_matching,
+               CAST(({matches}) AS DOUBLE) / {N_HASHES} AS jaccard_est,
+               CAST(coalesce(i.i, 0) AS DOUBLE)
+                   / (sa.n + sb.n - coalesce(i.i, 0)) AS jaccard_exact
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register(
+    "q_minhash_estimate",
+    oracle=_minhash_estimate_oracle(),
+    doc=f"MinHash estimator audit: for every LSH candidate pair, the"
+    f" signature-based Jaccard estimate (matching minima / {N_HASHES})"
+    " NEXT TO the exact shingle-set Jaccard — the number that justifies"
+    " trusting stored signatures instead of re-shingling the corpus."
+    " The estimate needs only the kilobyte signature artifact; the"
+    " exact value joins shingles for candidates alone (no all-pairs)."
+    " Both are integer-derived, so estimate AND truth oracle-match.",
+)
+def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    bands = _band_table(sig)
+    b2 = bands.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("band_idx").alias("bi2"),
+        F.col("band_hash").alias("bh2"),
+    )
+    cand = (
+        bands.join(
+            b2,
+            (bands.band_idx == b2.bi2)
+            & (bands.band_hash == b2.bh2)
+            & (bands.doc_id < b2.doc_b),
+        )
+        .select(F.col("doc_id").alias("doc_a"), "doc_b")
+        .distinct()
+    )
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    n_matching = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(N_HASHES)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    # exact jaccard for candidates ONLY: restrict the shingle join to
+    # the candidate pair set — no all-pairs fan-out
+    sh = _spark_shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    i0 = F.coalesce(F.col("i"), F.lit(0).cast("bigint"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            n_matching.alias("n_matching"),
+            (n_matching.cast("double") / N_HASHES).alias("jaccard_est"),
+            (
+                i0.cast("double") / (F.col("na") + F.col("nb") - i0)
+            ).alias("jaccard_exact"),
+        )
+    )
