@@ -304,3 +304,48 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_new.alias("p_new"),
         ((p_new - p_old) * (p_new - p_old) / p_old).alias("chi2_term"),
     )
+
+
+@register(
+    "q_interarrival_hist",
+    oracle="""
+        WITH gaps AS (
+            SELECT event_type,
+                   epoch_us(ts) // 1000000
+                   - lag(epoch_us(ts) // 1000000) OVER (
+                       PARTITION BY event_type ORDER BY ts, event_id
+                   ) AS gap_s
+            FROM events
+        )
+        SELECT event_type,
+               CAST(CASE WHEN gap_s = 0 THEN 0
+                         ELSE length(bin(gap_s)) END AS INTEGER)
+                   AS log2_bucket,
+               CAST(count(*) AS BIGINT) AS n_gaps
+        FROM gaps WHERE gap_s IS NOT NULL
+        GROUP BY 1, 2
+    """,
+    doc="Inter-arrival-time histogram per event type, bucketed by"
+    " floor(log2(gap seconds)) — burstiness vs steady-rate diagnosis"
+    " for ingest monitoring. The log2 bucket is length(bin(n)) — the"
+    " binary-digit count, an exact integer identical in both engines —"
+    " so no libm log2 enters the hashed output. One key-partitioned"
+    " lag window + a tiny groupBy.",
+)
+def q_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    secs = F.expr("unix_micros(cast(ts as timestamp)) div 1000000")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "event_type", (secs - F.lag(secs).over(w)).alias("gap_s")
+    ).filter(F.col("gap_s").isNotNull())
+    bucket = (
+        F.when(F.col("gap_s") == 0, 0)
+        .otherwise(F.length(F.expr("bin(gap_s)")))
+        .cast("int")
+    )
+    return gaps.groupBy(
+        "event_type", bucket.alias("log2_bucket")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
