@@ -1022,3 +1022,72 @@ def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard_exact"),
         )
     )
+
+
+@register(
+    "q_dedup_savings",
+    oracle="""
+        WITH toks AS (
+            SELECT doc_id,
+                   sha256(substr(text, 1, 80)) AS h,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        grp AS (
+            SELECT h,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+            FROM toks GROUP BY h
+        ),
+        kept AS (
+            SELECT g.h, g.n_docs, g.total_tokens, g.keep_doc_id,
+                   t.n_tokens AS kept_tokens
+            FROM grp g JOIN toks t
+              ON t.doc_id = g.keep_doc_id AND t.h = g.h
+        )
+        SELECT h AS content_hash, n_docs, keep_doc_id,
+               total_tokens - kept_tokens AS wasted_tokens
+        FROM kept
+        WHERE n_docs > 1
+        ORDER BY wasted_tokens DESC, content_hash
+        LIMIT 20
+    """,
+    doc="Dedup savings report: for each duplicate-content group, the"
+    " token volume RECLAIMED by keeping only the min-doc_id survivor —"
+    " the number that justifies the dedup stage's cost in a training-"
+    "data budget review. One hash groupBy + a keeper join-back;"
+    " top-20 by waste via TakeOrdered. All integer counts,"
+    " oracle-exact.",
+)
+def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.sha2(F.substring("text", 1, 80), 256).alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    grp = toks.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.min("doc_id").cast("bigint").alias("keep_doc_id"),
+    )
+    keeper = toks.select(
+        F.col("doc_id").alias("keep_doc_id"),
+        F.col("h"),
+        F.col("n_tokens").alias("kept_tokens"),
+    )
+    return (
+        grp.join(keeper, ["keep_doc_id", "h"])
+        .filter(F.col("n_docs") > 1)
+        .select(
+            F.col("h").alias("content_hash"),
+            "n_docs",
+            "keep_doc_id",
+            (F.col("total_tokens") - F.col("kept_tokens")).alias(
+                "wasted_tokens"
+            ),
+        )
+        .orderBy(F.desc("wasted_tokens"), F.asc("content_hash"))
+        .limit(20)
+    )
