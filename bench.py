@@ -80,6 +80,10 @@ HEADLINE = [
     "q_interval_merge",
     "q_event_pattern",
     "q_abc_classification",
+    "q_keyword_extract",
+    "q_fuzzy_clusters",
+    "q_user_features",
+    "q_hybrid_rrf",
 ]
 
 
