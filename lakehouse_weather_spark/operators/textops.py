@@ -435,3 +435,56 @@ def q_keyword_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.filter(F.col("rn") <= 3).select(
         "doc_id", "word", "score", F.col("rn").cast("int").alias("rn")
     )
+
+
+@register(
+    "q_readability",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+                        AS BIGINT) AS n_sentences,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                   CAST(greatest(len(regexp_extract_all(lower(text),
+                        '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+            FROM documents
+        )
+        SELECT doc_id, n_sentences, n_words, n_syllables,
+               206.835
+               - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+               - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words)
+                   AS flesch_score
+        FROM m
+    """,
+    doc="Flesch reading-ease per document from three deterministic"
+    " counts — sentence terminators, words, and vowel-group syllable"
+    " proxies (regexp_extract_all lengths, identical in Java and RE2"
+    " for these classes) — combined by the classic formula as mirrored"
+    " IEEE arithmetic. Narrow scan-speed text featurization; the"
+    " readability band is a standard pretraining quality signal"
+    " alongside the Gopher repetition metrics.",
+)
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    n_sent = F.greatest(
+        F.expr("size(regexp_extract_all(text, '[.!?]+', 0))"), F.lit(1)
+    ).cast("bigint")
+    n_words = F.size(F.split("text", " ")).cast("bigint")
+    n_syll = F.greatest(
+        F.expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))"),
+        F.lit(1),
+    ).cast("bigint")
+    m = docs.select(
+        "doc_id",
+        n_sent.alias("n_sentences"),
+        n_words.alias("n_words"),
+        n_syll.alias("n_syllables"),
+    )
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("n_words").cast("double") / F.col("n_sentences"))
+        - F.lit(84.6)
+        * (F.col("n_syllables").cast("double") / F.col("n_words"))
+    )
+    return m.withColumn("flesch_score", score)
