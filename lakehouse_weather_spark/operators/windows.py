@@ -207,3 +207,64 @@ def q_win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.nth_value("event_id", 3).over(full).alias("third_event_id"),
         F.last(big, ignorenulls=True).over(running).alias("last_big_value"),
     )
+
+
+@register(
+    "q_point_in_time_features",
+    oracle="""
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_prior_events,
+               CAST(coalesce(sum(CAST(round(value * 10000) AS BIGINT))
+                             OVER w, 0) AS DOUBLE) / 10000
+                   AS prior_value_total,
+               CAST(coalesce(sum(CASE WHEN event_type = 'error'
+                                      THEN 1 ELSE 0 END) OVER w, 0)
+                    AS BIGINT) AS n_prior_errors
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        QUALIFY event_type = 'purchase'
+    """,
+    doc="Point-in-time-correct feature join: for every purchase, the"
+    " user's feature state computed from STRICTLY EARLIER events only"
+    " (frame ends at 1 PRECEDING over the total (ts, event_id) order)"
+    " — the leakage guarantee feature stores call PIT correctness,"
+    " which a naive join to a feature snapshot silently violates. One"
+    " key-partitioned window, fixed-point value totals, oracle-exact.",
+)
+def q_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    zero = F.lit(0).cast("bigint")
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            "ts",
+            "event_type",
+            F.count(F.lit(1)).over(w).cast("bigint").alias("n_prior_events"),
+            (
+                F.coalesce(
+                    F.sum(
+                        F.expr("CAST(round(value * 10000, 0) AS BIGINT)")
+                    ).over(w),
+                    zero,
+                ).cast("double")
+                / 10000
+            ).alias("prior_value_total"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("event_type") == "error", 1).otherwise(0)
+                ).over(w),
+                zero,
+            )
+            .cast("bigint")
+            .alias("n_prior_errors"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .drop("event_type")
+    )
