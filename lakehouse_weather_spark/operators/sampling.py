@@ -404,3 +404,74 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
         )
     )
+
+
+@register(
+    "q_negative_samples",
+    oracle="""
+        WITH tagged AS (
+            SELECT user_id,
+                   event_type || '_' ||
+                   CAST(least(CAST(floor(value * 10) AS BIGINT), 9)
+                        AS VARCHAR) AS item
+            FROM events
+        ),
+        users AS (SELECT DISTINCT user_id FROM tagged),
+        items AS (SELECT DISTINCT item FROM tagged),
+        seen AS (SELECT DISTINCT user_id, item FROM tagged),
+        unseen AS (
+            SELECT u.user_id, i.item
+            FROM users u CROSS JOIN items i
+            WHERE NOT EXISTS (SELECT 1 FROM seen s
+                              WHERE s.user_id = u.user_id
+                                AND s.item = i.item)
+        )
+        SELECT user_id, item FROM (
+            SELECT user_id, item,
+                   row_number() OVER (
+                       PARTITION BY user_id
+                       ORDER BY CAST(('0x' || substr(md5(
+                           'neg_' || user_id || '_' || item
+                       ), 1, 15)) AS BIGINT), item
+                   ) AS rn
+            FROM unseen
+        ) WHERE rn <= 2
+    """,
+    doc="Deterministic negative sampling for recommendation training:"
+    " per user, up to 2 item classes they have NEVER interacted with,"
+    " picked by md5 order (never rand() — the negative set must be"
+    " reproducible across reruns and cluster layouts or training is"
+    " not). Candidate grid = users x item vocabulary minus the seen"
+    " anti-join; at real scale the vocabulary side is the broadcast"
+    " dimension and the per-user window is shuffle-bounded by user.",
+)
+def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    # pseudo-item vocabulary: (event_type, value decile) — 50 items,
+    # coarse enough to broadcast, fine enough that every user has
+    # genuinely unseen items
+    tagged = ev.select(
+        "user_id",
+        F.expr(
+            "concat(event_type, '_',"
+            " cast(least(CAST(floor(value * 10) AS BIGINT), 9) as string))"
+        ).alias("item"),
+    )
+    users = tagged.select("user_id").distinct()
+    items = tagged.select("item").distinct()
+    seen = tagged.distinct()
+    unseen = users.crossJoin(F.broadcast(items)).join(
+        seen, ["user_id", "item"], "left_anti"
+    )
+    order_h = F.expr(
+        "cast(conv(substr(md5(concat('neg_', cast(user_id as string),"
+        " '_', item)), 1, 15), 16, 10) as bigint)"
+    )
+    w = Window.partitionBy("user_id").orderBy(order_h, F.asc("item"))
+    return (
+        unseen.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 2)
+        .select("user_id", "item")
+    )
