@@ -271,3 +271,46 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(orders, cust, "o_custkey").select(
         "o_orderkey", "o_custkey", "c_nationkey"
     )
+
+
+@register(
+    "q_join_range_banded",
+    oracle="""
+        SELECT p.event_id AS probe_id, e.event_id
+        FROM (SELECT * FROM events WHERE event_id % 997 = 0) p
+        JOIN events e
+          ON e.ts >= p.ts
+         AND e.ts < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+    doc="The SAME 1-hour range join as q_join_range, executed as an"
+    " EQUI-join on hour bands: a 1-hour window spans at most 2 hour"
+    " buckets, so each probe replicates to its band and the next one,"
+    " the build side keys by its own band, and the planner gets a hash"
+    " join key — the O(|probe| x |events|) nested-loop becomes"
+    " band-partitioned work, the trick that makes interval joins"
+    " feasible when BOTH sides are large. The band refine keeps"
+    " exactness (identical oracle to the nested-loop form, same"
+    " result set), and the plan gate asserts no BroadcastNestedLoop"
+    " remains.",
+)
+def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    band = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    e = events.select("event_id", "ts", band.alias("band"))
+    probe = events.filter(F.col("event_id") % 997 == 0).select(
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").alias("probe_ts"),
+        band.alias("pband"),
+    )
+    # a [t, t+1h) window intersects bands pband and pband+1 only
+    probe_rep = probe.withColumn(
+        "band", F.explode(F.array(F.col("pband"), F.col("pband") + 1))
+    )
+    return (
+        probe_rep.join(e, "band")
+        .filter(
+            (F.col("ts") >= F.col("probe_ts"))
+            & (F.col("ts") < F.col("probe_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("probe_id", "event_id")
+    )
