@@ -1091,3 +1091,98 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("wasted_tokens"), F.asc("content_hash"))
         .limit(20)
     )
+
+
+SIMHASH_HAMMING_MAX = 1  # report pairs within this hamming distance
+_SIMHASH_BLOCKS = SIMHASH_HAMMING_MAX + 1  # pigeonhole blocks (2 x 8 bits)
+_SIMHASH_BLOCK_BITS = 16 // _SIMHASH_BLOCKS
+
+
+@register(
+    "q_simhash_neardup",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        bits AS (
+            SELECT doc_id,
+               {",               ".join(
+                   f"sum(CASE WHEN (({_DUCK_H.format(expr='word')}) >> {i}) & 1 = 1"
+                   f" THEN 1 ELSE -1 END) AS b{i}"
+                   for i in range(16)
+               )}
+            FROM words GROUP BY doc_id
+        ),
+        codes AS (
+            SELECT doc_id,
+                   CAST({" + ".join(
+                       f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
+                       for i in range(16)
+                   )} AS BIGINT) AS simhash
+            FROM bits
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER)
+                   AS hamming
+        FROM codes a JOIN codes b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
+    """,
+    doc=f"SimHash near-dup pairs (Manku et al., WWW'07): the 16-bit"
+    f" signatures split into {_SIMHASH_BLOCKS} blocks of"
+    f" {_SIMHASH_BLOCK_BITS} bits; any"
+    f" pair within hamming {SIMHASH_HAMMING_MAX} shares at least one"
+    " identical block (pigeonhole), so candidates come from ONE"
+    " equi-join on (block index, block value) and the exact"
+    " bit_count(xor) verify is narrow — no all-pairs scan. The oracle"
+    " IS the brute-force all-pairs hamming join, so a gate pass proves"
+    " the block scheme loses no pair. The signature-level complement"
+    " to MinHash: one 16-bit int per doc instead of a shingle set.",
+)
+def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    codes = q_simhash(spark, sf_dir)
+    blocks = codes.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(
+                            f"(simhash >> {i * _SIMHASH_BLOCK_BITS})"
+                            f" & {(1 << _SIMHASH_BLOCK_BITS) - 1}"
+                        ).alias("bv"),
+                    )
+                    for i in range(_SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "simhash", F.col("g.i").alias("i"), F.col("g.bv").alias("bv")
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+        F.col("i").alias("i2"),
+        F.col("bv").alias("bv2"),
+    )
+    cands = (
+        blocks.join(
+            right,
+            (blocks.i == right.i2)
+            & (blocks.bv == right.bv2)
+            & (blocks.doc_id < right.doc_b),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            F.col("simhash").alias("sim_a"),
+            "sim_b",
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    hamming = F.expr("bit_count(sim_a ^ sim_b)").cast("int")
+    return cands.select(
+        "doc_a", "doc_b", hamming.alias("hamming")
+    ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
