@@ -349,3 +349,108 @@ def q_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy(
         "event_type", bucket.alias("log2_bucket")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_gaps"))
+
+
+@register(
+    "q_winsorize",
+    oracle="""
+        WITH fx AS (
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS v_fx
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, v_fx,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY v_fx) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM fx
+        ),
+        bounds AS (
+            SELECT event_type,
+                   min(CASE WHEN rn = greatest((n * 5) // 100, 1)
+                            THEN v_fx END) AS lo_fx,
+                   min(CASE WHEN rn = least((n * 95) // 100 + 1, n)
+                            THEN v_fx END) AS hi_fx
+            FROM ranked GROUP BY event_type
+        )
+        SELECT f.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN f.v_fx < b.lo_fx
+                             OR f.v_fx > b.hi_fx
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped,
+               CAST(b.lo_fx AS DOUBLE) / 10000 AS lo,
+               CAST(b.hi_fx AS DOUBLE) / 10000 AS hi,
+               CAST(sum(least(greatest(f.v_fx, b.lo_fx), b.hi_fx))
+                    AS DOUBLE) / 10000 / count(*) AS winsorized_mean
+        FROM fx f JOIN bounds b USING (event_type)
+        GROUP BY f.event_type, b.lo_fx, b.hi_fx
+    """,
+    doc="Winsorized statistics per event type: clip bounds are EXACT"
+    " 5th/95th order statistics of the fixed-point values (rank"
+    " windows, integer index arithmetic — no impl-defined"
+    " percentile_approx), values clamp to [lo, hi], and the winsorized"
+    " mean accumulates as exact integers — the robust-mean"
+    " preprocessing that stops tail outliers from dominating scale"
+    " normalization. Key-partitioned rank windows + one groupBy;"
+    " bounds and means oracle-match bit-for-bit.",
+)
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.select(
+        "event_type",
+        F.expr("CAST(round(value * 10000, 0) AS BIGINT)").alias("v_fx"),
+    )
+    w = Window.partitionBy("event_type").orderBy("v_fx")
+    ranked = fx.select(
+        "event_type",
+        "v_fx",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n"),
+    )
+    bounds = ranked.groupBy("event_type").agg(
+        F.min(
+            F.when(
+                F.col("rn") == F.greatest(F.expr("(n * 5) div 100"), F.lit(1)),
+                F.col("v_fx"),
+            )
+        ).alias("lo_fx"),
+        F.min(
+            F.when(
+                F.col("rn") == F.least(F.expr("(n * 95) div 100 + 1"), F.col("n")),
+                F.col("v_fx"),
+            )
+        ).alias("hi_fx"),
+    )
+    clamped = F.least(F.greatest(F.col("v_fx"), F.col("lo_fx")), F.col("hi_fx"))
+    return (
+        fx.join(bounds, "event_type")
+        .groupBy("event_type", "lo_fx", "hi_fx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    (F.col("v_fx") < F.col("lo_fx"))
+                    | (F.col("v_fx") > F.col("hi_fx")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_clipped"),
+            F.sum(clamped).alias("s_fx"),
+        )
+        .select(
+            "event_type",
+            "n",
+            "n_clipped",
+            (F.col("lo_fx").cast("double") / 10000).alias("lo"),
+            (F.col("hi_fx").cast("double") / 10000).alias("hi"),
+            (F.col("s_fx").cast("double") / 10000 / F.col("n")).alias(
+                "winsorized_mean"
+            ),
+        )
+    )
