@@ -45,8 +45,10 @@ _QUALITY_ORACLE = f"""
         FROM documents
     ), b AS (
         SELECT doc_id, w, n,
-               list_transform(generate_series(1, n - 1),
-                              i -> w[i] || ' ' || w[i + 1]) AS bg
+               CASE WHEN n > 1
+                    THEN list_transform(generate_series(1, n - 1),
+                                        i -> w[i] || ' ' || w[i + 1])
+                    ELSE [] END AS bg
         FROM s
     ), m AS (
         SELECT doc_id,
@@ -56,9 +58,11 @@ _QUALITY_ORACLE = f"""
                CAST(list_max(list_transform(list_distinct(w),
                         u -> len(list_filter(w, x -> x = u)))) AS DOUBLE)
                    / n AS top_word_frac,
-               CAST(list_max(list_transform(list_distinct(bg),
-                        u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
-                   / (n - 1) AS top_bigram_frac,
+               CASE WHEN n > 1
+                    THEN CAST(list_max(list_transform(list_distinct(bg),
+                             u -> len(list_filter(bg, x -> x = u)))) AS DOUBLE)
+                         / (n - 1)
+                    ELSE NULL END AS top_bigram_frac,
                CAST(list_sum(list_transform(w, u -> len(u))) AS DOUBLE) / n
                    AS mean_word_len
         FROM b
@@ -93,13 +97,20 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.split("text", " ").alias("w"),
         F.size(F.split("text", " ")).alias("n"),
     )
+    # n <= 1 guard: sequence(1, 0) is DESCENDING [1, 0] in Spark (not
+    # empty like DuckDB's generate_series), so a single-word doc would
+    # otherwise produce a garbage bigram array and a top_bigram count
+    # of 1 where the oracle yields NULL. Emit an empty array and (below)
+    # a NULL top_bigram_frac for degenerate docs on both engines.
     with_bigrams = with_words.select(
         "doc_id",
         "w",
         "n",
         F.expr(
-            "transform(sequence(1, n - 1),"
-            " i -> concat(element_at(w, i), ' ', element_at(w, i + 1)))"
+            "IF(n > 1,"
+            " transform(sequence(1, n - 1),"
+            "  i -> concat(element_at(w, i), ' ', element_at(w, i + 1))),"
+            " array())"
         ).alias("bg"),
     )
     w = F.col("w")
@@ -132,9 +143,9 @@ def q_quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.size(F.array_distinct(w)).cast("double") / F.col("n")
         ).alias("dup_word_frac"),
         (top_count("w").cast("double") / F.col("n")).alias("top_word_frac"),
-        (top_count("bg").cast("double") / (F.col("n") - 1)).alias(
-            "top_bigram_frac"
-        ),
+        F.when(
+            F.col("n") > 1, top_count("bg").cast("double") / (F.col("n") - 1)
+        ).alias("top_bigram_frac"),
         (sum_lens.cast("double") / F.col("n")).alias("mean_word_len"),
     )
     keep = (

@@ -261,7 +261,19 @@ _DUCK_SEED_H = "CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BI
 
 def _fxround_np(x):
     """Half-away-from-zero to int64 — replicates Spark round() and
-    DuckDB round() bit-exactly (numpy's own round() is half-to-even)."""
+    DuckDB round() (numpy's own round() is half-to-even).
+
+    Known approximation: sign(x)*floor(abs(x)+0.5) works in float64, so
+    inputs within 1 ulp of a .5 boundary (e.g. 0.49999999999999994,
+    where abs(x)+0.5 rounds up to exactly 1.0 in binary) can round up
+    while Spark/DuckDB's exact-decimal HALF_UP keeps them down. Safe
+    here because every caller feeds FX-scaled dot products of
+    {FX_SCALE}-quantized inputs: after the multiply-accumulate the
+    fractional part is never within 1 ulp of .5 unless it IS .5 (the
+    operands are integer-valued floats divided by a power of 10), and
+    the q_vector_* oracle hashes confirm bit-parity at every SF tested.
+    If a future kernel feeds raw un-quantized floats, switch to an
+    exact path (decimal fallback for values within 1 ulp of .5)."""
     import numpy as np
 
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)

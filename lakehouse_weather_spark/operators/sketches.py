@@ -270,26 +270,27 @@ def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.bitmap_count("bm")).cast("bigint").alias("n")
     )
     # pairwise: union cardinality by OR-merging the two types' bucket
-    # bitmaps (two rows per pair-bucket -> bitmap_or_agg -> popcount)
-    a = per_bucket.select(
-        F.col("event_type").alias("type_a"),
-        "bucket",
-        F.col("bm").alias("bm_a"),
-    )
-    b = per_bucket.select(
-        F.col("event_type").alias("type_b"),
-        "bucket",
-        F.col("bm").alias("bm_b"),
-    )
-    pair_buckets = (
-        a.join(b, "bucket")
-        .filter(F.col("type_a") < F.col("type_b"))
-        .select(
-            "type_a",
-            "type_b",
-            "bucket",
-            F.explode(F.array("bm_a", "bm_b")).alias("bm"),
+    # bitmaps. Route every (type, bucket, bm) row to every pair the type
+    # participates in via two broadcast equi-joins against the tiny pair
+    # list, then union-all — so a bucket populated by only ONE of the
+    # two types still contributes its bits to n_union (an inner join on
+    # bucket would drop such exclusive buckets and overcount n_shared).
+    types = per_bucket.select("event_type").distinct()
+    pairs = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
         )
+    )
+    contrib_a = per_bucket.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_a")
+    ).select("type_a", "type_b", "bucket", "bm")
+    contrib_b = per_bucket.join(
+        F.broadcast(pairs), F.col("event_type") == F.col("type_b")
+    ).select("type_a", "type_b", "bucket", "bm")
+    pair_buckets = (
+        contrib_a.unionByName(contrib_b)
         .groupBy("type_a", "type_b", "bucket")
         .agg(F.bitmap_count(F.bitmap_or_agg("bm")).alias("n_bits"))
     )

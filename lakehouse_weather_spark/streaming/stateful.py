@@ -297,7 +297,12 @@ def stream_heavy_users(
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
-    name = f"hh_{abs(hash(checkpoint_dir)) % 10_000_000}"
+    # Stable digest, not Python hash(): str hash is salted per
+    # interpreter and mod-1e7 collisions across distinct checkpoint
+    # dirs could silently read/replace another run's memory sink.
+    import hashlib
+
+    name = "hh_" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
     q = (
         stream.writeStream.format("memory")
         .queryName(name)

@@ -68,7 +68,7 @@ def test_schema_evolution_merge(spark, sf_dir, tmp_path):
     assert merged.filter("ingest_tag IS NULL").count() == docs.count()
 
 
-def test_schema_evolution_merge(spark, tmp_path):
+def test_schema_evolution_merge_synthetic(spark, tmp_path):
     """Additive schema evolution across parquet file generations:
     mergeSchema unifies old (no `lang`) and new (with `lang`) files —
     old rows read back with NULL lang, no rewrite of historical data.

@@ -194,3 +194,66 @@ def test_bloom_no_false_negatives_and_merge(spark, sf_dir):
     # probing the merged filter finds every key from both halves
     verdicts = bloom_probe(merged, a.union(b).distinct(), "user_id")
     assert verdicts.filter(~F.col("bloom_maybe")).count() == 0
+
+
+def test_type_overlap_counts_exclusive_buckets(spark, tmp_path):
+    """Regression: a bitmap bucket populated by only ONE of the two
+    event types must still contribute its bits to n_union. With
+    user_ids {1, 40000} for type A and {1} for type B (40000 lands in
+    a different 32768-wide bitmap bucket), the true overlap is 1; an
+    inner join on bucket dropped A's exclusive bucket from the union
+    and reported n_shared=2."""
+    import datetime as dt
+
+    rows = [
+        (1, dt.datetime(2024, 1, 1), 1, "A", 1.0, "{}"),
+        (2, dt.datetime(2024, 1, 1), 40000, "A", 1.0, "{}"),
+        (3, dt.datetime(2024, 1, 1), 1, "B", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp_ntz, user_id long,"
+        " event_type string, value double, props string",
+    ).write.parquet(str(tmp_path / "events.parquet"))
+
+    out = load_all()["q_type_overlap"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.type_a, r.type_b) == ("A", "B")
+    assert r.n_a == 2 and r.n_b == 1
+    assert r.n_shared == 1
+
+
+def test_quality_repetition_single_word_doc(spark, tmp_path):
+    """Regression: an n=1 doc (no bigrams) must yield NULL
+    top_bigram_frac and keep=0 on BOTH engines — Spark's
+    sequence(1, 0) is descending [1, 0], not empty, so an unguarded
+    bigram transform produced garbage, and the run-length top_count
+    returned 1 on the junk array where the DuckDB oracle gives NULL."""
+    import duckdb
+
+    spark.createDataFrame(
+        [(1, "solo", "en", "t", 4), (2, "two words here repeated", "en", "t", 24)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.parquet(str(tmp_path / "documents.parquet"))
+
+    spec = load_all()["q_quality_repetition"]
+    got = {r.doc_id: r for r in spec.fn(spark, str(tmp_path)).collect()}
+    assert got[1].top_bigram_frac is None
+    assert got[1].keep == 0
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    want = {
+        r[0]: r
+        for r in con.execute(spec.oracle).fetchall()
+    }
+    for doc_id, row in want.items():
+        g = got[doc_id]
+        assert (g.top_bigram_frac is None) == (row[4] is None)
+        if g.top_bigram_frac is not None:
+            assert abs(g.top_bigram_frac - row[4]) < 1e-12
+        assert g.keep == row[6]
