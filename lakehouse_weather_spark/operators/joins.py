@@ -166,19 +166,37 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
          AND e.ts < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
     """,
     doc="Non-equi range (theta) join: all events within 1 hour after each"
-    " probed event. At scale: band-join via bucketed time prefix + equi"
-    " pre-filter; here the probe side is tiny so Spark broadcasts it and"
-    " runs a nested-loop probe.",
+    " probed event — executed as an EQUI-join on hour bands, the default"
+    " because it is the only formulation that survives when BOTH sides"
+    " are large: a 1-hour window spans at most 2 hour buckets, so each"
+    " probe replicates to its band and the next one, the build side keys"
+    " by its own band, and the planner gets a hash-join key instead of an"
+    " O(|probe| x |events|) nested loop. The band refine keeps exactness;"
+    " the plan gate asserts no BroadcastNestedLoop remains. The naive"
+    " nested-loop twin is kept as q_join_range_naive for the didactic"
+    " plan comparison.",
 )
 def q_join_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
+    band = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
+    e = events.select("event_id", "ts", band.alias("band"))
     probe = events.filter(F.col("event_id") % 997 == 0).select(
-        F.col("event_id").alias("probe_id"), F.col("ts").alias("probe_ts")
+        F.col("event_id").alias("probe_id"),
+        F.col("ts").alias("probe_ts"),
+        band.alias("pband"),
     )
-    cond = (events.ts >= probe.probe_ts) & (
-        events.ts < probe.probe_ts + F.expr("INTERVAL 1 HOUR")
+    # a [t, t+1h) window intersects bands pband and pband+1 only
+    probe_rep = probe.withColumn(
+        "band", F.explode(F.array(F.col("pband"), F.col("pband") + 1))
     )
-    return F.broadcast(probe).join(events, cond).select("probe_id", "event_id")
+    return (
+        probe_rep.join(e, "band")
+        .filter(
+            (F.col("ts") >= F.col("probe_ts"))
+            & (F.col("ts") < F.col("probe_ts") + F.expr("INTERVAL 1 HOUR"))
+        )
+        .select("probe_id", "event_id")
+    )
 
 
 @register(
@@ -274,7 +292,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q_join_range_banded",
+    "q_join_range_naive",
     oracle="""
         SELECT p.event_id AS probe_id, e.event_id
         FROM (SELECT * FROM events WHERE event_id % 997 = 0) p
@@ -282,35 +300,19 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
           ON e.ts >= p.ts
          AND e.ts < CAST(p.ts AS TIMESTAMP) + INTERVAL 1 HOUR
     """,
-    doc="The SAME 1-hour range join as q_join_range, executed as an"
-    " EQUI-join on hour bands: a 1-hour window spans at most 2 hour"
-    " buckets, so each probe replicates to its band and the next one,"
-    " the build side keys by its own band, and the planner gets a hash"
-    " join key — the O(|probe| x |events|) nested-loop becomes"
-    " band-partitioned work, the trick that makes interval joins"
-    " feasible when BOTH sides are large. The band refine keeps"
-    " exactness (identical oracle to the nested-loop form, same"
-    " result set), and the plan gate asserts no BroadcastNestedLoop"
-    " remains.",
+    doc="The SAME 1-hour range join as q_join_range, written as a plain"
+    " theta join: Spark broadcasts the tiny probe side and runs an"
+    " O(|probe| x |events|) BroadcastNestedLoopJoin. Kept deliberately"
+    " as the didactic twin of the banded default — fine when one side"
+    " is guaranteed small, a scale-killer when both grow; the plan test"
+    " asserts the pair's contrasting physical plans.",
 )
-def q_join_range_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_join_range_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    band = F.expr("unix_micros(cast(ts as timestamp)) div 3600000000")
-    e = events.select("event_id", "ts", band.alias("band"))
     probe = events.filter(F.col("event_id") % 997 == 0).select(
-        F.col("event_id").alias("probe_id"),
-        F.col("ts").alias("probe_ts"),
-        band.alias("pband"),
+        F.col("event_id").alias("probe_id"), F.col("ts").alias("probe_ts")
     )
-    # a [t, t+1h) window intersects bands pband and pband+1 only
-    probe_rep = probe.withColumn(
-        "band", F.explode(F.array(F.col("pband"), F.col("pband") + 1))
+    cond = (events.ts >= probe.probe_ts) & (
+        events.ts < probe.probe_ts + F.expr("INTERVAL 1 HOUR")
     )
-    return (
-        probe_rep.join(e, "band")
-        .filter(
-            (F.col("ts") >= F.col("probe_ts"))
-            & (F.col("ts") < F.col("probe_ts") + F.expr("INTERVAL 1 HOUR"))
-        )
-        .select("probe_id", "event_id")
-    )
+    return F.broadcast(probe).join(events, cond).select("probe_id", "event_id")

@@ -4,12 +4,16 @@ Spark ladder — row Python UDF (slowest, only for genuinely scalar
 Python logic), Arrow pandas_udf (scalar + grouped-agg), and
 mapInPandas / UDTF-via-explode (covered in textops/medallion).
 
-``q_udf_urljoin`` deliberately uses a *row* Python UDF wrapping
+``q_udf_urljoin`` uses a scalar Python UDF wrapping
 ``urllib.parse.urljoin`` — the reference's exact logic
 (``dags/utils/crawl_web.py:91``). The oracle replicates the
 relative-URL resolution rules in SQL for the synthetic inputs, so this
-is the one place a row UDF is oracle-checked. Everything hot stays off
-this path (see test_plans.py's no-Python-UDF gate for relational ops).
+is the one place a Python scalar UDF is oracle-checked. It runs with
+``useArrow=True`` so batches cross the JVM/Python boundary as Arrow
+columns rather than pickled rows — the per-element Python call remains
+(that IS the §2.11 surface being demonstrated), but the serialization
+path is the vectorized one. Everything hot stays off this path entirely
+(see test_plans.py's no-Python-UDF gate for relational ops).
 """
 
 from __future__ import annotations
@@ -25,7 +29,7 @@ from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
 
-@F.udf(StringType(), useArrow=False)
+@F.udf(StringType(), useArrow=True)
 def _urljoin_udf(base, href):
     return urljoin(base or "", href or "")
 
@@ -47,10 +51,12 @@ def _urljoin_udf(base, href):
             FROM documents
         )
     """,
-    doc="Relative->absolute URL resolution via a row Python UDF wrapping"
-    " urllib.parse.urljoin (ref: crawl_web.py:91). Base is"
-    " 'https://<source>/a/b.html'; the three href shapes (relative,"
-    " root-relative, absolute) cover urljoin's main branches.",
+    doc="Relative->absolute URL resolution via an Arrow-serialized"
+    " scalar Python UDF wrapping urllib.parse.urljoin (ref:"
+    " crawl_web.py:91). Base is 'https://<source>/a/b.html'; the three"
+    " href shapes (relative, root-relative, absolute) cover urljoin's"
+    " main branches. useArrow=True removes the row-pickle path while"
+    " keeping the scalar-Python-UDF surface the registry demonstrates.",
 )
 def q_udf_urljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

@@ -77,12 +77,13 @@ _QUERY_MODULES = [
 _loaded = False
 
 # Queries already green in a prior driver correctness record
-# (CORRECTNESS_r01.json). The external gate walks the registry in order
-# and may stop after a fixed budget, so load_all() floats every query
-# NOT yet in a driver record to the front — new and previously-uncut
-# queries get gate coverage first, while these keep their standing
-# record.
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The external gate walks
+# the registry in order and may stop after a fixed budget, so load_all()
+# floats every query NOT yet in a driver record to the front — new and
+# previously-uncut queries get gate coverage first, while these keep
+# their standing record.
 _PRIOR_VERIFIED = frozenset({
+    # --- round 1 record ---
     "q_scan_documents", "q_scan_parquet", "q_scan_events",
     "q_project_rename", "q_filter_notnull", "q_filter_nonempty",
     "q_filter_contains", "q_filter_links", "q_coalesce_defaults",
@@ -97,7 +98,31 @@ _PRIOR_VERIFIED = frozenset({
     "q_str_regex_clean", "q_html_strip", "q_str_sha2",
     "q_str_parse_url", "q_str_filename", "q_str_endswith",
     "q_str_extra", "q_histogram", "q_date_format",
+    # --- round 2 record ---
+    "q_bigram_novelty", "q_bitmap_distinct", "q_chunk_recursive",
+    "q_chunk_split", "q_containment", "q_decontaminate",
+    "q_dedup_clusters", "q_dedup_content", "q_dedup_hash",
+    "q_dedup_keep_best", "q_dedup_paragraphs", "q_dedup_savings",
+    "q_editdist_neardup", "q_embed_centroid", "q_embed_neardup",
+    "q_embed_sq8", "q_fuzzy_clusters", "q_heavy_hitters",
+    "q_hll_distinct", "q_hybrid_rrf", "q_keyword_extract",
+    "q_lang_doc_stats", "q_minhash_estimate", "q_minhash_neardup",
+    "q_mix_temperature", "q_mix_weighted", "q_negative_samples",
+    "q_ngram_jaccard", "q_pack_sequences", "q_pii_redact",
+    "q_quality_repetition", "q_readability", "q_sample_hash",
+    "q_sample_quality_weighted", "q_sample_stratified", "q_simhash",
+    "q_simhash_neardup", "q_split_assign", "q_temporal_split",
+    "q_text_fingerprint", "q_text_langid", "q_text_quality",
+    "q_text_tokens", "q_token_packing", "q_type_overlap",
+    "q_vector_topk", "q_vector_topk_ivf", "q_vector_topk_lsh",
+    "q_vector_topk_pq", "q_word_topk",
 })
+
+# Queries first registered in round 3 (no driver record yet, but also
+# not part of the 70-query backlog the round-3 gate must drain). They
+# order AFTER the backlog so they cannot displace it from the gate's
+# ~50-query window; the round-4 rotation picks them up.
+_ROUND3_NEW: frozenset[str] = frozenset()
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -120,7 +145,14 @@ def load_all() -> dict[str, QuerySpec]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
-        ordered = {n: s for n, s in REGISTRY.items() if n not in _PRIOR_VERIFIED}
+        ordered = {
+            n: s
+            for n, s in REGISTRY.items()
+            if n not in _PRIOR_VERIFIED and n not in _ROUND3_NEW
+        }
+        ordered.update(
+            {n: s for n, s in REGISTRY.items() if n in _ROUND3_NEW}
+        )
         ordered.update(
             {n: s for n, s in REGISTRY.items() if n in _PRIOR_VERIFIED}
         )

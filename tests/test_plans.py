@@ -172,11 +172,13 @@ def test_q20_having_subquery_decorrelates_to_semi(spark, sf_dir):
 
 def test_banded_range_join_is_hash_join(spark, sf_dir):
     # the band trick's whole point: the interval join plans as an
-    # equi (hash/sort-merge) join on the band key, not a nested loop
-    plan = _plan(spark, sf_dir, "q_join_range_banded")
+    # equi (hash/sort-merge) join on the band key, not a nested loop —
+    # and it is the DEFAULT q_join_range, so no caller can pick the
+    # scale-killer by accident
+    plan = _plan(spark, sf_dir, "q_join_range")
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
-    # the plain formulation DOES nested-loop (broadcast probe) — the
+    # the naive formulation DOES nested-loop (broadcast probe) — the
     # pair documents the tradeoff
-    plan_plain = _plan(spark, sf_dir, "q_join_range")
+    plan_plain = _plan(spark, sf_dir, "q_join_range_naive")
     assert "BroadcastNestedLoopJoin" in plan_plain
