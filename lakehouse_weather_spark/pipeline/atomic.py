@@ -22,16 +22,31 @@ This module provides the minimal lakehouse commit protocol instead:
   sees the old version, after it the new one. A crashed writer leaves
   only an orphaned uncommitted version directory, cleaned up by the
   next successful ``publish``.
+
+Concurrent writers are safe: the expensive data write lands in a
+unique staging directory with no coordination, and the cheap commit
+(version-number claim + pointer replace + prune) is serialized under an
+``O_CREAT|O_EXCL`` lock file — the POSIX-local analog of an object
+store's conditional put. Two simultaneous ``publish`` calls both
+succeed, claim distinct version numbers, and the later claim wins the
+pointer; no committed version is ever lost or half-visible.
 """
 
 from __future__ import annotations
 
 import os
+import time
+import uuid
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
+_LOCK = "._LOCK"
+# A crashed writer's lock (or staging dir) older than this is reclaimed.
+# The critical section is milliseconds (rename + pointer replace +
+# prune), so a minute of mtime silence means the holder is gone.
+_STALE_SECS = 60.0
 
 
 def current_version(table_dir: str) -> str | None:
@@ -57,47 +72,114 @@ def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
     return spark.read.parquet(resolve(table_dir))
 
 
+def _acquire_lock(table_dir: str, timeout: float = 30.0) -> str:
+    """Claim the table's commit lock via O_CREAT|O_EXCL — the atomic
+    create-if-absent every POSIX filesystem (and, as a conditional put,
+    every object store) provides. A lock whose mtime is older than
+    ``_STALE_SECS`` belongs to a crashed writer and is broken."""
+    lock = os.path.join(table_dir, _LOCK)
+    deadline = time.monotonic() + timeout
+    while True:
+        try:
+            fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, str(os.getpid()).encode())
+            os.close(fd)
+            return lock
+        except FileExistsError:
+            try:
+                if time.time() - os.path.getmtime(lock) > _STALE_SECS:
+                    os.unlink(lock)  # crashed holder; retry the claim
+                    continue
+            except FileNotFoundError:
+                continue  # released between our check and stat
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"commit lock busy for {timeout}s: {lock}"
+                ) from None
+            time.sleep(0.005)
+
+
 def publish(
     table_dir: str,
     write_fn: Callable[[str], None],
     keep: int = 2,
 ) -> str:
-    """Write the next version via ``write_fn(version_path)``, then
+    """Write the next version via ``write_fn(staging_path)``, then
     atomically commit it. Returns the committed version path.
+
+    Concurrency protocol: the data write happens in a unique hidden
+    staging directory with no lock held (so slow writes from many
+    writers overlap freely); the commit — claim the next version number
+    by renaming staging into place, replace the pointer, prune — is a
+    few metadata ops serialized under the table's lock file. Commits
+    therefore apply in lock-acquisition order and the pointer only ever
+    moves forward: with N racing writers every one commits a distinct
+    version and the last to commit is the one readers see
+    (last-writer-wins, nothing lost — predecessors stay readable as
+    retained versions).
 
     ``keep`` committed predecessors are retained for readers that
     resolved the pointer just before the commit (and as cheap time
-    travel); older versions and orphaned uncommitted directories are
-    pruned after the commit point."""
+    travel); older versions, orphaned version directories, and stale
+    staging directories of crashed writers are pruned inside the
+    critical section."""
     os.makedirs(table_dir, exist_ok=True)
-    committed = current_version(table_dir)
-    existing = sorted(
-        (d for d in os.listdir(table_dir) if d.startswith("v") and d[1:].isdigit()),
-        key=lambda d: int(d[1:]),
-    )
-    last = int(existing[-1][1:]) if existing else 0
-    version = f"v{last + 1:06d}"
-    write_fn(os.path.join(table_dir, version))
+    staging = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
+    write_fn(staging)
 
-    # commit point: atomic pointer replace
-    tmp = os.path.join(table_dir, f".{_POINTER}.tmp")
-    with open(tmp, "w") as fh:
-        fh.write(version)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.replace(tmp, os.path.join(table_dir, _POINTER))
+    lock = _acquire_lock(table_dir)
+    try:
+        committed = current_version(table_dir)
+        existing = sorted(
+            (
+                d
+                for d in os.listdir(table_dir)
+                if d.startswith("v") and d[1:].isdigit()
+            ),
+            key=lambda d: int(d[1:]),
+        )
+        last = int(existing[-1][1:]) if existing else 0
+        version = f"v{last + 1:06d}"
+        os.rename(staging, os.path.join(table_dir, version))
 
-    # prune: keep the new version, `keep` committed predecessors, and
-    # drop everything else (including orphans of crashed writers)
-    retain = {version}
-    if committed is not None and committed in existing:
-        older = [d for d in existing if int(d[1:]) <= int(committed[1:])]
-        retain.update(older[-keep:])
-    import shutil
+        # commit point: atomic pointer replace
+        tmp = os.path.join(table_dir, f".{_POINTER}.tmp")
+        with open(tmp, "w") as fh:
+            fh.write(version)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp, os.path.join(table_dir, _POINTER))
 
-    for d in existing:
-        if d not in retain:
-            shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+        # prune: keep the new version and `keep` committed
+        # predecessors; drop older versions and crash orphans. Only
+        # numbers BELOW ours are candidates — under the lock no other
+        # writer can hold a claimed-but-uncommitted directory, so
+        # anything below us that we don't retain is dead.
+        retain = {version}
+        if committed is not None and committed in existing:
+            older = [d for d in existing if int(d[1:]) <= int(committed[1:])]
+            retain.update(older[-keep:])
+        import shutil
+
+        for d in existing:
+            if d not in retain and int(d[1:]) < int(version[1:]):
+                shutil.rmtree(os.path.join(table_dir, d), ignore_errors=True)
+        # staging dirs with old mtimes belong to writers that died
+        # mid-write; live writers' staging stays untouched
+        now = time.time()
+        for d in os.listdir(table_dir):
+            if d.startswith(".stage-"):
+                p = os.path.join(table_dir, d)
+                try:
+                    if now - os.path.getmtime(p) > _STALE_SECS:
+                        shutil.rmtree(p, ignore_errors=True)
+                except FileNotFoundError:
+                    pass
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
     return os.path.join(table_dir, version)
 
 

@@ -67,6 +67,46 @@ BRONZE_SCHEMA = StructType(
 )
 
 # ---------------------------------------------------------------------------
+# Schema evolution (additive drift tolerance)
+# ---------------------------------------------------------------------------
+
+
+def conform(df: DataFrame, schema: StructType, keep_extra: bool = True) -> DataFrame:
+    """Defaulted projection onto ``schema``: declared fields that are
+    missing from ``df`` come back as typed NULLs, declared fields that
+    exist are cast to their declared type, and (by default) new fields
+    the producer added are carried through untouched.
+
+    This is the engine's version of the reference's defensive field
+    access (``chunks_data.py:82`` ``.get(...)`` with defaults,
+    ``seed_milvus.py:53-59`` metadata defaulting): a medallion layer
+    keeps working when an upstream run adds or drops a column, instead
+    of hard-failing on a closed StructType. Purely a projection — no
+    shuffle, no data rewrite; historical files are never touched."""
+    declared = {f.name for f in schema.fields}
+    have = set(df.columns)
+    cols = [
+        (
+            F.col(f.name).cast(f.dataType)
+            if f.name in have
+            else F.lit(None).cast(f.dataType)
+        ).alias(f.name)
+        for f in schema.fields
+    ]
+    if keep_extra:
+        cols += [F.col(n) for n in df.columns if n not in declared]
+    return df.select(*cols)
+
+
+def read_bronze(spark: SparkSession, out_dir: str) -> DataFrame:
+    """Evolution-tolerant bronze read: JSON schema inference unions the
+    keys seen across all file generations (old files simply lack the
+    new keys), then ``conform`` pins the declared bronze fields to
+    their types and defaults the ones a given generation is missing."""
+    return conform(spark.read.json(f"{out_dir}/bronze"), BRONZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
 # Pluggable transforms (deterministic defaults; prod backends plug in)
 # ---------------------------------------------------------------------------
 
@@ -142,10 +182,10 @@ def run_bronze(spark: SparkSession, sf_dir: str, out_dir: str) -> DataFrame:
 def run_silver(spark: SparkSession, out_dir: str) -> DataFrame:
     """Bronze JSON -> validated chunks -> atomic overwrite of silver
     (ref: chunks_data.py:69-124; the non-atomic delete-then-write at
-    :58-59 becomes mode('overwrite'))."""
-    bronze = (
-        spark.read.schema(BRONZE_SCHEMA).json(f"{out_dir}/bronze")
-    )
+    :58-59 becomes mode('overwrite')). Reads bronze through the
+    evolution-tolerant path, so a bronze generation that added or
+    dropped a field still chunks cleanly."""
+    bronze = read_bronze(spark, out_dir)
     chunks = (
         bronze.filter(F.col("page_content").isNotNull() & (F.length("page_content") > 0))
         .select(
@@ -218,8 +258,26 @@ def run_gold(
     seed_milvus.py:71-84; metadata defaults at :53-59). Both external
     transforms are injectable with deterministic defaults: ``clean_fn``
     is the LLM-cleaning seam (agent_clean_data.py:13-48), ``embed_fn``
-    the embedding-model seam (seed_milvus.py:19,33)."""
-    silver = spark.read.parquet(f"{out_dir}/silver")
+    the embedding-model seam (seed_milvus.py:19,33).
+
+    Metadata defaulting mirrors ``seed_milvus.py:53-59``: title /
+    description / content_type fall back to their defaults whether the
+    column is absent entirely (older silver generation) or NULL for a
+    given row — the mergeSchema read plus ``conform`` handles both."""
+    silver = conform(
+        spark.read.option("mergeSchema", "true").parquet(f"{out_dir}/silver"),
+        StructType(
+            [
+                StructField("doc_id", LongType()),
+                StructField("chunk_id", IntegerType()),
+                StructField("source", StringType()),
+                StructField("content_type", StringType()),
+                StructField("split_content", StringType()),
+                StructField("title", StringType()),
+                StructField("description", StringType()),
+            ]
+        ),
+    )
 
     clean_udf = F.pandas_udf(clean_fn, StringType())
     cleaned = silver.select(
@@ -228,8 +286,10 @@ def run_gold(
         "source",
         clean_udf(F.col("split_content")).alias("cleaned_content"),
         F.coalesce(F.col("content_type"), F.lit("text/plain")).alias("content_type"),
-        F.lit("Untitled").alias("title"),
-        F.lit("No description available").alias("description"),
+        F.coalesce(F.col("title"), F.lit("Untitled")).alias("title"),
+        F.coalesce(
+            F.col("description"), F.lit("No description available")
+        ).alias("description"),
     ).filter(F.length("cleaned_content") > 0)
 
     embed_map, out_schema = _embed_map_factory(embed_fn)
@@ -244,7 +304,7 @@ def run_pipeline(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, in
     silver = run_silver(spark, out_dir)
     gold = run_gold(spark, out_dir)
     return {
-        "bronze": spark.read.schema(BRONZE_SCHEMA).json(f"{out_dir}/bronze").count(),
+        "bronze": read_bronze(spark, out_dir).count(),
         "silver": spark.read.parquet(f"{out_dir}/silver").count(),
         "gold": spark.read.parquet(f"{out_dir}/gold_embeddings").count(),
     }

@@ -249,3 +249,96 @@ def test_update_clusters_equals_full_recompute(spark):
     assert got == want
     # spot: merged cluster takes the global min rep
     assert (11, 1) in got and (99, 30) in got and (41, 40) in got
+
+
+def test_concurrent_publish_last_writer_wins(tmp_path):
+    """Two (here: eight) simultaneous publish calls must all commit
+    distinct versions with no lost table: the staged write happens
+    unlocked, the version claim + pointer swap serialize under the
+    table lock, and the final pointer names a complete version from
+    one of the racing writers (last lock-holder wins; its predecessors
+    stay readable as retained versions)."""
+    import json
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        current_version,
+        list_versions,
+        publish,
+        resolve,
+    )
+
+    table = str(tmp_path / "vt_race")
+    n_writers = 8
+
+    def write_one(writer_id):
+        def write_fn(path):
+            os.makedirs(path)
+            # multi-file write: a torn publish would be visible as a
+            # missing part or mixed writer_ids within one version
+            for part in range(3):
+                with open(os.path.join(path, f"part-{part}.json"), "w") as fh:
+                    json.dump({"writer": writer_id, "part": part}, fh)
+
+        return publish(table, write_fn, keep=n_writers)
+
+    with ThreadPoolExecutor(max_workers=n_writers) as pool:
+        paths = list(pool.map(write_one, range(n_writers)))
+
+    # every writer committed a DISTINCT version directory
+    assert len(set(paths)) == n_writers
+    versions = [os.path.basename(p) for p in paths]
+    assert sorted(versions) == sorted(list_versions(table))
+
+    # the pointer names the highest-numbered (last-committed) version
+    assert current_version(table) == max(versions)
+    assert resolve(table) == os.path.join(table, max(versions))
+
+    # no torn version anywhere: each retained version is complete and
+    # single-writer
+    for v in list_versions(table):
+        vdir = os.path.join(table, v)
+        parts = sorted(os.listdir(vdir))
+        assert parts == ["part-0.json", "part-1.json", "part-2.json"]
+        writers = {
+            json.load(open(os.path.join(vdir, p)))["writer"] for p in parts
+        }
+        assert len(writers) == 1
+
+    # no leftover staging or lock artifacts
+    leftovers = [
+        d for d in os.listdir(table) if d.startswith((".stage-", "._LOCK"))
+    ]
+    assert leftovers == []
+
+
+def test_concurrent_publish_prune_respects_live_claims(tmp_path):
+    """keep=0 pruning under contention: racing writers must never
+    delete a version another writer just committed as current, and the
+    surviving pointer always resolves to a complete directory."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        publish,
+        read_version,  # noqa: F401  (import proves API intact)
+        resolve,
+    )
+
+    table = str(tmp_path / "vt_race2")
+
+    def write_one(writer_id):
+        def write_fn(path):
+            os.makedirs(path)
+            with open(os.path.join(path, "data.txt"), "w") as fh:
+                fh.write(str(writer_id))
+
+        return publish(table, write_fn, keep=0)
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        list(pool.map(write_one, range(6)))
+
+    final = resolve(table)
+    assert os.path.isdir(final)
+    assert open(os.path.join(final, "data.txt")).read() in {
+        str(i) for i in range(6)
+    }

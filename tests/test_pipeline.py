@@ -288,3 +288,90 @@ def test_canonical_url_is_idempotent(spark):
     assert got["https://example.com:443/"] == "https://example.com/"
     assert got["https://example.com"] == "https://example.com/"
     assert got["http://example.com:8080/path/"] == "http://example.com:8080/path"
+
+
+def test_bronze_schema_evolution_between_runs(spark, sf_dir, tmp_path):
+    """Schema drift tolerance (ref parity: chunks_data.py:82 and
+    seed_milvus.py:53-59 tolerate missing keys defensively): a later
+    bronze producer generation ADDS a field (crawl_depth) and DROPS one
+    (content_type). The evolution-tolerant read must union both
+    generations, default the dropped field to NULL, type every declared
+    field, carry the new field through, and silver must still chunk the
+    mixed input."""
+    import json as jsonlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.pipeline.medallion import (
+        read_bronze,
+        run_bronze,
+        run_silver,
+    )
+
+    out = str(tmp_path / "lake")
+    run_bronze(spark, sf_dir, out)
+    n_gen1 = read_bronze(spark, out).count()
+
+    # generation 2: a new producer writes JSON objects with crawl_depth
+    # but no content_type, into a fresh ingest_date partition
+    gen2_dir = os.path.join(out, "bronze", "ingest_date=2025-01-01")
+    os.makedirs(gen2_dir, exist_ok=True)
+    with open(os.path.join(gen2_dir, "part-gen2.json"), "w") as fh:
+        for i in range(5):
+            fh.write(
+                jsonlib.dumps(
+                    {
+                        "doc_id": 10_000_000 + i,
+                        "page_content": f"evolved document {i} body text",
+                        "source": "gen2.example",
+                        "crawl_depth": i,
+                    }
+                )
+                + "\n"
+            )
+
+    bronze = read_bronze(spark, out)
+    assert bronze.count() == n_gen1 + 5
+    # declared field dropped by gen2 -> typed NULL, not a crash
+    assert bronze.schema["content_type"].dataType.typeName() == "string"
+    gen2 = bronze.filter(F.col("doc_id") >= 10_000_000)
+    assert gen2.filter(F.col("content_type").isNull()).count() == 5
+    # new field carried through for consumers that know about it
+    assert "crawl_depth" in bronze.columns
+    assert gen2.agg(F.max("crawl_depth")).first()[0] == 4
+    # old generation reads the new field as NULL
+    assert (
+        bronze.filter(F.col("doc_id") < 10_000_000)
+        .filter(F.col("crawl_depth").isNotNull())
+        .count()
+        == 0
+    )
+
+    # downstream silver still builds over the mixed generations
+    chunks = run_silver(spark, out)
+    assert (
+        chunks.filter(F.col("doc_id") >= 10_000_000).count() == 5
+    )  # short docs -> one chunk each
+
+
+def test_gold_defaults_metadata_for_older_silver(spark, sf_dir, tmp_path):
+    """A silver generation that predates the title/description columns
+    (and even content_type) still seeds gold with the documented
+    defaults — absent COLUMN and NULL value behave identically."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.pipeline.medallion import run_gold
+
+    out = str(tmp_path / "lake2")
+    spark.createDataFrame(
+        [(1, 0, "s.example", "some chunk body")],
+        "doc_id long, chunk_id int, source string, split_content string",
+    ).write.parquet(f"{out}/silver")
+
+    gold = run_gold(spark, out)
+    row = gold.collect()[0]
+    assert row.title == "Untitled"
+    assert row.description == "No description available"
+    assert row.content_type == "text/plain"
+    assert len(row.embedding) > 0
