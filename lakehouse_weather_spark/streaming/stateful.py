@@ -7,10 +7,14 @@ on Spark's arbitrary-state API ladder:
 - **transformWithStateInPandas** (Spark 4 StatefulProcessor, RocksDB
   state store): the preferred backend — typed ValueState, timers, TTL,
   independent state evolution. It needs ``google.protobuf`` in the
-  Python workers (the driver<->state-server protocol is protobuf);
-  this container does not ship protobuf, so the backend is gated on
-  ``HAS_TWS_DEPS`` and exercised where the dependency exists
-  (tests/test_stateful.py skips it cleanly otherwise).
+  Python workers (the driver<->state-server protocol is protobuf).
+  This container does not ship protobuf on sys.path, but a pure-Python
+  copy rides along inside the preinstalled Google Cloud SDK;
+  ``_ensure_protobuf`` discovers it, exports it to driver AND worker
+  interpreters (sys.path + PYTHONPATH, set before the JVM boots), and
+  flips protobuf's own documented escape hatch for the one-minor
+  gencode/runtime gap. The backend stays gated on ``HAS_TWS_DEPS`` and
+  skips cleanly on hosts with no protobuf anywhere.
 - **applyInPandasWithState** (GroupState): dependency-free fallback
   with the same output contract, fully tested here multi-batch.
 
@@ -36,12 +40,56 @@ from pyspark.sql.types import (
     StructType,
 )
 
-try:
-    # find_spec on a dotted name imports the parent package, so a
-    # missing `google` namespace raises instead of returning None
-    HAS_TWS_DEPS = importlib.util.find_spec("google.protobuf") is not None
-except ModuleNotFoundError:
-    HAS_TWS_DEPS = False
+def _find_protobuf() -> bool:
+    try:
+        # find_spec on a dotted name imports the parent package, so a
+        # missing `google` namespace raises instead of returning None
+        return importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        return False
+
+
+# Known on-disk pure-Python protobuf distributions on hosts that do not
+# ship it on sys.path (the Google Cloud SDK vendors one). Checked only
+# when the normal import fails; nothing outside these paths is touched.
+_PROTOBUF_FALLBACK_ROOTS = (
+    "/usr/lib/google-cloud-sdk/platform/google_appengine",
+)
+
+
+def _ensure_protobuf() -> bool:
+    """Make ``google.protobuf`` importable in driver and workers if any
+    fallback distribution exists. Must run before the SparkSession's
+    JVM starts so local-mode Python workers inherit PYTHONPATH. The
+    vendored runtime can trail pyspark's gencode by a minor version
+    (6.32 vs 6.33); protobuf's own documented override
+    (TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK) bridges exactly that
+    gap — cross-version loading within a major is wire-compatible."""
+    if _find_protobuf():
+        return True
+    import os
+    import sys
+
+    for root in _PROTOBUF_FALLBACK_ROOTS:
+        if not os.path.isdir(os.path.join(root, "google", "protobuf")):
+            continue
+        os.environ.setdefault(
+            "TEMPORARILY_DISABLE_PROTOBUF_VERSION_CHECK", "true"
+        )
+        if root not in sys.path:
+            sys.path.append(root)
+        parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if root not in parts:
+            os.environ["PYTHONPATH"] = os.pathsep.join(
+                [p for p in parts if p] + [root]
+            )
+        importlib.invalidate_caches()
+        if _find_protobuf():
+            return True
+    return False
+
+
+HAS_TWS_DEPS = _ensure_protobuf()
 
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
