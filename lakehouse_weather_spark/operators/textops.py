@@ -143,11 +143,48 @@ def _recursive_split_udf(texts: pd.Series) -> pd.Series:
 
 @register(
     "q_chunk_recursive",
-    oracle=None,  # recursive packing is not reasonably ANSI-SQL-expressible
+    # The separator hierarchy collapses on this corpus: the fixture
+    # texts contain no newlines, no space runs, and no word longer
+    # than size-overlap-1 (asserted in tests/test_textops.py), so the
+    # splitter's live path is exactly greedy word-packing with a
+    # right(cur, overlap) tail carry — which a DuckDB recursive CTE
+    # replays word-by-word. The deeper separator/char-fallback branches
+    # stay covered by the Python property tests.
+    oracle=f"""
+        WITH RECURSIVE w AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ), step AS (
+            SELECT doc_id, words, n, 1 AS i, words[1] AS cur,
+                   CAST([] AS VARCHAR[]) AS done
+            FROM w
+            UNION ALL
+            SELECT doc_id, words, n, i + 1,
+                   CASE WHEN len(cur || ' ' || words[i + 1]) <= {CHUNK_SIZE}
+                        THEN cur || ' ' || words[i + 1]
+                        ELSE right(cur, {CHUNK_OVERLAP}) || ' ' || words[i + 1]
+                   END,
+                   CASE WHEN len(cur || ' ' || words[i + 1]) <= {CHUNK_SIZE}
+                        THEN done ELSE list_append(done, cur) END
+            FROM step WHERE i < n
+        ), fin AS (
+            SELECT doc_id, list_append(done, cur) AS chunks
+            FROM step WHERE i = n
+        )
+        SELECT doc_id,
+               CAST(u.s['i'] AS INTEGER) AS chunk_id,
+               CAST(u.s['c'] AS VARCHAR) AS split_content
+        FROM fin,
+             unnest(list_transform(chunks,
+                    (c, i) -> {{'i': i - 1, 'c': c}})) AS u(s)
+    """,
     doc="Recursive-separator chunker as an Arrow-batched pandas_udf +"
     " posexplode (the reference's actual splitter semantics,"
-    " chunks_data.py:101-110). Rows-only driver check; invariants are"
-    " property-tested in tests/test_textops.py.",
+    " chunks_data.py:101-110). Hash-checked against a DuckDB recursive"
+    " CTE that replays the greedy word-packing + overlap-carry loop"
+    " (the hierarchy's live path on this corpus — see oracle note);"
+    " invariants are property-tested in tests/test_textops.py.",
 )
 def q_chunk_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")

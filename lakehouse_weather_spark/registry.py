@@ -99,7 +99,10 @@ _PRIOR_VERIFIED = frozenset({
     "q_str_parse_url", "q_str_filename", "q_str_endswith",
     "q_str_extra", "q_histogram", "q_date_format",
     # --- round 2 record ---
-    "q_bigram_novelty", "q_bitmap_distinct", "q_chunk_recursive",
+    # (q_chunk_recursive deliberately absent: its r02 record was
+    # rows-only; it gained a real oracle in r3 and should re-record
+    # as hash-checked)
+    "q_bigram_novelty", "q_bitmap_distinct",
     "q_chunk_split", "q_containment", "q_decontaminate",
     "q_dedup_clusters", "q_dedup_content", "q_dedup_hash",
     "q_dedup_keep_best", "q_dedup_paragraphs", "q_dedup_savings",

@@ -78,3 +78,48 @@ def test_recursive_split_plain():
     chunks = recursive_split(text)
     assert all(len(c) <= CHUNK_SIZE for c in chunks)
     assert chunks[0].startswith("para one")
+
+
+def test_recursive_oracle_assumptions_hold_on_corpus(spark, sf_dir):
+    """The q_chunk_recursive DuckDB oracle replays only the greedy
+    word-packing branch of the splitter; that is exact iff the corpus
+    has no newlines, no space runs, no edge spaces, and no word long
+    enough to trigger the char fallback. Assert those preconditions on
+    the fixture so a future testdata generation that violates them
+    fails HERE with a clear message instead of as an oracle mismatch."""
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bad = docs.filter(
+        F.col("text").contains("\n")
+        | F.col("text").contains("  ")
+        | F.col("text").startswith(" ")
+        | F.col("text").endswith(" ")
+        | (F.col("text") == "")
+        | F.col("text").isNull()
+        | F.exists(
+            F.split("text", " "),
+            lambda w: F.length(w) > CHUNK_SIZE - CHUNK_OVERLAP - 1,
+        )
+    ).count()
+    assert bad == 0, (
+        "corpus violates q_chunk_recursive oracle preconditions;"
+        " the recursive-CTE oracle no longer replays the live path"
+    )
+
+
+def test_recursive_split_matches_python_reference(spark, sf_dir):
+    """End-to-end: the Spark pandas_udf output equals a driver-side
+    replay of recursive_split for every fixture doc (the oracle gate
+    re-proves this against DuckDB; this is the Python-side anchor)."""
+    from lakehouse_weather_spark.registry import load_all
+
+    out = load_all()["q_chunk_recursive"].fn(spark, sf_dir).collect()
+    got: dict[int, dict[int, str]] = {}
+    for r in out:
+        got.setdefault(r.doc_id, {})[r.chunk_id] = r.split_content
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    for d in docs:
+        expect = recursive_split(d.text)
+        chunks = [got[d.doc_id][i] for i in range(len(got.get(d.doc_id, {})))]
+        assert chunks == expect, d.doc_id
