@@ -84,6 +84,17 @@ HEADLINE = [
     "q_fuzzy_clusters",
     "q_user_features",
     "q_hybrid_rrf",
+    # round-3 additions: the heaviest previously-unbenched families
+    "q_corpus_curation",
+    "q_data_card",
+    "q_pagerank_neardup",
+    "q_simhash_neardup",
+    "q_scd2_intervals",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q22",
+    "q_point_in_time_features",
+    "q_chunk_recursive",
 ]
 
 

@@ -24,7 +24,12 @@ N_ITER = 5
 DAMPING = 0.85
 
 
-def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -> DataFrame:
+def pagerank(
+    edges: DataFrame,
+    n_iter: int = N_ITER,
+    damping: float = DAMPING,
+    checkpoint_every: int = 3,
+) -> DataFrame:
     """PageRank over a directed edge list (src, dst) -> (node, rank).
 
     Per iteration: each node sends rank/out_degree along its out-edges
@@ -32,20 +37,27 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     associative), then rank = (1-d)/N + d * received. Nodes with no
     in-edges keep the teleport term. Scale shape per iteration: one
     broadcast-or-shuffle join of ranks onto edges + one partial-agg
-    shuffle on dst; ranks checkpoint every iteration to cut lineage."""
+    shuffle on dst.
+
+    Callers pass a CHECKPOINTED edge list (it anchors every iteration's
+    lineage); nodes and out-degrees derive from it lazily — they are
+    trivial recomputations over the materialized edges, so eagerly
+    materializing them only adds job-scheduling overhead. Ranks cut
+    lineage every ``checkpoint_every`` rounds (same cadence argument as
+    the connected-components loop: between cuts the plan grows by a
+    few shallow joins, and each materialization is a full job)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
     )
-    nodes = _checkpoint(nodes)
     n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = _checkpoint(edges.join(out_deg, "src"))
+    edges_deg = edges.join(out_deg, "src")
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n))
     teleport = (1.0 - damping) / n
-    for _ in range(n_iter):
+    for it in range(n_iter):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
@@ -68,7 +80,8 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
                 ).alias("rank"),
             )
         )
-        ranks = _checkpoint(ranks)
+        if checkpoint_every and it % checkpoint_every == checkpoint_every - 1:
+            ranks = _checkpoint(ranks)
     return ranks
 
 
@@ -84,7 +97,10 @@ def pagerank(edges: DataFrame, n_iter: int = N_ITER, damping: float = DAMPING) -
     " (verified bit-exact against a numpy replay).",
 )
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_minhash_neardup(spark, sf_dir)
+    # materialize the (expensive) LSH pair query ONCE before the
+    # symmetrizing union — both union branches and every pagerank
+    # iteration read the checkpointed pair list, not the live plan
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
