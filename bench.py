@@ -95,6 +95,8 @@ HEADLINE = [
     "q_tpch_q22",
     "q_point_in_time_features",
     "q_chunk_recursive",
+    "q_kmeans_clusters",
+    "q_semantic_dedup",
 ]
 
 

@@ -1,0 +1,249 @@
+"""Embedding-space clustering for corpus curation (training-data
+closure): k-means partitioning of the embedding table and SemDeDup-style
+within-cluster semantic deduplication.
+
+Large-scale pretraining pipelines cluster the embedding space to (a)
+balance topical composition, (b) cheapen near-duplicate search by only
+comparing vectors that share a cluster (SemDeDup, Abbas et al. 2023:
+cluster -> intra-cluster cosine -> drop near-identical members), and
+(c) seed IVF-style ANN indexes. The reference has none of this (its
+gold layer embeds and seeds Milvus as-is, ``dags/utils/seed_milvus.py``);
+these operators are the missing curation stage.
+
+Everything is deterministic and oracle-checked end-to-end: the Lloyd
+iterations (``similarity.kmeans_refine``) use md5-ordered seeds and
+fixed-point distance/mean arithmetic, so a DuckDB replay of the SAME
+two unrolled iterations lands on bit-identical assignments, and the
+within-cluster cosine scores reuse the fixed-point dot-product contract
+every q_vector_*/q_embed_* oracle relies on.
+
+Scale shape: assignment is a broadcast of k centroids + a narrow argmin
+map (one row_number shuffle per iteration); the mean update is one
+(cluster, dim) partial-agg shuffle. Semantic dedup then scores ONLY
+within-cluster pairs — the cluster key is the blocking key, so the
+all-pairs matrix shrinks by ~k and each cluster scores independently in
+a vectorized BLAS kernel (same blocked design as q_embed_neardup, with
+k-means buckets instead of hash blocks)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.functions import DOT_SCALE, duck_dot_sum
+from lakehouse_weather_spark.operators.dedup import _DUCK_VEC_CTE
+from lakehouse_weather_spark.operators.similarity import (
+    N_CENTROIDS,
+    _DUCK_SEED_H,
+    kmeans_refine,
+)
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+KMEANS_ITER = 2
+SEM_THRESHOLD = 0.4  # same bar as q_embed_neardup: fixture near-dups
+
+
+def _kmeans_assign_cte() -> str:
+    """DuckDB CTE chain replaying ``kmeans_refine(n_iter=2)`` exactly:
+    md5-ordered seeds, two rounds of (fixed-point squared-L2 argmin with
+    (distance, cluster_id) tie-break) + (fixed-point per-dim mean,
+    empty clusters keeping their previous centroid). Ends with ``a2``
+    = (vec_id, cluster_id), the final assignment."""
+    sq = f"sum(CAST(round((v.val - c.val) * (v.val - c.val) * {DOT_SCALE}) AS BIGINT))"
+    mean = (
+        f"CAST(sum(CAST(round(v.val * {DOT_SCALE}) AS BIGINT)) AS DOUBLE)"
+        f" / {DOT_SCALE} / count(*)"
+    )
+    return f"""
+        seeds AS (
+            SELECT vec_id AS seed_vec,
+                   row_number() OVER (ORDER BY {_DUCK_SEED_H}, vec_id)
+                       AS cluster_id
+            FROM (SELECT vec_id FROM embeddings
+                  ORDER BY {_DUCK_SEED_H}, vec_id LIMIT {N_CENTROIDS})
+        ),
+        c0 AS (
+            SELECT s.cluster_id, v.pos, v.val
+            FROM vals v JOIN seeds s ON v.vec_id = s.seed_vec
+        ),
+        d1 AS (
+            SELECT v.vec_id, c.cluster_id, {sq} AS di
+            FROM vals v JOIN c0 c ON v.pos = c.pos
+            GROUP BY 1, 2
+        ),
+        a1 AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY di, cluster_id) AS rn
+                FROM d1
+            ) WHERE rn = 1
+        ),
+        m1 AS (
+            SELECT a.cluster_id, v.pos, {mean} AS val
+            FROM vals v JOIN a1 a ON v.vec_id = a.vec_id
+            GROUP BY 1, 2
+        ),
+        c1 AS (
+            SELECT c0.cluster_id, c0.pos, COALESCE(m1.val, c0.val) AS val
+            FROM c0 LEFT JOIN m1
+              ON c0.cluster_id = m1.cluster_id AND c0.pos = m1.pos
+        ),
+        d2 AS (
+            SELECT v.vec_id, c.cluster_id, {sq} AS di
+            FROM vals v JOIN c1 c ON v.pos = c.pos
+            GROUP BY 1, 2
+        ),
+        a2 AS (
+            SELECT vec_id, cluster_id FROM (
+                SELECT vec_id, cluster_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY di, cluster_id) AS rn
+                FROM d2
+            ) WHERE rn = 1
+        )
+    """
+
+
+@register(
+    "q_kmeans_clusters",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        {_kmeans_assign_cte()}
+        SELECT vec_id, CAST(cluster_id AS BIGINT) AS cluster_id
+        FROM a2
+    """,
+    doc=f"Deterministic k-means partitioning of the embedding corpus"
+    f" ({N_CENTROIDS} clusters, {KMEANS_ITER} Lloyd iterations over"
+    " md5-ordered seeds): the topical-composition / SemDeDup / IVF-"
+    " seeding primitive. Fully oracle-checked — fixed-point distance"
+    " and mean arithmetic plus (distance, cluster_id) tie-breaks make"
+    " every iteration bit-identical in DuckDB's unrolled replay. Per"
+    " iteration: broadcast k centroids, narrow argmin map + one"
+    " row_number shuffle, one (cluster, dim) partial-agg shuffle —"
+    " the textbook distributed k-means; nothing corpus-sized touches"
+    " the driver.",
+)
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assignment = kmeans_refine(emb, n_iter=KMEANS_ITER)
+    return assignment.select(
+        "vec_id", F.col("cluster_id").cast("bigint").alias("cluster_id")
+    )
+
+
+@register(
+    "q_semantic_dedup",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        {_kmeans_assign_cte()},
+        cpairs AS (
+            SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+                   CAST(x.cluster_id AS BIGINT) AS cluster_id
+            FROM a2 x JOIN a2 y
+              ON x.cluster_id = y.cluster_id AND x.vec_id < y.vec_id
+        ),
+        dots AS (
+            SELECT p.vec_a, p.vec_b, p.cluster_id,
+                   {duck_dot_sum('va.val', 'vb.val')} AS dot
+            FROM cpairs p
+            JOIN vals va ON va.vec_id = p.vec_a
+            JOIN vals vb ON vb.vec_id = p.vec_b AND va.pos = vb.pos
+            GROUP BY 1, 2, 3
+        )
+        SELECT d.cluster_id, d.vec_a, d.vec_b,
+               d.dot / (na.nrm * nb.nrm) AS cosine
+        FROM dots d
+        JOIN norms na ON d.vec_a = na.vec_id
+        JOIN norms nb ON d.vec_b = nb.vec_id
+        WHERE d.dot / (na.nrm * nb.nrm) >= {SEM_THRESHOLD}
+    """,
+    doc=f"SemDeDup within-cluster semantic near-duplicate pairs"
+    f" (cosine >= {SEM_THRESHOLD} between members of the same k-means"
+    " cluster): the curation pass that prunes semantically redundant"
+    " documents at ~1/k of the all-pairs cost — the cluster key IS the"
+    " blocking key, so each cluster scores independently in a"
+    " vectorized BLAS kernel (applyInPandas per cluster; phase-1 float"
+    " scan with a guard band, phase-2 exact fixed-point re-score, the"
+    " q_embed_neardup contract). Trades the cross-cluster tail of"
+    " recall for bounded per-task work — the published SemDeDup"
+    " design; q_embed_neardup remains the exact-recall baseline."
+    " Recall caveat quantified in tests/test_clustering.py: this"
+    " fixture's near-orthogonal corpus (pairs at cosine ~0.4-0.5) is"
+    " the worst case and loses ~3/4 of pairs to cluster splits; real"
+    " near-dup corpora (cosine >= 0.9) co-cluster almost surely.",
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    _, assignment = kmeans_refine(emb, n_iter=KMEANS_ITER)
+    vecs = emb.select("vec_id", "embedding").join(assignment, "vec_id")
+
+    def _fxround(x: np.ndarray) -> np.ndarray:
+        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+    def _norms(mat: np.ndarray) -> np.ndarray:
+        ints = _fxround((mat * mat) * DOT_SCALE).sum(axis=1)
+        return np.sqrt(ints.astype(np.float64) / DOT_SCALE)
+
+    schema = StructType(
+        [
+            StructField("cluster_id", LongType()),
+            StructField("vec_a", LongType()),
+            StructField("vec_b", LongType()),
+            StructField("cosine", DoubleType()),
+        ]
+    )
+
+    def score_cluster(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"cluster_id": [], "vec_a": [], "vec_b": [], "cosine": []}
+        ).astype(
+            {
+                "cluster_id": np.int64,
+                "vec_a": np.int64,
+                "vec_b": np.int64,
+                "cosine": np.float64,
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        cid = int(pdf["cluster_id"].iloc[0])
+        ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+        mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+        nrm = _norms(mat)
+        # phase 1 — BLAS scan with a guard band (float dots differ from
+        # the fixed-point truth by < dim * 0.5/DOT_SCALE)
+        cos_fast = (mat @ mat.T) / (nrm[:, None] * nrm[None, :])
+        upper = ids[:, None] < ids[None, :]
+        ai, bi = np.nonzero(upper & (cos_fast >= SEM_THRESHOLD - 1e-6))
+        if len(ai) == 0:
+            return empty
+        # phase 2 — exact fixed-point re-score of the candidates
+        dots = _fxround(mat[ai] * mat[bi] * DOT_SCALE).sum(axis=1)
+        cos = dots.astype(np.float64) / DOT_SCALE / (nrm[ai] * nrm[bi])
+        keep = cos >= SEM_THRESHOLD
+        return pd.DataFrame(
+            {
+                "cluster_id": np.full(int(keep.sum()), cid, dtype=np.int64),
+                "vec_a": ids[ai[keep]],
+                "vec_b": ids[bi[keep]],
+                "cosine": cos[keep],
+            }
+        )
+
+    return (
+        vecs.withColumn("cluster_id", F.col("cluster_id").cast("bigint"))
+        .groupBy("cluster_id")
+        .applyInPandas(score_cluster, schema=schema)
+    )

@@ -449,20 +449,6 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _sq_dist_expr(a: str, b: str) -> str:
-    """Fixed-point squared L2 distance between two array columns
-    (each squared difference rounded at DOT_SCALE then integer-summed:
-    associative, bit-identical in numpy)."""
-    from lakehouse_weather_spark.functions import DOT_SCALE
-
-    return (
-        f"(CAST(aggregate(zip_with({a}, {b}, (x, y) ->"
-        f" CAST(round((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
-        f" * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * {DOT_SCALE}, 0) AS BIGINT)),"
-        f" CAST(0 AS BIGINT), (acc, v) -> acc + v) AS DOUBLE) / {DOT_SCALE})"
-    )
-
-
 def kmeans_refine(
     emb: DataFrame, n_iter: int = 2, k: int = N_CENTROIDS
 ) -> tuple[DataFrame, DataFrame]:
@@ -473,61 +459,73 @@ def kmeans_refine(
     keep their previous centroid). Seeds are the same md5-ordered
     deterministic sample the IVF query uses, so the whole refinement is
     reproducible on any cluster/partitioning — verified bit-exact
-    against a numpy replay in tests/test_similarity.py.
+    against a numpy replay in tests/test_similarity.py and against the
+    unrolled DuckDB oracle of q_kmeans_clusters.
 
     Returns (centroids, assignment): (cluster_id, centroid) with
     double-typed arrays, and (vec_id, cluster_id).
 
-    Scale shape per iteration: one broadcast of k centroids + a narrow
-    argmin map over the corpus, then one (cluster, dim) partial-agg
-    shuffle — the textbook distributed k-means; nothing accumulates on
-    the driver."""
-    from pyspark.sql import Window
+    Scale shape per iteration: the k-centroid codebook rides into a
+    narrow Arrow argmin kernel as a closure (a broadcast model, exactly
+    like the IVF/PQ assignment kernels — the earlier crossJoin +
+    row_number grid paid an interpreted (corpus x k) expression plus a
+    per-vector window shuffle, ~4x slower), then ONE (cluster, dim)
+    partial-agg shuffle computes the fixed-point means; the driver
+    fetches only the k x dim codebook between rounds (a model fetch,
+    never corpus-sized)."""
+    import numpy as np
+    import pandas as pd
 
     from lakehouse_weather_spark.functions import DOT_SCALE
 
+    spark = emb.sparkSession
     e = emb.select(
         "vec_id", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v")
     )
-    centroids = (
-        e.orderBy(F.expr(_SEED_H), "vec_id")
-        .limit(k)
-        .select(
-            F.row_number()
-            .over(Window.orderBy(F.expr(_SEED_H), "vec_id"))
-            .alias("cluster_id"),
-            F.col("v").alias("centroid"),
-        )
-    )
+    # seeds in md5 order; cluster_id = 1..k in that order
+    seed_rows = e.orderBy(F.expr(_SEED_H), "vec_id").limit(k).collect()
+    C = np.array([list(r.v) for r in seed_rows], dtype=np.float64)
+    k_eff = len(seed_rows)
+
+    fx = F.expr(f"CAST(round(val * {DOT_SCALE}, 0) AS BIGINT)")
     assignment = None
     for _ in range(n_iter):
-        dist = F.expr(_sq_dist_expr("v", "centroid"))
-        w = Window.partitionBy("vec_id").orderBy(F.asc("d"), F.asc("cluster_id"))
-        assignment = (
-            e.crossJoin(F.broadcast(centroids))
-            .select("vec_id", "v", "cluster_id", dist.alias("d"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "v", "cluster_id")
+        Ck = C.copy()
+
+        def assign_kernel(batches, Ck=Ck):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["v"].map(np.asarray)).astype(np.float64)
+                # per-element fixed-point rounding == the SQL/DuckDB
+                # round((x-c)^2 * SCALE) contract; first-index argmin
+                # == (distance, cluster_id) tie-break (Ck is in
+                # cluster_id order)
+                D = _fxround_np(
+                    ((X[:, None, :] - Ck[None, :, :]) ** 2) * DOT_SCALE
+                ).sum(axis=2)
+                out = pdf[["vec_id"]].copy()
+                out["cluster_id"] = (D.argmin(axis=1) + 1).astype(np.int32)
+                out["v"] = pdf["v"]
+                yield out
+
+        assignment = e.mapInPandas(
+            assign_kernel, "vec_id long, cluster_id int, v array<double>"
         )
-        fx = F.expr(f"CAST(round(val * {DOT_SCALE}, 0) AS BIGINT)")
-        means = (
+        mean_rows = (
             assignment.select("cluster_id", F.posexplode("v").alias("pos", "val"))
             .groupBy("cluster_id", "pos")
             .agg((F.sum(fx).cast("double") / DOT_SCALE / F.count(F.lit(1))).alias("m"))
-            .groupBy("cluster_id")
-            .agg(
-                F.expr("transform(array_sort(collect_list(struct(pos, m))), s -> s.m)")
-                .alias("new_centroid")
-            )
+            .collect()
         )
-        centroids = (
-            centroids.join(means, "cluster_id", "left")
-            .select(
-                "cluster_id",
-                F.coalesce(F.col("new_centroid"), F.col("centroid")).alias("centroid"),
-            )
-        )
+        C = Ck.copy()  # empty clusters keep their previous centroid
+        for r in mean_rows:
+            C[r.cluster_id - 1, r.pos] = r.m
+
+    centroids = spark.createDataFrame(
+        [(i + 1, [float(x) for x in C[i]]) for i in range(k_eff)],
+        "cluster_id int, centroid array<double>",
+    )
     return centroids, assignment.select("vec_id", "cluster_id")
 
 

@@ -56,14 +56,37 @@ def _spark_sums() -> list:
     return aggs
 
 
-def _r_expr(x: str, y: str) -> str:
+_HI = 1 << 60
+_LO = 1 << 30
+
+
+def _dec2dbl(s: str, duck: bool) -> str:
+    """Exact-integer sum -> double with DETERMINISTIC rounding on both
+    engines. A direct CAST(decimal AS DOUBLE) is engine-dependent once
+    the value exceeds 2^53 (observed: Spark's Java-BigDecimal path and
+    DuckDB's HUGEINT path disagree by an ulp on 65-bit sums, the sf0.1
+    q_corr_matrix mismatch). Split the nonnegative integer as
+    hi*2^60 + mid*2^30 + lo: each part is < 2^53 (exact in double),
+    the power-of-two scalings are exact, and the two additions round
+    identically under IEEE on every engine. Valid for sums < 2^113
+    (~1e34 — beyond any 100 TB moment)."""
+    dv = "//" if duck else "div"
+    return (
+        f"(CAST(({s}) {dv} {_HI} AS DOUBLE) * {float(_HI)!r}"
+        f" + CAST((({s}) % {_HI}) {dv} {_LO} AS DOUBLE) * {float(_LO)!r}"
+        f" + CAST(({s}) % {_LO} AS DOUBLE))"
+    )
+
+
+def _r_expr(x: str, y: str, duck: bool = False) -> str:
     """Pearson r from the exact moment sums, evaluated in double with
-    an expression tree mirrored verbatim in the oracle."""
+    an expression tree mirrored verbatim in the oracle (int->double via
+    the deterministic split, see _dec2dbl)."""
     kx, ky = sorted((x, y))
-    sxy = f"CAST(s_{kx}_{ky} AS DOUBLE)"
-    sxx = f"CAST(s_{x}_{x} AS DOUBLE)"
-    syy = f"CAST(s_{y}_{y} AS DOUBLE)"
-    sx, sy = f"CAST(s_{x} AS DOUBLE)", f"CAST(s_{y} AS DOUBLE)"
+    sxy = _dec2dbl(f"s_{kx}_{ky}", duck)
+    sxx = _dec2dbl(f"s_{x}_{x}", duck)
+    syy = _dec2dbl(f"s_{y}_{y}", duck)
+    sx, sy = _dec2dbl(f"s_{x}", duck), _dec2dbl(f"s_{y}", duck)
     return (
         f"((n * {sxy}) - ({sx} * {sy}))"
         f" / (sqrt((n * {sxx}) - ({sx} * {sx}))"
@@ -94,7 +117,7 @@ def _r_expr(x: str, y: str) -> str:
         SELECT x_name, y_name, r FROM (
             {' UNION ALL '.join(
                 f"SELECT '{x}' AS x_name, '{y}' AS y_name,"
-                f" {_r_expr(x, y)} AS r FROM m"
+                f" {_r_expr(x, y, duck=True)} AS r FROM m"
                 for x, y in _PAIRS
             )}
         )

@@ -52,6 +52,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.reshape",
     "lakehouse_weather_spark.operators.profiling",
     "lakehouse_weather_spark.operators.multimodal",
+    "lakehouse_weather_spark.operators.clustering",
     "lakehouse_weather_spark.operators.graph",
     "lakehouse_weather_spark.streaming.events",
     # monitoring/anomaly family: outside the first-50 gate window by
@@ -125,7 +126,10 @@ _PRIOR_VERIFIED = frozenset({
 # not part of the 70-query backlog the round-3 gate must drain). They
 # order AFTER the backlog so they cannot displace it from the gate's
 # ~50-query window; the round-4 rotation picks them up.
-_ROUND3_NEW: frozenset[str] = frozenset()
+_ROUND3_NEW: frozenset[str] = frozenset({
+    "q_kmeans_clusters",
+    "q_semantic_dedup",
+})
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):

@@ -1,0 +1,77 @@
+"""Embedding clustering + SemDeDup (operators/clustering.py): cluster
+partition sanity, within-cluster dedup containment vs the exact
+all-pairs baseline, and determinism across partitionings."""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.operators.similarity import N_CENTROIDS
+from lakehouse_weather_spark.registry import load_all
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+def test_kmeans_partitions_whole_corpus(spark, sf_dir):
+    out = load_all()["q_kmeans_clusters"].fn(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    # total partition: every vector in exactly one cluster
+    assert out.count() == emb.count()
+    assert out.select("vec_id").distinct().count() == emb.count()
+    n_clusters = out.select("cluster_id").distinct().count()
+    assert 1 < n_clusters <= N_CENTROIDS
+
+
+def test_kmeans_deterministic_across_partitioning(spark, sf_dir):
+    # fixed-point distances + tie-breaks: the assignment must not
+    # depend on input partitioning
+    fn = load_all()["q_kmeans_clusters"].fn
+    a = {(r.vec_id, r.cluster_id) for r in fn(spark, sf_dir).collect()}
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        b = {(r.vec_id, r.cluster_id) for r in fn(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+    assert a == b
+
+
+def test_semantic_dedup_contained_in_exact_baseline(spark, sf_dir):
+    """Every SemDeDup pair must appear in the exact all-pairs near-dup
+    result with the SAME cosine (clustering only restricts the search
+    space, never invents pairs), and both endpoints must share the
+    pair's cluster."""
+    specs = load_all()
+    sem = specs["q_semantic_dedup"].fn(spark, sf_dir).collect()
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in specs["q_embed_neardup"].fn(spark, sf_dir).collect()
+    }
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in specs["q_kmeans_clusters"].fn(spark, sf_dir).collect()
+    }
+    assert len(sem) > 0
+    for r in sem:
+        assert (r.vec_a, r.vec_b) in exact
+        assert r.cosine == exact[(r.vec_a, r.vec_b)]  # bit-identical
+        assert assign[r.vec_a] == assign[r.vec_b] == r.cluster_id
+
+
+def test_semantic_dedup_recall_vs_exact(spark, sf_dir):
+    """SemDeDup trades recall for cluster-local cost. The fixture is
+    the ADVERSARIAL case for this tradeoff: its near-dup pairs peak at
+    cosine ~0.5 on a near-orthogonal corpus (see similarity.py's LSH
+    note), so k-means legitimately splits many of them — measured
+    recall ~25% here, vs near-certain co-clustering for real near-dup
+    corpora (cosine >= 0.9 pairs sit almost on top of each other).
+    Guard the floor so a silently broken kernel (returning ~nothing)
+    still fails."""
+    specs = load_all()
+    n_sem = specs["q_semantic_dedup"].fn(spark, sf_dir).count()
+    n_exact = specs["q_embed_neardup"].fn(spark, sf_dir).count()
+    assert n_exact > 0
+    assert n_sem >= 0.15 * n_exact

@@ -70,6 +70,13 @@ _ARROW_KERNEL_ALLOWED = {
     # math keeps both bit-exact vs the DuckDB oracle
     "q_vector_topk_ivf": ("MapInPandas",),
     "q_vector_topk_pq": ("MapInPandas",),
+    # k-means assignment: dense (corpus x centroid) distance grids are
+    # numpy work with the codebook in the closure, the IVF/PQ pattern
+    "q_kmeans_clusters": ("MapInPandas",),
+    # SemDeDup: k-means assignment (MapInPandas) + within-cluster
+    # all-pairs cosine in a per-cluster BLAS kernel (same design as
+    # q_embed_neardup's blocked scorer)
+    "q_semantic_dedup": ("MapInPandas", "FlatMapGroupsInPandas"),
     # recursive splitter: genuinely imperative per-doc packing loop
     # (greedy accumulate + overlap carry + hierarchy fallback) — the
     # sanctioned kernel is an Arrow-batched scalar pandas_udf; the
