@@ -53,6 +53,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.profiling",
     "lakehouse_weather_spark.operators.multimodal",
     "lakehouse_weather_spark.operators.clustering",
+    "lakehouse_weather_spark.operators.bpe",
     "lakehouse_weather_spark.operators.graph",
     "lakehouse_weather_spark.streaming.events",
     # monitoring/anomaly family: outside the first-50 gate window by
@@ -129,6 +130,7 @@ _PRIOR_VERIFIED = frozenset({
 _ROUND3_NEW: frozenset[str] = frozenset({
     "q_kmeans_clusters",
     "q_semantic_dedup",
+    "q_bpe_pair_counts",
 })
 
 
