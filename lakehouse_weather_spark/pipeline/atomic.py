@@ -43,6 +43,10 @@ from pyspark.sql import DataFrame, SparkSession
 
 _POINTER = "_CURRENT"
 _LOCK = "._LOCK"
+# leading underscore: Spark's file index and DuckDB's *.parquet glob
+# both ignore it, so the manifest can live inside the version dir and
+# commit/prune atomically with the data
+_MANIFEST = "_MANIFEST.json"
 # A crashed writer's lock (or staging dir) older than this is reclaimed.
 # The critical section is milliseconds (rename + pointer replace +
 # prune), so a minute of mtime silence means the holder is gone.
@@ -103,6 +107,7 @@ def publish(
     table_dir: str,
     write_fn: Callable[[str], None],
     keep: int = 2,
+    meta: dict | None = None,
 ) -> str:
     """Write the next version via ``write_fn(staging_path)``, then
     atomically commit it. Returns the committed version path.
@@ -140,6 +145,20 @@ def publish(
         )
         last = int(existing[-1][1:]) if existing else 0
         version = f"v{last + 1:06d}"
+        # manifest rides INSIDE the version dir, so it commits and
+        # prunes atomically with the data (the minimal slice of what a
+        # Delta/Iceberg commit log records per snapshot)
+        import json
+
+        manifest = {
+            "version": version,
+            "parent": committed,
+            "created_unix": time.time(),
+            "writer_pid": os.getpid(),
+            **(meta or {}),
+        }
+        with open(os.path.join(staging, _MANIFEST), "w") as fh:
+            json.dump(manifest, fh)
         os.rename(staging, os.path.join(table_dir, version))
 
         # commit point: atomic pointer replace
@@ -183,11 +202,42 @@ def publish(
     return os.path.join(table_dir, version)
 
 
-def publish_df(df: DataFrame, table_dir: str, keep: int = 2) -> str:
-    """Publish a DataFrame as the next committed version."""
+def publish_df(
+    df: DataFrame, table_dir: str, keep: int = 2, count_rows: bool = False
+) -> str:
+    """Publish a DataFrame as the next committed version. The version
+    manifest records the schema (and, when ``count_rows``, the exact
+    row count — an extra job, so opt-in) for history/debugging and for
+    schema-drift detection between versions."""
+    meta: dict = {"schema": df.schema.jsonValue()}
+    if count_rows:
+        meta["n_rows"] = df.count()
     return publish(
-        table_dir, lambda path: df.write.mode("errorifexists").parquet(path), keep
+        table_dir,
+        lambda path: df.write.mode("errorifexists").parquet(path),
+        keep,
+        meta=meta,
     )
+
+
+def history(table_dir: str) -> list[dict]:
+    """Commit history of the retained versions, oldest first — the
+    DESCRIBE-HISTORY slice of the versioned-table protocol. Each entry
+    is the version's manifest (version, parent, creation time, writer,
+    plus whatever ``publish(meta=...)`` recorded, e.g. publish_df's
+    schema). Versions published before manifests existed yield a
+    minimal stub so old tables stay readable."""
+    import json
+
+    out = []
+    for v in list_versions(table_dir):
+        path = os.path.join(table_dir, v, _MANIFEST)
+        try:
+            with open(path) as fh:
+                out.append(json.load(fh))
+        except FileNotFoundError:
+            out.append({"version": v})
+    return out
 
 
 def list_versions(table_dir: str) -> list[str]:

@@ -298,7 +298,7 @@ def test_concurrent_publish_last_writer_wins(tmp_path):
     # single-writer
     for v in list_versions(table):
         vdir = os.path.join(table, v)
-        parts = sorted(os.listdir(vdir))
+        parts = sorted(p for p in os.listdir(vdir) if p.startswith("part-"))
         assert parts == ["part-0.json", "part-1.json", "part-2.json"]
         writers = {
             json.load(open(os.path.join(vdir, p)))["writer"] for p in parts
@@ -341,4 +341,36 @@ def test_concurrent_publish_prune_respects_live_claims(tmp_path):
     assert os.path.isdir(final)
     assert open(os.path.join(final, "data.txt")).read() in {
         str(i) for i in range(6)
+    }
+
+
+def test_manifest_history_and_schema_tracking(spark, sf_dir, tmp_path):
+    """Each committed version carries a manifest (inside the version
+    dir, so it commits/prunes atomically with the data and is invisible
+    to parquet readers): history() exposes the commit chain with
+    schemas, enabling drift detection between versions."""
+    from lakehouse_weather_spark.pipeline.atomic import (
+        history,
+        publish_df,
+        read_current,
+    )
+
+    table = str(tmp_path / "vt_hist")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    publish_df(docs.select("doc_id", "lang"), table, count_rows=True)
+    publish_df(docs.select("doc_id", "lang", "source"), table)
+
+    h = history(table)
+    assert [e["version"] for e in h] == ["v000001", "v000002"]
+    assert h[1]["parent"] == "v000001"
+    assert h[0]["n_rows"] == docs.count()
+    cols1 = [f["name"] for f in h[0]["schema"]["fields"]]
+    cols2 = [f["name"] for f in h[1]["schema"]["fields"]]
+    assert cols2 == cols1 + ["source"]  # additive drift visible
+
+    # manifest is invisible to the parquet read path
+    assert set(read_current(spark, table).columns) == {
+        "doc_id",
+        "lang",
+        "source",
     }
