@@ -148,7 +148,10 @@ def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_oracle() -> str:
+def _minhash_pairs_cte() -> str:
+    """CTE chain ending in ``mpairs`` = the banded-LSH candidate pairs
+    (doc_a < doc_b) — shared by the q_minhash_* oracles and every
+    oracle that consumes the near-dup graph (triangles, etc.)."""
     mins = ",\n               ".join(
         f"min(({a} * (h % {P}) + {b}) % {P}) AS s{k}"
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -161,8 +164,7 @@ def _minhash_oracle() -> str:
         + " AS band_hash FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""
-        WITH {_DUCK_SHINGLES_CTE},
+    return f"""{_DUCK_SHINGLES_CTE},
         sig AS (
             SELECT doc_id,
                {mins}
@@ -170,11 +172,19 @@ def _minhash_oracle() -> str:
         ),
         bands AS (
 {band_selects}
-        )
-        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM bands a JOIN bands b
-          ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
-         AND a.doc_id < b.doc_id
+        ),
+        mpairs AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        )"""
+
+
+def _minhash_oracle() -> str:
+    return f"""
+        WITH {_minhash_pairs_cte()}
+        SELECT doc_a, doc_b FROM mpairs
     """
 
 

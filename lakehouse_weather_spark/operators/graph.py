@@ -16,7 +16,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.operators.dedup import _checkpoint, q_minhash_neardup
+from lakehouse_weather_spark.operators.dedup import (
+    _checkpoint,
+    _minhash_pairs_cte,
+    q_minhash_neardup,
+)
 from lakehouse_weather_spark.registry import register
 
 RANK_SCALE = 1_000_000_000_000
@@ -107,3 +111,86 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
     return pagerank(edges)
+
+
+@register(
+    "q_triangle_stats",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mpairs),
+        sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT a AS doc_id, count(*) AS degree FROM sym GROUP BY a),
+        tri AS (
+            SELECT e1.a AS x, e1.b AS y, e2.b AS z
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        ),
+        roles AS (
+            SELECT x AS doc_id FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ),
+        tcount AS (
+            SELECT doc_id, count(*) AS n_triangles FROM roles GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CASE WHEN d.degree >= 2
+                    THEN CAST(2 * COALESCE(t.n_triangles, 0) AS DOUBLE)
+                         / (d.degree * (d.degree - 1))
+                    ELSE CAST(0 AS DOUBLE) END AS clustering_coeff
+        FROM deg d LEFT JOIN tcount t USING (doc_id)
+    """,
+    doc="Per-node triangle count + local clustering coefficient over the"
+    " MinHash near-dup graph — the standard graph diagnostic separating"
+    " tight duplicate CLIQUES (coeff ~1: one canonical doc suffices)"
+    " from hub-and-spoke template families (coeff ~0: a shared"
+    " boilerplate shell with distinct bodies — dedup must NOT collapse"
+    " them to one survivor). Triangles enumerate on the id-oriented"
+    " canonical edge list (a<b), the join-based node-iterator: each"
+    " triangle materializes exactly once as x<y<z via two equi-joins."
+    " At 100 TB orientation by DEGREE (not id) bounds the join fanout"
+    " by the arboricity; id-orientation suffices here because near-dup"
+    " components are cluster-sized. Everything is exact integer math"
+    " plus one IEEE division, so the whole pipeline hash-matches the"
+    " DuckDB replay.",
+)
+def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    e1 = e.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = e.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    e3 = e.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    tri = (
+        e1.join(e2, "x")
+        .filter(F.col("z") > F.col("y"))
+        .join(e3, ["y", "z"])
+    )
+    roles = (
+        tri.select(F.col("x").alias("doc_id"))
+        .unionByName(tri.select(F.col("y").alias("doc_id")))
+        .unionByName(tri.select(F.col("z").alias("doc_id")))
+    )
+    tcount = roles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    coeff = F.when(
+        F.col("degree") >= 2,
+        (F.lit(2) * F.col("n_triangles")).cast("double")
+        / (F.col("degree") * (F.col("degree") - 1)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcount, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("bigint")
+            .alias("n_triangles"),
+            coeff.alias("clustering_coeff"),
+        )
+    )

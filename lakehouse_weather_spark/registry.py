@@ -131,6 +131,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_kmeans_clusters",
     "q_semantic_dedup",
     "q_bpe_pair_counts",
+    "q_triangle_stats",
 })
 
 

@@ -64,3 +64,25 @@ def test_pagerank_mass_and_concentration(spark, sf_dir):
     # rank mass stays ~1 (no dangling nodes in the symmetric graph)
     assert abs(total - 1.0) < 1e-6
     assert all(r.rank > 0 for r in rows)
+
+
+def test_triangle_stats_invariants(spark, sf_dir):
+    """Local clustering coefficients live in [0, 1]; nodes and degrees
+    agree with the symmetric near-dup edge set; a triangle implies all
+    three member coefficients are positive."""
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_triangle_stats"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    pairs = load_all()["q_minhash_neardup"].fn(spark, sf_dir).collect()
+    deg = {}
+    for p in pairs:
+        deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
+        deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
+    assert {r.doc_id for r in rows} == set(deg)
+    for r in rows:
+        assert r.degree == deg[r.doc_id]
+        assert 0.0 <= r.clustering_coeff <= 1.0
+        assert (r.n_triangles > 0) == (r.clustering_coeff > 0)
+        # n_triangles bounded by possible wedges at this node
+        assert r.n_triangles <= r.degree * (r.degree - 1) // 2
