@@ -73,16 +73,60 @@ def q_udf_urljoin(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ZSCALE = 10_000  # value resolution (2-decimal money-ish inputs)
+# Squared-deviation resolution. Deliberately moderate: the scaled
+# squares must stay far below 2^52 (where adding 0.5 inside a HALF_UP
+# kernel skips doubles and where int64 partial sums could overflow),
+# so the quantization uses floor() — exact on the binary double at
+# EVERY magnitude and identical in numpy and DuckDB — rather than
+# round()'s half-boundary semantics.
+_DSCALE = 1_000_000
+
+
 @register(
     "q_group_normalize",
-    oracle=None,  # pandas float accumulation differs at the last ulp
+    # Same fixed-point moment idea as functions.dsum: the mean is an
+    # exact integer sum unscaled once, the variance an exact integer
+    # sum of floor-quantized squared deviations — every remaining op is
+    # a deterministic IEEE double op, so the pandas kernel and DuckDB
+    # agree bit-for-bit (naive pandas mean()/std() accumulate in
+    # engine-specific order and differ at the last ulp).
+    oracle=f"""
+        WITH m AS (
+            SELECT user_id,
+                   CAST(sum(CAST(floor(value * {_ZSCALE}) AS BIGINT))
+                        AS DOUBLE) / {_ZSCALE} / count(*) AS mean,
+                   count(*) AS n
+            FROM events GROUP BY user_id
+        ),
+        v AS (
+            SELECT e.user_id,
+                   CAST(sum(CAST(floor((e.value - m.mean) * (e.value - m.mean)
+                                       * {_DSCALE}) AS BIGINT)) AS DOUBLE)
+                       / {_DSCALE} / (m.n - 1) AS var
+            FROM events e JOIN m USING (user_id)
+            WHERE m.n > 1
+            GROUP BY e.user_id, m.n
+        )
+        SELECT e.event_id, e.user_id,
+               CASE WHEN v.var > 0
+                    THEN (e.value - m.mean) / sqrt(v.var)
+                    ELSE 0.0 END AS value_z
+        FROM events e
+        JOIN m USING (user_id)
+        LEFT JOIN v USING (user_id)
+    """,
     doc="Grouped-map applyInPandas: per-user z-score normalization of"
     " event values (each group arrives as one pandas DataFrame) — the"
     " §2.11 grouped-map UDF shape for group-local algorithms (fit,"
-    " normalize, resample). Equivalence to the window-SQL z-score is"
-    " asserted (1e-9) in tests/test_udfs.py.",
+    " normalize, resample). Hash-checked: the kernel computes the"
+    " moments in fixed point (exact int64 sums of floor-quantized"
+    " terms), so the z-scores match the DuckDB replay bit-for-bit;"
+    " groups of one or zero variance emit 0.0 on both engines.",
 )
 def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
     out_schema = StructType(
@@ -94,9 +138,19 @@ def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
-        std = pdf["value"].std(ddof=1)
-        mean = pdf["value"].mean()
-        z = (pdf["value"] - mean) / std if std > 0 else pdf["value"] * 0.0
+        x = pdf["value"].to_numpy(dtype=np.float64)
+        n = len(x)
+        mean = float(np.floor(x * _ZSCALE).astype(np.int64).sum()) / _ZSCALE / n
+        if n > 1:
+            d = x - mean
+            var = (
+                float(np.floor(d * d * _DSCALE).astype(np.int64).sum())
+                / _DSCALE
+                / (n - 1)
+            )
+        else:
+            var = 0.0
+        z = (x - mean) / np.sqrt(var) if var > 0 else np.zeros_like(x)
         return pd.DataFrame(
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "value_z": z}
         )
@@ -107,16 +161,56 @@ def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "q_pandas_grouped_agg",
-    oracle=None,  # float accumulation order inside pandas is engine-specific
+    # The quantile interpolation is CODED OUT (a[lo] + (a[hi]-a[lo]) *
+    # frac over the sorted group; frac is an exact multiple of 0.25, so
+    # every op is deterministic IEEE) instead of calling
+    # pandas.quantile, whose internal lerp varies across numpy
+    # versions — the oracle mirrors the exact same expression on a
+    # sorted DuckDB list.
+    oracle="""
+        WITH g AS (
+            SELECT o_orderpriority,
+                   list(o_totalprice ORDER BY o_totalprice) AS a,
+                   count(*) AS n
+            FROM orders GROUP BY o_orderpriority
+        ),
+        q AS (
+            SELECT o_orderpriority, a, n,
+                   CAST(floor((n - 1) * 0.75) AS BIGINT) AS lo75,
+                   (n - 1) * 0.75 - floor((n - 1) * 0.75) AS f75,
+                   CAST(floor((n - 1) * 0.25) AS BIGINT) AS lo25,
+                   (n - 1) * 0.25 - floor((n - 1) * 0.25) AS f25
+            FROM g
+        )
+        SELECT o_orderpriority,
+               (a[lo75 + 1] + (a[least(lo75 + 2, n)] - a[lo75 + 1]) * f75)
+             - (a[lo25 + 1] + (a[least(lo25 + 2, n)] - a[lo25 + 1]) * f25)
+                   AS price_iqr
+        FROM q
+    """,
     doc="Grouped-aggregate pandas_udf (Arrow-batched): interquartile"
     " range of order totals per priority — the §2.11 grouped-agg UDF"
-    " shape for statistics Spark lacks as builtins. Rows-only check;"
-    " distribution sanity asserted in tests.",
+    " shape for statistics Spark lacks as builtins. Hash-checked: the"
+    " linear interpolation is written out explicitly (sorted array,"
+    " a[lo] + (a[hi]-a[lo])*frac, frac an exact multiple of 0.25) so"
+    " the kernel and the DuckDB list replay agree bit-for-bit.",
 )
 def q_pandas_grouped_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     @F.pandas_udf(DoubleType())
     def iqr(v: pd.Series) -> float:
-        return float(v.quantile(0.75) - v.quantile(0.25))
+        a = np.sort(v.to_numpy(dtype=np.float64))
+        n = len(a)
+
+        def quant(q: float) -> float:
+            pos = (n - 1) * q
+            lo = int(np.floor(pos))
+            frac = pos - lo
+            hi = min(lo + 1, n - 1)
+            return float(a[lo] + (a[hi] - a[lo]) * frac)
+
+        return quant(0.75) - quant(0.25)
 
     orders = load_table(spark, sf_dir, "orders")
     # grouped-agg pandas UDFs can't mix with JVM aggregates in one agg

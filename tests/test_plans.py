@@ -70,6 +70,9 @@ _ARROW_KERNEL_ALLOWED = {
     # math keeps both bit-exact vs the DuckDB oracle
     "q_vector_topk_ivf": ("MapInPandas",),
     "q_vector_topk_pq": ("MapInPandas",),
+    # §2.11 grouped-map demo — the applyInPandas kernel IS the query's
+    # subject; fixed-point moments make it oracle-checkable
+    "q_group_normalize": ("FlatMapGroupsInPandas",),
     # k-means assignment: dense (corpus x centroid) distance grids are
     # numpy work with the codebook in the closure, the IVF/PQ pattern
     "q_kmeans_clusters": ("MapInPandas",),

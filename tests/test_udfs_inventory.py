@@ -32,7 +32,11 @@ def test_group_normalize_matches_window_zscore(spark, sf_dir):
         ).collect()
     }
     assert set(pandas_z) == set(sql_z)
-    assert all(abs(pandas_z[k] - sql_z[k]) < 1e-9 for k in sql_z)
+    # the kernel quantizes its moments (floor at 1e-4 on values, 1e-6
+    # on squared deviations) to be bit-reproducible across engines and
+    # partitionings; that bounded quantization shifts z by up to ~1e-5
+    # vs the float window z-score, hence the tolerance
+    assert all(abs(pandas_z[k] - sql_z[k]) < 1e-4 for k in sql_z)
 
 
 def test_file_inventory(spark, sf_dir, tmp_path):
