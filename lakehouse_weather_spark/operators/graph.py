@@ -89,16 +89,62 @@ def pagerank(
     return ranks
 
 
+def _pagerank_oracle() -> str:
+    """Unrolled DuckDB replay of the N_ITER pagerank rounds: the same
+    fixed-point contribution rounding, the same teleport/damping double
+    expression tree, iterated as chained CTEs — so even the iterative
+    operator is value-hash-checked (the kmeans pattern)."""
+    its = []
+    prev = "r0"
+    for i in range(1, N_ITER + 1):
+        its.append(f"""
+        recv{i} AS (
+            SELECT ed.dst AS node,
+                   sum(CAST(round(p.rank / ed.deg * {RANK_SCALE}) AS BIGINT))
+                       AS received
+            FROM ed JOIN {prev} p ON ed.src = p.node
+            GROUP BY ed.dst
+        ),
+        r{i} AS (
+            SELECT n.node,
+                   (SELECT tp FROM consts)
+                   + {DAMPING} * (CAST(COALESCE(rc.received, 0) AS DOUBLE)
+                                  / {RANK_SCALE}) AS rank
+            FROM nodes n LEFT JOIN recv{i} rc ON n.node = rc.node
+        )""")
+        prev = f"r{i}"
+    chain = ",".join(its)
+    return f"""
+        WITH {_minhash_pairs_cte()},
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+              UNION ALL SELECT doc_b, doc_a FROM mpairs),
+        nodes AS (SELECT DISTINCT src AS node FROM e),
+        consts AS (
+            SELECT count(*) AS n,
+                   (1.0 - {DAMPING}) / count(*) AS tp,
+                   1.0 / count(*) AS r_init
+            FROM nodes
+        ),
+        deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
+        ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
+        r0 AS (
+            SELECT node, (SELECT r_init FROM consts) AS rank FROM nodes
+        ),{chain}
+        SELECT node, rank FROM {prev}
+    """
+
+
 @register(
     "q_pagerank_neardup",
-    oracle=None,  # iterative; bit-exact numpy replay asserted in pytest
+    oracle=_pagerank_oracle(),
     doc="PageRank centrality over the symmetric MinHash near-dup graph"
     f" ({N_ITER} iterations, damping {DAMPING}): rank mass concentrates"
     " in large duplicate clusters — a corpus-importance /"
     " representative-selection signal. Iterative join + partial-agg"
     " shuffle per round with reliable checkpoints; fixed-point"
-    " contribution sums make the result cluster-order-independent"
-    " (verified bit-exact against a numpy replay).",
+    " contribution sums make the result cluster-order-independent —"
+    " verified bit-exact against BOTH a numpy replay (pytest) and an"
+    " unrolled DuckDB CTE replay of all iterations (oracle gate).",
 )
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (expensive) LSH pair query ONCE before the
