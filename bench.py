@@ -97,6 +97,8 @@ HEADLINE = [
     "q_chunk_recursive",
     "q_kmeans_clusters",
     "q_semantic_dedup",
+    "q_dup_spans",
+    "q_triangle_stats",
 ]
 
 

@@ -1196,3 +1196,156 @@ def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cands.select(
         "doc_a", "doc_b", hamming.alias("hamming")
     ).filter(F.col("hamming") <= SIMHASH_HAMMING_MAX)
+
+
+# ---------------------------------------------------------------------------
+# ExactSubstr-style duplicated-span detection
+# ---------------------------------------------------------------------------
+
+SPAN_WORDS = 5  # repeated-window width (words)
+
+
+@register(
+    "q_dup_spans",
+    oracle=f"""
+        WITH pos AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_words,
+                   i,
+                   {_DUCK_H.format(
+                       expr=f"array_to_string(words[i : i + {SPAN_WORDS - 1}], ' ')"
+                   )} AS h
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       unnest(generate_series(
+                           1, len(string_split(text, ' ')) - {SPAN_WORDS - 1}
+                       )) AS i
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= {SPAN_WORDS}
+            )
+        ),
+        hot AS (
+            SELECT h FROM pos GROUP BY h HAVING count(*) >= 2
+        ),
+        dup AS (
+            SELECT p.doc_id, p.n_words, p.i AS s,
+                   p.i + {SPAN_WORDS - 1} AS e
+            FROM pos p JOIN hot USING (h)
+        ),
+        flagged AS (
+            SELECT doc_id, n_words, s, e,
+                   CASE WHEN s > max(e) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) THEN 1 ELSE 0 END AS new_island
+            FROM dup
+        ),
+        islands AS (
+            SELECT doc_id, n_words, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        ),
+        merged AS (
+            SELECT doc_id, n_words, island_id,
+                   min(s) AS s, max(e) AS e
+            FROM islands GROUP BY doc_id, n_words, island_id
+        ),
+        per_doc AS (
+            SELECT doc_id, n_words,
+                   CAST(count(*) AS BIGINT) AS n_spans,
+                   CAST(sum(e - s + 1) AS BIGINT) AS covered_words
+            FROM merged GROUP BY doc_id, n_words
+        )
+        SELECT d.doc_id,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+               CAST(COALESCE(p.n_spans, 0) AS BIGINT) AS n_spans,
+               CAST(COALESCE(p.covered_words, 0) AS BIGINT) AS covered_words,
+               CAST(COALESCE(p.covered_words, 0) AS DOUBLE)
+                   / len(string_split(d.text, ' ')) AS dup_frac
+        FROM documents d LEFT JOIN per_doc p USING (doc_id)
+    """,
+    doc=f"ExactSubstr-style duplicated-span detection (Lee et al. 2022,"
+    " 'Deduplicating Training Data Makes Language Models Better'):"
+    f" every {SPAN_WORDS}-word window whose hash occurs >= 2 times"
+    " ANYWHERE in the corpus (other docs or elsewhere in the same doc)"
+    " marks its span; overlapping marked spans merge per doc via the"
+    " gaps-and-islands running-max window, yielding the merged span"
+    " count, covered-word total, and duplicated fraction per document"
+    " — the signal used to CUT repeated passages out of training text"
+    " rather than drop whole near-dup docs. Narrow positional explode"
+    " + one hash groupBy + one per-doc window: the suffix-array"
+    " construction of the paper re-expressed as fixed-width-window"
+    " hashing (complete for repeats >= the window; spans shorter than"
+    f" {SPAN_WORDS} words are below the dedup threshold by design).",
+)
+def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.split("text", " ")
+    base = docs.select("doc_id", w.alias("words"), F.size(w).alias("n_words"))
+    pos = (
+        base.filter(F.col("n_words") >= SPAN_WORDS)
+        .select(
+            "doc_id",
+            "n_words",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {SPAN_WORDS - 1}),"
+                    f" i -> struct(i, concat_ws(' ', slice(words, i, {SPAN_WORDS}))"
+                    " AS g))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("p.i").alias("s"),
+            (F.col("p.i") + (SPAN_WORDS - 1)).alias("e"),
+            F.expr(_SPARK_H.format(expr="p.g")).alias("h"),
+        )
+    )
+    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dup = pos.join(hot.select("h"), "h")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    flagged = dup.withColumn(
+        "new_island",
+        F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+    )
+    islands = flagged.withColumn("island_id", F.sum("new_island").over(running))
+    merged = islands.groupBy("doc_id", "n_words", "island_id").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = merged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("covered_words"),
+    )
+    return (
+        base.join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_words").cast("bigint").alias("n_words"),
+            F.coalesce("n_spans", F.lit(0)).cast("bigint").alias("n_spans"),
+            F.coalesce("covered_words", F.lit(0))
+            .cast("bigint")
+            .alias("covered_words"),
+            (
+                F.coalesce("covered_words", F.lit(0)).cast("double")
+                / F.col("n_words")
+            ).alias("dup_frac"),
+        )
+    )

@@ -132,6 +132,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_semantic_dedup",
     "q_bpe_pair_counts",
     "q_triangle_stats",
+    "q_dup_spans",
 })
 
 

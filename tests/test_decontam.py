@@ -75,3 +75,38 @@ def test_curation_funnel_monotone(spark, sf_dir):
     assert {r["split"] for r in rows} <= {"train", "valid", "test"}
     n_train = sum(1 for r in rows if r["split"] == "train")
     assert n_train >= len(rows) // 2  # 80% bucket dominates
+
+
+def test_dup_spans_flags_planted_duplicates(spark, sf_dir):
+    """The fixture plants near-dup doc groups (shared long prefixes):
+    docs in an exact-hash dup group must show high duplicated-span
+    coverage, and fully unique word-soup docs should be mostly clean.
+    Also sanity: covered_words <= n_words, dup_frac in [0, 1], spans
+    only for docs long enough to hold a window."""
+    from lakehouse_weather_spark.operators.dedup import SPAN_WORDS
+
+    rows = load_all()["q_dup_spans"].fn(spark, sf_dir).collect()
+    by_doc = {r.doc_id: r for r in rows}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    assert set(by_doc) == {d.doc_id for d in docs}
+    for r in rows:
+        assert 0 <= r.covered_words <= r.n_words
+        assert 0.0 <= r.dup_frac <= 1.0
+        if r.n_words < SPAN_WORDS:
+            assert r.n_spans == 0
+
+    # the fixture plants near-dup groups sharing (at least) an 80-char
+    # prefix — every member of such a group must show duplicated spans
+    # (the shared prefix alone is >= SPAN_WORDS words)
+    groups = {}
+    for d in docs:
+        groups.setdefault(d.text[:80], []).append(d.doc_id)
+    dup_ids = [ids for ids in groups.values() if len(ids) > 1]
+    assert dup_ids, "fixture should contain prefix-dup groups"
+    for ids in dup_ids:
+        for i in ids:
+            r = by_doc[i]
+            assert r.n_spans >= 1, (i, r)
+            assert r.dup_frac > 0.0
+    # and the corpus is not all duplicated: some docs stay clean
+    assert any(r.dup_frac == 0.0 for r in rows)
