@@ -475,3 +475,58 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 2)
         .select("user_id", "item")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic epoch shuffle + reader sharding (data-loading order)
+# ---------------------------------------------------------------------------
+
+EPOCH_SEED = 2
+N_READERS = 8
+
+
+@register(
+    "q_epoch_shuffle",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   CAST(('0x' || substr(md5(
+                       'epoch_{EPOCH_SEED}_' || CAST(doc_id AS VARCHAR)
+                   ), 1, 15)) AS BIGINT) AS k
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(k % {N_READERS} AS BIGINT) AS reader_bucket,
+               CAST(row_number() OVER (
+                   PARTITION BY k % {N_READERS} ORDER BY k, doc_id
+               ) AS BIGINT) AS rank_in_bucket
+        FROM keyed
+    """,
+    doc=f"Deterministic per-epoch corpus shuffle with reader sharding —"
+    " the data-loading order stage of a training pipeline: key ="
+    f" md5('epoch_<seed>_' || doc_id) assigns each doc a pseudorandom"
+    f" position; key % {N_READERS} shards the corpus across readers and"
+    " each reader consumes its shard in key order (row_number within"
+    " the shard). Changing the seed reshuffles every epoch with zero"
+    " state; the same (seed, corpus) always yields the same order on"
+    " any cluster. Scale shape: one narrow hash projection + one"
+    " PARTITIONED rank window (each reader's shard sorts"
+    " independently — never a global single-partition sort).",
+)
+def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    k = F.expr(
+        f"cast(conv(substr(md5(concat('epoch_{EPOCH_SEED}_',"
+        " cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+    )
+    keyed = docs.select("doc_id", k.alias("k")).withColumn(
+        "reader_bucket", (F.col("k") % N_READERS).cast("bigint")
+    )
+    w = Window.partitionBy("reader_bucket").orderBy("k", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "reader_bucket",
+        F.row_number().over(w).cast("bigint").alias("rank_in_bucket"),
+    )

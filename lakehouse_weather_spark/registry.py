@@ -133,6 +133,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_bpe_pair_counts",
     "q_triangle_stats",
     "q_dup_spans",
+    "q_epoch_shuffle",
 })
 
 
