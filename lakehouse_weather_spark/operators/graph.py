@@ -37,11 +37,16 @@ def pagerank(
     """PageRank over a directed edge list (src, dst) -> (node, rank).
 
     Per iteration: each node sends rank/out_degree along its out-edges
-    (contributions rounded at 1e-12 fixed point, integer-summed —
-    associative), then rank = (1-d)/N + d * received. Nodes with no
-    in-edges keep the teleport term. Scale shape per iteration: one
-    broadcast-or-shuffle join of ranks onto edges + one partial-agg
-    shuffle on dst.
+    (contributions FLOOR-quantized at 1e-12 fixed point, integer-summed
+    — associative), then rank = (1-d)/N + d * received. Nodes with no
+    in-edges keep the teleport term. floor(), not round(): Spark's
+    round() on doubles goes through the shortest decimal string
+    (BigDecimal.valueOf), which disagrees with binary-exact HALF_UP
+    engines on arbitrary-fraction products at 1e9+ magnitudes — floor
+    is exact on the binary double everywhere, so the iteration is
+    bit-identical in Spark, numpy, and DuckDB. Scale shape per
+    iteration: one broadcast-or-shuffle join of ranks onto edges + one
+    partial-agg shuffle on dst.
 
     Callers pass a CHECKPOINTED edge list (it anchors every iteration's
     lineage); nodes and out-degrees derive from it lazily — they are
@@ -67,7 +72,7 @@ def pagerank(
             .select(
                 F.col("dst").alias("node"),
                 F.expr(
-                    f"CAST(round(rank / deg * {RANK_SCALE}, 0) AS BIGINT)"
+                    f"CAST(floor(rank / deg * {RANK_SCALE}) AS BIGINT)"
                 ).alias("c"),
             )
             .groupBy("node")
@@ -100,7 +105,7 @@ def _pagerank_oracle() -> str:
         its.append(f"""
         recv{i} AS (
             SELECT ed.dst AS node,
-                   sum(CAST(round(p.rank / ed.deg * {RANK_SCALE}) AS BIGINT))
+                   sum(CAST(floor(p.rank / ed.deg * {RANK_SCALE}) AS BIGINT))
                        AS received
             FROM ed JOIN {prev} p ON ed.src = p.node
             GROUP BY ed.dst
@@ -108,8 +113,9 @@ def _pagerank_oracle() -> str:
         r{i} AS (
             SELECT n.node,
                    (SELECT tp FROM consts)
-                   + {DAMPING} * (CAST(COALESCE(rc.received, 0) AS DOUBLE)
-                                  / {RANK_SCALE}) AS rank
+                   + CAST({DAMPING} AS DOUBLE)
+                     * (CAST(COALESCE(rc.received, 0) AS DOUBLE)
+                        / {RANK_SCALE}) AS rank
             FROM nodes n LEFT JOIN recv{i} rc ON n.node = rc.node
         )""")
         prev = f"r{i}"
@@ -120,9 +126,14 @@ def _pagerank_oracle() -> str:
               UNION ALL SELECT doc_b, doc_a FROM mpairs),
         nodes AS (SELECT DISTINCT src AS node FROM e),
         consts AS (
+            -- CAST to DOUBLE everywhere: bare decimal literals are
+            -- exact DECIMALs in DuckDB, so (1.0 - 0.85) would be an
+            -- exact 0.15 instead of the binary 0.15000000000000002
+            -- the Python/Spark float path computes — an ulp off in tp
             SELECT count(*) AS n,
-                   (1.0 - {DAMPING}) / count(*) AS tp,
-                   1.0 / count(*) AS r_init
+                   (CAST(1.0 AS DOUBLE) - CAST({DAMPING} AS DOUBLE))
+                       / count(*) AS tp,
+                   CAST(1.0 AS DOUBLE) / count(*) AS r_init
             FROM nodes
         ),
         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),

@@ -28,15 +28,15 @@ def _numpy_pagerank(edge_list, n_iter, damping):
     rank = np.full(n, 1.0 / n)
     teleport = (1.0 - damping) / n
 
-    def fxround(x):
-        return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
-
     for _ in range(n_iter):
         received = np.zeros(n, dtype=np.int64)
         for s, d in edge_list:
-            received[idx[d]] += fxround(
-                np.array([rank[idx[s]] / deg[idx[s]] * RANK_SCALE])
-            )[0]
+            # floor quantization — mirrors the operator (Spark round()
+            # goes through the shortest decimal string and diverges
+            # from binary-exact engines; floor is exact everywhere)
+            received[idx[d]] += int(
+                np.floor(rank[idx[s]] / deg[idx[s]] * RANK_SCALE)
+            )
         rank = teleport + damping * (received.astype(np.float64) / RANK_SCALE)
     return {v: rank[idx[v]] for v in nodes}
 
