@@ -29,6 +29,13 @@ _QUERIES = [
     "q_editdist_neardup",
     "q_equidepth_hist",
     "q_corr_matrix",
+    # round-3 accumulation patterns: floor-quantized iterative rank,
+    # codebook-kernel Lloyd assignment, island-merge span coverage,
+    # seeded shard-rank data ordering
+    "q_pagerank_neardup",
+    "q_kmeans_clusters",
+    "q_dup_spans",
+    "q_epoch_shuffle",
 ]
 
 

@@ -198,3 +198,19 @@ def test_banded_range_join_is_hash_join(spark, sf_dir):
     # pair documents the tradeoff
     plan_plain = _plan(spark, sf_dir, "q_join_range_naive")
     assert "BroadcastNestedLoopJoin" in plan_plain
+
+
+def test_dup_spans_window_is_partitioned(spark, sf_dir):
+    # the island merge must run per-doc (hash-partitioned window), and
+    # the hot-hash filter must partial-aggregate before its exchange
+    plan = _plan(spark, sf_dir, "q_dup_spans")
+    assert "hashpartitioning(doc_id" in plan
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_epoch_shuffle_never_sorts_globally(spark, sf_dir):
+    # each reader shard ranks independently: the window partitions on
+    # reader_bucket; a global (empty-partition) window would serialize
+    # the whole corpus through one task
+    plan = _plan(spark, sf_dir, "q_epoch_shuffle")
+    assert "hashpartitioning(reader_bucket" in plan
