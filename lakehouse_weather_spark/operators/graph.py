@@ -26,6 +26,10 @@ from lakehouse_weather_spark.registry import register
 RANK_SCALE = 1_000_000_000_000
 N_ITER = 5
 DAMPING = 0.85
+# damping as an exact rational so every iteration stays in int64 —
+# 0.85 == DAMP_NUM / DAMP_DEN
+DAMP_NUM = 85
+DAMP_DEN = 100
 
 
 def pagerank(
@@ -36,17 +40,22 @@ def pagerank(
 ) -> DataFrame:
     """PageRank over a directed edge list (src, dst) -> (node, rank).
 
-    Per iteration: each node sends rank/out_degree along its out-edges
-    (contributions FLOOR-quantized at 1e-12 fixed point, integer-summed
-    — associative), then rank = (1-d)/N + d * received. Nodes with no
-    in-edges keep the teleport term. floor(), not round(): Spark's
-    round() on doubles goes through the shortest decimal string
-    (BigDecimal.valueOf), which disagrees with binary-exact HALF_UP
-    engines on arbitrary-fraction products at 1e9+ magnitudes — floor
-    is exact on the binary double everywhere, so the iteration is
-    bit-identical in Spark, numpy, and DuckDB. Scale shape per
-    iteration: one broadcast-or-shuffle join of ranks onto edges + one
-    partial-agg shuffle on dst.
+    Rank is carried as int64 FIXED POINT (units of 1/RANK_SCALE) across
+    ALL iterations; doubles appear only in the final output projection.
+    Per iteration: each node sends rank_fx div out_degree along its
+    out-edges (int64 truncating division — exact floor for the
+    non-negative ranks), contributions are integer-summed (associative,
+    order-independent), then
+    rank_fx = tp_fx + (received * DAMP_NUM) div DAMP_DEN — exact
+    rational damping, no float anywhere. Nodes with no in-edges keep
+    the teleport term. The all-integer loop is bit-identical in Spark,
+    numpy and DuckDB BY CONSTRUCTION: carrying a double rank between
+    rounds (the previous design) left last-ulp daylight between
+    engines' expression trees that surfaced at sf0.1 (36/568 rows one
+    ulp apart). Magnitudes: total rank mass is ~RANK_SCALE = 1e12, so
+    received*DAMP_NUM <= ~8.5e13 << 2**63. Scale shape per iteration:
+    one broadcast-or-shuffle join of ranks onto edges + one partial-agg
+    shuffle on dst.
 
     Callers pass a CHECKPOINTED edge list (it anchors every iteration's
     lineage); nodes and out-degrees derive from it lazily — they are
@@ -64,16 +73,17 @@ def pagerank(
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(out_deg, "src")
 
-    ranks = nodes.withColumn("rank", F.lit(1.0 / n))
-    teleport = (1.0 - damping) / n
+    assert damping == DAMP_NUM / DAMP_DEN, "fixed-point loop assumes 85/100"
+    ranks = nodes.withColumn(
+        "rank_fx", F.lit(RANK_SCALE // n).cast("bigint")
+    )
+    tp_fx = (RANK_SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
     for it in range(n_iter):
         contrib = (
             edges_deg.join(ranks, edges_deg.src == ranks.node)
             .select(
                 F.col("dst").alias("node"),
-                F.expr(
-                    f"CAST(floor(rank / deg * {RANK_SCALE}) AS BIGINT)"
-                ).alias("c"),
+                F.expr("rank_fx div deg").alias("c"),
             )
             .groupBy("node")
             .agg(F.sum("c").alias("received"))
@@ -83,39 +93,44 @@ def pagerank(
             .select(
                 "node",
                 (
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (F.coalesce(F.col("received"), F.lit(0)).cast("double") / RANK_SCALE)
-                ).alias("rank"),
+                    F.lit(tp_fx).cast("bigint")
+                    + F.expr(
+                        f"(coalesce(received, 0L) * {DAMP_NUM})"
+                        f" div {DAMP_DEN}"
+                    )
+                ).alias("rank_fx"),
             )
         )
         if checkpoint_every and it % checkpoint_every == checkpoint_every - 1:
             ranks = _checkpoint(ranks)
-    return ranks
+    return ranks.select(
+        "node", (F.col("rank_fx").cast("double") / RANK_SCALE).alias("rank")
+    )
 
 
 def _pagerank_oracle() -> str:
-    """Unrolled DuckDB replay of the N_ITER pagerank rounds: the same
-    fixed-point contribution rounding, the same teleport/damping double
-    expression tree, iterated as chained CTEs — so even the iterative
-    operator is value-hash-checked (the kmeans pattern)."""
+    """Unrolled DuckDB replay of the N_ITER pagerank rounds. Everything
+    through the last iteration is int64 fixed point (DuckDB's integer
+    division // truncates like Spark's div on the non-negative ranks;
+    sums are cast back to BIGINT from DuckDB's HUGEINT accumulator), so
+    the replay is exactly the operator's arithmetic — the only float op
+    is the shared final CAST/divide, which is one IEEE division of
+    identical integers on both engines."""
     its = []
     prev = "r0"
     for i in range(1, N_ITER + 1):
         its.append(f"""
         recv{i} AS (
             SELECT ed.dst AS node,
-                   sum(CAST(floor(p.rank / ed.deg * {RANK_SCALE}) AS BIGINT))
-                       AS received
+                   CAST(sum(p.rank_fx // ed.deg) AS BIGINT) AS received
             FROM ed JOIN {prev} p ON ed.src = p.node
             GROUP BY ed.dst
         ),
         r{i} AS (
             SELECT n.node,
-                   (SELECT tp FROM consts)
-                   + CAST({DAMPING} AS DOUBLE)
-                     * (CAST(COALESCE(rc.received, 0) AS DOUBLE)
-                        / {RANK_SCALE}) AS rank
+                   CAST((SELECT tp_fx FROM consts)
+                        + (COALESCE(rc.received, 0) * {DAMP_NUM})
+                          // {DAMP_DEN} AS BIGINT) AS rank_fx
             FROM nodes n LEFT JOIN recv{i} rc ON n.node = rc.node
         )""")
         prev = f"r{i}"
@@ -126,22 +141,20 @@ def _pagerank_oracle() -> str:
               UNION ALL SELECT doc_b, doc_a FROM mpairs),
         nodes AS (SELECT DISTINCT src AS node FROM e),
         consts AS (
-            -- CAST to DOUBLE everywhere: bare decimal literals are
-            -- exact DECIMALs in DuckDB, so (1.0 - 0.85) would be an
-            -- exact 0.15 instead of the binary 0.15000000000000002
-            -- the Python/Spark float path computes — an ulp off in tp
             SELECT count(*) AS n,
-                   (CAST(1.0 AS DOUBLE) - CAST({DAMPING} AS DOUBLE))
-                       / count(*) AS tp,
-                   CAST(1.0 AS DOUBLE) / count(*) AS r_init
+                   CAST({RANK_SCALE} * {DAMP_DEN - DAMP_NUM}
+                        // ({DAMP_DEN} * count(*)) AS BIGINT) AS tp_fx,
+                   CAST({RANK_SCALE} // count(*) AS BIGINT) AS r_init_fx
             FROM nodes
         ),
         deg AS (SELECT src, count(*) AS deg FROM e GROUP BY src),
         ed AS (SELECT e.src, e.dst, d.deg FROM e JOIN deg d USING (src)),
         r0 AS (
-            SELECT node, (SELECT r_init FROM consts) AS rank FROM nodes
+            SELECT node, (SELECT r_init_fx FROM consts) AS rank_fx
+            FROM nodes
         ),{chain}
-        SELECT node, rank FROM {prev}
+        SELECT node, CAST(rank_fx AS DOUBLE) / {RANK_SCALE} AS rank
+        FROM {prev}
     """
 
 
@@ -152,10 +165,11 @@ def _pagerank_oracle() -> str:
     f" ({N_ITER} iterations, damping {DAMPING}): rank mass concentrates"
     " in large duplicate clusters — a corpus-importance /"
     " representative-selection signal. Iterative join + partial-agg"
-    " shuffle per round with reliable checkpoints; fixed-point"
-    " contribution sums make the result cluster-order-independent —"
-    " verified bit-exact against BOTH a numpy replay (pytest) and an"
-    " unrolled DuckDB CTE replay of all iterations (oracle gate).",
+    " shuffle per round with reliable checkpoints; the loop is pure"
+    " int64 fixed point (integer div/mul/sum only), so the result is"
+    " cluster-order-independent and engine-independent — verified"
+    " bit-exact against BOTH a numpy replay (pytest) and an unrolled"
+    " DuckDB CTE replay of all iterations (oracle gate).",
 )
 def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (expensive) LSH pair query ONCE before the

@@ -11,34 +11,33 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from lakehouse_weather_spark.operators.graph import (
-    DAMPING,
+    DAMP_DEN,
+    DAMP_NUM,
     N_ITER,
     RANK_SCALE,
     pagerank,
 )
 
 
-def _numpy_pagerank(edge_list, n_iter, damping):
+def _numpy_pagerank(edge_list, n_iter):
+    """All-integer replay of the operator: int64 fixed-point ranks,
+    truncating division, exact rational damping — bit-identical to the
+    Spark loop and the unrolled DuckDB oracle by construction."""
     nodes = sorted({s for s, _ in edge_list} | {d for _, d in edge_list})
     idx = {v: i for i, v in enumerate(nodes)}
     n = len(nodes)
     deg = np.zeros(n, dtype=np.int64)
     for s, _ in edge_list:
         deg[idx[s]] += 1
-    rank = np.full(n, 1.0 / n)
-    teleport = (1.0 - damping) / n
+    rank_fx = np.full(n, RANK_SCALE // n, dtype=np.int64)
+    tp_fx = (RANK_SCALE * (DAMP_DEN - DAMP_NUM)) // (DAMP_DEN * n)
 
     for _ in range(n_iter):
         received = np.zeros(n, dtype=np.int64)
         for s, d in edge_list:
-            # floor quantization — mirrors the operator (Spark round()
-            # goes through the shortest decimal string and diverges
-            # from binary-exact engines; floor is exact everywhere)
-            received[idx[d]] += int(
-                np.floor(rank[idx[s]] / deg[idx[s]] * RANK_SCALE)
-            )
-        rank = teleport + damping * (received.astype(np.float64) / RANK_SCALE)
-    return {v: rank[idx[v]] for v in nodes}
+            received[idx[d]] += int(rank_fx[idx[s]]) // int(deg[idx[s]])
+        rank_fx = tp_fx + (received * DAMP_NUM) // DAMP_DEN
+    return {v: rank_fx[idx[v]] / RANK_SCALE for v in nodes}
 
 
 def test_pagerank_matches_numpy_replay(spark):
@@ -49,7 +48,7 @@ def test_pagerank_matches_numpy_replay(spark):
     ]
     edges = spark.createDataFrame(edge_list, "src long, dst long")
     got = {r.node: r.rank for r in pagerank(edges).collect()}
-    want = _numpy_pagerank(edge_list, N_ITER, DAMPING)
+    want = _numpy_pagerank(edge_list, N_ITER)
     assert set(got) == set(want)
     for v in want:
         assert got[v] == want[v], v  # bit-exact
