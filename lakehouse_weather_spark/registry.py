@@ -55,6 +55,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.clustering",
     "lakehouse_weather_spark.operators.bpe",
     "lakehouse_weather_spark.operators.graph",
+    "lakehouse_weather_spark.operators.retrieval",
     "lakehouse_weather_spark.streaming.events",
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered
@@ -134,6 +135,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_triangle_stats",
     "q_dup_spans",
     "q_epoch_shuffle",
+    "q_bm25",
+    "q_lsh_eval",
 })
 
 
