@@ -885,3 +885,96 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rrf_score"),
     )
     return fused.orderBy(F.desc("rrf_score"), F.asc("doc_id")).limit(TOP_K)
+
+
+# ---------------------------------------------------------------------------
+# ANN quality evaluation: recall@k of the LSH path vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _ann_recall_oracle() -> str:
+    """Both rankings in one WITH chain: the exact top-k and the
+    LSH-candidate top-k share the fixed-point dot table, so the only
+    difference is the candidate restriction — exactly the operator's
+    semantics."""
+    masks = ", ".join(f"({m})" for m in _probe_masks())
+    bit = "CAST(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END AS INTEGER)"
+    qnrm = f"(SELECT nrm FROM norms WHERE vec_id = {QUERY_VEC_ID})"
+    return f"""
+        WITH {_DUCK_VEC_CTE},
+        q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        exact_dots AS (
+            SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos
+            WHERE v.vec_id <> {QUERY_VEC_ID}
+            GROUP BY v.vec_id
+        ),
+        exact_top AS (
+            SELECT d.vec_id
+            FROM exact_dots d JOIN norms n ON d.vec_id = n.vec_id
+            ORDER BY d.dot / (n.nrm * {qnrm}) DESC, d.vec_id
+            LIMIT {TOP_K}
+        ),
+        hp AS (
+            SELECT j, i + 1 AS pos,
+                   (CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))
+                         AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+            FROM (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS j),
+                 (SELECT unnest(generate_series(0, {_DIM - 1})) AS i)
+        ),
+        hpdots AS (
+            SELECT v.vec_id, hp.j, {duck_dot_sum('v.val', 'hp.w')} AS dot
+            FROM vals v JOIN hp ON v.pos = hp.pos
+            GROUP BY v.vec_id, hp.j
+        ),
+        codes AS (
+            SELECT vec_id, CAST(sum({bit}) AS INTEGER) AS bucket
+            FROM hpdots GROUP BY vec_id
+        ),
+        probes AS (
+            SELECT DISTINCT xor(c.bucket, m.m) AS bucket
+            FROM codes c, (VALUES {masks}) AS m(m)
+            WHERE c.vec_id = {QUERY_VEC_ID}
+        ),
+        lsh_top AS (
+            SELECT d.vec_id
+            FROM exact_dots d
+            JOIN codes c ON d.vec_id = c.vec_id
+            JOIN probes p ON c.bucket = p.bucket
+            JOIN norms n ON d.vec_id = n.vec_id
+            ORDER BY d.dot / (n.nrm * {qnrm}) DESC, d.vec_id
+            LIMIT {TOP_K}
+        )
+        SELECT CAST({TOP_K} AS BIGINT) AS k,
+               (SELECT count(*) FROM exact_top e
+                JOIN lsh_top l ON e.vec_id = l.vec_id) AS n_hits,
+               CAST((SELECT count(*) FROM exact_top e
+                     JOIN lsh_top l ON e.vec_id = l.vec_id) AS DOUBLE)
+                   / {TOP_K} AS recall_at_k
+    """
+
+
+@register(
+    "q_ann_recall",
+    oracle=_ann_recall_oracle(),
+    doc=f"ANN quality scorecard: recall@{TOP_K} of the sign-LSH"
+    " multiprobe path against the exact brute-force cosine ranking for"
+    " the fixed query vector — the eval that gates every ANN index"
+    " deployment (probe count and plane count are tuned against exactly"
+    " this number). Both rankings are deterministic (fixed-point dots,"
+    " vec_id tie-break), so the intersection count and the one recall"
+    " division hash-match the DuckDB replay. The eval reuses the two"
+    " registered query plans; at 100 TB it costs one exact scan + one"
+    " probe scan over a sampled query set, not the corpus squared.",
+)
+def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exact = q_vector_topk(spark, sf_dir).select("vec_id")
+    approx = q_vector_topk_lsh(spark, sf_dir).select("vec_id")
+    hits = exact.join(approx, "vec_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return hits.select(
+        F.lit(TOP_K).cast("bigint").alias("k"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(TOP_K)).alias("recall_at_k"),
+    )

@@ -137,6 +137,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_epoch_shuffle",
     "q_bm25",
     "q_lsh_eval",
+    "q_ann_recall",
 })
 
 

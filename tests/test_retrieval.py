@@ -69,3 +69,19 @@ def test_lsh_eval_consistency(spark, sf_dir):
     # truth count agrees with the exact-jaccard query at threshold 0.10
     n_truth = load_all()["q_ngram_jaccard"].fn(spark, sf_dir).count()
     assert row.n_truth == n_truth
+
+
+def test_ann_recall_matches_component_queries(spark, sf_dir):
+    row = load_all()["q_ann_recall"].fn(spark, sf_dir).collect()[0]
+    exact = {
+        r.vec_id for r in load_all()["q_vector_topk"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        r.vec_id
+        for r in load_all()["q_vector_topk_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert row.k == len(exact)
+    assert row.n_hits == len(exact & lsh)
+    assert row.recall_at_k == row.n_hits / row.k
+    # the bar test_lsh_recall_vs_brute_force already enforces
+    assert row.recall_at_k >= 0.5
