@@ -350,3 +350,60 @@ def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_phones"),
         F.expr(scrub).alias("scrubbed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lexical diversity: word-level Simpson index (rational — no log/entropy)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_word_diversity",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS w
+            FROM documents
+        ),
+        wc AS (
+            SELECT doc_id, w, count(*) AS c FROM words GROUP BY doc_id, w
+        )
+        SELECT doc_id,
+               CAST(sum(c) AS BIGINT) AS n_words,
+               CAST(count(*) AS BIGINT) AS n_distinct,
+               CAST(1 AS DOUBLE)
+                   - (CAST(sum(c * c) AS BIGINT)
+                      / (CAST(sum(c) AS DOUBLE) * CAST(sum(c) AS DOUBLE)))
+                   AS simpson_diversity
+        FROM wc GROUP BY doc_id
+    """,
+    doc="Word-level Simpson diversity index per document:"
+    " 1 - sum(c_i^2)/n^2 over word counts — the collision-probability"
+    " complement. Low diversity flags template/boilerplate/repetitive"
+    " docs that per-word dedup misses (the quality companion to"
+    " q_quality_repetition's run-length view). Deliberately Simpson,"
+    " not Shannon: entropy needs libm log whose last-ulp rounding"
+    " differs per engine, while Simpson is integer sums + one IEEE"
+    " multiply/divide/subtract — hash-exact against the oracle. Scale"
+    " shape: explode + two partial-agg shuffles keyed on doc_id; at"
+    " 100 TB the first agg map-side-combines within partitions, so the"
+    " wide explode never hits the shuffle at full width.",
+)
+def q_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = F.sum("c").cast("bigint")
+    return wc.groupBy("doc_id").agg(
+        n.alias("n_words"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        (
+            F.lit(1).cast("double")
+            - (
+                F.sum(F.col("c") * F.col("c")).cast("bigint")
+                / (F.sum("c").cast("double") * F.sum("c").cast("double"))
+            )
+        ).alias("simpson_diversity"),
+    )

@@ -530,3 +530,50 @@ def q_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         "reader_bucket",
         F.row_number().over(w).cast("bigint").alias("rank_in_bucket"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (C4/domain-balancing style)
+# ---------------------------------------------------------------------------
+
+SOURCE_CAP = 10
+
+
+@register(
+    "q_source_cap",
+    oracle=f"""
+        SELECT doc_id, source, keep_rank FROM (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                   ) AS BIGINT) AS keep_rank
+            FROM documents
+        )
+        WHERE keep_rank <= {SOURCE_CAP}
+    """,
+    doc=f"Per-source document cap at {SOURCE_CAP} (C4-style domain"
+    " balancing: no single domain may dominate the training mix)."
+    " Within each source, docs rank by md5(doc_id) — a deterministic"
+    " uniform shuffle, so the kept subset is an unbiased reproducible"
+    " sample, not head-of-file bias — and ranks beyond the cap drop."
+    " Scale shape: one hash projection + one PARTITIONED rank window"
+    " (shuffle on source). For a pathological mega-domain the rank"
+    " window serializes that domain through one task; the remedy at"
+    " 100 TB is a first pass of per-source counts (tiny agg, broadcast"
+    " back) that routes only over-cap sources through the window —"
+    " under-cap sources (the vast majority) bypass it entirely.",
+)
+def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.select(
+            "doc_id",
+            "source",
+            F.row_number().over(w).cast("bigint").alias("keep_rank"),
+        )
+        .filter(F.col("keep_rank") <= SOURCE_CAP)
+    )

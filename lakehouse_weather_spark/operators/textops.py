@@ -525,3 +525,72 @@ def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
         * (F.col("n_syllables").cast("double") / F.col("n_words"))
     )
     return m.withColumn("flesch_score", score)
+
+
+# ---------------------------------------------------------------------------
+# Unicode NFC normalization (multilingual cleaning stage)
+# ---------------------------------------------------------------------------
+
+# Deterministic synthetic mojibake: even doc_ids get a DECOMPOSED
+# prefix (e + U+0301 combining acute), odd ids the COMPOSED form
+# (U+00E9) — so NFC is a real transformation on half the corpus and an
+# identity on the other half, and both cases are value-checked.
+_NFC_DECOMPOSED = "Café "
+_NFC_COMPOSED = "Café "
+
+
+@F.pandas_udf(StringType())
+def _nfc_udf(s: pd.Series) -> pd.Series:
+    import unicodedata
+
+    return s.map(lambda x: unicodedata.normalize("NFC", x))
+
+
+@register(
+    "q_unicode_nfc",
+    oracle="""
+        WITH synth AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0
+                        THEN 'Cafe' || chr(769) || ' ' || text
+                        ELSE 'Caf' || chr(233) || ' ' || text
+                   END AS raw
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS n_before,
+               CAST(length(nfc_normalize(raw)) AS BIGINT) AS n_after,
+               length(nfc_normalize(raw)) <> length(raw) AS changed,
+               substr(nfc_normalize(raw), 1, 5) AS head
+        FROM synth
+    """,
+    doc="Unicode NFC normalization — the canonicalization pass every"
+    " multilingual corpus runs before hashing/dedup (the same text in"
+    " composed vs decomposed form must not count as two documents)."
+    " Spark lacks a built-in normalizer, so the kernel is an"
+    " Arrow-batched pandas_udf over unicodedata.normalize('NFC') — a"
+    " narrow per-row map, no shuffle — checked against DuckDB's native"
+    " nfc_normalize on a synthetic composed/decomposed column pair"
+    " (python unicodedata and DuckDB's utf8proc both implement the"
+    " Unicode canonical-composition algorithm, so outputs agree"
+    " byte-for-byte). At 100 TB this is scan-speed Arrow batches;"
+    " the char-count columns prove the combining sequences actually"
+    " collapsed.",
+)
+def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit(_NFC_DECOMPOSED), F.col("text")),
+    ).otherwise(F.concat(F.lit(_NFC_COMPOSED), F.col("text")))
+    synth = docs.select("doc_id", raw.alias("raw"))
+    norm = synth.select(
+        "doc_id", "raw", _nfc_udf("raw").alias("nfc")
+    )
+    return norm.select(
+        "doc_id",
+        F.length("raw").cast("bigint").alias("n_before"),
+        F.length("nfc").cast("bigint").alias("n_after"),
+        (F.length("nfc") != F.length("raw")).alias("changed"),
+        F.substring("nfc", 1, 5).alias("head"),
+    )

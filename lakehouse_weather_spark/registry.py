@@ -138,6 +138,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_bm25",
     "q_lsh_eval",
     "q_ann_recall",
+    "q_source_cap",
+    "q_word_diversity",
+    "q_unicode_nfc",
 })
 
 

@@ -85,6 +85,10 @@ _ARROW_KERNEL_ALLOWED = {
     # sanctioned kernel is an Arrow-batched scalar pandas_udf; the
     # oracle replays it in a DuckDB recursive CTE
     "q_chunk_recursive": ("ArrowEvalPython",),
+    # Unicode NFC normalization: Spark has no built-in normalizer, so
+    # the sanctioned kernel is an Arrow-batched unicodedata pandas_udf
+    # checked against DuckDB's native nfc_normalize
+    "q_unicode_nfc": ("ArrowEvalPython",),
 }
 
 

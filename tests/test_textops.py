@@ -123,3 +123,45 @@ def test_recursive_split_matches_python_reference(spark, sf_dir):
         expect = recursive_split(d.text)
         chunks = [got[d.doc_id][i] for i in range(len(got.get(d.doc_id, {})))]
         assert chunks == expect, d.doc_id
+
+
+def test_unicode_nfc_collapses_decomposed(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_unicode_nfc"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        if r.doc_id % 2 == 0:
+            # decomposed prefix: combining acute collapses into é
+            assert r.changed and r.n_after == r.n_before - 1
+        else:
+            assert not r.changed and r.n_after == r.n_before
+        assert r.head == "Café "  # composed form either way
+
+
+def test_word_diversity_bounds_and_degenerates(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_word_diversity"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_distinct <= r.n_words
+        # Simpson index in [0, 1 - 1/n]; 0 iff single repeated word
+        assert 0.0 <= r.simpson_diversity < 1.0
+        if r.n_distinct == 1:
+            assert r.simpson_diversity == 0.0
+
+
+def test_source_cap_enforced(spark, sf_dir):
+    from lakehouse_weather_spark.operators.sampling import SOURCE_CAP
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_source_cap"].fn(spark, sf_dir).collect()
+    per_source = {}
+    for r in rows:
+        per_source.setdefault(r.source, []).append(r.keep_rank)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for src, ranks in per_source.items():
+        assert len(ranks) <= SOURCE_CAP
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+    assert len(rows) <= n_docs
