@@ -99,6 +99,12 @@ HEADLINE = [
     "q_semantic_dedup",
     "q_dup_spans",
     "q_triangle_stats",
+    "q_bm25",
+    "q_lsh_eval",
+    "q_ann_recall",
+    "q_word_diversity",
+    "q_unicode_nfc",
+    "q_source_cap",
 ]
 
 

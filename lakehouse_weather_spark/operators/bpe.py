@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, StringType
 
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import fan_out, load_table
@@ -140,3 +141,122 @@ def bpe_train(
         merges.append((a, b, int(n)))
         syms = syms.select(F.expr(_merge_expr("s", a, b)).alias("s"))
     return merges
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer INFERENCE: greedy longest-match subword encoding
+# ---------------------------------------------------------------------------
+
+# The trained vocabulary handed to the encoder (WordPiece-style
+# inference: longest matching piece wins, single chars are the implicit
+# fallback alphabet). Static here — in production this is the artifact
+# bpe_train/q_bpe_pair_counts produce, broadcast to every executor.
+VOCAB3 = (
+    "tab", "val", "par", "has", "mer", "bat", "spa", "win",
+    "sca", "lin", "sor", "the", "ast", "dow", "rge",
+)
+VOCAB2 = (
+    "ke", "ag", "ro", "sc", "an", "sl", "ow", "fa", "st", "ta",
+    "bl", "le", "va", "lu", "pa", "rt", "ha", "sh", "me", "er",
+    "ba", "tc", "ch", "sp", "ar", "li", "ne", "so", "wi", "nd",
+    "ey", "gg", "ue", "ab",
+)
+
+
+@F.pandas_udf(ArrayType(ArrayType(StringType())))
+def _greedy_tok_udf(texts):
+
+    v3, v2 = set(VOCAB3), set(VOCAB2)
+
+    def tok_word(w: str) -> list[str]:
+        out, i = [], 0
+        while i < len(w):
+            if w[i : i + 3] in v3:
+                out.append(w[i : i + 3])
+                i += 3
+            elif w[i : i + 2] in v2:
+                out.append(w[i : i + 2])
+                i += 2
+            else:
+                out.append(w[i])
+                i += 1
+        return out
+
+    return texts.map(lambda t: [tok_word(w) for w in t.split(" ")])
+
+
+def _tok_case(v3: str, v2: str) -> str:
+    return (
+        f"CASE WHEN substr(word, pos, 3) IN ({v3})"
+        f" THEN substr(word, pos, 3)"
+        f" WHEN substr(word, pos, 2) IN ({v2})"
+        f" THEN substr(word, pos, 2)"
+        f" ELSE substr(word, pos, 1) END"
+    )
+
+
+def _greedy_tok_oracle() -> str:
+    v3 = ", ".join(f"'{p}'" for p in VOCAB3)
+    v2 = ", ".join(f"'{p}'" for p in VOCAB2)
+    piece = _tok_case(v3, v2)
+    return f"""
+        WITH RECURSIVE wd AS (
+            SELECT doc_id, CAST(i AS BIGINT) AS word_idx, words[i] AS word
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       unnest(generate_series(
+                           1, len(string_split(text, ' ')))) AS i
+                FROM documents
+            )
+        ),
+        tok AS (
+            SELECT doc_id, word_idx, word, 1 AS pos, 0 AS piece_idx,
+                   CAST(NULL AS VARCHAR) AS piece
+            FROM wd
+            UNION ALL
+            SELECT doc_id, word_idx, word,
+                   pos + length({piece}) AS pos,
+                   piece_idx + 1,
+                   {piece} AS piece
+            FROM tok
+            WHERE pos <= length(word)
+        )
+        SELECT doc_id, word_idx, CAST(piece_idx AS BIGINT) AS piece_idx,
+               piece
+        FROM tok WHERE piece IS NOT NULL
+    """
+
+
+@register(
+    "q_tokenize_greedy",
+    oracle=_greedy_tok_oracle(),
+    doc="Tokenizer inference — the apply half of the BPE family:"
+    " greedy longest-match subword encoding of every word against a"
+    " trained vocabulary (trigraph/digraph pieces, single-char"
+    " fallback alphabet), emitting (doc_id, word_idx, piece_idx,"
+    " piece). The kernel is a genuinely imperative per-word scan"
+    " (variable-length advance), so it runs as an Arrow-batched"
+    " pandas_udf with the vocab in the closure — a narrow scan-speed"
+    " map, no shuffle; the double posexplode stays JVM-side. The"
+    " DuckDB oracle replays the same greedy loop as a recursive CTE,"
+    " so every emitted piece is hash-checked. At 100 TB the vocab is"
+    " a broadcast model artifact and this stage is the corpus-wide"
+    " tokenize-and-count pass before sequence packing"
+    " (q_token_packing / q_pack_sequences consume its output shape).",
+)
+def q_tokenize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select("doc_id", _greedy_tok_udf("text").alias("toks"))
+    words = toks.select(
+        "doc_id", F.posexplode("toks").alias("wi0", "pieces")
+    )
+    return words.select(
+        "doc_id",
+        (F.col("wi0") + 1).cast("bigint").alias("word_idx"),
+        F.posexplode("pieces").alias("pi0", "piece"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        (F.col("pi0") + 1).cast("bigint").alias("piece_idx"),
+        "piece",
+    )

@@ -594,3 +594,75 @@ def q_unicode_nfc(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.length("nfc") != F.length("raw")).alias("changed"),
         F.substring("nfc", 1, 5).alias("head"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID evaluation: confusion matrix vs the labeled lang column
+# ---------------------------------------------------------------------------
+
+_PRED_CASE = """
+           CASE
+             WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de AND s_en >= s_zh THEN 'en'
+             WHEN s_es >= s_fr AND s_es >= s_de AND s_es >= s_zh THEN 'es'
+             WHEN s_fr >= s_de AND s_fr >= s_zh THEN 'fr'
+             WHEN s_de >= s_zh THEN 'de'
+             ELSE 'zh'
+           END
+"""
+
+
+@register(
+    "q_langid_eval",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ),
+        scores AS (
+            SELECT doc_id, {", ".join(_lang_score_sql(lg) for lg in _LANG_ORDER)}
+            FROM words GROUP BY doc_id
+        ),
+        pred AS (
+            SELECT doc_id, {_PRED_CASE} AS pred_lang FROM scores
+        ),
+        cm AS (
+            SELECT d.lang AS true_lang, p.pred_lang, count(*) AS n
+            FROM documents d JOIN pred p USING (doc_id)
+            GROUP BY d.lang, p.pred_lang
+        )
+        SELECT true_lang, pred_lang,
+               CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE)
+                   / CAST(sum(n) OVER (PARTITION BY true_lang) AS DOUBLE)
+                   AS frac
+        FROM cm
+    """,
+    doc="Language-ID quality scorecard: confusion matrix of the"
+    " stopword-lexicon classifier (q_text_langid) against the corpus's"
+    " labeled lang column — (true_lang, pred_lang, count, row-share)."
+    " The eval every multilingual curation pipeline keeps on a"
+    " dashboard: the diagonal is per-language recall, off-diagonal"
+    " cells say which language pairs the lexicon confuses. Integer"
+    " counts + one division per cell over a per-true-lang window sum,"
+    " so the matrix hash-matches the oracle. Scale: the classifier's"
+    " explode/agg dominates; the matrix itself is a languages^2-row"
+    " aggregate.",
+)
+def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pred = q_text_langid(spark, sf_dir).select("doc_id", "pred_lang")
+    cm = (
+        docs.select("doc_id", F.col("lang").alias("true_lang"))
+        .join(pred, "doc_id")
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    total = F.sum("n").over(Window.partitionBy("true_lang"))
+    return cm.select(
+        "true_lang",
+        "pred_lang",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("n").cast("double") / total.cast("double")).alias("frac"),
+    )

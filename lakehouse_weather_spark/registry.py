@@ -141,6 +141,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_source_cap",
     "q_word_diversity",
     "q_unicode_nfc",
+    "q_langid_eval",
+    "q_tokenize_greedy",
 })
 
 

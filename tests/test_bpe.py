@@ -72,3 +72,54 @@ def test_bpe_pair_counts_first_merge_consistent(spark, sf_dir):
     # descending by count with ascending pair tie-break
     ns = [r["n"] for r in top]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_greedy_tokenizer_roundtrip_and_priority(spark, sf_dir):
+    """Pieces concatenate back to the exact word (lossless encode), and
+    every emitted piece respects longest-match priority at its
+    position."""
+    from lakehouse_weather_spark.operators.bpe import VOCAB2, VOCAB3
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_tokenize_greedy"].fn(spark, sf_dir).collect()
+    assert rows
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    v3, v2 = set(VOCAB3), set(VOCAB2)
+    by_word: dict = {}
+    for r in rows:
+        by_word.setdefault((r.doc_id, r.word_idx), []).append(
+            (r.piece_idx, r.piece)
+        )
+    for (doc_id, wi), pieces in by_word.items():
+        pieces.sort()
+        word = docs[doc_id][wi - 1]
+        assert "".join(p for _, p in pieces) == word
+        pos = 0
+        for _, p in pieces:
+            rest = word[pos:]
+            if len(p) < 3:
+                assert rest[:3] not in v3  # a trigram would have won
+            if len(p) < 2:
+                assert rest[:2] not in v2
+            pos += len(p)
+    # every non-empty word of every doc is covered
+    n_words = sum(1 for ws in docs.values() for w in ws if w)
+    assert len(by_word) == n_words
+
+
+def test_langid_eval_matrix_consistency(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_langid_eval"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n for r in rows) == n_docs
+    by_true: dict = {}
+    for r in rows:
+        by_true.setdefault(r.true_lang, []).append(r)
+    for true_lang, cells in by_true.items():
+        assert abs(sum(c.frac for c in cells) - 1.0) < 1e-12

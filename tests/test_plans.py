@@ -89,6 +89,9 @@ _ARROW_KERNEL_ALLOWED = {
     # the sanctioned kernel is an Arrow-batched unicodedata pandas_udf
     # checked against DuckDB's native nfc_normalize
     "q_unicode_nfc": ("ArrowEvalPython",),
+    # greedy longest-match tokenizer: imperative variable-advance scan
+    # per word — Arrow-batched kernel, recursive-CTE oracle replay
+    "q_tokenize_greedy": ("ArrowEvalPython",),
 }
 
 
