@@ -978,3 +978,107 @@ def q_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_hits",
         (F.col("n_hits").cast("double") / F.lit(TOP_K)).alias("recall_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Label-error detection: farthest members from their label centroid
+# ---------------------------------------------------------------------------
+
+OUTLIERS_PER_LABEL = 5
+
+
+def _label_outliers_oracle() -> str:
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    return f"""
+        WITH lu AS (
+            SELECT vec_id, label, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        ),
+        lvals AS (
+            SELECT vec_id, label, pos, CAST(embedding[pos] AS DOUBLE) AS val
+            FROM lu
+        ),
+        cent AS (
+            SELECT label, pos,
+                   {duck_dot_sum('val', '1.0')} / count(*) AS c
+            FROM lvals GROUP BY label, pos
+        ),
+        d AS (
+            SELECT v.vec_id, v.label,
+                   CAST(sum(CAST(round((v.val - c.c) * (v.val - c.c)
+                                       * {DOT_SCALE}) AS BIGINT))
+                        AS BIGINT) AS dfx
+            FROM lvals v JOIN cent c ON v.label = c.label AND v.pos = c.pos
+            GROUP BY v.vec_id, v.label
+        )
+        SELECT label, vec_id,
+               CAST(dfx AS DOUBLE) / {DOT_SCALE} AS dist2,
+               CAST(r AS BIGINT) AS outlier_rank
+        FROM (
+            SELECT label, vec_id, dfx,
+                   row_number() OVER (
+                       PARTITION BY label ORDER BY dfx DESC, vec_id
+                   ) AS r
+            FROM d
+        )
+        WHERE r <= {OUTLIERS_PER_LABEL}
+    """
+
+
+@register(
+    "q_label_outliers",
+    oracle=_label_outliers_oracle(),
+    doc=f"Label-error candidates: for every label, the"
+    f" {OUTLIERS_PER_LABEL} embeddings farthest (squared L2) from"
+    " their label centroid — the standard confident-learning-style"
+    " screen for mislabeled training examples. Centroids reuse the"
+    " fixed-point mean (q_embed_centroid's arithmetic); per-dimension"
+    " squared deviations are fixed-point-rounded then integer-summed,"
+    " so distances are order-independent and the per-label ranking"
+    " hash-matches the oracle. Scale shape: explode + two partial-agg"
+    " shuffles; the centroid table (labels x dims) broadcasts back;"
+    " the rank window partitions by label — never a global sort.",
+)
+def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val0")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("val0").cast("double").alias("val"),
+    )
+    fx = F.round(F.col("val").cast("double") * F.lit(1.0) * DOT_SCALE, 0).cast(
+        "bigint"
+    )
+    cent = ex.groupBy("label", "pos").agg(
+        (F.sum(fx).cast("double") / DOT_SCALE / F.count(F.lit(1))).alias("c")
+    )
+    dev = F.round(
+        (F.col("val") - F.col("c")) * (F.col("val") - F.col("c")) * DOT_SCALE,
+        0,
+    ).cast("bigint")
+    d = (
+        ex.join(cent, ["label", "pos"])
+        .select("vec_id", "label", dev.alias("dfx_el"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("dfx_el").cast("bigint").alias("dfx"))
+    )
+    w = Window.partitionBy("label").orderBy(F.desc("dfx"), F.asc("vec_id"))
+    return (
+        d.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= OUTLIERS_PER_LABEL)
+        .select(
+            "label",
+            "vec_id",
+            (F.col("dfx").cast("double") / DOT_SCALE).alias("dist2"),
+            F.col("r").cast("bigint").alias("outlier_rank"),
+        )
+    )

@@ -666,3 +666,105 @@ def q_langid_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n"),
         (F.col("n").cast("double") / total.cast("double")).alias("frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Collocation / phrase mining: adjacent-bigram lift (rational PMI)
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_SUPPORT = 3
+COLLOC_TOPK = 30
+
+
+@register(
+    "q_collocations",
+    oracle=f"""
+        WITH w AS (
+            SELECT string_split(text, ' ') AS words FROM documents
+        ),
+        uni AS (
+            SELECT word, count(*) AS c FROM (
+                SELECT unnest(words) AS word FROM w
+            ) GROUP BY word
+        ),
+        bi AS (
+            SELECT w1, w2, count(*) AS c_ab FROM (
+                SELECT words[i] AS w1, words[i + 1] AS w2
+                FROM (
+                    SELECT words,
+                           unnest(generate_series(1, len(words) - 1)) AS i
+                    FROM w WHERE len(words) >= 2
+                )
+            ) GROUP BY w1, w2
+        ),
+        n AS (
+            SELECT CAST(sum(len(words) - 1) AS BIGINT) AS n_bi FROM w
+            WHERE len(words) >= 2
+        )
+        SELECT w1, w2, CAST(c_ab AS BIGINT) AS c_ab,
+               CAST(n.n_bi * c_ab AS DOUBLE)
+                   / CAST(u1.c * u2.c AS DOUBLE) AS lift
+        FROM bi, n
+        JOIN uni u1 ON bi.w1 = u1.word
+        JOIN uni u2 ON bi.w2 = u2.word
+        WHERE c_ab >= {COLLOC_MIN_SUPPORT}
+        ORDER BY lift DESC, w1, w2
+        LIMIT {COLLOC_TOPK}
+    """,
+    doc=f"Collocation mining: top-{COLLOC_TOPK} adjacent word bigrams by"
+    " LIFT — n_bigrams * c(a,b) / (c(a) * c(b)), the rational core of"
+    " PMI (PMI = log2(lift); log dropped for cross-engine bit parity —"
+    " the ranking is identical since log is monotone). Phrase"
+    " discovery for tokenizer vocab construction and boilerplate"
+    " detection. Support floor {COLLOC_MIN_SUPPORT} kills"
+    " one-off pairs. All counts are exact integers; lift is one IEEE"
+    " division of exact int64 products, so the list hash-matches the"
+    " oracle. Scale shape: two partial-agg shuffles (unigrams,"
+    " bigrams) + two broadcast-able joins of the bigram table against"
+    " the unigram table + TakeOrdered top-k; nothing global-sorts.",
+)
+def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(F.split("text", " ").alias("words"))
+    uni = (
+        w.select(F.explode("words").alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bi = (
+        w.filter(F.size("words") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(words) - 1),"
+                    " i -> struct(words[i - 1] AS w1, words[i] AS w2))"
+                )
+            ).alias("p")
+        )
+        .select("p.w1", "p.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    n_bi = (
+        w.filter(F.size("words") >= 2)
+        .agg(F.sum(F.size("words") - 1).cast("bigint").alias("n_bi"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    return (
+        bi.crossJoin(F.broadcast(n_bi))
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .filter(F.col("c_ab") >= COLLOC_MIN_SUPPORT)
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            (
+                (F.col("n_bi") * F.col("c_ab")).cast("double")
+                / (F.col("c1") * F.col("c2")).cast("double")
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
+        .limit(COLLOC_TOPK)
+    )

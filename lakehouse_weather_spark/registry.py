@@ -143,6 +143,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_unicode_nfc",
     "q_langid_eval",
     "q_tokenize_greedy",
+    "q_label_outliers",
+    "q_collocations",
 })
 
 

@@ -122,3 +122,32 @@ def test_pq_plan_shape(spark, sf_dir):
     assert plan.count("TakeOrderedAndProject") >= 2
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_label_outliers_per_label_ranks(spark, sf_dir):
+    from lakehouse_weather_spark.operators.similarity import (
+        OUTLIERS_PER_LABEL,
+    )
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_label_outliers"].fn(spark, sf_dir).collect()
+    assert rows
+    by_label: dict = {}
+    for r in rows:
+        assert r.dist2 >= 0.0
+        by_label.setdefault(r.label, []).append(r)
+    n_labels = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("label")
+        .distinct()
+        .count()
+    )
+    assert len(by_label) == n_labels
+    for label, cells in by_label.items():
+        ranks = sorted(c.outlier_rank for c in cells)
+        assert ranks == list(range(1, len(cells) + 1))
+        assert len(cells) <= OUTLIERS_PER_LABEL
+        # ranks ordered by distance descending
+        cells.sort(key=lambda c: c.outlier_rank)
+        dists = [c.dist2 for c in cells]
+        assert dists == sorted(dists, reverse=True)

@@ -165,3 +165,37 @@ def test_source_cap_enforced(spark, sf_dir):
         assert len(ranks) <= SOURCE_CAP
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
     assert len(rows) <= n_docs
+
+
+def test_collocations_lift_definition(spark, sf_dir):
+    from lakehouse_weather_spark.operators.textops import (
+        COLLOC_MIN_SUPPORT,
+        COLLOC_TOPK,
+    )
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_collocations"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= COLLOC_TOPK
+    # recompute counts in plain python
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    uni: dict = {}
+    bi: dict = {}
+    n_bi = 0
+    for t in texts:
+        ws = t.split(" ")
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        if len(ws) >= 2:
+            n_bi += len(ws) - 1
+            for a, b in zip(ws, ws[1:]):
+                bi[(a, b)] = bi.get((a, b), 0) + 1
+    for r in rows:
+        assert r.c_ab == bi[(r.w1, r.w2)] >= COLLOC_MIN_SUPPORT
+        assert r.lift == (n_bi * r.c_ab) / (uni[r.w1] * uni[r.w2])
+    lifts = [r.lift for r in rows]
+    assert lifts == sorted(lifts, reverse=True)
