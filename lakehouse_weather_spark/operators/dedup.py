@@ -1349,3 +1349,92 @@ def q_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Banding S-curve audit: candidate-pair distribution over the estimate
+# ---------------------------------------------------------------------------
+
+
+def _scurve_oracle() -> str:
+    mins = ",\n               ".join(
+        f"min(({a} * (h % {P}) + {b}) % {P}) AS s{k}"
+        for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
+    )
+    band_selects = "\n        UNION ALL\n".join(
+        f"        SELECT doc_id, {b} AS band_idx, "
+        + " || '-' || ".join(
+            f"CAST(s{b * ROWS_PER_BAND + r} AS VARCHAR)"
+            for r in range(ROWS_PER_BAND)
+        )
+        + " AS band_hash FROM sig"
+        for b in range(N_BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(N_HASHES)
+    )
+    return f"""
+        WITH {_DUCK_SHINGLES_CTE},
+        sig AS (
+            SELECT doc_id,
+               {mins}
+            FROM sh GROUP BY doc_id
+        ),
+        bands AS (
+{band_selects}
+        ),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+             AND a.doc_id < b.doc_id
+        ),
+        counts AS (
+            SELECT ({matches}) AS n_matching, count(*) AS n_pairs
+            FROM cand c
+            JOIN sig a ON c.doc_a = a.doc_id
+            JOIN sig b ON c.doc_b = b.doc_id
+            GROUP BY 1
+        )
+        SELECT CAST(n_matching AS BIGINT) AS n_matching,
+               CAST(n_matching AS DOUBLE) / {N_HASHES} AS jaccard_est,
+               CAST(n_pairs AS BIGINT) AS n_pairs,
+               CAST(sum(n_pairs) OVER (
+                   ORDER BY n_matching DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS n_pairs_at_least
+        FROM counts
+    """
+
+
+@register(
+    "q_minhash_scurve",
+    oracle=_scurve_oracle(),
+    doc="Banding S-curve audit: the distribution of LSH candidate pairs"
+    f" over the signature-match count (estimate = matches/{N_HASHES}),"
+    " with a cumulative pairs-at-or-above column — exactly the curve"
+    " you read to re-tune bands/rows before a threshold change (how"
+    " many pairs survive if the near-dup bar moves to 0.5? 0.75?)."
+    " Everything is integer counts (the cumulative window runs over"
+    f" <= {N_HASHES + 1} rows, never data-sized), so rows hash-match"
+    " the oracle. Signatures and candidates reuse the stored-artifact"
+    " path; no re-shingling, no all-pairs anywhere.",
+)
+def q_minhash_scurve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    est = q_minhash_estimate(spark, sf_dir)
+    counts = est.groupBy("n_matching").agg(
+        F.count(F.lit(1)).alias("n_pairs")
+    )
+    w = (
+        Window.orderBy(F.desc("n_matching"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return counts.select(
+        F.col("n_matching").cast("bigint").alias("n_matching"),
+        (F.col("n_matching").cast("double") / N_HASHES).alias("jaccard_est"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.sum("n_pairs").over(w).cast("bigint").alias("n_pairs_at_least"),
+    )

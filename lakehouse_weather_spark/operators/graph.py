@@ -265,3 +265,33 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             coeff.alias("clustering_coeff"),
         )
     )
+
+
+@register(
+    "q_degree_hist",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        e AS (SELECT doc_a AS src, doc_b AS dst FROM mpairs
+              UNION ALL SELECT doc_b, doc_a FROM mpairs),
+        deg AS (SELECT src, count(*) AS degree FROM e GROUP BY src)
+        SELECT CAST(degree AS BIGINT) AS degree,
+               CAST(count(*) AS BIGINT) AS n_nodes
+        FROM deg GROUP BY degree
+    """,
+    doc="Degree distribution of the MinHash near-dup graph — the"
+    " one-glance diagnostic for duplicate-cluster structure (a heavy"
+    " tail means mega-clusters that will dominate connected-components"
+    " work and deserve df-cap / banding retuning BEFORE the expensive"
+    " CC loop runs). Two partial-agg shuffles over the pair list;"
+    " output is histogram buckets, constant-sized at any corpus"
+    " scale.",
+)
+def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = q_minhash_neardup(spark, sf_dir)
+    e = pairs.select(F.col("doc_a").alias("src")).unionByName(
+        pairs.select(F.col("doc_b").alias("src"))
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")

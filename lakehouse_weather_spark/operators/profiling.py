@@ -303,3 +303,36 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), F.asc("key"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifier combinations
+# ---------------------------------------------------------------------------
+
+K_ANON = 5
+
+
+@register(
+    "q_k_anonymity",
+    oracle=f"""
+        SELECT lang, source,
+               CAST(count(*) AS BIGINT) AS n,
+               count(*) < {K_ANON} AS at_risk
+        FROM documents
+        GROUP BY lang, source
+    """,
+    doc=f"k-anonymity audit (k={K_ANON}) over the (lang, source)"
+    " quasi-identifier combination: equivalence classes smaller than k"
+    " are re-identification risks that a privacy-aware release"
+    " pipeline must suppress or generalize before publishing corpus"
+    " statistics. One partial-agg shuffle on the quasi-identifier"
+    " tuple; the output is cells, not rows, so it stays tiny at any"
+    " corpus size. The same shape audits any QI set — swap the"
+    " grouping columns.",
+)
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        (F.count(F.lit(1)) < K_ANON).alias("at_risk"),
+    )

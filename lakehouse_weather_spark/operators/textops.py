@@ -768,3 +768,74 @@ def q_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), F.asc("w1"), F.asc("w2"))
         .limit(COLLOC_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM surprisal proxy (perplexity stand-in without libm log)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_unigram_surprisal",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        freq AS (
+            SELECT word, count(*) AS c FROM words GROUP BY word
+        ),
+        ranks AS (
+            SELECT word,
+                   CAST(row_number() OVER (ORDER BY c DESC, word)
+                        AS BIGINT) AS rnk
+            FROM freq
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(r.rnk) AS BIGINT) AS rank_sum,
+               CAST(sum(r.rnk) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                   AS mean_word_rank
+        FROM words w JOIN ranks r ON w.word = r.word
+        GROUP BY w.doc_id
+    """,
+    doc="Unigram-LM surprisal proxy: every word gets its corpus"
+    " frequency RANK (1 = most common), and each doc scores the mean"
+    " rank of its words — the deterministic stand-in for LM perplexity"
+    " filtering (CCNet-style): low mean rank = stereotypical common"
+    " text, high = rare-word-heavy (specialist or garbage), both ends"
+    " get human review in a curation funnel. Ranks instead of"
+    " -log p keeps every value integer until one final division, so"
+    " rows hash-match the oracle. Scale shape: one agg builds the"
+    " frequency table (the 'model'), a rank window over the VOCAB"
+    " (not the corpus), then a broadcast-able join back + per-doc agg."
+    " The vocab rank window is the only total order and it sorts"
+    " vocab-sized data, never corpus-sized.",
+)
+def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    ranks = freq.select(
+        "word",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("word")))
+        .cast("bigint")
+        .alias("rnk"),
+    )
+    return (
+        words.join(F.broadcast(ranks), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("rnk").cast("bigint").alias("rank_sum"),
+            (
+                F.sum("rnk").cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("mean_word_rank"),
+        )
+    )

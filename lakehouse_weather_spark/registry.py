@@ -145,6 +145,10 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_tokenize_greedy",
     "q_label_outliers",
     "q_collocations",
+    "q_unigram_surprisal",
+    "q_k_anonymity",
+    "q_degree_hist",
+    "q_minhash_scurve",
 })
 
 

@@ -85,3 +85,18 @@ def test_triangle_stats_invariants(spark, sf_dir):
         assert (r.n_triangles > 0) == (r.clustering_coeff > 0)
         # n_triangles bounded by possible wedges at this node
         assert r.n_triangles <= r.degree * (r.degree - 1) // 2
+
+
+def test_degree_hist_accounts_for_all_nodes(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    hist = load_all()["q_degree_hist"].fn(spark, sf_dir).collect()
+    pairs = load_all()["q_minhash_neardup"].fn(spark, sf_dir).collect()
+    deg: dict = {}
+    for p in pairs:
+        deg[p.doc_a] = deg.get(p.doc_a, 0) + 1
+        deg[p.doc_b] = deg.get(p.doc_b, 0) + 1
+    want: dict = {}
+    for d in deg.values():
+        want[d] = want.get(d, 0) + 1
+    assert {(h.degree, h.n_nodes) for h in hist} == set(want.items())

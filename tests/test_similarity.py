@@ -151,3 +151,17 @@ def test_label_outliers_per_label_ranks(spark, sf_dir):
         cells.sort(key=lambda c: c.outlier_rank)
         dists = [c.dist2 for c in cells]
         assert dists == sorted(dists, reverse=True)
+
+
+def test_minhash_scurve_cumulative(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_minhash_scurve"].fn(spark, sf_dir).collect()
+    rows.sort(key=lambda r: -r.n_matching)
+    total = load_all()["q_minhash_neardup"].fn(spark, sf_dir).count()
+    running = 0
+    for r in rows:
+        running += r.n_pairs
+        assert r.n_pairs_at_least == running
+        assert r.jaccard_est == r.n_matching / 16
+    assert running == total

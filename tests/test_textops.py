@@ -199,3 +199,27 @@ def test_collocations_lift_definition(spark, sf_dir):
         assert r.lift == (n_bi * r.c_ab) / (uni[r.w1] * uni[r.w2])
     lifts = [r.lift for r in rows]
     assert lifts == sorted(lifts, reverse=True)
+
+
+def test_unigram_surprisal_definition(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_unigram_surprisal"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    assert len(rows) == len(texts)
+    freq: dict = {}
+    for t in texts.values():
+        for w in t.split(" "):
+            freq[w] = freq.get(w, 0) + 1
+    ranked = sorted(freq, key=lambda w: (-freq[w], w))
+    rank = {w: i + 1 for i, w in enumerate(ranked)}
+    for r in rows[:50]:
+        ws = texts[r.doc_id].split(" ")
+        assert r.n_words == len(ws)
+        assert r.rank_sum == sum(rank[w] for w in ws)
+        assert r.mean_word_rank == r.rank_sum / r.n_words
