@@ -429,3 +429,39 @@ def q_user_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_errors"),
     )
+
+
+@register(
+    "q_grouping_sets",
+    oracle="""
+        SELECT l_returnflag, l_linestatus,
+               GROUPING(l_returnflag, l_linestatus) AS gid,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+        FROM lineitem
+        GROUP BY GROUPING SETS (
+            (l_returnflag, l_linestatus), (l_returnflag), ()
+        )
+    """,
+    doc="Explicit GROUPING SETS — the general form ROLLUP/CUBE"
+    " specialize: (flag, status) detail, per-flag subtotal, grand"
+    " total, in ONE Expand + partial-agg pass (no three-scan union),"
+    " with grouping_id disambiguating real NULLs from subtotal rows."
+    " Quantities sum as exact integers (l_quantity is integral in"
+    " TPC-H), so every cell hash-matches the oracle. Completes the"
+    " §2.4 grouping family next to q_agg_rollup/q_agg_cube.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupingSets(
+            [["l_returnflag", "l_linestatus"], ["l_returnflag"], []],
+            "l_returnflag",
+            "l_linestatus",
+        )
+        .agg(
+            F.grouping_id().cast("bigint").alias("gid"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
+        )
+    )

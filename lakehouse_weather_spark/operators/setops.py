@@ -78,3 +78,50 @@ def q_set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("s_nationkey AS nationkey")
     )
     return rich_cust.subtract(rich_supp)
+
+
+@register(
+    "q_set_intersect_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    """,
+    doc="INTERSECT ALL (bag semantics): each nationkey keeps"
+    " min(multiplicity_left, multiplicity_right) copies — the SQL bag"
+    " intersection Spark implements as a counted left-semi hash join"
+    " (df.intersectAll). Completes the §2.7 set-op family alongside"
+    " the DISTINCT forms.",
+)
+def q_set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cust_nations(spark, sf_dir).intersectAll(
+        _supp_nations(spark, sf_dir)
+    )
+
+
+@register(
+    "q_set_except_all",
+    oracle="""
+        SELECT c_nationkey AS nationkey FROM customer WHERE c_acctbal > 9000
+        EXCEPT ALL
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_acctbal > 9000
+    """,
+    doc="EXCEPT ALL (bag semantics): multiplicity-aware difference —"
+    " each key keeps max(left_count - right_count, 0) copies"
+    " (df.exceptAll). The bag twin of q_set_except, same filtered"
+    " inputs so the result is non-empty at every SF.",
+)
+def q_set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    rich_cust = (
+        load_table(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 9000)
+        .selectExpr("c_nationkey AS nationkey")
+    )
+    rich_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9000)
+        .selectExpr("s_nationkey AS nationkey")
+    )
+    return rich_cust.exceptAll(rich_supp)

@@ -839,3 +839,119 @@ def q_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_word_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (rolling-hash boundaries, dedup-storage style)
+# ---------------------------------------------------------------------------
+
+CDC_W = 8            # rolling window (chars)
+CDC_MASK = 32        # boundary when window hash % CDC_MASK == 0 (~32-char avg)
+_CDC_B = 31
+_CDC_POWS = [_CDC_B**j for j in range(CDC_W)]
+
+
+def _cdc_hash(engine: str) -> str:
+    """Window hash at position i (chars i-W+1..i), int64-exact in both
+    engines: sum_j ascii(text[i-j]) * B^j with B-powers inlined as
+    literals (max term 255*31^7 ~ 7e12, sum < 6e13 << 2**63)."""
+    pows = ", ".join(str(p) for p in _CDC_POWS)
+    if engine == "spark":
+        return (
+            f"aggregate(transform(sequence(0, {CDC_W - 1}),"
+            f" j -> ascii(substr(text, CAST(i - j AS INT), 1))"
+            f" * element_at(array({pows}), j + 1)),"
+            " 0L, (a, x) -> a + CAST(x AS BIGINT))"
+        )
+    return (
+        f"list_sum(list_transform(generate_series(0, {CDC_W - 1}),"
+        f" j -> ascii(substr(text, CAST(i - j AS INT), 1))"
+        f" * ([{pows}])[j + 1]))"
+    )
+
+
+@register(
+    "q_cdc_chunks",
+    oracle=f"""
+        WITH cuts AS (
+            SELECT doc_id, text, length(text) AS n,
+                   list_sort(list_distinct(
+                       [CAST(0 AS BIGINT)]
+                       || list_transform(
+                              list_filter(
+                                  CASE WHEN length(text) >= {CDC_W}
+                                       THEN generate_series({CDC_W},
+                                                            length(text))
+                                       ELSE [] END,
+                                  i -> {_cdc_hash('duck')} % {CDC_MASK} = 0),
+                              i -> CAST(i AS BIGINT))
+                       || [CAST(length(text) AS BIGINT)]
+                   )) AS bounds
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(j AS BIGINT) AS chunk_idx,
+               bounds[j] + 1 AS start_pos,
+               bounds[j + 1] - bounds[j] AS chunk_len,
+               md5(substr(text, CAST(bounds[j] + 1 AS INT),
+                          CAST(bounds[j + 1] - bounds[j] AS INT)))
+                   AS chunk_md5
+        FROM (
+            SELECT doc_id, text, bounds,
+                   unnest(generate_series(1, len(bounds) - 1)) AS j
+            FROM cuts
+        )
+    """,
+    doc=f"Content-defined chunking: boundaries fall where the"
+    f" {CDC_W}-char polynomial rolling hash is 0 mod {CDC_MASK}"
+    " (~32-char expected chunks) — the storage-dedup technique (LBFS /"
+    " restic / borg lineage) that keeps chunk boundaries STABLE under"
+    " insertions, unlike fixed-size splitting where one inserted byte"
+    " shifts every later chunk. Emits (doc_id, chunk_idx, start, len,"
+    " md5) — the md5 column is the dedup key downstream. The whole"
+    " boundary computation is ONE narrow projection (nested"
+    " transform/filter/aggregate over char positions, int64-exact"
+    " hash) + a posexplode — zero shuffles, scan-speed at any corpus"
+    " size; the DuckDB replay uses the same lambda pipeline, so every"
+    " chunk hash-matches.",
+)
+def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    positions = (
+        f"CASE WHEN length(text) >= {CDC_W}"
+        f" THEN sequence({CDC_W}L, CAST(length(text) AS BIGINT))"
+        " ELSE array() END"
+    )
+    cuts = (
+        f"transform(filter({positions},"
+        f" i -> {_cdc_hash('spark')} % {CDC_MASK} = 0),"
+        " i -> CAST(i AS BIGINT))"
+    )
+    bounds = (
+        "array_sort(array_distinct(concat(array(0L),"
+        f" {cuts}, array(CAST(length(text) AS BIGINT)))))"
+    )
+    b = docs.select("doc_id", "text", F.expr(bounds).alias("bounds"))
+    seg = b.select(
+        "doc_id",
+        "text",
+        "bounds",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(bounds) - 1),"
+                " j -> struct(bounds[j - 1] AS s, bounds[j] AS e))"
+            )
+        ).alias("j0", "seg"),
+    )
+    return seg.select(
+        "doc_id",
+        (F.col("j0") + 1).cast("bigint").alias("chunk_idx"),
+        (F.col("seg.s") + 1).alias("start_pos"),
+        (F.col("seg.e") - F.col("seg.s")).alias("chunk_len"),
+        F.md5(
+            F.expr(
+                "substr(text, CAST(seg.s + 1 AS INT),"
+                " CAST(seg.e - seg.s AS INT))"
+            )
+        ).alias("chunk_md5"),
+    )

@@ -149,6 +149,10 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_k_anonymity",
     "q_degree_hist",
     "q_minhash_scurve",
+    "q_set_intersect_all",
+    "q_set_except_all",
+    "q_grouping_sets",
+    "q_cdc_chunks",
 })
 
 

@@ -223,3 +223,79 @@ def test_unigram_surprisal_definition(spark, sf_dir):
         assert r.n_words == len(ws)
         assert r.rank_sum == sum(rank[w] for w in ws)
         assert r.mean_word_rank == r.rank_sum / r.n_words
+
+
+def _cdc_python(text: str) -> list[tuple[int, int]]:
+    from lakehouse_weather_spark.operators.textops import (
+        CDC_MASK,
+        CDC_W,
+        _CDC_POWS,
+    )
+
+    n = len(text)
+    cuts = set()
+    for i in range(CDC_W, n + 1):  # 1-based window end
+        h = sum(
+            ord(text[i - 1 - j]) * _CDC_POWS[j] for j in range(CDC_W)
+        )
+        if h % CDC_MASK == 0:
+            cuts.add(i)
+    bounds = sorted({0, n} | cuts)
+    return [(bounds[k] + 1, bounds[k + 1] - bounds[k]) for k in range(len(bounds) - 1)]
+
+
+def test_cdc_chunks_tile_and_match_python_replay(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = load_all()["q_cdc_chunks"].fn(spark, sf_dir).collect()
+    texts = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    }
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(texts)
+    import hashlib
+
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda c: c.chunk_idx)
+        text = texts[doc_id]
+        # chunks tile the document exactly
+        pos = 1
+        for c in chunks:
+            assert c.start_pos == pos and c.chunk_len > 0
+            pos += c.chunk_len
+        assert pos == len(text) + 1
+        # bit-identical to the pure-python replay
+        want = _cdc_python(text)
+        assert [(c.start_pos, c.chunk_len) for c in chunks] == want
+        for c in chunks[:3]:
+            seg = text[c.start_pos - 1 : c.start_pos - 1 + c.chunk_len]
+            assert c.chunk_md5 == hashlib.md5(seg.encode()).hexdigest()
+
+
+def test_cdc_boundaries_stable_under_insertion(spark):
+    """The CDC property itself: inserting a char near the front leaves
+    all chunks beyond the next boundary byte-identical (fixed-size
+    splitting would shift every one). Pure-python check of the same
+    hash/mask the operator uses."""
+    import hashlib
+
+    base = (
+        "key agg row scan slow fast table value part hash value table"
+        " part a row fast merge batch part value fast spark a a the"
+        " line sort table window table table key"
+    )
+    edited = base[:5] + "X" + base[5:]
+    h_base = {
+        hashlib.md5(base[s - 1 : s - 1 + ln].encode()).hexdigest()
+        for s, ln in _cdc_python(base)[1:]
+    }
+    h_edit = {
+        hashlib.md5(edited[s - 1 : s - 1 + ln].encode()).hexdigest()
+        for s, ln in _cdc_python(edited)[1:]
+    }
+    assert len(h_base & h_edit) >= len(h_base) - 2
