@@ -955,3 +955,117 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("chunk_md5"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS local-min k-gram selection)
+# ---------------------------------------------------------------------------
+
+WINNOW_K = 3  # k-gram width (words)
+WINNOW_W = 4  # winnowing window (grams)
+_WH_SPARK = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
+_WH_DUCK = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+@register(
+    "q_winnow_fingerprint",
+    oracle=f"""
+        WITH grams AS (
+            SELECT doc_id, i AS p,
+                   {_WH_DUCK.format(
+                       expr=f"array_to_string(words[i : i + {WINNOW_K - 1}], ' ')"
+                   )} AS h,
+                   len(words) - {WINNOW_K - 1} AS n_grams
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       unnest(generate_series(
+                           1, len(string_split(text, ' ')) - {WINNOW_K - 1}
+                       )) AS i
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= {WINNOW_K}
+            )
+        ),
+        starts AS (
+            SELECT doc_id, p,
+                   min(h) OVER (
+                       PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW
+                                AND {WINNOW_W - 1} FOLLOWING
+                   ) AS wmin
+            FROM grams
+            QUALIFY p <= greatest(1, n_grams - {WINNOW_W - 1})
+        )
+        SELECT DISTINCT g.doc_id, max(g.p) AS pos, s.wmin AS fingerprint
+        FROM starts s
+        JOIN grams g
+          ON g.doc_id = s.doc_id
+         AND g.p BETWEEN s.p AND s.p + {WINNOW_W - 1}
+         AND g.h = s.wmin
+        GROUP BY g.doc_id, s.p, s.wmin
+    """,
+    doc=f"Winnowing document fingerprints (Schleimer/Wilkerson/Aiken"
+    " 2003, the MOSS algorithm): hash every {k}-word gram, slide a"
+    f" {WINNOW_W}-gram window, keep the RIGHTMOST minimal hash per"
+    " window — guarantees every shared substring of >= w+k-1 words"
+    " yields at least one common fingerprint while storing only"
+    " ~2/(w+1) of the grams. The selection is pure relational algebra:"
+    " a following-rows min window over gram positions plus a width-"
+    " bounded band self-join for the rightmost-argmin, so Catalyst"
+    " keeps the whole plan in codegen (no UDF) and the per-doc"
+    " partitions bound every frame. The md5-derived 60-bit gram hash"
+    " is the engine-portable contract the dedup family already uses;"
+    " fingerprints feed plagiarism/overlap detection at ~1/3 the"
+    " storage of full shingle sets.",
+)
+def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.split("text", " ")
+    grams = (
+        docs.select("doc_id", w.alias("words"), F.size(w).alias("n"))
+        .filter(F.col("n") >= WINNOW_K)
+        .select(
+            "doc_id",
+            (F.col("n") - (WINNOW_K - 1)).alias("n_grams"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {WINNOW_K - 1}),"
+                    f" i -> struct(i AS p, {_WH_SPARK.format(expr=f'concat_ws(%r, slice(words, i, {WINNOW_K}))' % ' ')} AS h))"
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", "n_grams", F.col("g.p").alias("p"), F.col("g.h").alias("h"))
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, WINNOW_W - 1)
+    )
+    starts = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .filter(
+            F.col("p")
+            <= F.greatest(F.lit(1), F.col("n_grams") - (WINNOW_W - 1))
+        )
+        .select("doc_id", F.col("p").alias("sp"), "wmin")
+    )
+    g = grams.select(
+        F.col("doc_id").alias("gd"),
+        F.col("p").alias("gp"),
+        F.col("h").alias("gh"),
+    )
+    sel = (
+        starts.join(
+            g,
+            (F.col("gd") == F.col("doc_id"))
+            & (F.col("gp") >= F.col("sp"))
+            & (F.col("gp") <= F.col("sp") + (WINNOW_W - 1))
+            & (F.col("gh") == F.col("wmin")),
+        )
+        .groupBy("gd", "sp", "wmin")
+        .agg(F.max("gp").alias("pos"))
+    )
+    return sel.select(
+        F.col("gd").alias("doc_id"), "pos", F.col("wmin").alias("fingerprint")
+    ).distinct()

@@ -1,0 +1,240 @@
+"""Recursive time-series operators: EWMA smoothing and CUSUM
+level-shift detection over the hourly event stream.
+
+The reference pipeline ingests a daily weather feed (its DAG schedules
+one fetch per day, ``dags/lakehouse_weather_dag.py:31``) but has no
+smoothing or drift statistics over the ingested series at all; these
+queries add the classic monitoring pair a production ingest runs next
+to its volume checks (q_volume_anomaly does day-over-day deltas;
+EWMA/CUSUM catch slow drifts a single-step delta misses).
+
+Both statistics are RECURRENCES (state_t depends on state_{t-1}), the
+one shape a plain window frame cannot express. The Spark-first answer:
+
+- aggregate each key down to its (tiny) ordered bucket series with ONE
+  partial-agg shuffle (never a window over raw events),
+- run the recurrence as an ``F.aggregate`` left fold over the sorted
+  struct array — sequential per key, embarrassingly parallel across
+  keys, which is the true dependency structure of a recurrence,
+- keep the state in int64 fixed point (scale 1e4, floor division) so
+  the fold is exact integer arithmetic: the DuckDB oracle replays the
+  same recurrence with a recursive CTE and lands on identical bits.
+
+Scale notes (100 TB framing): the fold input is |keys| x |buckets|
+(5 types x ~720 hours here), aggregated BEFORE any per-key sequencing,
+so executor memory per task is bounded by the series length, not the
+event count. A series too long for one array (years of seconds) would
+chunk by epoch and carry the boundary state forward — same fold, one
+extra pass per chunk boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+_S = 10_000  # fixed-point scale, matches functions.SCALE
+
+# EWMA alpha = 1/4 as the exact integer recurrence
+#   fx_t = (cnt_t * S + 3 * fx_{t-1}) div 4,  fx_0 = cnt_0 * S
+# (floor division of non-negative int64: identical in Spark's DIV and
+# DuckDB's //).
+_EWMA_NUM = 3
+_EWMA_DEN = 4
+
+# CUSUM slack = mean/20 (5%) and alarm threshold = 4 * mean, both in
+# fixed point off the integer per-type mean.
+_SLACK_DIV = 20
+_ALARM_MULT = 4
+
+
+def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+
+
+_SERIES_T = "array<struct<h:timestamp,cnt:bigint>>"
+
+
+def _fold_series(grouped: DataFrame, step_sql: str, out_t: str) -> DataFrame:
+    """Left-fold ``step_sql`` over each key's hour-sorted series.
+
+    ``step_sql`` must reference ``acc.prev`` (int64 state, -1 before the
+    first element) and ``x`` (the struct<h,cnt> element) and yield the
+    next int64 state. The fold emits one (h, cnt, fx) row per bucket.
+    """
+    fold = f"""
+        aggregate(
+            array_sort(series),
+            named_struct(
+                'prev', CAST(-1 AS BIGINT),
+                'out', CAST(array() AS {out_t})
+            ),
+            (acc, x) -> named_struct(
+                'prev', CAST(({step_sql}) AS BIGINT),
+                'out', acc.out || array(named_struct(
+                    'h', x.h, 'cnt', x.cnt,
+                    'fx', CAST(({step_sql}) AS BIGINT)))
+            ),
+            acc -> acc.out
+        )
+    """
+    return grouped.select(
+        "event_type", F.explode(F.expr(fold)).alias("e")
+    ).select(
+        "event_type",
+        F.col("e.h").alias("hour"),
+        F.col("e.cnt").alias("cnt"),
+        (F.col("e.fx").cast("double") / _S).alias("stat"),
+    )
+
+
+@register(
+    "q_ewma_smooth",
+    oracle=f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, h, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM hourly
+        ),
+        ew AS (
+            SELECT event_type, h, cnt, rn, cnt * {_S} AS fx
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.h, s.cnt, s.rn,
+                   (s.cnt * {_S} + {_EWMA_NUM} * e.fx) // {_EWMA_DEN}
+            FROM seq s
+            JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+        )
+        SELECT event_type, h AS hour, cnt,
+               CAST(fx AS DOUBLE) / {_S} AS ewma
+        FROM ew
+    """,
+    doc="Exponentially-weighted moving average (alpha=1/4) of hourly"
+    " event counts per type — the trend line volume monitoring draws"
+    " over a bursty ingest. The recurrence runs as an F.aggregate"
+    " integer fold over each type's hour-sorted series (one partial-agg"
+    " shuffle builds the series; the fold is sequential per key, the"
+    " inherent dependency order of a recurrence, and parallel across"
+    " keys). State is int64 fixed point with floor division, so the"
+    " DuckDB recursive-CTE replay is bit-identical.",
+)
+def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = _hourly(spark, sf_dir).groupBy("event_type").agg(
+        F.collect_list(F.struct("h", "cnt")).alias("series")
+    )
+    step = (
+        f"CASE WHEN acc.prev < 0 THEN x.cnt * {_S} "
+        f"ELSE (x.cnt * {_S} + {_EWMA_NUM} * acc.prev) DIV {_EWMA_DEN} END"
+    )
+    out_t = "array<struct<h:timestamp,cnt:bigint,fx:bigint>>"
+    return _fold_series(grouped, step, out_t).withColumnRenamed(
+        "stat", "ewma"
+    )
+
+
+@register(
+    "q_cusum_shift",
+    oracle=f"""
+        WITH RECURSIVE hourly AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        mu AS (
+            SELECT event_type,
+                   (sum(cnt) * {_S}) // count(*) AS mean_fx
+            FROM hourly GROUP BY event_type
+        ),
+        seq AS (
+            SELECT h.event_type, h.h, h.cnt, m.mean_fx,
+                   row_number() OVER (PARTITION BY h.event_type
+                                      ORDER BY h.h) AS rn
+            FROM hourly h JOIN mu m USING (event_type)
+        ),
+        cu AS (
+            SELECT event_type, h, cnt, mean_fx, rn,
+                   greatest(CAST(0 AS BIGINT),
+                            cnt * {_S} - mean_fx
+                            - mean_fx // {_SLACK_DIV}) AS fx
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.h, s.cnt, s.mean_fx, s.rn,
+                   greatest(CAST(0 AS BIGINT),
+                            c.fx + s.cnt * {_S} - s.mean_fx
+                            - s.mean_fx // {_SLACK_DIV})
+            FROM seq s
+            JOIN cu c ON s.event_type = c.event_type AND s.rn = c.rn + 1
+        )
+        SELECT event_type, h AS hour, cnt,
+               CAST(fx AS DOUBLE) / {_S} AS cusum,
+               fx > {_ALARM_MULT} * mean_fx AS alarm
+        FROM cu
+    """,
+    doc="One-sided CUSUM level-shift statistic per event type: s_t ="
+    " max(0, s_(t-1) + x_t - mean - slack) over hourly counts, alarm"
+    " when the cumulative excursion tops 4x the per-type mean — the"
+    " textbook detector for slow upward drifts (bot traffic ramping,"
+    " duplicate-ingest loops) that day-over-day deltas miss. Same"
+    " engineered shape as q_ewma_smooth: tiny per-key series via ONE"
+    " partial agg, integer-fixed-point F.aggregate fold (the per-type"
+    " mean enters as an exact floor-divided int), recursive-CTE oracle"
+    " replay bit-identical.",
+)
+def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    hourly = _hourly(spark, sf_dir)
+    # integer floor division (sum*S and count are non-negative), exactly
+    # mirroring the oracle's // — no double path anywhere near the mean
+    mu = hourly.groupBy("event_type").agg(
+        F.expr(f"(sum(cnt) * {_S}) DIV count(*)").alias("mean_fx")
+    )
+    grouped = (
+        hourly.join(F.broadcast(mu), "event_type")
+        .groupBy("event_type", "mean_fx")
+        .agg(F.collect_list(F.struct("h", "cnt")).alias("series"))
+    )
+    step = (
+        f"greatest(CAST(0 AS BIGINT),"
+        f" (CASE WHEN acc.prev < 0 THEN CAST(0 AS BIGINT) ELSE acc.prev END)"
+        f" + x.cnt * {_S} - mean_fx - mean_fx DIV {_SLACK_DIV})"
+    )
+    out_t = "array<struct<h:timestamp,cnt:bigint,fx:bigint>>"
+    fold = f"""
+        aggregate(
+            array_sort(series),
+            named_struct(
+                'prev', CAST(-1 AS BIGINT),
+                'out', CAST(array() AS {out_t})
+            ),
+            (acc, x) -> named_struct(
+                'prev', CAST(({step}) AS BIGINT),
+                'out', acc.out || array(named_struct(
+                    'h', x.h, 'cnt', x.cnt,
+                    'fx', CAST(({step}) AS BIGINT)))
+            ),
+            acc -> acc.out
+        )
+    """
+    return (
+        grouped.select(
+            "event_type", "mean_fx", F.explode(F.expr(fold)).alias("e")
+        )
+        .select(
+            "event_type",
+            F.col("e.h").alias("hour"),
+            F.col("e.cnt").alias("cnt"),
+            (F.col("e.fx").cast("double") / _S).alias("cusum"),
+            (F.col("e.fx") > _ALARM_MULT * F.col("mean_fx")).alias("alarm"),
+        )
+    )

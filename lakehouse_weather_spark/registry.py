@@ -56,6 +56,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.bpe",
     "lakehouse_weather_spark.operators.graph",
     "lakehouse_weather_spark.operators.retrieval",
+    "lakehouse_weather_spark.operators.timeseries",
     "lakehouse_weather_spark.streaming.events",
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered
@@ -153,6 +154,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_set_except_all",
     "q_grouping_sets",
     "q_cdc_chunks",
+    "q_ewma_smooth",
+    "q_cusum_shift",
+    "q_winnow_fingerprint",
 })
 
 

@@ -1,0 +1,87 @@
+"""Unit semantics for the recursive time-series folds (timeseries.py):
+hand-computed EWMA / CUSUM recurrences on a tiny synthetic series, plus
+structural checks on the fixture queries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.operators.timeseries import (
+    _ALARM_MULT,
+    _S,
+    q_cusum_shift,
+    q_ewma_smooth,
+)
+
+
+def _mk_events(spark, counts: list[int]):
+    """One event row per count unit, hour i holding counts[i] rows."""
+    rows = []
+    eid = 0
+    base = dt.datetime(2026, 1, 1)
+    for i, c in enumerate(counts):
+        for _ in range(c):
+            rows.append((eid, base + dt.timedelta(hours=i), 1, "t", 0.0, ""))
+            eid += 1
+    return spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string"
+    )
+
+
+def test_ewma_matches_hand_fold(spark, tmp_path):
+    counts = [4, 8, 2, 2, 10]
+    _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.hour.hour: r.ewma
+        for r in q_ewma_smooth(spark, str(tmp_path)).collect()
+    }
+    # replay the integer recurrence exactly
+    fx = None
+    want = {}
+    for i, c in enumerate(counts):
+        fx = c * _S if fx is None else (c * _S + 3 * fx) // 4
+        want[i] = fx / _S
+    assert got == want
+    # spot value: hour1 = (8*S + 3*4*S)//4 = 5*S
+    assert got[1] == 5.0
+
+
+def test_cusum_accumulates_and_alarms(spark, tmp_path):
+    # low baseline then a strong sustained spike: per-spike-hour excess
+    # ~ (21 - mean - slack) accumulates past the 4*mean alarm line
+    counts = [1] * 10 + [21] * 5
+    _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
+    rows = sorted(
+        q_cusum_shift(spark, str(tmp_path)).collect(), key=lambda r: r.hour
+    )
+    mean_fx = (sum(counts) * _S) // len(counts)
+    s, want = 0, []
+    for c in counts:
+        s = max(0, s + c * _S - mean_fx - mean_fx // 20)
+        want.append((s / _S, s > _ALARM_MULT * mean_fx))
+    assert [(r.cusum, r.alarm) for r in rows] == want
+    assert rows[-1].alarm  # sustained shift tripped
+    assert not rows[0].alarm
+
+
+def test_fixture_queries_cover_all_hour_buckets(spark, sf_dir):
+    ew = q_ewma_smooth(spark, sf_dir)
+    cu = q_cusum_shift(spark, sf_dir)
+    n_buckets = (
+        ew.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_type", F.date_trunc("hour", "ts"))
+        .distinct()
+        .count()
+    )
+    assert ew.count() == n_buckets
+    assert cu.count() == n_buckets
+    # smoothing preserves the per-type mean direction: ewma stays within
+    # [min(cnt), max(cnt)] of its own series
+    bad = ew.groupBy("event_type").agg(
+        F.min("cnt").alias("lo"), F.max("cnt").alias("hi"),
+        F.min("ewma").alias("elo"), F.max("ewma").alias("ehi"),
+    ).filter((F.col("elo") < F.col("lo")) | (F.col("ehi") > F.col("hi")))
+    assert bad.count() == 0
