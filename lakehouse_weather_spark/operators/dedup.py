@@ -1209,14 +1209,17 @@ SPAN_WORDS = 5  # repeated-window width (words)
     "q_dup_spans",
     oracle=f"""
         WITH pos AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_words,
-                   i,
+            -- n_words MUST come from the subquery: referencing text here
+            -- would bind to the final SELECT's documents row and turn
+            -- the whole CTE chain into a correlated re-evaluation per
+            -- document (quadratic; ~74 s at sf0.001, hours at sf0.1)
+            SELECT doc_id, n_words, i,
                    {_DUCK_H.format(
                        expr=f"array_to_string(words[i : i + {SPAN_WORDS - 1}], ' ')"
                    )} AS h
             FROM (
                 SELECT doc_id, string_split(text, ' ') AS words,
+                       len(string_split(text, ' ')) AS n_words,
                        unnest(generate_series(
                            1, len(string_split(text, ' ')) - {SPAN_WORDS - 1}
                        )) AS i

@@ -295,3 +295,84 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     ).select(F.col("degree").cast("bigint").alias("degree"), "n_nodes")
+
+
+@register(
+    "q_link_prediction",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mpairs),
+        sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT a AS node, count(*) AS degree FROM sym GROUP BY a),
+        cand AS (
+            SELECT s1.b AS u, s2.b AS v, count(*) AS n_common
+            FROM sym s1 JOIN sym s2
+              ON s1.a = s2.a AND s1.b < s2.b
+            GROUP BY s1.b, s2.b
+        ),
+        nonedge AS (
+            SELECT c.u, c.v, c.n_common
+            FROM cand c
+            LEFT JOIN e ON e.a = c.u AND e.b = c.v
+            WHERE e.a IS NULL
+        )
+        SELECT n.u AS doc_a, n.v AS doc_b,
+               CAST(n.n_common AS BIGINT) AS n_common,
+               CAST(n.n_common AS DOUBLE)
+                   / (du.degree + dv.degree - n.n_common)
+                   AS neighborhood_jaccard
+        FROM nonedge n
+        JOIN deg du ON du.node = n.u
+        JOIN deg dv ON dv.node = n.v
+    """,
+    doc="Link prediction over the MinHash near-dup graph: for every"
+    " NON-adjacent doc pair with at least one common neighbor, the"
+    " common-neighbor count and neighborhood Jaccard — the standard"
+    " missing-edge recovery signal (LSH banding has false NEGATIVES;"
+    " two docs sharing many near-dup neighbors are almost surely"
+    " near-dups the bands missed, so these pairs are the re-score"
+    " candidates a production dedup feeds back into exact verification)."
+    " Shape: one wedge self-join on the shared middle node (the same"
+    " 2-path enumeration as q_triangle_stats, bounded by the near-dup"
+    " graph's cluster-sized components), one partial-agg, one anti-join"
+    " against existing edges, two broadcast-sized degree joins. Exact"
+    " integer counts + one IEEE division, bit-identical to the DuckDB"
+    " replay.",
+)
+def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = e.unionByName(
+        e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+    s1 = sym.select(F.col("a").alias("m"), F.col("b").alias("u"))
+    s2 = sym.select(F.col("a").alias("m"), F.col("b").alias("v"))
+    cand = (
+        s1.join(s2, "m")
+        .filter(F.col("u") < F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nonedge = cand.join(
+        e,
+        (cand.u == e.a) & (cand.v == e.b),
+        "left_anti",
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        nonedge.join(du, "u")
+        .join(dv, "v")
+        .select(
+            F.col("u").alias("doc_a"),
+            F.col("v").alias("doc_b"),
+            F.col("n_common").cast("bigint").alias("n_common"),
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("n_common"))
+            ).alias("neighborhood_jaccard"),
+        )
+    )

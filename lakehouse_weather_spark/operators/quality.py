@@ -407,3 +407,117 @@ def q_word_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("simpson_diversity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher rule bundle: per-rule pass/fail booleans
+# ---------------------------------------------------------------------------
+
+# Published Gopher repetition-free quality gates (Rae et al. 2021 §A1.1)
+# applied as an auditable per-rule scorecard: curation pipelines keep
+# the individual booleans (not just the final keep) so ablations can
+# re-weight rules without re-scanning the corpus.
+G_MIN_WORDS = 50
+G_MAX_WORDS = 100_000
+G_MIN_MWL = 3.0   # mean word length bounds
+G_MAX_MWL = 10.0
+G_MAX_SYMBOL_RATIO = 0.1   # '#' or '...' per word
+G_MIN_ALPHA_FRAC = 0.8     # words containing >= 1 [a-z]
+G_MIN_STOPWORDS = 2        # distinct required stopwords present
+_G_STOPS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+@register(
+    "q_gopher_rules",
+    oracle=f"""
+        WITH w AS (
+            SELECT doc_id, string_split(text, ' ') AS words,
+                   length(text) AS n_chars_t
+            FROM documents
+        ),
+        m AS (
+            SELECT doc_id,
+                   len(words) AS n_words,
+                   CAST(len(list_filter(words, x -> regexp_matches(x, '[a-z]')))
+                        AS BIGINT) AS n_alpha_words,
+                   CAST(len(list_filter(words,
+                        x -> x IN {_G_STOPS!r})) AS BIGINT) AS n_stop_hits,
+                   CAST(len(list_distinct(list_filter(words,
+                        x -> x IN {_G_STOPS!r}))) AS BIGINT)
+                       AS n_distinct_stops,
+                   CAST(list_sum(list_transform(words, x -> length(x)))
+                        AS BIGINT) AS sum_word_len,
+                   CAST(len(regexp_extract_all(text, '#|\\.\\.\\.'))
+                        AS BIGINT) AS n_symbols
+            FROM w JOIN documents USING (doc_id)
+        )
+        SELECT doc_id,
+               CAST(n_words AS BIGINT) AS n_words,
+               n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS}
+                   AS pass_word_count,
+               CAST(sum_word_len AS DOUBLE) / n_words AS mean_word_len,
+               CAST(sum_word_len AS DOUBLE) / n_words
+                   BETWEEN {G_MIN_MWL} AND {G_MAX_MWL} AS pass_mean_word_len,
+               CAST(n_symbols AS DOUBLE) / n_words AS symbol_ratio,
+               CAST(n_symbols AS DOUBLE) / n_words <= {G_MAX_SYMBOL_RATIO}
+                   AS pass_symbol_ratio,
+               CAST(n_alpha_words AS DOUBLE) / n_words AS alpha_word_frac,
+               CAST(n_alpha_words AS DOUBLE) / n_words >= {G_MIN_ALPHA_FRAC}
+                   AS pass_alpha_words,
+               n_distinct_stops AS n_distinct_stops,
+               n_distinct_stops >= {G_MIN_STOPWORDS} AS pass_stopwords,
+               (n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS})
+               AND (CAST(sum_word_len AS DOUBLE) / n_words
+                    BETWEEN {G_MIN_MWL} AND {G_MAX_MWL})
+               AND (CAST(n_symbols AS DOUBLE) / n_words
+                    <= {G_MAX_SYMBOL_RATIO})
+               AND (CAST(n_alpha_words AS DOUBLE) / n_words
+                    >= {G_MIN_ALPHA_FRAC})
+               AND (n_distinct_stops >= {G_MIN_STOPWORDS}) AS keep
+        FROM m
+    """,
+    doc="Gopher quality-gate scorecard (Rae et al. 2021 §A1.1): word-"
+    " count bounds, mean-word-length bounds, symbol-to-word ratio,"
+    " alphabetic-word fraction, and required-stopword presence — each"
+    " rule emitted as its own boolean plus the conjunctive keep, the"
+    " auditable form curation ablations need (re-weight rules without"
+    " re-scanning). Pure per-row array algebra at scan speed (no"
+    " shuffle, no UDF, codegen end-to-end); every ratio is one IEEE"
+    " division of exact integer counts so the oracle hash-matches.",
+)
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n_words = F.size(words)
+    stops = F.array(*[F.lit(s) for s in _G_STOPS])
+    n_alpha = F.size(F.filter(words, lambda x: x.rlike("[a-z]")))
+    n_dstops = F.size(
+        F.array_distinct(F.filter(words, lambda x: F.array_contains(stops, x)))
+    )
+    sum_wl = F.expr(
+        "aggregate(transform(split(text, ' '), x -> length(x)),"
+        " 0L, (a, b) -> a + CAST(b AS BIGINT))"
+    )
+    n_sym = F.size(F.regexp_extract_all("text", F.lit(r"#|\.\.\."), F.lit(0)))
+    mwl = sum_wl.cast("double") / n_words
+    sym_ratio = n_sym.cast("double") / n_words
+    alpha_frac = n_alpha.cast("double") / n_words
+    p_wc = n_words.between(G_MIN_WORDS, G_MAX_WORDS)
+    p_mwl = (mwl >= G_MIN_MWL) & (mwl <= G_MAX_MWL)
+    p_sym = sym_ratio <= G_MAX_SYMBOL_RATIO
+    p_alpha = alpha_frac >= G_MIN_ALPHA_FRAC
+    p_stop = n_dstops >= G_MIN_STOPWORDS
+    return docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        p_wc.alias("pass_word_count"),
+        mwl.alias("mean_word_len"),
+        p_mwl.alias("pass_mean_word_len"),
+        sym_ratio.alias("symbol_ratio"),
+        p_sym.alias("pass_symbol_ratio"),
+        alpha_frac.alias("alpha_word_frac"),
+        p_alpha.alias("pass_alpha_words"),
+        n_dstops.cast("bigint").alias("n_distinct_stops"),
+        p_stop.alias("pass_stopwords"),
+        (p_wc & p_mwl & p_sym & p_alpha & p_stop).alias("keep"),
+    )

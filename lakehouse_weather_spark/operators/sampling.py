@@ -577,3 +577,56 @@ def q_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("keep_rank") <= SOURCE_CAP)
     )
+
+
+# ---------------------------------------------------------------------------
+# k-fold cross-validation assignment
+# ---------------------------------------------------------------------------
+
+N_FOLDS = 5
+_SPARK_HF = (
+    "pmod(cast(conv(substr(md5(concat('fold_', cast(doc_id as string))), 1, 15),"
+    f" 16, 10) as bigint), {N_FOLDS})"
+)
+_DUCK_HF = (
+    "CAST(('0x' || substr(md5('fold_' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    f" AS BIGINT) % {N_FOLDS}"
+)
+
+
+@register(
+    "q_kfold_assign",
+    oracle=f"""
+        WITH f AS (
+            SELECT doc_id, lang, n_chars, ({_DUCK_HF}) AS fold
+            FROM documents
+        ),
+        fs AS (
+            SELECT fold, CAST(count(*) AS BIGINT) AS fold_size,
+                   CAST(sum(n_chars) AS BIGINT) AS fold_chars
+            FROM f GROUP BY fold
+        )
+        SELECT f.doc_id, CAST(f.fold AS INTEGER) AS fold,
+               fs.fold_size, fs.fold_chars
+        FROM f JOIN fs USING (fold)
+    """,
+    doc=f"Deterministic {N_FOLDS}-fold cross-validation assignment by"
+    " salted key hash, with each row carrying its fold's size and"
+    " character mass — the leakage-safe CV split (a doc lands in the"
+    " same fold across dataset versions; salting decorrelates from the"
+    " train/valid/test hash of q_split_assign). The fold-level stats"
+    " come from a 5-row aggregate broadcast back onto the scan — the"
+    " join adds no shuffle at any corpus size.",
+)
+def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    f = docs.select(
+        "doc_id", "n_chars", F.expr(_SPARK_HF).cast("int").alias("fold")
+    )
+    fs = f.groupBy("fold").agg(
+        F.count(F.lit(1)).cast("bigint").alias("fold_size"),
+        F.sum("n_chars").cast("bigint").alias("fold_chars"),
+    )
+    return f.join(F.broadcast(fs), "fold").select(
+        "doc_id", "fold", "fold_size", "fold_chars"
+    )

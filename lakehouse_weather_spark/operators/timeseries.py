@@ -1,5 +1,5 @@
 """Recursive time-series operators: EWMA smoothing and CUSUM
-level-shift detection over the hourly event stream.
+level-shift detection over the daily event stream.
 
 The reference pipeline ingests a daily weather feed (its DAG schedules
 one fetch per day, ``dags/lakehouse_weather_dag.py:31``) but has no
@@ -11,7 +11,7 @@ EWMA/CUSUM catch slow drifts a single-step delta misses).
 Both statistics are RECURRENCES (state_t depends on state_{t-1}), the
 one shape a plain window frame cannot express. The Spark-first answer:
 
-- aggregate each key down to its (tiny) ordered bucket series with ONE
+- aggregate each key down to its (tiny) ordered daily-bucket series with ONE
   partial-agg shuffle (never a window over raw events),
 - run the recurrence as an ``F.aggregate`` left fold over the sorted
   struct array — sequential per key, embarrassingly parallel across
@@ -21,7 +21,8 @@ one shape a plain window frame cannot express. The Spark-first answer:
   same recurrence with a recursive CTE and lands on identical bits.
 
 Scale notes (100 TB framing): the fold input is |keys| x |buckets|
-(5 types x ~720 hours here), aggregated BEFORE any per-key sequencing,
+(5 types x ~30-150 days here; day buckets also keep the oracle's
+recursive-CTE step count small — DuckDB pays ~20 ms per recursion step), aggregated BEFORE any per-key sequencing,
 so executor memory per task is bounded by the series length, not the
 event count. A series too long for one array (years of seconds) would
 chunk by epoch and carry the boundary state forward — same fold, one
@@ -51,10 +52,10 @@ _SLACK_DIV = 20
 _ALARM_MULT = 4
 
 
-def _hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        "event_type", F.date_trunc("hour", "ts").alias("h")
+        "event_type", F.date_trunc("day", "ts").alias("h")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
 
 
@@ -62,7 +63,7 @@ _SERIES_T = "array<struct<h:timestamp,cnt:bigint>>"
 
 
 def _fold_series(grouped: DataFrame, step_sql: str, out_t: str) -> DataFrame:
-    """Left-fold ``step_sql`` over each key's hour-sorted series.
+    """Left-fold ``step_sql`` over each key's day-sorted series.
 
     ``step_sql`` must reference ``acc.prev`` (int64 state, -1 before the
     first element) and ``x`` (the struct<h,cnt> element) and yield the
@@ -88,7 +89,7 @@ def _fold_series(grouped: DataFrame, step_sql: str, out_t: str) -> DataFrame:
         "event_type", F.explode(F.expr(fold)).alias("e")
     ).select(
         "event_type",
-        F.col("e.h").alias("hour"),
+        F.col("e.h").alias("day"),
         F.col("e.cnt").alias("cnt"),
         (F.col("e.fx").cast("double") / _S).alias("stat"),
     )
@@ -97,8 +98,8 @@ def _fold_series(grouped: DataFrame, step_sql: str, out_t: str) -> DataFrame:
 @register(
     "q_ewma_smooth",
     oracle=f"""
-        WITH RECURSIVE hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS h,
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS h,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1, 2
         ),
@@ -106,7 +107,7 @@ def _fold_series(grouped: DataFrame, step_sql: str, out_t: str) -> DataFrame:
             SELECT event_type, h, cnt,
                    row_number() OVER (PARTITION BY event_type
                                       ORDER BY h) AS rn
-            FROM hourly
+            FROM daily
         ),
         ew AS (
             SELECT event_type, h, cnt, rn, cnt * {_S} AS fx
@@ -117,21 +118,21 @@ def _fold_series(grouped: DataFrame, step_sql: str, out_t: str) -> DataFrame:
             FROM seq s
             JOIN ew e ON s.event_type = e.event_type AND s.rn = e.rn + 1
         )
-        SELECT event_type, h AS hour, cnt,
+        SELECT event_type, h AS day, cnt,
                CAST(fx AS DOUBLE) / {_S} AS ewma
         FROM ew
     """,
-    doc="Exponentially-weighted moving average (alpha=1/4) of hourly"
+    doc="Exponentially-weighted moving average (alpha=1/4) of daily"
     " event counts per type — the trend line volume monitoring draws"
     " over a bursty ingest. The recurrence runs as an F.aggregate"
-    " integer fold over each type's hour-sorted series (one partial-agg"
+    " integer fold over each type's day-sorted series (one partial-agg"
     " shuffle builds the series; the fold is sequential per key, the"
     " inherent dependency order of a recurrence, and parallel across"
     " keys). State is int64 fixed point with floor division, so the"
     " DuckDB recursive-CTE replay is bit-identical.",
 )
 def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
-    grouped = _hourly(spark, sf_dir).groupBy("event_type").agg(
+    grouped = _daily(spark, sf_dir).groupBy("event_type").agg(
         F.collect_list(F.struct("h", "cnt")).alias("series")
     )
     step = (
@@ -147,21 +148,21 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q_cusum_shift",
     oracle=f"""
-        WITH RECURSIVE hourly AS (
-            SELECT event_type, date_trunc('hour', ts) AS h,
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS h,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1, 2
         ),
         mu AS (
             SELECT event_type,
                    (sum(cnt) * {_S}) // count(*) AS mean_fx
-            FROM hourly GROUP BY event_type
+            FROM daily GROUP BY event_type
         ),
         seq AS (
             SELECT h.event_type, h.h, h.cnt, m.mean_fx,
                    row_number() OVER (PARTITION BY h.event_type
                                       ORDER BY h.h) AS rn
-            FROM hourly h JOIN mu m USING (event_type)
+            FROM daily h JOIN mu m USING (event_type)
         ),
         cu AS (
             SELECT event_type, h, cnt, mean_fx, rn,
@@ -177,13 +178,13 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM seq s
             JOIN cu c ON s.event_type = c.event_type AND s.rn = c.rn + 1
         )
-        SELECT event_type, h AS hour, cnt,
+        SELECT event_type, h AS day, cnt,
                CAST(fx AS DOUBLE) / {_S} AS cusum,
                fx > {_ALARM_MULT} * mean_fx AS alarm
         FROM cu
     """,
     doc="One-sided CUSUM level-shift statistic per event type: s_t ="
-    " max(0, s_(t-1) + x_t - mean - slack) over hourly counts, alarm"
+    " max(0, s_(t-1) + x_t - mean - slack) over daily counts, alarm"
     " when the cumulative excursion tops 4x the per-type mean — the"
     " textbook detector for slow upward drifts (bot traffic ramping,"
     " duplicate-ingest loops) that day-over-day deltas miss. Same"
@@ -193,7 +194,7 @@ def q_ewma_smooth(spark: SparkSession, sf_dir: str) -> DataFrame:
     " replay bit-identical.",
 )
 def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    hourly = _hourly(spark, sf_dir)
+    hourly = _daily(spark, sf_dir)
     # integer floor division (sum*S and count are non-negative), exactly
     # mirroring the oracle's // — no double path anywhere near the mean
     mu = hourly.groupBy("event_type").agg(
@@ -232,7 +233,7 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "event_type",
-            F.col("e.h").alias("hour"),
+            F.col("e.h").alias("day"),
             F.col("e.cnt").alias("cnt"),
             (F.col("e.fx").cast("double") / _S).alias("cusum"),
             (F.col("e.fx") > _ALARM_MULT * F.col("mean_fx")).alias("alarm"),

@@ -157,6 +157,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_ewma_smooth",
     "q_cusum_shift",
     "q_winnow_fingerprint",
+    "q_link_prediction",
+    "q_gopher_rules",
+    "q_kfold_assign",
 })
 
 

@@ -17,13 +17,13 @@ from lakehouse_weather_spark.operators.timeseries import (
 
 
 def _mk_events(spark, counts: list[int]):
-    """One event row per count unit, hour i holding counts[i] rows."""
+    """One event row per count unit, day i holding counts[i] rows."""
     rows = []
     eid = 0
     base = dt.datetime(2026, 1, 1)
     for i, c in enumerate(counts):
         for _ in range(c):
-            rows.append((eid, base + dt.timedelta(hours=i), 1, "t", 0.0, ""))
+            rows.append((eid, base + dt.timedelta(days=i), 1, "t", 0.0, ""))
             eid += 1
     return spark.createDataFrame(
         rows, "event_id long, ts timestamp, user_id long,"
@@ -35,7 +35,7 @@ def test_ewma_matches_hand_fold(spark, tmp_path):
     counts = [4, 8, 2, 2, 10]
     _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
     got = {
-        r.hour.hour: r.ewma
+        (r.day - dt.datetime(2026, 1, 1)).days: r.ewma
         for r in q_ewma_smooth(spark, str(tmp_path)).collect()
     }
     # replay the integer recurrence exactly
@@ -45,7 +45,7 @@ def test_ewma_matches_hand_fold(spark, tmp_path):
         fx = c * _S if fx is None else (c * _S + 3 * fx) // 4
         want[i] = fx / _S
     assert got == want
-    # spot value: hour1 = (8*S + 3*4*S)//4 = 5*S
+    # spot value: day1 = (8*S + 3*4*S)//4 = 5*S
     assert got[1] == 5.0
 
 
@@ -55,7 +55,7 @@ def test_cusum_accumulates_and_alarms(spark, tmp_path):
     counts = [1] * 10 + [21] * 5
     _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
     rows = sorted(
-        q_cusum_shift(spark, str(tmp_path)).collect(), key=lambda r: r.hour
+        q_cusum_shift(spark, str(tmp_path)).collect(), key=lambda r: r.day
     )
     mean_fx = (sum(counts) * _S) // len(counts)
     s, want = 0, []
@@ -67,12 +67,12 @@ def test_cusum_accumulates_and_alarms(spark, tmp_path):
     assert not rows[0].alarm
 
 
-def test_fixture_queries_cover_all_hour_buckets(spark, sf_dir):
+def test_fixture_queries_cover_all_day_buckets(spark, sf_dir):
     ew = q_ewma_smooth(spark, sf_dir)
     cu = q_cusum_shift(spark, sf_dir)
     n_buckets = (
         ew.sparkSession.read.parquet(f"{sf_dir}/events.parquet")
-        .select("event_type", F.date_trunc("hour", "ts"))
+        .select("event_type", F.date_trunc("day", "ts"))
         .distinct()
         .count()
     )
