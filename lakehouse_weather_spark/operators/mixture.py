@@ -1,0 +1,216 @@
+"""Dataset-mixture planning and batching-efficiency operators
+(training-data closure).
+
+Pretraining corpora are assembled to TARGET mixture weights (DoReMi /
+The Pile style): given per-language availability and target shares, the
+planner finds the largest corpus the weights admit and the per-language
+take. Batching then groups documents into length buckets to bound
+padding waste. CCNet (Wenzek et al. 2020) closes the loop by splitting
+each language into head/middle/tail perplexity terciles so curation can
+sample quality-stratified.
+
+All three are tiny-aggregate arithmetic over one corpus scan — the
+actual work is one partial agg (mixture, buckets) or one per-lang rank
+window over doc-level stats (terciles); everything stays integer until
+one final division, so the DuckDB oracles hash-match.
+
+The reference ingests one source with no mixing/batching layer at all
+(``dags/lakehouse_weather_dag.py``); this module is that missing
+assembly stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.operators.textops import q_unigram_surprisal
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Target mixture in basis points (sums to 10000): en-heavy with a
+# long-tail floor, the standard pretraining shape.
+MIX_BP = {"en": 5000, "zh": 2000, "de": 1000, "fr": 1000, "es": 1000}
+_BP_DEN = 10_000
+
+# Length-bucket caps (chars): docs pad up to their bucket cap.
+LEN_BUCKETS = (128, 256, 512, 1024, 4096)
+
+
+def _bucket_case(col: str) -> str:
+    """CASE ladder mapping a length to its bucket cap (same text in
+    Spark SQL and DuckDB)."""
+    whens = " ".join(
+        f"WHEN {col} <= {cap} THEN {cap}" for cap in LEN_BUCKETS
+    )
+    return f"CASE {whens} ELSE {LEN_BUCKETS[-1]} END"
+
+
+@register(
+    "q_mixture_plan",
+    oracle=f"""
+        WITH avail AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS avail_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS avail_chars
+            FROM documents GROUP BY lang
+        ),
+        t AS (
+            SELECT lang, avail_docs, avail_chars,
+                   CASE lang
+                       {" ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_BP.items())}
+                       ELSE 0 END AS target_bp
+            FROM avail
+        ),
+        cap AS (
+            SELECT min(avail_chars * {_BP_DEN} // target_bp) AS c_star
+            FROM t WHERE target_bp > 0
+        )
+        SELECT t.lang, t.avail_docs, t.avail_chars,
+               CAST(t.target_bp AS BIGINT) AS target_bp,
+               CAST(cap.c_star * t.target_bp // {_BP_DEN} AS BIGINT)
+                   AS planned_chars,
+               CAST(cap.c_star * t.target_bp // {_BP_DEN} AS DOUBLE)
+                   / t.avail_chars AS utilization
+        FROM t CROSS JOIN cap
+        WHERE t.target_bp > 0
+    """,
+    doc="Dataset-mixture planning: given target language shares (basis"
+    " points) and per-language availability, the largest corpus the"
+    " weights admit is C* = min over langs of avail*10000//target —"
+    " the binding-constraint computation every mixture assembly (Pile/"
+    " DoReMi style) runs before sampling. One partial agg per language"
+    " + a 1-row broadcast of the binding cap; all integer floor"
+    " arithmetic until the final utilization division, bit-identical"
+    " to the oracle.",
+)
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    avail = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("avail_docs"),
+        F.sum("n_chars").cast("bigint").alias("avail_chars"),
+    )
+    target = F.expr(
+        "CASE lang "
+        + " ".join(f"WHEN '{k}' THEN {v}" for k, v in MIX_BP.items())
+        + " ELSE 0 END"
+    ).cast("bigint")
+    t = avail.withColumn("target_bp", target).filter(F.col("target_bp") > 0)
+    cap = t.agg(
+        F.min(
+            F.expr(f"avail_chars * {_BP_DEN} DIV target_bp")
+        ).alias("c_star")
+    )
+    planned = F.expr(f"c_star * target_bp DIV {_BP_DEN}").cast("bigint")
+    return t.crossJoin(F.broadcast(cap)).select(
+        "lang",
+        "avail_docs",
+        "avail_chars",
+        "target_bp",
+        planned.alias("planned_chars"),
+        (planned.cast("double") / F.col("avail_chars")).alias("utilization"),
+    )
+
+
+@register(
+    "q_length_buckets",
+    oracle=f"""
+        SELECT {_bucket_case("n_chars")} AS bucket_cap,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(({_bucket_case("n_chars")}) * count(*) - sum(n_chars)
+                    AS BIGINT) AS padding_chars,
+               CAST(({_bucket_case("n_chars")}) * count(*) - sum(n_chars)
+                    AS DOUBLE)
+                   / (({_bucket_case("n_chars")}) * count(*))
+                   AS padding_frac
+        FROM documents
+        GROUP BY 1
+    """,
+    doc="Length-bucket batching audit: docs group into power-of-two"
+    " char buckets and each bucket reports its padding waste (cap *"
+    " n_docs - payload) — the batching-efficiency lens that decides"
+    " bucket boundaries for fixed-shape training batches. A single"
+    " partial agg over the scan (the CASE ladder is the grouping"
+    " key); output is |buckets| rows at any corpus size.",
+)
+def q_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cap = F.expr(_bucket_case("n_chars")).cast("bigint")
+    g = docs.groupBy(cap.alias("bucket_cap")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+    pad = F.col("bucket_cap") * F.col("n_docs") - F.col("total_chars")
+    return g.select(
+        "bucket_cap",
+        "n_docs",
+        "total_chars",
+        pad.cast("bigint").alias("padding_chars"),
+        (
+            pad.cast("double") / (F.col("bucket_cap") * F.col("n_docs"))
+        ).alias("padding_frac"),
+    )
+
+
+@register(
+    "q_ccnet_buckets",
+    oracle="""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        ranks AS (
+            SELECT word,
+                   CAST(row_number() OVER (ORDER BY c DESC, word)
+                        AS BIGINT) AS rnk
+            FROM freq
+        ),
+        surp AS (
+            SELECT w.doc_id,
+                   CAST(sum(r.rnk) AS DOUBLE) / count(*) AS mean_word_rank
+            FROM words w JOIN ranks r USING (word)
+            GROUP BY w.doc_id
+        ),
+        tiled AS (
+            SELECT d.doc_id, d.lang, s.mean_word_rank,
+                   ntile(3) OVER (PARTITION BY d.lang
+                                  ORDER BY s.mean_word_rank, d.doc_id)
+                       AS tercile
+            FROM documents d JOIN surp s USING (doc_id)
+        )
+        SELECT doc_id, lang, mean_word_rank,
+               CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                    ELSE 'tail' END AS bucket
+        FROM tiled
+    """,
+    doc="CCNet head/middle/tail quality bucketing (Wenzek et al. 2020):"
+    " each language splits into terciles of the unigram-surprisal proxy"
+    " (low mean word rank = stereotypical 'head' text), the stratified"
+    " sampling key CCNet-style curation draws from. The tercile is an"
+    " ntile window per language over DOC-level stats (corpus-sized"
+    " input never enters the window; at real scale the exact ntile"
+    " swaps for approx-quantile cuts broadcast back, same output"
+    " contract). Deterministic: rank-based surprisal (no libm), ntile"
+    " over a total (rank, doc_id) order.",
+)
+def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    surp = q_unigram_surprisal(spark, sf_dir).select(
+        "doc_id", "mean_word_rank"
+    )
+    tiled = docs.select("doc_id", "lang").join(surp, "doc_id").withColumn(
+        "tercile",
+        F.ntile(3).over(
+            Window.partitionBy("lang").orderBy("mean_word_rank", "doc_id")
+        ),
+    )
+    return tiled.select(
+        "doc_id",
+        "lang",
+        "mean_word_rank",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )

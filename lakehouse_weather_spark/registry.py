@@ -57,6 +57,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.graph",
     "lakehouse_weather_spark.operators.retrieval",
     "lakehouse_weather_spark.operators.timeseries",
+    "lakehouse_weather_spark.operators.mixture",
     "lakehouse_weather_spark.streaming.events",
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered
@@ -160,6 +161,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_link_prediction",
     "q_gopher_rules",
     "q_kfold_assign",
+    "q_mixture_plan",
+    "q_length_buckets",
+    "q_ccnet_buckets",
 })
 
 

@@ -36,6 +36,12 @@ _QUERIES = [
     "q_kmeans_clusters",
     "q_dup_spans",
     "q_epoch_shuffle",
+    # per-key sequential integer fold, wedge-join counts, per-lang
+    # ntile over a rank proxy, winnowing band-join argmin
+    "q_ewma_smooth",
+    "q_link_prediction",
+    "q_ccnet_buckets",
+    "q_winnow_fingerprint",
 ]
 
 
