@@ -105,6 +105,16 @@ HEADLINE = [
     "q_word_diversity",
     "q_unicode_nfc",
     "q_source_cap",
+    "q_winnow_fingerprint",
+    "q_link_prediction",
+    "q_ewma_smooth",
+    "q_cusum_shift",
+    "q_gopher_rules",
+    "q_ccnet_buckets",
+    "q_mixture_plan",
+    "q_quantile_sketch",
+    "q_selfjoin_fanout",
+    "q_kfold_assign",
 ]
 
 

@@ -336,3 +336,63 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n"),
         (F.count(F.lit(1)) < K_ANON).alias("at_risk"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Self-join fanout planning
+# ---------------------------------------------------------------------------
+
+FANOUT_TOP = 20
+
+
+@register(
+    "q_selfjoin_fanout",
+    oracle=f"""
+        WITH freq AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY user_id
+        ),
+        tot AS (
+            SELECT CAST(sum(cnt * cnt) AS BIGINT) AS total_pairs FROM freq
+        )
+        SELECT f.user_id, f.cnt,
+               CAST(f.cnt * f.cnt AS BIGINT) AS pairs,
+               CAST(f.cnt * f.cnt * 10000 // t.total_pairs AS BIGINT)
+                   AS share_bp,
+               t.total_pairs
+        FROM freq f CROSS JOIN tot t
+        ORDER BY pairs DESC, user_id
+        LIMIT {FANOUT_TOP}
+    """,
+    doc="Self-join fanout planner: per-key pair counts (cnt^2) for an"
+    " events-on-user_id self-join, the exact output-size estimate a"
+    " join planner needs BEFORE running a sessionize/self-correlation"
+    " — the top keys by share tell you whether to salt, df-cap, or"
+    " AQE-skew-split the join (the q_join_salted / dedup df-cap"
+    " machinery consumes exactly this diagnostic). One partial agg +"
+    " a 1-row broadcast total + top-k; integer basis-point shares"
+    " hash-match the oracle.",
+)
+def q_selfjoin_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    freq = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt")
+    )
+    tot = freq.agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("bigint").alias("total_pairs")
+    )
+    pairs = (F.col("cnt") * F.col("cnt")).cast("bigint")
+    return (
+        freq.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "cnt",
+            pairs.alias("pairs"),
+            F.expr("cnt * cnt * 10000 DIV total_pairs")
+            .cast("bigint")
+            .alias("share_bp"),
+            "total_pairs",
+        )
+        .orderBy(F.desc("pairs"), "user_id")
+        .limit(FANOUT_TOP)
+    )

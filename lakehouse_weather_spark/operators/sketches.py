@@ -310,3 +310,147 @@ def q_type_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_a") + F.col("n_b") - F.col("n_union")).alias("n_shared"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable histogram-quantile sketch vs exact order statistic
+# ---------------------------------------------------------------------------
+
+QS_BINS = 64
+
+
+@register(
+    "q_quantile_sketch",
+    oracle=f"""
+        WITH rng AS (
+            SELECT min(value) AS vmin, max(value) AS vmax FROM events
+        ),
+        binned AS (
+            SELECT e.event_type,
+                   least(CAST(floor((e.value - r.vmin) * {QS_BINS}
+                                    / (r.vmax - r.vmin)) AS BIGINT),
+                         {QS_BINS - 1}) AS bin
+            FROM events e CROSS JOIN rng r
+        ),
+        hist AS (
+            SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
+            FROM binned GROUP BY event_type, bin
+        ),
+        cum AS (
+            SELECT event_type, bin, c,
+                   sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+                   sum(c) OVER (PARTITION BY event_type) AS n
+            FROM hist
+        ),
+        est AS (
+            SELECT event_type, min(bin) AS med_bin
+            FROM cum WHERE cum * 2 >= n GROUP BY event_type
+        ),
+        fx AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 10000) AS BIGINT) AS vfx
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, vfx,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY vfx, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM fx
+        ),
+        exact AS (
+            SELECT event_type, CAST(min(vfx) AS DOUBLE) / 10000
+                       AS exact_median
+            FROM ranked WHERE rn = (n + 1) // 2 GROUP BY event_type
+        )
+        SELECT x.event_type,
+               x.exact_median,
+               r.vmin + (e.med_bin + 0.5) * (r.vmax - r.vmin) / {QS_BINS}
+                   AS est_median,
+               abs(r.vmin + (e.med_bin + 0.5) * (r.vmax - r.vmin)
+                       / {QS_BINS} - x.exact_median) AS abs_err
+        FROM exact x
+        JOIN est e USING (event_type)
+        CROSS JOIN rng r
+    """,
+    doc=f"Histogram-quantile sketch scorecard: a {QS_BINS}-bin"
+    " equi-width histogram (the mergeable, constant-memory quantile"
+    " sketch — per-partition partial bins combine by addition, the"
+    " same partial-agg contract as the bitmap/CMS family) estimates"
+    " each event type's median as its crossing bin's midpoint, scored"
+    " against the exact rank-statistic median. The scorecard pattern"
+    " (estimate JOIN exact truth) matches q_ann_recall/q_lsh_eval:"
+    " the approximation ships with its measured error. Bin width"
+    " derives from one global min/max broadcast; the exact median"
+    " windows per type for oracle parity (at 100 TB that arm swaps"
+    " for approx_percentile while the SKETCH arm is already scale-"
+    " shaped).",
+)
+def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    rng = ev.agg(
+        F.min("value").alias("vmin"), F.max("value").alias("vmax")
+    )
+    binned = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type",
+        "event_id",
+        "value",
+        "vmin",
+        "vmax",
+        F.least(
+            F.floor(
+                (F.col("value") - F.col("vmin"))
+                * QS_BINS
+                / (F.col("vmax") - F.col("vmin"))
+            ).cast("bigint"),
+            F.lit(QS_BINS - 1),
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("event_type", "bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wn = Window.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    est = (
+        cum.filter(F.col("cum") * 2 >= F.col("n"))
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("med_bin"))
+    )
+    fx = ev.select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 10000, 0).cast("bigint").alias("vfx"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("vfx", "event_id")
+    ranked = fx.select(
+        "event_type",
+        "vfx",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    exact = (
+        ranked.filter(F.col("rn") == F.expr("(n + 1) DIV 2"))
+        .groupBy("event_type")
+        .agg((F.min("vfx").cast("double") / 10000).alias("exact_median"))
+    )
+    est_val = F.col("vmin") + (F.col("med_bin") + 0.5) * (
+        F.col("vmax") - F.col("vmin")
+    ) / QS_BINS
+    return (
+        exact.join(est, "event_type")
+        .crossJoin(F.broadcast(rng))
+        .select(
+            "event_type",
+            "exact_median",
+            est_val.alias("est_median"),
+            F.abs(est_val - F.col("exact_median")).alias("abs_err"),
+        )
+    )

@@ -164,6 +164,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_mixture_plan",
     "q_length_buckets",
     "q_ccnet_buckets",
+    "q_selfjoin_fanout",
+    "q_quantile_sketch",
 })
 
 
