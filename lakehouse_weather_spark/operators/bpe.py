@@ -195,7 +195,10 @@ def _tok_case(v3: str, v2: str) -> str:
     )
 
 
-def _greedy_tok_oracle() -> str:
+def _greedy_tok_cte() -> str:
+    """Shared recursive-CTE prefix replaying the greedy tokenizer:
+    defines ``wd`` (doc_id, word_idx, word) and ``tok`` (one row per
+    emitted piece, piece NULL on seed rows)."""
     v3 = ", ".join(f"'{p}'" for p in VOCAB3)
     v2 = ", ".join(f"'{p}'" for p in VOCAB2)
     piece = _tok_case(v3, v2)
@@ -221,6 +224,12 @@ def _greedy_tok_oracle() -> str:
             FROM tok
             WHERE pos <= length(word)
         )
+    """
+
+
+def _greedy_tok_oracle() -> str:
+    return f"""
+        {_greedy_tok_cte()}
         SELECT doc_id, word_idx, CAST(piece_idx AS BIGINT) AS piece_idx,
                piece
         FROM tok WHERE piece IS NOT NULL
@@ -259,4 +268,63 @@ def q_tokenize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "word_idx",
         (F.col("pi0") + 1).cast("bigint").alias("piece_idx"),
         "piece",
+    )
+
+
+@register(
+    "q_tokenizer_fertility",
+    oracle=_greedy_tok_cte()
+    + """, pieces AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_pieces,
+                   CAST(sum(length(piece)) AS BIGINT) AS n_piece_chars,
+                   CAST(count(DISTINCT word_idx) AS BIGINT) AS n_words
+            FROM tok WHERE piece IS NOT NULL
+            GROUP BY doc_id
+        )
+        SELECT d.lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(p.n_pieces) AS BIGINT) AS total_pieces,
+               CAST(sum(p.n_words) AS BIGINT) AS total_words,
+               CAST(sum(p.n_pieces) AS DOUBLE) / sum(p.n_words)
+                   AS fertility,
+               CAST(sum(p.n_piece_chars) AS DOUBLE) / sum(p.n_pieces)
+                   AS mean_piece_len
+        FROM pieces p JOIN documents d USING (doc_id)
+        GROUP BY d.lang""",
+    doc="Tokenizer fertility scorecard: pieces-per-word and mean piece"
+    " length per language under the trained greedy subword vocabulary"
+    " — THE tokenizer-quality metric multilingual pipelines track"
+    " (fertility >> 1 for a language means its text costs"
+    " proportionally more sequence length per word, skewing the"
+    " effective mixture; this feeds back into q_mixture_plan"
+    " weights). One tokenize pass (Arrow pandas_udf, narrow),"
+    " per-doc partial agg, then a |langs|-row rollup; the recursive-"
+    "CTE oracle replays the greedy loop so the aggregate is still"
+    " hash-exact.",
+)
+def q_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "lang", _greedy_tok_udf("text").alias("toks")
+    )
+    per_doc = toks.select(
+        "doc_id",
+        "lang",
+        F.expr("size(flatten(toks))").cast("bigint").alias("n_pieces"),
+        F.expr(
+            "aggregate(flatten(toks), 0L, (a, p) -> a + length(p))"
+        ).alias("n_piece_chars"),
+        F.expr("size(toks)").cast("bigint").alias("n_words"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_pieces").cast("bigint").alias("total_pieces"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        (
+            F.sum("n_pieces").cast("double") / F.sum("n_words")
+        ).alias("fertility"),
+        (
+            F.sum("n_piece_chars").cast("double") / F.sum("n_pieces")
+        ).alias("mean_piece_len"),
     )

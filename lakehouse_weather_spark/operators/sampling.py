@@ -630,3 +630,63 @@ def q_kfold_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.join(F.broadcast(fs), "fold").select(
         "doc_id", "fold", "fold_size", "fold_chars"
     )
+
+
+# ---------------------------------------------------------------------------
+# Output shard manifests (publishing layer)
+# ---------------------------------------------------------------------------
+
+SHARD_CHARS = 8_192  # target payload per output shard
+
+
+@register(
+    "q_shard_manifest",
+    oracle=f"""
+        WITH cum AS (
+            SELECT source, doc_id, n_chars,
+                   sum(n_chars) OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS cum_chars
+            FROM documents
+        ),
+        assigned AS (
+            SELECT source, doc_id, n_chars,
+                   (cum_chars - n_chars) // {SHARD_CHARS} AS shard_id
+            FROM cum
+        )
+        SELECT source, CAST(shard_id AS BIGINT) AS shard_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS shard_chars,
+               CAST(min(doc_id) AS BIGINT) AS min_doc_id,
+               CAST(max(doc_id) AS BIGINT) AS max_doc_id
+        FROM assigned
+        GROUP BY source, shard_id
+    """,
+    doc=f"Output shard manifests: per source, docs pack into ~"
+    f"{SHARD_CHARS}-char shards by running-sum assignment (shard ="
+    " chars-before DIV target), and each shard publishes its manifest"
+    " row (doc count, payload, id range) — the publishing layer of a"
+    " training-data pipeline, where readers consume MANIFESTS instead"
+    " of listing objects (the reference's gold layer has no manifest;"
+    " its Milvus seed re-lists everything, dags/utils/seed_milvus.py)."
+    " The running sum partitions BY SOURCE — the write-side unit — so"
+    " no global order exists anywhere; one window + one partial agg."
+    " Deterministic integer assignment = reproducible shard layout"
+    " across runs, the property incremental publishes rely on.",
+)
+def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"CAST((sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id)"
+            f" - n_chars) DIV {SHARD_CHARS} AS BIGINT)"
+        ).alias("shard_id"),
+    )
+    return assigned.groupBy("source", "shard_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("shard_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+        F.max("doc_id").cast("bigint").alias("max_doc_id"),
+    )

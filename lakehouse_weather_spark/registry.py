@@ -166,6 +166,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_ccnet_buckets",
     "q_selfjoin_fanout",
     "q_quantile_sketch",
+    "q_tokenizer_fertility",
+    "q_shard_manifest",
 })
 
 
