@@ -465,3 +465,85 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("sum_qty"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Rollup re-aggregation consistency audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rollup_consistency",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value * {SCALE}) AS BIGINT))
+                        AS BIGINT) AS vfx
+            FROM events GROUP BY 1, 2
+        ),
+        via_daily AS (
+            SELECT event_type, date_trunc('month', d) AS m,
+                   CAST(sum(cnt) AS BIGINT) AS cnt,
+                   CAST(sum(vfx) AS BIGINT) AS vfx
+            FROM daily GROUP BY 1, 2
+        ),
+        direct AS (
+            SELECT event_type, date_trunc('month', ts) AS m,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value * {SCALE}) AS BIGINT))
+                        AS BIGINT) AS vfx
+            FROM events GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.m AS month,
+               d.cnt AS cnt_direct, v.cnt AS cnt_via_daily,
+               CAST(d.vfx AS DOUBLE) / {SCALE} AS sum_direct,
+               CAST(v.vfx AS DOUBLE) / {SCALE} AS sum_via_daily,
+               d.cnt = v.cnt AND d.vfx = v.vfx AS consistent
+        FROM direct d JOIN via_daily v USING (event_type, m)
+    """,
+    doc="Rollup re-aggregation audit: the monthly summary computed two"
+    " ways — directly from raw events, and by re-aggregating the daily"
+    " rollup — with a row-level equality verdict. This is the"
+    " correctness contract behind every OLAP summary-table hierarchy"
+    " (hour->day->month): it holds exactly BECAUSE the engine's sums"
+    " are fixed-point integers (algebraic aggregates compose"
+    " losslessly; naive double sums would drift between the two"
+    " paths). Also the q_time_rollup family's consistency check:"
+    " partial aggs compose up the time hierarchy with two tiny"
+    " shuffles, never rescanning raw data at the coarser grain in"
+    " production.",
+)
+def q_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    vfx = F.round(F.col("value") * SCALE, 0).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(vfx).cast("bigint").alias("vfx"),
+    )
+    via_daily = daily.groupBy(
+        "event_type", F.date_trunc("month", "d").alias("month")
+    ).agg(
+        F.sum("cnt").cast("bigint").alias("cnt_v"),
+        F.sum("vfx").cast("bigint").alias("vfx_v"),
+    )
+    direct = ev.groupBy(
+        "event_type", F.date_trunc("month", "ts").alias("month")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt_d"),
+        F.sum(vfx).cast("bigint").alias("vfx_d"),
+    )
+    return direct.join(via_daily, ["event_type", "month"]).select(
+        "event_type",
+        "month",
+        F.col("cnt_d").alias("cnt_direct"),
+        F.col("cnt_v").alias("cnt_via_daily"),
+        (F.col("vfx_d").cast("double") / SCALE).alias("sum_direct"),
+        (F.col("vfx_v").cast("double") / SCALE).alias("sum_via_daily"),
+        (
+            (F.col("cnt_d") == F.col("cnt_v"))
+            & (F.col("vfx_d") == F.col("vfx_v"))
+        ).alias("consistent"),
+    )

@@ -454,3 +454,94 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-time disorder profile (watermark planning)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_disorder_profile",
+    oracle="""
+        WITH arr AS (
+            SELECT event_id, user_id, event_type,
+                   epoch_ns(ts) // 1000000000 AS ts_sec
+            FROM events
+        ),
+        run AS (
+            SELECT event_type,
+                   max(ts_sec) OVER (PARTITION BY user_id
+                                     ORDER BY event_id) - ts_sec
+                       AS disorder_sec,
+                   event_id
+            FROM arr
+        ),
+        ranked AS (
+            SELECT event_type, disorder_sec,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY disorder_sec, event_id) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM run
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_events,
+               CAST(max(disorder_sec) AS BIGINT) AS max_disorder_sec,
+               CAST(min(CASE WHEN rn = (n + 1) // 2 THEN disorder_sec END)
+                    AS BIGINT) AS p50_disorder_sec,
+               CAST(min(CASE WHEN rn = (19 * n + 19) // 20
+                        THEN disorder_sec END)
+                    AS BIGINT) AS p95_disorder_sec
+        FROM ranked
+        GROUP BY event_type
+    """,
+    doc="Event-time disorder profile: per user, how far each event's"
+    " timestamp lags the running maximum seen so far in ARRIVAL order"
+    " (event_id as the arrival proxy), rolled up per type to max / p50"
+    " / p95 lateness — the measurement that picks a Structured"
+    " Streaming watermark delay (withWatermark bounds state by exactly"
+    " this quantity; streaming/events.py's watermarked joins and"
+    " windows consume the answer). The running max is one sorted pass"
+    " per user partition; the percentile arm uses exact rank windows"
+    " per TYPE for oracle parity (at 100 TB: approx_percentile, same"
+    " output contract). Integer seconds end-to-end.",
+)
+def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    arr = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.expr("unix_seconds(CAST(ts AS TIMESTAMP))").alias("ts_sec"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("event_id")
+    run = arr.select(
+        "event_type",
+        (F.max("ts_sec").over(wu) - F.col("ts_sec")).alias("disorder_sec"),
+        "event_id",
+    )
+    wt = Window.partitionBy("event_type").orderBy("disorder_sec", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = run.select(
+        "event_type",
+        "disorder_sec",
+        F.row_number().over(wt).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_events"),
+        F.max("disorder_sec").cast("bigint").alias("max_disorder_sec"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("disorder_sec"))
+        )
+        .cast("bigint")
+        .alias("p50_disorder_sec"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) DIV 20"),
+                F.col("disorder_sec"),
+            )
+        )
+        .cast("bigint")
+        .alias("p95_disorder_sec"),
+    )

@@ -168,6 +168,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_quantile_sketch",
     "q_tokenizer_fertility",
     "q_shard_manifest",
+    "q_disorder_profile",
+    "q_rollup_consistency",
 })
 
 
