@@ -1082,3 +1082,236 @@ def q_label_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("r").cast("bigint").alias("outlier_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# ColBERT-style MaxSim late interaction over multi-vector documents
+# ---------------------------------------------------------------------------
+
+MV_GROUP = 10   # vectors per multi-vector "document": mdoc = vec_id DIV 10
+_MSCALE = 1_000_000_000_000  # fixed-point for the MaxSim sum
+
+
+@register(
+    "q_maxsim_late_interaction",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        qv AS (
+            SELECT vec_id AS q_vec, pos, val FROM vals
+            WHERE vec_id < {MV_GROUP}
+        ),
+        dots AS (
+            SELECT v.vec_id, q.q_vec,
+                   {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN qv q ON v.pos = q.pos
+            WHERE v.vec_id >= {MV_GROUP}
+            GROUP BY v.vec_id, q.q_vec
+        ),
+        cos AS (
+            SELECT d.vec_id // {MV_GROUP} AS mdoc_id, d.q_vec,
+                   d.dot / (n.nrm * qn.nrm) AS cosine
+            FROM dots d
+            JOIN norms n ON n.vec_id = d.vec_id
+            JOIN norms qn ON qn.vec_id = d.q_vec
+        ),
+        best AS (
+            SELECT mdoc_id, q_vec,
+                   CAST(round(max(cosine) * {_MSCALE}) AS BIGINT) AS bfx
+            FROM cos GROUP BY mdoc_id, q_vec
+        )
+        SELECT CAST(mdoc_id AS BIGINT) AS mdoc_id,
+               CAST(sum(bfx) AS DOUBLE) / {_MSCALE} AS maxsim
+        FROM best GROUP BY mdoc_id
+        ORDER BY maxsim DESC, mdoc_id
+        LIMIT {TOP_K}
+    """,
+    doc=f"ColBERT-style late-interaction retrieval (Khattab &"
+    " Zaharia 2020): documents are BAGS of vectors (here vec_id DIV"
+    f" {MV_GROUP} groups the embedding table into multi-vector docs;"
+    " in production, one vector per token/chunk), and a document's"
+    " score against a multi-vector query is MaxSim — for each query"
+    " vector take the best cosine among the doc's vectors, then sum."
+    " The shape is the real thing: query vectors broadcast (a model-"
+    "sized artifact), one narrow JVM dot-product scan per (corpus"
+    " vector x query vector), a (doc, q_vec) max partial-agg, a per-"
+    "doc fixed-point sum, TakeOrdered top-k. No pairwise doc-doc"
+    " work anywhere; corpus cost is linear in vectors. The per-query-"
+    "vector maxima enter the sum as rounded int64 so the total is"
+    " order-independent and the oracle hash-matches.",
+)
+def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    q = (
+        e.filter(F.col("vec_id") < MV_GROUP)
+        .select(
+            F.col("vec_id").alias("q_vec"),
+            F.col("embedding").alias("q_emb"),
+            F.col("nrm").alias("q_nrm"),
+        )
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    cos = (
+        e.filter(F.col("vec_id") >= MV_GROUP)
+        .crossJoin(F.broadcast(q))
+        .select(
+            F.expr(f"vec_id DIV {MV_GROUP}").cast("bigint").alias("mdoc_id"),
+            "q_vec",
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+        )
+    )
+    best = cos.groupBy("mdoc_id", "q_vec").agg(
+        F.round(F.max("cosine") * _MSCALE, 0).cast("bigint").alias("bfx")
+    )
+    return (
+        best.groupBy("mdoc_id")
+        .agg((F.sum("bfx").cast("double") / _MSCALE).alias("maxsim"))
+        .orderBy(F.desc("maxsim"), F.asc("mdoc_id"))
+        .limit(TOP_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka prefix-dimension recall scorecard
+# ---------------------------------------------------------------------------
+
+MRL_DIMS = 16  # truncated prefix length evaluated against the full 64
+
+
+@register(
+    "q_mrl_prefix_eval",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        q AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        full_d AS (
+            SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos
+            WHERE v.vec_id <> {QUERY_VEC_ID}
+            GROUP BY v.vec_id
+        ),
+        full_rank AS (
+            SELECT vec_id, row_number() OVER (
+                ORDER BY dot / (SELECT nrm FROM norms
+                                WHERE vec_id = full_d.vec_id) DESC, vec_id
+            ) AS rnk
+            FROM full_d
+        ),
+        pre_d AS (
+            SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos
+            WHERE v.vec_id <> {QUERY_VEC_ID} AND v.pos <= {MRL_DIMS}
+            GROUP BY v.vec_id
+        ),
+        pre_nrm AS (
+            SELECT vec_id, sqrt({duck_dot_sum('val', 'val')}) AS nrm
+            FROM vals WHERE pos <= {MRL_DIMS} GROUP BY vec_id
+        ),
+        pre_rank AS (
+            SELECT d.vec_id, row_number() OVER (
+                ORDER BY d.dot / n.nrm DESC, d.vec_id
+            ) AS rnk
+            FROM pre_d d JOIN pre_nrm n ON d.vec_id = n.vec_id
+        )
+        SELECT k.k,
+               CAST(count(*) FILTER (WHERE p.rnk <= k.k) AS BIGINT)
+                   AS n_hit,
+               CAST(count(*) FILTER (WHERE p.rnk <= k.k) AS DOUBLE) / k.k
+                   AS recall
+        FROM (SELECT unnest([1, 5, 10]) AS k) k
+        JOIN full_rank f ON f.rnk <= k.k
+        JOIN pre_rank p ON p.vec_id = f.vec_id
+        GROUP BY k.k
+    """,
+    doc=f"Matryoshka (MRL) truncation scorecard: how much of the exact"
+    f" full-dimension top-k survives when retrieval uses only the"
+    f" first {MRL_DIMS} of {_DIM} dimensions — recall@1/5/10 of the"
+    " prefix ranking against the full ranking. This is the eval that"
+    " decides whether a pipeline can run its candidate scan at 1/4"
+    " the dot-product cost (prefix dims) and rerank the survivors at"
+    " full width (the q_vector_topk_pq two-phase pattern with"
+    " dimension truncation instead of quantization as phase 1). Both"
+    " rankings are the engine's exact fixed-point contract; only the"
+    " slice boundary differs.",
+)
+def q_mrl_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pre = F.expr(f"slice(embedding, 1, {MRL_DIMS})")
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        pre.alias("pre_emb"),
+        F.expr(
+            "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
+        ).alias("nrm"),
+        F.expr(
+            "sqrt("
+            + _SPARK_DOT.format(
+                a=f"slice(embedding, 1, {MRL_DIMS})",
+                b=f"slice(embedding, 1, {MRL_DIMS})",
+            )
+            + ")"
+        ).alias("pre_nrm"),
+    )
+    q = e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+        F.col("embedding").alias("q_emb"),
+        F.col("pre_emb").alias("q_pre"),
+    )
+    scored = e.filter(F.col("vec_id") != QUERY_VEC_ID).crossJoin(
+        F.broadcast(q)
+    ).select(
+        "vec_id",
+        (
+            F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+            / F.col("nrm")
+        ).alias("full_score"),
+        (
+            F.expr(_SPARK_DOT.format(a="pre_emb", b="q_pre"))
+            / F.col("pre_nrm")
+        ).alias("pre_score"),
+    )
+    # both rankings reduce to TakeOrderedAndProject top-k lists (the
+    # scale-safe shape, like q_ann_recall); the rank windows below run
+    # over the 10-row lists, never the corpus
+    full_top = (
+        scored.orderBy(F.desc("full_score"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("full_score"), F.asc("vec_id")))
+            .alias("full_rnk"),
+        )
+    )
+    pre_top = (
+        scored.orderBy(F.desc("pre_score"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select(
+            "vec_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("pre_score"), F.asc("vec_id")))
+            .alias("pre_rnk"),
+        )
+    )
+    ks = F.explode(F.array(F.lit(1), F.lit(5), F.lit(10))).alias("k")
+    return (
+        full_top.join(pre_top, "vec_id", "left")
+        .select("full_rnk", "pre_rnk", ks)
+        .filter(F.col("full_rnk") <= F.col("k"))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                F.when(F.col("pre_rnk") <= F.col("k"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_hit"),
+            (
+                F.sum(
+                    F.when(F.col("pre_rnk") <= F.col("k"), 1).otherwise(0)
+                ).cast("double")
+                / F.col("k")
+            ).alias("recall"),
+        )
+    )

@@ -170,6 +170,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_shard_manifest",
     "q_disorder_profile",
     "q_rollup_consistency",
+    "q_maxsim_late_interaction",
+    "q_mrl_prefix_eval",
 })
 
 
