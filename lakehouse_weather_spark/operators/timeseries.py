@@ -239,3 +239,230 @@ def q_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("e.fx") > _ALARM_MULT * F.col("mean_fx")).alias("alarm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition, autocorrelation, ingest-calendar audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_seasonal_decompose",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        mu AS (
+            SELECT event_type, (sum(cnt) * {_S}) // count(*) AS mean_fx
+            FROM daily GROUP BY event_type
+        ),
+        dow AS (
+            SELECT event_type, isodow(d) - 1 AS dow,
+                   (sum(cnt) * {_S}) // count(*) AS dow_fx
+            FROM daily GROUP BY 1, 2
+        )
+        SELECT d.event_type, d.d AS day,
+               CAST(isodow(d.d) - 1 AS INTEGER) AS dow, d.cnt,
+               CAST(m.mean_fx AS DOUBLE) / {_S} AS trend,
+               CAST(w.dow_fx - m.mean_fx AS DOUBLE) / {_S} AS seasonal,
+               CAST(d.cnt * {_S} - w.dow_fx AS DOUBLE) / {_S} AS residual
+        FROM daily d
+        JOIN mu m USING (event_type)
+        JOIN dow w ON w.event_type = d.event_type
+                  AND w.dow = isodow(d.d) - 1
+    """,
+    doc="Seasonal-naive decomposition of the daily series per event"
+    " type: trend = per-type mean, seasonal = day-of-week mean minus"
+    " trend, residual = observed minus day-of-week mean — the classic"
+    " additive split monitoring uses to alarm on the RESIDUAL instead"
+    " of raw counts (a quiet Sunday is normal; a quiet Tuesday is"
+    " not). Two tiny broadcast aggregates (|types| and |types|x7"
+    " rows) joined back onto the daily rollup; integer floor-divided"
+    " means keep both engines bit-identical. Weekday convention:"
+    " Spark weekday() == DuckDB isodow()-1 == 0 for Monday.",
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).withColumnRenamed("h", "d")
+    mu = daily.groupBy("event_type").agg(
+        F.expr(f"(sum(cnt) * {_S}) DIV count(*)").alias("mean_fx")
+    )
+    dow = daily.groupBy(
+        "event_type", F.expr("weekday(d)").cast("int").alias("dow")
+    ).agg(F.expr(f"(sum(cnt) * {_S}) DIV count(*)").alias("dow_fx"))
+    return (
+        daily.withColumn("dow", F.expr("weekday(d)").cast("int"))
+        .join(F.broadcast(mu), "event_type")
+        .join(F.broadcast(dow), ["event_type", "dow"])
+        .select(
+            "event_type",
+            F.col("d").alias("day"),
+            "dow",
+            "cnt",
+            (F.col("mean_fx").cast("double") / _S).alias("trend"),
+            ((F.col("dow_fx") - F.col("mean_fx")).cast("double") / _S).alias(
+                "seasonal"
+            ),
+            (
+                (F.col("cnt") * _S - F.col("dow_fx")).cast("double") / _S
+            ).alias("residual"),
+        )
+    )
+
+
+_AC_LAGS = (1, 2, 7)
+
+
+@register(
+    "q_autocorr",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        tot AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(cnt) AS BIGINT) AS s
+            FROM daily GROUP BY event_type
+        ),
+        dev AS (
+            SELECT d.event_type, d.d, t.n,
+                   d.cnt * t.n - t.s AS dv,
+                   lead(d.cnt * t.n - t.s, 1) OVER w AS dv1,
+                   lead(d.cnt * t.n - t.s, 2) OVER w AS dv2,
+                   lead(d.cnt * t.n - t.s, 7) OVER w AS dv7
+            FROM daily d JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d)
+        )
+        SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
+               CAST(sum(dv * dv1) AS DOUBLE) / sum(dv * dv) AS r1,
+               CAST(sum(dv * dv2) AS DOUBLE) / sum(dv * dv) AS r2,
+               CAST(sum(dv * dv7) AS DOUBLE) / sum(dv * dv) AS r7
+        FROM dev
+        GROUP BY event_type
+    """,
+    doc="Lag-1/2/7 autocorrelation of the daily count series per event"
+    " type — the diagnostic that tells monitoring whether yesterday"
+    " (r1) or last week (r7) predicts today, i.e. which baseline"
+    " q_volume_anomaly / q_seasonal_decompose should difference"
+    " against. Deviations are EXACT integers (cnt*n - total, no floor"
+    " anywhere), lag pairing is one lead() window over the tiny daily"
+    " rollup, and each coefficient is a single IEEE division of exact"
+    " int64 sums — bit-identical cross-engine. NULL lead tails drop"
+    " out of both engines' sum() identically.",
+)
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = _daily(spark, sf_dir).withColumnRenamed("h", "d")
+    tot = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cnt").cast("bigint").alias("s"),
+    )
+    w = Window.partitionBy("event_type").orderBy("d")
+    dv = (F.col("cnt") * F.col("n") - F.col("s")).alias("dv")
+    dev = (
+        daily.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "n",
+            dv,
+            *[
+                F.lead(F.col("cnt") * F.col("n") - F.col("s"), k)
+                .over(w)
+                .alias(f"dv{k}")
+                for k in _AC_LAGS
+            ],
+        )
+    )
+    den = F.sum(F.col("dv") * F.col("dv"))
+    return dev.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n_days"),
+        *[
+            (F.sum(F.col("dv") * F.col(f"dv{k}")).cast("double") / den).alias(
+                f"r{k}"
+            )
+            for k in _AC_LAGS
+        ],
+    )
+
+
+@register(
+    "q_calendar_gaps",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d
+            FROM events GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT event_type, min(d) AS d0, max(d) AS d1,
+                   CAST(count(*) AS BIGINT) AS n_observed
+            FROM daily GROUP BY event_type
+        ),
+        expected AS (
+            SELECT s.event_type, s.n_observed,
+                   unnest(generate_series(s.d0, s.d1,
+                                          INTERVAL 1 DAY)) AS d
+            FROM span s
+        ),
+        missing AS (
+            SELECT e.event_type, e.d
+            FROM expected e LEFT JOIN daily o
+              ON o.event_type = e.event_type AND o.d = e.d
+            WHERE o.d IS NULL
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_expected,
+               max(e.n_observed) AS n_observed,
+               CAST(count(*) - max(e.n_observed) AS BIGINT) AS n_missing,
+               min(m.d) AS first_missing
+        FROM expected e
+        LEFT JOIN missing m ON m.event_type = e.event_type
+        GROUP BY e.event_type
+    """,
+    doc="Ingest-calendar completeness audit: per event type, the"
+    " expected day count over the observed [min, max] span versus the"
+    " days actually present, with the first missing day — exactly the"
+    " silent failure mode of the reference's daily scheduled fetch"
+    " (dags/lakehouse_weather_dag.py runs once per day; a skipped run"
+    " leaves an undetected hole). The expected calendar generates"
+    " from a |types|-row span aggregate (never corpus-sized), and the"
+    " hole check is one anti-join-shaped left join per day bucket.",
+)
+def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir).select(
+        "event_type", F.col("h").alias("d")
+    ).distinct()
+    span = daily.groupBy("event_type").agg(
+        F.min("d").alias("d0"),
+        F.max("d").alias("d1"),
+        F.count(F.lit(1)).cast("bigint").alias("n_observed"),
+    )
+    expected = span.select(
+        "event_type",
+        "n_observed",
+        F.explode(
+            F.expr("sequence(d0, d1, interval 1 day)")
+        ).alias("d"),
+    )
+    missing = expected.join(daily, ["event_type", "d"], "left_anti").select(
+        "event_type", F.col("d").alias("md")
+    )
+    return (
+        expected.join(
+            missing.groupBy("event_type").agg(F.min("md").alias("first_missing")),
+            "event_type",
+            "left",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_expected"),
+            F.max("n_observed").alias("n_observed"),
+            (F.count(F.lit(1)) - F.max("n_observed"))
+            .cast("bigint")
+            .alias("n_missing"),
+            F.max("first_missing").alias("first_missing"),
+        )
+    )

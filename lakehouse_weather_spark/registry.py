@@ -172,6 +172,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_rollup_consistency",
     "q_maxsim_late_interaction",
     "q_mrl_prefix_eval",
+    "q_seasonal_decompose",
+    "q_autocorr",
+    "q_calendar_gaps",
 })
 
 

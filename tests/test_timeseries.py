@@ -85,3 +85,41 @@ def test_fixture_queries_cover_all_day_buckets(spark, sf_dir):
         F.min("ewma").alias("elo"), F.max("ewma").alias("ehi"),
     ).filter((F.col("elo") < F.col("lo")) | (F.col("ehi") > F.col("hi")))
     assert bad.count() == 0
+
+
+def test_calendar_gap_detected(spark, tmp_path):
+    from lakehouse_weather_spark.operators.timeseries import q_calendar_gaps
+
+    # days 0,1,2,5,6 present -> days 3,4 missing within the span
+    counts = [2, 2, 2, 0, 0, 2, 2]
+    _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
+    row = q_calendar_gaps(spark, str(tmp_path)).collect()[0]
+    assert row.n_expected == 7
+    assert row.n_observed == 5
+    assert row.n_missing == 2
+    assert row.first_missing == dt.datetime(2026, 1, 4)
+
+
+def test_seasonal_decompose_is_additive(spark, sf_dir):
+    from lakehouse_weather_spark.operators.timeseries import (
+        q_seasonal_decompose,
+    )
+
+    df = q_seasonal_decompose(spark, sf_dir)
+    # cnt == trend + seasonal + residual exactly (fixed-point identity)
+    bad = df.filter(
+        F.abs(
+            F.col("cnt")
+            - (F.col("trend") + F.col("seasonal") + F.col("residual"))
+        )
+        > 1e-9
+    )
+    assert bad.count() == 0
+
+
+def test_autocorr_bounded(spark, sf_dir):
+    from lakehouse_weather_spark.operators.timeseries import q_autocorr
+
+    for r in q_autocorr(spark, sf_dir).collect():
+        for k in ("r1", "r2", "r7"):
+            assert abs(getattr(r, k)) <= 1.0 + 1e-12
