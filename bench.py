@@ -115,6 +115,15 @@ HEADLINE = [
     "q_quantile_sketch",
     "q_selfjoin_fanout",
     "q_kfold_assign",
+    "q_tokenizer_fertility",
+    "q_shard_manifest",
+    "q_disorder_profile",
+    "q_rollup_consistency",
+    "q_maxsim_late_interaction",
+    "q_mrl_prefix_eval",
+    "q_seasonal_decompose",
+    "q_autocorr",
+    "q_calendar_gaps",
 ]
 
 

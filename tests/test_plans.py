@@ -92,6 +92,8 @@ _ARROW_KERNEL_ALLOWED = {
     # greedy longest-match tokenizer: imperative variable-advance scan
     # per word — Arrow-batched kernel, recursive-CTE oracle replay
     "q_tokenize_greedy": ("ArrowEvalPython",),
+    # fertility rollup runs the same sanctioned tokenizer kernel
+    "q_tokenizer_fertility": ("ArrowEvalPython",),
 }
 
 
