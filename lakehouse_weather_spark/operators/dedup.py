@@ -425,7 +425,15 @@ def _jaccard_pairs(spark, sf_dir) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            # exact integer ingredients, kept for consumers that must
+            # bucket/compare without double rounding (threshold hist)
+            F.col("i").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("i")).alias("n_union"),
+        )
     )
 
 
@@ -450,7 +458,45 @@ def _jaccard_pairs(spark, sf_dir) -> DataFrame:
     " fan-out at scale.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _jaccard_pairs(spark, sf_dir).filter(F.col("jaccard") >= 0.10)
+    return (
+        _jaccard_pairs(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.10)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+@register(
+    "q_jaccard_threshold_hist",
+    oracle=f"""
+        WITH {_DUCK_SHINGLES_CTE},
+        {_DUCK_CAPPED_CTE}
+        SELECT CAST((10 * i) // (sa.n + sb.n - i) AS BIGINT) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM inter
+        JOIN sizes sa ON doc_a = sa.doc_id
+        JOIN sizes sb ON doc_b = sb.doc_id
+        GROUP BY 1
+    """,
+    doc="Jaccard threshold-tuning histogram: every candidate pair from"
+    " the capped inverted index bucketed by floor(10 * jaccard) — the"
+    " one-glance distribution that picks the dedup threshold (a"
+    " bimodal histogram separates near-dups from topical overlap; a"
+    " flat one says the shingle width is wrong) BEFORE committing to"
+    " a full near-dup pass. Buckets come from the EXACT integer"
+    " (10*inter) DIV union — no double rounding can flip a boundary"
+    " pair (floor(0.3*10) in IEEE is 2, not 3). Same single-shuffle"
+    " candidate stream as q_ngram_jaccard; output is <= 11 rows at"
+    " any corpus size.",
+)
+def q_jaccard_threshold_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _jaccard_pairs(spark, sf_dir)
+    return (
+        pairs.select(
+            F.expr("(10 * n_inter) DIV n_union").cast("bigint").alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    )
 
 
 # ---------------------------------------------------------------------------

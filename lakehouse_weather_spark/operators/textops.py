@@ -1069,3 +1069,83 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sel.select(
         F.col("gd").alias("doc_id"), "pos", F.col("wmin").alias("fingerprint")
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve
+# ---------------------------------------------------------------------------
+
+VOCAB_SIZES = (100, 500, 2000)
+
+
+@register(
+    "q_vocab_coverage",
+    oracle=f"""
+        WITH words AS (
+            SELECT unnest(string_split(text, ' ')) AS word FROM documents
+        ),
+        freq AS (SELECT word, count(*) AS c FROM words GROUP BY word),
+        ranked AS (
+            SELECT word, c,
+                   row_number() OVER (ORDER BY c DESC, word) AS rnk,
+                   sum(c) OVER () AS total
+            FROM freq
+        )
+        SELECT CAST(v.n AS BIGINT) AS vocab_size,
+               CAST(sum(r.c) FILTER (WHERE r.rnk <= v.n) AS BIGINT)
+                   AS covered_tokens,
+               CAST(max(r.total) AS BIGINT) AS total_tokens,
+               CAST(sum(r.c) FILTER (WHERE r.rnk <= v.n) AS DOUBLE)
+                   / max(r.total) AS coverage
+        FROM ranked r
+        CROSS JOIN (SELECT unnest({list(VOCAB_SIZES)}) AS n) v
+        GROUP BY v.n
+    """,
+    doc=f"Vocabulary coverage curve: the fraction of all corpus tokens"
+    f" covered by the top-{{{', '.join(map(str, VOCAB_SIZES))}}} most"
+    " frequent words — the sizing curve that picks a word-level vocab"
+    " (or decides subword is required) before tokenizer training;"
+    " read together with q_tokenizer_fertility (cost of the subword"
+    " fallback) and q_bpe_pair_counts (what the subword vocab learns)."
+    " One frequency agg, a rank window over the VOCAB (never the"
+    " corpus), and a |sizes|-row rollup — all integer counts until"
+    " the final division.",
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word"))
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    ranked = freq.select(
+        "c",
+        F.row_number()
+        .over(Window.orderBy(F.desc("c"), F.asc("word")))
+        .alias("rnk"),
+        F.sum("c").over(Window.partitionBy()).alias("total"),
+    )
+    sizes = F.explode(
+        F.array(*[F.lit(n) for n in VOCAB_SIZES])
+    ).alias("vocab_size")
+    return (
+        ranked.select("c", "rnk", "total", sizes)
+        .groupBy("vocab_size")
+        .agg(
+            F.sum(F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c")))
+            .cast("bigint")
+            .alias("covered_tokens"),
+            F.max("total").cast("bigint").alias("total_tokens"),
+            (
+                F.sum(
+                    F.when(F.col("rnk") <= F.col("vocab_size"), F.col("c"))
+                ).cast("double")
+                / F.max("total")
+            ).alias("coverage"),
+        )
+        .select(
+            F.col("vocab_size").cast("bigint").alias("vocab_size"),
+            "covered_tokens",
+            "total_tokens",
+            "coverage",
+        )
+    )

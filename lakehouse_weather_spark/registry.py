@@ -175,6 +175,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_seasonal_decompose",
     "q_autocorr",
     "q_calendar_gaps",
+    "q_win_sliding",
+    "q_vocab_coverage",
+    "q_jaccard_threshold_hist",
 })
 
 

@@ -828,3 +828,53 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_active_users")
     )
+
+
+@register(
+    "q_win_sliding",
+    oracle=f"""
+        WITH es AS (
+            SELECT event_type, value,
+                   epoch_ns(ts) // 1000000000 AS sec
+            FROM events
+        ),
+        expanded AS (
+            SELECT event_type, value,
+                   (sec // 900) * 900 - k * 900 AS start_sec
+            FROM es CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+        )
+        SELECT make_timestamp(start_sec * 1000000) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    doc="Sliding 1-hour window with 15-minute slide: every event lands"
+    " in exactly 4 overlapping windows — the smoothing/alerting"
+    " window shape (tumbling windows quantize bursts at the"
+    " boundary; sliding windows see them at 4x resolution). Spark's"
+    " window(ts, '1 hour', '15 minutes') replicates each row into its"
+    " 4 windows BEFORE the partial agg, so the shuffle carries only"
+    " (window, type) partials — same one-exchange shape as tumbling"
+    " at 4x partial rows, and the identical streaming form runs under"
+    " withWatermark. The oracle expands the same 4 quarter-hour"
+    " offsets arithmetically on epoch seconds.",
+)
+def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
