@@ -26,11 +26,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.operators.dedup import (
+    _minhash_pairs_cte,
     _DUCK_CAPPED_CTE,
     _DUCK_SHINGLES_CTE,
     _SPARK_H,
     _capped_shingle_buckets,
 )
+from lakehouse_weather_spark.operators.sampling import _DUCK_H100
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
@@ -149,4 +151,64 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", containment.alias("containment"))
         .filter(F.col("containment") >= CONTAINMENT_MIN)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross-split leakage audit
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_leakage_pairs",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        assign AS (
+            SELECT doc_id,
+                   CASE WHEN ({_DUCK_H100}) < 80 THEN 'train'
+                        WHEN ({_DUCK_H100}) < 90 THEN 'valid'
+                        ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT least(a.split, b.split) AS split_a,
+               greatest(a.split, b.split) AS split_b,
+               CAST(count(*) AS BIGINT) AS n_neardup_pairs
+        FROM mpairs p
+        JOIN assign a ON a.doc_id = p.doc_a
+        JOIN assign b ON b.doc_id = p.doc_b
+        WHERE a.split <> b.split
+        GROUP BY 1, 2
+    """,
+    doc="Train/eval leakage audit: MinHash near-duplicate pairs whose"
+    " members landed in DIFFERENT splits of q_split_assign, counted"
+    " per split-pair — the check that catches the classic ordering"
+    " bug (split before dedup) where an eval doc's near-twin sits in"
+    " train and inflates every metric. Composition of two verified"
+    " stages: the banded-LSH pair stream joins the hash-split"
+    " assignment (two broadcast-able id->split joins), emitting a"
+    " <= 3-row scorecard. A healthy pipeline drives this to zero by"
+    " deduping FIRST (q_dedup_keep_best) or splitting by CLUSTER"
+    " (q_dedup_clusters ids as the split key) instead of by doc.",
+)
+def q_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import q_minhash_neardup
+    from lakehouse_weather_spark.operators.sampling import q_split_assign
+
+    pairs = q_minhash_neardup(spark, sf_dir)
+    assign = q_split_assign(spark, sf_dir)
+    a = assign.select(
+        F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")
+    )
+    b = assign.select(
+        F.col("doc_id").alias("doc_b"), F.col("split").alias("sb")
+    )
+    return (
+        pairs.join(a, "doc_a")
+        .join(b, "doc_b")
+        .filter(F.col("sa") != F.col("sb"))
+        .groupBy(
+            F.least("sa", "sb").alias("split_a"),
+            F.greatest("sa", "sb").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_neardup_pairs"))
     )

@@ -1315,3 +1315,57 @@ def q_mrl_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding health audit
+# ---------------------------------------------------------------------------
+
+_NORM_LOW_FX = 100_000_000  # ||v|| < 0.1 (fx 1e9 on the 1e-12 dot scale)
+
+
+@register(
+    "q_embed_norm_audit",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        nf AS (
+            SELECT n.vec_id, e.label,
+                   CAST(round(n.nrm * 1000000000) AS BIGINT) AS nfx
+            FROM norms n JOIN embeddings e ON e.vec_id = n.vec_id
+        )
+        SELECT label,
+               CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(min(nfx) AS DOUBLE) / 1000000000 AS min_norm,
+               CAST(max(nfx) AS DOUBLE) / 1000000000 AS max_norm,
+               CAST(sum(nfx) AS DOUBLE) / 1000000000 / count(*)
+                   AS mean_norm,
+               CAST(sum(CASE WHEN nfx < {_NORM_LOW_FX} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_degenerate
+        FROM nf GROUP BY label
+    """,
+    doc="Embedding health audit per label: min/max/mean L2 norm plus"
+    " the count of degenerate (near-zero-norm) vectors — the broken-"
+    "encoder detector every embedding ingest runs before ANN indexing"
+    " (zero vectors poison cosine scores silently; norm collapse per"
+    " label flags a bad encoder shard or an all-padding input batch)."
+    " Norms reuse the fixed-point dot contract, enter the rollup as"
+    " rounded int64 (order-independent sums), and the output is"
+    " |labels| rows at any corpus size — one partial-agg shuffle.",
+)
+def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nrm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    nf = emb.select(
+        "label", F.round(nrm * 1_000_000_000, 0).cast("bigint").alias("nfx")
+    )
+    return nf.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        (F.min("nfx").cast("double") / 1e9).alias("min_norm"),
+        (F.max("nfx").cast("double") / 1e9).alias("max_norm"),
+        (F.sum("nfx").cast("double") / 1e9 / F.count(F.lit(1))).alias(
+            "mean_norm"
+        ),
+        F.sum(F.when(F.col("nfx") < _NORM_LOW_FX, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_degenerate"),
+    )

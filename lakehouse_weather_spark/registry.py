@@ -178,6 +178,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_win_sliding",
     "q_vocab_coverage",
     "q_jaccard_threshold_hist",
+    "q_leakage_pairs",
+    "q_embed_norm_audit",
 })
 
 
