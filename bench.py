@@ -124,6 +124,11 @@ HEADLINE = [
     "q_seasonal_decompose",
     "q_autocorr",
     "q_calendar_gaps",
+    "q_win_sliding",
+    "q_vocab_coverage",
+    "q_jaccard_threshold_hist",
+    "q_leakage_pairs",
+    "q_embed_norm_audit",
 ]
 
 
