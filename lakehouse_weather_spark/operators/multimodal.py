@@ -257,3 +257,239 @@ def frame_sample(
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_stub"])
 
     return df.mapInPandas(frames_map, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Content-signature (average-hash) near-dup over raw binary
+# ---------------------------------------------------------------------------
+
+AHASH_BITS = 64
+_AH_BLOCKS = 4           # 16-bit pigeonhole blocks over the 64-bit sig
+_AH_BLOCK_BITS = 16
+AHASH_HAMMING_MAX = 3    # 4 blocks guarantee recall for hamming <= 3
+
+
+def _ahash_sig(spark_side: bool) -> str:
+    """64-bit average-hash of a binary column via its hex encoding:
+    byte i maps to block (64*(i-1)) DIV n; bit_j = 1 iff block j's mean
+    byte value >= the whole payload's mean. The comparison is the exact
+    integer cross-multiplication sum_j * n >= total * cnt_j — no
+    division anywhere, so both engines agree bit-for-bit."""
+    if spark_side:
+        byte = "CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT)"
+        return f"""
+            aggregate(
+                transform(sequence(1, n), i -> named_struct(
+                    'blk', CAST((64 * (i - 1)) DIV n AS INT),
+                    'v', {byte})),
+                named_struct(
+                    'tot', CAST(0 AS BIGINT),
+                    's', array_repeat(CAST(0 AS BIGINT), {AHASH_BITS}),
+                    'c', array_repeat(CAST(0 AS BIGINT), {AHASH_BITS})),
+                (acc, x) -> named_struct(
+                    'tot', acc.tot + x.v,
+                    's', transform(acc.s, (sv, bi) ->
+                         IF(bi = x.blk, sv + x.v, sv)),
+                    'c', transform(acc.c, (cv, bi) ->
+                         IF(bi = x.blk, cv + 1, cv))),
+                acc -> aggregate(
+                    sequence(0, {AHASH_BITS - 1}),
+                    CAST(0 AS BIGINT),
+                    (sig, j) -> sig + IF(
+                        element_at(acc.c, j + 1) > 0
+                        AND element_at(acc.s, j + 1) * n
+                            >= acc.tot * element_at(acc.c, j + 1),
+                        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
+            )
+        """
+    return ""
+
+
+@register(
+    "q_binary_ahash",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        bytes AS (
+            SELECT doc_id, n,
+                   (64 * (i - 1)) // n AS blk,
+                   CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS v
+            FROM (
+                SELECT doc_id, hx, n,
+                       unnest(generate_series(1, n)) AS i
+                FROM b
+            )
+        ),
+        blocks AS (
+            SELECT doc_id, n, blk,
+                   CAST(sum(v) AS BIGINT) AS s, CAST(count(*) AS BIGINT) AS c
+            FROM bytes GROUP BY doc_id, n, blk
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(s) AS BIGINT) AS t FROM blocks
+            GROUP BY doc_id
+        )
+        SELECT b.doc_id,
+               CAST(sum(CASE WHEN b.s * b.n < t.t * b.c THEN 0
+                        WHEN b.blk = 63
+                        THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                        ELSE (CAST(1 AS BIGINT) << b.blk) END)
+                    AS BIGINT) AS ahash
+        FROM blocks b JOIN tot t USING (doc_id)
+        GROUP BY b.doc_id
+    """,
+    doc=f"Average-hash content signature over RAW binary payloads: the"
+    f" payload splits into {AHASH_BITS} byte blocks and bit j is set"
+    " iff block j's mean byte value reaches the payload mean —"
+    " compared as the exact integer cross-multiplication s*n >= t*c,"
+    " no division, so the 64-bit signature is engine-exact. This is"
+    " the decode-free half of perceptual dedup for media landings"
+    " (aHash on pixels needs a codec — q_media_features' injectable"
+    " decode seam; aHash on BYTES catches re-uploads, truncations and"
+    " container-level dupes with zero dependencies). Narrow hex"
+    " explode + two partial aggs per doc; block mapping (64*(i-1))"
+    " DIV n is identical in both engines.",
+)
+def q_binary_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_table(spark, sf_dir)
+    b = assets.filter(F.col("n_bytes") > 0).select(
+        "doc_id",
+        F.hex("content").alias("hx"),
+        F.col("n_bytes").alias("n"),
+    )
+    bytes_ = b.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, CAST(n AS INT)), i -> named_struct("
+                "'blk', CAST((64 * (i - 1)) DIV n AS INT),"
+                "'v', CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT)))"
+            )
+        ).alias("x"),
+    ).select("doc_id", "n", F.col("x.blk").alias("blk"), F.col("x.v").alias("v"))
+    blocks = bytes_.groupBy("doc_id", "n", "blk").agg(
+        F.sum("v").cast("bigint").alias("s"),
+        F.count(F.lit(1)).cast("bigint").alias("c"),
+    )
+    tot = blocks.groupBy("doc_id").agg(F.sum("s").cast("bigint").alias("t"))
+    return (
+        blocks.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("s") * F.col("n") >= F.col("t") * F.col("c"),
+                    # blk=63 wraps to min-long: exactly the two's-complement bit value
+                    F.expr("shiftleft(CAST(1 AS BIGINT), blk)"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("ahash")
+        )
+    )
+
+
+@register(
+    "q_binary_neardup",
+    oracle=f"""
+        WITH b AS (
+            SELECT doc_id, hex(encode(text)) AS hx,
+                   octet_length(encode(text)) AS n
+            FROM documents WHERE octet_length(encode(text)) > 0
+        ),
+        bytes AS (
+            SELECT doc_id, n, (64 * (i - 1)) // n AS blk,
+                   CAST(('0x' || substr(hx, 2 * i - 1, 2)) AS BIGINT) AS v
+            FROM (SELECT doc_id, hx, n,
+                         unnest(generate_series(1, n)) AS i FROM b)
+        ),
+        blocks AS (
+            SELECT doc_id, n, blk, CAST(sum(v) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM bytes GROUP BY doc_id, n, blk
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(s) AS BIGINT) AS t FROM blocks
+            GROUP BY doc_id
+        ),
+        sig AS (
+            SELECT b.doc_id,
+                   CAST(sum(CASE WHEN b.s * b.n < t.t * b.c THEN 0
+                            WHEN b.blk = 63
+                            THEN CAST(-9223372036854775807 - 1 AS BIGINT)
+                            ELSE (CAST(1 AS BIGINT) << b.blk) END)
+                        AS BIGINT) AS ahash
+            FROM blocks b JOIN tot t USING (doc_id)
+            GROUP BY b.doc_id
+        ),
+        sb AS (
+            SELECT doc_id, ahash, g.i,
+                   (ahash >> (g.i * {_AH_BLOCK_BITS}))
+                       & {(1 << _AH_BLOCK_BITS) - 1} AS bv
+            FROM sig, (SELECT unnest(generate_series(0, {_AH_BLOCKS - 1}))
+                       AS i) g
+        )
+        SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+               CAST(bit_count(xor(x.ahash, y.ahash)) AS INTEGER) AS hamming
+        FROM sb x JOIN sb y
+          ON x.i = y.i AND x.bv = y.bv AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.ahash, y.ahash)) <= {AHASH_HAMMING_MAX}
+    """,
+    doc=f"Binary near-duplicate pairs from the average-hash signature:"
+    f" the 64-bit aHash splits into {_AH_BLOCKS} pigeonhole blocks of"
+    f" {_AH_BLOCK_BITS} bits, candidates share >= 1 exact block"
+    " (hamming <= 3 implies one block is untouched — complete"
+    " recall by pigeonhole), and an exact bit_count(xor) verify"
+    " keeps survivors. Identical blocking contract to"
+    " q_simhash_neardup, applied to RAW MEDIA BYTES — the multimodal"
+    " dedup pass that needs no codec. One equi-join shuffle on"
+    " (block_idx, block_value); no all-pairs anywhere.",
+)
+def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = q_binary_ahash(spark, sf_dir)
+    blocks = sig.select(
+        "doc_id",
+        "ahash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(
+                            f"(ahash >> {i * _AH_BLOCK_BITS})"
+                            f" & {(1 << _AH_BLOCK_BITS) - 1}"
+                        ).alias("bv"),
+                    )
+                    for i in range(_AH_BLOCKS)
+                ]
+            )
+        ).alias("g"),
+    ).select(
+        "doc_id", "ahash", F.col("g.i").alias("i"), F.col("g.bv").alias("bv")
+    )
+    right = blocks.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("ahash").alias("ah_b"),
+        F.col("i").alias("i2"),
+        F.col("bv").alias("bv2"),
+    )
+    hamming = F.expr("bit_count(ahash ^ ah_b)").cast("int")
+    return (
+        blocks.join(
+            right,
+            (blocks.i == right.i2)
+            & (blocks.bv == right.bv2)
+            & (blocks.doc_id < right.doc_b),
+        )
+        .select(
+            F.col("doc_id").alias("doc_a"),
+            "doc_b",
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
+        .distinct()
+    )

@@ -180,6 +180,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_jaccard_threshold_hist",
     "q_leakage_pairs",
     "q_embed_norm_audit",
+    "q_binary_ahash",
+    "q_binary_neardup",
 })
 
 

@@ -137,3 +137,33 @@ def test_binary_object_writer_roundtrip(spark, tmp_path):
     assert {r.media_type for r in relanded.collect()} == {
         "text/html", "image/png", "audio/wav",
     }
+
+
+def test_binary_ahash_neardup_detects_mutated_payload(spark, tmp_path):
+    """A byte payload and a lightly mutated copy must pair at small
+    hamming; an unrelated payload must not pair with either."""
+    from lakehouse_weather_spark.operators.multimodal import (
+        AHASH_HAMMING_MAX,
+        q_binary_ahash,
+        q_binary_neardup,
+    )
+
+    base = ("spark table value row scan merge batch " * 8).strip()
+    # flip a couple of characters -> tiny perturbation of block means
+    mutated = "SPARK" + base[5:]
+    other = "zzzz " * 60
+    rows = [(0, base, "en", "s", len(base)),
+            (1, mutated, "en", "s", len(mutated)),
+            (2, other.strip(), "en", "s", len(other.strip()))]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+        " n_chars long"
+    ).write.parquet(f"{tmp_path}/documents.parquet")
+
+    sigs = {r.doc_id: r.ahash for r in q_binary_ahash(spark, str(tmp_path)).collect()}
+    assert len(sigs) == 3
+    pairs = {(r.doc_a, r.doc_b): r.hamming
+             for r in q_binary_neardup(spark, str(tmp_path)).collect()}
+    assert (0, 1) in pairs
+    assert pairs[(0, 1)] <= AHASH_HAMMING_MAX
+    assert (0, 2) not in pairs and (1, 2) not in pairs
