@@ -454,3 +454,122 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(est_val - F.col("exact_median")).alias("abs_err"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hand-rolled HyperLogLog with an engine-exact estimate
+# ---------------------------------------------------------------------------
+
+HLL_P = 8                      # 2^8 = 256 registers
+HLL_M = 1 << HLL_P
+_HLL_REST_BITS = 52            # 60-bit md5 hash minus 8 register bits
+# alpha_256 * m^2 with alpha = 0.7213 / (1 + 1.079/m) — computed once in
+# Python; the SAME literal lands in both engines' final expression.
+_HLL_ALPHA_M2 = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+@register(
+    "q_hll_manual",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type,
+                   CAST(('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS hv
+            FROM events
+        ),
+        reg AS (
+            SELECT event_type,
+                   hv % {HLL_M} AS register,
+                   hv // {HLL_M} AS rest
+            FROM h
+        ),
+        rho AS (
+            -- register stores MAX rho = 53 - MIN msb (msb 0 for rest=0)
+            SELECT event_type, register,
+                   CAST(min(CASE WHEN rest = 0 THEN 0
+                            ELSE length(bin(rest)) END) AS BIGINT) AS msb
+            FROM reg GROUP BY event_type, register
+        ),
+        z AS (
+            -- Z scaled by 2^53: used register adds 2^msb, empty adds 2^53
+            SELECT event_type,
+                   CAST(sum(CAST(1 AS BIGINT) << msb) AS BIGINT) AS zsum,
+                   CAST(count(*) AS BIGINT) AS n_used
+            FROM rho GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.n_exact,
+               CAST({HLL_M} - z.n_used AS BIGINT) AS n_empty_registers,
+               {_HLL_ALPHA_M2!r} * {1 << (_HLL_REST_BITS + 1)}
+                   / (z.zsum + ({HLL_M} - z.n_used)
+                      * {1 << (_HLL_REST_BITS + 1)}) AS hll_estimate
+        FROM exact e JOIN z USING (event_type)
+    """,
+    doc=f"Hand-rolled HyperLogLog ({HLL_M} registers) whose ESTIMATE is"
+    " engine-exact — unlike q_hll_distinct (Spark's DataSketches"
+    " binding, rows-only by necessity), every stage here is"
+    " deterministic relational algebra: md5-derived 60-bit hashes,"
+    " register = h mod m, rho from length(bin(rest)) (identical in"
+    " both engines), per-register MAX partial agg (the mergeable-"
+    "sketch property: partials combine by max, constant memory), and"
+    " the harmonic mean computed on EXACT integers — 2^-rho terms"
+    " scaled by 2^53 to int64s (used register adds 2^msb, empty adds"
+    " 2^53; max total 256 * 2^53 fits int64),"
+    " one final literal-coefficient division. Shipped next to the"
+    " exact distinct per type, so the estimate's error is visible in"
+    " the result itself.",
+)
+def q_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.expr(
+        "cast(conv(substr(md5(concat('hll_', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    reg = ev.select(
+        "event_type",
+        "user_id",
+        (hv % HLL_M).alias("register"),
+        F.expr(
+            "cast(conv(substr(md5(concat('hll_', cast(user_id as string))),"
+            f" 1, 15), 16, 10) as bigint) DIV {HLL_M}"
+        ).alias("rest"),
+    )
+    # register stores MAX rho = 53 - MIN msb (msb 0 for rest = 0)
+    rho = reg.groupBy("event_type", "register").agg(
+        F.min(
+            F.when(F.col("rest") == 0, 0).otherwise(
+                F.length(F.expr("bin(rest)"))
+            )
+        )
+        .cast("bigint")
+        .alias("msb")
+    )
+    z = rho.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(msb AS INT))"))
+        .cast("bigint")
+        .alias("zsum"),
+        F.count(F.lit(1)).cast("bigint").alias("n_used"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_exact")
+    )
+    full = F.lit(1 << (_HLL_REST_BITS + 1)).cast("bigint")
+    return exact.join(z, "event_type").select(
+        "event_type",
+        "n_exact",
+        (F.lit(HLL_M) - F.col("n_used")).cast("bigint").alias(
+            "n_empty_registers"
+        ),
+        (
+            F.lit(_HLL_ALPHA_M2)
+            * full.cast("double")
+            / (
+                F.col("zsum")
+                + (F.lit(HLL_M) - F.col("n_used")) * full
+            ).cast("double")
+        ).alias("hll_estimate"),
+    )

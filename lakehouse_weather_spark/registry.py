@@ -182,6 +182,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_embed_norm_audit",
     "q_binary_ahash",
     "q_binary_neardup",
+    "q_hll_manual",
 })
 
 
