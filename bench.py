@@ -129,6 +129,9 @@ HEADLINE = [
     "q_jaccard_threshold_hist",
     "q_leakage_pairs",
     "q_embed_norm_audit",
+    "q_binary_ahash",
+    "q_binary_neardup",
+    "q_hll_manual",
 ]
 
 

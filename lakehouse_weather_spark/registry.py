@@ -183,6 +183,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_binary_ahash",
     "q_binary_neardup",
     "q_hll_manual",
+    "q_cluster_split",
 })
 
 

@@ -110,3 +110,32 @@ def test_dup_spans_flags_planted_duplicates(spark, sf_dir):
             assert r.dup_frac > 0.0
     # and the corpus is not all duplicated: some docs stay clean
     assert any(r.dup_frac == 0.0 for r in rows)
+
+
+def test_cluster_split_has_zero_cluster_leakage(spark, sf_dir):
+    """Every >= 0.8-jaccard near-dup pair must share a split under the
+    cluster-aware assignment (and the naive doc-hash split is allowed
+    to differ — that's the bug q_leakage_pairs measures)."""
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.dedup import (
+        _CLUSTER_THRESHOLD,
+        q_cluster_split,
+        q_ngram_jaccard,
+    )
+
+    assign = q_cluster_split(spark, sf_dir)
+    pairs = q_ngram_jaccard(spark, sf_dir).filter(
+        F.col("jaccard") >= _CLUSTER_THRESHOLD
+    )
+    a = assign.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("sa"))
+    b = assign.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("sb"))
+    leaked = (
+        pairs.join(a, "doc_a").join(b, "doc_b").filter(F.col("sa") != F.col("sb"))
+    )
+    assert leaked.count() == 0
+    # sanity: the splits are still roughly 80/10/10 over all docs
+    dist = {r.split: r.n for r in assign.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n")).collect()}
+    assert set(dist) == {"train", "valid", "test"}
+    assert dist["train"] > dist["valid"] and dist["train"] > dist["test"]
