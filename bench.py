@@ -132,6 +132,7 @@ HEADLINE = [
     "q_binary_ahash",
     "q_binary_neardup",
     "q_hll_manual",
+    "q_cluster_split",
 ]
 
 

@@ -269,40 +269,63 @@ _AH_BLOCK_BITS = 16
 AHASH_HAMMING_MAX = 3    # 4 blocks guarantee recall for hamming <= 3
 
 
-def _ahash_sig(spark_side: bool) -> str:
-    """64-bit average-hash of a binary column via its hex encoding:
-    byte i maps to block (64*(i-1)) DIV n; bit_j = 1 iff block j's mean
-    byte value >= the whole payload's mean. The comparison is the exact
-    integer cross-multiplication sum_j * n >= total * cnt_j — no
-    division anywhere, so both engines agree bit-for-bit."""
-    if spark_side:
-        byte = "CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT)"
-        return f"""
-            aggregate(
-                transform(sequence(1, n), i -> named_struct(
-                    'blk', CAST((64 * (i - 1)) DIV n AS INT),
-                    'v', {byte})),
-                named_struct(
-                    'tot', CAST(0 AS BIGINT),
-                    's', array_repeat(CAST(0 AS BIGINT), {AHASH_BITS}),
-                    'c', array_repeat(CAST(0 AS BIGINT), {AHASH_BITS})),
-                (acc, x) -> named_struct(
-                    'tot', acc.tot + x.v,
-                    's', transform(acc.s, (sv, bi) ->
-                         IF(bi = x.blk, sv + x.v, sv)),
-                    'c', transform(acc.c, (cv, bi) ->
-                         IF(bi = x.blk, cv + 1, cv))),
-                acc -> aggregate(
-                    sequence(0, {AHASH_BITS - 1}),
-                    CAST(0 AS BIGINT),
-                    (sig, j) -> sig + IF(
-                        element_at(acc.c, j + 1) > 0
-                        AND element_at(acc.s, j + 1) * n
-                            >= acc.tot * element_at(acc.c, j + 1),
-                        shiftleft(CAST(1 AS BIGINT), j), CAST(0 AS BIGINT)))
-            )
-        """
-    return ""
+# Per-ROW average-hash stages (see q_binary_ahash): block sums via 64
+# contiguous hex slices — each byte read exactly once, block b covering
+# bytes ceil(b*n/64)+1 .. ceil((b+1)*n/64), the inverse of the oracle's
+# blk(i) = (64*(i-1)) DIV n — then one fold over the 64 (sum, cnt)
+# pairs builds the signature with the exact cross-multiplication
+# s*n >= t*c. A scan-speed projection: no explode, no shuffle, no
+# per-byte row blowup (the earlier explode+groupBy shape cost ~5 s at
+# sf0.1; this runs at scan speed and keeps payload work inside its own
+# row's task).
+# hex parsed ONCE into a per-byte int array (regexp_extract_all is a
+# single left-to-right pass; per-byte substr(hx, 2i-1, 2) on a long
+# UTF8String is O(i) per access = O(n^2) per row and timed out at sf0.1)
+_AH_BYTES_EXPR = (
+    "transform(regexp_extract_all(hx, '..', 0),"
+    " h -> CAST(conv(h, 16, 10) AS BIGINT))"
+)
+# slice() of an empty range (c = 0) is [], so no descending-sequence
+# guard is needed; lo/c implement the inverse of blk(i) = (64*(i-1)) DIV n
+_AH_BLOCKS_EXPR = (
+    f"transform(sequence(0, {AHASH_BITS - 1}), b -> named_struct("
+    " 's', aggregate(slice(bytes_arr,"
+    "                      CAST((b * n + 63) DIV 64 + 1 AS INT),"
+    "                      CAST(greatest(((b + 1) * n + 63) DIV 64"
+    "                            - ((b * n + 63) DIV 64), 0) AS INT)),"
+    "               CAST(0 AS BIGINT), (a, v) -> a + v),"
+    " 'c', greatest(((b + 1) * n + 63) DIV 64 - ((b * n + 63) DIV 64),"
+    "               CAST(0 AS BIGINT))))"
+)
+# The whole signature as ONE expression, with every reused intermediate
+# bound ONCE via the transform(array(x), v -> ...) let-trick: bytes_arr
+# is referenced 64x by the block slices and blocks twice (total + sig
+# fold) — left as separate projections, Catalyst's project-collapsing
+# re-inlined them per reference and the plan went quadratic (2.8 s for
+# 50 docs). Lambda variables are evaluated once per element, so the
+# let-bound form is O(n + 64) per row. j=63 wraps shiftleft to
+# min-long: the two's-complement bit value.
+def _ah_sig_expr() -> str:
+    blocks = _AH_BLOCKS_EXPR.replace("bytes_arr", "ba")
+    fold = (
+        "aggregate(bl, named_struct('j', 0, 'sig', CAST(0 AS BIGINT)),"
+        " (acc, x) -> named_struct("
+        "   'j', acc.j + 1,"
+        "   'sig', acc.sig + IF(x.c > 0 AND x.s * n >= tt * x.c,"
+        "                       shiftleft(CAST(1 AS BIGINT), acc.j),"
+        "                       CAST(0 AS BIGINT))),"
+        " acc -> acc.sig)"
+    )
+    let_t = (
+        "element_at(transform(array("
+        "aggregate(bl, CAST(0 AS BIGINT), (a, x) -> a + x.s)"
+        f"), tt -> {fold}), 1)"
+    )
+    let_blocks = f"element_at(transform(array({blocks}), bl -> {let_t}), 1)"
+    return (
+        f"element_at(transform(array({_AH_BYTES_EXPR}),"
+        f" ba -> {let_blocks}), 1)"
+    )
 
 
 @register(
@@ -354,42 +377,21 @@ def _ahash_sig(spark_side: bool) -> str:
     " DIV n is identical in both engines.",
 )
 def q_binary_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _spark_ahash(spark, sf_dir)
+
+
+def _spark_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, ahash): one narrow let-bound projection per row (see
+    _ah_sig_expr) — a single codegen'd task per input split, no
+    shuffle, no explode."""
     assets = assets_table(spark, sf_dir)
     b = assets.filter(F.col("n_bytes") > 0).select(
         "doc_id",
         F.hex("content").alias("hx"),
         F.col("n_bytes").alias("n"),
     )
-    bytes_ = b.select(
-        "doc_id",
-        "n",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, CAST(n AS INT)), i -> named_struct("
-                "'blk', CAST((64 * (i - 1)) DIV n AS INT),"
-                "'v', CAST(conv(substr(hx, 2 * i - 1, 2), 16, 10) AS BIGINT)))"
-            )
-        ).alias("x"),
-    ).select("doc_id", "n", F.col("x.blk").alias("blk"), F.col("x.v").alias("v"))
-    blocks = bytes_.groupBy("doc_id", "n", "blk").agg(
-        F.sum("v").cast("bigint").alias("s"),
-        F.count(F.lit(1)).cast("bigint").alias("c"),
-    )
-    tot = blocks.groupBy("doc_id").agg(F.sum("s").cast("bigint").alias("t"))
-    return (
-        blocks.join(tot, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            F.sum(
-                F.when(
-                    F.col("s") * F.col("n") >= F.col("t") * F.col("c"),
-                    # blk=63 wraps to min-long: exactly the two's-complement bit value
-                    F.expr("shiftleft(CAST(1 AS BIGINT), blk)"),
-                ).otherwise(F.lit(0))
-            )
-            .cast("bigint")
-            .alias("ahash")
-        )
+    return b.select(
+        "doc_id", F.expr(_ah_sig_expr()).cast("bigint").alias("ahash")
     )
 
 
@@ -450,7 +452,12 @@ def q_binary_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
     " (block_idx, block_value); no all-pairs anywhere.",
 )
 def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = q_binary_ahash(spark, sf_dir)
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
+    # materialize the signature table once: both sides of the pigeonhole
+    # self-join read the tiny (doc_id, ahash) checkpoint instead of
+    # re-deriving the byte-fold expression per branch
+    sig = _checkpoint(q_binary_ahash(spark, sf_dir))
     blocks = sig.select(
         "doc_id",
         "ahash",
