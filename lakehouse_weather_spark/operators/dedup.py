@@ -1569,3 +1569,157 @@ def q_cluster_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     )
+
+
+@register(
+    "q_span_cut",
+    oracle=f"""
+        WITH pos AS (
+            -- n_words from the subquery (see q_dup_spans: a bare text
+            -- reference here correlates the CTE to the outer documents
+            -- scan and goes quadratic)
+            SELECT doc_id, n_words, i,
+                   {_DUCK_H.format(
+                       expr=f"array_to_string(words[i : i + {SPAN_WORDS - 1}], ' ')"
+                   )} AS h
+            FROM (
+                SELECT doc_id, string_split(text, ' ') AS words,
+                       len(string_split(text, ' ')) AS n_words,
+                       unnest(generate_series(
+                           1, len(string_split(text, ' ')) - {SPAN_WORDS - 1}
+                       )) AS i
+                FROM documents
+                WHERE len(string_split(text, ' ')) >= {SPAN_WORDS}
+            )
+        ),
+        hot AS (SELECT h FROM pos GROUP BY h HAVING count(*) >= 2),
+        dup AS (
+            SELECT p.doc_id, p.i AS s, p.i + {SPAN_WORDS - 1} AS e
+            FROM pos p JOIN hot USING (h)
+        ),
+        flagged AS (
+            SELECT doc_id, s, e,
+                   CASE WHEN s > max(e) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                   ) THEN 1 ELSE 0 END AS new_island
+            FROM dup
+        ),
+        islands AS (
+            SELECT doc_id, s, e,
+                   sum(new_island) OVER (
+                       PARTITION BY doc_id ORDER BY s, e
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS island_id
+            FROM flagged
+        ),
+        merged AS (
+            SELECT doc_id, island_id, min(s) AS s, max(e) AS e
+            FROM islands GROUP BY doc_id, island_id
+        ),
+        spans AS (
+            SELECT doc_id,
+                   list({{'s': s, 'e': e}} ORDER BY s) AS sp
+            FROM merged GROUP BY doc_id
+        ),
+        cut AS (
+            SELECT d.doc_id,
+                   string_split(d.text, ' ') AS words,
+                   COALESCE(s.sp, []) AS sp
+            FROM documents d LEFT JOIN spans s USING (doc_id)
+        )
+        SELECT doc_id,
+               -- DuckDB's array_to_string of an empty list is NULL;
+               -- a fully-cut doc is the empty string on both engines
+               COALESCE(array_to_string(
+                   list_filter(words,
+                       (w, i) -> len(list_filter(sp,
+                           x -> i >= x.s AND i <= x.e)) = 0),
+                   ' '), '') AS clean_text,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_filter(words,
+                       (w, i) -> len(list_filter(sp,
+                           x -> i >= x.s AND i <= x.e)) = 0))
+                    AS BIGINT) AS n_kept
+        FROM cut
+    """,
+    doc="ExactSubstr span CUTTING — the action completing q_dup_spans'"
+    " measurement (Lee et al. 2022 cut repeated passages instead of"
+    " dropping whole documents): every merged duplicated span's words"
+    " are removed and the survivors rejoin into clean_text, keeping"
+    " unique prose from otherwise-boilerplate documents. The span list"
+    " rides back onto the doc row as a small array (spans per doc are"
+    " few after island-merging), and the cut is a per-row lambda"
+    " filter over word positions — no second corpus shuffle beyond"
+    " the span pipeline itself. Both engines run the identical"
+    " positional filter (Spark's 0-based lambda index mapped to the"
+    " oracle's 1-based).",
+)
+def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    w = F.split("text", " ")
+    base = docs.select("doc_id", w.alias("words"), F.size(w).alias("n_words"))
+    pos = (
+        base.filter(F.col("n_words") >= SPAN_WORDS)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(words) - {SPAN_WORDS - 1}),"
+                    f" i -> struct(i, concat_ws(' ', slice(words, i, {SPAN_WORDS}))"
+                    " AS g))"
+                )
+            ).alias("p"),
+        )
+        .select(
+            "doc_id",
+            F.col("p.i").alias("s"),
+            (F.col("p.i") + (SPAN_WORDS - 1)).alias("e"),
+            F.expr(_SPARK_H.format(expr="p.g")).alias("h"),
+        )
+    )
+    hot = pos.groupBy("h").agg(F.count(F.lit(1)).alias("cnt")).filter(
+        F.col("cnt") >= 2
+    )
+    dup = pos.join(hot.select("h"), "h")
+    prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    running = (
+        Window.partitionBy("doc_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        dup.withColumn(
+            "new_island",
+            F.when(F.col("s") > F.max("e").over(prev), 1).otherwise(0),
+        )
+        .withColumn("island_id", F.sum("new_island").over(running))
+        .groupBy("doc_id", "island_id")
+        .agg(F.min("s").alias("s"), F.max("e").alias("e"))
+    )
+    spans = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("sp")
+    )
+    cut = base.join(spans, "doc_id", "left").select(
+        "doc_id",
+        "words",
+        F.coalesce(
+            "sp", F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+        ).alias("sp"),
+    )
+    keep = (
+        "filter(words, (w, i) -> NOT exists(sp,"
+        " x -> i + 1 >= x.s AND i + 1 <= x.e))"
+    )
+    return cut.select(
+        "doc_id",
+        F.expr(f"array_join({keep}, ' ')").alias("clean_text"),
+        F.size("words").cast("bigint").alias("n_words"),
+        F.expr(f"size({keep})").cast("bigint").alias("n_kept"),
+    )

@@ -184,6 +184,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_binary_neardup",
     "q_hll_manual",
     "q_cluster_split",
+    "q_span_cut",
 })
 
 
