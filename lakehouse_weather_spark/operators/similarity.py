@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from lakehouse_weather_spark.functions import duck_dot_sum, spark_dot
+from lakehouse_weather_spark.functions import DOT_SCALE, duck_dot_sum, spark_dot
 from lakehouse_weather_spark.operators.dedup import _SPARK_DOT, _DUCK_VEC_CTE
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
@@ -1368,4 +1368,78 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("nfx") < _NORM_LOW_FX, 1).otherwise(0))
         .cast("bigint")
         .alias("n_degenerate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-dimension embedding standardization (whitening-lite)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_embed_standardize",
+    oracle=f"""
+        WITH u AS (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM embeddings
+        ),
+        vals AS (
+            SELECT vec_id, pos, CAST(embedding[pos] AS DOUBLE) AS val
+            FROM u
+        ),
+        stats AS (
+            SELECT pos,
+                   CAST(sum(CAST(round(val * {DOT_SCALE}) AS BIGINT))
+                        AS BIGINT) AS sx,
+                   CAST(sum(CAST(round(val * val * {DOT_SCALE}) AS BIGINT))
+                        AS BIGINT) AS sxx,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM vals GROUP BY pos
+        )
+        SELECT v.vec_id, CAST(v.pos AS INTEGER) AS pos,
+               (v.val - CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)
+               / sqrt(CAST(s.sxx AS DOUBLE) / {DOT_SCALE} / s.n
+                      - (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)
+                        * (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n))
+                   AS z
+        FROM vals v JOIN stats s USING (pos)
+    """,
+    doc="Per-dimension z-score standardization of the embedding corpus"
+    " — the whitening-lite preprocessing that equalizes dimension"
+    " scales before cosine/L2 retrieval or k-means (a single hot"
+    " dimension otherwise dominates every distance). Sufficient"
+    " statistics (sum, sum-of-squares) accumulate as fixed-point"
+    " int64 per dimension — order-independent, cluster-reproducible —"
+    " and come back as a 64-row broadcast; the z map itself is a"
+    " narrow scan-speed projection whose float expression is written"
+    " identically in both engines, so every standardized value"
+    " hash-matches. At 100 TB this is the canonical two-pass"
+    " normalize: tiny stats agg + map.",
+)
+def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    vals = emb.select(
+        "vec_id",
+        F.posexplode(F.expr("transform(embedding, x -> CAST(x AS DOUBLE))")).alias(
+            "pos0", "val"
+        ),
+    ).select("vec_id", (F.col("pos0") + 1).cast("int").alias("pos"), "val")
+    stats = vals.groupBy("pos").agg(
+        F.sum(F.round(F.col("val") * DOT_SCALE, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("sx"),
+        F.sum(
+            F.round(F.col("val") * F.col("val") * DOT_SCALE, 0).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    mean = F.col("sx").cast("double") / DOT_SCALE / F.col("n")
+    e2 = F.col("sxx").cast("double") / DOT_SCALE / F.col("n")
+    return vals.join(F.broadcast(stats), "pos").select(
+        "vec_id",
+        "pos",
+        ((F.col("val") - mean) / F.sqrt(e2 - mean * mean)).alias("z"),
     )

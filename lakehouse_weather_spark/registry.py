@@ -185,6 +185,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_hll_manual",
     "q_cluster_split",
     "q_span_cut",
+    "q_embed_standardize",
 })
 
 
