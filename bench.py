@@ -133,6 +133,8 @@ HEADLINE = [
     "q_binary_neardup",
     "q_hll_manual",
     "q_cluster_split",
+    "q_span_cut",
+    "q_embed_standardize",
 ]
 
 
