@@ -497,6 +497,51 @@ def stream_tumbling_counts(
     return spark.table("tumbling_counts")
 
 
+def stream_sliding_counts(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """True Structured Streaming form of q_win_sliding: the SAME
+    window('1 hour', '15 minutes') + watermark shape, availableNow
+    trigger into a memory sink — each event still expands into its 4
+    overlapping windows before the (windowed, watermark-bounded)
+    stateful aggregation. Equality with the batch query is asserted in
+    tests/test_streaming.py."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        .transform(_ts_ltz)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("sliding_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("sliding_counts")
+
+
 @register(
     "q_time_rollup",
     oracle=f"""

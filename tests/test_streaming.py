@@ -265,3 +265,23 @@ def test_append_mode_emits_each_window_once(spark, sf_dir, tmp_path):
         if r.window_start.year <= max_real_year
     }
     assert got == batch
+
+
+def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
+    from lakehouse_weather_spark.streaming.events import stream_sliding_counts
+
+    events_dir = tmp_path / "events_sliding"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    batch = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in load_all()["q_win_sliding"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.window_start, r.event_type): (r.n_events, r.sum_value)
+        for r in stream_sliding_counts(
+            spark, str(events_dir), str(tmp_path / "ckpt_sliding")
+        ).collect()
+    }
+    assert stream == batch
