@@ -135,6 +135,7 @@ HEADLINE = [
     "q_cluster_split",
     "q_span_cut",
     "q_embed_standardize",
+    "q_funnel_latency",
 ]
 
 

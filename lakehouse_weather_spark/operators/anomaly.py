@@ -545,3 +545,147 @@ def q_disorder_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("p95_disorder_sec"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion-latency profile (funnel timing)
+# ---------------------------------------------------------------------------
+
+CONV_WINDOW_SEC = 3600  # view converts if a purchase follows within 1h
+
+
+@register(
+    "q_funnel_latency",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   epoch_ns(ts) // 1000000000 AS ts_sec,
+                   date_trunc('day', ts) AS day
+            FROM events WHERE event_type IN ('view', 'purchase')
+        ),
+        nxt AS (
+            SELECT user_id, event_id, event_type, ts_sec, day,
+                   min(CASE WHEN event_type = 'purchase' THEN ts_sec END)
+                       OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                             ROWS BETWEEN 1 FOLLOWING
+                                      AND UNBOUNDED FOLLOWING)
+                       AS next_purchase_sec
+            FROM seq
+        ),
+        conv AS (
+            SELECT day, event_id,
+                   next_purchase_sec - ts_sec AS latency_sec,
+                   next_purchase_sec IS NOT NULL
+                       AND next_purchase_sec - ts_sec <= {CONV_WINDOW_SEC}
+                       AS converted
+            FROM nxt WHERE event_type = 'view'
+        ),
+        ranked AS (
+            SELECT day, latency_sec,
+                   row_number() OVER (PARTITION BY day
+                                      ORDER BY latency_sec, event_id) AS rn,
+                   count(*) OVER (PARTITION BY day) AS n
+            FROM conv WHERE converted
+        ),
+        stats AS (
+            SELECT day,
+                   CAST(max(n) AS BIGINT) AS n_converted,
+                   CAST(min(CASE WHEN rn = (n + 1) // 2
+                            THEN latency_sec END) AS BIGINT)
+                       AS p50_latency_sec,
+                   CAST(min(CASE WHEN rn = (19 * n + 19) // 20
+                            THEN latency_sec END) AS BIGINT)
+                       AS p95_latency_sec
+            FROM ranked GROUP BY day
+        ),
+        views AS (
+            SELECT day, CAST(count(*) AS BIGINT) AS n_views
+            FROM conv GROUP BY day
+        )
+        SELECT v.day, v.n_views,
+               CAST(COALESCE(s.n_converted, 0) AS BIGINT) AS n_converted,
+               CAST(COALESCE(s.n_converted, 0) * 10000 // v.n_views
+                    AS BIGINT) AS conversion_bp,
+               s.p50_latency_sec, s.p95_latency_sec
+        FROM views v LEFT JOIN stats s USING (day)
+    """,
+    doc=f"Conversion-latency funnel profile: per day, how many views"
+    f" convert to a purchase within {CONV_WINDOW_SEC} s and the"
+    " p50/p95 view-to-purchase latency — the timing half of funnel"
+    " analysis (q_funnel counts steps; this measures how FAST users"
+    " traverse them, the metric latency regressions show up in"
+    " first). The next-purchase lookup is one conditional-min"
+    " following-rows window per user (the q_join_asof_tolerance"
+    " shape without a second table); percentiles are exact rank"
+    " statistics per DAY partition (at 100 TB: approx_percentile,"
+    " same contract). Integer seconds and basis points end-to-end.",
+)
+def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    seq = ev.filter(F.col("event_type").isin("view", "purchase")).select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.expr("unix_seconds(CAST(ts AS TIMESTAMP))").alias("ts_sec"),
+        F.date_trunc("day", "ts").alias("day"),
+    )
+    wnext = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    nxt = seq.withColumn(
+        "next_purchase_sec",
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.col("ts_sec"))
+        ).over(wnext),
+    )
+    conv = nxt.filter(F.col("event_type") == "view").select(
+        "day",
+        "event_id",
+        (F.col("next_purchase_sec") - F.col("ts_sec")).alias("latency_sec"),
+        (
+            F.col("next_purchase_sec").isNotNull()
+            & (
+                F.col("next_purchase_sec") - F.col("ts_sec")
+                <= CONV_WINDOW_SEC
+            )
+        ).alias("converted"),
+    )
+    wr = Window.partitionBy("day").orderBy("latency_sec", "event_id")
+    wn = Window.partitionBy("day")
+    ranked = conv.filter("converted").select(
+        "day",
+        "latency_sec",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    stats = ranked.groupBy("day").agg(
+        F.max("n").cast("bigint").alias("n_converted"),
+        F.min(
+            F.when(F.col("rn") == F.expr("(n + 1) DIV 2"), F.col("latency_sec"))
+        )
+        .cast("bigint")
+        .alias("p50_latency_sec"),
+        F.min(
+            F.when(
+                F.col("rn") == F.expr("(19 * n + 19) DIV 20"),
+                F.col("latency_sec"),
+            )
+        )
+        .cast("bigint")
+        .alias("p95_latency_sec"),
+    )
+    views = conv.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_views")
+    )
+    return views.join(stats, "day", "left").select(
+        "day",
+        "n_views",
+        F.coalesce("n_converted", F.lit(0)).cast("bigint").alias("n_converted"),
+        F.expr("coalesce(n_converted, 0) * 10000 DIV n_views")
+        .cast("bigint")
+        .alias("conversion_bp"),
+        "p50_latency_sec",
+        "p95_latency_sec",
+    )

@@ -186,6 +186,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_cluster_split",
     "q_span_cut",
     "q_embed_standardize",
+    "q_funnel_latency",
 })
 
 
