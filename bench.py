@@ -136,6 +136,8 @@ HEADLINE = [
     "q_span_cut",
     "q_embed_standardize",
     "q_funnel_latency",
+    "q_ks_drift",
+    "q_gini_activity",
 ]
 
 

@@ -689,3 +689,164 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         "p50_latency_sec",
         "p95_latency_sec",
     )
+
+
+# ---------------------------------------------------------------------------
+# Numeric distribution drift (two-sample Kolmogorov-Smirnov)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ks_drift",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        fx AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx,
+                   CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
+                        THEN 1 ELSE 0 END AS h1
+            FROM events
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(sum(h1) AS BIGINT) AS n1,
+                   CAST(sum(1 - h1) AS BIGINT) AS n2
+            FROM fx GROUP BY event_type
+        ),
+        cum AS (
+            SELECT f.event_type, t.n1, t.n2,
+                   sum(f.h1) OVER w AS c1,
+                   sum(1 - f.h1) OVER w AS c2
+            FROM fx f JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY f.event_type
+                         ORDER BY f.vfx, f.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        )
+        SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+               CAST(max(abs(c1 * n2 - c2 * n1)) AS BIGINT) AS d_num,
+               CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
+                   / (max(n1) * max(n2)) AS ks_stat
+        FROM cum GROUP BY event_type
+    """,
+    doc="Two-sample Kolmogorov-Smirnov drift per event type: the max"
+    " ECDF gap between the first and second time half of each type's"
+    " value distribution — the NUMERIC companion to q_dist_drift's"
+    " categorical chi-square (KS catches a shifted mean or fattened"
+    " tail that category counts can't see). The supremum is exact:"
+    " cumulative counts c1, c2 along the sorted merged sample compare"
+    " as the cross-multiplied integer |c1*n2 - c2*n1| (ECDF"
+    " difference without division), one IEEE divide at the end. One"
+    " sort-window per type partition; the time midpoint is the same"
+    " integer epoch-micros split q_dist_drift uses.",
+)
+def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(unix_micros(min(CAST(ts AS TIMESTAMP)))"
+            " + unix_micros(max(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid_us")
+    )
+    fx = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") < F.col("mid_us"), 1
+        )
+        .otherwise(0)
+        .alias("h1"),
+    )
+    tot = fx.groupBy("event_type").agg(
+        F.sum("h1").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("h1")).cast("bigint").alias("n2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vfx", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = fx.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("h1").over(w).alias("c1"),
+        F.sum(F.lit(1) - F.col("h1")).over(w).alias("c2"),
+    )
+    d = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+    return cum.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.max(d).cast("bigint").alias("d_num"),
+        (F.max(d).cast("double") / (F.max("n1") * F.max("n2"))).alias(
+            "ks_stat"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Activity concentration (Gini coefficient)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_gini_activity",
+    oracle="""
+        WITH peruser AS (
+            SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS x
+            FROM events GROUP BY event_type, user_id
+        ),
+        ranked AS (
+            SELECT event_type, x,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY x, user_id) AS i,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   sum(x) OVER (PARTITION BY event_type) AS sx
+            FROM peruser
+        )
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n_users,
+               CAST(max(sx) AS BIGINT) AS n_events,
+               CAST(2 * sum(i * x) - (max(n) + 1) * max(sx) AS DOUBLE)
+                   / (max(n) * max(sx)) AS gini
+        FROM ranked GROUP BY event_type
+    """,
+    doc="Gini coefficient of per-user activity within each event type —"
+    " the single-number concentration metric monitoring pairs with"
+    " q_skew_profile's top-key list (Gini ~0: uniform traffic; ~1: a"
+    " few accounts generate everything — bot farms, scraper loops,"
+    " and the hot keys that will skew every user-keyed shuffle). The"
+    " classic rank formula G = (2*sum(i*x_i) - (n+1)*sum(x)) /"
+    " (n*sum(x)) stays in exact int64 (ranks totally ordered by"
+    " (count, user_id)) until the single final division. One agg to"
+    " per-user counts, one rank window over USERS-per-type, one"
+    " rollup.",
+)
+def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    peruser = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    wr = Window.partitionBy("event_type").orderBy("x", "user_id")
+    wn = Window.partitionBy("event_type")
+    ranked = peruser.select(
+        "event_type",
+        "x",
+        F.row_number().over(wr).cast("bigint").alias("i"),
+        F.count(F.lit(1)).over(wn).cast("bigint").alias("n"),
+        F.sum("x").over(wn).cast("bigint").alias("sx"),
+    )
+    return ranked.groupBy("event_type").agg(
+        F.max("n").alias("n_users"),
+        F.max("sx").alias("n_events"),
+        (
+            (
+                F.lit(2) * F.sum(F.col("i") * F.col("x"))
+                - (F.max("n") + 1) * F.max("sx")
+            ).cast("double")
+            / (F.max("n") * F.max("sx"))
+        ).alias("gini"),
+    )

@@ -187,6 +187,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_span_cut",
     "q_embed_standardize",
     "q_funnel_latency",
+    "q_ks_drift",
+    "q_gini_activity",
 })
 
 
