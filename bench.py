@@ -138,6 +138,7 @@ HEADLINE = [
     "q_funnel_latency",
     "q_ks_drift",
     "q_gini_activity",
+    "q_source_scorecard",
 ]
 
 

@@ -25,7 +25,14 @@ from lakehouse_weather_spark.operators.decontam import (
     _DUCK_DECON_CTE,
     _decon_shingle_hashes,
 )
+from lakehouse_weather_spark.operators.dedup import _minhash_pairs_cte
 from lakehouse_weather_spark.operators.quality import (
+    _G_STOPS,
+    G_MAX_MWL,
+    G_MAX_WORDS,
+    G_MIN_MWL,
+    G_MIN_STOPWORDS,
+    G_MIN_WORDS,
     MAX_DUP_WORD_FRAC,
     MAX_TOP_WORD_FRAC,
     MIN_WORDS,
@@ -181,4 +188,106 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
                 GROUP BY sha2(text, 256) HAVING count(*) > 1))
                 AS n_dup_content_groups
         """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Per-source curation scorecard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_source_scorecard",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        m AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_words,
+                   CAST(list_sum(list_transform(string_split(text, ' '),
+                        x -> length(x))) AS BIGINT) AS sum_wl,
+                   CAST(len(list_distinct(list_filter(string_split(text, ' '),
+                        x -> x IN {_G_STOPS!r}))) AS BIGINT) AS n_dstops
+            FROM documents
+        ),
+        keepflag AS (
+            SELECT doc_id, source, n_words,
+                   (n_words BETWEEN {G_MIN_WORDS} AND {G_MAX_WORDS})
+                   AND (CAST(sum_wl AS DOUBLE) / n_words
+                        BETWEEN {G_MIN_MWL} AND {G_MAX_MWL})
+                   AND (n_dstops >= {G_MIN_STOPWORDS}) AS keep
+            FROM m
+        ),
+        dupdocs AS (
+            SELECT DISTINCT doc_id FROM (
+                SELECT doc_a AS doc_id FROM mpairs
+                UNION ALL SELECT doc_b FROM mpairs
+            )
+        )
+        SELECT k.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_keep,
+               CAST(sum(CASE WHEN k.keep THEN 1 ELSE 0 END) * 10000
+                    // count(*) AS BIGINT) AS keep_bp,
+               CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_neardup_docs,
+               CAST(sum(CASE WHEN d.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+                    * 10000 // count(*) AS BIGINT) AS neardup_bp,
+               CAST(sum(k.n_words) AS BIGINT) AS total_words
+        FROM keepflag k LEFT JOIN dupdocs d USING (doc_id)
+        GROUP BY k.source
+    """,
+    doc="Per-source curation scorecard: for every source, its document"
+    " count, Gopher-gate keep rate (word-count + mean-word-length +"
+    " stopword rules, basis points), the share of docs involved in at"
+    " least one MinHash near-dup pair, and total word mass — the"
+    " include/exclude decision table a corpus owner reads before"
+    " q_mixture_plan assigns weights (a source that is 40% duplicates"
+    " and 30% gate-failures contributes far less unique signal than"
+    " its raw size suggests). Composes two verified stages (gopher"
+    " rules, LSH pair stream) into one |sources|-row rollup; integer"
+    " basis points keep it hash-exact.",
+)
+def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import q_minhash_neardup
+    from lakehouse_weather_spark.operators.quality import q_gopher_rules
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    gopher = q_gopher_rules(spark, sf_dir).select(
+        "doc_id",
+        "n_words",
+        (
+            F.col("pass_word_count")
+            & F.col("pass_mean_word_len")
+            & F.col("pass_stopwords")
+        ).alias("keep"),
+    )
+    pairs = q_minhash_neardup(spark, sf_dir)
+    dupdocs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    joined = (
+        docs.join(gopher, "doc_id")
+        .join(dupdocs, "doc_id", "left")
+    )
+    keep_n = F.sum(F.when(F.col("keep"), 1).otherwise(0))
+    dup_n = F.sum(F.coalesce(F.col("is_dup"), F.lit(0)))
+    return joined.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        keep_n.cast("bigint").alias("n_keep"),
+        F.expr(
+            "sum(CASE WHEN keep THEN 1 ELSE 0 END) * 10000 DIV count(*)"
+        )
+        .cast("bigint")
+        .alias("keep_bp"),
+        dup_n.cast("bigint").alias("n_neardup_docs"),
+        F.expr(
+            "sum(coalesce(is_dup, 0)) * 10000 DIV count(*)"
+        )
+        .cast("bigint")
+        .alias("neardup_bp"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
     )

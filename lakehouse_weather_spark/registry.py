@@ -189,6 +189,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_funnel_latency",
     "q_ks_drift",
     "q_gini_activity",
+    "q_source_scorecard",
 })
 
 

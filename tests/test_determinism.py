@@ -42,6 +42,11 @@ _QUERIES = [
     "q_link_prediction",
     "q_ccnet_buckets",
     "q_winnow_fingerprint",
+    # let-bound per-row byte fold, register-max sketch harmonic mean,
+    # cross-multiplied ECDF supremum
+    "q_binary_ahash",
+    "q_hll_manual",
+    "q_ks_drift",
 ]
 
 
