@@ -139,6 +139,7 @@ HEADLINE = [
     "q_ks_drift",
     "q_gini_activity",
     "q_source_scorecard",
+    "q_join_cardinality",
 ]
 
 

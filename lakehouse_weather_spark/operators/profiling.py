@@ -396,3 +396,87 @@ def q_selfjoin_fanout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pairs"), "user_id")
         .limit(FANOUT_TOP)
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality audit
+# ---------------------------------------------------------------------------
+
+
+def _card_cte(rel: str, left: str, lkey: str, right: str, rkey: str) -> str:
+    """One relationship row: max per-key multiplicity on each side and
+    the 1:1 / 1:N / N:1 / M:N classification."""
+    return f"""
+        SELECT '{rel}' AS relationship,
+               CAST((SELECT max(c) FROM (
+                   SELECT count(*) AS c FROM {left} GROUP BY {lkey})) AS BIGINT)
+                   AS max_left_mult,
+               CAST((SELECT max(c) FROM (
+                   SELECT count(*) AS c FROM {right} GROUP BY {rkey})) AS BIGINT)
+                   AS max_right_mult,
+               CASE
+                   WHEN (SELECT max(c) FROM (SELECT count(*) AS c
+                         FROM {left} GROUP BY {lkey})) = 1
+                    AND (SELECT max(c) FROM (SELECT count(*) AS c
+                         FROM {right} GROUP BY {rkey})) = 1 THEN '1:1'
+                   WHEN (SELECT max(c) FROM (SELECT count(*) AS c
+                         FROM {left} GROUP BY {lkey})) = 1 THEN '1:N'
+                   WHEN (SELECT max(c) FROM (SELECT count(*) AS c
+                         FROM {right} GROUP BY {rkey})) = 1 THEN 'N:1'
+                   ELSE 'M:N' END AS cardinality
+    """
+
+
+_CARD_RELS = (
+    ("customer-orders", "customer", "c_custkey", "orders", "o_custkey"),
+    ("orders-lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey"),
+    ("part-lineitem", "part", "p_partkey", "lineitem", "l_partkey"),
+    ("supplier-lineitem", "supplier", "s_suppkey", "lineitem", "l_suppkey"),
+)
+
+
+@register(
+    "q_join_cardinality",
+    oracle=" UNION ALL ".join(_card_cte(*r) for r in _CARD_RELS),
+    doc="Join-cardinality audit: for each schema relationship, the max"
+    " per-key multiplicity on both sides and its 1:1 / 1:N / N:1 / M:N"
+    " class — the profiling fact a join planner (and a human) checks"
+    " BEFORE trusting a broadcast or estimating output size"
+    " (q_selfjoin_fanout quantifies the M:N blow-up this classifies)."
+    " Each side is one partial-agg max over per-key counts; output is"
+    " |relationships| rows at any scale.",
+)
+def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for rel, lt, lk, rt, rk in _CARD_RELS:
+        lmax = (
+            load_table(spark, sf_dir, lt)
+            .groupBy(lk)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").cast("bigint").alias("max_left_mult"))
+        )
+        rmax = (
+            load_table(spark, sf_dir, rt)
+            .groupBy(rk)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.max("c").cast("bigint").alias("max_right_mult"))
+        )
+        row = (
+            lmax.crossJoin(rmax)
+            .select(
+                F.lit(rel).alias("relationship"),
+                "max_left_mult",
+                "max_right_mult",
+                F.when(
+                    (F.col("max_left_mult") == 1)
+                    & (F.col("max_right_mult") == 1),
+                    "1:1",
+                )
+                .when(F.col("max_left_mult") == 1, "1:N")
+                .when(F.col("max_right_mult") == 1, "N:1")
+                .otherwise("M:N")
+                .alias("cardinality"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -190,6 +190,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_ks_drift",
     "q_gini_activity",
     "q_source_scorecard",
+    "q_join_cardinality",
 })
 
 
