@@ -140,6 +140,8 @@ HEADLINE = [
     "q_gini_activity",
     "q_source_scorecard",
     "q_join_cardinality",
+    "q_burstiness",
+    "q_type_cooccurrence",
 ]
 
 

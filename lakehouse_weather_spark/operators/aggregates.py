@@ -547,3 +547,83 @@ def q_rollup_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("vfx_d") == F.col("vfx_v"))
         ).alias("consistent"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Event-type co-occurrence lift (market-basket over users)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_type_cooccurrence",
+    oracle="""
+        WITH ut AS (
+            SELECT DISTINCT user_id, event_type FROM events
+        ),
+        n_users AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events
+        ),
+        tc AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS c
+            FROM ut GROUP BY event_type
+        ),
+        pairs AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(count(*) AS BIGINT) AS n_both
+            FROM ut a JOIN ut b
+              ON a.user_id = b.user_id AND a.event_type < b.event_type
+            GROUP BY 1, 2
+        )
+        SELECT p.type_a, p.type_b, p.n_both,
+               ca.c AS n_a, cb.c AS n_b,
+               CAST(p.n_both * u.n AS DOUBLE) / (ca.c * cb.c) AS lift
+        FROM pairs p
+        JOIN tc ca ON ca.event_type = p.type_a
+        JOIN tc cb ON cb.event_type = p.type_b
+        CROSS JOIN n_users u
+    """,
+    doc="Event-type co-occurrence lift over users (market-basket):"
+    " for each type pair, how many users did both, and the lift"
+    " P(both) / (P(a) * P(b)) as the exact rational n_both * n_users"
+    " / (n_a * n_b) — lift > 1 flags behaviorally-linked actions"
+    " (views that lead to purchases), < 1 flags segmenting ones."
+    " The self-join runs on the DISTINCT (user, type) set — at most"
+    " |types| rows per user, so the wedge fan-out is bounded by"
+    " |types|^2 regardless of event volume; counts broadcast back."
+    " Output is |types| choose 2 rows at any scale.",
+)
+def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    n_users = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n")
+    )
+    tc = ut.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    a = ut.select("user_id", F.col("event_type").alias("type_a"))
+    b = ut.select("user_id", F.col("event_type").alias("type_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    ca = tc.select(F.col("event_type").alias("type_a"), F.col("c").alias("n_a"))
+    cb = tc.select(F.col("event_type").alias("type_b"), F.col("c").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "type_a")
+        .join(F.broadcast(cb), "type_b")
+        .crossJoin(F.broadcast(n_users))
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            "n_a",
+            "n_b",
+            (
+                (F.col("n_both") * F.col("n")).cast("double")
+                / (F.col("n_a") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

@@ -466,3 +466,39 @@ def q_calendar_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("first_missing").alias("first_missing"),
         )
     )
+
+
+@register(
+    "q_burstiness",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(cnt) AS BIGINT) AS n_events,
+               CAST(count(*) * sum(cnt * cnt) - sum(cnt) * sum(cnt)
+                    AS DOUBLE) / (count(*) * sum(cnt)) AS fano
+        FROM daily GROUP BY event_type
+    """,
+    doc="Burstiness (Fano factor) of the daily count series per event"
+    " type: variance-to-mean ratio from exact integer sufficient"
+    " statistics — (n*sum(x^2) - sum(x)^2) / (n*sum(x)), one IEEE"
+    " division at the end. Fano ~1 is Poisson-like arrivals; >> 1"
+    " means bursts (scraper storms, retry loops) that sizing from"
+    " mean load alone would miss — read with q_autocorr (is the"
+    " burst periodic?) and q_cusum_shift (is it a level shift?)."
+    " One partial-agg rollup over the tiny daily series.",
+)
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = _daily(spark, sf_dir)
+    n = F.count(F.lit(1))
+    sx = F.sum("cnt")
+    sxx = F.sum(F.col("cnt") * F.col("cnt"))
+    return daily.groupBy("event_type").agg(
+        n.cast("bigint").alias("n_days"),
+        sx.cast("bigint").alias("n_events"),
+        ((n * sxx - sx * sx).cast("double") / (n * sx)).alias("fano"),
+    )

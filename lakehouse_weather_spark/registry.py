@@ -191,6 +191,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_gini_activity",
     "q_source_scorecard",
     "q_join_cardinality",
+    "q_burstiness",
+    "q_type_cooccurrence",
 })
 
 
