@@ -1,0 +1,329 @@
+"""ML feature-engineering operators the training-data closure was still
+missing: leakage-safe supervised encoding, contrastive-triplet
+construction, and the hashing trick.
+
+The reference pipeline feeds a RAG index (``dags/seed_milvus.py``) and
+stops at embeddings; a production training pipeline additionally
+derives MODEL-INPUT features from the curated tables. These three are
+the canonical shapes:
+
+- q_target_encode_oof: out-of-fold target encoding — the standard
+  leakage-safe way to turn a categorical column into a numeric feature
+  (encode each row with statistics computed EXCLUDING its own CV fold,
+  so the feature never sees its own label).
+- q_contrastive_pairs: (anchor, positive, negative) triplet mining for
+  embedding training — positive = the length-nearest same-source
+  same-language document, negative = a rank-matched document from the
+  NEXT source (deterministic "random" negative without rand()).
+- q_feature_hashing: the hashing trick (Weinberger et al. 2009) —
+  words hash into a fixed 32-bucket count vector, the unbounded
+  vocabulary becomes a fixed-width dense feature with zero vocabulary
+  state to ship.
+
+Determinism: all arithmetic is int64 (fixed-point money, md5-derived
+hashes, floor divisions on non-negative values), so every query
+hash-matches its DuckDB oracle bit-for-bit.
+
+Scale notes (100 TB framing):
+- q_target_encode_oof: the encoding table is |segments| x |folds| = 25
+  rows — two partial-agg shuffles build it, then it broadcasts back
+  onto the customer scan. No window ever touches the fact table.
+- q_contrastive_pairs: two windows partitioned by (source[, lang]) —
+  the natural corpus sharding key — plus a broadcast of the tiny
+  per-source directory. Skewed mega-sources would salt the rank
+  window; the join fanout is exactly 1 row per anchor.
+- q_feature_hashing: explode + one partial-agg shuffle on
+  (doc_id, bucket); the dense 32-wide vector materializes per doc via
+  an array transform, never a pivot. Bucket count is a constant, so
+  output width is independent of vocabulary size — the entire point
+  of the hashing trick at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.functions import SCALE
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Number of cross-validation folds for out-of-fold encoding.
+N_FOLDS = 5
+# Hashing-trick vector width: small enough to eyeball, same shape as
+# any production 2^18-bucket config.
+N_BUCKETS = 32
+
+
+@register(
+    "q_target_encode_oof",
+    oracle=f"""
+        WITH o AS (
+            SELECT o_custkey,
+                   CAST(round(o_totalprice * {SCALE}) AS BIGINT) AS vfx
+            FROM orders
+        ),
+        cf AS (
+            SELECT c_custkey, c_mktsegment AS mktsegment,
+                   c_custkey % {N_FOLDS} AS fold
+            FROM customer
+        ),
+        pf AS (
+            SELECT mktsegment, fold,
+                   CAST(sum(vfx) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM cf JOIN o ON o.o_custkey = cf.c_custkey
+            GROUP BY mktsegment, fold
+        ),
+        tot AS (
+            SELECT mktsegment,
+                   CAST(sum(s) AS BIGINT) AS st,
+                   CAST(sum(n) AS BIGINT) AS nt
+            FROM pf GROUP BY mktsegment
+        )
+        SELECT cf.c_custkey, cf.mktsegment,
+               CAST(cf.fold AS BIGINT) AS fold,
+               CAST(tot.nt - COALESCE(pf.n, 0) AS BIGINT) AS n_oof,
+               CAST((tot.st - COALESCE(pf.s, 0))
+                    // NULLIF(tot.nt - COALESCE(pf.n, 0), 0)
+                    AS BIGINT) AS oof_enc_fx
+        FROM cf
+        JOIN tot USING (mktsegment)
+        LEFT JOIN pf USING (mktsegment, fold)
+    """,
+    doc="Out-of-fold target encoding: each customer's market segment"
+    " becomes the mean fixed-point order total of OTHER folds'"
+    " customers in the same segment (fold = custkey mod 5) — the"
+    " leakage-safe categorical encoder every tabular training"
+    " pipeline runs. Mean is floor division of non-negative int64"
+    " (sums first, one division last), so Spark and DuckDB agree"
+    " bit-for-bit. Plan: fact scan -> partial agg to a 25-row"
+    " (segment, fold) table -> per-segment totals -> both broadcast"
+    " back onto the customer scan; zero windows, zero shuffles of"
+    " the wide side beyond the one agg.",
+)
+def q_target_encode_oof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.round(F.col("o_totalprice") * SCALE, 0).cast("bigint").alias("vfx"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_mktsegment").alias("mktsegment"),
+        (F.col("c_custkey") % N_FOLDS).alias("fold"),
+    )
+    per_fold = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("mktsegment", "fold")
+        .agg(
+            F.sum("vfx").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    tot = per_fold.groupBy("mktsegment").agg(
+        F.sum("s").cast("bigint").alias("st"),
+        F.sum("n").cast("bigint").alias("nt"),
+    )
+    return (
+        cust.join(F.broadcast(tot), "mktsegment")
+        .join(F.broadcast(per_fold), ["mktsegment", "fold"], "left")
+        .select(
+            "c_custkey",
+            "mktsegment",
+            F.col("fold").cast("bigint").alias("fold"),
+            (F.col("nt") - F.coalesce(F.col("n"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_oof"),
+            F.expr(
+                "CAST((st - coalesce(s, 0))"
+                " div nullif(nt - coalesce(n, 0), 0) AS BIGINT)"
+            ).alias("oof_enc_fx"),
+        )
+    )
+
+
+@register(
+    "q_contrastive_pairs",
+    oracle="""
+        WITH srcs AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        s2 AS (
+            SELECT source,
+                   COALESCE(lead(source) OVER (ORDER BY source),
+                            first_value(source) OVER (
+                                ORDER BY source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)) AS neg_source,
+                   COALESCE(lead(n) OVER (ORDER BY source),
+                            first_value(n) OVER (
+                                ORDER BY source
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND UNBOUNDED FOLLOWING)) AS neg_n
+            FROM srcs
+        ),
+        ranked AS (
+            SELECT doc_id, source,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM documents
+        ),
+        pos AS (
+            SELECT doc_id, source, lang, n_chars,
+                   lead(doc_id) OVER (PARTITION BY source, lang
+                                      ORDER BY n_chars, doc_id) AS pos_id,
+                   lead(n_chars) OVER (PARTITION BY source, lang
+                                       ORDER BY n_chars, doc_id) AS pos_chars
+            FROM documents
+        )
+        SELECT p.doc_id AS anchor_id, p.pos_id, r2.doc_id AS neg_id,
+               p.source, s2.neg_source,
+               CAST(abs(p.pos_chars - p.n_chars) AS BIGINT)
+                   AS pos_gap_chars
+        FROM pos p
+        JOIN ranked r USING (doc_id)
+        JOIN s2 ON s2.source = p.source
+        JOIN ranked r2 ON r2.source = s2.neg_source
+                      AND r2.rn = (r.rn - 1) % s2.neg_n + 1
+        WHERE p.pos_id IS NOT NULL
+    """,
+    doc="Contrastive-triplet mining for embedding training: anchor ="
+    " every document with a same-source same-language successor in"
+    " length order; positive = that length-nearest neighbor (cheap"
+    " weak supervision: near-length same-provenance docs correlate);"
+    " negative = the rank-matched document of the NEXT source"
+    " (cyclic), a deterministic stand-in for a uniform cross-source"
+    " negative — no rand(), so the triplet set is reproducible"
+    " shuffle-for-shuffle. Plan: two windows on the natural corpus"
+    " shard keys (source[, lang]) + a broadcast of the per-source"
+    " directory; the negative join fans out exactly 1:1.",
+)
+def q_contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    srcs = docs.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    # The per-source directory is tiny (|sources| rows): a global
+    # window over it is bounded, not a scale hazard.
+    wsrc = Window.orderBy("source")
+    wall = wsrc.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    s2 = srcs.select(
+        "source",
+        F.coalesce(
+            F.lead("source").over(wsrc), F.first("source").over(wall)
+        ).alias("neg_source"),
+        F.coalesce(F.lead("n").over(wsrc), F.first("n").over(wall)).alias(
+            "neg_n"
+        ),
+    )
+    wrank = Window.partitionBy("source").orderBy("doc_id")
+    ranked = docs.select(
+        "doc_id", "source", F.row_number().over(wrank).alias("rn")
+    )
+    wpos = Window.partitionBy("source", "lang").orderBy("n_chars", "doc_id")
+    pos = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.lead("doc_id").over(wpos).alias("pos_id"),
+        F.lead("n_chars").over(wpos).alias("pos_chars"),
+    ).filter(F.col("pos_id").isNotNull())
+    r2 = ranked.select(
+        F.col("doc_id").alias("neg_id"),
+        F.col("source").alias("neg_source"),
+        F.col("rn").alias("neg_rn"),
+    )
+    anchors = (
+        pos.join(ranked.select("doc_id", "rn"), "doc_id")
+        .join(F.broadcast(s2), "source")
+        .withColumn("neg_rn", (F.col("rn") - 1) % F.col("neg_n") + 1)
+    )
+    return (
+        anchors.join(r2, ["neg_source", "neg_rn"])
+        .select(
+            F.col("doc_id").alias("anchor_id"),
+            "pos_id",
+            "neg_id",
+            "source",
+            "neg_source",
+            F.abs(F.col("pos_chars") - F.col("n_chars"))
+            .cast("bigint")
+            .alias("pos_gap_chars"),
+        )
+    )
+
+
+# md5-derived bucket: identical int in Spark (conv base16->10) and
+# DuckDB ('0x' cast); 15 hex digits = 60 bits, always non-negative.
+_SPARK_BUCKET = (
+    "pmod(cast(conv(substr(md5(concat('fh_', word)), 1, 15), 16, 10)"
+    f" as bigint), {N_BUCKETS})"
+)
+_DUCK_BUCKET = (
+    "CAST(('0x' || substr(md5('fh_' || word), 1, 15)) AS BIGINT)"
+    f" % {N_BUCKETS}"
+)
+
+
+@register(
+    "q_feature_hashing",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id,
+                   unnest(string_split(lower(text), ' ')) AS word
+            FROM documents
+        ),
+        bucketed AS (
+            SELECT doc_id, CAST({_DUCK_BUCKET} AS INTEGER) AS bucket,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM words GROUP BY 1, 2
+        ),
+        dense AS (
+            SELECT d.doc_id, g.b,
+                   COALESCE(bk.cnt, 0) AS cnt
+            FROM (SELECT DISTINCT doc_id FROM documents) d
+            CROSS JOIN (SELECT unnest(generate_series(0, {N_BUCKETS - 1}))
+                        AS b) g
+            LEFT JOIN bucketed bk
+                   ON bk.doc_id = d.doc_id AND bk.bucket = g.b
+        )
+        SELECT doc_id,
+               list(cnt ORDER BY b) AS features,
+               CAST(sum(cnt) AS BIGINT) AS n_tokens
+        FROM dense GROUP BY doc_id
+    """,
+    doc="Hashing-trick feature vectors (Weinberger et al. 2009): every"
+    " word md5-hashes into one of 32 buckets; each document becomes a"
+    " fixed-width dense count vector + token total — the"
+    " vocabulary-free text featurizer (no dictionary to build, ship,"
+    " or version; collisions are the accepted trade). md5-derived"
+    " buckets make Spark and DuckDB agree exactly. Plan: explode +"
+    " ONE partial-agg shuffle on (doc_id, bucket), then a per-row"
+    " array transform densifies — no pivot, no second shuffle; output"
+    " width is constant regardless of vocabulary, which is why this"
+    " scales where one-hot cannot.",
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    )
+    bucketed = (
+        words.select("doc_id", F.expr(_SPARK_BUCKET).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    pairs = bucketed.groupBy("doc_id").agg(
+        F.collect_list(F.struct("bucket", "cnt")).alias("pairs")
+    )
+    dense = F.expr(
+        f"transform(sequence(0, {N_BUCKETS - 1}),"
+        " i -> coalesce(element_at(map_from_entries(pairs), i),"
+        " cast(0 as bigint)))"
+    )
+    return pairs.select(
+        "doc_id",
+        dense.alias("features"),
+        F.expr("aggregate(pairs, cast(0 as bigint), (a, p) -> a + p.cnt)")
+        .alias("n_tokens"),
+    )

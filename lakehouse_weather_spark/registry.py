@@ -62,6 +62,7 @@ _QUERY_MODULES = [
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered
     "lakehouse_weather_spark.operators.anomaly",
+    "lakehouse_weather_spark.operators.mlfeat",
     "lakehouse_weather_spark.operators.cms",
     "lakehouse_weather_spark.operators.bloom",
     "lakehouse_weather_spark.operators.udfs",
@@ -193,6 +194,9 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_join_cardinality",
     "q_burstiness",
     "q_type_cooccurrence",
+    "q_target_encode_oof",
+    "q_contrastive_pairs",
+    "q_feature_hashing",
 })
 
 
