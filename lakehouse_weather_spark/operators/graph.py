@@ -376,3 +376,118 @@ def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("neighborhood_jaccard"),
         )
     )
+
+
+# --- semi-supervised label propagation -------------------------------
+
+# Every 10th document is "labeled" (its lang is the class); the rest
+# start unlabeled. Deterministic stand-in for a partially-labeled
+# corpus — no rand().
+_SEED_MOD = 10
+# Fixed unrolled iteration count: 2 hops reach everything inside the
+# cluster-sized near-dup components the banding produces.
+_LP_ROUNDS = 2
+
+
+def _lp_round_sql(prev: str, k: int) -> str:
+    """One majority-vote round as a CTE chain extending ``prev``."""
+    return f"""
+        c{k} AS (
+            SELECT s.u, l.label, count(*) AS cnt
+            FROM sym s JOIN {prev} l ON l.doc_id = s.v
+            GROUP BY s.u, l.label
+        ),
+        p{k} AS (
+            SELECT u AS doc_id, label FROM (
+                SELECT u, label,
+                       row_number() OVER (PARTITION BY u
+                           ORDER BY cnt DESC, label ASC) AS rk
+                FROM c{k}
+            ) WHERE rk = 1
+        ),
+        l{k} AS (
+            SELECT doc_id, label FROM seeds
+            UNION ALL
+            SELECT p.doc_id, p.label FROM p{k} p
+            LEFT JOIN seeds sd ON sd.doc_id = p.doc_id
+            WHERE sd.doc_id IS NULL
+        )"""
+
+
+@register(
+    "q_label_propagation",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM mpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mpairs
+        ),
+        seeds AS (
+            SELECT doc_id, lang AS label FROM documents
+            WHERE doc_id % {_SEED_MOD} = 0
+        ),
+        l0 AS (SELECT doc_id, label FROM seeds),
+        {_lp_round_sql('l0', 1)},
+        {_lp_round_sql('l1', 2)}
+        SELECT l.doc_id, l.label,
+               (l.doc_id % {_SEED_MOD} = 0) AS is_seed
+        FROM l{_LP_ROUNDS} l
+    """,
+    doc="Semi-supervised label propagation (Zhu & Ghahramani 2002"
+    " majority-vote variant) over the MinHash near-dup graph: every"
+    " 10th document seeds its language as a class label; two"
+    " synchronous rounds of neighbor majority vote (ties break to the"
+    " lexicographically smallest label; seeds are clamped) spread"
+    " labels through the duplicate clusters — the cheap annotation"
+    " amplifier for weakly-labeled corpora. Each round is ONE"
+    " join-of-labels-onto-edges + ONE partial agg + ONE rank window"
+    " on the candidate votes, all keyed by node id; the driver holds"
+    " nothing. Deterministic tie-breaks make the fixpoint replayable"
+    " bit-for-bit in DuckDB.",
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    seeds = docs.filter(F.col("doc_id") % _SEED_MOD == 0).select(
+        "doc_id", F.col("lang").alias("label")
+    )
+
+    labels = seeds
+    for _ in range(_LP_ROUNDS):
+        votes = (
+            sym.join(
+                labels.select(
+                    F.col("doc_id").alias("v"), F.col("label")
+                ),
+                "v",
+            )
+            .groupBy("u", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("u").orderBy(
+            F.desc("cnt"), F.asc("label")
+        )
+        winner = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select(F.col("u").alias("doc_id"), "label")
+        )
+        labels = seeds.unionByName(
+            winner.join(seeds.select("doc_id"), "doc_id", "left_anti")
+        )
+
+    return labels.select(
+        "doc_id",
+        "label",
+        (F.col("doc_id") % _SEED_MOD == 0).alias("is_seed"),
+    )

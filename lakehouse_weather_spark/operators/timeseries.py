@@ -502,3 +502,123 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         sx.cast("bigint").alias("n_events"),
         ((n * sxx - sx * sx).cast("double") / (n * sx)).alias("fano"),
     )
+
+
+# --- Holt linear-trend smoothing -------------------------------------
+
+# alpha = beta = 1/4 as exact integer recurrences with denominator 4.
+_H_NUM = 3
+_H_DEN = 4
+
+
+def _sfd(e: str) -> str:
+    """Spark floor division by _H_DEN, exact for EITHER sign: pmod is
+    non-negative, so (e - pmod(e, d)) is an exact multiple of d and DIV
+    is exact division (Spark DIV truncates, DuckDB // truncates — both
+    are exact on a zero remainder, so the engines agree even on
+    negative trend values where plain truncation and floor differ)."""
+    return f"((({e}) - pmod(({e}), {_H_DEN})) div {_H_DEN})"
+
+
+def _dfd(e: str) -> str:
+    """DuckDB mirror of _sfd: %'s sign follows the dividend, so the
+    ((x % d) + d) % d wrap reproduces pmod."""
+    return f"((({e}) - (((({e}) % {_H_DEN}) + {_H_DEN}) % {_H_DEN})) // {_H_DEN})"
+
+
+_S_LNEW = _sfd(f"x.cnt * {_S} + {_H_NUM} * (acc.l + acc.b)")
+_S_BNEW = _sfd(f"({_S_LNEW}) - acc.l + {_H_NUM} * acc.b")
+_D_LNEW = _dfd(f"s.cnt * {_S} + {_H_NUM} * (e.lfx + e.bfx)")
+_D_BNEW = _dfd(f"({_D_LNEW}) - e.lfx + {_H_NUM} * e.bfx")
+
+
+@register(
+    "q_holt_linear",
+    oracle=f"""
+        WITH RECURSIVE daily AS (
+            SELECT event_type, date_trunc('day', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, h, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY h) AS rn
+            FROM daily
+        ),
+        ho AS (
+            SELECT event_type, h, cnt, rn,
+                   CAST(cnt * {_S} AS BIGINT) AS lfx,
+                   CAST(0 AS BIGINT) AS bfx
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.event_type, s.h, s.cnt, s.rn,
+                   CAST(({_D_LNEW}) AS BIGINT),
+                   CAST(({_D_BNEW}) AS BIGINT)
+            FROM seq s
+            JOIN ho e ON s.event_type = e.event_type AND s.rn = e.rn + 1
+        )
+        SELECT event_type, h AS day, cnt,
+               CAST(lfx AS DOUBLE) / {_S} AS level,
+               CAST(bfx AS DOUBLE) / {_S} AS trend,
+               CAST(lfx + bfx AS DOUBLE) / {_S} AS forecast_next
+        FROM ho
+    """,
+    doc="Holt double exponential smoothing (alpha=beta=1/4) of daily"
+    " event counts per type: a LEVEL and a TREND recurrence coupled"
+    " per step — the capacity-planning forecast line (forecast_next ="
+    " level + trend) that plain EWMA cannot produce because it has no"
+    " trend state. Same engineered shape as q_ewma_smooth: ONE"
+    " partial-agg shuffle to tiny per-type day series, then an"
+    " F.aggregate integer fold carrying (level, trend) int64"
+    " fixed-point state. The trend can go NEGATIVE, where Spark DIV"
+    " (truncation) and floor disagree — both engines therefore"
+    " compute floor division as (e - pmod(e, 4)) / 4, exact on a"
+    " zero remainder, making the DuckDB recursive-CTE replay"
+    " bit-identical even on declining series.",
+)
+def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    grouped = _daily(spark, sf_dir).groupBy("event_type").agg(
+        F.collect_list(F.struct("h", "cnt")).alias("series")
+    )
+    out_t = "array<struct<h:timestamp,cnt:bigint,lfx:bigint,bfx:bigint>>"
+    fold = f"""
+        aggregate(
+            array_sort(series),
+            named_struct(
+                'n', CAST(0 AS BIGINT), 'l', CAST(0 AS BIGINT),
+                'b', CAST(0 AS BIGINT),
+                'out', CAST(array() AS {out_t})
+            ),
+            (acc, x) -> CASE WHEN acc.n = 0 THEN named_struct(
+                'n', CAST(1 AS BIGINT),
+                'l', CAST(x.cnt * {_S} AS BIGINT),
+                'b', CAST(0 AS BIGINT),
+                'out', array(named_struct(
+                    'h', x.h, 'cnt', x.cnt,
+                    'lfx', CAST(x.cnt * {_S} AS BIGINT),
+                    'bfx', CAST(0 AS BIGINT))))
+            ELSE named_struct(
+                'n', acc.n + CAST(1 AS BIGINT),
+                'l', CAST(({_S_LNEW}) AS BIGINT),
+                'b', CAST(({_S_BNEW}) AS BIGINT),
+                'out', acc.out || array(named_struct(
+                    'h', x.h, 'cnt', x.cnt,
+                    'lfx', CAST(({_S_LNEW}) AS BIGINT),
+                    'bfx', CAST(({_S_BNEW}) AS BIGINT))))
+            END,
+            acc -> acc.out
+        )
+    """
+    return grouped.select(
+        "event_type", F.explode(F.expr(fold)).alias("e")
+    ).select(
+        "event_type",
+        F.col("e.h").alias("day"),
+        F.col("e.cnt").alias("cnt"),
+        (F.col("e.lfx").cast("double") / _S).alias("level"),
+        (F.col("e.bfx").cast("double") / _S).alias("trend"),
+        ((F.col("e.lfx") + F.col("e.bfx")).cast("double") / _S).alias(
+            "forecast_next"
+        ),
+    )

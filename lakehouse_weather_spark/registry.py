@@ -197,6 +197,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_target_encode_oof",
     "q_contrastive_pairs",
     "q_feature_hashing",
+    "q_label_propagation",
+    "q_holt_linear",
 })
 
 

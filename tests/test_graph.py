@@ -100,3 +100,49 @@ def test_degree_hist_accounts_for_all_nodes(spark, sf_dir):
     for d in deg.values():
         want[d] = want.get(d, 0) + 1
     assert {(h.degree, h.n_nodes) for h in hist} == set(want.items())
+
+
+def test_label_propagation_replay(spark, sf_dir):
+    from collections import Counter
+
+    from lakehouse_weather_spark.operators.dedup import q_minhash_neardup
+    from lakehouse_weather_spark.operators.graph import (
+        _LP_ROUNDS,
+        _SEED_MOD,
+        q_label_propagation,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    got = {
+        r.doc_id: (r.label, r.is_seed)
+        for r in q_label_propagation(spark, sf_dir).collect()
+    }
+
+    pairs = [
+        (r.doc_a, r.doc_b)
+        for r in q_minhash_neardup(spark, sf_dir).collect()
+    ]
+    adj: dict[int, list[int]] = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    seeds = {
+        r.doc_id: r.lang
+        for r in load_table(spark, sf_dir, "documents").collect()
+        if r.doc_id % _SEED_MOD == 0
+    }
+    labels = dict(seeds)
+    for _ in range(_LP_ROUNDS):
+        nxt = dict(seeds)
+        for u, nbrs in adj.items():
+            if u in seeds:
+                continue
+            votes = Counter(labels[v] for v in nbrs if v in labels)
+            if votes:
+                best = max(votes.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+                nxt[u] = best[0]
+        labels = nxt
+    want = {u: (lab, u % _SEED_MOD == 0) for u, lab in labels.items()}
+    assert got == want
+    # propagation actually reached non-seed nodes
+    assert any(not is_seed for (_, is_seed) in got.values())

@@ -123,3 +123,32 @@ def test_autocorr_bounded(spark, sf_dir):
     for r in q_autocorr(spark, sf_dir).collect():
         for k in ("r1", "r2", "r7"):
             assert abs(getattr(r, k)) <= 1.0 + 1e-12
+
+
+def test_holt_linear_matches_hand_fold(spark, tmp_path):
+    from lakehouse_weather_spark.operators.timeseries import q_holt_linear
+
+    # deliberately DECLINING series: trend goes negative, exercising
+    # the floor-division path where truncation would diverge
+    counts = [10, 8, 6, 4, 2, 1, 1]
+    _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
+    got = {
+        (r.day - dt.datetime(2026, 1, 1)).days: (
+            r.level,
+            r.trend,
+            r.forecast_next,
+        )
+        for r in q_holt_linear(spark, str(tmp_path)).collect()
+    }
+    l = b = None
+    want = {}
+    for i, c in enumerate(counts):
+        if l is None:
+            l, b = c * _S, 0
+        else:
+            lp = (c * _S + 3 * (l + b)) // 4  # python // IS floor
+            b = ((lp - l) + 3 * b) // 4
+            l = lp
+        want[i] = (l / _S, b / _S, (l + b) / _S)
+    assert got == want
+    assert any(t < 0 for (_, t, _) in got.values())  # negative trend hit
