@@ -142,6 +142,13 @@ HEADLINE = [
     "q_join_cardinality",
     "q_burstiness",
     "q_type_cooccurrence",
+    "q_target_encode_oof",
+    "q_contrastive_pairs",
+    "q_feature_hashing",
+    "q_label_propagation",
+    "q_holt_linear",
+    "q_table_checksum",
+    "q_welch_ttest",
 ]
 
 

@@ -850,3 +850,131 @@ def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.max("n") * F.max("sx"))
         ).alias("gini"),
     )
+
+
+# --- Welch's t-test mean-shift drift ---------------------------------
+
+
+@register(
+    "q_welch_ttest",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        fx AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) < (SELECT mid_us FROM bounds)
+                        AS INTEGER) AS is_old,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(is_old) AS BIGINT) AS n_old,
+                   CAST(sum(1 - is_old) AS BIGINT) AS n_new,
+                   CAST(sum(CASE WHEN is_old = 1 THEN vfx ELSE 0 END)
+                        AS BIGINT) AS s_old,
+                   CAST(sum(CASE WHEN is_old = 0 THEN vfx ELSE 0 END)
+                        AS BIGINT) AS s_new,
+                   CAST(sum(CASE WHEN is_old = 1 THEN vfx * vfx
+                                 ELSE 0 END) AS DOUBLE) AS q_old,
+                   CAST(sum(CASE WHEN is_old = 0 THEN vfx * vfx
+                                 ELSE 0 END) AS DOUBLE) AS q_new
+            FROM fx GROUP BY event_type
+        ),
+        mom AS (
+            SELECT event_type, n_old, n_new,
+                   CAST(s_old AS DOUBLE) / n_old AS m_old,
+                   CAST(s_new AS DOUBLE) / n_new AS m_new,
+                   (q_old - (CAST(s_old AS DOUBLE) * CAST(s_old AS DOUBLE))
+                        / n_old) / (n_old - 1) AS v_old,
+                   (q_new - (CAST(s_new AS DOUBLE) * CAST(s_new AS DOUBLE))
+                        / n_new) / (n_new - 1) AS v_new
+            FROM agg
+        ),
+        se AS (
+            SELECT event_type, n_old, n_new, m_old, m_new, v_old, v_new,
+                   v_old / n_old + v_new / n_new AS se2
+            FROM mom
+        )
+        SELECT event_type, n_old, n_new,
+               m_old / {_SCALE} AS mean_old,
+               m_new / {_SCALE} AS mean_new,
+               (m_new - m_old) / sqrt(se2) AS t_stat,
+               se2 * se2 / ((v_old / n_old) * (v_old / n_old) / (n_old - 1)
+                   + (v_new / n_new) * (v_new / n_new) / (n_new - 1))
+                   AS welch_df
+        FROM se
+    """,
+    doc="Welch's two-sample t-test per event type between the stream's"
+    " first and second time halves: the parametric mean-shift detector"
+    " that complements q_ks_drift (shape drift) and q_dist_drift"
+    " (category drift). Sums and sums-of-squares are EXACT integers"
+    " (fixed-point values; Spark side sums squares in decimal(38) so"
+    " ANSI never overflows at scale, DuckDB in hugeint — both convert"
+    " to the identical double), and every downstream float op (+ - *"
+    " / sqrt) is a correctly-rounded IEEE primitive applied in"
+    " mirrored order, so t and the Welch-Satterthwaite df hash-match"
+    " across engines. ONE conditional-aggregation scan; output is"
+    " |types| rows.",
+)
+def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    fx = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    )
+    agg = fx.groupBy("event_type").agg(
+        F.sum("is_old").cast("bigint").alias("n_old"),
+        F.sum(1 - F.col("is_old")).cast("bigint").alias("n_new"),
+        F.sum(F.when(F.col("is_old") == 1, F.col("vfx")).otherwise(0))
+        .cast("bigint")
+        .alias("s_old"),
+        F.sum(F.when(F.col("is_old") == 0, F.col("vfx")).otherwise(0))
+        .cast("bigint")
+        .alias("s_new"),
+        F.expr(
+            "cast(sum(cast(case when is_old = 1 then vfx * vfx else 0 end"
+            " as decimal(38, 0))) as double)"
+        ).alias("q_old"),
+        F.expr(
+            "cast(sum(cast(case when is_old = 0 then vfx * vfx else 0 end"
+            " as decimal(38, 0))) as double)"
+        ).alias("q_new"),
+    )
+    mom = agg.select(
+        "event_type",
+        "n_old",
+        "n_new",
+        F.expr("cast(s_old as double) / n_old").alias("m_old"),
+        F.expr("cast(s_new as double) / n_new").alias("m_new"),
+        F.expr(
+            "(q_old - (cast(s_old as double) * cast(s_old as double))"
+            " / n_old) / (n_old - 1)"
+        ).alias("v_old"),
+        F.expr(
+            "(q_new - (cast(s_new as double) * cast(s_new as double))"
+            " / n_new) / (n_new - 1)"
+        ).alias("v_new"),
+    )
+    se = mom.withColumn(
+        "se2", F.expr("v_old / n_old + v_new / n_new")
+    )
+    return se.select(
+        "event_type",
+        "n_old",
+        "n_new",
+        (F.col("m_old") / _SCALE).alias("mean_old"),
+        (F.col("m_new") / _SCALE).alias("mean_new"),
+        F.expr("(m_new - m_old) / sqrt(se2)").alias("t_stat"),
+        F.expr(
+            "se2 * se2 / ((v_old / n_old) * (v_old / n_old) / (n_old - 1)"
+            " + (v_new / n_new) * (v_new / n_new) / (n_new - 1))"
+        ).alias("welch_df"),
+    )

@@ -480,3 +480,87 @@ def q_join_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- order-independent table checksum --------------------------------
+
+# Modulus for the additive signature: keeps sum(h % P) far inside int64
+# at any per-group row count this side of 9e9 rows (ANSI overflow-safe).
+_CK_P = 1_000_000_007
+
+
+@register(
+    "q_table_checksum",
+    oracle=f"""
+        WITH canon AS (
+            SELECT l_returnflag,
+                   CAST(l_orderkey AS VARCHAR) || '|' ||
+                   CAST(l_partkey AS VARCHAR) || '|' ||
+                   CAST(l_suppkey AS VARCHAR) || '|' ||
+                   CAST(l_linenumber AS VARCHAR) || '|' ||
+                   CAST(CAST(round(l_quantity * 10000) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   CAST(CAST(round(l_extendedprice * 10000) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   CAST(CAST(round(l_discount * 10000) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   CAST(CAST(round(l_tax * 10000) AS BIGINT)
+                        AS VARCHAR) || '|' ||
+                   l_returnflag || '|' || l_linestatus || '|' ||
+                   CAST(epoch_us(l_shipdate) AS VARCHAR) AS row_str
+            FROM lineitem
+        ),
+        hashed AS (
+            SELECT l_returnflag,
+                   CAST(('0x' || substr(md5(row_str), 1, 15)) AS BIGINT)
+                       AS h
+            FROM canon
+        )
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(bit_xor(h) AS BIGINT) AS sig_xor,
+               CAST(sum(h % {_CK_P}) AS BIGINT) AS sig_sum
+        FROM hashed GROUP BY l_returnflag
+    """,
+    doc="Order-independent table fingerprint for migration / replication"
+    " parity: every row canonicalizes to a pipe-joined string of"
+    " integer-exact fields (money in fixed point, dates as epoch"
+    " micros — no engine-dependent float or timestamp formatting),"
+    " md5-hashes to a 60-bit int, and folds into TWO commutative"
+    " signatures per return-flag group — bit_xor (cheap, but blind to"
+    " duplicated row pairs) and a modular sum (catches what xor"
+    " cancels). Copy a 100 TB table between engines, run this on both"
+    " sides, diff a handful of rows. ONE scan + ONE partial-agg"
+    " shuffle; both aggregates combine associatively, so map-side"
+    " partials do almost all the work.",
+)
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    fx = (
+        lambda c: F.round(F.col(c) * 10_000, 0).cast("bigint").cast("string")
+    )
+    row_str = F.concat_ws(
+        "|",
+        F.col("l_orderkey").cast("string"),
+        F.col("l_partkey").cast("string"),
+        F.col("l_suppkey").cast("string"),
+        F.col("l_linenumber").cast("string"),
+        fx("l_quantity"),
+        fx("l_extendedprice"),
+        fx("l_discount"),
+        fx("l_tax"),
+        F.col("l_returnflag"),
+        F.col("l_linestatus"),
+        F.expr("unix_micros(cast(l_shipdate as timestamp))").cast("string"),
+    )
+    hashed = li.withColumn("row_str", row_str).select(
+        "l_returnflag",
+        F.expr(
+            "cast(conv(substr(md5(row_str), 1, 15), 16, 10) as bigint)"
+        ).alias("h"),
+    )
+    return hashed.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.expr("bit_xor(h)").cast("bigint").alias("sig_xor"),
+        F.sum(F.col("h") % _CK_P).cast("bigint").alias("sig_sum"),
+    )

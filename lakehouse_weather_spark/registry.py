@@ -199,6 +199,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_feature_hashing",
     "q_label_propagation",
     "q_holt_linear",
+    "q_table_checksum",
+    "q_welch_ttest",
 })
 
 

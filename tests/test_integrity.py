@@ -1,0 +1,87 @@
+"""Semantics for the integrity/drift additions: the table checksum is
+order-independent yet single-row sensitive; Welch's t matches an
+independent numpy computation from the raw rows.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import load_all
+from lakehouse_weather_spark.sources.tables import load_table
+
+
+def _sigs(spark, sf_dir):
+    return {
+        r.l_returnflag: (r.n_rows, r.sig_xor, r.sig_sum)
+        for r in load_all()["q_table_checksum"].fn(spark, sf_dir).collect()
+    }
+
+
+def test_table_checksum_is_order_independent(spark, sf_dir, tmp_path):
+    base = _sigs(spark, sf_dir)
+    # same rows, different physical order and partitioning
+    li = load_table(spark, sf_dir, "lineitem")
+    li.orderBy(F.desc("l_extendedprice")).repartition(13).write.parquet(
+        f"{tmp_path}/lineitem.parquet"
+    )
+    assert _sigs(spark, str(tmp_path)) == base
+
+
+def test_table_checksum_detects_one_changed_row(spark, sf_dir, tmp_path):
+    base = _sigs(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    victim = li.orderBy("l_orderkey", "l_linenumber").limit(1).collect()[0]
+    mutated = li.withColumn(
+        "l_quantity",
+        F.when(
+            (F.col("l_orderkey") == victim.l_orderkey)
+            & (F.col("l_linenumber") == victim.l_linenumber),
+            F.col("l_quantity") + 1.0,
+        ).otherwise(F.col("l_quantity")),
+    )
+    mutated.write.parquet(f"{tmp_path}/lineitem.parquet")
+    got = _sigs(spark, str(tmp_path))
+    flag = victim.l_returnflag
+    assert got[flag][0] == base[flag][0]  # same row count
+    assert got[flag][1] != base[flag][1] or got[flag][2] != base[flag][2]
+    for other in set(base) - {flag}:
+        assert got[other] == base[other]  # untouched groups unchanged
+
+
+def test_welch_ttest_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = load_all()["q_welch_ttest"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    mid = (min(us) + max(us)) // 2
+    by_type: dict[str, tuple[list, list]] = {}
+    for r, u in zip(ev, us):
+        old, new = by_type.setdefault(r.event_type, ([], []))
+        (old if u < mid else new).append(round(r.value * 10_000))
+
+    assert len(rows) == len(by_type)
+    for r in rows:
+        old, new = by_type[r.event_type]
+        assert (r.n_old, r.n_new) == (len(old), len(new))
+        a, b = np.array(old, dtype=float), np.array(new, dtype=float)
+        m1, m2 = a.mean(), b.mean()
+        v1 = a.var(ddof=1)
+        v2 = b.var(ddof=1)
+        se2 = v1 / len(a) + v2 / len(b)
+        t = (m2 - m1) / np.sqrt(se2)
+        df = se2**2 / (
+            (v1 / len(a)) ** 2 / (len(a) - 1)
+            + (v2 / len(b)) ** 2 / (len(b) - 1)
+        )
+        assert abs(r.mean_old - m1 / 10_000) < 1e-9 * max(1, abs(m1))
+        assert abs(r.t_stat - t) < 1e-6 * max(1.0, abs(t))
+        assert abs(r.welch_df - df) < 1e-4 * df
