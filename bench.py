@@ -149,6 +149,8 @@ HEADLINE = [
     "q_holt_linear",
     "q_table_checksum",
     "q_welch_ttest",
+    "q_bloom_semijoin",
+    "q_twap",
 ]
 
 

@@ -140,3 +140,82 @@ def q_bloom_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "bloom_maybe",
         F.col("_m").isNotNull().alias("exact_member"),
     )
+
+
+# --- bloom semi-join pre-filter --------------------------------------
+
+# Selective dim predicate: urgent orders in the top price decile.
+_SJ_PRICE = 450_000.0
+
+
+@register(
+    "q_bloom_semijoin",
+    oracle=f"""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               (CAST(sum(CAST(round((l_extendedprice * (1 - l_discount))
+                    * 10000) AS BIGINT)) AS DOUBLE) / 10000) AS revenue
+        FROM lineitem
+        WHERE l_orderkey IN (
+            SELECT o_orderkey FROM orders
+            WHERE o_orderpriority = '1-URGENT'
+              AND o_totalprice > {_SJ_PRICE})
+        GROUP BY l_returnflag
+    """,
+    doc="Bloom semi-join pre-filter — the canonical 100 TB shuffle"
+    " reducer: the selective dim key set (urgent top-decile orders)"
+    " folds into a <=1024-row bit table that BROADCASTS; the fact scan"
+    " drops ~99% of rows against it BEFORE the exact semi-join, so the"
+    " shuffle moves only survivors (Spark's runtime bloom pruning does"
+    " this implicitly; here the filter is explicit, persistable, and"
+    " mergeable across incremental loads). Bloom filters have no"
+    " false NEGATIVES, and the exact semi-join re-verifies the"
+    " survivors, so the result is IDENTICAL to the plain semi-join"
+    " oracle — false positives cost only wasted shuffle rows, never"
+    " wrong answers. Exact fixed-point revenue sum.",
+)
+def q_bloom_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.functions import dsum
+
+    dim = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_totalprice") > _SJ_PRICE)
+        )
+        .select("o_orderkey")
+    )
+    bits = bloom_build(dim, "o_orderkey")
+    li = load_table(spark, sf_dir, "lineitem")
+    # inline probe on the fact side: keep rows whose K bit positions
+    # are ALL in the broadcast bit table. size(array_intersect) == K is
+    # the all-bits-set test without a per-key groupBy.
+    bit_arr = bits.agg(F.collect_list("bit").alias("bloom_bits"))
+    k_bits = F.array(
+        *[
+            F.expr(
+                _spark_bit(str(k), "l_orderkey")
+            )
+            for k in range(BLOOM_HASHES)
+        ]
+    )
+    pre = (
+        li.crossJoin(F.broadcast(bit_arr))
+        .withColumn("kb", k_bits)
+        .filter(
+            F.size(F.array_intersect(F.col("kb"), F.col("bloom_bits")))
+            == F.size(F.array_distinct(F.col("kb")))
+        )
+        .drop("kb", "bloom_bits")
+    )
+    exact = pre.join(
+        F.broadcast(dim.withColumnRenamed("o_orderkey", "l_orderkey")),
+        "l_orderkey",
+        "semi",
+    )
+    return exact.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+            "revenue"
+        ),
+    )

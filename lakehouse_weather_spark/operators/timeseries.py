@@ -622,3 +622,76 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
             "forecast_next"
         ),
     )
+
+
+# --- time-weighted average (TWAP) ------------------------------------
+
+
+@register(
+    "q_twap",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   epoch_us(ts) AS t_us,
+                   CAST(round(value * {_S}) AS BIGINT) AS vfx,
+                   lead(epoch_us(ts)) OVER (
+                       PARTITION BY event_type, date_trunc('day', ts)
+                       ORDER BY epoch_us(ts), event_id) AS next_us
+            FROM events
+        ),
+        agg AS (
+            SELECT event_type, day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(max(t_us) - min(t_us) AS BIGINT) AS dur_us,
+                   sum(CASE WHEN next_us IS NULL THEN 0
+                            ELSE (next_us - t_us) * vfx END) AS num
+            FROM seq GROUP BY event_type, day
+        )
+        SELECT event_type, day, n_events,
+               CAST(num AS DOUBLE) / CAST(dur_us AS DOUBLE) / {_S} AS twap
+        FROM agg WHERE dur_us > 0
+    """,
+    doc="Time-weighted average value (TWAP) per event type and day:"
+    " each observation holds until the next one, so its weight is its"
+    " holding interval in epoch micros — the correct mean for"
+    " irregularly-sampled series, where the arithmetic mean"
+    " over-weights bursts (the finance TWAP / IoT last-observation-"
+    " carried-forward integral). One lead() window on the natural"
+    " (type, day) partitioning + one partial agg; interval x value"
+    " products are int64-exact and sum in decimal(38)/hugeint (a day"
+    " of micros times a fixed-point value overflows int64 at real"
+    " scale), converging to one mirrored IEEE division pair — DuckDB"
+    " replays it bit-for-bit. Zero-duration groups (a single"
+    " observation, or all samples on one microsecond) are excluded"
+    " identically in both engines.",
+)
+def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    base = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("day"),
+        F.expr(us).alias("t_us"),
+        F.round(F.col("value") * _S, 0).cast("bigint").alias("vfx"),
+        "event_id",
+    )
+    w = Window.partitionBy("event_type", "day").orderBy("t_us", "event_id")
+    seq = base.withColumn("next_us", F.lead("t_us").over(w))
+    agg = seq.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        (F.max("t_us") - F.min("t_us")).cast("bigint").alias("dur_us"),
+        F.expr(
+            "sum(cast(case when next_us is null then 0"
+            " else (next_us - t_us) * vfx end as decimal(38, 0)))"
+        ).alias("num"),
+    )
+    return agg.filter(F.col("dur_us") > 0).select(
+        "event_type",
+        "day",
+        "n_events",
+        F.expr(f"cast(num as double) / cast(dur_us as double) / {_S}").alias(
+            "twap"
+        ),
+    )

@@ -201,6 +201,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_holt_linear",
     "q_table_checksum",
     "q_welch_ttest",
+    "q_bloom_semijoin",
+    "q_twap",
 })
 
 

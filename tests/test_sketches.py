@@ -257,3 +257,55 @@ def test_quality_repetition_single_word_doc(spark, tmp_path):
         if g.top_bigram_frac is not None:
             assert abs(g.top_bigram_frac - row[4]) < 1e-12
         assert g.keep == row[6]
+
+
+def test_bloom_semijoin_equals_plain_semijoin_and_prunes(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.bloom import (
+        _SJ_PRICE,
+        bloom_build,
+        q_bloom_semijoin,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    got = {
+        r.l_returnflag: (r.n_items, r.revenue)
+        for r in q_bloom_semijoin(spark, sf_dir).collect()
+    }
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderpriority") == "1-URGENT")
+        & (F.col("o_totalprice") > _SJ_PRICE)
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    plain = (
+        li.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "semi",
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10_000,
+                        0,
+                    ).cast("bigint")
+                ).cast("double")
+                / 10_000
+            ).alias("rev"),
+        )
+        .collect()
+    )
+    want = {r.l_returnflag: (r.n, r.rev) for r in plain}
+    assert got == want
+
+    # the bit table is broadcastable and the prefilter actually prunes:
+    # with a selective dim the maybe-set is far smaller than the table
+    bits = bloom_build(orders.select("o_orderkey"), "o_orderkey")
+    assert bits.count() <= 1024
+    n_keys = li.select("l_orderkey").distinct().count()
+    n_dim = orders.count()
+    assert n_dim < n_keys * 0.2  # predicate is genuinely selective

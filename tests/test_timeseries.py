@@ -152,3 +152,34 @@ def test_holt_linear_matches_hand_fold(spark, tmp_path):
         want[i] = (l / _S, b / _S, (l + b) / _S)
     assert got == want
     assert any(t < 0 for (_, t, _) in got.values())  # negative trend hit
+
+
+def test_twap_matches_hand_integral(spark, sf_dir):
+    from lakehouse_weather_spark.operators.timeseries import q_twap
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    rows = q_twap(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").collect()
+    groups: dict[tuple, list] = {}
+    for r in ev:
+        day = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        groups.setdefault((r.event_type, day), []).append(
+            (int(r.ts.timestamp() * 1_000_000), r.event_id, round(r.value * 10_000))
+        )
+    want = {}
+    for key, obs in groups.items():
+        obs.sort(key=lambda o: (o[0], o[1]))
+        dur = obs[-1][0] - obs[0][0]
+        if dur <= 0:
+            continue
+        num = sum(
+            (obs[i + 1][0] - obs[i][0]) * obs[i][2]
+            for i in range(len(obs) - 1)
+        )
+        want[key] = (len(obs), num / dur / 10_000)
+    got = {(r.event_type, r.day): (r.n_events, r.twap) for r in rows}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert abs(got[k][1] - want[k][1]) < 1e-9
