@@ -151,6 +151,8 @@ HEADLINE = [
     "q_welch_ttest",
     "q_bloom_semijoin",
     "q_twap",
+    "q_oov_rate",
+    "q_cuped",
 ]
 
 

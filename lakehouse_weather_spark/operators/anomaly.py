@@ -978,3 +978,143 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (v_new / n_new) * (v_new / n_new) / (n_new - 1))"
         ).alias("welch_df"),
     )
+
+
+# --- CUPED variance reduction ----------------------------------------
+
+
+@register(
+    "q_cuped",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid_us
+                                                      FROM bounds)
+                            THEN CAST(round(value * {_SCALE}) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS pre,
+                   CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid_us
+                                                       FROM bounds)
+                            THEN CAST(round(value * {_SCALE}) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS post
+            FROM events GROUP BY user_id
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pre) AS BIGINT) AS sp,
+                   CAST(sum(post) AS BIGINT) AS ss,
+                   CAST(sum(CAST(pre AS HUGEINT) * pre) AS DOUBLE) AS spp,
+                   CAST(sum(CAST(post AS HUGEINT) * post) AS DOUBLE) AS sss,
+                   CAST(sum(CAST(pre AS HUGEINT) * post) AS DOUBLE) AS sps
+            FROM per_user
+        ),
+        stats AS (
+            SELECT n,
+                   (spp - (CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)) / n)
+                       / (n - 1) AS var_pre,
+                   (sss - (CAST(ss AS DOUBLE) * CAST(ss AS DOUBLE)) / n)
+                       / (n - 1) AS var_post,
+                   (sps - (CAST(sp AS DOUBLE) * CAST(ss AS DOUBLE)) / n)
+                       / (n - 1) AS cov,
+                   CAST(sp AS DOUBLE) / n / {_SCALE} AS mean_pre,
+                   CAST(ss AS DOUBLE) / n / {_SCALE} AS mean_post
+            FROM mom
+        )
+        SELECT n AS n_users, mean_pre, mean_post,
+               cov / var_pre AS theta,
+               var_post / {_SCALE} / {_SCALE} AS var_post,
+               (var_post + (cov / var_pre) * (cov / var_pre) * var_pre
+                - 2 * (cov / var_pre) * cov) / {_SCALE} / {_SCALE}
+                   AS var_adj,
+               1 - (var_post + (cov / var_pre) * (cov / var_pre) * var_pre
+                    - 2 * (cov / var_pre) * cov) / var_post
+                   AS var_reduction
+        FROM stats
+    """,
+    doc="CUPED variance reduction (Deng et al. 2013) over the event"
+    " stream: per-user value totals split at the stream midpoint into"
+    " a PRE-period covariate and a POST-period metric; theta ="
+    " cov(pre, post) / var(pre), and the adjusted metric's variance"
+    " comes from the ALGEBRAIC identity var(post - theta*pre) ="
+    " var_post + theta^2*var_pre - 2*theta*cov — crucially NOT from a"
+    " second pass summing per-user doubles, which would be"
+    " partition-order-dependent. Every moment (sums, sums of squares,"
+    " cross products) is an exact integer aggregate (decimal(38) /"
+    " hugeint), so the handful of final IEEE ops mirror bit-for-bit."
+    " This is the experimentation-platform primitive: one scan, one"
+    " user-keyed partial agg, one 6-number reduce.",
+)
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"cast(sum(case when {us} < mid_us then"
+                f" cast(round(value * {_SCALE}) as bigint) else 0 end)"
+                " as bigint)"
+            ).alias("pre"),
+            F.expr(
+                f"cast(sum(case when {us} >= mid_us then"
+                f" cast(round(value * {_SCALE}) as bigint) else 0 end)"
+                " as bigint)"
+            ).alias("post"),
+        )
+    )
+    mom = per_user.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pre").cast("bigint").alias("sp"),
+        F.sum("post").cast("bigint").alias("ss"),
+        F.expr(
+            "cast(sum(cast(pre as decimal(19, 0))"
+            " * cast(pre as decimal(19, 0))) as double)"
+        ).alias("spp"),
+        F.expr(
+            "cast(sum(cast(post as decimal(19, 0))"
+            " * cast(post as decimal(19, 0))) as double)"
+        ).alias("sss"),
+        F.expr(
+            "cast(sum(cast(pre as decimal(19, 0))"
+            " * cast(post as decimal(19, 0))) as double)"
+        ).alias("sps"),
+    )
+    stats = mom.select(
+        "n",
+        F.expr(
+            "(spp - (cast(sp as double) * cast(sp as double)) / n)"
+            " / (n - 1)"
+        ).alias("var_pre"),
+        F.expr(
+            "(sss - (cast(ss as double) * cast(ss as double)) / n)"
+            " / (n - 1)"
+        ).alias("var_post"),
+        F.expr(
+            "(sps - (cast(sp as double) * cast(ss as double)) / n)"
+            " / (n - 1)"
+        ).alias("cov"),
+        F.expr(f"cast(sp as double) / n / {_SCALE}").alias("mean_pre"),
+        F.expr(f"cast(ss as double) / n / {_SCALE}").alias("mean_post"),
+    )
+    return stats.select(
+        F.col("n").alias("n_users"),
+        "mean_pre",
+        "mean_post",
+        F.expr("cov / var_pre").alias("theta"),
+        F.expr(f"var_post / {_SCALE} / {_SCALE}").alias("var_post"),
+        F.expr(
+            "(var_post + (cov / var_pre) * (cov / var_pre) * var_pre"
+            f" - 2 * (cov / var_pre) * cov) / {_SCALE} / {_SCALE}"
+        ).alias("var_adj"),
+        F.expr(
+            "1 - (var_post + (cov / var_pre) * (cov / var_pre) * var_pre"
+            " - 2 * (cov / var_pre) * cov) / var_post"
+        ).alias("var_reduction"),
+    )

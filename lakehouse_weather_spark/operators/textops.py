@@ -1149,3 +1149,83 @@ def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "coverage",
         )
     )
+
+
+# --- out-of-vocabulary audit -----------------------------------------
+
+# Vocabulary size for the OOV audit: the top-2k words by corpus
+# frequency (deterministic freq-desc, word-asc rank).
+OOV_VOCAB = 2_000
+
+
+@register(
+    "q_oov_rate",
+    oracle=f"""
+        WITH words AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        freq AS (
+            SELECT word, count(*) AS c FROM words GROUP BY word
+        ),
+        vocab AS (
+            SELECT word FROM (
+                SELECT word, row_number() OVER (
+                    ORDER BY c DESC, word ASC) AS rnk
+                FROM freq
+            ) WHERE rnk <= {OOV_VOCAB}
+        )
+        SELECT w.doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
+               CAST(sum(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END)
+                    * 10000 // count(*) AS BIGINT) AS oov_bp
+        FROM words w LEFT JOIN vocab v USING (word)
+        GROUP BY w.doc_id
+    """,
+    doc="Per-document out-of-vocabulary audit against the corpus"
+    " top-2000 vocabulary: token total, OOV token count, and OOV rate"
+    " in integer basis points — the tokenizer-coverage risk score"
+    " (docs with high OOV explode into byte-fallback tokens and blow"
+    " up sequence length; they are re-route or re-tokenize"
+    " candidates). Complements q_vocab_coverage (corpus-level curve)"
+    " with the per-doc grain that feeds filtering. The vocabulary is"
+    " |V|<=2000 rows — built with one word-count agg + rank, then"
+    " BROADCAST back onto the exploded token stream; one partial-agg"
+    " shuffle on doc_id finishes. Integer-only arithmetic.",
+)
+def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    freq = words.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    # rank window over the |vocab|-row frequency table (bounded input,
+    # same precedent as q_vocab_coverage)
+    vocab = (
+        freq.select(
+            "word",
+            F.row_number()
+            .over(Window.orderBy(F.desc("c"), F.asc("word")))
+            .alias("rnk"),
+        )
+        .filter(F.col("rnk") <= OOV_VOCAB)
+        .select("word", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        words.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_oov"),
+            F.expr(
+                "cast(sum(case when in_vocab is null then 1 else 0 end)"
+                " * 10000 div count(*) as bigint)"
+            ).alias("oov_bp"),
+        )
+    )

@@ -203,6 +203,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_welch_ttest",
     "q_bloom_semijoin",
     "q_twap",
+    "q_oov_rate",
+    "q_cuped",
 })
 
 

@@ -85,3 +85,55 @@ def test_welch_ttest_matches_numpy(spark, sf_dir):
         assert abs(r.mean_old - m1 / 10_000) < 1e-9 * max(1, abs(m1))
         assert abs(r.t_stat - t) < 1e-6 * max(1.0, abs(t))
         assert abs(r.welch_df - df) < 1e-4 * df
+
+
+def test_cuped_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    r = load_all()["q_cuped"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    us = [int(x.ts.timestamp() * 1_000_000) for x in ev]
+    mid = (min(us) + max(us)) // 2
+    agg: dict[int, list[int]] = {}
+    for x, u in zip(ev, us):
+        a = agg.setdefault(x.user_id, [0, 0])
+        a[0 if u < mid else 1] += round(x.value * 10_000)
+    pre = np.array([v[0] for v in agg.values()], dtype=float)
+    post = np.array([v[1] for v in agg.values()], dtype=float)
+    theta = np.cov(pre, post, ddof=1)[0, 1] / pre.var(ddof=1)
+    adj = post - theta * pre
+    vr = 1 - adj.var(ddof=1) / post.var(ddof=1)
+    assert r.n_users == len(agg)
+    assert abs(r.theta - theta) < 1e-6 * max(1, abs(theta))
+    assert abs(r.var_reduction - vr) < 1e-6
+    # CUPED's reduction equals corr^2 by construction
+    corr = np.corrcoef(pre, post)[0, 1]
+    assert abs(r.var_reduction - corr**2) < 1e-9
+
+
+def test_oov_rate_per_doc_replay(spark, sf_dir):
+    from collections import Counter
+
+    from lakehouse_weather_spark.operators.textops import OOV_VOCAB
+
+    rows = {
+        r.doc_id: (r.n_tokens, r.n_oov, r.oov_bp)
+        for r in load_all()["q_oov_rate"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    freq = Counter(w for ws in docs.values() for w in ws)
+    vocab = {
+        w
+        for w, _ in sorted(freq.items(), key=lambda kv: (-kv[1], kv[0]))[
+            :OOV_VOCAB
+        ]
+    }
+    assert set(rows) == set(docs)
+    for did, ws in docs.items():
+        n_oov = sum(1 for w in ws if w not in vocab)
+        assert rows[did] == (len(ws), n_oov, n_oov * 10_000 // len(ws))
