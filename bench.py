@@ -153,6 +153,8 @@ HEADLINE = [
     "q_twap",
     "q_oov_rate",
     "q_cuped",
+    "q_attribution",
+    "q_changepoint",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Conversion attribution and change-point detection over the event
+stream — the product-analytics closure next to the funnel/retention
+family (streaming/events.py).
+
+- q_attribution: multi-touch credit assignment. Every ``purchase`` is
+  a conversion; the touchpoints are the user's non-purchase events
+  since their previous purchase. Three standard models at once —
+  first-touch, last-touch, and linear — with all credit in integer
+  basis points so 10000 bp per conversion is conserved EXACTLY (the
+  linear remainder goes to the last touch), making the whole
+  attribution table integer arithmetic end to end.
+- q_changepoint: single change-point per event type over the daily
+  count series (binary-segmentation step 1): the split day that
+  maximizes the between-segments sum-of-squares gain. The gain is
+  evaluated in fixed point with floor division, so the argmax is a
+  deterministic integer comparison in both engines.
+
+Scale notes (100 TB framing):
+- q_attribution: two windows per user (a running purchase counter,
+  then rank/count inside each (user, conversion) group) — both on the
+  user-id shard key, never global — and one final partial agg to
+  |event_types| rows.
+- q_changepoint: aggregates to |types| x |days| BEFORE any window
+  (same discipline as q_volume_anomaly); the candidate-split scan is a
+  prefix-sum window over that tiny series.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Conversion event + credit budget per conversion (basis points).
+_CONV = "purchase"
+_BP = 10_000
+# Fixed-point scale for change-point gains.
+_CP_S = 10_000
+
+
+@register(
+    "q_attribution",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_id, event_type,
+                   sum(CASE WHEN event_type = '{_CONV}' THEN 1 ELSE 0 END)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS conv_idx,
+                   count(CASE WHEN event_type = '{_CONV}' THEN 1 END)
+                       OVER (PARTITION BY user_id) AS n_conv,
+                   ts
+            FROM events
+        ),
+        touches AS (
+            SELECT user_id, event_type, conv_idx,
+                   row_number() OVER (PARTITION BY user_id, conv_idx
+                                      ORDER BY ts, event_id) AS rn,
+                   count(*) OVER (PARTITION BY user_id, conv_idx) AS n
+            FROM seq
+            WHERE event_type <> '{_CONV}' AND conv_idx < n_conv
+        ),
+        credited AS (
+            SELECT event_type,
+                   CASE WHEN rn = 1 THEN {_BP} ELSE 0 END AS first_bp,
+                   CASE WHEN rn = n THEN {_BP} ELSE 0 END AS last_bp,
+                   CASE WHEN rn = n
+                        THEN {_BP} - (n - 1) * ({_BP} // n)
+                        ELSE {_BP} // n END AS linear_bp
+            FROM touches
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_touches,
+               CAST(sum(first_bp) AS BIGINT) AS first_touch_bp,
+               CAST(sum(last_bp) AS BIGINT) AS last_touch_bp,
+               CAST(sum(linear_bp) AS BIGINT) AS linear_bp
+        FROM credited GROUP BY event_type
+    """,
+    doc="Multi-touch conversion attribution: every purchase is a"
+    " conversion, its touchpoints are the user's non-purchase events"
+    " since the previous purchase (events after the final purchase"
+    " attribute to nothing). First-touch, last-touch, and linear"
+    " credit computed together, in integer basis points with the"
+    " linear remainder assigned to the last touch — so every"
+    " conversion distributes EXACTLY 10000 bp under each model and"
+    " the per-channel totals are exact integers (sum(linear) =="
+    " sum(first) == sum(last) == 10000 x conversions-with-touches)."
+    " Two user-sharded windows + one partial agg; no window ever"
+    " crosses users, so the plan scales with the user shard, the"
+    " 100 TB-safe shape for clickstream attribution.",
+)
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wseq = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wuser = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.sum(
+            F.when(F.col("event_type") == _CONV, 1).otherwise(0)
+        )
+        .over(wseq)
+        .alias("conv_idx"),
+        F.count(
+            F.when(F.col("event_type") == _CONV, F.lit(1))
+        )
+        .over(wuser)
+        .alias("n_conv"),
+    )
+    wtouch = Window.partitionBy("user_id", "conv_idx").orderBy(
+        "ts", "event_id"
+    )
+    wgrp = Window.partitionBy("user_id", "conv_idx")
+    touches = (
+        seq.filter(
+            (F.col("event_type") != _CONV)
+            & (F.col("conv_idx") < F.col("n_conv"))
+        )
+        .withColumn("rn", F.row_number().over(wtouch))
+        .withColumn("n", F.count(F.lit(1)).over(wgrp))
+    )
+    credited = touches.select(
+        "event_type",
+        F.when(F.col("rn") == 1, _BP).otherwise(0).alias("first_bp"),
+        F.when(F.col("rn") == F.col("n"), _BP).otherwise(0).alias("last_bp"),
+        F.when(
+            F.col("rn") == F.col("n"),
+            F.lit(_BP) - (F.col("n") - 1) * F.expr(f"{_BP} div n"),
+        )
+        .otherwise(F.expr(f"{_BP} div n"))
+        .alias("linear_bp"),
+    )
+    return credited.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_touches"),
+        F.sum("first_bp").cast("bigint").alias("first_touch_bp"),
+        F.sum("last_bp").cast("bigint").alias("last_touch_bp"),
+        F.sum("linear_bp").cast("bigint").alias("linear_bp"),
+    )
+
+
+@register(
+    "q_changepoint",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        seq AS (
+            SELECT event_type, d, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY d) AS k,
+                   count(*) OVER (PARTITION BY event_type) AS n,
+                   sum(cnt) OVER (PARTITION BY event_type ORDER BY d
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND CURRENT ROW) AS pre,
+                   sum(cnt) OVER (PARTITION BY event_type) AS tot
+            FROM daily
+        ),
+        gains AS (
+            SELECT event_type, d, k, n,
+                   (pre * pre * {_CP_S}) // k
+                   + ((tot - pre) * (tot - pre) * {_CP_S}) // (n - k)
+                   - (tot * tot * {_CP_S}) // n AS gain_fx
+            FROM seq WHERE k < n
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               d AS split_day,
+               CAST(gain_fx AS BIGINT) AS gain_fx
+        FROM (
+            SELECT *, row_number() OVER (PARTITION BY event_type
+                ORDER BY gain_fx DESC, d ASC) AS rk
+            FROM gains
+        ) WHERE rk = 1
+    """,
+    doc="Single change-point per event type (the first step of binary"
+    " segmentation / PELT): over the daily-count series, pick the"
+    " split day maximizing the between-segments sum-of-squares gain"
+    " sum_l^2/k + sum_r^2/(n-k) - sum^2/n. The gain is evaluated in"
+    " fixed point with floor division on non-negative int64 (prefix"
+    " sums come from one cumulative window over the tiny per-type"
+    " daily aggregate), so the argmax — tie-broken to the earliest"
+    " day — is a deterministic integer comparison that DuckDB replays"
+    " exactly. The raw event table is touched by ONE partial agg;"
+    " every window runs on |types| x |days| rows.",
+)
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    word = Window.partitionBy("event_type").orderBy("d")
+    wtype = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "d",
+        "cnt",
+        F.row_number().over(word).alias("k"),
+        F.count(F.lit(1)).over(wtype).alias("n"),
+        F.sum("cnt")
+        .over(word.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("pre"),
+        F.sum("cnt").over(wtype).alias("tot"),
+    )
+    gains = seq.filter(F.col("k") < F.col("n")).select(
+        "event_type",
+        "d",
+        "n",
+        F.expr(
+            f"(pre * pre * {_CP_S}) div k"
+            f" + ((tot - pre) * (tot - pre) * {_CP_S}) div (n - k)"
+            f" - (tot * tot * {_CP_S}) div n"
+        ).alias("gain_fx"),
+    )
+    wbest = Window.partitionBy("event_type").orderBy(
+        F.desc("gain_fx"), F.asc("d")
+    )
+    return (
+        gains.withColumn("rk", F.row_number().over(wbest))
+        .filter(F.col("rk") == 1)
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("d").alias("split_day"),
+            F.col("gain_fx").cast("bigint").alias("gain_fx"),
+        )
+    )

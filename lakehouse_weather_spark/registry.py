@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     # design (nothing above may be displaced), local-gate covered
     "lakehouse_weather_spark.operators.anomaly",
     "lakehouse_weather_spark.operators.mlfeat",
+    "lakehouse_weather_spark.operators.attribution",
     "lakehouse_weather_spark.operators.cms",
     "lakehouse_weather_spark.operators.bloom",
     "lakehouse_weather_spark.operators.udfs",
@@ -205,6 +206,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_twap",
     "q_oov_rate",
     "q_cuped",
+    "q_attribution",
+    "q_changepoint",
 })
 
 
