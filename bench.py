@@ -155,6 +155,8 @@ HEADLINE = [
     "q_cuped",
     "q_attribution",
     "q_changepoint",
+    "q_neyman_allocation",
+    "q_rfm",
 ]
 
 

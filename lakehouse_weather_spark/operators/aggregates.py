@@ -627,3 +627,100 @@ def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --- RFM customer segmentation ---------------------------------------
+
+
+@register(
+    "q_rfm",
+    oracle="""
+        WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
+        per_cust AS (
+            SELECT o_custkey AS c_custkey,
+                   CAST(date_diff('day', max(o_orderdate),
+                                  (SELECT maxd FROM mx)) AS BIGINT)
+                       AS r_days,
+                   CAST(count(*) AS BIGINT) AS f_orders,
+                   CAST(sum(CAST(round(o_totalprice * 10000) AS BIGINT))
+                        AS BIGINT) AS m_fx
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT c_custkey, r_days, f_orders, m_fx,
+                   6 - ntile(5) OVER (ORDER BY r_days ASC, c_custkey)
+                       AS r_score,
+                   ntile(5) OVER (ORDER BY f_orders ASC, c_custkey)
+                       AS f_score,
+                   ntile(5) OVER (ORDER BY m_fx ASC, c_custkey)
+                       AS m_score
+            FROM per_cust
+        )
+        SELECT c_custkey, r_days, f_orders, m_fx,
+               CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS rfm_segment
+        FROM scored
+    """,
+    doc="RFM customer segmentation: recency (days since last order,"
+    " relative to the corpus max date), frequency (order count), and"
+    " monetary (fixed-point lifetime total), each scored into"
+    " quintiles by ntile(5) with a custkey tie-break (recency"
+    " inverted so 5 = most recent — the marketing convention), then"
+    " concatenated into the classic 3-digit segment code. Both"
+    " engines implement identical ntile semantics (earlier buckets"
+    " absorb the remainder) over an identical total order, so the"
+    " scores hash-match. The ntile windows are GLOBAL over the"
+    " |customers|-row aggregate — fine at dimension-table"
+    " cardinality; at 100 TB swap in approx-quantile cut points and"
+    " a broadcast CASE, keeping the same output contract.",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderdate").alias("maxd"))
+    per_cust = (
+        orders.crossJoin(F.broadcast(mx))
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(
+            F.datediff(F.first("maxd"), F.max("o_orderdate"))
+            .cast("bigint")
+            .alias("r_days"),
+            F.count(F.lit(1)).cast("bigint").alias("f_orders"),
+            F.sum(
+                F.round(F.col("o_totalprice") * 10_000, 0).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("m_fx"),
+        )
+    )
+    scored = per_cust.select(
+        "c_custkey",
+        "r_days",
+        "f_orders",
+        "m_fx",
+        (6 - F.ntile(5).over(Window.orderBy("r_days", "c_custkey"))).alias(
+            "r_score"
+        ),
+        F.ntile(5)
+        .over(Window.orderBy("f_orders", "c_custkey"))
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m_fx", "c_custkey")).alias("m_score"),
+    )
+    return scored.select(
+        "c_custkey",
+        "r_days",
+        "f_orders",
+        "m_fx",
+        F.col("r_score").cast("bigint").alias("r_score"),
+        F.col("f_score").cast("bigint").alias("f_score"),
+        F.col("m_score").cast("bigint").alias("m_score"),
+        F.concat(
+            F.col("r_score").cast("string"),
+            F.col("f_score").cast("string"),
+            F.col("m_score").cast("string"),
+        ).alias("rfm_segment"),
+    )

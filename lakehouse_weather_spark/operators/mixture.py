@@ -214,3 +214,115 @@ def q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("tail")
         .alias("bucket"),
     )
+
+
+# --- Neyman sample allocation ----------------------------------------
+
+# Eval-sample budget to allocate across sources.
+NEYMAN_BUDGET = 1_000
+# Fixed-point scale for the per-stratum standard deviation.
+_SD_S = 100
+
+
+@register(
+    "q_neyman_allocation",
+    oracle=f"""
+        WITH mom AS (
+            SELECT source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS s,
+                   CAST(sum(CAST(n_chars AS HUGEINT) * n_chars)
+                        AS DOUBLE) AS q
+            FROM documents GROUP BY source
+        ),
+        sd AS (
+            SELECT source, n_docs,
+                   CAST(floor(sqrt((q - (CAST(s AS DOUBLE)
+                       * CAST(s AS DOUBLE)) / n_docs) / (n_docs - 1))
+                       * {_SD_S}) AS BIGINT) AS sd_fx
+            FROM mom
+        ),
+        wt AS (
+            SELECT source, n_docs, sd_fx,
+                   n_docs * sd_fx AS w,
+                   CAST(sum(n_docs * sd_fx) OVER () AS BIGINT) AS w_tot
+            FROM sd
+        ),
+        base AS (
+            SELECT source, n_docs, sd_fx, w, w_tot,
+                   ({NEYMAN_BUDGET} * w) // w_tot AS alloc0,
+                   ({NEYMAN_BUDGET} * w) % w_tot AS rem,
+                   CAST(sum(({NEYMAN_BUDGET} * w) // w_tot) OVER ()
+                        AS BIGINT) AS base_tot
+            FROM wt
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC)
+                       AS rk
+            FROM base
+        )
+        SELECT source, n_docs, sd_fx,
+               CAST(alloc0 + CASE WHEN rk <= {NEYMAN_BUDGET} - base_tot
+                                  THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        FROM ranked
+    """,
+    doc="Neyman optimal sample allocation: split a 1000-doc eval"
+    " budget across sources proportional to N_h x sd_h(n_chars) —"
+    " the minimum-variance stratified design (Neyman 1934), the"
+    " principled alternative to proportional sampling when strata"
+    " differ in spread. Per-stratum variance comes from exact integer"
+    " moments (hugeint/decimal sums of squares); the sd enters as a"
+    " FIXED-POINT floor (one mirrored IEEE sqrt), so the weights are"
+    " integers and the largest-remainder rounding — which makes the"
+    " allocations sum to the budget EXACTLY — is pure integer"
+    " arithmetic with a deterministic tie-break. One scan, one"
+    " partial agg; every window runs over the |sources|-row table.",
+)
+def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    mom = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("s"),
+        F.expr(
+            "cast(sum(cast(n_chars as decimal(19, 0))"
+            " * cast(n_chars as decimal(19, 0))) as double)"
+        ).alias("q"),
+    )
+    sd = mom.select(
+        "source",
+        "n_docs",
+        F.expr(
+            "cast(floor(sqrt((q - (cast(s as double) * cast(s as double))"
+            f" / n_docs) / (n_docs - 1)) * {_SD_S}) as bigint)"
+        ).alias("sd_fx"),
+    )
+    # all remaining windows run over the |sources|-row weight table
+    wall = Window.partitionBy()
+    wt = sd.select(
+        "source",
+        "n_docs",
+        "sd_fx",
+        (F.col("n_docs") * F.col("sd_fx")).alias("w"),
+    ).withColumn("w_tot", F.sum("w").over(wall).cast("bigint"))
+    base = (
+        wt.withColumn("alloc0", F.expr(f"({NEYMAN_BUDGET} * w) div w_tot"))
+        .withColumn("rem", F.expr(f"({NEYMAN_BUDGET} * w) % w_tot"))
+        .withColumn(
+            "base_tot", F.sum("alloc0").over(wall).cast("bigint")
+        )
+    )
+    ranked = base.withColumn(
+        "rk",
+        F.row_number().over(
+            Window.orderBy(F.desc("rem"), F.asc("source"))
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n_docs",
+        "sd_fx",
+        F.expr(
+            f"cast(alloc0 + case when rk <= {NEYMAN_BUDGET} - base_tot"
+            " then 1 else 0 end as bigint)"
+        ).alias("alloc"),
+    )

@@ -208,6 +208,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_cuped",
     "q_attribution",
     "q_changepoint",
+    "q_neyman_allocation",
+    "q_rfm",
 })
 
 

