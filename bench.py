@@ -157,6 +157,7 @@ HEADLINE = [
     "q_changepoint",
     "q_neyman_allocation",
     "q_rfm",
+    "q_survival_km",
 ]
 
 

@@ -695,3 +695,139 @@ def q_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "twap"
         ),
     )
+
+
+# --- Kaplan-Meier survival -------------------------------------------
+
+# Duration bucket for the survival curve: 30-day steps keep the curve
+# (and the oracle's recursive replay) at ~100 points regardless of SF.
+_KM_BUCKET = 30
+
+
+@register(
+    "q_survival_km",
+    oracle=f"""
+        WITH RECURSIVE base AS (
+            SELECT epoch_us(l.l_shipdate) // 86400000000 AS shipday,
+                   epoch_us(o.o_orderdate) // 86400000000 AS orderday
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            WHERE l.l_shipdate >= o.o_orderdate
+        ),
+        bounds AS (
+            SELECT max(orderday) AS obs_end FROM base
+        ),
+        units AS (
+            SELECT CASE WHEN shipday > (SELECT obs_end FROM bounds)
+                        THEN ((SELECT obs_end FROM bounds) - orderday)
+                             // {_KM_BUCKET}
+                        ELSE (shipday - orderday) // {_KM_BUCKET}
+                   END AS t,
+                   CASE WHEN shipday > (SELECT obs_end FROM bounds)
+                        THEN 0 ELSE 1 END AS died
+            FROM base
+        ),
+        counts AS (
+            SELECT t, CAST(sum(died) AS BIGINT) AS d,
+                   CAST(count(*) AS BIGINT) AS leav
+            FROM units GROUP BY t
+        ),
+        risk AS (
+            SELECT t, d,
+                   CAST(sum(leav) OVER (ORDER BY t DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS n_risk,
+                   row_number() OVER (ORDER BY t ASC) AS rn
+            FROM counts
+        ),
+        km AS (
+            SELECT t, d, n_risk, rn,
+                   1.0 - CAST(d AS DOUBLE) / n_risk AS surv
+            FROM risk WHERE rn = 1
+            UNION ALL
+            SELECT r.t, r.d, r.n_risk, r.rn,
+                   k.surv * (1.0 - CAST(r.d AS DOUBLE) / r.n_risk)
+            FROM risk r JOIN km k ON r.rn = k.rn + 1
+        )
+        SELECT t AS t_bucket, n_risk, d AS n_shipped, surv AS survival
+        FROM km
+    """,
+    doc="Kaplan-Meier estimator of order-to-ship latency with RIGHT"
+    " CENSORING: the 'event' is a lineitem shipping; items whose ship"
+    " date lies beyond the order horizon (max order date = the"
+    " observation end) are censored at their age-at-horizon — exactly"
+    " the not-yet-shipped open orders a naive mean-latency metric"
+    " silently drops, biasing SLAs optimistic. Durations bucket into"
+    " 30-day steps so the curve stays ~100 points at ANY scale. The"
+    " risk set is a suffix sum over that tiny bucket table; the"
+    " product-limit recurrence runs as the q_ewma_smooth-style"
+    " F.aggregate fold — each step multiplies by (1 - d/n), mirrored"
+    " IEEE ops on identical integers, so the DuckDB recursive-CTE"
+    " replay is bit-exact. The only fact-scale work is the"
+    " lineitem-orders equi-join + ONE partial agg.",
+)
+def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select(
+            F.expr(
+                "unix_micros(cast(l_shipdate as timestamp))"
+                " div 86400000000"
+            ).alias("shipday"),
+            F.expr(
+                "unix_micros(cast(o_orderdate as timestamp))"
+                " div 86400000000"
+            ).alias("orderday"),
+        )
+    )
+    bounds = base.agg(F.max("orderday").alias("obs_end"))
+    units = base.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"case when shipday > obs_end"
+            f" then (obs_end - orderday) div {_KM_BUCKET}"
+            f" else (shipday - orderday) div {_KM_BUCKET} end"
+        ).alias("t"),
+        F.expr(
+            "case when shipday > obs_end then 0 else 1 end"
+        ).alias("died"),
+    )
+    counts = units.groupBy("t").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("leav"),
+    )
+    # suffix sum + KM fold run over the ~100-row bucket table —
+    # global windows are bounded, not a scale hazard
+    wdesc = Window.orderBy(F.desc("t")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    risk = counts.select(
+        "t", "d", F.sum("leav").over(wdesc).cast("bigint").alias("n_risk")
+    )
+    series = risk.groupBy().agg(
+        F.collect_list(F.struct("t", "d", "n_risk")).alias("series")
+    )
+    out_t = "array<struct<t:bigint,d:bigint,n_risk:bigint,surv:double>>"
+    fold = f"""
+        aggregate(
+            array_sort(series),
+            named_struct('s', CAST(1.0 AS DOUBLE),
+                         'out', CAST(array() AS {out_t})),
+            (acc, x) -> named_struct(
+                's', acc.s * (1.0 - CAST(x.d AS DOUBLE) / x.n_risk),
+                'out', acc.out || array(named_struct(
+                    't', x.t, 'd', x.d, 'n_risk', x.n_risk,
+                    'surv', acc.s * (1.0 - CAST(x.d AS DOUBLE)
+                                     / x.n_risk)))),
+            acc -> acc.out
+        )
+    """
+    return series.select(F.explode(F.expr(fold)).alias("e")).select(
+        F.col("e.t").alias("t_bucket"),
+        F.col("e.n_risk").alias("n_risk"),
+        F.col("e.d").alias("n_shipped"),
+        F.col("e.surv").alias("survival"),
+    )

@@ -210,6 +210,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_changepoint",
     "q_neyman_allocation",
     "q_rfm",
+    "q_survival_km",
 })
 
 

@@ -183,3 +183,27 @@ def test_twap_matches_hand_integral(spark, sf_dir):
     for k in want:
         assert got[k][0] == want[k][0]
         assert abs(got[k][1] - want[k][1]) < 1e-9
+
+
+def test_survival_km_properties(spark, sf_dir):
+    from lakehouse_weather_spark.operators.timeseries import q_survival_km
+
+    rows = sorted(
+        q_survival_km(spark, sf_dir).collect(), key=lambda r: r.t_bucket
+    )
+    assert len(rows) > 10  # a real curve, not a degenerate pair
+    # survival is a non-increasing product in (0, 1]
+    prev = 1.0
+    for r in rows:
+        assert 0.0 < r.survival <= prev + 1e-15
+        prev = r.survival
+    # risk set is the suffix sum of exits: strictly decreasing in t
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_risk > b.n_risk
+    # replay the product limit exactly
+    s = 1.0
+    for r in rows:
+        s = s * (1.0 - r.n_shipped / r.n_risk)
+        assert r.survival == s
+    # censoring exists: total deaths < total entries at risk
+    assert sum(r.n_shipped for r in rows) < rows[0].n_risk
