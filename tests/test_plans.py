@@ -223,3 +223,40 @@ def test_epoch_shuffle_never_sorts_globally(spark, sf_dir):
     # the whole corpus through one task
     plan = _plan(spark, sf_dir, "q_epoch_shuffle")
     assert "hashpartitioning(reader_bucket" in plan
+
+
+def test_target_encode_broadcasts_encoding_tables(spark, sf_dir):
+    # the 25-row (segment, fold) encoding table and its per-segment
+    # totals must broadcast back onto the customer scan — a shuffle
+    # join there would move the whole dimension for a lookup table
+    plan = _plan(spark, sf_dir, "q_target_encode_oof")
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_bloom_semijoin_broadcasts_bits_and_dim(spark, sf_dir):
+    # both the bloom bit table and the exact dim key set are tiny:
+    # the fact scan must never shuffle for either membership test
+    plan = _plan(spark, sf_dir, "q_bloom_semijoin")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_attribution_windows_stay_user_sharded(spark, sf_dir):
+    # every window partitions on user_id — a global window here would
+    # serialize the whole clickstream through one task
+    plan = _plan(spark, sf_dir, "q_attribution")
+    assert "hashpartitioning(user_id" in plan
+    # the final per-channel rollup is a partial aggregation
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_feature_hashing_has_no_pivot_or_udf(spark, sf_dir):
+    # the dense vector materializes via an array transform per row:
+    # no pivot (second shuffle) and no Python in the plan
+    plan = _plan(spark, sf_dir, "q_feature_hashing")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # two shuffles only: the map-side-combined (doc_id, bucket) agg
+    # and the per-doc re-agg ("+- Exchange" counts tree nodes once;
+    # the formatted detail section repeats each as "(n) Exchange")
+    assert plan.count("+- Exchange") <= 2
