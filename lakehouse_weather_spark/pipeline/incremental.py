@@ -113,3 +113,40 @@ def write_sized(
     n_files = max(1, math.ceil(total_rows * bytes_per_row / (target_mb * 1024 * 1024)))
     df.repartition(n_files).write.mode("overwrite").parquet(out_dir)
     return len(glob.glob(f"{out_dir}/*.parquet"))
+
+
+def update_join_view(
+    view: DataFrame,
+    a_old: DataFrame,
+    delta_a: DataFrame,
+    b_old: DataFrame,
+    delta_b: DataFrame,
+    on,
+) -> DataFrame:
+    """Incrementally maintain a materialized INNER-join view under
+    append-only deltas on either (or both) sides.
+
+    Classic delta-rule (view-maintenance literature; append-only case):
+
+        d(A JOIN B) = dA JOIN B  UNION ALL  A JOIN dB
+                      UNION ALL  dA JOIN dB
+
+    where A/B are the PRE-delta snapshots — using post-delta snapshots
+    on both terms would double-count the dA x dB pairs. The returned
+    frame is ``view`` + the three delta joins; fold-in equality with a
+    full recompute is asserted in tests/test_incremental.py.
+
+    Scale shape: the deltas are small by construction (one
+    batch/partition of new rows), so every delta join is
+    broadcast-able on its delta side; the BASE tables are only ever
+    probed, never re-joined against each other — the entire point of
+    maintaining the view. Deletions/updates need a keyed MERGE of
+    retractions (see merge_upsert); append-only covers the bronze
+    ingest pattern.
+    """
+    d = (
+        delta_a.join(b_old, on)
+        .unionByName(a_old.join(delta_b, on))
+        .unionByName(delta_a.join(delta_b, on))
+    )
+    return view.unionByName(d)

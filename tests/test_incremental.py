@@ -374,3 +374,40 @@ def test_manifest_history_and_schema_tracking(spark, sf_dir, tmp_path):
         "lang",
         "source",
     }
+
+
+def test_update_join_view_equals_full_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.pipeline.incremental import update_join_view
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_linenumber", "l_quantity"
+    )
+    # split both sides into an 80% base and a 20% "new arrivals" delta
+    a_old = orders.filter(F.col("o_orderkey") % 5 != 0)
+    delta_a = orders.filter(F.col("o_orderkey") % 5 == 0)
+    b_old = li.filter(F.col("l_linenumber") % 4 != 0)
+    delta_b = li.filter(F.col("l_linenumber") % 4 == 0)
+
+    view = a_old.join(b_old, "o_orderkey")
+    maintained = update_join_view(
+        view, a_old, delta_a, b_old, delta_b, "o_orderkey"
+    )
+    full = orders.join(li, "o_orderkey")
+
+    key = ["o_orderkey", "l_linenumber"]
+    assert maintained.count() == full.count()
+    assert (
+        maintained.select(*key).exceptAll(full.select(*key)).count() == 0
+    )
+    assert (
+        full.select(*key).exceptAll(maintained.select(*key)).count() == 0
+    )
+    # the deltas genuinely contributed every term of the delta rule
+    assert delta_a.count() > 0 and delta_b.count() > 0
+    assert delta_a.join(delta_b, "o_orderkey").count() > 0
