@@ -158,6 +158,8 @@ HEADLINE = [
     "q_neyman_allocation",
     "q_rfm",
     "q_survival_km",
+    "q_mannwhitney",
+    "q_did",
 ]
 
 

@@ -1118,3 +1118,141 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             " - 2 * (cov / var_pre) * cov) / var_post"
         ).alias("var_reduction"),
     )
+
+
+# --- Mann-Whitney U rank test ----------------------------------------
+
+
+@register(
+    "q_mannwhitney",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        fx AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) < (SELECT mid_us FROM bounds)
+                        AS INTEGER) AS is_old,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, is_old, vfx,
+                   rank() OVER (PARTITION BY event_type
+                                ORDER BY vfx) AS min_rank,
+                   count(*) OVER (PARTITION BY event_type, vfx) AS c
+            FROM fx
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(is_old) AS BIGINT) AS n1,
+                   CAST(sum(1 - is_old) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN is_old = 1
+                            THEN 2 * min_rank + c - 1 ELSE 0 END)
+                        AS BIGINT) AS r1_2
+            FROM ranked GROUP BY event_type
+        ),
+        ties AS (
+            SELECT event_type,
+                   CAST(sum(CAST(c AS HUGEINT) * c * c - c) AS DOUBLE)
+                       AS tie_term
+            FROM (SELECT DISTINCT event_type, vfx,
+                         count(*) OVER (PARTITION BY event_type, vfx)
+                             AS c
+                  FROM fx)
+            GROUP BY event_type
+        ),
+        stat AS (
+            SELECT a.event_type, a.n1, a.n2,
+                   (CAST(a.r1_2 AS DOUBLE) / 2)
+                       - (CAST(a.n1 AS DOUBLE) * (a.n1 + 1)) / 2 AS u1,
+                   (CAST(a.n1 AS DOUBLE) * a.n2) / 2 AS mu,
+                   (CAST(a.n1 AS DOUBLE) * a.n2 / 12)
+                   * ((a.n1 + a.n2 + 1)
+                      - t.tie_term / (CAST(a.n1 + a.n2 AS DOUBLE)
+                                      * (a.n1 + a.n2 - 1))) AS var
+            FROM agg a JOIN ties t USING (event_type)
+        )
+        SELECT event_type, n1 AS n_old, n2 AS n_new, u1 AS u_stat,
+               (u1 - mu) / sqrt(var) AS z_score
+        FROM stat
+    """,
+    doc="Mann-Whitney U (Wilcoxon rank-sum) drift test per event type"
+    " between the stream's time halves — the NONPARAMETRIC location"
+    " test completing the drift triptych (q_ks_drift: shape;"
+    " q_welch_ttest: parametric mean; here: rank shift robust to"
+    " outliers and any monotone transform). Tied ranks use average"
+    " ranks kept INTEGER by doubling (2*min_rank + ties - 1), and the"
+    " tie-corrected normal-approximation variance consumes an exact"
+    " hugeint/decimal sum of (t^3 - t); the final z is a handful of"
+    " mirrored IEEE ops, so DuckDB replays every float bit-for-bit."
+    " Two windows on (type[, value]) + one partial agg.",
+)
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    fx = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    )
+    wrank = Window.partitionBy("event_type").orderBy("vfx")
+    wtie = Window.partitionBy("event_type", "vfx")
+    ranked = fx.select(
+        "event_type",
+        "is_old",
+        "vfx",
+        F.rank().over(wrank).alias("min_rank"),
+        F.count(F.lit(1)).over(wtie).alias("c"),
+    )
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("is_old").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("is_old")).cast("bigint").alias("n2"),
+        F.sum(
+            F.when(
+                F.col("is_old") == 1,
+                2 * F.col("min_rank") + F.col("c") - 1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("r1_2"),
+    )
+    ties = (
+        ranked.select("event_type", "vfx", "c")
+        .distinct()
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "cast(sum(cast(c as decimal(19, 0)) * c * c - c)"
+                " as double)"
+            ).alias("tie_term")
+        )
+    )
+    stat = agg.join(ties, "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.expr(
+            "(cast(r1_2 as double) / 2)"
+            " - (cast(n1 as double) * (n1 + 1)) / 2"
+        ).alias("u1"),
+        F.expr("(cast(n1 as double) * n2) / 2").alias("mu"),
+        F.expr(
+            "(cast(n1 as double) * n2 / 12)"
+            " * ((n1 + n2 + 1) - tie_term"
+            " / (cast(n1 + n2 as double) * (n1 + n2 - 1)))"
+        ).alias("var"),
+    )
+    return stat.select(
+        "event_type",
+        F.col("n1").alias("n_old"),
+        F.col("n2").alias("n_new"),
+        F.col("u1").alias("u_stat"),
+        F.expr("(u1 - mu) / sqrt(var)").alias("z_score"),
+    )

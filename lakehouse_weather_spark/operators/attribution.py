@@ -234,3 +234,115 @@ def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("gain_fx").cast("bigint").alias("gain_fx"),
         )
     )
+
+
+# --- difference-in-differences ---------------------------------------
+
+_SCALE = 10_000
+
+
+@register(
+    "q_did",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        cells AS (
+            SELECT CAST(user_id % 2 AS BIGINT) AS treated,
+                   CAST(epoch_us(ts) >= (SELECT mid_us FROM bounds)
+                        AS BIGINT) AS post,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * {_SCALE}) AS BIGINT))
+                        AS BIGINT) AS s
+            FROM events GROUP BY 1, 2
+        ),
+        means AS (
+            SELECT treated, post,
+                   n, CAST(s AS DOUBLE) / n / {_SCALE} AS m
+            FROM cells
+        )
+        SELECT
+            CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN n END)
+                 AS BIGINT) AS n_treat_pre,
+            CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN n END)
+                 AS BIGINT) AS n_treat_post,
+            max(CASE WHEN treated = 0 AND post = 0 THEN m END)
+                AS mean_ctrl_pre,
+            max(CASE WHEN treated = 0 AND post = 1 THEN m END)
+                AS mean_ctrl_post,
+            max(CASE WHEN treated = 1 AND post = 0 THEN m END)
+                AS mean_treat_pre,
+            max(CASE WHEN treated = 1 AND post = 1 THEN m END)
+                AS mean_treat_post,
+            (max(CASE WHEN treated = 1 AND post = 1 THEN m END)
+             - max(CASE WHEN treated = 1 AND post = 0 THEN m END))
+            - (max(CASE WHEN treated = 0 AND post = 1 THEN m END)
+               - max(CASE WHEN treated = 0 AND post = 0 THEN m END))
+                AS did_estimate
+        FROM means
+    """,
+    doc="Difference-in-differences estimator over the event stream:"
+    " treatment = deterministic user parity (the stand-in for an"
+    " experiment flag), periods = the stream's time halves; the"
+    " estimate is (treat_post - treat_pre) - (ctrl_post - ctrl_pre),"
+    " the workhorse causal design when randomization is impossible"
+    " and both groups share a pre-trend. The four cell means come"
+    " from exact integer (count, sum) pairs produced by ONE"
+    " conditional-aggregation scan; the estimate is six mirrored IEEE"
+    " ops, so DuckDB replays it bit-for-bit. Output is one row —"
+    " at any scale the reduce tree carries eight integers.",
+)
+def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    cells = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy(
+            (F.col("user_id") % 2).cast("bigint").alias("treated"),
+            F.expr(f"cast({us} >= mid_us as bigint)").alias("post"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.round(F.col("value") * _SCALE, 0).cast("bigint"))
+            .cast("bigint")
+            .alias("s"),
+        )
+    )
+    means = cells.select(
+        "treated",
+        "post",
+        "n",
+        F.expr(f"cast(s as double) / n / {_SCALE}").alias("m"),
+    )
+
+    def cell(t: int, p: int, col: str) -> F.Column:
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p), F.col(col)
+            )
+        )
+
+    return means.agg(
+        F.sum(
+            F.when((F.col("treated") == 1) & (F.col("post") == 0), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("n_treat_pre"),
+        F.sum(
+            F.when((F.col("treated") == 1) & (F.col("post") == 1), F.col("n"))
+        )
+        .cast("bigint")
+        .alias("n_treat_post"),
+        cell(0, 0, "m").alias("mean_ctrl_pre"),
+        cell(0, 1, "m").alias("mean_ctrl_post"),
+        cell(1, 0, "m").alias("mean_treat_pre"),
+        cell(1, 1, "m").alias("mean_treat_post"),
+        (
+            (cell(1, 1, "m") - cell(1, 0, "m"))
+            - (cell(0, 1, "m") - cell(0, 0, "m"))
+        ).alias("did_estimate"),
+    )

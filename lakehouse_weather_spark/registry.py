@@ -211,6 +211,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_neyman_allocation",
     "q_rfm",
     "q_survival_km",
+    "q_mannwhitney",
+    "q_did",
 })
 
 

@@ -194,3 +194,70 @@ def test_rfm_scores_are_balanced_quintiles(spark, sf_dir):
         assert max(by_m[lo]) <= min(by_m[hi]) or True  # ties split by key
         assert sorted(by_m[lo])[len(by_m[lo]) // 2] <= max(by_m[hi])
     assert n > 0
+
+
+def test_mannwhitney_matches_scipy_free_replay(spark, sf_dir):
+    import math
+
+    rows = load_all()["q_mannwhitney"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).collect()
+    us = [int(x.ts.timestamp() * 1_000_000) for x in ev]
+    mid = (min(us) + max(us)) // 2
+    by_type: dict[str, tuple[list, list]] = {}
+    for x, u in zip(ev, us):
+        old, new = by_type.setdefault(x.event_type, ([], []))
+        (old if u < mid else new).append(round(x.value * 10_000))
+    for r in rows:
+        old, new = by_type[r.event_type]
+        both = sorted(old + new)
+        # average ranks with ties
+        rank_of: dict[int, float] = {}
+        i = 0
+        while i < len(both):
+            j = i
+            while j < len(both) and both[j] == both[i]:
+                j += 1
+            rank_of[both[i]] = (i + 1 + j) / 2
+            i = j
+        r1 = sum(rank_of[v] for v in old)
+        n1, n2 = len(old), len(new)
+        u1 = r1 - n1 * (n1 + 1) / 2
+        mu = n1 * n2 / 2
+        n = n1 + n2
+        tie = sum(
+            c**3 - c
+            for c in __import__("collections").Counter(both).values()
+        )
+        var = n1 * n2 / 12 * ((n + 1) - tie / (n * (n - 1)))
+        z = (u1 - mu) / math.sqrt(var)
+        assert (r.n_old, r.n_new) == (n1, n2)
+        assert abs(r.u_stat - u1) < 1e-6
+        assert abs(r.z_score - z) < 1e-9 * max(1, abs(z))
+
+
+def test_did_equals_cell_mean_arithmetic(spark, sf_dir):
+    r = load_all()["q_did"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "value"
+    ).collect()
+    us = [int(x.ts.timestamp() * 1_000_000) for x in ev]
+    mid = (min(us) + max(us)) // 2
+    cells: dict[tuple, list[int]] = {}
+    for x, u in zip(ev, us):
+        cells.setdefault((x.user_id % 2, int(u >= mid)), []).append(
+            round(x.value * 10_000)
+        )
+    m = {k: sum(v) / len(v) / 10_000 for k, v in cells.items()}
+    did = (m[(1, 1)] - m[(1, 0)]) - (m[(0, 1)] - m[(0, 0)])
+    assert r.n_treat_pre == len(cells[(1, 0)])
+    assert r.n_treat_post == len(cells[(1, 1)])
+    assert abs(r.did_estimate - did) < 1e-9
+    for (t, p), col in [
+        ((0, 0), r.mean_ctrl_pre),
+        ((0, 1), r.mean_ctrl_post),
+        ((1, 0), r.mean_treat_pre),
+        ((1, 1), r.mean_treat_post),
+    ]:
+        assert abs(col - m[(t, p)]) < 1e-9
