@@ -160,6 +160,7 @@ HEADLINE = [
     "q_survival_km",
     "q_mannwhitney",
     "q_did",
+    "q_sliding_distinct",
 ]
 
 

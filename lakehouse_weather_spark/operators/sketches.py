@@ -573,3 +573,78 @@ def q_hll_manual(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("double")
         ).alias("hll_estimate"),
     )
+
+
+# --- sliding-window exact distinct -----------------------------------
+
+# Sliding window width in days (inclusive of the end day).
+SLIDE_DAYS = 7
+
+
+@register(
+    "q_sliding_distinct",
+    oracle=f"""
+        WITH days AS (
+            SELECT DISTINCT date_trunc('day', ts) AS d FROM events
+        )
+        SELECT days.d AS window_end,
+               CAST(count(DISTINCT date_trunc('day', e.ts)) AS BIGINT)
+                   AS n_days,
+               CAST(count(DISTINCT e.user_id) AS BIGINT)
+                   AS distinct_users
+        FROM days JOIN events e
+          ON date_trunc('day', e.ts)
+             BETWEEN days.d - INTERVAL {SLIDE_DAYS - 1} DAY AND days.d
+        GROUP BY days.d
+    """,
+    doc="EXACT distinct users over a sliding 7-day window ending at"
+    " every active day — the metric (weekly actives, daily grain)"
+    " that naive COUNT(DISTINCT) recomputes from raw events 7x over."
+    " The scale answer: build ONE mergeable roaring-bitmap partial"
+    " per (day, bucket), then fan each partial out to the <=7 windows"
+    " it serves (a constant-factor explode of kilobyte bitmaps, not"
+    " of events) and OR-merge per window. Raw user ids shuffle"
+    " exactly once; re-use across overlapping windows is free because"
+    " bitmaps merge associatively — the same partials also serve"
+    " monthly rollups or backfills without touching events again."
+    " Bitmaps are exact, so the DuckDB brute-force range-join oracle"
+    " hash-matches.",
+)
+def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    base = ev.select(
+        F.date_trunc("day", "ts").alias("d"),
+        F.bitmap_bucket_number("user_id").alias("bucket"),
+        F.bitmap_bit_position("user_id").alias("pos"),
+    )
+    partials = base.groupBy("d", "bucket").agg(
+        F.bitmap_construct_agg("pos").alias("bm")
+    )
+    days = ev.select(F.date_trunc("day", "ts").alias("window_end")).distinct()
+    contrib = (
+        partials.withColumn(
+            "k", F.explode(F.expr(f"sequence(0, {SLIDE_DAYS - 1})"))
+        )
+        .withColumn("window_end", F.expr("timestampadd(DAY, k, d)"))
+        .join(F.broadcast(days), "window_end")
+    )
+    unions = contrib.groupBy("window_end", "bucket").agg(
+        F.bitmap_or_agg("bm").alias("bm")
+    )
+    counts = unions.groupBy("window_end").agg(
+        F.sum(F.bitmap_count("bm")).cast("bigint").alias("distinct_users")
+    )
+    # contributing-day count per window from the tiny day directory
+    day_src = days.select(F.col("window_end").alias("d"))
+    n_days = (
+        day_src.withColumn(
+            "k", F.explode(F.expr(f"sequence(0, {SLIDE_DAYS - 1})"))
+        )
+        .withColumn("window_end", F.expr("timestampadd(DAY, k, d)"))
+        .join(F.broadcast(days), "window_end")
+        .groupBy("window_end")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    )
+    return counts.join(F.broadcast(n_days), "window_end").select(
+        "window_end", "n_days", "distinct_users"
+    )

@@ -213,6 +213,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_survival_km",
     "q_mannwhitney",
     "q_did",
+    "q_sliding_distinct",
 })
 
 

@@ -309,3 +309,35 @@ def test_bloom_semijoin_equals_plain_semijoin_and_prunes(spark, sf_dir):
     n_keys = li.select("l_orderkey").distinct().count()
     n_dim = orders.count()
     assert n_dim < n_keys * 0.2  # predicate is genuinely selective
+
+
+def test_sliding_distinct_equals_bruteforce(spark, sf_dir):
+    import datetime as dt
+
+    from lakehouse_weather_spark.operators.sketches import (
+        SLIDE_DAYS,
+        q_sliding_distinct,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    got = {
+        r.window_end: (r.n_days, r.distinct_users)
+        for r in q_sliding_distinct(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select("ts", "user_id").collect()
+    by_day: dict[dt.datetime, set] = {}
+    for r in ev:
+        d = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        by_day.setdefault(d, set()).add(r.user_id)
+    want = {}
+    for d in by_day:
+        days = [
+            d2
+            for d2 in by_day
+            if 0 <= (d - d2).days <= SLIDE_DAYS - 1
+        ]
+        users = set().union(*(by_day[d2] for d2 in days))
+        want[d] = (len(days), len(users))
+    assert got == want
+    # windows genuinely overlap: mid-stream windows span 7 days
+    assert max(n for n, _ in got.values()) == SLIDE_DAYS
