@@ -161,6 +161,8 @@ HEADLINE = [
     "q_mannwhitney",
     "q_did",
     "q_sliding_distinct",
+    "q_window_funnel",
+    "q_cohort_ltv",
 ]
 
 

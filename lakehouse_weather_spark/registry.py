@@ -214,6 +214,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_mannwhitney",
     "q_did",
     "q_sliding_distinct",
+    "q_window_funnel",
+    "q_cohort_ltv",
 })
 
 

@@ -923,3 +923,205 @@ def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+# --- strict multi-stage window funnel --------------------------------
+
+# Funnel stage sequence and the window anchored at the first stage.
+FUNNEL_STAGES = ("view", "click", "signup", "purchase")
+_FUNNEL_WINDOW = "INTERVAL 1 HOUR"
+
+
+@register(
+    "q_window_funnel",
+    oracle=f"""
+        WITH s1 AS (
+            SELECT user_id, min(ts) AS t1 FROM events
+            WHERE event_type = '{FUNNEL_STAGES[0]}' GROUP BY user_id
+        ),
+        s2 AS (
+            SELECT e.user_id, min(e.ts) AS t2
+            FROM events e JOIN s1 ON e.user_id = s1.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[1]}'
+              AND e.ts > s1.t1 AND e.ts <= s1.t1 + {_FUNNEL_WINDOW}
+            GROUP BY e.user_id
+        ),
+        s3 AS (
+            SELECT e.user_id, min(e.ts) AS t3
+            FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            JOIN s2 ON e.user_id = s2.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[2]}'
+              AND e.ts > s2.t2 AND e.ts <= s1.t1 + {_FUNNEL_WINDOW}
+            GROUP BY e.user_id
+        ),
+        s4 AS (
+            SELECT e.user_id, min(e.ts) AS t4
+            FROM events e
+            JOIN s1 ON e.user_id = s1.user_id
+            JOIN s3 ON e.user_id = s3.user_id
+            WHERE e.event_type = '{FUNNEL_STAGES[3]}'
+              AND e.ts > s3.t3 AND e.ts <= s1.t1 + {_FUNNEL_WINDOW}
+            GROUP BY e.user_id
+        ),
+        staged AS (
+            SELECT s1.user_id,
+                   CASE WHEN s4.user_id IS NOT NULL THEN 4
+                        WHEN s3.user_id IS NOT NULL THEN 3
+                        WHEN s2.user_id IS NOT NULL THEN 2
+                        ELSE 1 END AS max_stage
+            FROM s1
+            LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+            LEFT JOIN s4 ON s1.user_id = s4.user_id
+        )
+        SELECT CAST(max_stage AS BIGINT) AS max_stage,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM staged GROUP BY max_stage
+    """,
+    doc="Strict-order multi-stage window funnel (the ClickHouse"
+    " windowFunnel shape, greedy-from-earliest variant): anchored at"
+    " each user's FIRST view, how deep does the"
+    " view>click>signup>purchase chain get with every later stage"
+    " strictly after its predecessor and inside one hour of the"
+    " anchor? Earliest-eligible (min) choices make the chain"
+    " deterministic and SQL-mirrorable; q_funnel's single-hop"
+    " conversion is the 2-stage special case. Each stage is one"
+    " user-keyed equi-join + partial min — four narrow shuffles"
+    " total, no window function touches the raw stream, so the plan"
+    " scales with the user shard.",
+)
+def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    s1 = (
+        ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+
+    def next_stage(prev: DataFrame, prev_t: str, stage: str, out: str):
+        return (
+            ev.filter(F.col("event_type") == stage)
+            .join(prev, "user_id")
+            .filter(
+                (F.col("ts") > F.col(prev_t))
+                & (F.col("ts") <= F.expr(f"t1 + {_FUNNEL_WINDOW}"))
+            )
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out))
+        )
+
+    s2 = next_stage(s1, "t1", FUNNEL_STAGES[1], "t2")
+    s3 = next_stage(
+        s2.join(s1, "user_id"), "t2", FUNNEL_STAGES[2], "t3"
+    )
+    s4 = next_stage(
+        s3.join(s1, "user_id"), "t3", FUNNEL_STAGES[3], "t4"
+    )
+    staged = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .join(s4, "user_id", "left")
+        .select(
+            F.when(F.col("t4").isNotNull(), 4)
+            .when(F.col("t3").isNotNull(), 3)
+            .when(F.col("t2").isNotNull(), 2)
+            .otherwise(1)
+            .cast("bigint")
+            .alias("max_stage")
+        )
+    )
+    return staged.groupBy("max_stage").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+
+
+# --- cohort lifetime-value curve -------------------------------------
+
+
+@register(
+    "q_cohort_ltv",
+    oracle=f"""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+            FROM events GROUP BY user_id
+        ),
+        contrib AS (
+            SELECT f.cohort_week,
+                   CAST(date_diff('week', f.cohort_week,
+                        date_trunc('week', e.ts)) AS BIGINT)
+                       AS week_offset,
+                   CAST(round(e.value * 10000) AS BIGINT) AS vfx
+            FROM events e JOIN firsts f ON e.user_id = f.user_id
+        ),
+        sizes AS (
+            SELECT cohort_week, CAST(count(*) AS BIGINT) AS n_users
+            FROM firsts GROUP BY cohort_week
+        ),
+        weekly AS (
+            SELECT cohort_week, week_offset,
+                   CAST(sum(vfx) AS BIGINT) AS v
+            FROM contrib GROUP BY cohort_week, week_offset
+        ),
+        cum AS (
+            SELECT cohort_week, week_offset,
+                   CAST(sum(v) OVER (PARTITION BY cohort_week
+                        ORDER BY week_offset
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS BIGINT) AS cum_fx
+            FROM weekly
+        )
+        SELECT c.cohort_week, c.week_offset, s.n_users,
+               CAST(c.cum_fx AS DOUBLE) / 10000 AS cum_value,
+               CAST(c.cum_fx // s.n_users AS BIGINT) AS ltv_per_user_fx
+        FROM cum c JOIN sizes s USING (cohort_week)
+    """,
+    doc="Cohort lifetime-value curve: users cohort by first-event"
+    " week; each cohort's cumulative fixed-point value by week-of-age"
+    " and its per-user LTV (floor-divided fixed point) — the"
+    " payback-period view that retention counts (q_retention_cohorts)"
+    " can't give because it weights activity by VALUE. The raw"
+    " stream is touched by one user-keyed join + one partial agg;"
+    " the running sum is a window over the |cohorts| x |ages| table."
+    " All integer until one display division, so the oracle"
+    " hash-matches.",
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    contrib = ev.join(firsts, "user_id").select(
+        "cohort_week",
+        F.expr(
+            "cast(datediff(week, cohort_week, date_trunc('week', ts))"
+            " as bigint)"
+        ).alias("week_offset"),
+        F.round(F.col("value") * 10_000, 0).cast("bigint").alias("vfx"),
+    )
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users")
+    )
+    weekly = contrib.groupBy("cohort_week", "week_offset").agg(
+        F.sum("vfx").cast("bigint").alias("v")
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = weekly.select(
+        "cohort_week",
+        "week_offset",
+        F.sum("v").over(wcum).cast("bigint").alias("cum_fx"),
+    )
+    return cum.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        "n_users",
+        (F.col("cum_fx").cast("double") / 10_000).alias("cum_value"),
+        F.expr("cast(cum_fx div n_users as bigint)").alias(
+            "ltv_per_user_fx"
+        ),
+    )

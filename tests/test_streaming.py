@@ -285,3 +285,69 @@ def test_stream_sliding_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stream == batch
+
+
+def test_window_funnel_stage_semantics(spark, sf_dir):
+    from lakehouse_weather_spark.sources.tables import load_table
+    from lakehouse_weather_spark.streaming.events import (
+        FUNNEL_STAGES,
+        q_window_funnel,
+    )
+
+    got = {
+        r.max_stage: r.n_users
+        for r in q_window_funnel(spark, sf_dir).collect()
+    }
+    # replay greedily from each user's earliest view
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    ).collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append(r)
+    import datetime as dt
+
+    want: dict[int, int] = {}
+    for rows in by_user.values():
+        views = [r.ts for r in rows if r.event_type == FUNNEL_STAGES[0]]
+        if not views:
+            continue
+        t = min(views)
+        horizon = t + dt.timedelta(hours=1)
+        stage = 1
+        for nxt in FUNNEL_STAGES[1:]:
+            cand = [
+                r.ts
+                for r in rows
+                if r.event_type == nxt and t < r.ts <= horizon
+            ]
+            if not cand:
+                break
+            t = min(cand)
+            stage += 1
+        want[stage] = want.get(stage, 0) + 1
+    assert got == want
+    assert sum(got.values()) == len(
+        {r.user_id for r in ev if r.event_type == FUNNEL_STAGES[0]}
+    )
+
+
+def test_cohort_ltv_is_cumulative_and_conserves_value(spark, sf_dir):
+    from lakehouse_weather_spark.sources.tables import load_table
+    from lakehouse_weather_spark.streaming.events import q_cohort_ltv
+
+    rows = q_cohort_ltv(spark, sf_dir).collect()
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_week, []).append(r)
+    total_fx = 0
+    for series in by_cohort.values():
+        series.sort(key=lambda r: r.week_offset)
+        prev = 0.0
+        for r in series:
+            assert r.cum_value >= prev  # cumulative, non-decreasing
+            prev = r.cum_value
+            assert r.ltv_per_user_fx == int(r.cum_value * 10_000) // r.n_users
+        total_fx += round(series[-1].cum_value * 10_000)
+    ev = load_table(spark, sf_dir, "events").select("value").collect()
+    assert total_fx == sum(round(r.value * 10_000) for r in ev)
