@@ -163,6 +163,7 @@ HEADLINE = [
     "q_sliding_distinct",
     "q_window_funnel",
     "q_cohort_ltv",
+    "q_ndcg",
 ]
 
 

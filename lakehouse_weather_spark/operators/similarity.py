@@ -1443,3 +1443,167 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "pos",
         ((F.col("val") - mean) / F.sqrt(e2 - mean * mean)).alias("z"),
     )
+
+
+# --- NDCG ranking-quality eval ---------------------------------------
+
+import math as _math
+
+# Fixed query set for the graded eval.
+NDCG_QUERIES = 5
+# Integer fixed-point discount weights W_i = round(1e6 / log2(i + 1)):
+# baking the logs in as INTEGER constants makes DCG an order-free
+# integer sum — no libm call ever runs inside either engine.
+_NDCG_W = [round(1_000_000 / _math.log2(i + 1)) for i in range(1, TOP_K + 1)]
+
+
+def _ndcg_oracle() -> str:
+    wts_rows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    return f"""
+        WITH {_DUCK_VEC_CTE},
+        ql AS (
+            SELECT vec_id AS q_id, label AS q_label FROM embeddings
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        q AS (
+            SELECT vec_id AS q_id, pos, val FROM vals
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        qn AS (
+            SELECT vec_id AS q_id, nrm AS q_nrm FROM norms
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        dots AS (
+            SELECT q.q_id, v.vec_id,
+                   {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos AND v.vec_id <> q.q_id
+            GROUP BY q.q_id, v.vec_id
+        ),
+        ranked AS (
+            SELECT d.q_id, d.vec_id,
+                   row_number() OVER (PARTITION BY d.q_id
+                       ORDER BY d.dot / (n.nrm * qn.q_nrm) DESC,
+                                d.vec_id) AS i
+            FROM dots d
+            JOIN norms n ON d.vec_id = n.vec_id
+            JOIN qn ON qn.q_id = d.q_id
+        ),
+        wts AS (SELECT * FROM (VALUES {wts_rows}) t(i, w)),
+        rel AS (
+            SELECT r.q_id, r.i,
+                   CASE WHEN e.label = ql.q_label THEN 1 ELSE 0 END AS rel
+            FROM ranked r
+            JOIN embeddings e ON e.vec_id = r.vec_id
+            JOIN ql ON ql.q_id = r.q_id
+            WHERE r.i <= {TOP_K}
+        ),
+        dcg AS (
+            SELECT q_id, CAST(sum(rel * w) AS BIGINT) AS dcg_fx
+            FROM rel JOIN wts USING (i) GROUP BY q_id
+        ),
+        nrel AS (
+            SELECT ql.q_id, CAST(count(*) AS BIGINT) AS n_rel
+            FROM embeddings e
+            JOIN ql ON e.label = ql.q_label AND e.vec_id <> ql.q_id
+            GROUP BY ql.q_id
+        ),
+        idcg AS (
+            SELECT n.q_id, CAST(sum(w.w) AS BIGINT) AS idcg_fx
+            FROM nrel n JOIN wts w ON w.i <= least({TOP_K}, n.n_rel)
+            GROUP BY n.q_id
+        )
+        SELECT d.q_id, n.n_rel, d.dcg_fx, i.idcg_fx,
+               CAST(d.dcg_fx AS DOUBLE) / i.idcg_fx AS ndcg
+        FROM dcg d JOIN nrel n USING (q_id) JOIN idcg i USING (q_id)
+    """
+
+
+@register(
+    "q_ndcg",
+    oracle=_ndcg_oracle(),
+    doc=f"NDCG@{TOP_K} retrieval-quality eval over {NDCG_QUERIES} fixed"
+    " query vectors: exact cosine ranking (fixed-point dots, vec_id"
+    " tie-break), binary relevance = same class label, and the log2"
+    " position discounts BAKED IN as integer fixed-point constants —"
+    " DCG and ideal DCG become order-free integer sums (no libm"
+    " inside either engine), so the graded metric every retrieval"
+    " deployment tracks is hash-exact against the DuckDB replay,"
+    " completing the eval trio (recall@k: q_ann_recall; rank"
+    " fusion: q_hybrid_rrf). Plan: the query panel broadcasts; one"
+    " corpus scan computes all dots; ranking is a per-query"
+    " window over the query-sharded candidate set.",
+)
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
+    )
+    e = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    queries = e.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    cand = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    warr = ", ".join(str(w) for w in _NDCG_W)
+    rel = (
+        cand.withColumn("i", F.row_number().over(wq))
+        .filter(F.col("i") <= TOP_K)
+        .select(
+            "q_id",
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.expr(f"element_at(array({warr}), i)").alias("w"),
+        )
+    )
+    dcg = rel.groupBy("q_id").agg(
+        F.sum(F.col("rel") * F.col("w")).cast("bigint").alias("dcg_fx")
+    )
+    nrel = (
+        emb.crossJoin(
+            F.broadcast(queries.select("q_id", "q_label"))
+        )
+        .filter(
+            (F.col("label") == F.col("q_label"))
+            & (F.col("vec_id") != F.col("q_id"))
+        )
+        .groupBy("q_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rel"))
+    )
+    idcg = nrel.select(
+        "q_id",
+        "n_rel",
+        F.expr(
+            f"cast(aggregate(slice(array({warr}), 1,"
+            f" cast(least({TOP_K}, n_rel) as int)),"
+            " cast(0 as bigint), (a, x) -> a + x) as bigint)"
+        ).alias("idcg_fx"),
+    )
+    return (
+        dcg.join(idcg, "q_id")
+        .select(
+            "q_id",
+            "n_rel",
+            "dcg_fx",
+            "idcg_fx",
+            (F.col("dcg_fx").cast("double") / F.col("idcg_fx")).alias(
+                "ndcg"
+            ),
+        )
+    )

@@ -216,6 +216,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_sliding_distinct",
     "q_window_funnel",
     "q_cohort_ltv",
+    "q_ndcg",
 })
 
 

@@ -165,3 +165,22 @@ def test_minhash_scurve_cumulative(spark, sf_dir):
         assert r.n_pairs_at_least == running
         assert r.jaccard_est == r.n_matching / 16
     assert running == total
+
+
+def test_ndcg_bounds_and_ideal_ordering(spark, sf_dir):
+    from lakehouse_weather_spark.operators.similarity import (
+        _NDCG_W,
+        q_ndcg,
+    )
+
+    rows = q_ndcg(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert 0.0 <= r.ndcg <= 1.0
+        # idcg is the sum of the first min(10, n_rel) weights
+        k = min(10, r.n_rel)
+        assert r.idcg_fx == sum(_NDCG_W[:k])
+        assert r.dcg_fx <= r.idcg_fx
+    # weights are strictly decreasing (log discount) and integer
+    assert all(a > b for a, b in zip(_NDCG_W, _NDCG_W[1:]))
+    assert _NDCG_W[0] == 1_000_000  # rank 1: no discount
