@@ -164,6 +164,7 @@ HEADLINE = [
     "q_window_funnel",
     "q_cohort_ltv",
     "q_ndcg",
+    "q_l_diversity",
 ]
 
 

@@ -564,3 +564,39 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("bit_xor(h)").cast("bigint").alias("sig_xor"),
         F.sum(F.col("h") % _CK_P).cast("bigint").alias("sig_sum"),
     )
+
+
+# --- l-diversity audit -----------------------------------------------
+
+# Minimum distinct sensitive values per equivalence class.
+L_DIV = 5
+
+
+@register(
+    "q_l_diversity",
+    oracle=f"""
+        SELECT event_type, date_trunc('day', ts) AS d,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_sensitive,
+               count(DISTINCT user_id) >= {L_DIV} AS meets_l
+        FROM events
+        GROUP BY event_type, date_trunc('day', ts)
+    """,
+    doc=f"l-diversity audit (l={L_DIV}) companion to q_k_anonymity:"
+    " k-anonymity alone fails homogeneity attacks (a class of 10 rows"
+    " that all belong to ONE user still identifies them); each"
+    " (event_type, day) equivalence class must contain at least l"
+    " DISTINCT sensitive values (user ids) before release. One"
+    " partial-agg shuffle; at 100 TB the distinct count swaps to the"
+    " mergeable-bitmap partials of q_bitmap_distinct with the same"
+    " output contract.",
+)
+def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_sensitive"),
+        (F.countDistinct("user_id") >= L_DIV).alias("meets_l"),
+    )

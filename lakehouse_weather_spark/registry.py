@@ -217,6 +217,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_window_funnel",
     "q_cohort_ltv",
     "q_ndcg",
+    "q_l_diversity",
 })
 
 

@@ -261,3 +261,23 @@ def test_did_equals_cell_mean_arithmetic(spark, sf_dir):
         ((1, 1), r.mean_treat_post),
     ]:
         assert abs(col - m[(t, p)]) < 1e-9
+
+
+def test_l_diversity_counts_are_exact(spark, sf_dir):
+    from lakehouse_weather_spark.operators.profiling import L_DIV
+
+    rows = load_all()["q_l_diversity"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "ts", "user_id"
+    ).collect()
+    cells: dict[tuple, set] = {}
+    n_rows: dict[tuple, int] = {}
+    for r in ev:
+        d = r.ts.replace(hour=0, minute=0, second=0, microsecond=0)
+        cells.setdefault((r.event_type, d), set()).add(r.user_id)
+        n_rows[(r.event_type, d)] = n_rows.get((r.event_type, d), 0) + 1
+    got = {(r.event_type, r.d): (r.n_rows, r.n_sensitive, r.meets_l) for r in rows}
+    want = {
+        k: (n_rows[k], len(v), len(v) >= L_DIV) for k, v in cells.items()
+    }
+    assert got == want
