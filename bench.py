@@ -165,6 +165,8 @@ HEADLINE = [
     "q_cohort_ltv",
     "q_ndcg",
     "q_l_diversity",
+    "q_mase",
+    "q_silhouette",
 ]
 
 

@@ -247,3 +247,84 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cluster_id")
         .applyInPandas(score_cluster, schema=schema)
     )
+
+
+# --- simplified silhouette -------------------------------------------
+
+
+@register(
+    "q_silhouette",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        {_kmeans_assign_cte()},
+        sil AS (
+            SELECT d.vec_id, a.cluster_id,
+                   min(CASE WHEN d.cluster_id = a.cluster_id
+                            THEN d.di END) AS a_fx,
+                   min(CASE WHEN d.cluster_id <> a.cluster_id
+                            THEN d.di END) AS b_fx
+            FROM d2 d JOIN a2 a ON d.vec_id = a.vec_id
+            GROUP BY d.vec_id, a.cluster_id
+        )
+        SELECT vec_id,
+               CAST(cluster_id AS BIGINT) AS cluster_id,
+               CAST(a_fx AS BIGINT) AS a_fx,
+               CAST(b_fx AS BIGINT) AS b_fx,
+               CASE WHEN a_fx = 0 AND b_fx = 0 THEN 0.0
+                    ELSE CAST(b_fx - a_fx AS DOUBLE)
+                         / greatest(a_fx, b_fx) END AS silhouette
+        FROM sil
+    """,
+    doc="Simplified silhouette (centroid form) per vector over the"
+    " deterministic k-means partitioning: a = fixed-point squared L2"
+    " to the OWN centroid, b = min distance to any OTHER centroid,"
+    " s = (b - a) / max(a, b) — the clustering-quality score that"
+    " flags vectors sitting on cluster boundaries (SemDeDup blocks"
+    " are only trustworthy where s is high; low-s vectors are the"
+    " candidates near-dup blocking might split across clusters). The"
+    " centroid form needs only k distances per vector (one broadcast"
+    " of the k x dim codebook + a k-row window per vector), not the"
+    " O(n^2) pairwise silhouette — the only form that exists at"
+    " 100 TB. Distances replay the kmeans oracle's fixed-point"
+    " arithmetic, so every a/b/s hash-matches DuckDB.",
+)
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents, _ = kmeans_refine(emb, n_iter=1)
+    di = F.expr(
+        f"aggregate(zip_with(embedding, centroid, (x, y) ->"
+        f" cast(round((cast(x as double) - y) * (cast(x as double) - y)"
+        f" * {DOT_SCALE}) as bigint)), cast(0 as bigint), (a, v) -> a + v)"
+    )
+    d = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cluster_id", di.alias("di")
+    )
+    w = Window.partitionBy("vec_id").orderBy("di", "cluster_id")
+    ranked = d.withColumn("rn", F.row_number().over(w))
+    sil = ranked.groupBy("vec_id").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("cluster_id")))
+        .cast("bigint")
+        .alias("cluster_id"),
+        F.min(F.when(F.col("rn") == 1, F.col("di")))
+        .cast("bigint")
+        .alias("a_fx"),
+        F.min(F.when(F.col("rn") > 1, F.col("di")))
+        .cast("bigint")
+        .alias("b_fx"),
+    )
+    return sil.select(
+        "vec_id",
+        "cluster_id",
+        "a_fx",
+        "b_fx",
+        F.when(
+            (F.col("a_fx") == 0) & (F.col("b_fx") == 0), F.lit(0.0)
+        )
+        .otherwise(
+            (F.col("b_fx") - F.col("a_fx")).cast("double")
+            / F.greatest("a_fx", "b_fx")
+        )
+        .alias("silhouette"),
+    )

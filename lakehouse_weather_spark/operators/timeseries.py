@@ -532,10 +532,11 @@ _D_LNEW = _dfd(f"s.cnt * {_S} + {_H_NUM} * (e.lfx + e.bfx)")
 _D_BNEW = _dfd(f"({_D_LNEW}) - e.lfx + {_H_NUM} * e.bfx")
 
 
-@register(
-    "q_holt_linear",
-    oracle=f"""
-        WITH RECURSIVE daily AS (
+# Shared recursive-CTE chain ending in ``ho`` = the per-type Holt
+# state series (event_type, h, cnt, rn, lfx, bfx) — reused by the
+# q_holt_linear and q_mase oracles.
+_HOLT_CTE = f"""
+        daily AS (
             SELECT event_type, date_trunc('day', ts) AS h,
                    CAST(count(*) AS BIGINT) AS cnt
             FROM events GROUP BY 1, 2
@@ -558,6 +559,13 @@ _D_BNEW = _dfd(f"({_D_LNEW}) - e.lfx + {_H_NUM} * e.bfx")
             FROM seq s
             JOIN ho e ON s.event_type = e.event_type AND s.rn = e.rn + 1
         )
+"""
+
+
+@register(
+    "q_holt_linear",
+    oracle=f"""
+        WITH RECURSIVE {_HOLT_CTE}
         SELECT event_type, h AS day, cnt,
                CAST(lfx AS DOUBLE) / {_S} AS level,
                CAST(bfx AS DOUBLE) / {_S} AS trend,
@@ -578,6 +586,21 @@ _D_BNEW = _dfd(f"({_D_LNEW}) - e.lfx + {_H_NUM} * e.bfx")
     " bit-identical even on declining series.",
 )
 def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _holt_frame(spark, sf_dir).select(
+        "event_type",
+        "day",
+        "cnt",
+        (F.col("lfx").cast("double") / _S).alias("level"),
+        (F.col("bfx").cast("double") / _S).alias("trend"),
+        ((F.col("lfx") + F.col("bfx")).cast("double") / _S).alias(
+            "forecast_next"
+        ),
+    )
+
+
+def _holt_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer Holt state series (event_type, day, cnt, lfx, bfx) —
+    shared by q_holt_linear (display form) and q_mase (error form)."""
     grouped = _daily(spark, sf_dir).groupBy("event_type").agg(
         F.collect_list(F.struct("h", "cnt")).alias("series")
     )
@@ -616,11 +639,8 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.col("e.h").alias("day"),
         F.col("e.cnt").alias("cnt"),
-        (F.col("e.lfx").cast("double") / _S).alias("level"),
-        (F.col("e.bfx").cast("double") / _S).alias("trend"),
-        ((F.col("e.lfx") + F.col("e.bfx")).cast("double") / _S).alias(
-            "forecast_next"
-        ),
+        F.col("e.lfx").alias("lfx"),
+        F.col("e.bfx").alias("bfx"),
     )
 
 
@@ -830,4 +850,75 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e.n_risk").alias("n_risk"),
         F.col("e.d").alias("n_shipped"),
         F.col("e.surv").alias("survival"),
+    )
+
+
+# --- MASE forecast-quality scorecard ---------------------------------
+
+
+@register(
+    "q_mase",
+    oracle=f"""
+        WITH RECURSIVE {_HOLT_CTE},
+        err AS (
+            SELECT c.event_type,
+                   abs(p.lfx + p.bfx - c.cnt * {_S}) AS e_model,
+                   abs(c.cnt - p.cnt) * {_S} AS e_naive
+            FROM ho c JOIN ho p
+              ON c.event_type = p.event_type AND c.rn = p.rn + 1
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_obs,
+               CAST(sum(e_model) AS DOUBLE) / count(*) / {_S} AS mae_model,
+               CAST(sum(e_naive) AS DOUBLE) / count(*) / {_S} AS mae_naive,
+               CAST(sum(e_model) AS DOUBLE) / sum(e_naive) AS mase
+        FROM err GROUP BY event_type
+    """,
+    doc="MASE (mean absolute scaled error, Hyndman & Koehler 2006) of"
+    " the Holt one-step-ahead forecast per event type: model error"
+    " |level_(t-1) + trend_(t-1) - actual_t| scaled by the naive"
+    " lag-1 forecast's error — the scale-free forecast score (<1 ="
+    " beats naive) that makes capacity forecasts comparable across"
+    " types with different volumes. Errors are EXACT int64 (the Holt"
+    " state is integer fixed point, the naive error a count"
+    " difference), so the two final mirrored IEEE divisions"
+    " hash-match. Adds one self-join over the tiny per-type state"
+    " series on top of q_holt_linear's fold.",
+)
+def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ho = _holt_frame(spark, sf_dir)
+    w = Window.partitionBy("event_type").orderBy("day")
+    err = (
+        ho.select(
+            "event_type",
+            "day",
+            "cnt",
+            "lfx",
+            "bfx",
+            F.lag("lfx").over(w).alias("p_lfx"),
+            F.lag("bfx").over(w).alias("p_bfx"),
+            F.lag("cnt").over(w).alias("p_cnt"),
+        )
+        .filter(F.col("p_lfx").isNotNull())
+        .select(
+            "event_type",
+            F.abs(
+                F.col("p_lfx") + F.col("p_bfx") - F.col("cnt") * _S
+            ).alias("e_model"),
+            (F.abs(F.col("cnt") - F.col("p_cnt")) * _S).alias("e_naive"),
+        )
+    )
+    return err.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.expr(f"cast(sum(e_model) as double) / count(*) / {_S}").alias(
+            "mae_model"
+        ),
+        F.expr(f"cast(sum(e_naive) as double) / count(*) / {_S}").alias(
+            "mae_naive"
+        ),
+        F.expr("cast(sum(e_model) as double) / sum(e_naive)").alias(
+            "mase"
+        ),
     )

@@ -218,6 +218,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_cohort_ltv",
     "q_ndcg",
     "q_l_diversity",
+    "q_mase",
+    "q_silhouette",
 })
 
 

@@ -75,3 +75,23 @@ def test_semantic_dedup_recall_vs_exact(spark, sf_dir):
     n_exact = specs["q_embed_neardup"].fn(spark, sf_dir).count()
     assert n_exact > 0
     assert n_sem >= 0.15 * n_exact
+
+
+def test_silhouette_bounds_and_assignment_consistency(spark, sf_dir):
+    from lakehouse_weather_spark.operators.clustering import (
+        q_kmeans_clusters,
+        q_silhouette,
+    )
+
+    sil = {r.vec_id: r for r in q_silhouette(spark, sf_dir).collect()}
+    assign = {
+        r.vec_id: r.cluster_id
+        for r in q_kmeans_clusters(spark, sf_dir).collect()
+    }
+    assert set(sil) == set(assign)
+    for vid, r in sil.items():
+        assert r.cluster_id == assign[vid]  # same argmin tie-break
+        assert -1.0 <= r.silhouette <= 1.0
+        assert r.a_fx <= r.b_fx  # own centroid IS the argmin
+    # the fixture's clusters are non-degenerate: some separation exists
+    assert sum(1 for r in sil.values() if r.silhouette > 0) > len(sil) // 2

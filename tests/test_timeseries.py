@@ -207,3 +207,30 @@ def test_survival_km_properties(spark, sf_dir):
         assert r.survival == s
     # censoring exists: total deaths < total entries at risk
     assert sum(r.n_shipped for r in rows) < rows[0].n_risk
+
+
+def test_mase_matches_holt_replay(spark, tmp_path):
+    from lakehouse_weather_spark.operators.timeseries import q_mase
+
+    counts = [10, 8, 6, 7, 5, 4, 6, 3]
+    _mk_events(spark, counts).write.parquet(f"{tmp_path}/events.parquet")
+    r = q_mase(spark, str(tmp_path)).collect()[0]
+    # replay holt + errors in python (floor division, negative-safe)
+    l = b = None
+    e_model = e_naive = 0
+    prev = None
+    n = 0
+    for c in counts:
+        if l is None:
+            l, b = c * _S, 0
+        else:
+            e_model += abs(l + b - c * _S)
+            e_naive += abs(c - prev) * _S
+            n += 1
+            lp = (c * _S + 3 * (l + b)) // 4
+            b = ((lp - l) + 3 * b) // 4
+            l = lp
+        prev = c
+    assert r.n_obs == n
+    assert r.mase == e_model / e_naive
+    assert abs(r.mae_model - e_model / n / _S) < 1e-12
