@@ -167,6 +167,7 @@ HEADLINE = [
     "q_l_diversity",
     "q_mase",
     "q_silhouette",
+    "q_coreset",
 ]
 
 

@@ -328,3 +328,118 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("silhouette"),
     )
+
+
+# --- k-center greedy coreset -----------------------------------------
+
+# Number of coreset representatives to select.
+CORESET_K = 8
+# Seed point: the fixed query vector the ANN family also anchors on.
+_CORESET_SEED = 0
+
+_SQ_SPARK = (
+    "aggregate(zip_with(embedding, c_emb, (x, y) ->"
+    " cast(round((cast(x as double) - cast(y as double))"
+    f" * (cast(x as double) - cast(y as double)) * {DOT_SCALE})"
+    " as bigint)), cast(0 as bigint), (a, v) -> a + v)"
+)
+
+
+def _coreset_oracle() -> str:
+    sq = (
+        f"sum(CAST(round((v.val - c.val) * (v.val - c.val)"
+        f" * {DOT_SCALE}) AS BIGINT))"
+    )
+    parts = [
+        f"""
+        d1 AS (
+            SELECT v.vec_id, {sq} AS mind
+            FROM vals v JOIN vals c
+              ON c.vec_id = {_CORESET_SEED} AND v.pos = c.pos
+            GROUP BY v.vec_id
+        )"""
+    ]
+    picks = [f"SELECT 1 AS rank, CAST({_CORESET_SEED} AS BIGINT) AS vec_id,"
+             " CAST(NULL AS BIGINT) AS radius_fx"]
+    for i in range(2, CORESET_K + 1):
+        parts.append(f"""
+        p{i} AS (
+            SELECT vec_id, mind FROM d{i - 1}
+            ORDER BY mind DESC, vec_id ASC LIMIT 1
+        )""")
+        picks.append(
+            f"SELECT {i} AS rank, vec_id, CAST(mind AS BIGINT)"
+            f" FROM p{i}"
+        )
+        if i < CORESET_K:
+            parts.append(f"""
+        d{i} AS (
+            SELECT d.vec_id, least(d.mind, n.nd) AS mind
+            FROM d{i - 1} d JOIN (
+                SELECT v.vec_id, {sq} AS nd
+                FROM vals v JOIN vals c
+                  ON c.vec_id = (SELECT vec_id FROM p{i})
+                 AND v.pos = c.pos
+                GROUP BY v.vec_id
+            ) n ON d.vec_id = n.vec_id
+        )""")
+    return (
+        "WITH "
+        + _DUCK_VEC_CTE
+        + ","
+        + ",".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(picks)
+    )
+
+
+@register(
+    "q_coreset",
+    oracle=_coreset_oracle(),
+    doc=f"k-center greedy coreset ({CORESET_K} representatives,"
+    " farthest-first traversal, Gonzalez 1985): repeatedly pick the"
+    " vector FARTHEST from every already-chosen center — the"
+    " 2-approximation to the k-center cover and the standard"
+    " diversity-maximizing subset selector for labeling budgets and"
+    " eval-set curation (radius_fx at each pick is the exact coverage"
+    " radius the selection guarantees so far, monotonically"
+    " non-increasing). Per round: ONE narrow min-distance update"
+    " against the newest center (broadcast) + ONE TakeOrdered argmax"
+    " — the driver only ever holds the k-row pick list (a model"
+    " fetch), never the corpus. Fixed-point squared-L2 with"
+    " (distance DESC, vec_id ASC) tie-break makes all"
+    f" {CORESET_K} unrolled rounds of the DuckDB replay bit-exact.",
+)
+def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    seed = emb.filter(F.col("vec_id") == _CORESET_SEED).select(
+        F.col("embedding").alias("c_emb")
+    )
+    mind = emb.crossJoin(F.broadcast(seed)).select(
+        "vec_id", F.expr(_SQ_SPARK).alias("mind")
+    )
+    picks = [(1, _CORESET_SEED, None)]
+    for i in range(2, CORESET_K + 1):
+        top = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        row = top.collect()[0]  # k-row driver fetch total, by design
+        picks.append((i, row.vec_id, row.mind))
+        if i < CORESET_K:
+            cent = emb.filter(F.col("vec_id") == row.vec_id).select(
+                F.col("embedding").alias("c_emb")
+            )
+            nd = emb.crossJoin(F.broadcast(cent)).select(
+                "vec_id", F.expr(_SQ_SPARK).alias("nd")
+            )
+            mind = (
+                mind.join(nd, "vec_id")
+                .select(
+                    "vec_id",
+                    F.least(F.col("mind"), F.col("nd")).alias("mind"),
+                )
+                .localCheckpoint()
+            )
+    return emb.sparkSession.createDataFrame(
+        picks, "rank int, vec_id long, radius_fx long"
+    )

@@ -220,6 +220,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_l_diversity",
     "q_mase",
     "q_silhouette",
+    "q_coreset",
 })
 
 

@@ -95,3 +95,42 @@ def test_silhouette_bounds_and_assignment_consistency(spark, sf_dir):
         assert r.a_fx <= r.b_fx  # own centroid IS the argmin
     # the fixture's clusters are non-degenerate: some separation exists
     assert sum(1 for r in sil.values() if r.silhouette > 0) > len(sil) // 2
+
+
+def test_coreset_greedy_invariants(spark, sf_dir):
+    import math
+
+    from lakehouse_weather_spark.operators.clustering import (
+        CORESET_K,
+        q_coreset,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    rows = sorted(q_coreset(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, CORESET_K + 1))
+    assert rows[0].vec_id == 0 and rows[0].radius_fx is None
+    ids = [r.vec_id for r in rows]
+    assert len(set(ids)) == CORESET_K  # all distinct
+    # coverage radius is non-increasing (greedy guarantee)
+    radii = [r.radius_fx for r in rows[1:]]
+    assert all(a >= b for a, b in zip(radii, radii[1:]))
+    # python replay of farthest-first with the same fixed-point metric
+    emb = {
+        r.vec_id: r.embedding
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def d(a, b):
+        return sum(
+            round((float(x) - float(y)) * (float(x) - float(y)) * 1e12)
+            for x, y in zip(a, b)
+        )
+
+    mind = {v: d(e, emb[0]) for v, e in emb.items()}
+    want = [0]
+    for _ in range(CORESET_K - 1):
+        pick = max(mind, key=lambda v: (mind[v], -v))
+        want.append(pick)
+        for v in mind:
+            mind[v] = min(mind[v], d(emb[v], emb[pick]))
+    assert ids == want
