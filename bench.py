@@ -168,6 +168,7 @@ HEADLINE = [
     "q_mase",
     "q_silhouette",
     "q_coreset",
+    "q_srm_check",
 ]
 
 

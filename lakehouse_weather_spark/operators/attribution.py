@@ -346,3 +346,63 @@ def q_did(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (cell(0, 1, "m") - cell(0, 0, "m"))
         ).alias("did_estimate"),
     )
+
+
+# --- sample-ratio-mismatch check -------------------------------------
+
+
+@register(
+    "q_srm_check",
+    oracle="""
+        WITH assign AS (
+            SELECT DISTINCT user_id, user_id % 2 AS arm FROM events
+        ),
+        counts AS (
+            SELECT CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_control,
+                   CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_treat
+            FROM assign
+        )
+        SELECT n_control, n_treat,
+               CAST((n_control - n_treat) * (n_control - n_treat)
+                    AS DOUBLE) / (n_control + n_treat) AS chi2,
+               (CAST((n_control - n_treat) * (n_control - n_treat)
+                     AS DOUBLE) / (n_control + n_treat)) > 3.841
+                   AS srm_alarm
+        FROM counts
+    """,
+    doc="Sample-ratio-mismatch (SRM) check for the 50/50 parity"
+    " assignment the DiD/CUPED queries use: chi-square goodness-of-fit"
+    " of observed arm sizes against the designed equal split, alarmed"
+    " at the 95% critical value (3.841, df=1) — the FIRST validity"
+    " gate any experiment readout must pass (a failed SRM means"
+    " biased triggering, and every downstream effect estimate is"
+    " suspect). Counts are per-USER (one distinct pass), the chi2 a"
+    " pair of mirrored IEEE ops; the 3.841 threshold is a baked"
+    " constant so the boolean alarm is bit-stable. One scan + one"
+    " distinct + a 2-number reduce.",
+)
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    assign = ev.select(
+        "user_id", (F.col("user_id") % 2).alias("arm")
+    ).distinct()
+    counts = assign.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_control"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_treat"),
+    )
+    chi2 = F.expr(
+        "cast((n_control - n_treat) * (n_control - n_treat) as double)"
+        " / (n_control + n_treat)"
+    )
+    return counts.select(
+        "n_control",
+        "n_treat",
+        chi2.alias("chi2"),
+        (chi2 > 3.841).alias("srm_alarm"),
+    )

@@ -150,3 +150,39 @@ def update_join_view(
         .unionByName(delta_a.join(delta_b, on))
     )
     return view.unionByName(d)
+
+
+def update_bitmap_partials(
+    old_partials: DataFrame, new_events: DataFrame
+) -> DataFrame:
+    """Fold a new batch of events into stored per-(day, bucket) roaring
+    bitmap partials — the incremental-maintenance path for every
+    distinct-count rollup built on them (q_sliding_distinct, weekly
+    actives, backfills).
+
+    Because bitmaps merge associatively and commutatively, partials
+    from the new batch simply OR into the stored ones:
+
+        merged(day, bucket) = bitmap_or(old(day, bucket), new(day, bucket))
+
+    so a day's history NEVER needs re-reading when late events arrive —
+    the whole point of keeping the partials instead of the counts.
+    Equality with a full recompute is asserted in
+    tests/test_incremental.py.
+    """
+    from pyspark.sql import functions as F
+
+    fresh = (
+        new_events.select(
+            F.date_trunc("day", "ts").alias("d"),
+            F.bitmap_bucket_number("user_id").alias("bucket"),
+            F.bitmap_bit_position("user_id").alias("pos"),
+        )
+        .groupBy("d", "bucket")
+        .agg(F.bitmap_construct_agg("pos").alias("bm"))
+    )
+    return (
+        old_partials.unionByName(fresh)
+        .groupBy("d", "bucket")
+        .agg(F.bitmap_or_agg("bm").alias("bm"))
+    )

@@ -221,6 +221,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_mase",
     "q_silhouette",
     "q_coreset",
+    "q_srm_check",
 })
 
 

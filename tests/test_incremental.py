@@ -411,3 +411,43 @@ def test_update_join_view_equals_full_recompute(spark, sf_dir):
     # the deltas genuinely contributed every term of the delta rule
     assert delta_a.count() > 0 and delta_b.count() > 0
     assert delta_a.join(delta_b, "o_orderkey").count() > 0
+
+
+def test_bitmap_partials_fold_in_equals_recompute(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.pipeline.incremental import (
+        update_bitmap_partials,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # split: history vs a late-arriving batch (every 3rd event)
+    old = ev.filter(F.col("event_id") % 3 != 0)
+    late = ev.filter(F.col("event_id") % 3 == 0)
+
+    def partials(df):
+        return (
+            df.select(
+                F.date_trunc("day", "ts").alias("d"),
+                F.bitmap_bucket_number("user_id").alias("bucket"),
+                F.bitmap_bit_position("user_id").alias("pos"),
+            )
+            .groupBy("d", "bucket")
+            .agg(F.bitmap_construct_agg("pos").alias("bm"))
+        )
+
+    merged = update_bitmap_partials(partials(old), late)
+    full = partials(ev)
+
+    def counts(p):
+        return {
+            r.d: r.n
+            for r in p.groupBy("d")
+            .agg(F.sum(F.bitmap_count("bm")).alias("n"))
+            .collect()
+        }
+
+    assert counts(merged) == counts(full)
+    # and the late batch genuinely added users on some day
+    assert counts(partials(old)) != counts(full)

@@ -281,3 +281,15 @@ def test_l_diversity_counts_are_exact(spark, sf_dir):
         k: (n_rows[k], len(v), len(v) >= L_DIV) for k, v in cells.items()
     }
     assert got == want
+
+
+def test_srm_check_counts_users_once(spark, sf_dir):
+    r = load_all()["q_srm_check"].fn(spark, sf_dir).collect()[0]
+    ev = load_table(spark, sf_dir, "events").select("user_id").collect()
+    users = {x.user_id for x in ev}
+    n0 = sum(1 for u in users if u % 2 == 0)
+    n1 = len(users) - n0
+    assert (r.n_control, r.n_treat) == (n0, n1)
+    chi2 = (n0 - n1) ** 2 / (n0 + n1)
+    assert abs(r.chi2 - chi2) < 1e-12
+    assert r.srm_alarm == (chi2 > 3.841)

@@ -260,3 +260,21 @@ def test_feature_hashing_has_no_pivot_or_udf(spark, sf_dir):
     # and the per-doc re-agg ("+- Exchange" counts tree nodes once;
     # the formatted detail section repeats each as "(n) Exchange")
     assert plan.count("+- Exchange") <= 2
+
+
+def test_sliding_distinct_shuffles_bitmaps_not_events(spark, sf_dir):
+    # raw user ids shuffle exactly once (the partial-bitmap agg); the
+    # window fan-out explodes kilobyte bitmaps, and the day directory
+    # joins as a broadcast
+    plan = _plan(spark, sf_dir, "q_sliding_distinct")
+    assert "bitmap_construct_agg" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_ndcg_broadcasts_query_panel(spark, sf_dir):
+    # the 5-query panel rides as a broadcast nested loop (tiny side);
+    # ranking partitions by q_id, never a global window
+    plan = _plan(spark, sf_dir, "q_ndcg")
+    assert "hashpartitioning(q_id" in plan
+    assert "BatchEvalPython" not in plan
