@@ -169,6 +169,8 @@ HEADLINE = [
     "q_silhouette",
     "q_coreset",
     "q_srm_check",
+    "q_causal_impact",
+    "q_mmr_rerank",
 ]
 
 

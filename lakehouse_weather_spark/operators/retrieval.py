@@ -229,3 +229,184 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- maximal marginal relevance re-ranking ---------------------------
+
+from lakehouse_weather_spark.functions import duck_dot_sum as _dds  # noqa: E402
+from lakehouse_weather_spark.operators.dedup import (  # noqa: E402
+    _DUCK_VEC_CTE as _VEC_CTE,
+    _SPARK_DOT as _SDOT,
+)
+
+# MMR pool/output sizes and the relevance/diversity trade: score =
+# LAM_NUM * rel - (LAM_DEN - LAM_NUM) * max_sim, i.e. lambda = 0.7.
+MMR_POOL = 20
+MMR_K = 10
+_LAM_NUM = 7
+_LAM_DEN = 10
+# cosine -> int fixed point for order-free integer scoring
+_CFX = 1_000_000_000_000
+
+
+def _mmr_oracle() -> str:
+    head = f"""
+        WITH {_VEC_CTE},
+        q AS (SELECT pos, val FROM vals WHERE vec_id = 0),
+        dots AS (
+            SELECT v.vec_id, {_dds('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos
+            WHERE v.vec_id <> 0
+            GROUP BY v.vec_id
+        ),
+        pool AS MATERIALIZED (
+            SELECT d.vec_id,
+                   CAST(round(d.dot / (n.nrm * (SELECT nrm FROM norms
+                        WHERE vec_id = 0)) * {_CFX}) AS BIGINT) AS rel_fx
+            FROM dots d JOIN norms n USING (vec_id)
+            ORDER BY d.dot / (n.nrm * (SELECT nrm FROM norms
+                     WHERE vec_id = 0)) DESC, d.vec_id
+            LIMIT {MMR_POOL}
+        ),
+        pd AS (
+            SELECT va.vec_id AS a, vb.vec_id AS b,
+                   {_dds('va.val', 'vb.val')} AS dot
+            FROM vals va
+            JOIN vals vb ON va.pos = vb.pos AND va.vec_id <> vb.vec_id
+            JOIN pool pa ON pa.vec_id = va.vec_id
+            JOIN pool pb ON pb.vec_id = vb.vec_id
+            GROUP BY va.vec_id, vb.vec_id
+        ),
+        sims AS MATERIALIZED (
+            SELECT p.a, p.b,
+                   CAST(round(p.dot / (na.nrm * nb.nrm) * {_CFX})
+                        AS BIGINT) AS sim_fx
+            FROM pd p
+            JOIN norms na ON na.vec_id = p.a
+            JOIN norms nb ON nb.vec_id = p.b
+        ),
+        p1 AS MATERIALIZED (SELECT vec_id, rel_fx FROM pool
+               ORDER BY rel_fx DESC, vec_id LIMIT 1),
+        m1 AS MATERIALIZED (
+            SELECT c.vec_id, c.rel_fx, s.sim_fx AS maxsim
+            FROM pool c JOIN sims s
+              ON s.a = c.vec_id AND s.b = (SELECT vec_id FROM p1)
+        )"""
+    parts = [head]
+    for i in range(2, MMR_K + 1):
+        parts.append(f"""
+        p{i} AS MATERIALIZED (
+            SELECT vec_id, rel_fx, maxsim FROM m{i - 1}
+            ORDER BY {_LAM_NUM} * rel_fx
+                     - {_LAM_DEN - _LAM_NUM} * maxsim DESC, vec_id
+            LIMIT 1
+        )""")
+        if i < MMR_K:
+            parts.append(f"""
+        m{i} AS MATERIALIZED (
+            SELECT m.vec_id, m.rel_fx,
+                   greatest(m.maxsim, s.sim_fx) AS maxsim
+            FROM m{i - 1} m JOIN sims s
+              ON s.a = m.vec_id AND s.b = (SELECT vec_id FROM p{i})
+            WHERE m.vec_id <> (SELECT vec_id FROM p{i})
+        )""")
+    picks = [
+        "SELECT 1 AS rank, vec_id, rel_fx,"
+        " CAST(NULL AS BIGINT) AS maxsim_fx FROM p1"
+    ] + [
+        f"SELECT {i} AS rank, vec_id, rel_fx, CAST(maxsim AS BIGINT)"
+        f" FROM p{i}"
+        for i in range(2, MMR_K + 1)
+    ]
+    return ",".join(parts) + "\n" + "\nUNION ALL\n".join(picks)
+
+
+@register(
+    "q_mmr_rerank",
+    oracle=_mmr_oracle(),
+    doc=f"Maximal-marginal-relevance re-ranking (Carbonell & Goldstein"
+    f" 1998): from the exact top-{MMR_POOL} cosine pool for the fixed"
+    f" query vector, greedily select {MMR_K} results maximizing"
+    f" 0.7*relevance - 0.3*max-similarity-to-already-selected — the"
+    " diversity re-rank every RAG retriever runs so near-duplicate"
+    " passages don't crowd the context window (q_coreset is its"
+    " relevance-free cousin). Scores are integer fixed point"
+    " (cosines rounded at 1e12), so the greedy argmax — tie-broken"
+    " on vec_id — is deterministic and the 10-step unrolled DuckDB"
+    " replay is bit-exact. The relational plan produces the pool +"
+    f" its {MMR_POOL}x{MMR_POOL} similarity grid; the greedy loop"
+    " touches only that bounded model-sized result.",
+)
+def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    nrm = F.expr("sqrt(" + _SDOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select("vec_id", "embedding", nrm.alias("nrm"))
+    q = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+    )
+    dot = F.expr(_SDOT.format(a="embedding", b="q_emb"))
+    pool = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+        )
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(MMR_POOL)
+        .select(
+            "vec_id",
+            "embedding",
+            "nrm",
+            F.round(F.col("cosine") * _CFX, 0).cast("bigint").alias("rel_fx"),
+        )
+    )
+    a = pool.select(
+        F.col("vec_id").alias("a"),
+        F.col("embedding").alias("a_emb"),
+        F.col("nrm").alias("a_nrm"),
+    )
+    b = pool.select(
+        F.col("vec_id").alias("b"),
+        F.col("embedding").alias("b_emb"),
+        F.col("nrm").alias("b_nrm"),
+    )
+    pdot = F.expr(_SDOT.format(a="a_emb", b="b_emb"))
+    sims = (
+        a.crossJoin(F.broadcast(b))
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            "a",
+            "b",
+            F.round(pdot / (F.col("a_nrm") * F.col("b_nrm")) * _CFX, 0)
+            .cast("bigint")
+            .alias("sim_fx"),
+        )
+    )
+    # bounded model fetch: the pool and its similarity grid
+    prows = {r.vec_id: r.rel_fx for r in pool.collect()}
+    srows = {(r.a, r.b): r.sim_fx for r in sims.collect()}
+    first = max(prows, key=lambda v: (prows[v], -v))
+    picks = [(1, first, prows[first], None)]
+    maxsim = {
+        v: srows[(v, first)] for v in prows if v != first
+    }
+    for i in range(2, MMR_K + 1):
+        pick = max(
+            maxsim,
+            key=lambda v: (
+                _LAM_NUM * prows[v] - (_LAM_DEN - _LAM_NUM) * maxsim[v],
+                -v,
+            ),
+        )
+        picks.append((i, pick, prows[pick], maxsim[pick]))
+        del maxsim[pick]
+        for v in maxsim:
+            maxsim[v] = max(maxsim[v], srows[(v, pick)])
+    return emb.sparkSession.createDataFrame(
+        picks, "rank int, vec_id long, rel_fx long, maxsim_fx long"
+    )

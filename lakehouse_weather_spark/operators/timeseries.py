@@ -534,12 +534,14 @@ _D_BNEW = _dfd(f"({_D_LNEW}) - e.lfx + {_H_NUM} * e.bfx")
 
 # Shared recursive-CTE chain ending in ``ho`` = the per-type Holt
 # state series (event_type, h, cnt, rn, lfx, bfx) — reused by the
-# q_holt_linear and q_mase oracles.
-_HOLT_CTE = f"""
+# q_holt_linear, q_mase, and q_causal_impact oracles. ``src_where``
+# restricts which events feed the fit (e.g. the pre-period only).
+def _holt_cte(src_where: str = "") -> str:
+    return f"""
         daily AS (
             SELECT event_type, date_trunc('day', ts) AS h,
                    CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY 1, 2
+            FROM events {src_where} GROUP BY 1, 2
         ),
         seq AS (
             SELECT event_type, h, cnt,
@@ -560,6 +562,9 @@ _HOLT_CTE = f"""
             JOIN ho e ON s.event_type = e.event_type AND s.rn = e.rn + 1
         )
 """
+
+
+_HOLT_CTE = _holt_cte()
 
 
 @register(
@@ -598,10 +603,16 @@ def q_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _holt_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _holt_frame(
+    spark: SparkSession, sf_dir: str, daily: DataFrame | None = None
+) -> DataFrame:
     """Integer Holt state series (event_type, day, cnt, lfx, bfx) —
-    shared by q_holt_linear (display form) and q_mase (error form)."""
-    grouped = _daily(spark, sf_dir).groupBy("event_type").agg(
+    shared by q_holt_linear (display form), q_mase (error form), and
+    q_causal_impact (pre-period fit). ``daily`` overrides the input
+    bucket series (default: the full stream's daily counts)."""
+    if daily is None:
+        daily = _daily(spark, sf_dir)
+    grouped = daily.groupBy("event_type").agg(
         F.collect_list(F.struct("h", "cnt")).alias("series")
     )
     out_t = "array<struct<h:timestamp,cnt:bigint,lfx:bigint,bfx:bigint>>"
@@ -920,5 +931,119 @@ def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.expr("cast(sum(e_model) as double) / sum(e_naive)").alias(
             "mase"
+        ),
+    )
+
+
+# --- CausalImpact-style counterfactual -------------------------------
+
+_PRE_WHERE = (
+    "WHERE epoch_us(ts) < (SELECT (epoch_us(min(ts))"
+    " + epoch_us(max(ts))) // 2 FROM events)"
+)
+
+
+@register(
+    "q_causal_impact",
+    oracle=f"""
+        WITH RECURSIVE {_holt_cte(_PRE_WHERE)},
+        fit AS (
+            SELECT event_type, lfx, bfx FROM (
+                SELECT event_type, lfx, bfx,
+                       row_number() OVER (PARTITION BY event_type
+                           ORDER BY rn DESC) AS rk
+                FROM ho
+            ) WHERE rk = 1
+        ),
+        post AS (
+            SELECT event_type, date_trunc('day', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE epoch_us(ts) >= (SELECT (epoch_us(min(ts))
+                  + epoch_us(max(ts))) // 2 FROM events)
+            GROUP BY 1, 2
+        ),
+        joined AS (
+            SELECT p.event_type, p.h, p.cnt, f.lfx, f.bfx,
+                   row_number() OVER (PARTITION BY p.event_type
+                       ORDER BY p.h) AS j
+            FROM post p JOIN fit f USING (event_type)
+        ),
+        eff AS (
+            SELECT event_type, h, cnt, j,
+                   lfx + j * bfx AS fcst_fx,
+                   cnt * {_S} - (lfx + j * bfx) AS eff_fx
+            FROM joined
+        )
+        SELECT event_type, h AS day, cnt,
+               CAST(fcst_fx AS DOUBLE) / {_S} AS forecast,
+               CAST(eff_fx AS DOUBLE) / {_S} AS effect,
+               CAST(sum(eff_fx) OVER (PARTITION BY event_type ORDER BY h
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS DOUBLE) / {_S} AS cum_effect
+        FROM eff
+    """,
+    doc="CausalImpact-style counterfactual (Brodersen et al. 2015,"
+    " trend-model form): fit Holt level+trend on the PRE-period daily"
+    " counts only, extrapolate forecast_j = level + j*trend across"
+    " the post period, and report per-day and CUMULATIVE effect ="
+    " actual - counterfactual — the intervention readout when no"
+    " control group exists (complementing q_did, which needs one,"
+    " and q_changepoint, which finds WHERE to split). The fit is the"
+    " same integer Holt fold (pre-period input only); extrapolation"
+    " and cumulative effects are pure int64, so the replay is"
+    " bit-exact. Post-period work is one partial agg + windows over"
+    " the tiny per-type series.",
+)
+def q_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    evb = ev.crossJoin(F.broadcast(bounds))
+    daily_pre = (
+        evb.filter(F.expr(f"{us} < mid_us"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wlast = Window.partitionBy("event_type").orderBy(F.desc("day"))
+    fit = (
+        _holt_frame(spark, sf_dir, daily=daily_pre)
+        .withColumn("rk", F.row_number().over(wlast))
+        .filter(F.col("rk") == 1)
+        .select("event_type", "lfx", "bfx")
+    )
+    post = (
+        evb.filter(F.expr(f"{us} >= mid_us"))
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    wj = Window.partitionBy("event_type").orderBy("h")
+    eff = (
+        post.join(F.broadcast(fit), "event_type")
+        .withColumn("j", F.row_number().over(wj))
+        .select(
+            "event_type",
+            "h",
+            "cnt",
+            (F.col("lfx") + F.col("j") * F.col("bfx")).alias("fcst_fx"),
+            (
+                F.col("cnt") * _S
+                - (F.col("lfx") + F.col("j") * F.col("bfx"))
+            ).alias("eff_fx"),
+        )
+    )
+    wcum = wj.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return eff.select(
+        "event_type",
+        F.col("h").alias("day"),
+        "cnt",
+        (F.col("fcst_fx").cast("double") / _S).alias("forecast"),
+        (F.col("eff_fx").cast("double") / _S).alias("effect"),
+        (F.sum("eff_fx").over(wcum).cast("double") / _S).alias(
+            "cum_effect"
         ),
     )

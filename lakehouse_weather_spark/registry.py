@@ -222,6 +222,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_silhouette",
     "q_coreset",
     "q_srm_check",
+    "q_causal_impact",
+    "q_mmr_rerank",
 })
 
 

@@ -85,3 +85,22 @@ def test_ann_recall_matches_component_queries(spark, sf_dir):
     assert row.recall_at_k == row.n_hits / row.k
     # the bar test_lsh_recall_vs_brute_force already enforces
     assert row.recall_at_k >= 0.5
+
+
+def test_mmr_diversifies_and_is_deterministic(spark, sf_dir):
+    from lakehouse_weather_spark.operators.retrieval import (
+        MMR_K,
+        q_mmr_rerank,
+    )
+
+    rows = sorted(q_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert len(rows) == MMR_K
+    assert len({r.vec_id for r in rows}) == MMR_K
+    assert rows[0].maxsim_fx is None  # first pick is pure relevance
+    # rank 1 has the highest relevance of the whole selection
+    assert rows[0].rel_fx == max(r.rel_fx for r in rows)
+    # determinism: a second run returns the identical list
+    again = sorted(q_mmr_rerank(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [(r.rank, r.vec_id) for r in rows] == [
+        (r.rank, r.vec_id) for r in again
+    ]

@@ -234,3 +234,28 @@ def test_mase_matches_holt_replay(spark, tmp_path):
     assert r.n_obs == n
     assert r.mase == e_model / e_naive
     assert abs(r.mae_model - e_model / n / _S) < 1e-12
+
+
+def test_causal_impact_forecast_is_pre_fit_extrapolation(spark, sf_dir):
+    from lakehouse_weather_spark.operators.timeseries import (
+        q_causal_impact,
+    )
+
+    rows = q_causal_impact(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for series in by_type.values():
+        series.sort(key=lambda r: r.day)
+        # forecast is linear in the step index: constant increments
+        if len(series) >= 3:
+            d1 = series[1].forecast - series[0].forecast
+            for a, b in zip(series[1:], series[2:]):
+                assert abs((b.forecast - a.forecast) - d1) < 1e-9
+        # cumulative effect is the running sum of effects
+        cum = 0.0
+        for r in series:
+            cum += r.effect
+            assert abs(r.cum_effect - cum) < 1e-6
+            assert abs(r.effect - (r.cnt - r.forecast)) < 1e-9
