@@ -171,6 +171,7 @@ HEADLINE = [
     "q_srm_check",
     "q_causal_impact",
     "q_mmr_rerank",
+    "q_seq_patterns",
 ]
 
 

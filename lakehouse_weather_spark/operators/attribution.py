@@ -406,3 +406,83 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         chi2.alias("chi2"),
         (chi2 > 3.841).alias("srm_alarm"),
     )
+
+
+# --- sequential pattern support mining -------------------------------
+
+
+@register(
+    "q_seq_patterns",
+    oracle="""
+        WITH f1 AS (
+            SELECT user_id, event_type AS t1, min(ts) AS ts1
+            FROM events GROUP BY user_id, event_type
+        ),
+        f2 AS (
+            SELECT e.user_id, f.t1, e.event_type AS t2, min(e.ts) AS ts2
+            FROM events e JOIN f1 f ON e.user_id = f.user_id
+            WHERE e.ts > f.ts1
+            GROUP BY e.user_id, f.t1, e.event_type
+        ),
+        f3 AS (
+            SELECT DISTINCT e.user_id, f.t1, f.t2, e.event_type AS t3
+            FROM events e JOIN f2 f ON e.user_id = f.user_id
+            WHERE e.ts > f.ts2
+        ),
+        tot AS (
+            SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events
+        )
+        SELECT t1, t2, t3,
+               CAST(count(*) AS BIGINT) AS support,
+               CAST(count(*) * 10000 // (SELECT n_users FROM tot)
+                    AS BIGINT) AS support_bp
+        FROM f3 GROUP BY t1, t2, t3
+    """,
+    doc="Sequential-pattern support mining (the GSP/PrefixSpan"
+    " existence layer for length-3 patterns): for every ordered"
+    " event-type triple (t1, t2, t3), how many users exhibit it as a"
+    " GAPPED subsequence — t1 strictly before some t2 strictly before"
+    " some t3, other events freely interleaved (q_event_pattern's"
+    " regex episodes are the contiguous cousin). Existence uses the"
+    " earliest-chain argument (greedy min timestamps are sufficient"
+    " for subsequence existence), so each hop is ONE user-keyed"
+    " equi-join + partial min — the fan-out is bounded by the"
+    " alphabet (|types|^2 intermediate keys per user), never by"
+    " pattern enumeration. Integer supports + basis points; the"
+    " DuckDB replay is exact.",
+)
+def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    f1 = ev.groupBy(
+        "user_id", F.col("event_type").alias("t1")
+    ).agg(F.min("ts").alias("ts1"))
+    f2 = (
+        ev.join(f1, "user_id")
+        .filter(F.col("ts") > F.col("ts1"))
+        .groupBy("user_id", "t1", F.col("event_type").alias("t2"))
+        .agg(F.min("ts").alias("ts2"))
+    )
+    f3 = (
+        ev.join(f2, "user_id")
+        .filter(F.col("ts") > F.col("ts2"))
+        .select("user_id", "t1", "t2", F.col("event_type").alias("t3"))
+        .distinct()
+    )
+    tot = ev.agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    return (
+        f3.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            "t3",
+            "support",
+            F.expr("cast(support * 10000 div n_users as bigint)").alias(
+                "support_bp"
+            ),
+        )
+    )

@@ -224,6 +224,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_srm_check",
     "q_causal_impact",
     "q_mmr_rerank",
+    "q_seq_patterns",
 })
 
 

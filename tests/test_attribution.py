@@ -98,3 +98,37 @@ def test_changepoint_matches_argmax_replay(spark, sf_dir):
     got = {r.event_type: (r.n_days, r.split_day, r.gain_fx) for r in rows}
     assert got == want
     assert all(g[2] >= 0 for g in got.values())  # gain is non-negative
+
+
+def test_seq_patterns_matches_subsequence_replay(spark, sf_dir):
+    rows = load_all()["q_seq_patterns"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").collect()
+    by_user: dict[int, list] = {}
+    for r in ev:
+        by_user.setdefault(r.user_id, []).append((r.ts, r.event_type))
+    support: dict[tuple, int] = {}
+    types = sorted({r.event_type for r in ev})
+    for seq in by_user.values():
+        seq.sort()
+        found = set()
+        for t1 in types:
+            ts1 = min((t for t, ty in seq if ty == t1), default=None)
+            if ts1 is None:
+                continue
+            for t2 in types:
+                ts2 = min(
+                    (t for t, ty in seq if ty == t2 and t > ts1),
+                    default=None,
+                )
+                if ts2 is None:
+                    continue
+                for t3 in types:
+                    if any(ty == t3 and t > ts2 for t, ty in seq):
+                        found.add((t1, t2, t3))
+        for k in found:
+            support[k] = support.get(k, 0) + 1
+    got = {(r.t1, r.t2, r.t3): r.support for r in rows}
+    assert got == support
+    n_users = len(by_user)
+    for r in rows:
+        assert r.support_bp == r.support * 10_000 // n_users
