@@ -237,9 +237,11 @@ _SD_S = 100
         ),
         sd AS (
             SELECT source, n_docs,
-                   CAST(floor(sqrt((q - (CAST(s AS DOUBLE)
-                       * CAST(s AS DOUBLE)) / n_docs) / (n_docs - 1))
-                       * {_SD_S}) AS BIGINT) AS sd_fx
+                   CASE WHEN n_docs < 2 THEN CAST(0 AS BIGINT)
+                        ELSE CAST(floor(sqrt((q - (CAST(s AS DOUBLE)
+                            * CAST(s AS DOUBLE)) / n_docs)
+                            / (n_docs - 1)) * {_SD_S}) AS BIGINT)
+                   END AS sd_fx
             FROM mom
         ),
         wt AS (
@@ -288,12 +290,16 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * cast(n_chars as decimal(19, 0))) as double)"
         ).alias("q"),
     )
+    # single-doc strata have undefined variance: weight them 0 rather
+    # than dividing by (n - 1) = 0 (mirrored in the oracle)
     sd = mom.select(
         "source",
         "n_docs",
         F.expr(
-            "cast(floor(sqrt((q - (cast(s as double) * cast(s as double))"
-            f" / n_docs) / (n_docs - 1)) * {_SD_S}) as bigint)"
+            "case when n_docs < 2 then cast(0 as bigint)"
+            " else cast(floor(sqrt((q - (cast(s as double)"
+            " * cast(s as double))"
+            f" / n_docs) / (n_docs - 1)) * {_SD_S}) as bigint) end"
         ).alias("sd_fx"),
     )
     # all remaining windows run over the |sources|-row weight table

@@ -494,20 +494,23 @@ _CK_P = 1_000_000_007
     oracle=f"""
         WITH canon AS (
             SELECT l_returnflag,
-                   CAST(l_orderkey AS VARCHAR) || '|' ||
-                   CAST(l_partkey AS VARCHAR) || '|' ||
-                   CAST(l_suppkey AS VARCHAR) || '|' ||
-                   CAST(l_linenumber AS VARCHAR) || '|' ||
-                   CAST(CAST(round(l_quantity * 10000) AS BIGINT)
-                        AS VARCHAR) || '|' ||
-                   CAST(CAST(round(l_extendedprice * 10000) AS BIGINT)
-                        AS VARCHAR) || '|' ||
-                   CAST(CAST(round(l_discount * 10000) AS BIGINT)
-                        AS VARCHAR) || '|' ||
-                   CAST(CAST(round(l_tax * 10000) AS BIGINT)
-                        AS VARCHAR) || '|' ||
-                   l_returnflag || '|' || l_linestatus || '|' ||
-                   CAST(epoch_us(l_shipdate) AS VARCHAR) AS row_str
+                   COALESCE(CAST(l_orderkey AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(CAST(l_partkey AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(CAST(l_suppkey AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(CAST(l_linenumber AS VARCHAR), chr(0))
+                       || '|' ||
+                   COALESCE(CAST(CAST(round(l_quantity * 10000) AS BIGINT)
+                        AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(CAST(CAST(round(l_extendedprice * 10000)
+                        AS BIGINT) AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(CAST(CAST(round(l_discount * 10000) AS BIGINT)
+                        AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(CAST(CAST(round(l_tax * 10000) AS BIGINT)
+                        AS VARCHAR), chr(0)) || '|' ||
+                   COALESCE(l_returnflag, chr(0)) || '|' ||
+                   COALESCE(l_linestatus, chr(0)) || '|' ||
+                   COALESCE(CAST(epoch_us(l_shipdate) AS VARCHAR), chr(0))
+                       AS row_str
             FROM lineitem
         ),
         hashed AS (
@@ -536,22 +539,32 @@ _CK_P = 1_000_000_007
 )
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    fx = (
-        lambda c: F.round(F.col(c) * 10_000, 0).cast("bigint").cast("string")
+    # NULL-safe canonicalization: concat_ws silently SKIPS nulls (a
+    # null column would alias with its neighbor), so every piece
+    # coalesces to an explicit NUL sentinel — mirrored in the oracle
+    nul = F.expr("chr(0)")
+    fx = lambda c: F.coalesce(  # noqa: E731
+        F.round(F.col(c) * 10_000, 0).cast("bigint").cast("string"), nul
     )
+    sc = lambda c: F.coalesce(F.col(c).cast("string"), nul)  # noqa: E731
     row_str = F.concat_ws(
         "|",
-        F.col("l_orderkey").cast("string"),
-        F.col("l_partkey").cast("string"),
-        F.col("l_suppkey").cast("string"),
-        F.col("l_linenumber").cast("string"),
+        sc("l_orderkey"),
+        sc("l_partkey"),
+        sc("l_suppkey"),
+        sc("l_linenumber"),
         fx("l_quantity"),
         fx("l_extendedprice"),
         fx("l_discount"),
         fx("l_tax"),
-        F.col("l_returnflag"),
-        F.col("l_linestatus"),
-        F.expr("unix_micros(cast(l_shipdate as timestamp))").cast("string"),
+        sc("l_returnflag"),
+        sc("l_linestatus"),
+        F.coalesce(
+            F.expr("unix_micros(cast(l_shipdate as timestamp))").cast(
+                "string"
+            ),
+            nul,
+        ),
     )
     hashed = li.withColumn("row_str", row_str).select(
         "l_returnflag",

@@ -293,3 +293,26 @@ def test_srm_check_counts_users_once(spark, sf_dir):
     chi2 = (n0 - n1) ** 2 / (n0 + n1)
     assert abs(r.chi2 - chi2) < 1e-12
     assert r.srm_alarm == (chi2 > 3.841)
+
+
+def test_table_checksum_null_safe(spark, tmp_path):
+    import pyspark.sql.functions as F
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    # two rows differing ONLY in which column is NULL: a null-skipping
+    # concat would canonicalize both to the same string
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem").limit(2)
+    a = li.withColumn(
+        "l_returnflag", F.lit(None).cast("string")
+    )
+    b = li.withColumn(
+        "l_linestatus", F.lit(None).cast("string")
+    ).withColumn("l_returnflag", F.col("l_linestatus"))
+    a.write.parquet(f"{tmp_path}/va/lineitem.parquet")
+    from lakehouse_weather_spark.registry import load_all
+
+    fn = load_all()["q_table_checksum"].fn
+    ra = fn(spark, f"{tmp_path}/va").collect()
+    # null flag groups under NULL key but still checksums stably
+    assert ra and all(r.sig_xor is not None for r in ra)
