@@ -906,6 +906,7 @@ def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
                    + (v_new / n_new) * (v_new / n_new) / (n_new - 1))
                    AS welch_df
         FROM se
+        WHERE n_old >= 2 AND n_new >= 2 AND se2 > 0
     """,
     doc="Welch's two-sample t-test per event type between the stream's"
     " first and second time halves: the parametric mean-shift detector"
@@ -966,6 +967,11 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     se = mom.withColumn(
         "se2", F.expr("v_old / n_old + v_new / n_new")
     )
+    # types with a sub-2 half (or zero pooled variance) have an
+    # undefined t — excluded identically in both engines
+    se = se.filter(
+        (F.col("n_old") >= 2) & (F.col("n_new") >= 2) & (F.col("se2") > 0)
+    )
     return se.select(
         "event_type",
         "n_old",
@@ -1024,14 +1030,16 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM mom
         )
         SELECT n AS n_users, mean_pre, mean_post,
-               cov / var_pre AS theta,
+               cov / NULLIF(var_pre, 0) AS theta,
                var_post / {_SCALE} / {_SCALE} AS var_post,
-               (var_post + (cov / var_pre) * (cov / var_pre) * var_pre
-                - 2 * (cov / var_pre) * cov) / {_SCALE} / {_SCALE}
-                   AS var_adj,
-               1 - (var_post + (cov / var_pre) * (cov / var_pre) * var_pre
-                    - 2 * (cov / var_pre) * cov) / var_post
-                   AS var_reduction
+               (var_post + (cov / NULLIF(var_pre, 0))
+                    * (cov / NULLIF(var_pre, 0)) * var_pre
+                - 2 * (cov / NULLIF(var_pre, 0)) * cov)
+                    / {_SCALE} / {_SCALE} AS var_adj,
+               1 - (var_post + (cov / NULLIF(var_pre, 0))
+                    * (cov / NULLIF(var_pre, 0)) * var_pre
+                    - 2 * (cov / NULLIF(var_pre, 0)) * cov)
+                    / NULLIF(var_post, 0) AS var_reduction
         FROM stats
     """,
     doc="CUPED variance reduction (Deng et al. 2013) over the event"
@@ -1107,15 +1115,19 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_users"),
         "mean_pre",
         "mean_post",
-        F.expr("cov / var_pre").alias("theta"),
+        F.expr("cov / nullif(var_pre, cast(0 as double))").alias("theta"),
         F.expr(f"var_post / {_SCALE} / {_SCALE}").alias("var_post"),
         F.expr(
-            "(var_post + (cov / var_pre) * (cov / var_pre) * var_pre"
-            f" - 2 * (cov / var_pre) * cov) / {_SCALE} / {_SCALE}"
+            "(var_post + (cov / nullif(var_pre, cast(0 as double)))"
+            " * (cov / nullif(var_pre, cast(0 as double))) * var_pre"
+            " - 2 * (cov / nullif(var_pre, cast(0 as double))) * cov)"
+            f" / {_SCALE} / {_SCALE}"
         ).alias("var_adj"),
         F.expr(
-            "1 - (var_post + (cov / var_pre) * (cov / var_pre) * var_pre"
-            " - 2 * (cov / var_pre) * cov) / var_post"
+            "1 - (var_post + (cov / nullif(var_pre, cast(0 as double)))"
+            " * (cov / nullif(var_pre, cast(0 as double))) * var_pre"
+            " - 2 * (cov / nullif(var_pre, cast(0 as double))) * cov)"
+            " / nullif(var_post, cast(0 as double))"
         ).alias("var_reduction"),
     )
 
@@ -1177,6 +1189,7 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_type, n1 AS n_old, n2 AS n_new, u1 AS u_stat,
                (u1 - mu) / sqrt(var) AS z_score
         FROM stat
+        WHERE n1 >= 1 AND n2 >= 1 AND var > 0
     """,
     doc="Mann-Whitney U (Wilcoxon rank-sum) drift test per event type"
     " between the stream's time halves — the NONPARAMETRIC location"
@@ -1248,6 +1261,11 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * ((n1 + n2 + 1) - tie_term"
             " / (cast(n1 + n2 as double) * (n1 + n2 - 1)))"
         ).alias("var"),
+    )
+    # an empty half or an all-tied sample (var = 0) has no defined z
+    # — excluded identically in both engines
+    stat = stat.filter(
+        (F.col("n1") >= 1) & (F.col("n2") >= 1) & (F.col("var") > 0)
     )
     return stat.select(
         "event_type",

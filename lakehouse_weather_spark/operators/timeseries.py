@@ -882,7 +882,7 @@ def q_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(*) AS BIGINT) AS n_obs,
                CAST(sum(e_model) AS DOUBLE) / count(*) / {_S} AS mae_model,
                CAST(sum(e_naive) AS DOUBLE) / count(*) / {_S} AS mae_naive,
-               CAST(sum(e_model) AS DOUBLE) / sum(e_naive) AS mase
+               CAST(sum(e_model) AS DOUBLE) / NULLIF(sum(e_naive), 0) AS mase
         FROM err GROUP BY event_type
     """,
     doc="MASE (mean absolute scaled error, Hyndman & Koehler 2006) of"
@@ -929,9 +929,12 @@ def q_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"cast(sum(e_naive) as double) / count(*) / {_S}").alias(
             "mae_naive"
         ),
-        F.expr("cast(sum(e_model) as double) / sum(e_naive)").alias(
-            "mase"
-        ),
+        # a CONSTANT series has zero naive error: MASE is undefined,
+        # so it NULLs rather than raising (mirrored in the oracle)
+        F.expr(
+            "cast(sum(e_model) as double)"
+            " / nullif(sum(e_naive), cast(0 as bigint))"
+        ).alias("mase"),
     )
 
 
