@@ -129,3 +129,130 @@ def test_pathological_fixture_exercises_the_edges(spark, patho_dir):
     assert len(types["solo"]) == 1
     assert len({r.value for r in types["flat"][:8]}) <= 2
     assert canonize  # imported utility stays exercised
+
+
+# --- documents / embeddings pathological fixture ---------------------
+
+_DOC_QUERIES = [
+    "q_feature_hashing",
+    "q_oov_rate",
+    "q_contrastive_pairs",
+    "q_neyman_allocation",
+    "q_word_diversity",
+    "q_quality_repetition",
+    "q_readability",
+    "q_unigram_surprisal",
+    "q_text_fingerprint",
+    "q_winnow_fingerprint",
+    "q_chunk_split",
+    "q_text_tokens",
+    "q_dedup_hash",
+    "q_l_diversity",  # smoke: unrelated table untouched by doc fixture
+]
+
+_EMB_QUERIES = [
+    "q_vector_topk",
+    "q_ndcg",
+    "q_mmr_rerank",
+    "q_silhouette",
+    "q_coreset",
+    "q_embed_centroid",
+]
+
+
+def _doc_rows():
+    rows = [
+        # single-word doc (the n=1 bigram / fingerprint-window edge)
+        (0, "hello", "en", "srcA", 5),
+        # all-identical words (diversity 0, repetition 1)
+        (1, "a a a a a a", "en", "srcA", 11),
+        # single-doc SOURCE (zero-weight Neyman stratum; 1-doc rank)
+        (2, "x", "zh", "srcB", 1),
+        # exact duplicates (dedup + near-dup must agree on survivors)
+        (3, "the quick brown fox jumps over the lazy dog again and again", "en", "srcC", 60),
+        (4, "the quick brown fox jumps over the lazy dog again and again", "en", "srcC", 60),
+        # near-duplicate with one word changed
+        (5, "the quick brown fox leaps over the lazy dog again and again", "en", "srcC", 60),
+        # longer doc so vocab/oov have a tail
+        (
+            6,
+            " ".join(f"w{i % 7}" for i in range(40)),
+            "fr",
+            "srcC",
+            len(" ".join(f"w{i % 7}" for i in range(40))),
+        ),
+    ]
+    return rows
+
+
+def _emb_rows():
+    # dim 8; vec 1 and 2 IDENTICAL (cosine tie -> vec_id tie-break);
+    # distinct labels so NDCG has relevance structure
+    base = [
+        (0, [1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0], 1),
+        (1, [0.9, 0.1, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0], 1),
+        (2, [0.9, 0.1, 0.0, 0.0, 0.5, 0.0, 0.0, 0.0], 1),
+        (3, [0.0, 1.0, 0.0, 0.0, 0.0, 0.5, 0.0, 0.0], 2),
+        (4, [0.0, 0.9, 0.1, 0.0, 0.0, 0.5, 0.0, 0.0], 2),
+        (5, [0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 0.5, 0.0], 3),
+        (6, [0.0, 0.0, 0.9, 0.1, 0.0, 0.0, 0.5, 0.0], 3),
+        (7, [0.2, 0.2, 0.2, 0.2, 0.2, 0.2, 0.2, 0.2], 1),
+    ] + [
+        # filler so top-k pools exist
+        (8 + i, [0.1 * ((i + j) % 5) for j in range(8)], (i % 3) + 1)
+        for i in range(24)
+    ]
+    return base
+
+
+@pytest.fixture(scope="module")
+def patho_doc_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("patho_docs")
+    spark.createDataFrame(
+        _doc_rows(), "doc_id long, text string, lang string,"
+        " source string, n_chars long"
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(_emb_rows(), schema).coalesce(1).write.parquet(
+        f"{out}/embeddings.parquet"
+    )
+    # events: reuse the pathological event rows so q_l_diversity runs
+    spark.createDataFrame(
+        _pathological_rows(),
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def patho_doc_con(patho_doc_dir):
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{patho_doc_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _DOC_QUERIES + _EMB_QUERIES)
+def test_pathological_doc_parity(spark, patho_doc_dir, patho_doc_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, patho_doc_con, patho_doc_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
