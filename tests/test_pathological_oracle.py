@@ -256,3 +256,25 @@ def test_pathological_doc_parity(spark, patho_doc_dir, patho_doc_con, name):
     spec = load_all()[name]
     res = compare_one(name, spec, spark, patho_doc_con, patho_doc_dir)
     assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# near-dup family on degenerate docs: 1-word docs (shorter than the
+# shingle window), exact duplicates, and a 1-doc source — the shapes
+# where shingle/banding edge cases hide
+_DEDUP_QUERIES = [
+    "q_minhash_neardup",
+    "q_minhash_estimate",
+    "q_simhash",
+    "q_ngram_jaccard",
+    "q_dedup_clusters",
+    "q_dedup_keep_best",
+    "q_dedup_content",
+    "q_dedup_paragraphs",
+]
+
+
+@pytest.mark.parametrize("name", _DEDUP_QUERIES)
+def test_pathological_dedup_parity(spark, patho_doc_dir, patho_doc_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, patho_doc_con, patho_doc_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
