@@ -172,6 +172,8 @@ HEADLINE = [
     "q_causal_impact",
     "q_mmr_rerank",
     "q_seq_patterns",
+    "q_wilson_bounds",
+    "q_eb_shrinkage",
 ]
 
 

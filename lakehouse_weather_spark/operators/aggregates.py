@@ -724,3 +724,165 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm_segment"),
     )
+
+
+# --- Wilson confidence bounds ----------------------------------------
+
+# z for a 95% interval, baked as a literal so no inverse-normal runs
+# inside either engine.
+_WILSON_Z = 1.959963984540054
+
+
+@register(
+    "q_wilson_bounds",
+    oracle=f"""
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        g AS (
+            SELECT user_id, n, x,
+                   CAST(x AS DOUBLE) / n AS p,
+                   (CAST({_WILSON_Z} AS DOUBLE)
+                        * CAST({_WILSON_Z} AS DOUBLE)) / n AS z2n
+            FROM pu
+        ),
+        g2 AS (
+            SELECT user_id, n, x, p, z2n,
+                   p * (1 - p) AS pq,
+                   z2n / 4 AS z4,
+                   z2n / 2 AS zh
+            FROM g
+        ),
+        g3 AS (
+            SELECT user_id, n, x, p, z2n, zh,
+                   (pq + z4) / n AS rad
+            FROM g2
+        ),
+        g4 AS (
+            SELECT user_id, n, x, p, z2n, zh,
+                   CAST({_WILSON_Z} AS DOUBLE) * sqrt(rad) AS marg
+            FROM g3
+        )
+        SELECT user_id, n, x, p,
+               (p + zh - marg) / (1 + z2n) AS wilson_low,
+               (p + zh + marg) / (1 + z2n) AS wilson_high
+        FROM g4
+    """,
+    doc="Wilson-score 95% confidence bounds on each user's purchase"
+    " rate: the ranking-by-lower-bound primitive (the 'sort by best'"
+    " algorithm) that fixes the small-sample lie in raw proportions —"
+    " a user at 1/1 ranks BELOW a user at 80/100 because its lower"
+    " bound collapses. The z quantile is a BAKED literal (no inverse"
+    " normal runs in either engine); counts are exact integers and"
+    " the interval is mirrored IEEE arithmetic ending in one sqrt, so"
+    " every bound hash-matches DuckDB. ONE conditional-aggregation"
+    " scan on the user shard key.",
+)
+def q_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    # every float op lands in its OWN projected column, in both
+    # engines: a compound a*b+c expression leaves the evaluation shape
+    # to the engine (constant folding / contraction), which costs the
+    # last ULP of parity — staging pins the op order exactly
+    g = pu.select(
+        "user_id",
+        "n",
+        "x",
+        F.expr("cast(x as double) / n").alias("p"),
+        F.expr(
+            f"(cast({_WILSON_Z} as double) * cast({_WILSON_Z} as double))"
+            " / n"
+        ).alias("z2n"),
+    )
+    g2 = g.select(
+        "*",
+        F.expr("p * (1 - p)").alias("pq"),
+        F.expr("z2n / 4").alias("z4"),
+        F.expr("z2n / 2").alias("zh"),
+    )
+    g3 = g2.select("*", F.expr("(pq + z4) / n").alias("rad"))
+    g4 = g3.select(
+        "*",
+        F.expr(f"cast({_WILSON_Z} as double) * sqrt(rad)").alias("marg"),
+    )
+    return g4.select(
+        "user_id",
+        "n",
+        "x",
+        "p",
+        F.expr("(p + zh - marg) / (1 + z2n)").alias("wilson_low"),
+        F.expr("(p + zh + marg) / (1 + z2n)").alias("wilson_high"),
+    )
+
+
+# --- empirical-Bayes shrinkage ---------------------------------------
+
+# Prior strength (pseudo-count mass) for the shrinkage estimator.
+_EB_M = 20
+
+
+@register(
+    "q_eb_shrinkage",
+    oracle=f"""
+        WITH pu AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY user_id
+        ),
+        prior AS (
+            SELECT CAST(sum(x) AS BIGINT) AS tx,
+                   CAST(sum(n) AS BIGINT) AS tn
+            FROM pu
+        )
+        SELECT pu.user_id, pu.n, pu.x,
+               CAST(pu.x AS DOUBLE) / pu.n AS raw_rate,
+               (CAST(pu.x AS DOUBLE) + {_EB_M}
+                    * (CAST(p.tx AS DOUBLE) / p.tn))
+                   / (pu.n + {_EB_M}) AS shrunk_rate
+        FROM pu CROSS JOIN prior p
+    """,
+    doc=f"Empirical-Bayes shrinkage of per-user purchase rates toward"
+    f" the corpus rate with prior strength m={_EB_M} pseudo-counts:"
+    " shrunk = (x + m*p0) / (n + m) — the hierarchical estimator"
+    " that stabilizes sparse per-entity rates (the quality-score,"
+    " CTR, and per-source-statistic smoothing every ranking pipeline"
+    " applies before comparing entities with wildly different"
+    " volumes). Low-volume users pull strongly to the prior;"
+    " high-volume users keep their own rate. The prior is a 2-number"
+    " broadcast from exact integer totals; the estimate is mirrored"
+    " IEEE arithmetic, hash-exact vs DuckDB.",
+)
+def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    pu = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+    )
+    prior = pu.agg(
+        F.sum("x").cast("bigint").alias("tx"),
+        F.sum("n").cast("bigint").alias("tn"),
+    )
+    return pu.crossJoin(F.broadcast(prior)).select(
+        "user_id",
+        "n",
+        "x",
+        F.expr("cast(x as double) / n").alias("raw_rate"),
+        F.expr(
+            f"(cast(x as double) + {_EB_M} * (cast(tx as double) / tn))"
+            f" / (n + {_EB_M})"
+        ).alias("shrunk_rate"),
+    )

@@ -225,6 +225,8 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_causal_impact",
     "q_mmr_rerank",
     "q_seq_patterns",
+    "q_wilson_bounds",
+    "q_eb_shrinkage",
 })
 
 

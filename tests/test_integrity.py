@@ -316,3 +316,28 @@ def test_table_checksum_null_safe(spark, tmp_path):
     ra = fn(spark, f"{tmp_path}/va").collect()
     # null flag groups under NULL key but still checksums stably
     assert ra and all(r.sig_xor is not None for r in ra)
+
+
+def test_wilson_and_shrinkage_statistics(spark, sf_dir):
+    import math
+
+    wil = {r.user_id: r for r in load_all()["q_wilson_bounds"].fn(spark, sf_dir).collect()}
+    shr = {r.user_id: r for r in load_all()["q_eb_shrinkage"].fn(spark, sf_dir).collect()}
+    assert set(wil) == set(shr)
+    Z = 1.959963984540054
+    tx = sum(r.x for r in shr.values())
+    tn = sum(r.n for r in shr.values())
+    p0 = tx / tn
+    for uid, r in wil.items():
+        # interval brackets the point estimate and stays in [0, 1]
+        assert 0.0 <= r.wilson_low <= r.p <= r.wilson_high <= 1.0
+        # replay the Wilson formula
+        p, n = r.p, r.n
+        z2n = (Z * Z) / n
+        marg = Z * math.sqrt((p * (1 - p) + z2n / 4) / n)
+        assert abs(r.wilson_low - (p + z2n / 2 - marg) / (1 + z2n)) < 1e-12
+        # shrinkage pulls toward the prior, monotonically in n
+        s = shr[uid]
+        assert abs(s.shrunk_rate - (s.x + 20 * p0) / (s.n + 20)) < 1e-12
+        lo, hi = sorted((s.raw_rate, p0))
+        assert lo - 1e-12 <= s.shrunk_rate <= hi + 1e-12
