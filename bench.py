@@ -174,6 +174,7 @@ HEADLINE = [
     "q_seq_patterns",
     "q_wilson_bounds",
     "q_eb_shrinkage",
+    "q_hash_ring",
 ]
 
 

@@ -22,6 +22,12 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# DETERMINISM NOTE: bare decimal literals (e.g. 1.96) type as
+# DECIMAL in DuckDB but promote to DOUBLE in Spark expressions, so a
+# folded constant like (1.96 * 1.96) / n can differ in the last ULP
+# between engines. Any non-integer literal participating in float
+# arithmetic inside an oracle MUST be written CAST(x AS DOUBLE) on the
+# DuckDB side (see q_wilson_bounds for the canonical fix).
 SCALE = 10_000  # 1e-4 resolution: matches the engine's money rounding
 
 

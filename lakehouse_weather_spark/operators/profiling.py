@@ -613,3 +613,140 @@ def q_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").cast("bigint").alias("n_sensitive"),
         (F.countDistinct("user_id") >= L_DIV).alias("meets_l"),
     )
+
+
+# --- consistent-hashing ring audit -----------------------------------
+
+# Virtual nodes per physical shard on the md5 ring.
+_RING_VNODES = 16
+_RING_NODES_BEFORE = 4  # shards s0..s3
+# The audit measures what fraction of keys MOVE when shard s4 joins.
+
+
+def _ring_cte(n_nodes: int, alias: str) -> str:
+    """DuckDB CTE: the md5 ring positions of n_nodes x VNODES tokens."""
+    return f"""
+        {alias} AS (
+            SELECT ('s' || CAST(node AS VARCHAR)) AS node,
+                   CAST(('0x' || substr(md5('ring_s'
+                       || CAST(node AS VARCHAR) || '_'
+                       || CAST(v AS VARCHAR)), 1, 15)) AS BIGINT) AS pos
+            FROM (SELECT unnest(generate_series(0, {n_nodes - 1}))
+                  AS node)
+            CROSS JOIN (SELECT unnest(generate_series(0,
+                  {_RING_VNODES - 1})) AS v)
+        )"""
+
+
+def _ring_assign(ring: str, out: str) -> str:
+    """Assign each key hash to the first ring token clockwise (wrap to
+    the ring minimum)."""
+    return f"""
+        {out} AS (
+            SELECT k.user_id,
+                   COALESCE(
+                       (SELECT r.node FROM {ring} r
+                        WHERE r.pos >= k.kpos
+                        ORDER BY r.pos, r.node LIMIT 1),
+                       (SELECT r.node FROM {ring} r
+                        ORDER BY r.pos, r.node LIMIT 1)) AS node
+            FROM keys k
+        )"""
+
+
+@register(
+    "q_hash_ring",
+    oracle=f"""
+        WITH keys AS MATERIALIZED (
+            SELECT DISTINCT user_id,
+                   CAST(('0x' || substr(md5('key_'
+                       || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       AS kpos
+            FROM events
+        ),
+        {_ring_cte(_RING_NODES_BEFORE, 'ring_a')},
+        {_ring_cte(_RING_NODES_BEFORE + 1, 'ring_b')},
+        {_ring_assign('ring_a', 'a')},
+        {_ring_assign('ring_b', 'b')}
+        SELECT b.node,
+               CAST(count(*) AS BIGINT) AS n_keys_after,
+               CAST(sum(CASE WHEN a.node <> b.node THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_moved_in
+        FROM a JOIN b USING (user_id)
+        GROUP BY b.node
+    """,
+    doc=f"Consistent-hashing ring audit (Karger et al. 1997): user keys"
+    f" and {_RING_VNODES} virtual tokens per shard hash onto an md5"
+    " ring; each key belongs to the first token clockwise. The audit"
+    " replays assignment BEFORE and AFTER a fifth shard joins and"
+    " reports, per post-join shard, how many keys it owns and how"
+    " many MOVED — the property that makes consistent hashing the"
+    " resharding strategy (≈1/(n+1) of keys move, vs ~all for mod-N)."
+    " Ring tokens are a tiny broadcast table; assignment is a"
+    " min-over-candidates per key (a broadcast range lookup, the"
+    " sort-merge interval pattern at scale). Pure md5 integers —"
+    " bit-exact everywhere.",
+)
+def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    keys = ev.select("user_id").distinct().select(
+        "user_id",
+        F.expr(
+            "cast(conv(substr(md5(concat('key_', cast(user_id as"
+            " string))), 1, 15), 16, 10) as bigint)"
+        ).alias("kpos"),
+    )
+
+    def ring(n_nodes: int):
+        rows = [
+            (f"s{node}", node, v)
+            for node in range(n_nodes)
+            for v in range(_RING_VNODES)
+        ]
+        df = ev.sparkSession.createDataFrame(
+            rows, "node string, node_i int, v int"
+        )
+        return df.select(
+            "node",
+            F.expr(
+                "cast(conv(substr(md5(concat('ring_s',"
+                " cast(node_i as string), '_', cast(v as string))),"
+                " 1, 15), 16, 10) as bigint)"
+            ).alias("pos"),
+        )
+
+    def assign(ring_df, out_node: str):
+        # broadcast the ring; per key keep the first token clockwise
+        # (min pos >= kpos), wrapping to the global minimum token
+        r = F.broadcast(ring_df)
+        cand = keys.join(r, F.col("pos") >= F.col("kpos"), "left")
+        best = cand.groupBy("user_id", "kpos").agg(
+            F.min(F.struct("pos", "node")).alias("m")
+        )
+        wrap = ring_df.orderBy("pos", "node").limit(1).select(
+            F.col("node").alias("wrap_node")
+        )
+        return (
+            best.crossJoin(F.broadcast(wrap))
+            .select(
+                "user_id",
+                F.coalesce(F.col("m.node"), F.col("wrap_node")).alias(
+                    out_node
+                ),
+            )
+        )
+
+    a = assign(ring(_RING_NODES_BEFORE), "node_a")
+    b = assign(ring(_RING_NODES_BEFORE + 1), "node_b")
+    return (
+        a.join(b, "user_id")
+        .groupBy(F.col("node_b").alias("node"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_keys_after"),
+            F.sum(
+                F.when(F.col("node_a") != F.col("node_b"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_moved_in"),
+        )
+    )

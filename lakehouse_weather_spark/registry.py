@@ -227,6 +227,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_seq_patterns",
     "q_wilson_bounds",
     "q_eb_shrinkage",
+    "q_hash_ring",
 })
 
 

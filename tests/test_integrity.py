@@ -341,3 +341,18 @@ def test_wilson_and_shrinkage_statistics(spark, sf_dir):
         assert abs(s.shrunk_rate - (s.x + 20 * p0) / (s.n + 20)) < 1e-12
         lo, hi = sorted((s.raw_rate, p0))
         assert lo - 1e-12 <= s.shrunk_rate <= hi + 1e-12
+
+
+def test_hash_ring_moves_about_one_fifth(spark, sf_dir):
+    rows = load_all()["q_hash_ring"].fn(spark, sf_dir).collect()
+    assert {r.node for r in rows} <= {"s0", "s1", "s2", "s3", "s4"}
+    total = sum(r.n_keys_after for r in rows)
+    moved = sum(r.n_moved_in for r in rows)
+    # only keys landing on the NEW shard move: every move lands on s4
+    for r in rows:
+        if r.node != "s4":
+            assert r.n_moved_in == 0
+        else:
+            assert r.n_moved_in == r.n_keys_after  # s4 owned nothing before
+    # the consistent-hashing guarantee: ~1/(n+1) of keys move, never most
+    assert 0 < moved < total * 0.5
