@@ -278,3 +278,87 @@ def test_pathological_dedup_parity(spark, patho_doc_dir, patho_doc_con, name):
     spec = load_all()[name]
     res = compare_one(name, spec, spark, patho_doc_con, patho_doc_dir)
     assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# --- lineitem / orders / customer pathological fixture ---------------
+
+_REL_QUERIES = [
+    "q_table_checksum",
+    "q_survival_km",
+    "q_rfm",
+    "q_target_encode_oof",
+    "q_bloom_semijoin",
+]
+
+
+@pytest.fixture(scope="module")
+def patho_rel_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("patho_rel")
+    base = dt.datetime(2026, 5, 1)
+
+    def day(n):
+        return base + dt.timedelta(days=n)
+
+    # customers: one per segment incl. a segment with a SINGLE customer
+    cust = [
+        (1, "Customer#1", 0, 100.0, "SEG_A"),
+        (2, "Customer#2", 1, -5.0, "SEG_A"),
+        (3, "Customer#3", 2, 0.0, "SEG_B"),  # 1-customer segment
+        (4, "Customer#4", 0, 50.0, "SEG_C"),  # segment with NO orders
+    ]
+    spark.createDataFrame(
+        cust,
+        "c_custkey long, c_name string, c_nationkey int,"
+        " c_acctbal double, c_mktsegment string",
+    ).coalesce(1).write.parquet(f"{out}/customer.parquet")
+
+    # orders: single-order customer; all of SEG_B's orders in ONE fold;
+    # an URGENT top-price order for the bloom dim
+    orders = [
+        (10, 1, "O", 100.0, day(0), "1-URGENT"),
+        (11, 1, "O", 500000.0, day(1), "1-URGENT"),  # bloom dim member
+        (12, 2, "F", 200.0, day(2), "5-LOW"),
+        (13, 3, "O", 300.0, day(3), "3-MEDIUM"),  # SEG_B single order
+    ]
+    spark.createDataFrame(
+        orders,
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp,"
+        " o_orderpriority string",
+    ).coalesce(1).write.parquet(f"{out}/orders.parquet")
+
+    # lineitems: ship BEFORE order (filtered by KM), ship far beyond
+    # the horizon (censored), same-day ship, and a NULL returnflag
+    li = [
+        (10, 1, 1, 1, 1.0, 10.0, 0.0, 0.0, "N", "O", day(0)),
+        (10, 2, 2, 2, 2.0, 20.0, 0.1, 0.0, "R", "F", day(400)),  # censored
+        (11, 3, 3, 1, 3.0, 30.0, 0.2, 0.1, None, "O", day(2)),  # NULL flag
+        (12, 4, 4, 1, 4.0, 40.0, 0.0, 0.0, "A", "F", day(1)),  # ship<order
+        (13, 5, 5, 1, 5.0, 50.0, 0.3, 0.2, "N", "O", day(3)),
+    ]
+    spark.createDataFrame(
+        li,
+        "l_orderkey long, l_partkey long, l_suppkey long,"
+        " l_linenumber int, l_quantity double, l_extendedprice double,"
+        " l_discount double, l_tax double, l_returnflag string,"
+        " l_linestatus string, l_shipdate timestamp",
+    ).coalesce(1).write.parquet(f"{out}/lineitem.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def patho_rel_con(patho_rel_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{patho_rel_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _REL_QUERIES)
+def test_pathological_rel_parity(spark, patho_rel_dir, patho_rel_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, patho_rel_con, patho_rel_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
