@@ -175,6 +175,7 @@ HEADLINE = [
     "q_wilson_bounds",
     "q_eb_shrinkage",
     "q_hash_ring",
+    "q_source_overlap",
 ]
 
 

@@ -491,3 +491,68 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         (F.col("doc_id") % _SEED_MOD == 0).alias("is_seed"),
     )
+
+
+# --- cross-source duplication matrix ---------------------------------
+
+
+@register(
+    "q_source_overlap",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        lab AS (
+            SELECT p.doc_a, p.doc_b,
+                   least(da.source, db.source) AS src_a,
+                   greatest(da.source, db.source) AS src_b
+            FROM mpairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+        )
+        SELECT src_a, src_b,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b)
+                    AS BIGINT) AS n_docs_touched
+        FROM lab GROUP BY src_a, src_b
+    """,
+    doc="Cross-source duplication matrix: the MinHash near-dup pairs"
+    " labeled by the (unordered) source pair of their endpoints — the"
+    " provenance diagnostic that tells a curation pipeline WHICH"
+    " sources mirror each other (syndication, scraping loops) so"
+    " dedup priorities and source caps can be set per-pair rather"
+    " than globally. Derived entirely from the already-verified"
+    " near-dup pair list via two broadcast-able doc-metadata joins +"
+    " one partial agg; output is |sources|^2-bounded. Bit-exact.",
+)
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    lab = (
+        pairs.join(
+            docs.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("source").alias("sa"),
+            ),
+            "doc_a",
+        )
+        .join(
+            docs.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("source").alias("sb"),
+            ),
+            "doc_b",
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.least("sa", "sb").alias("src_a"),
+            F.greatest("sa", "sb").alias("src_b"),
+        )
+    )
+    return lab.groupBy("src_a", "src_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+        .cast("bigint")
+        .alias("n_docs_touched"),
+    )

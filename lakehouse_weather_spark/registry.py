@@ -228,6 +228,7 @@ _ROUND3_NEW: frozenset[str] = frozenset({
     "q_wilson_bounds",
     "q_eb_shrinkage",
     "q_hash_ring",
+    "q_source_overlap",
 })
 
 

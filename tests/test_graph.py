@@ -146,3 +146,21 @@ def test_label_propagation_replay(spark, sf_dir):
     assert got == want
     # propagation actually reached non-seed nodes
     assert any(not is_seed for (_, is_seed) in got.values())
+
+
+def test_source_overlap_accounts_for_all_pairs(spark, sf_dir):
+    from lakehouse_weather_spark.operators.dedup import q_minhash_neardup
+    from lakehouse_weather_spark.operators.graph import q_source_overlap
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    rows = q_source_overlap(spark, sf_dir).collect()
+    n_pairs = q_minhash_neardup(spark, sf_dir).count()
+    assert sum(r.n_pairs for r in rows) == n_pairs  # every pair labeled
+    srcs = {
+        r.source
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    for r in rows:
+        assert r.src_a <= r.src_b  # canonical unordered pair
+        assert {r.src_a, r.src_b} <= srcs
+        assert 0 < r.n_pairs
