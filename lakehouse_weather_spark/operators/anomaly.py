@@ -254,7 +254,8 @@ def q_win_range_time(spark: SparkSession, sf_dir: str) -> DataFrame:
                 - CAST(h.n_old AS DOUBLE) / t.t_old)
                * (CAST(h.n_new AS DOUBLE) / t.t_new
                   - CAST(h.n_old AS DOUBLE) / t.t_old)
-               / (CAST(h.n_old AS DOUBLE) / t.t_old) AS chi2_term
+               / NULLIF(CAST(h.n_old AS DOUBLE) / t.t_old, 0)
+                   AS chi2_term
         FROM halves h CROSS JOIN tot t
     """,
     doc="Categorical distribution drift between the stream's first and"
@@ -302,7 +303,13 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_new",
         p_old.alias("p_old"),
         p_new.alias("p_new"),
-        ((p_new - p_old) * (p_new - p_old) / p_old).alias("chi2_term"),
+        # brand-new categories (p_old = 0) have an undefined chi2
+        # contribution: NULL, not a divide-by-zero (mirrored above)
+        (
+            (p_new - p_old)
+            * (p_new - p_old)
+            / F.expr("nullif(cast(n_old as double) / t_old, 0d)")
+        ).alias("chi2_term"),
     )
 
 
@@ -730,6 +737,7 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(max(abs(c1 * n2 - c2 * n1)) AS DOUBLE)
                    / (max(n1) * max(n2)) AS ks_stat
         FROM cum GROUP BY event_type
+        HAVING max(n1) > 0 AND max(n2) > 0
     """,
     doc="Two-sample Kolmogorov-Smirnov drift per event type: the max"
     " ECDF gap between the first and second time half of each type's"
@@ -777,13 +785,25 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.lit(1) - F.col("h1")).over(w).alias("c2"),
     )
     d = F.abs(F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
-    return cum.groupBy("event_type").agg(
-        F.max("n1").alias("n1"),
-        F.max("n2").alias("n2"),
-        F.max(d).cast("bigint").alias("d_num"),
-        (F.max(d).cast("double") / (F.max("n1") * F.max("n2"))).alias(
-            "ks_stat"
-        ),
+    # a type living entirely in one half has no two-sample statistic:
+    # excluded identically in both engines
+    return (
+        cum.groupBy("event_type")
+        .agg(
+            F.max("n1").alias("n1"),
+            F.max("n2").alias("n2"),
+            F.max(d).cast("bigint").alias("d_num"),
+        )
+        .filter((F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "event_type",
+            "n1",
+            "n2",
+            "d_num",
+            (F.col("d_num").cast("double") / (F.col("n1") * F.col("n2"))).alias(
+                "ks_stat"
+            ),
+        )
     )
 
 

@@ -337,9 +337,9 @@ _AC_LAGS = (1, 2, 7)
             WINDOW w AS (PARTITION BY d.event_type ORDER BY d.d)
         )
         SELECT event_type, CAST(max(n) AS BIGINT) AS n_days,
-               CAST(sum(dv * dv1) AS DOUBLE) / sum(dv * dv) AS r1,
-               CAST(sum(dv * dv2) AS DOUBLE) / sum(dv * dv) AS r2,
-               CAST(sum(dv * dv7) AS DOUBLE) / sum(dv * dv) AS r7
+               CAST(sum(dv * dv1) AS DOUBLE) / NULLIF(sum(dv * dv), 0) AS r1,
+               CAST(sum(dv * dv2) AS DOUBLE) / NULLIF(sum(dv * dv), 0) AS r2,
+               CAST(sum(dv * dv7) AS DOUBLE) / NULLIF(sum(dv * dv), 0) AS r7
         FROM dev
         GROUP BY event_type
     """,
@@ -377,7 +377,9 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             ],
         )
     )
-    den = F.sum(F.col("dv") * F.col("dv"))
+    # zero-variance (constant) series: autocorrelation is undefined,
+    # NULL instead of dividing by zero (mirrored in the oracle)
+    den = F.expr("nullif(sum(dv * dv), cast(0 as bigint))")
     return dev.groupBy("event_type").agg(
         F.max("n").cast("bigint").alias("n_days"),
         *[
@@ -412,14 +414,18 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM expected e LEFT JOIN daily o
               ON o.event_type = e.event_type AND o.d = e.d
             WHERE o.d IS NULL
+        ),
+        miss_agg AS (
+            SELECT event_type, min(d) AS first_missing
+            FROM missing GROUP BY event_type
         )
         SELECT e.event_type,
                CAST(count(*) AS BIGINT) AS n_expected,
                max(e.n_observed) AS n_observed,
                CAST(count(*) - max(e.n_observed) AS BIGINT) AS n_missing,
-               min(m.d) AS first_missing
+               max(m.first_missing) AS first_missing
         FROM expected e
-        LEFT JOIN missing m ON m.event_type = e.event_type
+        LEFT JOIN miss_agg m ON m.event_type = e.event_type
         GROUP BY e.event_type
     """,
     doc="Ingest-calendar completeness audit: per event type, the"

@@ -41,6 +41,35 @@ _QUERIES = [
     "q_ewma_smooth",
     "q_cusum_shift",
     "q_l_diversity",
+    # wider event-family coverage: windows, funnels, sessions, drift,
+    # seasonality — every one must stay engine-exact on degenerate data
+    "q_win_tumbling",
+    "q_win_sliding",
+    "q_funnel",
+    "q_retention_cohorts",
+    "q_event_transitions",
+    "q_event_pattern",
+    "q_time_rollup",
+    "q_session_window",
+    "q_sessionize",
+    "q_outlier_mad",
+    "q_volume_anomaly",
+    "q_win_range_time",
+    "q_interarrival_hist",
+    "q_dist_drift",
+    "q_ks_drift",
+    "q_funnel_latency",
+    "q_gini_activity",
+    "q_burstiness",
+    "q_type_cooccurrence",
+    "q_seasonal_decompose",
+    "q_autocorr",
+    "q_calendar_gaps",
+    "q_disorder_profile",
+    "q_winsorize",
+    "q_dedup_savings",
+    "q_decayed_engagement",
+    "q_user_features",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
