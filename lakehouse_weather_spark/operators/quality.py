@@ -198,10 +198,16 @@ def apply_quality_filter(docs: DataFrame) -> DataFrame:
 # join back keyed on the bigram hash (high-cardinality, no skew), one
 # per-doc partial-agg groupBy.
 
+# Single-word docs have ZERO bigrams: the n < 2 branch must return an
+# EMPTY array (the greatest(n-1, 1) trick that dodges Spark's
+# descending sequence(1, 0) would instead fabricate a phantom
+# "bigram" out of the lone word, a row the oracle rightly lacks).
 _BIGRAMS_SQL = (
-    "array_distinct(transform("
-    " sequence(1, greatest(size(split(text, ' ')) - 1, 1)),"
-    " i -> concat_ws(' ', slice(split(text, ' '), i, 2))))"
+    "case when size(split(text, ' ')) < 2"
+    " then cast(array() as array<string>)"
+    " else array_distinct(transform("
+    " sequence(1, size(split(text, ' ')) - 1),"
+    " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))) end"
 )
 
 

@@ -177,6 +177,39 @@ _DOC_QUERIES = [
     "q_text_tokens",
     "q_dedup_hash",
     "q_l_diversity",  # smoke: unrelated table untouched by doc fixture
+    # sampling / mixture / quality / decontam families
+    "q_sample_stratified",
+    "q_sample_hash",
+    "q_sample_quality_weighted",
+    "q_split_assign",
+    "q_kfold_assign",
+    "q_mix_weighted",
+    "q_mix_temperature",
+    "q_source_cap",
+    "q_ccnet_buckets",
+    "q_length_buckets",
+    "q_mixture_plan",
+    "q_gopher_rules",
+    "q_pii_redact",
+    "q_collocations",
+    "q_vocab_coverage",
+    "q_keyword_extract",
+    "q_bm25",
+    "q_text_langid",
+    "q_bigram_novelty",
+    "q_word_topk",
+    "q_text_quality",
+    "q_containment",
+    "q_decontaminate",
+    "q_leakage_pairs",
+    "q_jaccard_threshold_hist",
+    "q_minhash_scurve",
+    "q_dup_spans",
+    "q_span_cut",
+    "q_token_packing",
+    "q_pack_sequences",
+    "q_epoch_shuffle",
+    "q_shard_manifest",
 ]
 
 _EMB_QUERIES = [
