@@ -424,3 +424,89 @@ def test_pathological_rel_parity(spark, patho_rel_dir, patho_rel_con, name):
     spec = load_all()[name]
     res = compare_one(name, spec, spark, patho_rel_con, patho_rel_dir)
     assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# --- full relational star on pathological shapes ---------------------
+
+# TPC-H + relational operators on the degenerate star: single-row
+# dims, a part never ordered, a supplier with no lineitems, date
+# predicates that select nothing — row counts are tiny or zero, and
+# BOTH engines must agree exactly (including on empty results).
+_STAR_QUERIES = [
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q4", "q_tpch_q5",
+    "q_tpch_q6", "q_tpch_q7", "q_tpch_q8", "q_tpch_q9", "q_tpch_q10",
+    "q_tpch_q11", "q_tpch_q12", "q_tpch_q13", "q_tpch_q14", "q_tpch_q15",
+    "q_tpch_q16", "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22",
+    "q_join_inner", "q_join_left", "q_join_anti", "q_join_broadcast",
+    "q_agg_basic", "q_agg_distinct", "q_agg_rollup", "q_agg_filtered",
+    "q_agg_cube", "q_agg_median", "q_agg_quantiles", "q_agg_minmax_by",
+    "q_profile_lineitem", "q_dq_constraints", "q_join_cardinality",
+    "q_selfjoin_fanout", "q_abc_classification", "q_scan_parquet",
+    "q_sort", "q_topk", "q_grouping_sets", "q_rollup_consistency",
+    "q_win_distribution",
+]
+
+
+@pytest.fixture(scope="module")
+def patho_star_dir(spark, patho_rel_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("patho_star")
+    import shutil
+
+    for t in ("customer", "orders", "lineitem"):
+        shutil.copytree(
+            f"{patho_rel_dir}/{t}.parquet", f"{out}/{t}.parquet"
+        )
+    # a few queries profile the events stream alongside the star
+    spark.createDataFrame(
+        _pathological_rows(),
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    spark.createDataFrame(
+        [(0, "REGION_X"), (1, "REGION_Y")],
+        "r_regionkey int, r_name string",
+    ).coalesce(1).write.parquet(f"{out}/region.parquet")
+    spark.createDataFrame(
+        [(0, "NATION_A", 0), (1, "NATION_B", 0), (2, "NATION_C", 1)],
+        "n_nationkey int, n_name string, n_regionkey int",
+    ).coalesce(1).write.parquet(f"{out}/nation.parquet")
+    # supplier 5 supplies nothing; supplier 1 supplies everything
+    spark.createDataFrame(
+        [(s, f"Supplier#{s}", s % 3, 10.0 * s) for s in (1, 2, 3, 4, 5)],
+        "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+    ).coalesce(1).write.parquet(f"{out}/supplier.parquet")
+    # part 9 is never ordered
+    spark.createDataFrame(
+        [
+            (p, f"part name {p}", f"Brand#{p % 2}", f"TYPE {p % 3}",
+             p * 7 % 11, 100.0 + p)
+            for p in (1, 2, 3, 4, 5, 9)
+        ],
+        "p_partkey long, p_name string, p_brand string, p_type string,"
+        " p_size int, p_retailprice double",
+    ).coalesce(1).write.parquet(f"{out}/part.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def patho_star_con(patho_star_dir):
+    con = duckdb.connect()
+    for t in (
+        "customer", "orders", "lineitem", "region", "nation",
+        "supplier", "part", "events",
+    ):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{patho_star_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _STAR_QUERIES)
+def test_pathological_star_parity(
+    spark, patho_star_dir, patho_star_con, name
+):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, patho_star_con, patho_star_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
