@@ -67,7 +67,6 @@ _QUERIES = [
     "q_calendar_gaps",
     "q_disorder_profile",
     "q_winsorize",
-    "q_dedup_savings",
     "q_decayed_engagement",
     "q_user_features",
 ]
@@ -332,6 +331,7 @@ _DEDUP_QUERIES = [
     "q_dedup_keep_best",
     "q_dedup_content",
     "q_dedup_paragraphs",
+    "q_dedup_savings",
 ]
 
 
