@@ -711,8 +711,9 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         coded AS (
             SELECT v.vec_id, v.pos,
-                   CAST(round((v.val - r.lo) / (r.hi - r.lo) * 255)
-                        AS BIGINT) AS code,
+                   CASE WHEN r.hi = r.lo THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round((v.val - r.lo) / (r.hi - r.lo)
+                             * 255) AS BIGINT) END AS code,
                    v.val, r.lo, r.hi
             FROM vals v JOIN rng r USING (pos)
         )
@@ -748,9 +749,13 @@ def q_embed_sq8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "val",
         "lo",
         "hi",
-        F.expr("CAST(round((val - lo) / (hi - lo) * 255, 0) AS BIGINT)").alias(
-            "code"
-        ),
+        # a CONSTANT dimension (hi = lo) carries no information: code
+        # 0, dequant = lo, zero error — never a divide-by-zero
+        F.expr(
+            "CASE WHEN hi = lo THEN CAST(0 AS BIGINT)"
+            " ELSE CAST(round((val - lo) / (hi - lo) * 255, 0)"
+            " AS BIGINT) END"
+        ).alias("code"),
     )
     err_fx = F.expr(
         "CAST(round(abs((lo + code * (hi - lo) / 255) - val)"
@@ -1209,7 +1214,8 @@ MRL_DIMS = 16  # truncated prefix length evaluated against the full 64
         ),
         pre_rank AS (
             SELECT d.vec_id, row_number() OVER (
-                ORDER BY d.dot / n.nrm DESC, d.vec_id
+                ORDER BY d.dot / NULLIF(n.nrm, 0) DESC NULLS LAST,
+                         d.vec_id
             ) AS rnk
             FROM pre_d d JOIN pre_nrm n ON d.vec_id = n.vec_id
         )
@@ -1267,9 +1273,11 @@ def q_mrl_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
             / F.col("nrm")
         ).alias("full_score"),
+        # an all-zero PREFIX has no defined prefix cosine: NULL score,
+        # deterministically ranked last (mirrored in the oracle)
         (
             F.expr(_SPARK_DOT.format(a="pre_emb", b="q_pre"))
-            / F.col("pre_nrm")
+            / F.expr("nullif(pre_nrm, cast(0 as double))")
         ).alias("pre_score"),
     )
     # both rankings reduce to TakeOrderedAndProject top-k lists (the
@@ -1286,12 +1294,16 @@ def q_mrl_prefix_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     pre_top = (
-        scored.orderBy(F.desc("pre_score"), F.asc("vec_id"))
+        scored.orderBy(F.desc_nulls_last("pre_score"), F.asc("vec_id"))
         .limit(TOP_K)
         .select(
             "vec_id",
             F.row_number()
-            .over(Window.orderBy(F.desc("pre_score"), F.asc("vec_id")))
+            .over(
+                Window.orderBy(
+                    F.desc_nulls_last("pre_score"), F.asc("vec_id")
+                )
+            )
             .alias("pre_rnk"),
         )
     )
@@ -1399,9 +1411,9 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT v.vec_id, CAST(v.pos AS INTEGER) AS pos,
                (v.val - CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)
-               / sqrt(CAST(s.sxx AS DOUBLE) / {DOT_SCALE} / s.n
+               / NULLIF(sqrt(CAST(s.sxx AS DOUBLE) / {DOT_SCALE} / s.n
                       - (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)
-                        * (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n))
+                        * (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)), 0)
                    AS z
         FROM vals v JOIN stats s USING (pos)
     """,
@@ -1441,7 +1453,16 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return vals.join(F.broadcast(stats), "pos").select(
         "vec_id",
         "pos",
-        ((F.col("val") - mean) / F.sqrt(e2 - mean * mean)).alias("z"),
+        # a zero-variance dimension has no defined z-score: NULL,
+        # mirrored in the oracle
+        (
+            (F.col("val") - mean)
+            / F.expr("nullif(" + (
+                f"sqrt(cast(sxx as double) / {DOT_SCALE} / n"
+                f" - (cast(sx as double) / {DOT_SCALE} / n)"
+                f" * (cast(sx as double) / {DOT_SCALE} / n))"
+            ) + ", cast(0 as double))")
+        ).alias("z"),
     )
 
 

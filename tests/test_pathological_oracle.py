@@ -510,3 +510,96 @@ def test_pathological_star_parity(
     spec = load_all()[name]
     res = compare_one(name, spec, spark, patho_star_con, patho_star_dir)
     assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# --- 64-dim pathological embeddings: the ANN family ------------------
+
+_ANN_QUERIES = [
+    "q_vector_topk",
+    "q_vector_topk_lsh",
+    "q_vector_topk_ivf",
+    "q_vector_topk_pq",
+    "q_embed_sq8",
+    "q_ann_recall",
+    "q_embed_standardize",
+    "q_embed_norm_audit",
+    "q_embed_centroid",
+    "q_label_outliers",
+    "q_kmeans_clusters",
+    "q_silhouette",
+    "q_coreset",
+    "q_ndcg",
+    "q_mmr_rerank",
+    "q_maxsim_late_interaction",
+    "q_mrl_prefix_eval",
+]
+
+
+def _emb64_rows():
+    dim = 64
+    rows = []
+    # query vector 0: a sharp one-hot-ish direction
+    v0 = [0.0] * dim
+    v0[0], v0[32] = 1.0, 0.5
+    rows.append((0, v0, 1))
+    # vectors 1 and 2: EXACT duplicates near the query
+    v1 = [0.0] * dim
+    v1[0], v1[1], v1[32] = 0.9, 0.1, 0.5
+    rows.append((1, list(v1), 1))
+    rows.append((2, list(v1), 1))
+    # an almost-antipodal vector (negative dot)
+    v3 = [-x for x in v0]
+    v3[5] = 0.3
+    rows.append((3, v3, 2))
+    # a tiny-magnitude (but nonzero) vector
+    rows.append((4, [1e-3 if j % 7 == 0 else 0.0 for j in range(dim)], 2))
+    # filler: deterministic spread across three label clusters
+    for i in range(5, 40):
+        v = [0.0] * dim
+        base = (i % 3) * 20
+        for j in range(6):
+            v[base + ((i + j) % 20)] = 0.1 + 0.05 * ((i + j) % 5)
+        rows.append((i, v, (i % 3) + 1))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def patho_ann_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("patho_ann")
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(_emb64_rows(), schema).coalesce(1).write.parquet(
+        f"{out}/embeddings.parquet"
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def patho_ann_con(patho_ann_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{patho_ann_dir}/embeddings.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _ANN_QUERIES)
+def test_pathological_ann_parity(spark, patho_ann_dir, patho_ann_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, patho_ann_con, patho_ann_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
