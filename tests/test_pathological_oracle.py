@@ -218,6 +218,7 @@ _EMB_QUERIES = [
     "q_silhouette",
     "q_coreset",
     "q_embed_centroid",
+    "q_hybrid_rrf",
 ]
 
 
@@ -332,6 +333,7 @@ _DEDUP_QUERIES = [
     "q_dedup_content",
     "q_dedup_paragraphs",
     "q_dedup_savings",
+    "q_lsh_eval",
 ]
 
 
@@ -532,6 +534,8 @@ _ANN_QUERIES = [
     "q_mmr_rerank",
     "q_maxsim_late_interaction",
     "q_mrl_prefix_eval",
+    "q_semantic_dedup",
+    "q_embed_neardup",
 ]
 
 
