@@ -69,6 +69,17 @@ _QUERIES = [
     "q_winsorize",
     "q_decayed_engagement",
     "q_user_features",
+    "q_type_overlap",
+    "q_bloom_filter",
+    "q_hll_manual",
+    "q_win_laglead",
+    "q_win_frame",
+    "q_win_navigation",
+    "q_point_in_time_features",
+    "q_pivot_events",
+    "q_resample_ffill",
+    "q_interval_merge",
+    "q_map_histogram",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -114,6 +125,12 @@ def _pathological_rows():
     # user 6: two events at the SAME microsecond (TWAP zero-gap tie)
     add(2, 0, 6, "flat", 1.0)
     add(2, 0, 6, "flat", 2.0)
+    # users 40000/40001: user_ids beyond one bitmap bucket (32768) —
+    # the exclusive-bucket path the round-3 q_type_overlap fix covers
+    add(3, 0, 40000, "view", 1.5)
+    add(3, 5, 40000, "click", 2.5)
+    add(6, 0, 40001, "view", 3.5)
+    add(0, 30, 40001, "flat", 4.5)
     return rows
 
 
@@ -334,6 +351,9 @@ _DEDUP_QUERIES = [
     "q_dedup_paragraphs",
     "q_dedup_savings",
     "q_lsh_eval",
+    "q_heavy_hitters",
+    "q_win_rownum",
+    "q_count_per_source",
 ]
 
 
@@ -447,6 +467,9 @@ _STAR_QUERIES = [
     "q_selfjoin_fanout", "q_abc_classification", "q_scan_parquet",
     "q_sort", "q_topk", "q_grouping_sets", "q_rollup_consistency",
     "q_win_distribution",
+    "q_bitmap_distinct",
+    "q_histogram",
+    "q_date_format",
 ]
 
 
