@@ -264,8 +264,8 @@ def q_date_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_json_roundtrip",
     oracle="""
         SELECT event_id,
-               CAST(props->>'k' AS BIGINT) AS k,
-               (props->>'k') IS NOT NULL AS has_k
+               CAST(try_cast(props AS JSON)->>'k' AS BIGINT) AS k,
+               (try_cast(props AS JSON)->>'k') IS NOT NULL AS has_k
         FROM events
     """,
     doc="JSON field extraction (ref: json.loads at minio_io_manager.py:79;"

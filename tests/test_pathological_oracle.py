@@ -630,3 +630,79 @@ def test_pathological_ann_parity(spark, patho_ann_dir, patho_ann_con, name):
     spec = load_all()[name]
     res = compare_one(name, spec, spark, patho_ann_con, patho_ann_dir)
     assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# --- combined fixture: the remaining registry tail -------------------
+
+# Everything not already covered above runs against a combined
+# pathological dir holding ALL eight tables (64-dim embeddings).
+# Binary/media ops are excluded (they synthesize their own binary
+# landing data and have no SQL oracle surface here).
+_TAIL_QUERIES = [
+    "q_array_explode", "q_array_ops", "q_bpe_pair_counts",
+    "q_cdc_chunks", "q_chunk_recursive", "q_cluster_split",
+    "q_coalesce_defaults", "q_corpus_curation", "q_corr_matrix",
+    "q_countmin_words", "q_data_card", "q_degree_hist",
+    "q_eb_shrinkage", "q_editdist_neardup", "q_equidepth_hist",
+    "q_exists_subquery", "q_filter_contains", "q_filter_links",
+    "q_filter_nonempty", "q_filter_notnull", "q_filter_pred",
+    "q_fuzzy_clusters", "q_group_normalize", "q_hash_ring",
+    "q_hll_distinct", "q_html_strip", "q_join_asof",
+    "q_join_asof_tolerance", "q_join_range", "q_join_range_naive",
+    "q_join_salted", "q_json_roundtrip", "q_k_anonymity",
+    "q_label_propagation", "q_lang_doc_stats", "q_langid_eval",
+    "q_link_prediction", "q_negative_samples", "q_not_in_nulls",
+    "q_null_semantics", "q_pagerank_neardup", "q_pandas_grouped_agg",
+    "q_project_rename", "q_quantile_sketch", "q_scalar_mix",
+    "q_scalar_subquery", "q_scan_documents", "q_scan_events",
+    "q_scd2_intervals", "q_set_except", "q_set_except_all",
+    "q_set_intersect", "q_set_intersect_all", "q_set_union",
+    "q_simhash_neardup", "q_skew_profile", "q_skyline",
+    "q_source_overlap", "q_source_scorecard", "q_str_endswith",
+    "q_str_extra", "q_str_filename", "q_str_parse_url",
+    "q_str_regex_clean", "q_str_sha2", "q_temporal_split",
+    "q_tokenize_greedy", "q_tokenizer_fertility", "q_triangle_stats",
+    "q_udf_urljoin", "q_udtf_ngrams", "q_unicode_nfc", "q_unpivot",
+    "q_url_canonical", "q_wilson_bounds", "q_win_rank_stats",
+]
+
+
+@pytest.fixture(scope="module")
+def patho_all_dir(spark, patho_star_dir, patho_doc_dir, patho_ann_dir,
+                  tmp_path_factory):
+    out = tmp_path_factory.mktemp("patho_all")
+    import shutil
+
+    for t in ("customer", "orders", "lineitem", "region", "nation",
+              "supplier", "part", "events"):
+        shutil.copytree(
+            f"{patho_star_dir}/{t}.parquet", f"{out}/{t}.parquet"
+        )
+    shutil.copytree(
+        f"{patho_doc_dir}/documents.parquet", f"{out}/documents.parquet"
+    )
+    shutil.copytree(
+        f"{patho_ann_dir}/embeddings.parquet", f"{out}/embeddings.parquet"
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def patho_all_con(patho_all_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "region", "nation",
+              "supplier", "part", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{patho_all_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _TAIL_QUERIES)
+def test_pathological_tail_parity(spark, patho_all_dir, patho_all_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, patho_all_con, patho_all_dir)
+    assert res["status"] in ("OK", "ROWS_ONLY"), (
+        name, res.get("detail"), res,
+    )
