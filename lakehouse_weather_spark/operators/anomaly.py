@@ -1036,6 +1036,7 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CAST(sum(CAST(post AS HUGEINT) * post) AS DOUBLE) AS sss,
                    CAST(sum(CAST(pre AS HUGEINT) * post) AS DOUBLE) AS sps
             FROM per_user
+            HAVING count(*) >= 2
         ),
         stats AS (
             SELECT n,
@@ -1097,6 +1098,8 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("post"),
         )
     )
+    # variances need at least two users; below that the experiment
+    # readout is undefined and the query returns no row (mirrored)
     mom = per_user.agg(
         F.count(F.lit(1)).cast("bigint").alias("n"),
         F.sum("pre").cast("bigint").alias("sp"),
@@ -1113,7 +1116,7 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(pre as decimal(19, 0))"
             " * cast(post as decimal(19, 0))) as double)"
         ).alias("sps"),
-    )
+    ).filter(F.col("n") >= 2)
     stats = mom.select(
         "n",
         F.expr(

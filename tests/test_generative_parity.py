@@ -1,0 +1,91 @@
+"""Generative engine-parity fuzzing: hypothesis builds small RANDOM
+event tables (degenerate shapes allowed and likely — duplicate
+timestamps, single users, zero values, types missing from a time half)
+and asserts the Spark result still matches the DuckDB oracle
+bit-exactly. The hand-crafted pathological fixtures encode the edge
+shapes we THOUGHT of; this file searches for the ones we didn't, and
+shrinks any failure to a minimal counterexample.
+
+Example counts are deliberately small (each example pays a parquet
+write plus two engine runs); the per-query rotation still covers the
+main recursive/ratio/window shapes every run.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from tools.check_oracle import compare_one  # noqa: E402
+
+from lakehouse_weather_spark.registry import load_all  # noqa: E402
+
+# queries spanning the failure modes found by the fixed fixtures:
+# ratio guards, recursive folds, user-sharded windows, time splits
+_FUZZ_QUERIES = [
+    "q_cuped",
+    "q_twap",
+    "q_attribution",
+    "q_mannwhitney",
+    "q_holt_linear",
+    "q_volume_anomaly",
+    "q_survival_km",  # lineitem-free? no — events-only variant excluded
+]
+_FUZZ_QUERIES.remove("q_survival_km")
+
+_BASE = dt.datetime(2026, 7, 1)
+
+_event = st.tuples(
+    st.integers(min_value=0, max_value=4 * 86_400),  # seconds offset
+    st.sampled_from([1, 2, 3, 40_000]),  # user ids incl. bucket-edge
+    st.sampled_from(["view", "click", "purchase"]),
+    st.sampled_from([0.0, 0.5, 1.0, 7.25, 560.21]),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    events=st.lists(_event, min_size=2, max_size=25),
+    qname=st.sampled_from(_FUZZ_QUERIES),
+)
+def test_random_event_tables_stay_engine_exact(
+    spark, tmp_path_factory, events, qname
+):
+    rows = [
+        (
+            i,
+            _BASE + dt.timedelta(seconds=sec),
+            uid,
+            typ,
+            val,
+            "",
+        )
+        for i, (sec, uid, typ, val) in enumerate(events)
+    ]
+    out = tmp_path_factory.mktemp("fuzz")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out}/events.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{out}/events.parquet/*.parquet')"
+    )
+    spec = load_all()[qname]
+    res = compare_one(qname, spec, spark, con, str(out))
+    con.close()
+    assert res["status"] == "OK", (qname, res.get("detail"), res)
