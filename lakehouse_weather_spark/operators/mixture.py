@@ -244,11 +244,18 @@ _SD_S = 100
                    END AS sd_fx
             FROM mom
         ),
-        wt AS (
+        wt0 AS (
             SELECT source, n_docs, sd_fx,
                    n_docs * sd_fx AS w,
-                   CAST(sum(n_docs * sd_fx) OVER () AS BIGINT) AS w_tot
+                   CAST(sum(n_docs * sd_fx) OVER () AS BIGINT) AS w_tot,
+                   CAST(sum(n_docs) OVER () AS BIGINT) AS n_tot
             FROM sd
+        ),
+        wt AS (
+            SELECT source, n_docs, sd_fx,
+                   CASE WHEN w_tot = 0 THEN n_docs ELSE w END AS w,
+                   CASE WHEN w_tot = 0 THEN n_tot ELSE w_tot END AS w_tot
+            FROM wt0
         ),
         base AS (
             SELECT source, n_docs, sd_fx, w, w_tot,
@@ -304,12 +311,28 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # all remaining windows run over the |sources|-row weight table
     wall = Window.partitionBy()
-    wt = sd.select(
+    # if EVERY stratum has zero spread (all single-doc or constant),
+    # Neyman weights vanish: fall back to proportional-by-count
+    # allocation rather than dividing by a zero total (mirrored)
+    wt0 = (
+        sd.select(
+            "source",
+            "n_docs",
+            "sd_fx",
+            (F.col("n_docs") * F.col("sd_fx")).alias("w"),
+        )
+        .withColumn("w_tot", F.sum("w").over(wall).cast("bigint"))
+        .withColumn("n_tot", F.sum("n_docs").over(wall).cast("bigint"))
+    )
+    wt = wt0.select(
         "source",
         "n_docs",
         "sd_fx",
-        (F.col("n_docs") * F.col("sd_fx")).alias("w"),
-    ).withColumn("w_tot", F.sum("w").over(wall).cast("bigint"))
+        F.expr("case when w_tot = 0 then n_docs else w end").alias("w"),
+        F.expr("case when w_tot = 0 then n_tot else w_tot end").alias(
+            "w_tot"
+        ),
+    )
     base = (
         wt.withColumn("alloc0", F.expr(f"({NEYMAN_BUDGET} * w) div w_tot"))
         .withColumn("rem", F.expr(f"({NEYMAN_BUDGET} * w) % w_tot"))

@@ -288,13 +288,13 @@ def q_text_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(length(text) AS INTEGER) AS n_chars_q,
                CAST(len(string_split(text, ' ')) AS INTEGER) AS n_words,
                CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-                   / length(text) AS punct_ratio,
+                   / NULLIF(length(text), 0) AS punct_ratio,
                CAST(len(list_filter(string_split(text, ' '),
                         w -> w IN ('the','a','of','and','to','in','is','on','for','it')))
                     AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
                least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 50.0, 1.0)
                  * (1.0 - CAST(len(regexp_extract_all(text, '[^a-z0-9 ]')) AS DOUBLE)
-                          / length(text)) AS quality_score
+                          / NULLIF(length(text), 0)) AS quality_score
         FROM documents
     """,
     doc="Document quality scoring (training-data closure): length, word"
@@ -312,7 +312,9 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     stop_hits = F.size(
         F.filter(words, lambda w: w.isin(*_LEXICONS["en"]))
     ).cast("double")
-    punct_ratio = punct / F.length("text")
+    # an EMPTY document has no defined punctuation ratio: NULL, not a
+    # divide-by-zero (mirrored in the oracle)
+    punct_ratio = punct / F.expr("nullif(length(text), 0)")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_q"),
