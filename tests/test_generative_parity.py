@@ -89,3 +89,57 @@ def test_random_event_tables_stay_engine_exact(
     res = compare_one(qname, spec, spark, con, str(out))
     con.close()
     assert res["status"] == "OK", (qname, res.get("detail"), res)
+
+
+_DOC_FUZZ_QUERIES = [
+    "q_text_quality",
+    "q_bigram_novelty",
+    "q_neyman_allocation",
+    "q_oov_rate",
+    "q_word_diversity",
+    "q_contrastive_pairs",
+]
+
+_WORDS = ["a", "b", "the", "fox", "w1", "w2", "x", ""]
+
+_doc = st.tuples(
+    st.integers(min_value=1, max_value=20),  # word count
+    st.sampled_from(["en", "zh"]),
+    st.sampled_from(["s1", "s2", "s3"]),
+)
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    docs=st.lists(_doc, min_size=1, max_size=10),
+    words=st.lists(st.sampled_from(_WORDS), min_size=20, max_size=20),
+    qname=st.sampled_from(_DOC_FUZZ_QUERIES),
+)
+def test_random_doc_tables_stay_engine_exact(
+    spark, tmp_path_factory, docs, words, qname
+):
+    rows = []
+    for i, (nw, lang, src) in enumerate(docs):
+        text = " ".join(words[(i + j) % len(words)] for j in range(nw))
+        rows.append((i, text, lang, src, len(text)))
+    out = tmp_path_factory.mktemp("docfuzz")
+    spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{out}/documents.parquet/*.parquet')"
+    )
+    spec = load_all()[qname]
+    res = compare_one(qname, spec, spark, con, str(out))
+    con.close()
+    assert res["status"] == "OK", (qname, res.get("detail"), res)
