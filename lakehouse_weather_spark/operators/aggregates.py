@@ -112,23 +112,34 @@ def q_agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_agg_minmax_by",
     oracle="""
         SELECT o_orderpriority,
-               arg_min(o_orderkey, o_totalprice) AS cheapest_order,
-               arg_max(o_orderkey, o_totalprice) AS priciest_order,
+               (min(struct_pack(p := o_totalprice,
+                    k := o_orderkey))).k AS cheapest_order,
+               (max(struct_pack(p := o_totalprice,
+                    k := o_orderkey))).k AS priciest_order,
                min(o_totalprice) AS min_price,
                max(o_totalprice) AS max_price
         FROM orders
         GROUP BY o_orderpriority
     """,
     doc="min_by/max_by (argmin/argmax) per group: which order carries"
-    " the extreme value, not just the value. Deterministic because"
-    " o_totalprice extremes are unique per group in this data;"
-    " production use ties-breaks via a struct ordering.",
+    " the extreme value, not just the value. Ties on the value break"
+    " deterministically through a (value, key) STRUCT ordering in"
+    " BOTH engines — a bare arg_max picks an arbitrary row among"
+    " tied extremes and silently diverges between engines (and"
+    " between runs at cluster scale).",
 )
 def q_agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
+    # struct-valued extremes: (value, key) ordering makes the argmin/
+    # argmax DETERMINISTIC under value ties (bare min_by/max_by picks
+    # an arbitrary tied row — partition-order-dependent at scale)
     return orders.groupBy("o_orderpriority").agg(
-        F.min_by("o_orderkey", "o_totalprice").alias("cheapest_order"),
-        F.max_by("o_orderkey", "o_totalprice").alias("priciest_order"),
+        F.min(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias(
+            "cheapest_order"
+        ),
+        F.max(F.struct("o_totalprice", "o_orderkey"))["o_orderkey"].alias(
+            "priciest_order"
+        ),
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
