@@ -206,16 +206,36 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "warm_sec": round(warm_sec, 3),
+        "n_queries": len(timings),
+    }
+    # Full per-query detail goes to a file: at 150+ queries the single
+    # JSON line outgrew the driver's tail-capture window and recorded
+    # as unparseable (BENCH_r03). The printed line stays compact —
+    # totals plus the slowest 25 — and always parses.
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+        json.dump(full, fh, indent=1)
+    worst = dict(
+        sorted(timings.items(), key=lambda kv: -kv[1])[:25]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": worst,
                 "sf": sf,
                 "warm_sec": round(warm_sec, 3),
                 "n_queries": len(timings),
+                "note": "worst-25 shown; full per-query in BENCH_LOCAL.json",
             }
         )
     )

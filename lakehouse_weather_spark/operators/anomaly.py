@@ -1,7 +1,9 @@
 """Anomaly / monitoring operators: the data-quality closure a production
-ingest pipeline runs next to its crawl (the reference schedules its DAG
-daily — ``dags/lakehouse_weather_dag.py`` — but has no drift or outlier
-monitoring at all; these queries add that surface Spark-first).
+ingest pipeline runs next to its crawl (the reference's DAGs —
+``dags/bronze.py:127``, ``silver.py:25``, ``gold.py:30`` — are all
+manual-trigger, ``schedule_interval=None``, and have no drift or
+outlier monitoring at all; these queries add that surface
+Spark-first).
 
 All three queries are engineered for cross-engine determinism the same
 way the rest of the repo is (see functions.py): doubles enter integer
@@ -154,9 +156,9 @@ def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     " flag at >10% swing. The window runs over the |days|x|types|"
     " aggregate (150 rows), never over raw events: at 100 TB the only"
     " heavy step is the partial-agg count, and the day/type key is"
-    " uniform by construction. This is the monitoring query a daily"
-    " crawl DAG (ref: lakehouse_weather_dag.py schedule) should ship"
-    " with.",
+    " uniform by construction. This is the monitoring query a"
+    " periodic crawl DAG (the reference's are manual-trigger,"
+    " dags/bronze.py:127) should ship with.",
 )
 def q_volume_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

@@ -15,8 +15,9 @@ window over doc-level stats (terciles); everything stays integer until
 one final division, so the DuckDB oracles hash-match.
 
 The reference ingests one source with no mixing/batching layer at all
-(``dags/lakehouse_weather_dag.py``); this module is that missing
-assembly stage.
+(its whole pipeline is the bronze/silver/gold DAG chain,
+``dags/bronze.py``/``silver.py``/``gold.py``); this module is that
+missing assembly stage.
 """
 
 from __future__ import annotations

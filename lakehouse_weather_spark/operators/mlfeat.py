@@ -2,7 +2,7 @@
 missing: leakage-safe supervised encoding, contrastive-triplet
 construction, and the hashing trick.
 
-The reference pipeline feeds a RAG index (``dags/seed_milvus.py``) and
+The reference pipeline feeds a RAG index (``dags/utils/seed_milvus.py``) and
 stops at embeddings; a production training pipeline additionally
 derives MODEL-INPUT features from the curated tables. These three are
 the canonical shapes:
@@ -288,7 +288,8 @@ _DUCK_BUCKET = (
                    ON bk.doc_id = d.doc_id AND bk.bucket = g.b
         )
         SELECT doc_id,
-               list(cnt ORDER BY b) AS features,
+               '[' || string_agg(CAST(cnt AS VARCHAR), ',' ORDER BY b)
+                   || ']' AS features,
                CAST(sum(cnt) AS BIGINT) AS n_tokens
         FROM dense GROUP BY doc_id
     """,
@@ -321,9 +322,12 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         " i -> coalesce(element_at(map_from_entries(pairs), i),"
         " cast(0 as bigint)))"
     )
+    # features ships as a JSON string: external row-hash harnesses
+    # can't canonicalize list cells, and a compact JSON array is the
+    # interchange shape a feature store would land anyway.
     return pairs.select(
         "doc_id",
-        dense.alias("features"),
+        F.to_json(dense).alias("features"),
         F.expr("aggregate(pairs, cast(0 as bigint), (a, p) -> a + p.cnt)")
         .alias("n_tokens"),
     )

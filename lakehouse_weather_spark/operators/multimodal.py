@@ -225,10 +225,16 @@ def media_features(
     doc="Media decode + feature extraction over binary columns via"
     " Arrow-batched mapInPandas (fake decoder injected — real codecs"
     " absent in this container; see media_features()). Schema,"
-    " batching and partitioning are the production shape.",
+    " batching and partitioning are the production shape. The histogram"
+    " array is emitted as a JSON string so every output column is"
+    " scalar (external row-hash harnesses can't canonicalize list"
+    " cells); pytest checks the real array via media_features().",
 )
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return media_features(assets_table(spark, sf_dir), decode_fn=fake_decode)
+    feats = media_features(assets_table(spark, sf_dir), decode_fn=fake_decode)
+    return feats.withColumn(
+        "byte_histogram", F.to_json("byte_histogram")
+    )
 
 
 def frame_sample(

@@ -1,11 +1,11 @@
 """Recursive time-series operators: EWMA smoothing and CUSUM
 level-shift detection over the daily event stream.
 
-The reference pipeline ingests a daily weather feed (its DAG schedules
-one fetch per day, ``dags/lakehouse_weather_dag.py:31``) but has no
-smoothing or drift statistics over the ingested series at all; these
-queries add the classic monitoring pair a production ingest runs next
-to its volume checks (q_volume_anomaly does day-over-day deltas;
+The reference pipeline ingests a weather feed via manually-triggered
+Airflow DAGs (``dags/bronze.py:127``, ``schedule_interval=None``) but
+has no smoothing or drift statistics over the ingested series at all;
+these queries add the classic monitoring pair a production ingest runs
+next to its volume checks (q_volume_anomaly does day-over-day deltas;
 EWMA/CUSUM catch slow drifts a single-step delta misses).
 
 Both statistics are RECURRENCES (state_t depends on state_{t-1}), the
@@ -431,9 +431,10 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Ingest-calendar completeness audit: per event type, the"
     " expected day count over the observed [min, max] span versus the"
     " days actually present, with the first missing day — exactly the"
-    " silent failure mode of the reference's daily scheduled fetch"
-    " (dags/lakehouse_weather_dag.py runs once per day; a skipped run"
-    " leaves an undetected hole). The expected calendar generates"
+    " silent failure mode of a periodic fetch — and doubly so for the"
+    " reference's manual-trigger DAGs (dags/bronze.py:127,"
+    " schedule_interval=None: a forgotten trigger leaves an"
+    " undetected hole). The expected calendar generates"
     " from a |types|-row span aggregate (never corpus-sized), and the"
     " hole check is one anti-join-shaped left join per day bucket.",
 )

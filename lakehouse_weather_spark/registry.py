@@ -84,11 +84,11 @@ _QUERY_MODULES = [
 _loaded = False
 
 # Queries already green in a prior driver correctness record
-# (CORRECTNESS_r01.json + CORRECTNESS_r02.json). The external gate walks
-# the registry in order and may stop after a fixed budget, so load_all()
-# floats every query NOT yet in a driver record to the front — new and
-# previously-uncut queries get gate coverage first, while these keep
-# their standing record.
+# (CORRECTNESS_r01.json + CORRECTNESS_r02.json + CORRECTNESS_r03.json).
+# The external gate walks the registry in order and may stop after a
+# fixed budget, so load_all() floats every query NOT yet in a driver
+# record to the front — new and previously-uncut queries get gate
+# coverage first, while these keep their standing record.
 _PRIOR_VERIFIED = frozenset({
     # --- round 1 record ---
     "q_scan_documents", "q_scan_parquet", "q_scan_events",
@@ -126,110 +126,57 @@ _PRIOR_VERIFIED = frozenset({
     "q_text_tokens", "q_token_packing", "q_type_overlap",
     "q_vector_topk", "q_vector_topk_ivf", "q_vector_topk_lsh",
     "q_vector_topk_pq", "q_word_topk",
+    # --- round 3 record (49 green; q_media_features deliberately absent:
+    # its r03 row was red on driver-side canonicalization and must
+    # re-record after the output was made driver-hashable) ---
+    "q_chunk_recursive", "q_skyline", "q_corr_matrix", "q_pivot_events",
+    "q_unpivot", "q_scalar_subquery", "q_exists_subquery",
+    "q_null_semantics", "q_resample_ffill", "q_interval_merge",
+    "q_not_in_nulls", "q_scd2_intervals", "q_profile_lineitem",
+    "q_array_ops", "q_dq_constraints", "q_equidepth_hist",
+    "q_skew_profile", "q_binary_meta", "q_pagerank_neardup",
+    "q_win_tumbling", "q_sessionize", "q_time_rollup",
+    "q_session_window", "q_funnel", "q_event_pattern",
+    "q_event_transitions", "q_retention_cohorts", "q_outlier_mad",
+    "q_volume_anomaly", "q_win_range_time", "q_dist_drift",
+    "q_interarrival_hist", "q_winsorize", "q_countmin_words",
+    "q_bloom_filter", "q_udf_urljoin", "q_group_normalize",
+    "q_pandas_grouped_agg", "q_udtf_ngrams", "q_json_roundtrip",
+    "q_array_explode", "q_scalar_mix", "q_map_histogram",
+    "q_url_canonical", "q_join_asof_tolerance", "q_join_salted",
+    "q_join_range_naive", "q_tpch_q1", "q_tpch_q7",
 })
 
-# Queries first registered in round 3 (no driver record yet, but also
-# not part of the 70-query backlog the round-3 gate must drain). They
+# Queries first registered in round 4 (no driver record yet, but also
+# not part of the ~117-query backlog the round-4 gate must drain: the
+# round-3 registrations that have never had a driver record). They
 # order AFTER the backlog so they cannot displace it from the gate's
-# ~50-query window; the round-4 rotation picks them up.
-_ROUND3_NEW: frozenset[str] = frozenset({
-    "q_kmeans_clusters",
-    "q_semantic_dedup",
-    "q_bpe_pair_counts",
-    "q_triangle_stats",
-    "q_dup_spans",
-    "q_epoch_shuffle",
-    "q_bm25",
-    "q_lsh_eval",
-    "q_ann_recall",
-    "q_source_cap",
-    "q_word_diversity",
-    "q_unicode_nfc",
-    "q_langid_eval",
-    "q_tokenize_greedy",
-    "q_label_outliers",
-    "q_collocations",
-    "q_unigram_surprisal",
-    "q_k_anonymity",
-    "q_degree_hist",
-    "q_minhash_scurve",
-    "q_set_intersect_all",
-    "q_set_except_all",
-    "q_grouping_sets",
-    "q_cdc_chunks",
-    "q_ewma_smooth",
-    "q_cusum_shift",
-    "q_winnow_fingerprint",
-    "q_link_prediction",
-    "q_gopher_rules",
-    "q_kfold_assign",
-    "q_mixture_plan",
-    "q_length_buckets",
-    "q_ccnet_buckets",
-    "q_selfjoin_fanout",
-    "q_quantile_sketch",
-    "q_tokenizer_fertility",
-    "q_shard_manifest",
-    "q_disorder_profile",
-    "q_rollup_consistency",
-    "q_maxsim_late_interaction",
-    "q_mrl_prefix_eval",
-    "q_seasonal_decompose",
-    "q_autocorr",
-    "q_calendar_gaps",
-    "q_win_sliding",
-    "q_vocab_coverage",
-    "q_jaccard_threshold_hist",
-    "q_leakage_pairs",
-    "q_embed_norm_audit",
-    "q_binary_ahash",
-    "q_binary_neardup",
-    "q_hll_manual",
-    "q_cluster_split",
-    "q_span_cut",
-    "q_embed_standardize",
-    "q_funnel_latency",
-    "q_ks_drift",
-    "q_gini_activity",
-    "q_source_scorecard",
-    "q_join_cardinality",
-    "q_burstiness",
-    "q_type_cooccurrence",
-    "q_target_encode_oof",
-    "q_contrastive_pairs",
-    "q_feature_hashing",
-    "q_label_propagation",
-    "q_holt_linear",
-    "q_table_checksum",
-    "q_welch_ttest",
-    "q_bloom_semijoin",
-    "q_twap",
-    "q_oov_rate",
-    "q_cuped",
-    "q_attribution",
-    "q_changepoint",
-    "q_neyman_allocation",
-    "q_rfm",
-    "q_survival_km",
-    "q_mannwhitney",
-    "q_did",
-    "q_sliding_distinct",
-    "q_window_funnel",
-    "q_cohort_ltv",
-    "q_ndcg",
-    "q_l_diversity",
-    "q_mase",
-    "q_silhouette",
-    "q_coreset",
-    "q_srm_check",
-    "q_causal_impact",
-    "q_mmr_rerank",
-    "q_seq_patterns",
-    "q_wilson_bounds",
-    "q_eb_shrinkage",
-    "q_hash_ring",
-    "q_source_overlap",
+# ~50-query window; the round-5 rotation picks them up.
+_ROUND4_NEW: frozenset[str] = frozenset({
+    "q_media_features",  # red r03 row (canonicalization); re-record
+    "q_ngram_lm_ppl",
+    "q_entropy_filter",
+    "q_domain_mix",
+    "q_robots_filter",
+    "q_stopword_profile",
+    "q_length_outliers",
+    "q_char_ngram_lid",
+    "q_suffix_array_lcp",
+    "q_doc_span_stats",
+    "q_sentence_split",
+    "q_markdown_strip",
+    "q_boilerplate_lines",
+    "q_repeat_paragraph",
+    "q_url_dedup_norm",
+    "q_cross_shard_dup",
+    "q_mime_profile",
 })
+
+
+def _registered_round4_new() -> frozenset[str]:
+    """Subset of _ROUND4_NEW actually registered (forward names are
+    allowed while round-4 queries land incrementally)."""
+    return frozenset(n for n in _ROUND4_NEW if n in REGISTRY)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -252,13 +199,16 @@ def load_all() -> dict[str, QuerySpec]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
+        r4_new = _registered_round4_new()
+        # backlog first (registered, never driver-sampled), then this
+        # round's new queries, then queries with a standing record
         ordered = {
             n: s
             for n, s in REGISTRY.items()
-            if n not in _PRIOR_VERIFIED and n not in _ROUND3_NEW
+            if n not in _PRIOR_VERIFIED and n not in r4_new
         }
         ordered.update(
-            {n: s for n, s in REGISTRY.items() if n in _ROUND3_NEW}
+            {n: s for n, s in REGISTRY.items() if n in r4_new}
         )
         ordered.update(
             {n: s for n, s in REGISTRY.items() if n in _PRIOR_VERIFIED}

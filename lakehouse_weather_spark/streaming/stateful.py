@@ -22,9 +22,10 @@ Both backends emit one updated profile row per (user, micro-batch), so
 an Update-mode sink converges to the batch groupBy aggregate — asserted
 in tests/test_stateful.py under maxFilesPerTrigger=1.
 
-The reference has no streaming at all (hourly Airflow full rebuilds,
-``dags/weather_dag.py``); this operator is the incremental replacement
-for its recompute-the-world loop.
+The reference has no streaming at all (manually-triggered Airflow
+full rebuilds, ``dags/bronze.py:127`` ``schedule_interval=None``);
+this operator is the incremental replacement for its
+recompute-the-world loop.
 """
 
 from __future__ import annotations
@@ -224,7 +225,12 @@ def stream_running_profile(
     grouped = reader.parquet(events_dir).groupBy("user_id")
     stream = _tws_transform(grouped) if backend == "tws" else _gswp_transform(grouped)
 
-    name = f"profile_{abs(hash(checkpoint_dir)) % 10_000_000}"
+    # Stable digest, not Python hash(): str hash is salted per
+    # interpreter and mod-1e7 collisions across distinct checkpoint
+    # dirs could silently read/replace another run's memory sink.
+    import hashlib
+
+    name = "profile_" + hashlib.md5(checkpoint_dir.encode()).hexdigest()[:16]
     q = (
         stream.writeStream.format("memory")
         .queryName(name)

@@ -7,6 +7,7 @@ trick conserves token counts and is vocabulary-order independent.
 
 from __future__ import annotations
 
+import json
 import sys
 from pathlib import Path
 
@@ -98,10 +99,11 @@ def test_feature_hashing_conserves_tokens(spark, sf_dir):
     }
     assert len(rows) == len(docs)
     for r in rows:
-        assert len(r.features) == N_BUCKETS
+        feats = json.loads(r.features)  # ships as a JSON string
+        assert len(feats) == N_BUCKETS
         n_words = len(docs[r.doc_id].lower().split(" "))
-        assert sum(r.features) == n_words == r.n_tokens
-        assert all(c >= 0 for c in r.features)
+        assert sum(feats) == n_words == r.n_tokens
+        assert all(c >= 0 for c in feats)
 
     # same word -> same bucket everywhere: two docs sharing a word get
     # correlated buckets. Cheap spot check: hash of a literal word is
@@ -116,4 +118,4 @@ def test_feature_hashing_conserves_tokens(spark, sf_dir):
     for w in text.lower().split(" "):
         counts[bucket(w)] += 1
     got = next(r.features for r in rows if r.doc_id == some_doc)
-    assert list(got) == counts
+    assert json.loads(got) == counts

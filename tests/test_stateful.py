@@ -155,3 +155,32 @@ def test_stream_heavy_users_covers_true_heavy_hitters(spark, sf_dir, tmp_path):
         assert true_heavy <= cands[et], (et, true_heavy - cands[et])
         # and the summary is bounded
         assert len(cands[et]) < HH_STREAM_K
+
+
+def test_memory_sink_names_are_stable_digests():
+    """Sink names must come from a stable digest, never Python hash():
+    str hash is salted per interpreter, so a driver restart would lose
+    the handle to its own memory sink (and mod-1e7 truncation invites
+    cross-run collisions). Source-level guard: no hash( call anywhere
+    in the streaming package."""
+    import re
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / (
+        "lakehouse_weather_spark/streaming"
+    )
+    offenders = []
+    for py in pkg.glob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            code = line.split("#", 1)[0]  # comments may discuss hash()
+            if re.search(r"(?<![\w.])hash\(", code):
+                offenders.append(f"{py.name}:{i}: {line.strip()}")
+    assert not offenders, offenders
+
+    # and the digest itself is deterministic across processes
+    import hashlib
+
+    assert (
+        "profile_" + hashlib.md5(b"/tmp/ckpt").hexdigest()[:16]
+        == "profile_" + hashlib.md5(b"/tmp/ckpt").hexdigest()[:16]
+    )
