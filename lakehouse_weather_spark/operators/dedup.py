@@ -51,7 +51,17 @@ def _spark_shingles(text_col: str = "text") -> str:
     )
 
 
-def _spark_shingle_hashes(spark, sf_dir) -> DataFrame:
+def _sample_docs(docs: DataFrame, doc_cap: int) -> DataFrame:
+    """Deterministic corpus sample: md5-ordered LIMIT over doc_id. The
+    eval-style consumers (q_lsh_eval) pass this so their exact-truth
+    arm is bounded BY CONSTRUCTION when pointed at a full-scale corpus
+    — cap rows flow into shingling no matter the input size. md5 is
+    engine-portable, so DuckDB oracles replay the identical sample."""
+    order = F.md5(F.concat(F.lit("cap_"), F.col("doc_id").cast("string")))
+    return docs.orderBy(order, "doc_id").limit(doc_cap)
+
+
+def _spark_shingle_hashes(spark, sf_dir, doc_cap: int | None = None) -> DataFrame:
     """Distinct (doc_id, h) word-3-gram shingle hashes — the join/
     signature currency for minhash + jaccard (60-bit ints join ~5x
     faster than shingle strings and shrink the shuffle).
@@ -65,7 +75,10 @@ def _spark_shingle_hashes(spark, sf_dir) -> DataFrame:
     repartition is skipped)."""
     # 8 tasks is enough to hide the md5 stage for a ~MB-scale file
     # while keeping scheduling overhead low (see tables.fan_out)
-    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    docs = load_table(spark, sf_dir, "documents")
+    if doc_cap is not None:
+        docs = _sample_docs(docs, doc_cap)
+    docs = fan_out(docs, "doc_id")
     # array_distinct over the shingle STRINGS keeps the per-doc dedup
     # narrow; md5->int runs AFTER the explode, on a flat column, where
     # whole-stage codegen vectorizes it (hashing inside the transform
@@ -76,7 +89,8 @@ def _spark_shingle_hashes(spark, sf_dir) -> DataFrame:
     ).select("doc_id", F.expr(_SPARK_H.format(expr="s")).alias("h"))
 
 
-_DUCK_SHINGLES_CTE = f"""
+def _duck_shingles_cte(src: str = "documents") -> str:
+    return f"""
     sh AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(
@@ -87,10 +101,14 @@ _DUCK_SHINGLES_CTE = f"""
                    unnest(generate_series(
                        1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)
                    )) AS i
-            FROM documents
+            FROM {src}
         )
     )
 """
+
+
+
+_DUCK_SHINGLES_CTE = _duck_shingles_cte()
 
 
 # ---------------------------------------------------------------------------
@@ -148,7 +166,7 @@ def q_dedup_content(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _minhash_pairs_cte() -> str:
+def _minhash_pairs_cte(src: str = "documents") -> str:
     """CTE chain ending in ``mpairs`` = the banded-LSH candidate pairs
     (doc_a < doc_b) — shared by the q_minhash_* oracles and every
     oracle that consumes the near-dup graph (triangles, etc.)."""
@@ -164,7 +182,7 @@ def _minhash_pairs_cte() -> str:
         + " AS band_hash FROM sig"
         for b in range(N_BANDS)
     )
-    return f"""{_DUCK_SHINGLES_CTE},
+    return f"""{_duck_shingles_cte(src)},
         sig AS (
             SELECT doc_id,
                {mins}
@@ -188,13 +206,15 @@ def _minhash_oracle() -> str:
     """
 
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_signatures(
+    spark: SparkSession, sf_dir: str, doc_cap: int | None = None
+) -> DataFrame:
     """(doc_id, s0..s15) MinHash signature table — the REUSABLE dedup
     artifact. At 100 TB this is computed once per corpus snapshot and
     persisted (see :func:`write_signature_artifacts`); every subsequent
     dedup run, incremental ingest, or threshold sweep derives candidate
     pairs from the stored signatures without re-shingling the corpus."""
-    sh = _spark_shingle_hashes(spark, sf_dir)
+    sh = _spark_shingle_hashes(spark, sf_dir, doc_cap)
     x = F.col("h") % P
     mins = [
         F.min((F.lit(a) * x + F.lit(b)) % P).alias(f"s{k}")
@@ -379,14 +399,14 @@ _DUCK_CAPPED_CTE = f"""
 """
 
 
-def _capped_shingle_buckets(spark, sf_dir) -> DataFrame:
+def _capped_shingle_buckets(spark, sf_dir, doc_cap: int | None = None) -> DataFrame:
     """(h, ids) inverted index of shingle hash -> sorted doc list, with
     stop-phrase shingles (df > DF_CAP) dropped. ONE shuffle; both the
     pair stream and the per-doc set sizes derive from it narrowly, so
     the whole jaccard pipeline is 1 wide exchange + partial-agg
     groupBys — the old plan shuffled the shingle table twice more for
     a self-join."""
-    sh = _spark_shingle_hashes(spark, sf_dir)
+    sh = _spark_shingle_hashes(spark, sf_dir, doc_cap)
     return (
         sh.groupBy("h")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -394,12 +414,12 @@ def _capped_shingle_buckets(spark, sf_dir) -> DataFrame:
     )
 
 
-def _jaccard_pairs(spark, sf_dir) -> DataFrame:
+def _jaccard_pairs(spark, sf_dir, doc_cap: int | None = None) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing >= 1 capped shingle.
     Pairs are generated inside each inverted-index bucket (ids sorted,
     so doc_a < doc_b by construction) — a narrow nested transform, not
     a self-join."""
-    buckets = _capped_shingle_buckets(spark, sf_dir)
+    buckets = _capped_shingle_buckets(spark, sf_dir, doc_cap)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) ->"
         " transform(slice(ids, i + 2, size(ids)),"

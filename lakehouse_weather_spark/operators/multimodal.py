@@ -5,11 +5,12 @@ images; the writer is absent from the snapshot).
 
 Engine treatment: media are opaque ``BinaryType`` columns with typed
 metadata; decode / feature-extract / resize / frame-sample run as
-Arrow-batched ``mapInPandas`` stages. The image/audio codecs are not in
-this container, so the decode step is STUBBED: ``decode_image_batch``
-raises ``NotImplementedError`` unless a deterministic fake decoder is
-injected — tests exercise the real Spark plumbing (schema, batching,
-partitioning) with the fake.
+Arrow-batched ``mapInPandas`` stages. The default decoder
+(``real_decode``) uses Pillow when importable and otherwise parses the
+image container headers directly (PNG IHDR / GIF LSD / BMP DIB / JPEG
+SOFn — pure stdlib), which covers (width, height, channels) with no
+codec; full pixel decode still needs a codec and tests inject
+``fake_decode`` where fixture bytes are not real images.
 """
 
 from __future__ import annotations
@@ -160,13 +161,99 @@ def q_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 # decoder: bytes -> (width, height, channels); injectable for tests
 DecodeFn = Callable[[bytes], tuple[int, int, int]]
 
+# PNG color type -> sample channels (PNG spec §11.2.2)
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
 
-def _require_real_decoder(content: bytes) -> tuple[int, int, int]:
-    raise NotImplementedError(
-        "Real image decoding requires an image codec (e.g. Pillow), which"
-        " is not available in this environment. Inject a decode_fn"
-        " (tests use fake_decode) or install a codec in production."
+
+def _png_dims(b: bytes) -> tuple[int, int, int]:
+    # 8-byte signature, then the IHDR chunk: len(4) "IHDR"(4)
+    # width(4 BE) height(4 BE) bitdepth(1) colortype(1)
+    import struct
+
+    if len(b) < 26 or b[12:16] != b"IHDR":
+        raise ValueError("truncated PNG")
+    w, h = struct.unpack(">II", b[16:24])
+    return w, h, _PNG_CHANNELS.get(b[25], 3)
+
+
+def _gif_dims(b: bytes) -> tuple[int, int, int]:
+    # logical screen descriptor: width/height u16 LE at offset 6
+    import struct
+
+    if len(b) < 10:
+        raise ValueError("truncated GIF")
+    w, h = struct.unpack("<HH", b[6:10])
+    return w, h, 3
+
+
+def _bmp_dims(b: bytes) -> tuple[int, int, int]:
+    # BITMAPINFOHEADER: i32 width at 18, i32 height at 22 (may be
+    # negative for top-down rows), u16 bits-per-pixel at 28
+    import struct
+
+    if len(b) < 30:
+        raise ValueError("truncated BMP")
+    w, h = struct.unpack("<ii", b[18:26])
+    bpp = struct.unpack("<H", b[28:30])[0]
+    return w, abs(h), max(bpp // 8, 1)
+
+
+def _jpeg_dims(b: bytes) -> tuple[int, int, int]:
+    # walk the marker stream to the first SOFn frame header, which
+    # carries height(u16 BE), width(u16 BE), components(u8)
+    import struct
+
+    i = 2
+    while i + 9 < len(b):
+        if b[i] != 0xFF:
+            i += 1
+            continue
+        marker = b[i + 1]
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            i += 2  # standalone markers carry no length
+            continue
+        seg_len = struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", b[i + 5 : i + 9])
+            return w, h, b[i + 9]
+        i += 2 + seg_len
+    raise ValueError("no JPEG SOF marker found")
+
+
+def real_decode(content: bytes) -> tuple[int, int, int]:
+    """Real image dimension decoder. Prefers Pillow when importable
+    (full codec); otherwise parses the container header directly —
+    PNG IHDR, GIF logical screen descriptor, BMP DIB header, JPEG SOFn
+    — pure stdlib, which is all (width, height, channels) needs. Raises
+    ValueError on bytes that are not a recognized image, so callers
+    can route non-image assets elsewhere (or inject fake_decode)."""
+    b = bytes(content or b"")
+    try:
+        from PIL import Image  # optional, like pypdf in fetchers.py
+        import io
+
+        with Image.open(io.BytesIO(b)) as im:
+            return im.width, im.height, len(im.getbands())
+    except ImportError:
+        pass
+    if b[:8] == b"\x89PNG\r\n\x1a\n":
+        return _png_dims(b)
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return _gif_dims(b)
+    if b[:2] == b"BM":
+        return _bmp_dims(b)
+    if b[:3] == b"\xff\xd8\xff":
+        return _jpeg_dims(b)
+    raise ValueError(
+        f"unrecognized image container (magic {b[:4]!r}); inject a"
+        " decode_fn for non-image or exotic formats"
     )
+
+
+# Backwards-compatible name: the default decoder is now real_decode
+# (header parse, no codec needed); kept so existing call sites that
+# want strict refusal on non-image bytes still get an exception.
+_require_real_decoder = real_decode
 
 
 def fake_decode(content: bytes) -> tuple[int, int, int]:

@@ -157,19 +157,35 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 from lakehouse_weather_spark.operators.dedup import (  # noqa: E402
     _DUCK_CAPPED_CTE,
+    minhash_pairs_from_signatures,
+    minhash_signatures,
     _checkpoint,
     _jaccard_pairs,
     _minhash_pairs_cte,
-    q_minhash_neardup,
 )
 
 LSH_EVAL_T = 0.10  # truth threshold — q_ngram_jaccard's near-dup bar
+# Deterministic doc-sample cap for the eval's exact-truth arm: at most
+# this many md5-ordered documents enter shingling, so the audit is
+# bounded BY CONSTRUCTION when pointed at a full-scale corpus (the
+# quadratic-in-principle exact arm runs on a fixed-size sample, the
+# statistically standard way to score blocking quality). Fixture
+# corpora are far below the cap, so sampled == full there and the
+# DuckDB oracle (which replays the identical md5-ordered LIMIT)
+# hash-matches.
+LSH_EVAL_DOC_CAP = 20_000
+_EVAL_DOCS_CTE = f"""docs_sample AS (
+            SELECT * FROM documents
+            ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)), doc_id
+            LIMIT {LSH_EVAL_DOC_CAP}
+        )"""
 
 
 @register(
     "q_lsh_eval",
     oracle=f"""
-        WITH {_minhash_pairs_cte()},
+        WITH {_EVAL_DOCS_CTE},
+        {_minhash_pairs_cte(src="docs_sample")},
         {_DUCK_CAPPED_CTE},
         truth AS (
             SELECT doc_a, doc_b FROM inter
@@ -195,7 +211,10 @@ LSH_EVAL_T = 0.10  # truth threshold — q_ngram_jaccard's near-dup bar
     " q_ngram_jaccard bar). This is the eval every production dedup"
     " pipeline runs before committing to banding parameters — recall"
     " says how many true near-dups the bands can ever surface,"
-    " precision says how much the verify stage overpays. Truth comes"
+    " precision says how much the verify stage overpays. Both arms"
+    f" run over the same deterministic {LSH_EVAL_DOC_CAP}-doc"
+    " md5-ordered sample (LSH_EVAL_DOC_CAP), so the audit stays"
+    " fixed-cost on an arbitrarily large corpus. Truth comes"
     " from the inverted-index equi-join (never an all-pairs scan) so"
     " the eval itself has the same 100 TB shape as the dedup it"
     " audits; both pair sets checkpoint once and the three counts are"
@@ -203,9 +222,13 @@ LSH_EVAL_T = 0.10  # truth threshold — q_ngram_jaccard's near-dup bar
     " single IEEE ops, so the row hash-matches the oracle.",
 )
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cand = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    cand = _checkpoint(
+        minhash_pairs_from_signatures(
+            minhash_signatures(spark, sf_dir, doc_cap=LSH_EVAL_DOC_CAP)
+        )
+    )
     truth = _checkpoint(
-        _jaccard_pairs(spark, sf_dir)
+        _jaccard_pairs(spark, sf_dir, doc_cap=LSH_EVAL_DOC_CAP)
         .filter(F.col("jaccard") >= LSH_EVAL_T)
         .select("doc_a", "doc_b")
     )

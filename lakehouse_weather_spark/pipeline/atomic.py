@@ -202,13 +202,93 @@ def publish(
     return os.path.join(table_dir, version)
 
 
+class SchemaMismatchError(ValueError):
+    """Raised when a publish would change the table's schema in a way
+    the requested schema_mode forbids (the versioned-store analog of
+    Delta's schema enforcement)."""
+
+
+def _committed_schema(table_dir: str) -> dict[str, str] | None:
+    """{column: type} of the committed version's manifest schema, or
+    None when the table is new / predates manifests."""
+    import json
+
+    version = current_version(table_dir)
+    if version is None:
+        return None
+    try:
+        with open(os.path.join(table_dir, version, _MANIFEST)) as fh:
+            manifest = json.load(fh)
+    except FileNotFoundError:
+        return None
+    fields = manifest.get("schema", {}).get("fields")
+    if fields is None:
+        return None
+    return {f["name"]: str(f["type"]) for f in fields}
+
+
+def check_schema(
+    table_dir: str, df: DataFrame, schema_mode: str = "evolve"
+) -> None:
+    """Enforce publish-time schema compatibility against the committed
+    version (order-insensitive, like Delta):
+
+    - ``enforce``: the new schema must have exactly the committed
+      columns with identical types.
+    - ``evolve``: new columns may be ADDED; dropping a column or
+      changing a column's type is rejected (additive evolution — the
+      only kind downstream readers survive without coordination).
+    - ``overwrite``: no check (explicit full schema replacement).
+    """
+    if schema_mode == "overwrite":
+        return
+    if schema_mode not in ("enforce", "evolve"):
+        raise ValueError(f"unknown schema_mode {schema_mode!r}")
+    old = _committed_schema(table_dir)
+    if old is None:
+        return  # first publish (or pre-manifest table) defines it
+    new = {f.name: str(f.dataType.jsonValue()) for f in df.schema.fields}
+    dropped = sorted(set(old) - set(new))
+    added = sorted(set(new) - set(old))
+    retyped = sorted(
+        c for c in set(old) & set(new) if old[c] != new[c]
+    )
+    problems = []
+    if dropped:
+        problems.append(f"dropped columns {dropped}")
+    if retyped:
+        problems.append(
+            "retyped columns "
+            + str([(c, old[c], new[c]) for c in retyped])
+        )
+    if added and schema_mode == "enforce":
+        problems.append(f"added columns {added}")
+    if problems:
+        raise SchemaMismatchError(
+            f"publish to {table_dir} rejected (schema_mode="
+            f"{schema_mode!r}): " + "; ".join(problems)
+            + ". Pass schema_mode='overwrite' to replace the schema."
+        )
+
+
 def publish_df(
-    df: DataFrame, table_dir: str, keep: int = 2, count_rows: bool = False
+    df: DataFrame,
+    table_dir: str,
+    keep: int = 2,
+    count_rows: bool = False,
+    schema_mode: str = "evolve",
 ) -> str:
     """Publish a DataFrame as the next committed version. The version
     manifest records the schema (and, when ``count_rows``, the exact
     row count — an extra job, so opt-in) for history/debugging and for
-    schema-drift detection between versions."""
+    schema-drift detection between versions.
+
+    ``schema_mode`` gates publish-time schema drift against the
+    committed version (see :func:`check_schema`): ``evolve`` (default)
+    permits additive columns only, ``enforce`` permits none,
+    ``overwrite`` skips the check. The check runs BEFORE the expensive
+    data write, so a rejected publish costs no cluster time."""
+    check_schema(table_dir, df, schema_mode)
     meta: dict = {"schema": df.schema.jsonValue()}
     if count_rows:
         meta["n_rows"] = df.count()
@@ -218,6 +298,45 @@ def publish_df(
         keep,
         meta=meta,
     )
+
+
+def vacuum(table_dir: str, keep: int = 1) -> list[str]:
+    """Retention maintenance independent of any publish (the VACUUM
+    slice of the protocol): under the commit lock, delete every
+    retained version older than the ``keep`` newest committed
+    predecessors, plus stale crashed-writer staging dirs. Returns the
+    version names removed. The committed version itself is always
+    retained; time travel to a vacuumed version raises, exactly like
+    Delta after VACUUM passes the retention horizon."""
+    import shutil
+
+    removed: list[str] = []
+    committed = current_version(table_dir)
+    if committed is None:
+        return removed
+    lock = _acquire_lock(table_dir)
+    try:
+        committed = current_version(table_dir) or committed
+        versions = list_versions(table_dir)
+        older = [v for v in versions if int(v[1:]) < int(committed[1:])]
+        for v in older[: max(len(older) - keep, 0)]:
+            shutil.rmtree(os.path.join(table_dir, v), ignore_errors=True)
+            removed.append(v)
+        now = time.time()
+        for d in os.listdir(table_dir):
+            if d.startswith(".stage-"):
+                p = os.path.join(table_dir, d)
+                try:
+                    if now - os.path.getmtime(p) > _STALE_SECS:
+                        shutil.rmtree(p, ignore_errors=True)
+                except FileNotFoundError:
+                    pass
+    finally:
+        try:
+            os.unlink(lock)
+        except FileNotFoundError:
+            pass
+    return removed
 
 
 def history(table_dir: str) -> list[dict]:

@@ -451,3 +451,81 @@ def test_bitmap_partials_fold_in_equals_recompute(spark, sf_dir):
     assert counts(merged) == counts(full)
     # and the late batch genuinely added users on some day
     assert counts(partials(old)) != counts(full)
+
+
+def test_publish_schema_enforcement(spark, sf_dir, tmp_path):
+    import pytest
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        SchemaMismatchError,
+        history,
+        publish_df,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = str(tmp_path / "enforced")
+    publish_df(docs.select("doc_id", "lang"), table)
+
+    # evolve (default): additive column OK
+    publish_df(docs.select("doc_id", "lang", "source"), table)
+    # evolve: dropping a column is rejected BEFORE any data write
+    with pytest.raises(SchemaMismatchError, match="dropped"):
+        publish_df(docs.select("doc_id"), table)
+    # evolve: retyping a column is rejected
+    import pyspark.sql.functions as F
+
+    retyped = docs.select(
+        "doc_id", F.col("lang").cast("binary").alias("lang"), "source"
+    )
+    with pytest.raises(SchemaMismatchError, match="retyped"):
+        publish_df(retyped, table)
+    # enforce: even additive drift is rejected
+    with pytest.raises(SchemaMismatchError, match="added"):
+        publish_df(
+            docs.select("doc_id", "lang", "source", "n_chars"),
+            table,
+            schema_mode="enforce",
+        )
+    # enforce with the exact committed schema passes
+    publish_df(
+        docs.select("doc_id", "lang", "source"), table, schema_mode="enforce"
+    )
+    # overwrite: explicit full replacement is allowed and recorded
+    publish_df(docs.select("doc_id"), table, schema_mode="overwrite")
+    fields = history(table)[-1]["schema"]["fields"]
+    assert [f["name"] for f in fields] == ["doc_id"]
+    # rejected publishes must not have left versions behind
+    assert len([h for h in history(table)]) <= 4  # keep=2 + committed
+
+
+def test_vacuum_retention(spark, sf_dir, tmp_path):
+    import pytest
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        list_versions,
+        publish_df,
+        read_version,
+        vacuum,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    table = str(tmp_path / "vacuumed")
+    for n in (10, 20, 30, 40):
+        publish_df(docs.limit(n), table, keep=10)
+    assert list_versions(table) == ["v000001", "v000002", "v000003", "v000004"]
+
+    removed = vacuum(table, keep=1)
+    assert removed == ["v000001", "v000002"]
+    assert list_versions(table) == ["v000003", "v000004"]
+    # committed version still reads; vacuumed time travel raises
+    assert read_version(spark, table, "v000004").count() == 40
+    assert read_version(spark, table, "v000003").count() == 30
+    with pytest.raises(FileNotFoundError):
+        read_version(spark, table, "v000001")
+    # idempotent: nothing further to remove at the same horizon
+    assert vacuum(table, keep=1) == []
+    # keep=0 drops every predecessor, never the committed version
+    assert vacuum(table, keep=0) == ["v000003"]
+    assert list_versions(table) == ["v000004"]

@@ -26,10 +26,12 @@ def test_assets_schema(spark, sf_dir):
     assert assets.count() > 0
 
 
-def test_decode_stub_raises_without_codec(spark, sf_dir):
+def test_decode_default_refuses_non_image_bytes(spark, sf_dir):
+    # fixture "assets" are text bytes, not images: the real decoder
+    # must refuse them rather than invent dimensions
     assets = assets_table(spark, sf_dir).limit(2)
-    with pytest.raises(Exception, match="NotImplementedError|image codec"):
-        media_features(assets).collect()  # default decoder must refuse
+    with pytest.raises(Exception, match="unrecognized image container"):
+        media_features(assets).collect()
 
 
 def test_media_features_with_fake_decoder(spark, sf_dir):
@@ -167,3 +169,75 @@ def test_binary_ahash_neardup_detects_mutated_payload(spark, tmp_path):
     assert (0, 1) in pairs
     assert pairs[(0, 1)] <= AHASH_HAMMING_MAX
     assert (0, 2) not in pairs and (1, 2) not in pairs
+
+
+def _tiny_png(w: int, h: int, color_type: int = 2) -> bytes:
+    """Construct a minimal VALID PNG entirely from the public spec
+    (signature + IHDR + IDAT + IEND, zlib-deflated scanlines)."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data))
+        )
+
+    channels = {0: 1, 2: 3, 6: 4}[color_type]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x7f" * (w * channels) for _ in range(h))
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_real_decode_parses_actual_image_headers():
+    import struct
+
+    from lakehouse_weather_spark.operators.multimodal import real_decode
+
+    assert real_decode(_tiny_png(7, 5)) == (7, 5, 3)
+    assert real_decode(_tiny_png(640, 480, color_type=6)) == (640, 480, 4)
+    assert real_decode(_tiny_png(3, 2, color_type=0)) == (3, 2, 1)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\x00\x00\x00"
+    assert real_decode(gif) == (320, 200, 3)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 122, 0, 0, 122)
+        + struct.pack("<IiiHH", 40, 33, -44, 1, 24) + b"\x00" * 64
+    )
+    assert real_decode(bmp) == (33, 44, 3)  # negative height = top-down
+
+    # minimal JPEG marker stream: SOI, APP0, SOF0 (h=9, w=11, 3 comps)
+    jpeg = (
+        b"\xff\xd8\xff\xe0" + struct.pack(">H", 4) + b"JF"
+        + b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 9, 11, 3)
+    )
+    assert real_decode(jpeg) == (11, 9, 3)
+
+    with pytest.raises(ValueError, match="unrecognized"):
+        real_decode(b"plain text, not an image")
+    with pytest.raises(ValueError):
+        real_decode(b"\x89PNG\r\n\x1a\n truncated")
+
+
+def test_media_features_real_decoder_end_to_end(spark):
+    """Real PNG bytes flow through the production mapInPandas shape
+    with the DEFAULT decoder — no fake injected."""
+    from lakehouse_weather_spark.operators.multimodal import ASSET_SCHEMA
+
+    rows = [
+        (1, "image/png", _tiny_png(16, 8), None),
+        (2, "image/png", _tiny_png(4, 32, color_type=6), None),
+    ]
+    df = spark.createDataFrame(rows, ASSET_SCHEMA)
+    got = {r.doc_id: r for r in media_features(df).collect()}
+    assert (got[1].width, got[1].height, got[1].channels) == (16, 8, 3)
+    assert (got[2].width, got[2].height, got[2].channels) == (4, 32, 4)
+    assert len(got[1].byte_histogram) == 16

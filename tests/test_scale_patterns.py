@@ -76,3 +76,74 @@ def test_partition_pruning_reaches_scan(spark, sf_dir, tmp_path):
     assert "PartitionFilters: [isnotnull(ingest_date" in plan
     n_part = pruned.count()
     assert 0 < n_part < docs.count()
+
+
+def test_eval_doc_cap_bounds_shingle_input(spark, sf_dir):
+    """The exact-truth eval arms take a deterministic md5-ordered doc
+    sample: with doc_cap=N, at most N distinct documents ever enter
+    shingling — the audit is bounded by construction, not by fixture
+    size — and the same N docs come back on every run."""
+    from lakehouse_weather_spark.operators.dedup import (
+        _jaccard_pairs,
+        _spark_shingle_hashes,
+    )
+
+    sh = _spark_shingle_hashes(spark, sf_dir, doc_cap=10)
+    ids = sorted(r.doc_id for r in sh.select("doc_id").distinct().collect())
+    assert len(ids) <= 10
+    again = sorted(
+        r.doc_id
+        for r in _spark_shingle_hashes(spark, sf_dir, doc_cap=10)
+        .select("doc_id")
+        .distinct()
+        .collect()
+    )
+    assert ids == again  # md5 order: stable across runs/sessions
+
+    # pairs from the capped arm only ever reference sampled docs
+    pairs = _jaccard_pairs(spark, sf_dir, doc_cap=10).collect()
+    sampled = set(ids)
+    assert all(p.doc_a in sampled and p.doc_b in sampled for p in pairs)
+
+    # uncapped default unchanged: full corpus flows through
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    full = _spark_shingle_hashes(spark, sf_dir).select("doc_id").distinct()
+    assert full.count() == n_docs
+
+
+def test_headline_queries_within_perf_budget(spark, sf_dir):
+    """CI-fashion perf smoke: the bench's worst historical offenders
+    must stay within a generous multiple of their sf0.1 budget when run
+    at the test fixture scale. This catches plan regressions (a new
+    shuffle, a lost broadcast, a Python-UDF fallback) the round
+    boundary would otherwise discover a day later. Budget: 5 s per
+    query at sf0.1 is the driver bar; at the much smaller test fixture
+    we allow the same 5 s wall — pure plan pathology, not throughput,
+    is what trips it."""
+    import time
+
+    from lakehouse_weather_spark.registry import load_all
+
+    specs = load_all()
+    heaviest = [
+        "q_pagerank_neardup",
+        "q_cluster_split",
+        "q_dedup_clusters",
+        "q_lsh_eval",
+        "q_silhouette",
+        "q_minhash_neardup",
+        "q_tpch_q1",
+        "q_agg_basic",
+    ]
+    # warm the session so the first query doesn't pay JVM/codegen boot
+    spark.range(1).collect()
+    over = {}
+    for name in heaviest:
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        dt = time.time() - t0
+        if dt > 10.0:  # 2x the 5 s budget to absorb shared-box noise
+            over[name] = round(dt, 2)
+    assert not over, f"queries exceeding 2x perf budget: {over}"
