@@ -289,8 +289,6 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     " arithmetic, so every a/b/s hash-matches DuckDB.",
 )
 def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     cents, _ = kmeans_refine(emb, n_iter=1)
     di = F.expr(
@@ -301,18 +299,26 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cluster_id", di.alias("di")
     )
-    w = Window.partitionBy("vec_id").orderBy("di", "cluster_id")
-    ranked = d.withColumn("rn", F.row_number().over(w))
-    sil = ranked.groupBy("vec_id").agg(
-        F.min(F.when(F.col("rn") == 1, F.col("cluster_id")))
-        .cast("bigint")
-        .alias("cluster_id"),
-        F.min(F.when(F.col("rn") == 1, F.col("di")))
-        .cast("bigint")
-        .alias("a_fx"),
-        F.min(F.when(F.col("rn") > 1, F.col("di")))
-        .cast("bigint")
-        .alias("b_fx"),
+    # nearest + second-nearest via ONE hash aggregation: sort the k
+    # (di, cluster_id) structs per vector (struct order == the (di,
+    # cluster_id) tie-break the old row_number window used) and take
+    # positions 0/1. The window version sort-shuffled all k*n rows;
+    # here the partial agg collapses each vector's k rows map-side —
+    # the exchange moves n k-element arrays, and nothing sorts more
+    # than k structs at a time (k = bounded codebook size).
+    sil = (
+        d.groupBy("vec_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("di", "cluster_id"))
+            ).alias("ds")
+        )
+        .select(
+            "vec_id",
+            F.col("ds")[0]["cluster_id"].cast("bigint").alias("cluster_id"),
+            F.col("ds")[0]["di"].cast("bigint").alias("a_fx"),
+            F.col("ds")[1]["di"].cast("bigint").alias("b_fx"),
+        )
     )
     return sil.select(
         "vec_id",
