@@ -58,25 +58,20 @@ def pagerank(
     shuffle on dst.
 
     Callers pass a CHECKPOINTED edge list (it anchors every iteration's
-    lineage). The two frames EVERY iteration reads — ``nodes`` (one
-    union+distinct shuffle) and ``edges_deg`` (one degree groupBy + one
-    join) — are persisted before the loop: deriving them lazily
-    re-paid those three shuffles per round (measured ~40% of the
-    query's wall time at sf0.1), and on a real cluster the iterative-
-    reuse cache is the standard PageRank shape (MEMORY_AND_DISK, so a
-    memory-pressured executor spills instead of recomputing the
-    shuffle). Ranks cut lineage every ``checkpoint_every`` rounds and
-    unconditionally on the LAST round, so the caches can be dropped
-    before returning — the caller's action replays nothing."""
+    lineage); nodes and out-degrees derive from it lazily — they are
+    trivial recomputations over the materialized edges, so eagerly
+    materializing them only adds job-scheduling overhead. Ranks cut
+    lineage every ``checkpoint_every`` rounds (same cadence argument as
+    the connected-components loop: between cuts the plan grows by a
+    few shallow joins, and each materialization is a full job)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .unionByName(edges.select(F.col("dst").alias("node")))
         .distinct()
-        .persist()
     )
-    n = nodes.count()  # also materializes the nodes cache
+    n = nodes.count()
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_deg = edges.join(out_deg, "src").persist()
+    edges_deg = edges.join(out_deg, "src")
 
     assert damping == DAMP_NUM / DAMP_DEN, "fixed-point loop assumes 85/100"
     ranks = nodes.withColumn(
@@ -106,15 +101,8 @@ def pagerank(
                 ).alias("rank_fx"),
             )
         )
-        last = it == n_iter - 1
-        if last or (
-            checkpoint_every and it % checkpoint_every == checkpoint_every - 1
-        ):
+        if checkpoint_every and it % checkpoint_every == checkpoint_every - 1:
             ranks = _checkpoint(ranks)
-    # final ranks are eagerly checkpointed: lineage no longer references
-    # the cached frames, so dropping them cannot trigger recompute
-    nodes.unpersist(blocking=False)
-    edges_deg.unpersist(blocking=False)
     return ranks.select(
         "node", (F.col("rank_fx").cast("double") / RANK_SCALE).alias("rank")
     )

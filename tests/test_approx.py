@@ -149,3 +149,29 @@ def test_equidepth_buckets_are_balanced(spark, sf_dir):
     target = total / EQUI_BUCKETS
     for b, n in rows.items():
         assert 0.7 * target <= n <= 1.3 * target, (b, n, target)
+
+
+def test_minhash_big_bucket_routing_exact(spark, sf_dir):
+    """The 100 TB skew guard: routing over-cap LSH buckets through the
+    streaming self-join (big_bucket_cap) yields EXACTLY the default
+    one-pass array path's pair set — including a cap of 2, where every
+    multi-doc bucket takes the join path."""
+    from lakehouse_weather_spark.operators.dedup import (
+        minhash_pairs_from_signatures,
+        minhash_signatures,
+    )
+
+    sig = minhash_signatures(spark, sf_dir)
+    base = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_pairs_from_signatures(sig).collect()
+    }
+    assert len(base) > 0
+    for cap in (2, 10_000):
+        routed = {
+            (r.doc_a, r.doc_b)
+            for r in minhash_pairs_from_signatures(
+                sig, big_bucket_cap=cap
+            ).collect()
+        }
+        assert routed == base, cap
