@@ -176,6 +176,11 @@ HEADLINE = [
     "q_eb_shrinkage",
     "q_hash_ring",
     "q_source_overlap",
+    # round-4 additions: LM-statistics curation family
+    "q_lm_bigram_score",
+    "q_dsir_weights",
+    "q_vocab_growth",
+    "q_zipf_constancy",
 ]
 
 

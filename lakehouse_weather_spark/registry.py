@@ -58,6 +58,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.retrieval",
     "lakehouse_weather_spark.operators.timeseries",
     "lakehouse_weather_spark.operators.mixture",
+    "lakehouse_weather_spark.operators.lm",
     "lakehouse_weather_spark.streaming.events",
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered

@@ -98,6 +98,10 @@ _DOC_FUZZ_QUERIES = [
     "q_oov_rate",
     "q_word_diversity",
     "q_contrastive_pairs",
+    "q_lm_bigram_score",
+    "q_dsir_weights",
+    "q_vocab_growth",
+    "q_zipf_constancy",
 ]
 
 _WORDS = ["a", "b", "the", "fox", "w1", "w2", "x", ""]

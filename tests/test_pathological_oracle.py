@@ -226,6 +226,13 @@ _DOC_QUERIES = [
     "q_pack_sequences",
     "q_epoch_shuffle",
     "q_shard_manifest",
+    # LM-statistics family: single-word docs emit zero bigrams, the
+    # 1-doc zh source exercises the DSIR raw pool, duplicate docs give
+    # the zipf head mass
+    "q_lm_bigram_score",
+    "q_dsir_weights",
+    "q_vocab_growth",
+    "q_zipf_constancy",
 ]
 
 _EMB_QUERIES = [
