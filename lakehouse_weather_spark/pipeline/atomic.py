@@ -383,6 +383,56 @@ def read_version(spark: SparkSession, table_dir: str, version: str) -> DataFrame
     return spark.read.parquet(os.path.join(table_dir, version))
 
 
+def external_read_path(table_dir: str) -> str:
+    """Glob an EXTERNAL engine (DuckDB, Trino, pandas) can read the
+    committed snapshot through — the interop property of keeping
+    versions as plain parquet directories: nothing but a path
+    resolution separates an outside reader from the Spark one
+    (tests/test_incremental.py proves DuckDB row parity)."""
+    return os.path.join(resolve(table_dir), "*.parquet")
+
+
+def merge_upsert(
+    spark: SparkSession,
+    table_dir: str,
+    updates: DataFrame,
+    key: str,
+    deletes: DataFrame | None = None,
+    keep: int = 2,
+    schema_mode: str = "evolve",
+) -> str:
+    """MERGE INTO the versioned table (the Delta MERGE slice): rows of
+    ``updates`` REPLACE committed rows with the same ``key`` and are
+    INSERTED when the key is new; keys in ``deletes`` (a 1-column frame)
+    are removed. The merged snapshot publishes as the next version —
+    predecessors stay retained, so the merge is time-travelable and
+    trivially rolled back by re-pointing.
+
+    Copy-on-write at snapshot granularity: this minimal protocol
+    rewrites the whole table per merge (one anti-join + union — two
+    narrow scans and a shuffle on ``key``). Delta/Iceberg refine
+    exactly this with file-level pruning (rewrite only files containing
+    matched keys); the COMMIT protocol is unchanged, so swapping in a
+    pruned writer touches only this function. Schema evolution follows
+    the publish gate: with ``evolve``, updates may ADD columns —
+    untouched base rows take NULL for the new columns (Delta's
+    mergeSchema semantics)."""
+    from pyspark.sql import functions as F
+
+    base = read_current(spark, table_dir)
+    touched = updates.select(key).distinct()
+    if deletes is not None:
+        touched = touched.unionByName(
+            deletes.select(F.col(deletes.columns[0]).alias(key))
+        ).distinct()
+    # no broadcast hint: a typical merge batch is small and AQE picks
+    # the broadcast anti-join on its own; a backfill-sized batch must
+    # be allowed to shuffle instead
+    kept = base.join(touched, key, "left_anti")
+    merged = kept.unionByName(updates, allowMissingColumns=True)
+    return publish_df(merged, table_dir, keep=keep, schema_mode=schema_mode)
+
+
 def table_changes(
     spark: SparkSession,
     table_dir: str,
