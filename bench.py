@@ -181,6 +181,8 @@ HEADLINE = [
     "q_dsir_weights",
     "q_vocab_growth",
     "q_zipf_constancy",
+    "q_t_closeness",
+    "q_variant_extract",
 ]
 
 

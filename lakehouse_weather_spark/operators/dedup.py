@@ -636,15 +636,27 @@ def label_propagate(edges: DataFrame, seed: DataFrame | None = None) -> DataFram
     provides starting labels (doc_id, label) — nodes absent from it
     start at their own id. Callers should checkpoint ``edges`` first if
     it derives from an expensive pipeline."""
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("label", F.col("doc_id"))
-    )
-    if seed is not None:
+    if seed is None:
+        # FUSED ROUND 1: with identity starting labels, the first
+        # propagation round reduces to label(x) = min(x, min N(x)) —
+        # one groupBy over the edge list, no label join. Saves a full
+        # join+agg round (and its convergence job) every call; the
+        # typical near-dup component converges in 2-3 rounds total.
         labels = (
-            labels.join(seed.withColumnRenamed("label", "seed_label"),
-                        "doc_id", "left")
+            edges.groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("doc_b").alias("nbr_min"))
+            .select(
+                "doc_id",
+                F.least(F.col("doc_id"), F.col("nbr_min")).alias("label"),
+            )
+        )
+    else:
+        labels = (
+            edges.select(F.col("doc_a").alias("doc_id"))
+            .distinct()
+            .withColumn("label", F.col("doc_id"))
+            .join(seed.withColumnRenamed("label", "seed_label"),
+                  "doc_id", "left")
             .select(
                 "doc_id",
                 F.coalesce("seed_label", "label").alias("label"),

@@ -339,6 +339,97 @@ def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# t-closeness audit (completes the k-anonymity / l-diversity trio)
+# ---------------------------------------------------------------------------
+
+# Release threshold on the per-class total-variation distance.
+T_CLOSE_BP = 2000  # 0.20 in basis points — compared integer-exactly
+
+
+@register(
+    "q_t_closeness",
+    oracle=f"""
+        WITH g AS (
+            SELECT lang, CAST(count(*) AS BIGINT) AS c_g FROM documents
+            GROUP BY lang
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+        s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_s FROM documents
+            GROUP BY source
+        ),
+        sl AS (
+            SELECT source, lang, CAST(count(*) AS BIGINT) AS c_sl
+            FROM documents GROUP BY source, lang
+        ),
+        cells AS (
+            SELECT s.source, s.n_s, g.lang, g.c_g, tot.n,
+                   COALESCE(sl.c_sl, 0) AS c_sl
+            FROM s CROSS JOIN g CROSS JOIN tot
+            LEFT JOIN sl ON sl.source = s.source AND sl.lang = g.lang
+        )
+        SELECT source,
+               CAST(min(n_s) AS BIGINT) AS n_docs,
+               CAST(sum(abs(c_sl * n - c_g * n_s)) AS BIGINT) AS tvd_num,
+               CAST(sum(abs(c_sl * n - c_g * n_s)) AS DOUBLE)
+                   / (2.0 * min(n_s) * min(n)) AS t,
+               sum(abs(c_sl * n - c_g * n_s)) * {10_000}
+                   <= {T_CLOSE_BP} * 2 * min(n_s) * min(n) AS meets_t
+        FROM cells
+        GROUP BY source
+    """,
+    doc=f"t-closeness audit (t={T_CLOSE_BP / 10_000}) completing the"
+    " k-anonymity / l-diversity trio: l-diversity still leaks when a"
+    " class's sensitive-value DISTRIBUTION differs sharply from the"
+    " corpus (skewness attack), so each source's language distribution"
+    " must sit within total-variation distance t of the global one"
+    " before a per-source release. The distance is the categorical"
+    " earth-mover's distance Σ|c_sl/n_s - c_g/N|/2 computed as EXACT"
+    " cross-multiplied integers (|c_sl*N - c_g*n_s|, the q_ks_drift"
+    " ECDF precedent — headroom holds to ~3e9 rows; rescale to"
+    " per-million counts beyond), and the pass/fail compare is"
+    " integer-exact in basis points, so no float boundary can flip a"
+    " verdict. One corpus scan; every model frame is"
+    " |sources| x |langs| cells.",
+)
+def q_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    g = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("bigint").alias("c_g"))
+    tot = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_s")
+    )
+    sl = docs.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c_sl")
+    )
+    cells = (
+        s.crossJoin(F.broadcast(g))
+        .crossJoin(F.broadcast(tot))
+        .join(sl, ["source", "lang"], "left")
+        .select(
+            "source",
+            "n_s",
+            "c_g",
+            "n",
+            F.coalesce("c_sl", F.lit(0)).alias("c_sl"),
+        )
+    )
+    num = F.sum(
+        F.abs(F.col("c_sl") * F.col("n") - F.col("c_g") * F.col("n_s"))
+    )
+    return cells.groupBy("source").agg(
+        F.min("n_s").cast("bigint").alias("n_docs"),
+        num.cast("bigint").alias("tvd_num"),
+        (
+            num.cast("double") / (2.0 * F.min("n_s") * F.min("n"))
+        ).alias("t"),
+        (
+            num * 10_000 <= F.lit(T_CLOSE_BP) * 2 * F.min("n_s") * F.min("n")
+        ).alias("meets_t"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Self-join fanout planning
 # ---------------------------------------------------------------------------
 

@@ -26,7 +26,11 @@ def merge_upsert(
 
     ``updates`` must be unique on ``key``: duplicate update keys all
     land in the result (SQL MERGE would raise on multiple matches —
-    dedupe updates first, e.g. ``row_number() == 1`` by recency)."""
+    dedupe updates first, e.g. ``row_number() == 1`` by recency).
+
+    This is the plain fixed-destination variant; the versioned-store
+    MERGE (atomic commit, deletes, schema evolution, time travel)
+    is :func:`lakehouse_weather_spark.pipeline.atomic.merge_upsert`."""
     base = spark.read.parquet(base_dir)
     survivors = base.join(updates.select(key), key, "left_anti")
     merged = survivors.unionByName(updates)

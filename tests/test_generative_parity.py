@@ -102,6 +102,7 @@ _DOC_FUZZ_QUERIES = [
     "q_dsir_weights",
     "q_vocab_growth",
     "q_zipf_constancy",
+    "q_t_closeness",
 ]
 
 _WORDS = ["a", "b", "the", "fox", "w1", "w2", "x", ""]

@@ -80,6 +80,7 @@ _QUERIES = [
     "q_resample_ffill",
     "q_interval_merge",
     "q_map_histogram",
+    "q_variant_extract",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -233,6 +234,7 @@ _DOC_QUERIES = [
     "q_dsir_weights",
     "q_vocab_growth",
     "q_zipf_constancy",
+    "q_t_closeness",
 ]
 
 _EMB_QUERIES = [
