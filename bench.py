@@ -183,6 +183,7 @@ HEADLINE = [
     "q_zipf_constancy",
     "q_t_closeness",
     "q_variant_extract",
+    "q_bfs_radius",
 ]
 
 

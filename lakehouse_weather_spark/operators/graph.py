@@ -556,3 +556,62 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_touched"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE bounded-radius BFS (Spark 4 WITH RECURSIVE surface)
+# ---------------------------------------------------------------------------
+
+BFS_RADIUS = 3
+
+# The recursive body + final select are IDENTICAL SQL on both engines —
+# Spark 4 runs WITH RECURSIVE natively (UnionLoopExec iterations),
+# DuckDB replays the same text in the oracle. Pairs come from `{pairs}`.
+_BFS_BODY = f"""
+    e AS (
+        SELECT doc_a AS src, doc_b AS dst FROM {{pairs}}
+        UNION ALL
+        SELECT doc_b, doc_a FROM {{pairs}}
+    ),
+    seed AS (SELECT min(src) AS s FROM e),
+    walk(node, hops) AS (
+        SELECT s, 0 FROM seed
+        UNION ALL
+        SELECT e.dst, w.hops + 1
+        FROM walk w JOIN e ON e.src = w.node
+        WHERE w.hops < {BFS_RADIUS}
+    )
+"""
+_BFS_SELECT = """
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(min(hops) AS BIGINT) AS hops
+    FROM walk
+    GROUP BY node
+"""
+
+
+@register(
+    "q_bfs_radius",
+    oracle=(
+        f"WITH RECURSIVE {_minhash_pairs_cte()},"
+        f" {_BFS_BODY.format(pairs='mpairs')} {_BFS_SELECT}"
+    ),
+    doc=f"Bounded-radius BFS (radius {BFS_RADIUS}) from the smallest"
+    " edge-bearing doc over the MinHash near-dup graph, written as a"
+    " NATIVE WITH RECURSIVE query — Spark 4's recursive-CTE surface"
+    " running the IDENTICAL SQL text the DuckDB oracle replays;"
+    " min-hop distance per reached node. The UNION ALL walk is"
+    " exponential in dense neighborhoods, so the radius bound is"
+    " load-bearing: bounded-radius ego networks are the legitimate"
+    " recursive-CTE use (feature extraction around a seed), while"
+    " UNBOUNDED closure at 100 TB belongs to the checkpointed"
+    " DataFrame loops shipped in pagerank/label_propagate — same"
+    " result, memory-safe frontier per round.",
+)
+def q_bfs_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs.createOrReplaceTempView("lws_bfs_pairs")
+    return spark.sql(
+        f"WITH RECURSIVE {_BFS_BODY.format(pairs='lws_bfs_pairs')}"
+        f" {_BFS_SELECT}"
+    )

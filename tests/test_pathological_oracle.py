@@ -351,6 +351,7 @@ def test_pathological_doc_parity(spark, patho_doc_dir, patho_doc_con, name):
 # where shingle/banding edge cases hide
 _DEDUP_QUERIES = [
     "q_minhash_neardup",
+    "q_bfs_radius",
     "q_minhash_estimate",
     "q_simhash",
     "q_ngram_jaccard",
