@@ -184,6 +184,7 @@ HEADLINE = [
     "q_t_closeness",
     "q_variant_extract",
     "q_bfs_radius",
+    "q_lateral_topk",
 ]
 
 

@@ -423,3 +423,52 @@ def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         nxt.alias("valid_to"),
         nxt.isNull().alias("is_current"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated top-N per group
+# ---------------------------------------------------------------------------
+
+LATERAL_TOPN = 2
+
+# Identical SQL text on Spark (native LATERAL subquery) and the DuckDB
+# oracle; only the table names differ (temp views vs parquet views).
+_LATERAL_SQL = f"""
+    SELECT c.c_custkey,
+           t.o_orderkey,
+           t.o_totalprice
+    FROM {{customer}} c,
+    LATERAL (
+        SELECT o_orderkey, o_totalprice FROM {{orders}} o
+        WHERE o.o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT {LATERAL_TOPN}
+    ) t
+"""
+
+
+@register(
+    "q_lateral_topk",
+    oracle=_LATERAL_SQL.format(customer="customer", orders="orders"),
+    doc=f"Correlated LATERAL subquery: top-{LATERAL_TOPN} orders per"
+    " customer with the per-customer LIMIT INSIDE the lateral body —"
+    " the SQL-standard spelling of top-N-per-group that q_win_rownum"
+    " expresses with a window. Spark decorrelates the lateral into a"
+    " ranked join (no per-row re-execution), so the physical plan is"
+    " the same shuffle+rank shape as the window form and scales the"
+    " same way; customers WITHOUT orders drop out (inner lateral),"
+    " which the window form needs an extra join to express. Identical"
+    " SQL text runs on both engines.",
+)
+def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "lws_lat_customer"
+    )
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "lws_lat_orders"
+    )
+    return spark.sql(
+        _LATERAL_SQL.format(
+            customer="lws_lat_customer", orders="lws_lat_orders"
+        )
+    )

@@ -287,11 +287,26 @@ def publish_df(
     committed version (see :func:`check_schema`): ``evolve`` (default)
     permits additive columns only, ``enforce`` permits none,
     ``overwrite`` skips the check. The check runs BEFORE the expensive
-    data write, so a rejected publish costs no cluster time."""
+    data write, so a rejected publish costs no cluster time.
+
+    ``count_rows`` piggybacks on the WRITE job via the Observation API
+    (an accumulator over the rows the writer streams) — the manifest
+    row count costs zero extra jobs, where the previous ``df.count()``
+    re-ran the whole plan."""
     check_schema(table_dir, df, schema_mode)
     meta: dict = {"schema": df.schema.jsonValue()}
     if count_rows:
-        meta["n_rows"] = df.count()
+        from pyspark.sql import Observation
+        from pyspark.sql import functions as F
+
+        obs = Observation()
+        observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
+
+        def _write(path: str) -> None:
+            observed.write.mode("errorifexists").parquet(path)
+            meta["n_rows"] = obs.get["n_rows"]
+
+        return publish(table_dir, _write, keep, meta=meta)
     return publish(
         table_dir,
         lambda path: df.write.mode("errorifexists").parquet(path),

@@ -378,6 +378,7 @@ def test_pathological_dedup_parity(spark, patho_doc_dir, patho_doc_con, name):
 
 _REL_QUERIES = [
     "q_table_checksum",
+    "q_lateral_topk",
     "q_survival_km",
     "q_rfm",
     "q_target_encode_oof",
