@@ -207,14 +207,24 @@ def _minhash_oracle() -> str:
 
 
 def minhash_signatures(
-    spark: SparkSession, sf_dir: str, doc_cap: int | None = None
+    spark: SparkSession,
+    sf_dir: str,
+    doc_cap: int | None = None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_id, s0..s15) MinHash signature table — the REUSABLE dedup
     artifact. At 100 TB this is computed once per corpus snapshot and
     persisted (see :func:`write_signature_artifacts`); every subsequent
     dedup run, incremental ingest, or threshold sweep derives candidate
-    pairs from the stored signatures without re-shingling the corpus."""
-    sh = _spark_shingle_hashes(spark, sf_dir, doc_cap)
+    pairs from the stored signatures without re-shingling the corpus.
+    ``shingles`` lets a caller that ALSO consumes the raw (doc_id, h)
+    table (q_lsh_eval's exact-truth arm) pass one checkpointed copy
+    instead of re-shingling per consumer."""
+    sh = (
+        shingles
+        if shingles is not None
+        else _spark_shingle_hashes(spark, sf_dir, doc_cap)
+    )
     x = F.col("h") % P
     mins = [
         F.min((F.lit(a) * x + F.lit(b)) % P).alias(f"s{k}")
@@ -444,14 +454,20 @@ _DUCK_CAPPED_CTE = f"""
 """
 
 
-def _capped_shingle_buckets(spark, sf_dir, doc_cap: int | None = None) -> DataFrame:
+def _capped_shingle_buckets(
+    spark, sf_dir, doc_cap: int | None = None, shingles: DataFrame | None = None
+) -> DataFrame:
     """(h, ids) inverted index of shingle hash -> sorted doc list, with
     stop-phrase shingles (df > DF_CAP) dropped. ONE shuffle; both the
     pair stream and the per-doc set sizes derive from it narrowly, so
     the whole jaccard pipeline is 1 wide exchange + partial-agg
     groupBys — the old plan shuffled the shingle table twice more for
     a self-join."""
-    sh = _spark_shingle_hashes(spark, sf_dir, doc_cap)
+    sh = (
+        shingles
+        if shingles is not None
+        else _spark_shingle_hashes(spark, sf_dir, doc_cap)
+    )
     return (
         sh.groupBy("h")
         .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
@@ -459,12 +475,14 @@ def _capped_shingle_buckets(spark, sf_dir, doc_cap: int | None = None) -> DataFr
     )
 
 
-def _jaccard_pairs(spark, sf_dir, doc_cap: int | None = None) -> DataFrame:
+def _jaccard_pairs(
+    spark, sf_dir, doc_cap: int | None = None, shingles: DataFrame | None = None
+) -> DataFrame:
     """(doc_a, doc_b, jaccard) for pairs sharing >= 1 capped shingle.
     Pairs are generated inside each inverted-index bucket (ids sorted,
     so doc_a < doc_b by construction) — a narrow nested transform, not
     a self-join."""
-    buckets = _capped_shingle_buckets(spark, sf_dir, doc_cap)
+    buckets = _capped_shingle_buckets(spark, sf_dir, doc_cap, shingles)
     pair_expr = F.expr(
         "flatten(transform(ids, (x, i) ->"
         " transform(slice(ids, i + 2, size(ids)),"

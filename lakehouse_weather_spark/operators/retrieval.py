@@ -155,7 +155,8 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Blocking-quality evaluation: banded MinHash LSH vs exact Jaccard truth
 # ---------------------------------------------------------------------------
 
-from lakehouse_weather_spark.operators.dedup import (  # noqa: E402
+from lakehouse_weather_spark.operators.dedup import (
+    _spark_shingle_hashes,  # noqa: E402
     _DUCK_CAPPED_CTE,
     minhash_pairs_from_signatures,
     minhash_signatures,
@@ -222,13 +223,19 @@ _EVAL_DOCS_CTE = f"""docs_sample AS (
     " single IEEE ops, so the row hash-matches the oracle.",
 )
 def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE checkpointed shingle table feeds both arms — the signature
+    # path and the exact-truth path previously re-shingled the sample
+    # independently (two md5 explodes over the same docs)
+    sh = _checkpoint(
+        _spark_shingle_hashes(spark, sf_dir, LSH_EVAL_DOC_CAP)
+    )
     cand = _checkpoint(
         minhash_pairs_from_signatures(
-            minhash_signatures(spark, sf_dir, doc_cap=LSH_EVAL_DOC_CAP)
+            minhash_signatures(spark, sf_dir, shingles=sh)
         )
     )
     truth = _checkpoint(
-        _jaccard_pairs(spark, sf_dir, doc_cap=LSH_EVAL_DOC_CAP)
+        _jaccard_pairs(spark, sf_dir, shingles=sh)
         .filter(F.col("jaccard") >= LSH_EVAL_T)
         .select("doc_a", "doc_b")
     )
