@@ -71,6 +71,19 @@ SHOWCASE = {
     "q_link_prediction": "Wedge enumeration is an equi-join on the"
     " shared middle node of the (cluster-sized) near-dup edge list;"
     " degrees broadcast back; existing edges removed by anti-join.",
+    "q_lm_bigram_score": "One corpus-level count agg builds the bigram"
+    " model; the context model derives from IT (vocab-sized agg, no"
+    " second corpus pass); scoring joins stay on the narrow bigram"
+    " stream and the per-doc agg is partial+final.",
+    "q_lateral_topk": "LATERAL decorrelated: WindowGroupLimit partial"
+    " top-k heaps BEFORE the shuffle, rank filter after, customer side"
+    " broadcast — no per-row subquery re-execution.",
+    "q_bfs_radius": "Native WITH RECURSIVE (UnionLoop): each iteration"
+    " joins the frontier to the checkpointed edge list; the radius"
+    " bound caps the loop.",
+    "q_variant_extract": "props parses ONCE into a binary VARIANT per"
+    " row inside whole-stage codegen; field extraction and the"
+    " per-type agg never touch JSON strings again.",
 }
 
 
