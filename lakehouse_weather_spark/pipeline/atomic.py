@@ -103,11 +103,20 @@ def _acquire_lock(table_dir: str, timeout: float = 30.0) -> str:
             time.sleep(0.005)
 
 
+class ConcurrentModificationError(RuntimeError):
+    """Raised when a conditional publish (``expected_version``) finds
+    the table was committed by someone else since the writer read it —
+    the versioned-store analog of Delta's optimistic concurrency
+    conflict. The caller re-reads and retries (see
+    :func:`merge_upsert`)."""
+
+
 def publish(
     table_dir: str,
     write_fn: Callable[[str], None],
     keep: int = 2,
     meta: dict | None = None,
+    expected_version: str | None = ...,
 ) -> str:
     """Write the next version via ``write_fn(staging_path)``, then
     atomically commit it. Returns the committed version path.
@@ -127,7 +136,17 @@ def publish(
     resolved the pointer just before the commit (and as cheap time
     travel); older versions, orphaned version directories, and stale
     staging directories of crashed writers are pruned inside the
-    critical section."""
+    critical section.
+
+    ``expected_version`` turns the commit CONDITIONAL (optimistic
+    concurrency, Delta-style): pass the version the write derives from
+    (``current_version()`` at read time, or None for a first publish)
+    and the commit aborts with :class:`ConcurrentModificationError` —
+    staging cleaned up, pointer untouched — if someone else committed
+    in between. Blind last-writer-wins publishes (the default, ``...``)
+    stay unconditional: correct for full-snapshot rebuilds, WRONG for
+    read-modify-write derivations like MERGE, which must be
+    conditional or they silently drop the concurrent commit's rows."""
     os.makedirs(table_dir, exist_ok=True)
     staging = os.path.join(table_dir, f".stage-{uuid.uuid4().hex}")
     write_fn(staging)
@@ -135,6 +154,15 @@ def publish(
     lock = _acquire_lock(table_dir)
     try:
         committed = current_version(table_dir)
+        if expected_version is not ... and committed != expected_version:
+            import shutil
+
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentModificationError(
+                f"{table_dir}: expected committed version"
+                f" {expected_version!r}, found {committed!r} — another"
+                " writer committed since this write was derived"
+            )
         existing = sorted(
             (
                 d
@@ -277,6 +305,7 @@ def publish_df(
     keep: int = 2,
     count_rows: bool = False,
     schema_mode: str = "evolve",
+    expected_version: str | None = ...,
 ) -> str:
     """Publish a DataFrame as the next committed version. The version
     manifest records the schema (and, when ``count_rows``, the exact
@@ -306,12 +335,16 @@ def publish_df(
             observed.write.mode("errorifexists").parquet(path)
             meta["n_rows"] = obs.get["n_rows"]
 
-        return publish(table_dir, _write, keep, meta=meta)
+        return publish(
+            table_dir, _write, keep, meta=meta,
+            expected_version=expected_version,
+        )
     return publish(
         table_dir,
         lambda path: df.write.mode("errorifexists").parquet(path),
         keep,
         meta=meta,
+        expected_version=expected_version,
     )
 
 
@@ -434,18 +467,35 @@ def merge_upsert(
     mergeSchema semantics)."""
     from pyspark.sql import functions as F
 
-    base = read_current(spark, table_dir)
     touched = updates.select(key).distinct()
     if deletes is not None:
         touched = touched.unionByName(
             deletes.select(F.col(deletes.columns[0]).alias(key))
         ).distinct()
-    # no broadcast hint: a typical merge batch is small and AQE picks
-    # the broadcast anti-join on its own; a backfill-sized batch must
-    # be allowed to shuffle instead
-    kept = base.join(touched, key, "left_anti")
-    merged = kept.unionByName(updates, allowMissingColumns=True)
-    return publish_df(merged, table_dir, keep=keep, schema_mode=schema_mode)
+    # Optimistic concurrency (Delta-style): the merge derives from the
+    # version read below, commits CONDITIONALLY on it, and on conflict
+    # re-reads and re-derives — a racing merge can therefore never be
+    # silently dropped (tests prove the lost-update race is closed).
+    for attempt in range(5):
+        base_version = current_version(table_dir)
+        base = read_current(spark, table_dir)
+        # no broadcast hint: a typical merge batch is small and AQE
+        # picks the broadcast anti-join on its own; a backfill-sized
+        # batch must be allowed to shuffle instead
+        kept = base.join(touched, key, "left_anti")
+        merged = kept.unionByName(updates, allowMissingColumns=True)
+        try:
+            return publish_df(
+                merged,
+                table_dir,
+                keep=keep,
+                schema_mode=schema_mode,
+                expected_version=base_version,
+            )
+        except ConcurrentModificationError:
+            if attempt == 4:
+                raise
+    raise AssertionError("unreachable")
 
 
 def table_changes(

@@ -631,3 +631,59 @@ def test_external_reader_parity_duckdb(spark, sf_dir, tmp_path):
         for r in read_current(spark, table).collect()
     }
     assert duck == sparkside and (0, "xx", 1) in duck
+
+
+def test_merge_conflict_detection_prevents_lost_update(spark, tmp_path):
+    """The lost-update race Delta's optimistic concurrency exists for:
+    a merge derived from a stale snapshot must NOT commit over a
+    concurrent merge. The conditional publish aborts it; the retry
+    re-derives from the new snapshot and BOTH merges' rows survive."""
+    import pytest as _pytest
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        ConcurrentModificationError,
+        current_version,
+        merge_upsert,
+        publish_df,
+        read_current,
+    )
+
+    table = str(tmp_path / "race")
+    publish_df(
+        spark.createDataFrame([(1, 10), (2, 20)], "k int, v int"),
+        table,
+        keep=10,
+    )
+
+    # Writer A derives its merge from v1 ...
+    stale_version = current_version(table)
+    base = read_current(spark, table)
+    upd_a = spark.createDataFrame([(3, 30)], "k int, v int")
+    merged_a = base.join(upd_a.select("k"), "k", "left_anti").unionByName(
+        upd_a
+    )
+
+    # ... then writer B commits first (its own merge).
+    merge_upsert(
+        spark,
+        table,
+        spark.createDataFrame([(4, 40)], "k int, v int"),
+        key="k",
+        keep=10,
+    )
+
+    # A's CONDITIONAL publish on the stale version must abort ...
+    with _pytest.raises(ConcurrentModificationError):
+        publish_df(
+            merged_a, table, keep=10, expected_version=stale_version
+        )
+    # ... without moving the pointer or leaving staging debris
+    assert current_version(table) == "v000002"
+    assert not [
+        d for d in os.listdir(table) if d.startswith(".stage-")
+    ]
+
+    # The retrying path (merge_upsert) re-derives and lands BOTH rows.
+    merge_upsert(spark, table, upd_a, key="k", keep=10)
+    got = {(r.k, r.v) for r in read_current(spark, table).collect()}
+    assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}
