@@ -51,8 +51,8 @@ _DIM = 64
             GROUP BY v.vec_id
         )
         SELECT d.vec_id,
-               d.dot / (n.nrm * (SELECT nrm FROM norms
-                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+               d.dot / NULLIF(n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID}), 0) AS cosine
         FROM dots d JOIN norms n ON d.vec_id = n.vec_id
         ORDER BY cosine DESC, d.vec_id
         LIMIT {TOP_K}
@@ -73,7 +73,7 @@ def q_vector_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .crossJoin(F.broadcast(q))
-        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .select("vec_id", F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -193,8 +193,8 @@ def _lsh_oracle() -> str:
             GROUP BY v.vec_id
         )
         SELECT d.vec_id,
-               d.dot / (n.nrm * (SELECT nrm FROM norms
-                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+               d.dot / NULLIF(n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID}), 0) AS cosine
         FROM dots d JOIN norms n ON d.vec_id = n.vec_id
         ORDER BY cosine DESC, d.vec_id
         LIMIT {TOP_K}
@@ -242,7 +242,7 @@ def q_vector_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.filter(F.col("vec_id") != QUERY_VEC_ID)
         .join(F.broadcast(probe), "bucket")
-        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .select("vec_id", F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -353,8 +353,8 @@ def _ivf_oracle() -> str:
             GROUP BY v.vec_id
         )
         SELECT d.vec_id,
-               d.dot / (n.nrm * (SELECT nrm FROM norms
-                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+               d.dot / NULLIF(n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID}), 0) AS cosine
         FROM dots d JOIN norms n ON d.vec_id = n.vec_id
         ORDER BY cosine DESC, d.vec_id
         LIMIT {TOP_K}
@@ -396,9 +396,14 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             _fxround_np(X * X * DOT_SCALE).sum(axis=1).astype(np.float64)
             / DOT_SCALE
         )
-        return (dots.astype(np.float64) / DOT_SCALE) / (
-            nx[:, None] * s_nrm[None, :]
-        )
+        with np.errstate(divide="ignore", invalid="ignore"):
+            cos = (dots.astype(np.float64) / DOT_SCALE) / (
+                nx[:, None] * s_nrm[None, :]
+            )
+        # zero-norm vector or seed -> NaN; SQL yields NULL there and
+        # NULLS sort LAST under cos DESC, so argmax must never pick a
+        # NaN column (np.argmax returns the FIRST NaN index otherwise)
+        return np.nan_to_num(cos, nan=-np.inf, posinf=-np.inf, neginf=-np.inf)
 
     def assign_kernel(batches):
         import pandas as pd
@@ -438,7 +443,7 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(cands.select("vec_id"), "vec_id")
         .crossJoin(q)
-        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .select("vec_id", F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -586,8 +591,8 @@ def _pq_oracle() -> str:
             GROUP BY v.vec_id
         )
         SELECT d.vec_id,
-               d.dot / (n.nrm * (SELECT nrm FROM norms
-                                 WHERE vec_id = {QUERY_VEC_ID})) AS cosine
+               d.dot / NULLIF(n.nrm * (SELECT nrm FROM norms
+                                 WHERE vec_id = {QUERY_VEC_ID}), 0) AS cosine
         FROM dots d JOIN norms n ON d.vec_id = n.vec_id
         ORDER BY cosine DESC, d.vec_id
         LIMIT {TOP_K}
@@ -690,7 +695,7 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         e.join(cands.select("vec_id"), "vec_id")
         .crossJoin(q)
-        .select("vec_id", (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"))
+        .select("vec_id", F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"))
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
     )
@@ -786,8 +791,8 @@ _KW = ("data", "system", "table")  # the "query text" terms
                    row_number() OVER (ORDER BY cosine DESC, vec_id) AS r
             FROM (
                 SELECT d.vec_id,
-                       d.dot / (n.nrm * (SELECT nrm FROM norms
-                                         WHERE vec_id = {QUERY_VEC_ID}))
+                       d.dot / NULLIF(n.nrm * (SELECT nrm FROM norms
+                                         WHERE vec_id = {QUERY_VEC_ID}), 0)
                            AS cosine
                 FROM (
                     SELECT v.vec_id, {duck_dot_sum('v.val', 'q.val')} AS dot
@@ -850,7 +855,7 @@ def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(q)
         .select(
             F.col("vec_id").alias("doc_id"),
-            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+            F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"),
         )
         .orderBy(F.desc("cosine"), F.asc("doc_id"))
         .limit(RRF_TOPN)
@@ -1163,7 +1168,7 @@ def q_maxsim_late_interaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.expr(f"vec_id DIV {MV_GROUP}").cast("bigint").alias("mdoc_id"),
             "q_vec",
-            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+            F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"),
         )
     )
     best = cos.groupBy("mdoc_id", "q_vec").agg(
@@ -1577,7 +1582,7 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "q_label",
             "vec_id",
             "label",
-            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+            F.try_divide(dot, F.col("nrm") * F.col("q_nrm")).alias("cosine"),
         )
     )
     wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))

@@ -148,3 +148,75 @@ def test_random_doc_tables_stay_engine_exact(
     res = compare_one(qname, spec, spark, con, str(out))
     con.close()
     assert res["status"] == "OK", (qname, res.get("detail"), res)
+
+
+_EMB_FUZZ_QUERIES = [
+    "q_vector_topk",
+    "q_embed_centroid",
+    "q_embed_standardize",
+    "q_embed_norm_audit",
+    "q_silhouette",
+    "q_coreset",
+    "q_kmeans_clusters",
+]
+
+# degenerate-leaning vector component pool: zeros (zero-norm vectors),
+# exact ties, tiny magnitudes, negatives
+_VALS = [0.0, 1.0, -1.0, 0.5, 0.25, 0.0, 1.0]
+_EMB_DIM = 8
+
+
+@settings(
+    max_examples=4,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    picks=st.lists(
+        st.integers(min_value=0, max_value=len(_VALS) - 1),
+        min_size=6 * _EMB_DIM,
+        max_size=24 * _EMB_DIM,
+    ),
+    qname=st.sampled_from(_EMB_FUZZ_QUERIES),
+)
+def test_random_embedding_tables_stay_engine_exact(
+    spark, tmp_path_factory, picks, qname
+):
+    n = len(picks) // _EMB_DIM
+    rows = [
+        (
+            i,
+            [float(_VALS[picks[i * _EMB_DIM + j]]) for j in range(_EMB_DIM)],
+            (i % 3) + 1,
+        )
+        for i in range(n)
+    ]
+    out = tmp_path_factory.mktemp("embfuzz")
+    from pyspark.sql.types import (
+        ArrayType,
+        FloatType,
+        IntegerType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("vec_id", LongType()),
+            StructField("embedding", ArrayType(FloatType())),
+            StructField("label", IntegerType()),
+        ]
+    )
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{out}/embeddings.parquet")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM"
+        f" read_parquet('{out}/embeddings.parquet/*.parquet')"
+    )
+    spec = load_all()[qname]
+    res = compare_one(qname, spec, spark, con, str(out))
+    con.close()
+    assert res["status"] == "OK", (qname, res.get("detail"), res)
