@@ -155,22 +155,16 @@ _PRIOR_VERIFIED = frozenset({
 # ~50-query window; the round-5 rotation picks them up.
 _ROUND4_NEW: frozenset[str] = frozenset({
     "q_media_features",  # red r03 row (canonicalization); re-record
-    "q_ngram_lm_ppl",
-    "q_entropy_filter",
-    "q_domain_mix",
-    "q_robots_filter",
-    "q_stopword_profile",
-    "q_length_outliers",
-    "q_char_ngram_lid",
-    "q_suffix_array_lcp",
-    "q_doc_span_stats",
-    "q_sentence_split",
-    "q_markdown_strip",
-    "q_boilerplate_lines",
-    "q_repeat_paragraph",
-    "q_url_dedup_norm",
-    "q_cross_shard_dup",
-    "q_mime_profile",
+    # actual round-4 registrations (judge/local-verified on landing;
+    # driver records follow once the backlog drains)
+    "q_lm_bigram_score",
+    "q_dsir_weights",
+    "q_vocab_growth",
+    "q_zipf_constancy",
+    "q_t_closeness",
+    "q_variant_extract",
+    "q_bfs_radius",
+    "q_lateral_topk",
 })
 
 
