@@ -421,3 +421,99 @@ def q_zipf_constancy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mean_rank_freq"),
         )
     )
+
+
+# Kneser-Ney absolute discount: 3/4 is exactly representable in
+# binary, so int - D and D * int stay EXACT doubles below 2^51 and
+# every downstream IEEE op is correctly rounded (identical per engine).
+_KN_D = "CAST('0.75' AS DOUBLE)"
+
+
+@register(
+    "q_kn_bigram_score",
+    oracle=f"""
+        WITH {_DUCK_BIGRAMS_CTE},
+        bgc AS (SELECT w1, w2, count(*) AS c_bg FROM bg GROUP BY w1, w2),
+        ctx AS (
+            SELECT w1, CAST(sum(c_bg) AS BIGINT) AS c_ctx,
+                   CAST(count(*) AS BIGINT) AS n1f
+            FROM bgc GROUP BY w1
+        ),
+        hist AS (
+            SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+            FROM bgc GROUP BY w2
+        ),
+        tt AS (SELECT CAST(count(*) AS BIGINT) AS t_types FROM bgc),
+        scored AS (
+            SELECT bg.doc_id,
+                   CAST(round(
+                       ((CAST(bgc.c_bg AS DOUBLE) - {_KN_D})
+                            / CAST(ctx.c_ctx AS DOUBLE)
+                        + ({_KN_D} * CAST(ctx.n1f AS DOUBLE)
+                               / CAST(ctx.c_ctx AS DOUBLE))
+                          * (CAST(hist.n1b AS DOUBLE)
+                               / CAST(tt.t_types AS DOUBLE)))
+                       * {P_SCALE}
+                   ) AS BIGINT) AS p_fx
+            FROM bg
+            JOIN bgc ON bg.w1 = bgc.w1 AND bg.w2 = bgc.w2
+            JOIN ctx ON bg.w1 = ctx.w1
+            JOIN hist ON bg.w2 = hist.w2
+            CROSS JOIN tt
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               CAST(sum(p_fx) AS BIGINT) AS sum_p_fx,
+               CAST(sum(p_fx) AS DOUBLE) / {P_SCALE} / count(*)
+                   AS mean_kn_prob
+        FROM scored
+        GROUP BY doc_id
+    """,
+    doc="Interpolated Kneser-Ney bigram score per document (Kneser &"
+    " Ney 1995; Chen & Goodman 1999): p(w2|w1) = max(c12-D,0)/c1 +"
+    " (D*N1+(w1,.)/c1) * (N1+(.,w2)/T) with absolute discount D=3/4"
+    " — the production-grade smoothing next to q_lm_bigram_score's"
+    " add-one baseline; its continuation probability famously"
+    " down-weights words that only ever follow one context"
+    " ('Francisco'). D=0.75 is a dyadic rational, so the whole"
+    " expression is exact-int-to-double plus correctly-rounded IEEE"
+    " ops — hash-exact with NO transcendental log. Scale shape"
+    " identical to the add-one scorer: one corpus bigram-count agg,"
+    " two vocab-sized derived model tables (context + continuation),"
+    " join back, per-doc agg. The continuation table is the only"
+    " addition and is vocab-sized, not corpus-sized.",
+)
+def q_kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    bg = _spark_bigrams(spark, sf_dir)
+    bgc = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c_bg"))
+    ctx = bgc.groupBy("w1").agg(
+        F.sum("c_bg").cast("bigint").alias("c_ctx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    hist = bgc.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1b")
+    )
+    tt = bgc.agg(F.count(F.lit(1)).cast("bigint").alias("t_types"))
+    d = F.expr(_KN_D)
+    p = (
+        (F.col("c_bg").cast("double") - d) / F.col("c_ctx").cast("double")
+        + (d * F.col("n1f").cast("double") / F.col("c_ctx").cast("double"))
+        * (F.col("n1b").cast("double") / F.col("t_types").cast("double"))
+    )
+    scored = (
+        bg.join(bgc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .join(hist, "w2")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "doc_id",
+            F.round(p * P_SCALE, 0).cast("bigint").alias("p_fx"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+        F.sum("p_fx").cast("bigint").alias("sum_p_fx"),
+        (
+            F.sum("p_fx").cast("double") / P_SCALE / F.count(F.lit(1))
+        ).alias("mean_kn_prob"),
+    )

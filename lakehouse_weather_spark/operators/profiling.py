@@ -841,3 +841,177 @@ def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_moved_in"),
         )
     )
+
+
+# Benford first-digit probabilities log10(1 + 1/d), embedded as string
+# literals and parsed with CAST(x AS DOUBLE) on BOTH engines: decimal
+# string -> double parsing is correctly rounded in Java and C, so the
+# constants are bit-identical (the engine-wide transcendental-log ban
+# applies to computing them at runtime, not to shipping them).
+_BENFORD_P = {
+    1: "0.3010299956639812",
+    2: "0.17609125905568124",
+    3: "0.12493873660829992",
+    4: "0.09691001300805642",
+    5: "0.07918124604762482",
+    6: "0.06694678963061322",
+    7: "0.05799194697768673",
+    8: "0.05115252244738129",
+    9: "0.04575749056067514",
+}
+
+_BENFORD_CASE = "CASE first_digit " + " ".join(
+    f"WHEN {d} THEN CAST('{p}' AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "q_benford",
+    oracle=f"""
+        WITH digits AS (
+            SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                               AS VARCHAR), 1, 1) AS BIGINT) AS first_digit
+            FROM orders WHERE o_totalprice >= 1
+        ),
+        obs AS (
+            SELECT first_digit, CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(count(*) AS BIGINT)) OVER () AS total
+            FROM digits GROUP BY first_digit
+        )
+        SELECT first_digit, n,
+               ({_BENFORD_CASE}) * total AS expected_n,
+               (n - ({_BENFORD_CASE}) * total)
+                   * (n - ({_BENFORD_CASE}) * total)
+                   / (({_BENFORD_CASE}) * total) AS chi2_term
+        FROM obs
+    """,
+    doc="Benford's-law first-digit audit over order totals: observed"
+    " first-significant-digit counts vs the log10(1+1/d) expectation,"
+    " with the per-digit chi-square contribution — the classic"
+    " fabricated-/synthetic-data detector a data-quality suite runs on"
+    " financial measures. Counts are exact integers; the expectation"
+    " constants are embedded decimal strings (correctly-rounded parse"
+    " on both engines) and every float op after them is a single"
+    " correctly-rounded IEEE multiply/subtract/divide, so rows"
+    " hash-match without any fixed-point machinery. One groupBy on a"
+    " 9-value key: constant-size result at any corpus scale.",
+)
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.where(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("first_digit")
+    )
+    from pyspark.sql import Window
+
+    obs = digits.groupBy("first_digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).withColumn(
+        "total",
+        F.sum("n").over(
+            Window.partitionBy()
+        ),  # 9-row frame: bounded by the digit alphabet, never the table
+    )
+    p = F.expr(
+        "CASE first_digit "
+        + " ".join(
+            f"WHEN {d} THEN CAST('{v}' AS DOUBLE)"
+            for d, v in _BENFORD_P.items()
+        )
+        + " END"
+    )
+    exp_n = p * F.col("total")
+    return obs.select(
+        "first_digit",
+        "n",
+        exp_n.alias("expected_n"),
+        ((F.col("n") - exp_n) * (F.col("n") - exp_n) / exp_n).alias(
+            "chi2_term"
+        ),
+    )
+
+
+# Zone-map audit: shard count kept at 64 so the per-shard stats table
+# is trivially broadcastable; the pruning predicate is a fixed date.
+_ZM_SHARDS = 64
+_ZM_CUTOFF = "1997-01-01"
+
+
+@register(
+    "q_zone_map",
+    oracle=f"""
+        WITH sharded AS (
+            SELECT o_orderdate,
+                   o_orderkey % {_ZM_SHARDS} AS hash_shard,
+                   (CAST(year(o_orderdate) AS BIGINT) * 12
+                    + month(o_orderdate) - 1) AS time_shard
+            FROM orders
+        ),
+        z AS (
+            SELECT 'hash' AS strategy, hash_shard AS shard,
+                   max(o_orderdate) AS max_date,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM sharded GROUP BY hash_shard
+            UNION ALL
+            SELECT 'time' AS strategy, time_shard AS shard,
+                   max(o_orderdate) AS max_date,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM sharded GROUP BY time_shard
+        )
+        SELECT strategy,
+               CAST(count(*) AS BIGINT) AS n_shards,
+               CAST(count(CASE WHEN max_date < DATE '{_ZM_CUTOFF}'
+                          THEN 1 END) AS BIGINT) AS n_prunable,
+               CAST(sum(n_rows) AS BIGINT) AS rows_total,
+               CAST(coalesce(sum(CASE WHEN max_date < DATE '{_ZM_CUTOFF}'
+                             THEN n_rows END), 0) AS BIGINT)
+                   AS rows_prunable
+        FROM z GROUP BY strategy
+    """,
+    doc="Zone-map (file-skipping) effectiveness audit: shard orders two"
+    " ways — hash on the key (what naive writes produce) vs"
+    " time-partitioned by order month (what a date-clustered layout"
+    " produces) — compute each shard's max(o_orderdate) zone stat, and"
+    " count how many shards (and rows) the predicate o_orderdate >="
+    f" {_ZM_CUTOFF} could prune from each layout. The number that"
+    " justifies partitioning/Z-ordering at 100 TB: hash layouts prune"
+    " ~nothing, time layouts prune every closed month. Two counts-only"
+    " aggregations; the result is O(shards), constant in table size."
+    " All integers and dates — hash-exact by construction.",
+)
+def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    sharded = orders.select(
+        "o_orderdate",
+        (F.col("o_orderkey") % _ZM_SHARDS).alias("hash_shard"),
+        (
+            F.year("o_orderdate").cast("bigint") * 12
+            + F.month("o_orderdate")
+            - 1
+        ).alias("time_shard"),
+    )
+
+    def zstats(col: str, label: str) -> DataFrame:
+        return sharded.groupBy(F.col(col).alias("shard")).agg(
+            F.max("o_orderdate").alias("max_date"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        ).select(F.lit(label).alias("strategy"), "shard", "max_date", "n_rows")
+
+    z = zstats("hash_shard", "hash").unionAll(zstats("time_shard", "time"))
+    cutoff = F.lit(_ZM_CUTOFF).cast("date")
+    return z.groupBy("strategy").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shards"),
+        F.count(F.when(F.col("max_date") < cutoff, 1))
+        .cast("bigint")
+        .alias("n_prunable"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.coalesce(
+            F.sum(F.when(F.col("max_date") < cutoff, F.col("n_rows"))),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("rows_prunable"),
+    )

@@ -690,3 +690,69 @@ def q_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
         F.max("doc_id").cast("bigint").alias("max_doc_id"),
     )
+
+
+@register(
+    "q_curriculum_order",
+    oracle="""
+        WITH ranked AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(row_number() OVER (
+                       PARTITION BY lang ORDER BY n_chars, doc_id
+                   ) AS BIGINT) AS rank_in_lang
+            FROM documents
+        ),
+        langs AS (
+            SELECT lang,
+                   CAST(row_number() OVER (ORDER BY lang) AS BIGINT)
+                       AS lang_idx,
+                   CAST(count(*) OVER () AS BIGINT) AS n_langs
+            FROM (SELECT DISTINCT lang FROM documents)
+        )
+        SELECT r.doc_id, r.lang, r.rank_in_lang,
+               (r.rank_in_lang - 1) * l.n_langs + l.lang_idx
+                   AS curriculum_pos
+        FROM ranked r JOIN langs l ON r.lang = l.lang
+    """,
+    doc="Curriculum training order (easy-to-hard with stratified"
+    " interleave): rank documents by difficulty (n_chars proxy,"
+    " doc_id tie-break) WITHIN each language, then compute a global"
+    " position arithmetically — rank*n_langs + lang_idx — so epoch"
+    " k of every language interleaves round-robin instead of one"
+    " language monopolizing the head of training. The Spark-first"
+    " point: the global order needs NO global sort — the only windows"
+    " are partitioned by lang, and the lang index table is"
+    " alphabet-sized and broadcast. Writing the result sorted by"
+    " curriculum_pos is a single range-partitioned write at any scale.",
+)
+def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    ranked = docs.select(
+        "doc_id",
+        "lang",
+        F.row_number().over(w).cast("bigint").alias("rank_in_lang"),
+    )
+    # alphabet-sized frame: the windows below sort |langs| rows only
+    wl = Window.orderBy("lang")
+    langs = (
+        docs.select("lang")
+        .distinct()
+        .select(
+            "lang",
+            F.row_number().over(wl).cast("bigint").alias("lang_idx"),
+            F.count(F.lit(1))
+            .over(Window.partitionBy())
+            .cast("bigint")
+            .alias("n_langs"),
+        )
+    )
+    return ranked.join(F.broadcast(langs), "lang").select(
+        "doc_id",
+        "lang",
+        "rank_in_lang",
+        (
+            (F.col("rank_in_lang") - 1) * F.col("n_langs")
+            + F.col("lang_idx")
+        ).alias("curriculum_pos"),
+    )

@@ -142,3 +142,73 @@ def q_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         for x, y in _PAIRS
     ]
     return spark.sql(" UNION ALL ".join(rows))
+
+
+@register(
+    "q_chi2_independence",
+    oracle="""
+        WITH cells AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS o
+            FROM documents GROUP BY lang, source
+        ),
+        margins AS (
+            SELECT lang, source, o,
+                   sum(o) OVER (PARTITION BY lang) AS row_tot,
+                   sum(o) OVER (PARTITION BY source) AS col_tot,
+                   sum(o) OVER () AS n
+            FROM cells
+        )
+        SELECT lang, source, o,
+               CAST(row_tot AS BIGINT) AS row_tot,
+               CAST(col_tot AS BIGINT) AS col_tot,
+               CAST(CAST(o * n - row_tot * col_tot AS BIGINT) AS DOUBLE)
+                   * CAST(CAST(o * n - row_tot * col_tot AS BIGINT)
+                          AS DOUBLE)
+                   / CAST(CAST(n * row_tot * col_tot AS BIGINT) AS DOUBLE)
+                   AS chi2_term
+        FROM margins
+    """,
+    doc="Chi-square independence audit between two categorical columns"
+    " (lang x source): per-cell observed count, margins, and the"
+    " chi-square contribution in the division-free-until-the-end form"
+    " (o*N - rt*ct)^2 / (N*rt*ct) — all integer until ONE"
+    " correctly-rounded IEEE square+divide, so rows hash-match with no"
+    " fixed-point machinery. The feature-dependence screen a curation"
+    " pipeline runs before stratifying on one column of a correlated"
+    " pair. One groupBy produces the contingency table (|langs| x"
+    " |sources| cells — alphabet-sized); the margin windows run over"
+    " that tiny frame, never the corpus. Integer headroom: o*N <= N^2"
+    " and N*rt*ct <= N^3 stay exact in int64/double for N well past"
+    " any per-partition fixture; at true 100 TB cell counts the same"
+    " query runs with the margins in DECIMAL(38,0).",
+)
+def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    cells = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    # contingency-table-sized frames (|langs| x |sources| rows)
+    margins = cells.select(
+        "lang",
+        "source",
+        "o",
+        F.sum("o").over(Window.partitionBy("lang")).alias("row_tot"),
+        F.sum("o").over(Window.partitionBy("source")).alias("col_tot"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    num = (F.col("o") * F.col("n") - F.col("row_tot") * F.col("col_tot")).cast(
+        "bigint"
+    ).cast("double")
+    den = (F.col("n") * F.col("row_tot") * F.col("col_tot")).cast(
+        "bigint"
+    ).cast("double")
+    return margins.select(
+        "lang",
+        "source",
+        "o",
+        F.col("row_tot").cast("bigint").alias("row_tot"),
+        F.col("col_tot").cast("bigint").alias("col_tot"),
+        (num * num / den).alias("chi2_term"),
+    )

@@ -1057,3 +1057,92 @@ def q_causal_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_effect"
         ),
     )
+
+
+@register(
+    "q_streaks",
+    oracle="""
+        WITH daily AS (
+            SELECT DISTINCT user_id,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS dayidx
+            FROM events
+        ),
+        isl AS (
+            SELECT user_id, dayidx,
+                   dayidx - CAST(row_number() OVER (
+                       PARTITION BY user_id ORDER BY dayidx
+                   ) AS BIGINT) AS island
+            FROM daily
+        ),
+        streaks AS (
+            SELECT user_id, island,
+                   CAST(count(*) AS BIGINT) AS len,
+                   min(dayidx) AS start_idx
+            FROM isl GROUP BY user_id, island
+        ),
+        marked AS (
+            SELECT user_id, len, start_idx,
+                   max(len) OVER (PARTITION BY user_id) AS max_len
+            FROM streaks
+        )
+        SELECT user_id,
+               CAST(sum(len) AS BIGINT) AS active_days,
+               CAST(count(*) AS BIGINT) AS n_streaks,
+               max(len) AS longest_streak,
+               CAST(DATE '1970-01-01'
+                   + CAST(min(CASE WHEN len = max_len THEN start_idx END)
+                          AS INTEGER) AS TIMESTAMP) AS longest_start
+        FROM marked GROUP BY user_id
+    """,
+    doc="Gaps-and-islands activity streaks per user: distinct active"
+    " days collapse to runs of consecutive days via the classic"
+    " day_index - row_number island key, then per-user totals, run"
+    " count, longest run, and the (tie-safe: earliest) start date of"
+    " the longest run. The engagement-streak readout every activity"
+    " product ships, and a pure integer/window pipeline: one distinct"
+    " shuffle on (user, day), then windows PARTITIONED BY user — the"
+    " per-user day lists are bounded by the calendar, never the event"
+    " volume, so the shape is unchanged at 100 TB. Reference has no"
+    " user-level analytics at all (its gold layer is document chunks,"
+    " dags/gold.py); this is the events-table closure.",
+)
+def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("bigint")
+        .alias("dayidx"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("dayidx")
+    isl = daily.select(
+        "user_id",
+        "dayidx",
+        (F.col("dayidx") - F.row_number().over(w).cast("bigint")).alias(
+            "island"
+        ),
+    )
+    streaks = isl.groupBy("user_id", "island").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len"),
+        F.min("dayidx").alias("start_idx"),
+    )
+    wmax = Window.partitionBy("user_id")
+    marked = streaks.select(
+        "user_id", "len", "start_idx", F.max("len").over(wmax).alias("max_len")
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("len").cast("bigint").alias("active_days"),
+        F.count(F.lit(1)).cast("bigint").alias("n_streaks"),
+        F.max("len").alias("longest_streak"),
+        F.date_add(
+            F.lit("1970-01-01").cast("date"),
+            F.min(
+                F.when(F.col("len") == F.col("max_len"), F.col("start_idx"))
+            ).cast("int"),
+        )
+        .cast("timestamp")
+        .alias("longest_start"),
+    )

@@ -81,6 +81,8 @@ _QUERIES = [
     "q_interval_merge",
     "q_map_histogram",
     "q_variant_extract",
+    # gaps-and-islands on degenerate shapes: 1-day users, ties
+    "q_streaks",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -235,6 +237,12 @@ _DOC_QUERIES = [
     "q_vocab_growth",
     "q_zipf_constancy",
     "q_t_closeness",
+    # round-4 additions: KN continuation counts on 1-word/duplicate
+    # docs; chi2 on the 1-doc (zh, srcB) cell; curriculum interleave
+    # with a 1-doc language
+    "q_kn_bigram_score",
+    "q_chi2_independence",
+    "q_curriculum_order",
 ]
 
 _EMB_QUERIES = [
@@ -383,6 +391,10 @@ _REL_QUERIES = [
     "q_rfm",
     "q_target_encode_oof",
     "q_bloom_semijoin",
+    # round-4: Benford over 4 orders (digits with zero observed mass),
+    # zone maps where every shard is a singleton
+    "q_benford",
+    "q_zone_map",
 ]
 
 
