@@ -185,6 +185,14 @@ HEADLINE = [
     "q_variant_extract",
     "q_bfs_radius",
     "q_lateral_topk",
+    "q_streaks",
+    "q_benford",
+    "q_zone_map",
+    "q_curriculum_order",
+    "q_chi2_independence",
+    "q_kn_bigram_score",
+    "q_mrr",
+    "q_kmv_distinct",
 ]
 
 

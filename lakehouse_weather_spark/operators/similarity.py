@@ -1633,3 +1633,94 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "q_mrr",
+    oracle=f"""
+        WITH {_DUCK_VEC_CTE},
+        ql AS (
+            SELECT vec_id AS q_id, label AS q_label FROM embeddings
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        q AS (
+            SELECT vec_id AS q_id, pos, val FROM vals
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        qn AS (
+            SELECT vec_id AS q_id, nrm AS q_nrm FROM norms
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        dots AS (
+            SELECT q.q_id, v.vec_id,
+                   {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos AND v.vec_id <> q.q_id
+            GROUP BY q.q_id, v.vec_id
+        ),
+        ranked AS (
+            SELECT d.q_id, d.vec_id,
+                   row_number() OVER (PARTITION BY d.q_id
+                       ORDER BY d.dot / (n.nrm * qn.q_nrm) DESC,
+                                d.vec_id) AS i
+            FROM dots d
+            JOIN norms n ON d.vec_id = n.vec_id
+            JOIN qn ON qn.q_id = d.q_id
+        )
+        SELECT r.q_id,
+               CAST(count(*) AS BIGINT) AS n_rel,
+               CAST(min(r.i) AS BIGINT) AS first_rel_rank,
+               CAST(1 AS DOUBLE) / min(r.i) AS rr
+        FROM ranked r
+        JOIN embeddings e ON e.vec_id = r.vec_id
+        JOIN ql ON ql.q_id = r.q_id
+        WHERE e.label = ql.q_label
+        GROUP BY r.q_id
+    """,
+    doc=f"Mean-reciprocal-rank eval over the same {NDCG_QUERIES}-query"
+    " panel as q_ndcg: rank the full corpus by exact cosine (fixed-"
+    " point dots, vec_id tie-break), find each query's FIRST relevant"
+    " hit (same class label), and report its reciprocal rank — the"
+    " known-item-search metric completing the eval quartet"
+    " (recall@k / NDCG / RRF fusion / MRR). Per-query rows keep the"
+    " output free of cross-row float summation (the corpus mean is an"
+    " exact integer sum away for any consumer). Plan shape identical"
+    " to q_ndcg: broadcast query panel, one corpus scan of dots,"
+    " per-query window over query-sharded candidates.",
+)
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
+    )
+    e = emb.select("vec_id", "label", "embedding", norm.alias("nrm"))
+    queries = e.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    cand = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            "label",
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+        )
+    )
+    wq = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    ranked = cand.withColumn("i", F.row_number().over(wq))
+    return (
+        ranked.filter(F.col("label") == F.col("q_label"))
+        .groupBy("q_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rel"),
+            F.min("i").cast("bigint").alias("first_rel_rank"),
+            (F.lit(1).cast("double") / F.min("i")).alias("rr"),
+        )
+    )

@@ -648,3 +648,111 @@ def q_sliding_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.join(F.broadcast(n_days), "window_end").select(
         "window_end", "n_days", "distinct_users"
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values) distinct sketch — engine-exact estimate
+# ---------------------------------------------------------------------------
+
+KMV_K = 32
+_KMV_HASH_SPACE = 1 << 60  # 60-bit md5-derived hash domain
+
+
+@register(
+    "q_kmv_distinct",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS hv
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, hv,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY hv) AS rn
+            FROM h
+        ),
+        kth AS (
+            SELECT event_type, hv AS kth_min FROM ranked
+            WHERE rn = {KMV_K}
+        ),
+        nh AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_hashes
+            FROM h GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type, e.n_exact, n.n_hashes,
+               k.kth_min,
+               CASE WHEN k.kth_min IS NULL
+                    THEN CAST(n.n_hashes AS DOUBLE)
+                    ELSE CAST({KMV_K - 1} AS DOUBLE)
+                         * {_KMV_HASH_SPACE}
+                         / k.kth_min END AS kmv_estimate
+        FROM exact e
+        JOIN nh n USING (event_type)
+        LEFT JOIN kth k USING (event_type)
+    """,
+    doc=f"KMV (k-minimum-values / bottom-k, Bar-Yossef et al. 2002)"
+    f" distinct sketch with k={KMV_K}: hash each user to a 60-bit"
+    " md5 value, keep the k smallest distinct hashes per event type,"
+    " and estimate NDV as (k-1) * H / h_(k) — the k-th minimum"
+    " normalized by the hash domain. The third distinct-count sketch"
+    " beside HLL (q_hll_manual) and bitmaps (q_bitmap_distinct), and"
+    " the one that also supports set EXPRESSIONS (union = merged"
+    " bottom-k, intersection via Jaccard on the combined sketch)."
+    " Types with fewer than k distinct hashes fall back to the exact"
+    " count (standard KMV rule), exercised by the pathological"
+    " fixture's singleton types. (k-1)*2^60 needs only 5 mantissa"
+    " bits so the IEEE division is the sole rounding — engine-exact."
+    " Scale: the per-type window formalizes the textbook build; the"
+    " mergeable form (per-partition bottom-k, merge by re-sorting"
+    " k-sized lists) has the same output by construction, and the"
+    " exact-NDV column exists here only to make the estimate's error"
+    " visible in the result.",
+)
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.expr(
+        "cast(conv(substr(md5(concat('kmv_', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    w = Window.partitionBy("event_type").orderBy("hv")
+    kth = (
+        h.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select("event_type", F.col("hv").alias("kth_min"))
+    )
+    nh = h.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes")
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("bigint").alias("n_exact")
+    )
+    return (
+        exact.join(nh, "event_type")
+        .join(F.broadcast(kth), "event_type", "left")
+        .select(
+            "event_type",
+            "n_exact",
+            "n_hashes",
+            "kth_min",
+            F.when(
+                F.col("kth_min").isNull(),
+                F.col("n_hashes").cast("double"),
+            )
+            .otherwise(
+                F.lit(KMV_K - 1).cast("double")
+                * _KMV_HASH_SPACE
+                / F.col("kth_min")
+            )
+            .alias("kmv_estimate"),
+        )
+    )

@@ -171,6 +171,8 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_curriculum_order",
     "q_chi2_independence",
     "q_kn_bigram_score",
+    "q_mrr",
+    "q_kmv_distinct",
 })
 
 

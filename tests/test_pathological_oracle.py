@@ -83,6 +83,8 @@ _QUERIES = [
     "q_variant_extract",
     # gaps-and-islands on degenerate shapes: 1-day users, ties
     "q_streaks",
+    # bottom-k sketch where most types have fewer than k hashes
+    "q_kmv_distinct",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -246,6 +248,7 @@ _DOC_QUERIES = [
 ]
 
 _EMB_QUERIES = [
+    "q_mrr",
     "q_vector_topk",
     "q_ndcg",
     "q_mmr_rerank",
