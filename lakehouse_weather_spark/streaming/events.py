@@ -542,6 +542,49 @@ def stream_sliding_counts(
     return spark.table("sliding_counts")
 
 
+def stream_session_window(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+) -> DataFrame:
+    """True Structured Streaming form of q_session_window: the SAME
+    native session_window(ts, '30 minutes') aggregate over a file
+    stream with a watermark — Spark's built-in dynamic-gap session
+    state (merge-on-overlap, evict past the watermark), which is the
+    bounded-state way to sessionize an unbounded stream. Equality with
+    the batch q_session_window is asserted in tests/test_streaming.py.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        .transform(_ts_ltz)
+        .withWatermark("ts", "2 hours")
+        .groupBy(
+            "user_id", F.session_window("ts", "30 minutes").alias("w")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("w_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("w_end"),
+            "n_events",
+        )
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("session_window_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table("session_window_counts")
+
+
 @register(
     "q_time_rollup",
     oracle=f"""

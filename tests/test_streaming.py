@@ -351,3 +351,23 @@ def test_cohort_ltv_is_cumulative_and_conserves_value(spark, sf_dir):
         total_fx += round(series[-1].cum_value * 10_000)
     ev = load_table(spark, sf_dir, "events").select("value").collect()
     assert total_fx == sum(round(r.value * 10_000) for r in ev)
+
+
+def test_stream_session_window_equals_batch(spark, sf_dir, tmp_path):
+    from lakehouse_weather_spark.streaming.events import stream_session_window
+
+    events_dir = tmp_path / "events_sessw"
+    events_dir.mkdir()
+    (events_dir / "events.parquet").symlink_to(Path(sf_dir) / "events.parquet")
+
+    batch = {
+        (r.user_id, r.w_start, r.w_end): r.n_events
+        for r in load_all()["q_session_window"].fn(spark, sf_dir).collect()
+    }
+    stream = {
+        (r.user_id, r.w_start, r.w_end): r.n_events
+        for r in stream_session_window(
+            spark, str(events_dir), str(tmp_path / "ckpt_sessw")
+        ).collect()
+    }
+    assert stream == batch
