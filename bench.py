@@ -193,6 +193,8 @@ HEADLINE = [
     "q_kn_bigram_score",
     "q_mrr",
     "q_kmv_distinct",
+    "q_team_draft",
+    "q_hhi_concentration",
 ]
 
 

@@ -356,3 +356,63 @@ def q_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             " then 1 else 0 end as bigint)"
         ).alias("alloc"),
     )
+
+
+@register(
+    "q_hhi_concentration",
+    oracle="""
+        WITH cnt AS (
+            SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS n_chars
+            FROM documents GROUP BY lang, source
+        )
+        SELECT lang,
+               CAST(count(*) AS BIGINT) AS n_sources,
+               CAST(sum(n_docs) AS BIGINT) AS total_docs,
+               max(n_docs) AS max_source_docs,
+               CAST(sum(n_docs * n_docs) AS BIGINT) AS sum_sq_docs,
+               CAST(CAST(sum(n_docs * n_docs) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(n_docs) AS BIGINT)
+                          * CAST(sum(n_docs) AS BIGINT) AS DOUBLE)
+                   AS hhi_docs,
+               CAST(CAST(sum(n_chars * n_chars) AS BIGINT) AS DOUBLE)
+                   / CAST(CAST(sum(n_chars) AS BIGINT)
+                          * CAST(sum(n_chars) AS BIGINT) AS DOUBLE)
+                   AS hhi_chars
+        FROM cnt GROUP BY lang
+    """,
+    doc="Herfindahl-Hirschman source-concentration index per language:"
+    " HHI = sum over sources of (share)^2, computed on both document"
+    " counts and character volume — the one-number answer to 'is one"
+    " domain dominating this slice of the corpus' (HHI -> 1: a single"
+    " source; -> 1/n_sources: perfectly balanced), which every corpus"
+    " card reports next to its mixture weights. Division-free until"
+    " the end: sum(n_s^2)/N^2 is a single IEEE divide of exact int64"
+    " sums, so rows hash-match. One groupBy to per-(lang, source)"
+    " counts (map-side partial agg), then an alphabet-sized rollup —"
+    " constant-size output at any corpus scale.",
+)
+def q_hhi_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    sum_docs = F.sum("n_docs").cast("bigint")
+    sum_chars = F.sum("n_chars").cast("bigint")
+    sq_docs = F.sum(F.col("n_docs") * F.col("n_docs")).cast("bigint")
+    sq_chars = F.sum(F.col("n_chars") * F.col("n_chars")).cast("bigint")
+    return cnt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+        sum_docs.alias("total_docs"),
+        F.max("n_docs").alias("max_source_docs"),
+        sq_docs.alias("sum_sq_docs"),
+        (
+            sq_docs.cast("double")
+            / (sum_docs * sum_docs).cast("double")
+        ).alias("hhi_docs"),
+        (
+            sq_chars.cast("double")
+            / (sum_chars * sum_chars).cast("double")
+        ).alias("hhi_chars"),
+    )

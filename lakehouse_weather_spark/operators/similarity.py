@@ -1724,3 +1724,165 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1).cast("double") / F.min("i")).alias("rr"),
         )
     )
+
+
+# Team-draft interleaving: 2*TOP_K draft picks; each side's k-th pick
+# provably lies within its top 2k ranks (at most k picks by the other
+# team precede it), so a 3*TOP_K prefix of either ranking is enough.
+_TD_PICKS = 2 * TOP_K
+_TD_PREFIX = 3 * TOP_K
+
+
+def _td_oracle() -> str:
+    return f"""
+        WITH RECURSIVE {_DUCK_VEC_CTE},
+        ql AS (
+            SELECT vec_id AS q_id FROM embeddings
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        q AS (
+            SELECT vec_id AS q_id, pos, val FROM vals
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        qn AS (
+            SELECT vec_id AS q_id, nrm AS q_nrm FROM norms
+            WHERE vec_id < {NDCG_QUERIES}
+        ),
+        dots AS (
+            SELECT q.q_id, v.vec_id,
+                   {duck_dot_sum('v.val', 'q.val')} AS dot
+            FROM vals v JOIN q ON v.pos = q.pos AND v.vec_id <> q.q_id
+            GROUP BY q.q_id, v.vec_id
+        ),
+        rk AS (
+            SELECT d.q_id, d.vec_id, 'A' AS team,
+                   row_number() OVER (PARTITION BY d.q_id
+                       ORDER BY d.dot / (n.nrm * qn.q_nrm) DESC,
+                                d.vec_id) AS rnk
+            FROM dots d
+            JOIN norms n ON d.vec_id = n.vec_id
+            JOIN qn ON qn.q_id = d.q_id
+            UNION ALL
+            SELECT d.q_id, d.vec_id, 'B' AS team,
+                   row_number() OVER (PARTITION BY d.q_id
+                       ORDER BY d.dot DESC, d.vec_id) AS rnk
+            FROM dots d
+        ),
+        td(q_id, i, picked) AS (
+            SELECT q_id, 0, CAST([] AS BIGINT[]) FROM ql
+            UNION ALL
+            SELECT t.q_id, t.i + 1,
+                   list_append(t.picked, arg_min(r.vec_id, r.rnk))
+            FROM td t
+            JOIN rk r
+              ON r.q_id = t.q_id
+             AND r.team = CASE WHEN t.i % 2 = 0 THEN 'A' ELSE 'B' END
+             AND NOT list_contains(t.picked, r.vec_id)
+            WHERE t.i < {_TD_PICKS}
+            GROUP BY t.q_id, t.i, t.picked
+        ),
+        final AS (
+            SELECT t.q_id, t.picked
+            FROM td t
+            JOIN (SELECT q_id, max(i) AS mi FROM td GROUP BY q_id) m
+              ON m.q_id = t.q_id AND m.mi = t.i
+        )
+        SELECT q_id,
+               CAST(gs AS BIGINT) AS pos,
+               picked[gs] AS vec_id,
+               CASE WHEN gs % 2 = 1 THEN 'A' ELSE 'B' END AS team
+        FROM final, unnest(generate_series(1, len(picked))) AS u(gs)
+    """
+
+
+@register(
+    "q_team_draft",
+    oracle=_td_oracle(),
+    doc=f"Team-draft interleaving (Radlinski et al. 2008, deterministic"
+    " strict-alternation variant) comparing two retrieval systems over"
+    f" the {NDCG_QUERIES}-query panel: system A ranks by exact cosine,"
+    " system B by raw (unnormalized) dot product; the interleaved list"
+    " alternates draft picks, each team taking its best not-yet-picked"
+    " candidate — the online-eval primitive that turns live clicks"
+    " into an unbiased A-vs-B verdict without splitting traffic. The"
+    " sequential draft is a per-query FOLD over bounded arrays in"
+    " Spark (each side's k-th pick provably sits in its top 2k, so a"
+    f" {_TD_PREFIX}-element ranking prefix suffices — constant memory"
+    " per query at any corpus size) and a recursive CTE in DuckDB"
+    " over the uncapped rankings; the two constructions agreeing is"
+    " itself the test of the prefix bound. Output is pure integers"
+    " (position, id, team) — hash-exact.",
+)
+def q_team_draft(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
+    )
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    queries = e.filter(F.col("vec_id") < NDCG_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("nrm").alias("q_nrm"),
+    )
+    dot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    cand = (
+        e.crossJoin(F.broadcast(queries))
+        .filter(F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            "vec_id",
+            dot.alias("dot"),
+            (dot / (F.col("nrm") * F.col("q_nrm"))).alias("cosine"),
+        )
+    )
+    wa = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    wb = Window.partitionBy("q_id").orderBy(F.desc("dot"), F.asc("vec_id"))
+    ranked = cand.select(
+        "q_id",
+        "vec_id",
+        F.row_number().over(wa).alias("rank_a"),
+        F.row_number().over(wb).alias("rank_b"),
+    )
+    lists = ranked.groupBy("q_id").agg(
+        F.expr(
+            "transform(slice(array_sort(collect_list(IF(rank_a <="
+            f" {_TD_PREFIX}, struct(rank_a AS r, vec_id AS v), NULL))),"
+            f" 1, {_TD_PREFIX}), s -> s.v)"
+        ).alias("aa"),
+        F.expr(
+            "transform(slice(array_sort(collect_list(IF(rank_b <="
+            f" {_TD_PREFIX}, struct(rank_b AS r, vec_id AS v), NULL))),"
+            f" 1, {_TD_PREFIX}), s -> s.v)"
+        ).alias("ba"),
+    )
+    drafted = lists.select(
+        "q_id",
+        F.expr(
+            f"""
+            aggregate(
+                sequence(1, {_TD_PICKS}),
+                cast(array() as array<bigint>),
+                (picked, i) -> CASE
+                    WHEN size(filter(IF(i % 2 = 1, aa, ba),
+                                     x -> NOT array_contains(picked, x))) > 0
+                    THEN array_append(
+                        picked,
+                        element_at(filter(IF(i % 2 = 1, aa, ba),
+                                   x -> NOT array_contains(picked, x)), 1))
+                    ELSE picked END
+            )
+            """
+        ).alias("picked"),
+    )
+    return drafted.select(
+        "q_id", F.posexplode("picked").alias("pos0", "vec_id")
+    ).select(
+        "q_id",
+        (F.col("pos0") + 1).cast("bigint").alias("pos"),
+        "vec_id",
+        F.when((F.col("pos0") + 1) % 2 == 1, F.lit("A"))
+        .otherwise(F.lit("B"))
+        .alias("team"),
+    )

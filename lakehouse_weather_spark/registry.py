@@ -173,6 +173,8 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_kn_bigram_score",
     "q_mrr",
     "q_kmv_distinct",
+    "q_team_draft",
+    "q_hhi_concentration",
 })
 
 

@@ -245,10 +245,12 @@ _DOC_QUERIES = [
     "q_kn_bigram_score",
     "q_chi2_independence",
     "q_curriculum_order",
+    "q_hhi_concentration",
 ]
 
 _EMB_QUERIES = [
     "q_mrr",
+    "q_team_draft",
     "q_vector_topk",
     "q_ndcg",
     "q_mmr_rerank",
