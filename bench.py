@@ -195,6 +195,7 @@ HEADLINE = [
     "q_kmv_distinct",
     "q_team_draft",
     "q_hhi_concentration",
+    "q_cvm_drift",
 ]
 
 

@@ -1299,3 +1299,131 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("u1").alias("u_stat"),
         F.expr("(u1 - mu) / sqrt(var)").alias("z_score"),
     )
+
+
+# Cramer-von Mises per-point fixed-point scale: each squared ECDF gap
+# is <= 1, so addends are <= 1e12 and the int64 sum has headroom to
+# ~9e6 pooled points per type; beyond that drop to 1e10 resolution.
+_CVM_SCALE = 1_000_000_000_000
+
+
+@register(
+    "q_cvm_drift",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        fx AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx,
+                   CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
+                        THEN 1 ELSE 0 END AS h1
+            FROM events
+        ),
+        tot AS (
+            SELECT event_type,
+                   CAST(sum(h1) AS BIGINT) AS n1,
+                   CAST(sum(1 - h1) AS BIGINT) AS n2
+            FROM fx GROUP BY event_type
+        ),
+        cum AS (
+            SELECT f.event_type, t.n1, t.n2,
+                   sum(f.h1) OVER w AS c1,
+                   sum(1 - f.h1) OVER w AS c2
+            FROM fx f JOIN tot t USING (event_type)
+            WINDOW w AS (PARTITION BY f.event_type
+                         ORDER BY f.vfx, f.event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        gaps AS (
+            SELECT event_type, n1, n2,
+                   CAST(round(
+                       (CAST(CAST(c1 * n2 - c2 * n1 AS BIGINT) AS DOUBLE)
+                        / CAST(n1 * n2 AS DOUBLE))
+                       * (CAST(CAST(c1 * n2 - c2 * n1 AS BIGINT) AS DOUBLE)
+                          / CAST(n1 * n2 AS DOUBLE))
+                       * {_CVM_SCALE}
+                   ) AS BIGINT) AS g_fx
+            FROM cum WHERE n1 > 0 AND n2 > 0
+        )
+        SELECT event_type, max(n1) AS n1, max(n2) AS n2,
+               CAST(sum(g_fx) AS BIGINT) AS cvm_sum_fx,
+               CAST(CAST(sum(g_fx) AS BIGINT) AS DOUBLE) / {_CVM_SCALE}
+                   * CAST(max(n1) * max(n2) AS DOUBLE)
+                   / CAST((max(n1) + max(n2)) * (max(n1) + max(n2))
+                          AS DOUBLE) AS cvm_stat
+        FROM gaps GROUP BY event_type
+    """,
+    doc="Two-sample Cramer-von Mises drift per event type: the L2"
+    " companion to q_ks_drift's max-gap — T = n1*n2/(n1+n2)^2 *"
+    " sum over pooled points of (F1-F2)^2, which catches distributed"
+    " mass shifts (a fattened tail, a bimodal split) that a single"
+    " supremum can miss and is the standard pairing on a drift"
+    " dashboard. Each squared ECDF gap is computed from the EXACT"
+    " cross-multiplied integer (c1*n2 - c2*n1) with two correctly-"
+    " rounded IEEE divides, fixed-point rounded per point and summed"
+    " as int64 (order-free), then the bounded coefficient applies —"
+    " identical ASTs on both engines, so rows hash-match. Same"
+    " single sort-window per type partition as KS; the two statistics"
+    " could share one cumulative pass in a fused dashboard query.",
+)
+def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    mid = ev.agg(
+        F.expr(
+            "(unix_micros(min(CAST(ts AS TIMESTAMP)))"
+            " + unix_micros(max(CAST(ts AS TIMESTAMP)))) DIV 2"
+        ).alias("mid_us")
+    )
+    fx = ev.crossJoin(F.broadcast(mid)).select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+        F.when(
+            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") < F.col("mid_us"), 1
+        )
+        .otherwise(0)
+        .alias("h1"),
+    )
+    tot = fx.groupBy("event_type").agg(
+        F.sum("h1").cast("bigint").alias("n1"),
+        F.sum(F.lit(1) - F.col("h1")).cast("bigint").alias("n2"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("vfx", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = fx.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "n1",
+        "n2",
+        F.sum("h1").over(w).alias("c1"),
+        F.sum(F.lit(1) - F.col("h1")).over(w).alias("c2"),
+    )
+    gap = (
+        (F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1"))
+        .cast("bigint")
+        .cast("double")
+        / (F.col("n1") * F.col("n2")).cast("double")
+    )
+    gaps = cum.filter((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "event_type",
+        "n1",
+        "n2",
+        F.round(gap * gap * _CVM_SCALE, 0).cast("bigint").alias("g_fx"),
+    )
+    return gaps.groupBy("event_type").agg(
+        F.max("n1").alias("n1"),
+        F.max("n2").alias("n2"),
+        F.sum("g_fx").cast("bigint").alias("cvm_sum_fx"),
+        (
+            F.sum("g_fx").cast("bigint").cast("double")
+            / _CVM_SCALE
+            * (F.max("n1") * F.max("n2")).cast("double")
+            / ((F.max("n1") + F.max("n2")) * (F.max("n1") + F.max("n2"))).cast(
+                "double"
+            )
+        ).alias("cvm_stat"),
+    )

@@ -175,6 +175,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_kmv_distinct",
     "q_team_draft",
     "q_hhi_concentration",
+    "q_cvm_drift",
 })
 
 

@@ -85,6 +85,8 @@ _QUERIES = [
     "q_streaks",
     # bottom-k sketch where most types have fewer than k hashes
     "q_kmv_distinct",
+    # CvM on types living entirely in one time half (n1 or n2 = 0)
+    "q_cvm_drift",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
