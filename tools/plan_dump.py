@@ -84,6 +84,19 @@ SHOWCASE = {
     "q_variant_extract": "props parses ONCE into a binary VARIANT per"
     " row inside whole-stage codegen; field extraction and the"
     " per-type agg never touch JSON strings again.",
+    "q_streaks": "Every window partitions on user_id (per-user day"
+    " lists are calendar-bounded); one distinct shuffle on (user,"
+    " day) — no global sort anywhere.",
+    "q_team_draft": "The sequential draft is a per-query fold over"
+    " 30-element ranking-prefix arrays (constant memory per query);"
+    " the only corpus-scale work is the broadcast-panel dot scan and"
+    " two query-sharded rank windows.",
+    "q_kmv_distinct": "Bottom-k sketch: distinct-hash shuffle once,"
+    " then the k-th-minimum window per type; the kth-min table is"
+    " |types| rows and broadcasts back onto the exact-count agg.",
+    "q_zone_map": "Two counts-only aggregations over shard keys;"
+    " output is O(shards) regardless of table size — the stats pass"
+    " that justifies time-partitioned layouts.",
 }
 
 
