@@ -196,6 +196,7 @@ HEADLINE = [
     "q_team_draft",
     "q_hhi_concentration",
     "q_cvm_drift",
+    "q_weighted_median",
 ]
 
 

@@ -897,3 +897,84 @@ def q_eb_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / (n + {_EB_M})"
         ).alias("shrunk_rate"),
     )
+
+
+@register(
+    "q_weighted_median",
+    oracle="""
+        WITH wr AS (
+            SELECT l_returnflag, l_quantity,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS w,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT l_returnflag, l_quantity, rn,
+                   sum(w) OVER (PARTITION BY l_returnflag ORDER BY rn
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cw,
+                   sum(w) OVER (PARTITION BY l_returnflag) AS wtot
+            FROM wr
+        ),
+        hit AS (
+            SELECT l_returnflag, l_quantity, cw, wtot,
+                   row_number() OVER (PARTITION BY l_returnflag
+                                      ORDER BY rn) AS pick
+            FROM cum WHERE cw * 2 >= wtot
+        )
+        SELECT l_returnflag,
+               l_quantity AS wmedian_qty,
+               CAST(cw AS BIGINT) AS cum_weight_cents,
+               CAST(wtot AS BIGINT) AS total_weight_cents
+        FROM hit WHERE pick = 1
+    """,
+    doc="Exact VALUE-weighted median per group (weight ="
+    " extended price in integer cents): the robust center that answers"
+    " 'the quantity at which half the revenue sits below' — the"
+    " aggregation BI uses when rows have wildly unequal economic"
+    " weight. The defining inequality runs as cum_weight * 2 >="
+    " total_weight on exact int64 cents — no division, no float"
+    " boundary to flip a row. Same per-group sort-window shape as"
+    " q_agg_median (lower weighted median, deterministic tiebreak);"
+    " at scale the cumulative pass is the one sort per group the"
+    " exact statistic fundamentally needs.",
+)
+def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wr = li.select(
+        "l_returnflag",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("w"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = wr.select(
+        "l_returnflag",
+        "l_quantity",
+        "rn",
+        F.sum("w").over(wcum).alias("cw"),
+        F.sum("w").over(wtot).alias("wtot"),
+    )
+    hit = cum.filter(F.col("cw") * 2 >= F.col("wtot")).withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("l_returnflag").orderBy("rn")
+        ),
+    )
+    return hit.filter(F.col("pick") == 1).select(
+        "l_returnflag",
+        F.col("l_quantity").alias("wmedian_qty"),
+        F.col("cw").cast("bigint").alias("cum_weight_cents"),
+        F.col("wtot").cast("bigint").alias("total_weight_cents"),
+    )

@@ -176,6 +176,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_team_draft",
     "q_hhi_concentration",
     "q_cvm_drift",
+    "q_weighted_median",
 })
 
 

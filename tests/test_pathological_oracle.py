@@ -399,9 +399,11 @@ _REL_QUERIES = [
     "q_target_encode_oof",
     "q_bloom_semijoin",
     # round-4: Benford over 4 orders (digits with zero observed mass),
-    # zone maps where every shard is a singleton
+    # zone maps where every shard is a singleton, weighted median with
+    # a NULL group key and zero-discount weights
     "q_benford",
     "q_zone_map",
+    "q_weighted_median",
 ]
 
 
