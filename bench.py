@@ -197,6 +197,10 @@ HEADLINE = [
     "q_hhi_concentration",
     "q_cvm_drift",
     "q_weighted_median",
+    "q_global_ordinal",
+    "q_merkle_diff",
+    "q_weighted_sample",
+    "q_kcore",
 ]
 
 

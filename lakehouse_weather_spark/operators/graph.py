@@ -615,3 +615,100 @@ def q_bfs_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"WITH RECURSIVE {_BFS_BODY.format(pairs='lws_bfs_pairs')}"
         f" {_BFS_SELECT}"
     )
+
+
+# --- k-core decomposition (bounded peel) -----------------------------
+
+KCORE_K = 2  # keep nodes with >= K neighbors inside the surviving core
+KCORE_ROUNDS = 16  # bounded peel rounds (both engines run exactly these)
+
+
+def _kcore_oracle() -> str:
+    """Unrolled DuckDB replay of KCORE_ROUNDS peel rounds. Each round
+    recomputes degrees over the surviving edge set and keeps only
+    edges whose BOTH endpoints still have degree >= K — aggregates in
+    the loop body rule out a recursive CTE, so the rounds unroll as a
+    CTE chain, each MATERIALIZED so multiple references do not inline
+    exponentially (rounds past convergence are no-ops, so the bounded
+    unroll equals the fixpoint whenever the peel converges early)."""
+    parts = [
+        f"WITH {_minhash_pairs_cte()},",
+        "e0 AS MATERIALIZED (SELECT doc_a AS a, doc_b AS b FROM mpairs)",
+    ]
+    for r in range(1, KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT n, count(*) AS deg FROM (
+                SELECT a AS n FROM e{r - 1}
+                UNION ALL SELECT b FROM e{r - 1}
+            ) GROUP BY n
+        ),
+        k{r} AS (SELECT n FROM d{r} WHERE deg >= {KCORE_K}),
+        e{r} AS MATERIALIZED (
+            SELECT e.a, e.b FROM e{r - 1} e
+            JOIN k{r} ka ON ka.n = e.a
+            JOIN k{r} kb ON kb.n = e.b
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT n AS doc_id, CAST(count(*) AS BIGINT) AS core_degree
+        FROM (
+            SELECT a AS n FROM e{KCORE_ROUNDS}
+            UNION ALL SELECT b FROM e{KCORE_ROUNDS}
+        ) GROUP BY n"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    doc=f"{KCORE_K}-core decomposition of the MinHash near-dup graph by"
+    f" iterative peeling (bounded at {KCORE_ROUNDS} rounds, early-exit"
+    " on fixpoint): repeatedly drop nodes with fewer than"
+    f" {KCORE_K} surviving neighbors until stable. The surviving core"
+    " separates genuinely ENTANGLED duplicate families (every member"
+    " near-dups >= 2 others — resolve carefully) from isolated pairs"
+    " and chain tails that a simple keep-best handles; core degree is"
+    " the standard graph-density curriculum signal. Each round is one"
+    " partial-agg degree shuffle + two semi-joins on the shrinking"
+    " edge list, checkpointed so lineage stays flat; the driver holds"
+    " only the edge counter. Early exit is sound because peeling only"
+    " removes: an unchanged edge count means an unchanged edge SET,"
+    " so every later round is a no-op — which is also why the"
+    " oracle's bounded unroll replays the fixpoint exactly.",
+)
+def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _checkpoint(q_minhash_neardup(spark, sf_dir)).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
+    )
+    n_prev = edges.count()
+    for _ in range(KCORE_ROUNDS):
+        if n_prev == 0:
+            break
+        sym = edges.unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        )
+        keep = (
+            sym.groupBy(F.col("a").alias("n"))
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= KCORE_K)
+            .select("n")
+        )
+        edges = _checkpoint(
+            edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
+            .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
+            .select("a", "b")
+        )
+        n = edges.count()
+        if n == n_prev:
+            break
+        n_prev = n
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    return sym.groupBy(F.col("a").alias("doc_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("core_degree")
+    )

@@ -1015,3 +1015,110 @@ def q_zone_map(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rows_prunable"),
     )
+
+
+# --- merkle-style anti-entropy bucket diff ---------------------------
+
+# Hash-range bucket count for the per-bucket signatures. 64 keeps the
+# demo readable; a real 100 TB sync uses ~1e5 buckets so each bucket's
+# re-transfer unit stays small.
+_MK_BUCKETS = 64
+# Deterministic "replication loss": the replica is missing every row
+# whose key hash lands in _MK_DROP_LT of _MK_DROP_MOD residues (~0.5%).
+_MK_DROP_MOD = 1000
+_MK_DROP_LT = 5
+
+_MK_KH_DUCK = (
+    "CAST(('0x' || substr(md5('mk_' || CAST(l_orderkey AS VARCHAR)"
+    " || '_' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+_MK_RH_DUCK = (
+    "CAST(('0x' || substr(md5(CAST(l_orderkey AS VARCHAR) || '|'"
+    " || CAST(l_linenumber AS VARCHAR) || '|'"
+    " || CAST(CAST(round(l_quantity * 10000) AS BIGINT) AS VARCHAR)"
+    " || '|'"
+    " || CAST(CAST(round(l_extendedprice * 10000) AS BIGINT)"
+    " AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "q_merkle_diff",
+    oracle=f"""
+        WITH hashed AS (
+            SELECT {_MK_KH_DUCK} AS kh, {_MK_RH_DUCK} AS rh
+            FROM lineitem
+        ),
+        b AS (SELECT kh % {_MK_BUCKETS} AS bucket, kh, rh FROM hashed),
+        src AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_src,
+                   CAST(sum(rh % {_CK_P}) AS BIGINT) AS sig_src,
+                   CAST(bit_xor(rh) AS BIGINT) AS xor_src
+            FROM b GROUP BY bucket
+        ),
+        dst AS (
+            SELECT bucket, CAST(count(*) AS BIGINT) AS n_dst,
+                   CAST(sum(rh % {_CK_P}) AS BIGINT) AS sig_dst,
+                   CAST(bit_xor(rh) AS BIGINT) AS xor_dst
+            FROM b WHERE kh % {_MK_DROP_MOD} >= {_MK_DROP_LT}
+            GROUP BY bucket
+        )
+        SELECT s.bucket, s.n_src, d.n_dst,
+               s.n_src - d.n_dst AS rows_missing
+        FROM src s JOIN dst d USING (bucket)
+        WHERE s.sig_src != d.sig_dst OR s.xor_src != d.xor_dst
+           OR s.n_src != d.n_dst
+    """,
+    doc=f"Merkle-style anti-entropy diff between a table and a replica"
+    f" that silently lost ~0.5% of its rows (deterministic key-hash"
+    f" drop rule stands in for the lossy copy): every row hashes once,"
+    f" buckets by key-hash range into {_MK_BUCKETS} buckets, and each"
+    " side folds per-bucket commutative signatures (modular sum +"
+    " bit_xor + count). Only buckets whose signatures DISAGREE are"
+    " reported — the Cassandra/Dynamo repair primitive that lets two"
+    " 100 TB replicas find their delta by exchanging kilobytes of"
+    " bucket digests instead of re-reading each other. One scan per"
+    " side, partial-agg shuffles on a perfectly uniform synthetic key;"
+    " key-hash bucketing (not row-hash) keeps a MUTATED row in the"
+    " same bucket so value drift is caught, not just loss.",
+)
+def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kh = F.expr(
+        "cast(conv(substr(md5(concat('mk_', cast(l_orderkey as string),"
+        " '_', cast(l_linenumber as string))), 1, 15), 16, 10) as bigint)"
+    )
+    rh = F.expr(
+        "cast(conv(substr(md5(concat_ws('|',"
+        " cast(l_orderkey as string), cast(l_linenumber as string),"
+        " cast(cast(round(l_quantity * 10000, 0) as bigint) as string),"
+        " cast(cast(round(l_extendedprice * 10000, 0) as bigint)"
+        " as string))), 1, 15), 16, 10) as bigint)"
+    )
+    b = li.select(
+        (kh % _MK_BUCKETS).alias("bucket"),
+        kh.alias("kh"),
+        rh.alias("rh"),
+    )
+    def _sigs(df: DataFrame, tag: str) -> DataFrame:
+        return df.groupBy("bucket").agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
+            F.sum(F.col("rh") % _CK_P).cast("bigint").alias(f"sig_{tag}"),
+            F.expr("bit_xor(rh)").cast("bigint").alias(f"xor_{tag}"),
+        )
+    src = _sigs(b, "src")
+    dst = _sigs(b.filter(F.col("kh") % _MK_DROP_MOD >= _MK_DROP_LT), "dst")
+    return (
+        src.join(dst, "bucket")
+        .filter(
+            (F.col("sig_src") != F.col("sig_dst"))
+            | (F.col("xor_src") != F.col("xor_dst"))
+            | (F.col("n_src") != F.col("n_dst"))
+        )
+        .select(
+            "bucket",
+            "n_src",
+            "n_dst",
+            (F.col("n_src") - F.col("n_dst")).alias("rows_missing"),
+        )
+    )

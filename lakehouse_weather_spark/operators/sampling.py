@@ -756,3 +756,69 @@ def q_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             + F.col("lang_idx")
         ).alias("curriculum_pos"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic weighted priority sampling (without replacement)
+# ---------------------------------------------------------------------------
+
+WPS_K = 50  # sample size
+
+
+@register(
+    "q_weighted_sample",
+    oracle=f"""
+        WITH pri AS (
+            SELECT doc_id, n_chars,
+                   CAST(CAST(('0x' || substr(md5('ws_' ||
+                            CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                        AS DOUBLE)
+                       / greatest(n_chars, 1) AS priority
+            FROM documents
+        ),
+        ranked AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight, priority,
+                   CAST(row_number() OVER (ORDER BY priority, doc_id)
+                        AS BIGINT) AS sample_rank
+            FROM pri
+        )
+        SELECT doc_id, weight, priority, sample_rank
+        FROM ranked WHERE sample_rank <= {WPS_K}
+    """,
+    doc=f"Weighted priority sample WITHOUT replacement: each doc draws"
+    " a deterministic md5 uniform u and competes on priority = u /"
+    f" weight (weight = n_chars, floored at 1), and the {WPS_K}"
+    f" smallest priorities win — heavier docs get proportionally"
+    " smaller priorities, so selection probability scales with weight"
+    " (the hash-priority cousin of A-Res reservoir sampling). One"
+    " narrow scan + TakeOrderedAndProject per-partition heaps — no"
+    " full sort, no rand(): the sample is REPRODUCIBLE across runs,"
+    " partitionings, and engines, which is what makes a training-data"
+    " subsample auditable. The only float op is one IEEE division"
+    " (exactly rounded in every engine); ranks tie-break on doc_id.",
+)
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    pri = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("weight"),
+        (
+            F.expr(
+                "cast(conv(substr(md5(concat('ws_',"
+                " cast(doc_id as string))), 1, 15), 16, 10) as bigint)"
+            ).cast("double")
+            / F.greatest(F.col("n_chars"), F.lit(1))
+        ).alias("priority"),
+    )
+    # top-k by priority first (per-partition heaps), THEN rank the
+    # bounded k-row winner set — never a global window over the corpus
+    topk = pri.orderBy("priority", "doc_id").limit(WPS_K)
+    w = Window.orderBy("priority", "doc_id")
+    return topk.select(
+        "doc_id",
+        "weight",
+        "priority",
+        F.row_number().over(w).cast("bigint").alias("sample_rank"),
+    )

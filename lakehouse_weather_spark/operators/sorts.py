@@ -52,3 +52,54 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(100)
     )
+
+
+@register(
+    "q_global_ordinal",
+    oracle="""
+        SELECT event_id,
+               CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
+                   AS ordinal
+        FROM events
+    """,
+    doc="Scalable GLOBAL row numbering — the pattern that replaces the"
+    " row_number()-over-no-partition anti-plan (which funnels the whole"
+    " table through ONE task). Rows bucket by a coarse prefix of the"
+    " sort key (the event DAY — any bucketing that respects the global"
+    " order works), per-bucket counts aggregate into a tiny table,"
+    " a cumulative window over that BOUNDED bucket list yields each"
+    " bucket's starting offset, offsets broadcast-join back, and the"
+    " ordinal is offset + row_number WITHIN the bucket. The only"
+    " unbounded windows are per-bucket (parallel across days); at"
+    " 100 TB you tighten the bucket to the hour and nothing else"
+    " changes. The oracle is the naive single-window form, so the gate"
+    " proves the distributed decomposition is bit-identical to it.",
+)
+def q_global_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_weather_spark.sources.tables import load_table as _lt
+
+    ev = _lt(spark, sf_dir, "events").select(
+        "event_id", "ts", F.to_date("ts").alias("bucket")
+    )
+    counts = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
+    # cumulative offsets over the BOUNDED per-day count list (#days
+    # rows — the sanctioned bounded-window shape, never the raw table)
+    w_off = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "bucket", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+    )
+    w_in = Window.partitionBy("bucket").orderBy("ts", "event_id")
+    return (
+        ev.join(F.broadcast(offsets), "bucket")
+        .select(
+            "event_id",
+            (F.col("off") + F.row_number().over(w_in))
+            .cast("bigint")
+            .alias("ordinal"),
+        )
+    )

@@ -177,6 +177,10 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_hhi_concentration",
     "q_cvm_drift",
     "q_weighted_median",
+    "q_global_ordinal",
+    "q_merkle_diff",
+    "q_weighted_sample",
+    "q_kcore",
 })
 
 

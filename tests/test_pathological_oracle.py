@@ -87,6 +87,8 @@ _QUERIES = [
     "q_kmv_distinct",
     # CvM on types living entirely in one time half (n1 or n2 = 0)
     "q_cvm_drift",
+    # global numbering across same-microsecond ties and 1-event days
+    "q_global_ordinal",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -194,6 +196,7 @@ _DOC_QUERIES = [
     "q_quality_repetition",
     "q_readability",
     "q_unigram_surprisal",
+    "q_weighted_sample",
     "q_text_fingerprint",
     "q_winnow_fingerprint",
     "q_chunk_split",
@@ -379,6 +382,9 @@ _DEDUP_QUERIES = [
     "q_heavy_hitters",
     "q_win_rownum",
     "q_count_per_source",
+    # bounded k-core peel on a graph that is ONE pair + one triangle-ish
+    # family: the pair must peel away entirely
+    "q_kcore",
 ]
 
 
@@ -404,6 +410,9 @@ _REL_QUERIES = [
     "q_benford",
     "q_zone_map",
     "q_weighted_median",
+    # 5-row replica diff where the deterministic drop rule fires on
+    # nothing: BOTH engines must agree the diff is EMPTY
+    "q_merkle_diff",
 ]
 
 
