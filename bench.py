@@ -201,6 +201,10 @@ HEADLINE = [
     "q_merkle_diff",
     "q_weighted_sample",
     "q_kcore",
+    "q_tfidf",
+    "q_phrase_search",
+    "q_theilsen",
+    "q_fd_discovery",
 ]
 
 

@@ -1122,3 +1122,72 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_src") - F.col("n_dst")).alias("rows_missing"),
         )
     )
+
+
+# --- functional-dependency discovery ---------------------------------
+
+# Candidate X -> Y dependencies to audit (table, determinant, dependent).
+_FD_CANDIDATES = [
+    ("orders", "o_orderkey", "o_custkey"),  # key -> attr: must hold
+    ("orders", "o_custkey", "o_orderpriority"),  # behavioral: usually broken
+    ("lineitem", "l_orderkey", "l_returnflag"),  # order-level flag? broken
+    ("lineitem", "l_partkey", "l_suppkey"),  # sourcing exclusivity audit
+    ("customer", "c_custkey", "c_mktsegment"),  # key -> attr: must hold
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, x, y in _FD_CANDIDATES:
+        parts.append(
+            f"""
+        SELECT '{tbl}.{x} -> {tbl}.{y}' AS candidate,
+               CAST(count(*) AS BIGINT) AS n_groups,
+               CAST(sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_violating,
+               CAST(max(n_y) AS BIGINT) AS worst_fanout,
+               sum(CASE WHEN n_y > 1 THEN 1 ELSE 0 END) = 0 AS holds
+        FROM (
+            SELECT {x}, count(DISTINCT {y}) AS n_y
+            FROM {tbl} GROUP BY {x}
+        )"""
+        )
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_fd_discovery",
+    oracle=_fd_oracle(),
+    doc="Functional-dependency audit (Metanome-style data profiling):"
+    " for each candidate X -> Y, group by the determinant and count"
+    " groups carrying more than one distinct dependent value — zero"
+    " violations certifies the dependency, the violation count + worst"
+    " fanout grade how badly a 'soft key' leaks. This is the check"
+    " behind dedup-key selection, normalization decisions, and"
+    " upstream-contract monitoring. Each candidate is one"
+    " partial-agg distinct shuffle on (X, Y) projections (column"
+    " pruning keeps the scans 2-column); candidates union into one"
+    " 5-row report, so a 100 TB audit is N independent"
+    " scan-agg pipelines Spark schedules concurrently.",
+)
+def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, x, y in _FD_CANDIDATES:
+        grouped = (
+            load_table(spark, sf_dir, tbl)
+            .groupBy(x)
+            .agg(F.countDistinct(y).alias("n_y"))
+        )
+        row = grouped.agg(
+            F.lit(f"{tbl}.{x} -> {tbl}.{y}").alias("candidate"),
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating"),
+            F.max("n_y").cast("bigint").alias("worst_fanout"),
+            (
+                F.sum(F.when(F.col("n_y") > 1, 1).otherwise(0)) == 0
+            ).alias("holds"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -1231,3 +1231,178 @@ def q_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("oov_bp"),
         )
     )
+
+
+# --- TF-IDF top terms ------------------------------------------------
+
+TFIDF_SCALE = 10_000  # fixed-point scale for the rational idf
+TFIDF_TOPK = 5  # terms reported per document
+
+
+@register(
+    "q_tfidf",
+    oracle=f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            FROM documents
+        ),
+        tf AS (
+            SELECT doc_id, word, count(*) AS tf
+            FROM tok GROUP BY doc_id, word
+        ),
+        df AS (
+            SELECT word, count(*) AS df FROM tf GROUP BY word
+        ),
+        n AS (SELECT count(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.word,
+                   CAST(tf.tf AS BIGINT) AS tf,
+                   CAST(df.df AS BIGINT) AS df,
+                   CAST(tf.tf * ((n.n_docs * {TFIDF_SCALE}) // df.df)
+                        AS BIGINT) AS score_fp
+            FROM tf JOIN df USING (word) CROSS JOIN n
+        )
+        SELECT doc_id, word, tf, df, score_fp,
+               CAST(term_rank AS BIGINT) AS term_rank
+        FROM (
+            SELECT *, row_number() OVER (
+                       PARTITION BY doc_id
+                       ORDER BY score_fp DESC, word) AS term_rank
+            FROM scored
+        ) WHERE term_rank <= {TFIDF_TOPK}
+    """,
+    doc=f"Per-document top-{TFIDF_TOPK} TF-IDF terms — the classic"
+    " keyword/feature-weighting primitive. The idf is the RATIONAL"
+    f" fixed-point form (N * {TFIDF_SCALE}) DIV df instead of the"
+    " textbook log(N/df): same BM25 trick as retrieval.py — libm log"
+    " rounds differently per engine, integer division doesn't, so the"
+    " whole score is exact int64 and hash-matches any replayer (log"
+    " is monotone in df, so rankings agree except across extreme df"
+    " gaps the linear form separates MORE sharply). Shape: explode ->"
+    " (doc, word) partial-agg -> word df agg -> broadcast-joined"
+    " 1-row corpus count -> per-doc top-k window. The df table is"
+    " vocabulary-sized (Heaps-sublinear), the big shuffle carries"
+    " (word, count) pairs only.",
+)
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    )
+    tf = tok.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "word",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (
+                F.col("tf")
+                * F.expr(f"(n_docs * {TFIDF_SCALE}) div df")
+            )
+            .cast("bigint")
+            .alias("score_fp"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score_fp"), F.asc("word")
+    )
+    return (
+        scored.withColumn(
+            "term_rank", F.row_number().over(w).cast("bigint")
+        )
+        .filter(F.col("term_rank") <= TFIDF_TOPK)
+    )
+
+
+# --- positional phrase search ----------------------------------------
+
+
+@register(
+    "q_phrase_search",
+    oracle="""
+        WITH tok AS (
+            SELECT doc_id, string_split(text, ' ') AS w FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, i AS pos,
+                   w[i] || ' ' || w[i + 1] || ' ' || w[i + 2] AS trigram
+            FROM (
+                SELECT doc_id, w,
+                       unnest(generate_series(1, len(w) - 2)) AS i
+                FROM tok
+            )
+        ),
+        top AS (
+            SELECT trigram AS phrase, count(*) AS corpus_freq
+            FROM tri GROUP BY trigram
+            ORDER BY corpus_freq DESC, phrase
+            LIMIT 1
+        )
+        SELECT t.doc_id, top.phrase,
+               CAST(count(*) AS BIGINT) AS n_occurrences,
+               CAST(min(t.pos) AS BIGINT) AS first_pos,
+               CAST(top.corpus_freq AS BIGINT) AS corpus_freq
+        FROM tri t JOIN top ON t.trigram = top.phrase
+        GROUP BY t.doc_id, top.phrase, top.corpus_freq
+    """,
+    doc="Positional phrase search through an inverted trigram stream —"
+    " 'distributed grep' done as dataflow, self-contained: the query"
+    " first finds the corpus's most frequent word trigram (count"
+    " shuffle + deterministic top-1 tiebreak), then reports every"
+    " document containing it with occurrence count and first token"
+    " position. Trigrams come from per-doc lead() windows (parallel"
+    " across docs, no self-join on positions); the chosen phrase is a"
+    " broadcast single row. At 100 TB this is the shape of phrase /"
+    " n-gram contamination scans: one pass builds positional postings,"
+    " every subsequent phrase probe is an equi-join against a"
+    " broadcast needle — never a substring scan over raw text.",
+)
+def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    tri = tok.select(
+        "doc_id",
+        (F.col("idx") + 1).alias("pos"),
+        F.concat_ws(
+            " ",
+            "word",
+            F.lead("word", 1).over(w),
+            F.lead("word", 2).over(w),
+        ).alias("trigram"),
+        F.lead("word", 2).over(w).alias("_w3"),
+    ).filter(F.col("_w3").isNotNull())
+    top = (
+        tri.groupBy(F.col("trigram").alias("phrase"))
+        .agg(F.count(F.lit(1)).alias("corpus_freq"))
+        .orderBy(F.desc("corpus_freq"), F.asc("phrase"))
+        .limit(1)
+    )
+    return (
+        tri.join(
+            F.broadcast(top), tri["trigram"] == top["phrase"]
+        )
+        .groupBy("doc_id", "phrase", "corpus_freq")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .select(
+            "doc_id",
+            "phrase",
+            "n_occurrences",
+            "first_pos",
+            F.col("corpus_freq").cast("bigint").alias("corpus_freq"),
+        )
+    )

@@ -1146,3 +1146,86 @@ def q_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("timestamp")
         .alias("longest_start"),
     )
+
+
+# --- Theil-Sen robust trend slope ------------------------------------
+
+
+@register(
+    "q_theilsen",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(b.cnt - a.cnt AS DOUBLE)
+                       / date_diff('day', a.h, b.h) AS slope,
+                   a.h AS h1, b.h AS h2
+            FROM daily a
+            JOIN daily b
+              ON a.event_type = b.event_type AND b.h > a.h
+        ),
+        ranked AS (
+            SELECT event_type, slope,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY slope, h1, h2) AS rn,
+                   count(*) OVER (PARTITION BY event_type) AS n_pairs
+            FROM pairs
+        )
+        SELECT event_type, CAST(n_pairs AS BIGINT) AS n_pairs,
+               slope AS ts_slope
+        FROM ranked WHERE rn = (n_pairs + 1) // 2
+    """,
+    doc="Theil-Sen robust trend estimator per event type: the MEDIAN of"
+    " all pairwise slopes between daily volumes — up to ~29% corrupted"
+    " days cannot move it, unlike the OLS slope a single outlier day"
+    " drags arbitrarily. Slopes are exact int64 count differences over"
+    " exact day gaps (one IEEE division each); the median is the exact"
+    " lower order statistic with a deterministic (slope, day-pair)"
+    " tiebreak. The pairwise join runs on the DAILY aggregate — rows ="
+    " types x days, so the quadratic lives on a calendar-bounded table"
+    " (60 days -> <2k pairs/type) no matter how many raw events fed"
+    " it; the raw scan contributes one partial-agg shuffle. Types with"
+    " a single active day have no pairs and drop out by construction.",
+)
+def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    a = daily.select(
+        "event_type", F.col("h").alias("h1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        "event_type", F.col("h").alias("h2"), F.col("cnt").alias("c2")
+    )
+    pairs = a.join(b, "event_type").filter(F.col("h2") > F.col("h1")).select(
+        "event_type",
+        (
+            (F.col("c2") - F.col("c1")).cast("double")
+            / F.datediff(F.col("h2").cast("date"), F.col("h1").cast("date"))
+        ).alias("slope"),
+        "h1",
+        "h2",
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "h1", "h2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(n_pairs + 1) div 2")
+    ).select(
+        "event_type",
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope").alias("ts_slope"),
+    )

@@ -181,6 +181,10 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_merkle_diff",
     "q_weighted_sample",
     "q_kcore",
+    "q_tfidf",
+    "q_phrase_search",
+    "q_theilsen",
+    "q_fd_discovery",
 })
 
 

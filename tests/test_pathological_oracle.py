@@ -89,6 +89,8 @@ _QUERIES = [
     "q_cvm_drift",
     # global numbering across same-microsecond ties and 1-event days
     "q_global_ordinal",
+    # Theil-Sen where 'solo' has ONE day (no pairs) and 'flat' is level
+    "q_theilsen",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -197,6 +199,8 @@ _DOC_QUERIES = [
     "q_readability",
     "q_unigram_surprisal",
     "q_weighted_sample",
+    "q_tfidf",
+    "q_phrase_search",
     "q_text_fingerprint",
     "q_winnow_fingerprint",
     "q_chunk_split",
@@ -413,6 +417,9 @@ _REL_QUERIES = [
     # 5-row replica diff where the deterministic drop rule fires on
     # nothing: BOTH engines must agree the diff is EMPTY
     "q_merkle_diff",
+    # FD audit where a dependent column holds NULLs (distinct-count
+    # semantics must agree) and a determinant group is a singleton
+    "q_fd_discovery",
 ]
 
 
