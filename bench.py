@@ -205,6 +205,10 @@ HEADLINE = [
     "q_phrase_search",
     "q_theilsen",
     "q_fd_discovery",
+    "q_zset_ivm",
+    "q_simpson_flip",
+    "q_journey_paths",
+    "q_skipgram",
 ]
 
 

@@ -978,3 +978,76 @@ def q_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cw").cast("bigint").alias("cum_weight_cents"),
         F.col("wtot").cast("bigint").alias("total_weight_cents"),
     )
+
+
+# --- user journey paths ----------------------------------------------
+
+_JP_STEPS = 8  # path prefix length (bounds the path string at scale)
+_JP_TOPK = 20
+
+
+@register(
+    "q_journey_paths",
+    oracle=f"""
+        WITH seq AS (
+            SELECT user_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn
+            FROM events
+        ),
+        paths AS (
+            SELECT user_id,
+                   string_agg(event_type, '>' ORDER BY rn) AS path,
+                   count(*) AS path_len
+            FROM seq WHERE rn <= {_JP_STEPS}
+            GROUP BY user_id
+        )
+        SELECT path, CAST(max(path_len) AS BIGINT) AS path_len,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM paths
+        GROUP BY path
+        ORDER BY n_users DESC, path
+        LIMIT {_JP_TOPK}
+    """,
+    doc=f"Top user-journey paths: each user's first {_JP_STEPS} events"
+    " (deterministic ts + event_id order) concatenate into a"
+    " '>'-joined path signature, identical journeys count together,"
+    f" and the {_JP_TOPK} most common surface — the product-analytics"
+    " primitive behind sankey/flow dashboards and funnel hypothesis"
+    " mining. The per-user window partitions by user (parallel), the"
+    f" {_JP_STEPS}-step cap bounds the path string at any scale, and"
+    " the final ordering is a TakeOrdered heap over the path"
+    " vocabulary, never a global sort of users. Spark builds the"
+    " ordered path by sorting a collected (rn, type) struct array"
+    " per user — array_sort on structs is deterministic, no"
+    " collect_list-order reliance.",
+)
+def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id", "event_type", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _JP_STEPS)
+    paths = seq.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("rn", "event_type"))
+                ),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path"),
+        F.count(F.lit(1)).alias("path_len"),
+    )
+    return (
+        paths.groupBy("path")
+        .agg(
+            F.max("path_len").cast("bigint").alias("path_len"),
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        )
+        .orderBy(F.desc("n_users"), F.asc("path"))
+        .limit(_JP_TOPK)
+    )

@@ -1,0 +1,110 @@
+"""Incremental view maintenance with RETRACTIONS (Z-set / differential
+semantics).
+
+The append-only delta rule in ``pipeline/incremental.py`` maintains
+joins under pure inserts; real changelogs also DELETE (CDC upstreams,
+GDPR erasure, late corrections). The Z-set formulation (weighted bags:
+insert = +1, delete = -1, view = sum of weights — DBSP/differential
+dataflow's core idea) turns maintenance of any linear aggregate into
+plain weighted addition: new_view = old_view (+) delta_agg, groups
+whose weight reaches zero vanish.
+
+The reference pipeline recomputes its gold tables from scratch on
+every run (``dags/gold.py``); this operator is the 100 TB alternative —
+the snapshot never re-reads history, each maintenance tick aggregates
+ONLY the changelog and folds it in with a tiny join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from lakehouse_weather_spark.registry import register
+from lakehouse_weather_spark.sources.tables import load_table
+
+# Deterministic partitions of the fixture into snapshot / changelog:
+# md5-even events form the base snapshot, md5-odd arrive as inserts,
+# and base rows whose digest lands < _DEL_LT of _DEL_MOD are deleted.
+_H = (
+    "cast(conv(substr(md5(concat('zs_', cast(event_id as string))),"
+    " 1, 15), 16, 10) as bigint)"
+)
+_H_DUCK = (
+    "CAST(('0x' || substr(md5('zs_' || CAST(event_id AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+_DEL_MOD = 10
+_DEL_LT = 2  # 20% of the snapshot gets retracted
+
+
+@register(
+    "q_zset_ivm",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, value, {_H_DUCK} AS hh FROM events
+        ),
+        final AS (
+            -- the state the incremental fold must land on: surviving
+            -- base rows (even, not deleted) plus all inserts (odd)
+            SELECT event_type,
+                   CAST(round(value * 10000) AS BIGINT) AS fx
+            FROM h
+            WHERE (hh % 2 = 0 AND hh % {_DEL_MOD} >= {_DEL_LT})
+               OR hh % 2 = 1
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(fx) AS BIGINT) AS total_fx
+        FROM final GROUP BY event_type
+    """,
+    doc="Grouped-aggregate maintenance under inserts AND deletes via"
+    " Z-set weights (DBSP/differential-dataflow semantics): the"
+    " changelog carries +1 rows for inserts and -1 rows for"
+    " retractions, the per-group delta is a plain weighted sum, and"
+    " the new view is snapshot (+) delta through one group-sized"
+    " outer join — groups whose weight hits zero disappear. The"
+    " Spark plan genuinely maintains: it aggregates the SNAPSHOT and"
+    " the CHANGELOG separately and folds, never re-aggregating"
+    " history + changes together; the oracle recomputes the final"
+    " state from scratch, so the gate proves the delta rule exact"
+    " (count + fixed-point sum are linear, so weighted addition is"
+    " lossless). At 100 TB the snapshot agg is a stored table and"
+    " each tick costs one changelog-sized partial agg + a"
+    " groups-sized broadcast fold.",
+)
+def q_zset_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("cast(round(value * 10000, 0) as bigint)").alias("fx"),
+        F.expr(_H).alias("hh"),
+    )
+    base = ev.filter(F.col("hh") % 2 == 0)
+    # changelog: retractions of a base subset (w = -1) + inserts (+1)
+    changelog = base.filter(F.col("hh") % _DEL_MOD < _DEL_LT).select(
+        "event_type", "fx", F.lit(-1).alias("w")
+    ).unionByName(
+        ev.filter(F.col("hh") % 2 == 1).select(
+            "event_type", "fx", F.lit(1).alias("w")
+        )
+    )
+    snap = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("fx").cast("bigint").alias("total_fx"),
+    )
+    delta = changelog.groupBy("event_type").agg(
+        F.sum("w").cast("bigint").alias("dn"),
+        F.sum(F.col("w") * F.col("fx")).cast("bigint").alias("dfx"),
+    )
+    merged = snap.join(delta, "event_type", "full_outer").select(
+        "event_type",
+        (
+            F.coalesce(F.col("n_rows"), F.lit(0))
+            + F.coalesce(F.col("dn"), F.lit(0))
+        ).alias("n_rows"),
+        (
+            F.coalesce(F.col("total_fx"), F.lit(0))
+            + F.coalesce(F.col("dfx"), F.lit(0))
+        ).alias("total_fx"),
+    )
+    return merged.filter(F.col("n_rows") > 0)

@@ -212,3 +212,162 @@ def q_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("col_tot").cast("bigint").alias("col_tot"),
         (num * num / den).alias("chi2_term"),
     )
+
+
+# --- Simpson's-paradox detector --------------------------------------
+
+_SP_URGENT = "1-URGENT"
+
+
+@register(
+    "q_simpson_flip",
+    oracle=f"""
+        WITH cell AS (
+            SELECT c.c_mktsegment AS seg, c.c_nationkey AS nation,
+                   count(*) AS n,
+                   sum(CASE WHEN o.o_orderpriority = '{_SP_URGENT}'
+                            THEN 1 ELSE 0 END) AS u
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY 1, 2
+        ),
+        pooled AS (
+            SELECT seg, sum(n) AS n, sum(u) AS u FROM cell GROUP BY seg
+        ),
+        segpair AS (
+            SELECT a.seg AS seg_a, b.seg AS seg_b,
+                   CASE WHEN a.u * b.n > b.u * a.n THEN 1
+                        WHEN a.u * b.n < b.u * a.n THEN -1
+                        ELSE 0 END AS pooled_sign
+            FROM pooled a JOIN pooled b ON a.seg < b.seg
+        ),
+        natpair AS (
+            SELECT a.seg AS seg_a, b.seg AS seg_b,
+                   CASE WHEN a.u * b.n > b.u * a.n THEN 1
+                        WHEN a.u * b.n < b.u * a.n THEN -1
+                        ELSE 0 END AS nat_sign
+            FROM cell a
+            JOIN cell b ON a.nation = b.nation AND a.seg < b.seg
+        )
+        SELECT p.seg_a, p.seg_b,
+               CAST(p.pooled_sign AS INT) AS pooled_sign,
+               CAST(count(*) AS BIGINT) AS n_nations,
+               CAST(sum(CASE WHEN n.nat_sign = -p.pooled_sign
+                             AND p.pooled_sign != 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_flipped,
+               p.pooled_sign != 0
+                   AND sum(CASE WHEN n.nat_sign = -p.pooled_sign
+                                THEN 1 ELSE 0 END) = count(*) AS simpson
+        FROM segpair p
+        JOIN natpair n ON n.seg_a = p.seg_a AND n.seg_b = p.seg_b
+        GROUP BY p.seg_a, p.seg_b, p.pooled_sign
+    """,
+    doc="Simpson's-paradox detector over urgent-order rates: for every"
+    " market-segment pair, compare the POOLED rate ordering against"
+    " the ordering inside each nation (stratum) — `simpson` fires when"
+    " the pooled winner loses in EVERY stratum where both segments"
+    " appear, the aggregation-reversal trap every metrics dashboard"
+    " eventually steps into. All comparisons are integer"
+    " CROSS-MULTIPLICATIONS (u1*n2 vs u2*n1) — no rate division, no"
+    " float boundary, so both engines agree exactly, including ties."
+    " Shape: one join + one (segment x nation) partial agg; segment"
+    " pair tables are dimension-bounded (tens of rows), so the paradox"
+    " scan itself is a broadcast-sized self-join however large the"
+    " fact table.",
+)
+def q_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cell = (
+        orders.join(
+            F.broadcast(cust.select("c_custkey", "c_mktsegment", "c_nationkey")),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .groupBy(
+            F.col("c_mktsegment").alias("seg"),
+            F.col("c_nationkey").alias("nation"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(F.col("o_orderpriority") == _SP_URGENT, 1).otherwise(0)
+            ).alias("u"),
+        )
+    )
+    pooled = cell.groupBy("seg").agg(
+        F.sum("n").alias("n"), F.sum("u").alias("u")
+    )
+
+    def _sign(ua, na, ub, nb):
+        d = ua * nb - ub * na
+        return (
+            F.when(d > 0, 1).when(d < 0, -1).otherwise(0).cast("int")
+        )
+
+    pa = pooled.select(
+        F.col("seg").alias("seg_a"), F.col("n").alias("na"), F.col("u").alias("ua")
+    )
+    pb = pooled.select(
+        F.col("seg").alias("seg_b"), F.col("n").alias("nb"), F.col("u").alias("ub")
+    )
+    segpair = (
+        pa.join(pb, pa["seg_a"] < pb["seg_b"])
+        .select(
+            "seg_a",
+            "seg_b",
+            _sign(F.col("ua"), F.col("na"), F.col("ub"), F.col("nb")).alias(
+                "pooled_sign"
+            ),
+        )
+    )
+    ca = cell.select(
+        F.col("seg").alias("seg_a"), "nation",
+        F.col("n").alias("na"), F.col("u").alias("ua"),
+    )
+    cb = cell.select(
+        F.col("seg").alias("seg_b"), F.col("nation").alias("nation_b"),
+        F.col("n").alias("nb"), F.col("u").alias("ub"),
+    )
+    natpair = (
+        ca.join(
+            cb,
+            (ca["nation"] == cb["nation_b"]) & (ca["seg_a"] < cb["seg_b"]),
+        )
+        .select(
+            "seg_a",
+            "seg_b",
+            _sign(F.col("ua"), F.col("na"), F.col("ub"), F.col("nb")).alias(
+                "nat_sign"
+            ),
+        )
+    )
+    return (
+        segpair.join(natpair, ["seg_a", "seg_b"])
+        .groupBy("seg_a", "seg_b", "pooled_sign")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+            F.sum(
+                F.when(
+                    (F.col("nat_sign") == -F.col("pooled_sign"))
+                    & (F.col("pooled_sign") != 0),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_flipped"),
+            (
+                (F.first("pooled_sign") != 0)
+                & (
+                    F.sum(
+                        F.when(
+                            F.col("nat_sign") == -F.col("pooled_sign"), 1
+                        ).otherwise(0)
+                    )
+                    == F.count(F.lit(1))
+                )
+            ).alias("simpson"),
+        )
+        .select(
+            "seg_a", "seg_b", "pooled_sign",
+            "n_nations", "n_flipped", "simpson",
+        )
+    )

@@ -1406,3 +1406,71 @@ def q_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("corpus_freq").cast("bigint").alias("corpus_freq"),
         )
     )
+
+
+# --- skip-gram context pairs -----------------------------------------
+
+_SG_WINDOW = 3  # max center->context distance
+_SG_TOPK = 30
+
+
+@register(
+    "q_skipgram",
+    oracle=f"""
+        WITH w AS (
+            SELECT string_split(text, ' ') AS words FROM documents
+        ),
+        pairs AS (
+            SELECT words[i] AS w1, words[i + d] AS w2, d
+            FROM (
+                SELECT words,
+                       unnest(generate_series(1, len(words))) AS i
+                FROM w
+            )
+            CROSS JOIN (
+                SELECT unnest(generate_series(1, {_SG_WINDOW})) AS d
+            )
+            WHERE i + d <= len(words)
+        )
+        SELECT w1, w2, CAST(d AS INT) AS distance,
+               CAST(count(*) AS BIGINT) AS n_pairs
+        FROM pairs
+        GROUP BY w1, w2, d
+        ORDER BY n_pairs DESC, w1, w2, d
+        LIMIT {_SG_TOPK}
+    """,
+    doc=f"Skip-gram context-pair counts (window {_SG_WINDOW}, directional):"
+    " the (center, context, distance) co-occurrence table that seeds"
+    " word2vec-style embedding training and distance-weighted PMI —"
+    " the multi-distance generalization of q_collocations' adjacent"
+    " bigrams. Spark generates the three offset streams as per-doc"
+    " lead() windows (parallel across docs, no position self-join),"
+    " then one (pair, distance) partial-agg count shuffle and a"
+    f" TakeOrdered top-{_SG_TOPK}. At 100 TB the pair vocabulary is"
+    " the heavy object; distance-bucketed counts compose mergeably"
+    " across corpus shards, which is why this exact shape is the"
+    " standard pre-aggregation before any embedding trainer sees"
+    " the data.",
+)
+def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("idx", "word")
+    )
+    w = Window.partitionBy("doc_id").orderBy("idx")
+    streams = None
+    for d in range(1, _SG_WINDOW + 1):
+        s = tok.select(
+            F.col("word").alias("w1"),
+            F.lead("word", d).over(w).alias("w2"),
+            F.lit(d).cast("int").alias("distance"),
+        ).filter(F.col("w2").isNotNull())
+        streams = s if streams is None else streams.unionByName(s)
+    return (
+        streams.groupBy("w1", "w2", "distance")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"), "w1", "w2", "distance")
+        .limit(_SG_TOPK)
+    )

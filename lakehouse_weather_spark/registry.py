@@ -63,6 +63,7 @@ _QUERY_MODULES = [
     # monitoring/anomaly family: outside the first-50 gate window by
     # design (nothing above may be displaced), local-gate covered
     "lakehouse_weather_spark.operators.anomaly",
+    "lakehouse_weather_spark.operators.ivm",
     "lakehouse_weather_spark.operators.mlfeat",
     "lakehouse_weather_spark.operators.attribution",
     "lakehouse_weather_spark.operators.cms",
@@ -185,6 +186,10 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_phrase_search",
     "q_theilsen",
     "q_fd_discovery",
+    "q_zset_ivm",
+    "q_simpson_flip",
+    "q_journey_paths",
+    "q_skipgram",
 })
 
 

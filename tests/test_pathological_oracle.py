@@ -91,6 +91,10 @@ _QUERIES = [
     "q_global_ordinal",
     # Theil-Sen where 'solo' has ONE day (no pairs) and 'flat' is level
     "q_theilsen",
+    # Z-set fold where retraction can erase a type's LAST row, and
+    # journey paths across same-microsecond ties
+    "q_zset_ivm",
+    "q_journey_paths",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -201,6 +205,7 @@ _DOC_QUERIES = [
     "q_weighted_sample",
     "q_tfidf",
     "q_phrase_search",
+    "q_skipgram",
     "q_text_fingerprint",
     "q_winnow_fingerprint",
     "q_chunk_split",
@@ -420,6 +425,9 @@ _REL_QUERIES = [
     # FD audit where a dependent column holds NULLs (distinct-count
     # semantics must agree) and a determinant group is a singleton
     "q_fd_discovery",
+    # Simpson detector where a segment has NO orders (absent from the
+    # pooled table) and strata are single-order cells
+    "q_simpson_flip",
 ]
 
 
