@@ -209,6 +209,8 @@ HEADLINE = [
     "q_simpson_flip",
     "q_journey_paths",
     "q_skipgram",
+    "q_ohlc_daily",
+    "q_rank_shift",
 ]
 
 

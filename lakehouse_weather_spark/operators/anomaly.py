@@ -1427,3 +1427,86 @@ def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("cvm_stat"),
     )
+
+
+# --- popularity rank shift -------------------------------------------
+
+
+@register(
+    "q_rank_shift",
+    oracle="""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        halves AS (
+            SELECT event_type,
+                   CAST(epoch_us(ts) < (SELECT mid_us FROM bounds)
+                        AS INTEGER) AS is_old
+            FROM events
+        ),
+        counts AS (
+            SELECT event_type,
+                   CAST(sum(is_old) AS BIGINT) AS n_old,
+                   CAST(sum(1 - is_old) AS BIGINT) AS n_new
+            FROM halves GROUP BY event_type
+        ),
+        ranked AS (
+            SELECT event_type, n_old, n_new,
+                   CAST(row_number() OVER (
+                       ORDER BY n_old DESC, event_type) AS BIGINT)
+                       AS rank_old,
+                   CAST(row_number() OVER (
+                       ORDER BY n_new DESC, event_type) AS BIGINT)
+                       AS rank_new
+            FROM counts
+        )
+        SELECT event_type, n_old, n_new, rank_old, rank_new,
+               rank_old - rank_new AS rank_gain
+        FROM ranked
+    """,
+    doc="Popularity rank-shift (top movers) between the stream's first"
+    " and second time halves: every event type gets its volume RANK"
+    " in each half (deterministic name tiebreak) and the rank delta —"
+    " the trending-up/trending-down table behind 'what changed this"
+    " week' dashboards, robust to overall traffic growth because"
+    " ranks, not raw counts, are compared. One scan + one"
+    " (type, half) partial agg; the ranking windows run on the"
+    " TYPE-cardinality table (bounded — tens of rows at any fact"
+    " scale), never on raw events, so the no-partition window is the"
+    " sanctioned bounded kind.",
+)
+def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    counts = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.sum("is_old").cast("bigint").alias("n_old"),
+            F.sum(1 - F.col("is_old")).cast("bigint").alias("n_new"),
+        )
+    )
+    w_old = Window.orderBy(F.desc("n_old"), F.asc("event_type"))
+    w_new = Window.orderBy(F.desc("n_new"), F.asc("event_type"))
+    return counts.select(
+        "event_type",
+        "n_old",
+        "n_new",
+        F.row_number().over(w_old).cast("bigint").alias("rank_old"),
+        F.row_number().over(w_new).cast("bigint").alias("rank_new"),
+        (
+            F.row_number().over(w_old) - F.row_number().over(w_new)
+        )
+        .cast("bigint")
+        .alias("rank_gain"),
+    )

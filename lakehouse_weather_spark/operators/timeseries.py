@@ -1229,3 +1229,52 @@ def q_theilsen(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_pairs").cast("bigint").alias("n_pairs"),
         F.col("slope").alias("ts_slope"),
     )
+
+
+# --- daily OHLC candles ----------------------------------------------
+
+
+@register(
+    "q_ohlc_daily",
+    oracle="""
+        SELECT event_type, date_trunc('day', ts) AS day,
+               (min(struct_pack(t := ts, e := event_id,
+                    fx := CAST(round(value * 10000) AS BIGINT)))).fx
+                   AS open_fx,
+               max(CAST(round(value * 10000) AS BIGINT)) AS high_fx,
+               min(CAST(round(value * 10000) AS BIGINT)) AS low_fx,
+               (max(struct_pack(t := ts, e := event_id,
+                    fx := CAST(round(value * 10000) AS BIGINT)))).fx
+                   AS close_fx,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events
+        GROUP BY 1, 2
+    """,
+    doc="Daily OHLC candles per event type — open/close are the values"
+    " of the FIRST and LAST event of the day, high/low the extremes:"
+    " the time-series summarization finance calls candlesticks and"
+    " monitoring calls per-window first/last gauges. First/last"
+    " resolve through (ts, event_id, value) struct extremes — the"
+    " same tie-safe argmin/argmax discipline as q_agg_minmax_by, so"
+    " same-microsecond events cannot make engines (or cluster runs)"
+    " disagree. Values live in exact fixed point; ONE partial-agg"
+    " shuffle computes all five statistics — every aggregate is"
+    " commutative-mergeable, the shape that rolls up hourly partials"
+    " into days for free at 100 TB.",
+)
+def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.expr("cast(round(value * 10000, 0) as bigint)").alias("fx"),
+    )
+    return ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.min(F.struct("ts", "event_id", "fx"))["fx"].alias("open_fx"),
+        F.max("fx").alias("high_fx"),
+        F.min("fx").alias("low_fx"),
+        F.max(F.struct("ts", "event_id", "fx"))["fx"].alias("close_fx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+    )

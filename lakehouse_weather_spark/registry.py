@@ -190,6 +190,8 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_simpson_flip",
     "q_journey_paths",
     "q_skipgram",
+    "q_ohlc_daily",
+    "q_rank_shift",
 })
 
 

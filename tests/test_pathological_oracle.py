@@ -95,6 +95,11 @@ _QUERIES = [
     # journey paths across same-microsecond ties
     "q_zset_ivm",
     "q_journey_paths",
+    # OHLC candles where open==close on a 1-event day and two events
+    # share the same microsecond (struct tie-break); rank shift where
+    # types live entirely in one half (n=0 ranks tie-broken by name)
+    "q_ohlc_daily",
+    "q_rank_shift",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
