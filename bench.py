@@ -211,6 +211,8 @@ HEADLINE = [
     "q_skipgram",
     "q_ohlc_daily",
     "q_rank_shift",
+    "q_resample_linear",
+    "q_prorate_revenue",
 ]
 
 

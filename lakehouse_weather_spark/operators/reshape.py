@@ -472,3 +472,147 @@ def q_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             customer="lws_lat_customer", orders="lws_lat_orders"
         )
     )
+
+
+@register(
+    "q_resample_linear",
+    oracle="""
+        WITH hours AS (
+            SELECT unnest(generate_series(
+                (SELECT date_trunc('hour', min(ts)) FROM events),
+                (SELECT date_trunc('hour', max(ts)) FROM events),
+                INTERVAL 1 HOUR)) AS hour
+        ),
+        types AS (SELECT DISTINCT event_type FROM events),
+        grid AS (SELECT event_type, hour FROM types CROSS JOIN hours),
+        agg AS (
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT)) AS DOUBLE)
+                       / 10000 / count(*) AS avg_value
+            FROM events GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT g.event_type, g.hour,
+                   CAST(coalesce(a.cnt, 0) AS BIGINT) AS n_events,
+                   last_value(a.avg_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS v_prev,
+                   last_value(a.hour IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.hour
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS h_prev,
+                   first_value(a.avg_value IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS v_next,
+                   first_value(a.hour IGNORE NULLS) OVER (
+                       PARTITION BY g.event_type ORDER BY g.hour
+                       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+                   ) AS h_next
+            FROM grid g LEFT JOIN agg a
+              ON g.event_type = a.event_type AND g.hour = a.hour
+        )
+        SELECT event_type, hour, n_events,
+               CASE
+                   WHEN v_prev IS NULL THEN v_next
+                   WHEN v_next IS NULL THEN v_prev
+                   WHEN h_next = h_prev THEN v_prev
+                   ELSE v_prev + (v_next - v_prev) *
+                        (CAST(date_diff('hour', h_prev, hour) AS DOUBLE)
+                         / CAST(date_diff('hour', h_prev, h_next)
+                                AS DOUBLE))
+               END AS avg_value_interp
+        FROM ctx
+    """,
+    doc="Time-series resampling with LINEAR interpolation — the"
+    " numeric companion to q_resample_ffill: gaps in the hourly grid"
+    " take the straight line between the surrounding observed hourly"
+    " means (leading gaps back-fill, trailing gaps forward-fill)."
+    " Neighbor values and hours come from the same ignore-nulls"
+    " window pair running both directions over the per-type grid;"
+    " the interpolation weight is an exact integer hour-gap ratio"
+    " evaluated as the IDENTICAL IEEE expression in both engines, so"
+    " even the interpolated doubles hash-match. Windows partition by"
+    " type (parallel); the grid is calendar x types bounded.",
+)
+def q_resample_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hour = F.date_trunc("hour", F.col("ts")).cast("timestamp_ntz")
+    agg = ev.groupBy("event_type", hour.alias("hour")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        (
+            F.sum(F.expr("CAST(round(value * 10000, 0) AS BIGINT)"))
+            .cast("double")
+            / 10000
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).cast("timestamp_ntz").alias("lo"),
+        F.date_trunc("hour", F.max("ts")).cast("timestamp_ntz").alias("hi"),
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias(
+                "hour"
+            ),
+        )
+    )
+    joined = grid.join(
+        agg.select(
+            "event_type",
+            F.col("hour").alias("obs_hour"),
+            "cnt",
+            "avg_value",
+        ),
+        (grid["event_type"] == agg["event_type"])
+        & (grid["hour"] == F.col("obs_hour")),
+        "left",
+    ).select(grid["event_type"], grid["hour"], "obs_hour", "cnt", "avg_value")
+    wb = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    ctx = joined.select(
+        "event_type",
+        "hour",
+        F.coalesce("cnt", F.lit(0)).cast("bigint").alias("n_events"),
+        F.last("avg_value", ignorenulls=True).over(wb).alias("v_prev"),
+        F.last("obs_hour", ignorenulls=True).over(wb).alias("h_prev"),
+        F.first("avg_value", ignorenulls=True).over(wf).alias("v_next"),
+        F.first("obs_hour", ignorenulls=True).over(wf).alias("h_next"),
+    )
+    hrs = lambda a, b: F.expr(  # noqa: E731
+        f"(unix_micros(cast({b} as timestamp))"
+        f" - unix_micros(cast({a} as timestamp))) div 3600000000"
+    )
+    interp = (
+        F.when(F.col("v_prev").isNull(), F.col("v_next"))
+        .when(F.col("v_next").isNull(), F.col("v_prev"))
+        .when(F.col("h_next") == F.col("h_prev"), F.col("v_prev"))
+        .otherwise(
+            F.col("v_prev")
+            + (F.col("v_next") - F.col("v_prev"))
+            * (
+                hrs("h_prev", "hour").cast("double")
+                / hrs("h_prev", "h_next").cast("double")
+            )
+        )
+    )
+    return ctx.select(
+        "event_type", "hour", "n_events", interp.alias("avg_value_interp")
+    )

@@ -1278,3 +1278,151 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.struct("ts", "event_id", "fx"))["fx"].alias("close_fx"),
         F.count(F.lit(1)).cast("bigint").alias("n_events"),
     )
+
+
+# --- revenue proration across calendar months ------------------------
+
+
+@register(
+    "q_prorate_revenue",
+    oracle="""
+        WITH span AS (
+            SELECT o.o_orderkey,
+                   CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_fx,
+                   least(CAST(o.o_orderdate AS DATE),
+                         CAST(max(l.l_shipdate) AS DATE)) AS d0,
+                   greatest(CAST(o.o_orderdate AS DATE),
+                            CAST(max(l.l_shipdate) AS DATE)) AS d1
+            FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_totalprice, o.o_orderdate
+        ),
+        months AS (
+            SELECT o_orderkey, total_fx, d0, d1,
+                   CAST(unnest(generate_series(
+                       date_trunc('month', d0), date_trunc('month', d1),
+                       INTERVAL 1 MONTH)) AS DATE) AS m0
+            FROM span
+        ),
+        overlap AS (
+            SELECT o_orderkey, total_fx, d0, d1, m0,
+                   date_diff('day',
+                       greatest(m0, d0),
+                       least(CAST(m0 + INTERVAL 1 MONTH AS DATE)
+                             - INTERVAL 1 DAY, d1)) + 1 AS odays
+            FROM months
+        ),
+        cum AS (
+            SELECT o_orderkey, total_fx, m0,
+                   sum(odays) OVER (PARTITION BY o_orderkey
+                                    ORDER BY m0) AS cdays,
+                   date_diff('day', d0, d1) + 1 AS tdays
+            FROM overlap
+        ),
+        alloc AS (
+            SELECT m0, o_orderkey,
+                   (total_fx * cdays) // tdays
+                       - (total_fx * (cdays - (cdays - lag_c)))
+                         // tdays AS wrong,
+                   (total_fx * cdays) // tdays
+                       - (total_fx * coalesce(lag_c, 0)) // tdays
+                       AS alloc_fx
+            FROM (
+                SELECT *, lag(cdays) OVER (PARTITION BY o_orderkey
+                                           ORDER BY m0) AS lag_c
+                FROM cum
+            )
+        )
+        SELECT CAST(m0 AS TIMESTAMP) AS month,
+               CAST(sum(alloc_fx) AS BIGINT) AS revenue_fx,
+               CAST(count(*) AS BIGINT) AS n_order_months
+        FROM alloc GROUP BY m0
+    """,
+    doc="Revenue recognition / daily-rate proration: each order's total"
+    " spreads over the calendar months its [orderdate, last shipdate]"
+    " span touches, weighted by overlap days, using the TELESCOPING"
+    " integer allocation floor(T*c_i/D) - floor(T*c_{i-1}/D) on"
+    " cumulative overlap days — allocations are exact cents that sum"
+    " to EXACTLY the order total (no float proration drift, no lost"
+    " remainder pennies), the invariant finance reconciliation"
+    " demands. Month explode is sequence() over a per-order bounded"
+    " span; the cumulative window partitions by order (a handful of"
+    " months each); one final month partial agg. Degenerate spans"
+    " (ship before order) normalize through least/greatest.",
+)
+def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
+        .agg(F.max("l_shipdate").alias("max_ship"))
+        .select(
+            "o_orderkey",
+            F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
+                "total_fx"
+            ),
+            F.least(
+                F.col("o_orderdate").cast("date"),
+                F.col("max_ship").cast("date"),
+            ).alias("d0"),
+            F.greatest(
+                F.col("o_orderdate").cast("date"),
+                F.col("max_ship").cast("date"),
+            ).alias("d1"),
+        )
+    )
+    months = span.select(
+        "o_orderkey",
+        "total_fx",
+        "d0",
+        "d1",
+        F.explode(
+            F.expr(
+                "sequence(date_trunc('month', d0),"
+                " date_trunc('month', d1), interval 1 month)"
+            )
+        ).alias("m0_ts"),
+    ).withColumn("m0", F.col("m0_ts").cast("date")).drop("m0_ts")
+    overlap = months.select(
+        "o_orderkey",
+        "total_fx",
+        "d0",
+        "d1",
+        "m0",
+        (
+            F.datediff(
+                F.least(
+                    F.expr("date_add(add_months(m0, 1), -1)"), F.col("d1")
+                ),
+                F.greatest(F.col("m0"), F.col("d0")),
+            )
+            + 1
+        ).alias("odays"),
+    )
+    w = Window.partitionBy("o_orderkey").orderBy("m0")
+    cum = overlap.select(
+        "o_orderkey",
+        "total_fx",
+        "m0",
+        F.sum("odays").over(w).alias("cdays"),
+        (F.datediff("d1", "d0") + 1).alias("tdays"),
+    )
+    alloc = cum.select(
+        "m0",
+        "o_orderkey",
+        (
+            F.expr("(total_fx * cdays) div tdays")
+            - F.expr(
+                "(total_fx * coalesce(lag(cdays) over (partition by"
+                " o_orderkey order by m0), 0)) div tdays"
+            )
+        ).alias("alloc_fx"),
+    )
+    return alloc.groupBy(
+        F.col("m0").cast("timestamp_ntz").alias("month")
+    ).agg(
+        F.sum("alloc_fx").cast("bigint").alias("revenue_fx"),
+        F.count(F.lit(1)).cast("bigint").alias("n_order_months"),
+    )

@@ -192,6 +192,8 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_skipgram",
     "q_ohlc_daily",
     "q_rank_shift",
+    "q_resample_linear",
+    "q_prorate_revenue",
 })
 
 

@@ -100,6 +100,9 @@ _QUERIES = [
     # types live entirely in one half (n=0 ranks tie-broken by name)
     "q_ohlc_daily",
     "q_rank_shift",
+    # linear interpolation where a type has ONE observation (prev ==
+    # next on every grid row) and the grid has leading/trailing gaps
+    "q_resample_linear",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -433,6 +436,9 @@ _REL_QUERIES = [
     # Simpson detector where a segment has NO orders (absent from the
     # pooled table) and strata are single-order cells
     "q_simpson_flip",
+    # proration where ship precedes order (span normalized) and spans
+    # crossing a month boundary by one day
+    "q_prorate_revenue",
 ]
 
 
