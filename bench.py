@@ -213,6 +213,9 @@ HEADLINE = [
     "q_rank_shift",
     "q_resample_linear",
     "q_prorate_revenue",
+    "q_agg_mode",
+    "q_format_masks",
+    "q_assortativity",
 ]
 
 

@@ -1051,3 +1051,57 @@ def q_journey_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_users"), F.asc("path"))
         .limit(_JP_TOPK)
     )
+
+
+# --- exact mode per group --------------------------------------------
+
+
+@register(
+    "q_agg_mode",
+    oracle="""
+        WITH c AS (
+            SELECT o_orderpriority, o_orderstatus, count(*) AS cnt
+            FROM orders GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT o_orderpriority, o_orderstatus, cnt,
+                   row_number() OVER (
+                       PARTITION BY o_orderpriority
+                       ORDER BY cnt DESC, o_orderstatus) AS rn
+            FROM c
+        )
+        SELECT o_orderpriority,
+               o_orderstatus AS mode_status,
+               CAST(cnt AS BIGINT) AS mode_count
+        FROM r WHERE rn = 1
+    """,
+    doc="Exact MODE per group (most frequent order status per"
+    " priority) with a deterministic value tiebreak: two stacked"
+    " partial aggregations — (group, value) counts, then an argmax"
+    " window over the tiny distinct-combination table. Engines' bare"
+    " mode() functions pick an arbitrary tied value (Spark has none"
+    " at all pre-3.4; DuckDB's breaks ties by first-seen order), so"
+    " the portable form is count + (cnt DESC, value) rank — the same"
+    " determinism discipline as q_agg_minmax_by. Both shuffles carry"
+    " only distinct combinations: cardinality-bounded however large"
+    " the fact table.",
+)
+def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    c = orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("cnt"), F.asc("o_orderstatus")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "o_orderpriority",
+            F.col("o_orderstatus").alias("mode_status"),
+            F.col("cnt").cast("bigint").alias("mode_count"),
+        )
+    )

@@ -712,3 +712,82 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sym.groupBy(F.col("a").alias("doc_id")).agg(
         F.count(F.lit(1)).cast("bigint").alias("core_degree")
     )
+
+
+# --- degree assortativity --------------------------------------------
+
+
+@register(
+    "q_assortativity",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        e AS (SELECT doc_a AS a, doc_b AS b FROM mpairs),
+        sym AS (SELECT a, b FROM e UNION ALL SELECT b, a FROM e),
+        deg AS (SELECT a AS n, CAST(count(*) AS BIGINT) AS d
+                FROM sym GROUP BY a),
+        xy AS (
+            SELECT da.d AS x, db.d AS y
+            FROM sym s
+            JOIN deg da ON da.n = s.a
+            JOIN deg db ON db.n = s.b
+        ),
+        mom AS (
+            SELECT CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM xy
+        )
+        SELECT n AS n_directed_edges,
+               CASE WHEN n * sxx - sx * sx = 0
+                      OR n * syy - sy * sy = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                            * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+               END AS assortativity
+        FROM mom
+    """,
+    doc="Degree assortativity of the MinHash near-dup graph: Pearson"
+    " correlation of endpoint degrees over the symmetric edge list —"
+    " positive means duplicate-heavy docs link to other hubs (big"
+    " template families), negative means hub-and-spoke (one canonical"
+    " doc with many singleton variants); it decides whether cluster"
+    " representatives or star centers are the right dedup survivors."
+    " Six exact int64 sufficient sums via one partial agg over the"
+    " degree-joined edges (q_corr_matrix's one-scan moments pattern"
+    " on graph data; at 100 TB the sums ride in DECIMAL(38,0)),"
+    " then a single closed-form evaluation where int->double, sqrt,"
+    " and division are all IEEE-exact — degenerate (constant-degree)"
+    " graphs define r = 0 on the zero-variance guard.",
+)
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = sym.groupBy(F.col("a").alias("n")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    xy = (
+        sym.join(deg.select(F.col("n").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("n").alias("b"), F.col("d").alias("y")), "b")
+        .select("x", "y")
+    )
+    mom = xy.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    vx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    r = F.when((vx == 0) | (vy == 0), F.lit(0.0)).otherwise(
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double")))
+    )
+    return mom.select(
+        F.col("n").alias("n_directed_edges"), r.alias("assortativity")
+    )

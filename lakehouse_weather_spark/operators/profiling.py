@@ -1191,3 +1191,94 @@ def q_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --- value format-mask profiling -------------------------------------
+
+_MASK_TOPK = 15
+
+
+@register(
+    "q_format_masks",
+    oracle=f"""
+        WITH vals AS (
+            SELECT 'event_type' AS col, event_type AS v FROM events
+            UNION ALL
+            SELECT 'props', props FROM events
+            UNION ALL
+            SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+        ),
+        masked AS (
+            SELECT col,
+                   regexp_replace(regexp_replace(regexp_replace(
+                       coalesce(v, '<NULL>'),
+                       '[0-9]', '9', 'g'),
+                       '[a-z]', 'a', 'g'),
+                       '[A-Z]', 'A', 'g') AS mask
+            FROM vals
+        ),
+        counts AS (
+            SELECT col, mask, count(*) AS n
+            FROM masked GROUP BY col, mask
+        ),
+        ranked AS (
+            SELECT col, mask, n,
+                   row_number() OVER (PARTITION BY col
+                                      ORDER BY n DESC, mask) AS rn
+            FROM counts
+        )
+        SELECT col, mask, CAST(n AS BIGINT) AS n_values,
+               CAST(rn AS BIGINT) AS mask_rank
+        FROM ranked WHERE rn <= {_MASK_TOPK}
+    """,
+    doc="Value format-mask profiling (pattern discovery a la Potter's"
+    " Wheel / Trifacta): every value collapses to a shape mask —"
+    " digits to 9, lowercase to a, uppercase to A, punctuation kept"
+    f" — and the top {_MASK_TOPK} masks per column surface. One"
+    " glance separates '9-Aaaaa' codes from free text, and"
+    " mask-count outliers ARE the malformed rows (the profiling"
+    " pass that writes validation regexes for q_dq_constraints)."
+    " Masks collapse the value space by orders of magnitude before"
+    " the count shuffle, so the aggregate runs on shape vocabulary,"
+    " not raw values; character classes are ASCII-explicit ranges"
+    " so Java and RE2 regex engines agree byte-for-byte.",
+)
+def q_format_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    vals = (
+        ev.select(F.lit("event_type").alias("col"), F.col("event_type").alias("v"))
+        .unionByName(ev.select(F.lit("props").alias("col"), F.col("props").alias("v")))
+        .unionByName(
+            ev.select(
+                F.lit("user_id").alias("col"),
+                F.col("user_id").cast("string").alias("v"),
+            )
+        )
+    )
+    mask = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.coalesce(F.col("v"), F.lit("<NULL>")), "[0-9]", "9"
+            ),
+            "[a-z]",
+            "a",
+        ),
+        "[A-Z]",
+        "A",
+    )
+    counts = vals.select("col", mask.alias("mask")).groupBy(
+        "col", "mask"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("col").orderBy(F.desc("n"), F.asc("mask"))
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _MASK_TOPK)
+        .select(
+            "col",
+            "mask",
+            F.col("n").cast("bigint").alias("n_values"),
+            F.col("rn").cast("bigint").alias("mask_rank"),
+        )
+    )

@@ -194,6 +194,9 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_rank_shift",
     "q_resample_linear",
     "q_prorate_revenue",
+    "q_agg_mode",
+    "q_format_masks",
+    "q_assortativity",
 })
 
 

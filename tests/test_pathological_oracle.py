@@ -95,6 +95,7 @@ _QUERIES = [
     # journey paths across same-microsecond ties
     "q_zset_ivm",
     "q_journey_paths",
+    "q_format_masks",
     # OHLC candles where open==close on a 1-event day and two events
     # share the same microsecond (struct tie-break); rank shift where
     # types live entirely in one half (n=0 ranks tie-broken by name)
@@ -402,6 +403,9 @@ _DEDUP_QUERIES = [
     # bounded k-core peel on a graph that is ONE pair + one triangle-ish
     # family: the pair must peel away entirely
     "q_kcore",
+    # assortativity where the near-dup graph is one clique + one pair:
+    # constant-degree components stress the zero-variance guard
+    "q_assortativity",
 ]
 
 
@@ -439,6 +443,8 @@ _REL_QUERIES = [
     # proration where ship precedes order (span normalized) and spans
     # crossing a month boundary by one day
     "q_prorate_revenue",
+    # mode with a tie (two statuses at equal count -> value tiebreak)
+    "q_agg_mode",
 ]
 
 
