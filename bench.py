@@ -216,6 +216,7 @@ HEADLINE = [
     "q_agg_mode",
     "q_format_masks",
     "q_assortativity",
+    "q_sequence_pack",
 ]
 
 

@@ -822,3 +822,108 @@ def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "priority",
         F.row_number().over(w).cast("bigint").alias("sample_rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing (LLM training batch construction)
+# ---------------------------------------------------------------------------
+
+PACK_CAP = 2_048  # token capacity per packed sequence
+
+
+@register(
+    "q_sequence_pack",
+    oracle=f"""
+        WITH RECURSIVE toks AS (
+            SELECT source, doc_id,
+                   least(len(string_split(text, ' ')), {PACK_CAP})
+                       AS n_tok
+            FROM documents
+        ),
+        seq AS (
+            SELECT source, doc_id, n_tok,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY doc_id) AS rn
+            FROM toks
+        ),
+        packed AS (
+            SELECT source, doc_id, n_tok, rn,
+                   CAST(0 AS BIGINT) AS bin_id, n_tok AS fill
+            FROM seq WHERE rn = 1
+            UNION ALL
+            SELECT s.source, s.doc_id, s.n_tok, s.rn,
+                   CASE WHEN p.fill + s.n_tok > {PACK_CAP}
+                        THEN p.bin_id + 1 ELSE p.bin_id END,
+                   CASE WHEN p.fill + s.n_tok > {PACK_CAP}
+                        THEN s.n_tok ELSE p.fill + s.n_tok END
+            FROM seq s
+            JOIN packed p ON s.source = p.source AND s.rn = p.rn + 1
+        )
+        SELECT source, bin_id,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS fill_tokens,
+               CAST({PACK_CAP} - sum(n_tok) AS BIGINT) AS waste_tokens
+        FROM packed
+        GROUP BY source, bin_id
+    """,
+    doc=f"Sequence packing for LLM training: docs pack greedily (in"
+    f" deterministic doc_id order) into {PACK_CAP}-token sequences —"
+    " a doc that would overflow the open bin starts the next one, no"
+    " straddling — and each packed sequence reports fill and padding"
+    " waste, THE utilization metric that decides real training cost."
+    " Greedy packing is a sequential recurrence (bin state depends on"
+    " every prior doc), so it runs as the same F.aggregate integer"
+    " fold as the EWMA recurrence: one partial-agg shuffle collects"
+    " each source's (doc_id, len) series, the fold packs within the"
+    " source, sources pack in parallel. That per-writer-partition"
+    " scope is exactly how packing runs at 100 TB — each output"
+    " shard packs independently; no global order exists. Oracle"
+    " replays the identical recurrence as a recursive CTE.",
+)
+def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        "doc_id",
+        F.least(
+            F.size(F.split("text", " ")), F.lit(PACK_CAP)
+        ).cast("bigint").alias("n_tok"),
+    )
+    grouped = toks.groupBy("source").agg(
+        F.collect_list(F.struct("doc_id", "n_tok")).alias("series")
+    )
+    fold = f"""
+        aggregate(
+            array_sort(series),
+            named_struct(
+                'bin', CAST(0 AS BIGINT), 'fill', CAST(0 AS BIGINT),
+                'out', CAST(array() AS
+                    array<struct<doc_id:bigint,n_tok:bigint,bin:bigint>>)
+            ),
+            (acc, x) -> named_struct(
+                'bin', CASE WHEN acc.fill + x.n_tok > {PACK_CAP}
+                            THEN acc.bin + 1 ELSE acc.bin END,
+                'fill', CASE WHEN acc.fill + x.n_tok > {PACK_CAP}
+                             THEN x.n_tok ELSE acc.fill + x.n_tok END,
+                'out', acc.out || array(named_struct(
+                    'doc_id', x.doc_id, 'n_tok', x.n_tok,
+                    'bin', CASE WHEN acc.fill + x.n_tok > {PACK_CAP}
+                                THEN acc.bin + 1 ELSE acc.bin END))
+            ),
+            acc -> acc.out
+        )
+    """
+    packed = grouped.select(
+        "source", F.explode(F.expr(fold)).alias("e")
+    ).select(
+        "source",
+        F.col("e.n_tok").alias("n_tok"),
+        F.col("e.bin").alias("bin_id"),
+    )
+    return packed.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tok").cast("bigint").alias("fill_tokens"),
+        (F.lit(PACK_CAP) - F.sum("n_tok")).cast("bigint").alias(
+            "waste_tokens"
+        ),
+    )

@@ -197,6 +197,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_agg_mode",
     "q_format_masks",
     "q_assortativity",
+    "q_sequence_pack",
 })
 
 

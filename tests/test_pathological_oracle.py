@@ -215,6 +215,9 @@ _DOC_QUERIES = [
     "q_tfidf",
     "q_phrase_search",
     "q_skipgram",
+    # packing where one doc exactly fills a bin and a 1-token doc
+    # follows (boundary equality: > CAP, not >=)
+    "q_sequence_pack",
     "q_text_fingerprint",
     "q_winnow_fingerprint",
     "q_chunk_split",
