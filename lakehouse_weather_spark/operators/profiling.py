@@ -1097,19 +1097,29 @@ def q_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     b = li.select(
         (kh % _MK_BUCKETS).alias("bucket"),
-        kh.alias("kh"),
+        (kh % _MK_DROP_MOD >= _MK_DROP_LT).alias("kept"),
         rh.alias("rh"),
     )
-    def _sigs(df: DataFrame, tag: str) -> DataFrame:
-        return df.groupBy("bucket").agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"n_{tag}"),
-            F.sum(F.col("rh") % _CK_P).cast("bigint").alias(f"sig_{tag}"),
-            F.expr("bit_xor(rh)").cast("bigint").alias(f"xor_{tag}"),
-        )
-    src = _sigs(b, "src")
-    dst = _sigs(b.filter(F.col("kh") % _MK_DROP_MOD >= _MK_DROP_LT), "dst")
+    # both replicas fold in ONE scan + ONE shuffle: the dst side is a
+    # conditional aggregate over the kept rows (0 is bit_xor's
+    # identity, so the CASE form is exact) — halves the lineitem
+    # scans and md5 work vs aggregating src and dst separately
+    both = b.groupBy("bucket").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_src"),
+        F.sum(F.col("rh") % _CK_P).cast("bigint").alias("sig_src"),
+        F.expr("bit_xor(rh)").cast("bigint").alias("xor_src"),
+        F.sum(F.when(F.col("kept"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dst"),
+        F.sum(F.when(F.col("kept"), F.col("rh") % _CK_P).otherwise(0))
+        .cast("bigint")
+        .alias("sig_dst"),
+        F.expr("bit_xor(case when kept then rh else 0 end)")
+        .cast("bigint")
+        .alias("xor_dst"),
+    )
     return (
-        src.join(dst, "bucket")
+        both
         .filter(
             (F.col("sig_src") != F.col("sig_dst"))
             | (F.col("xor_src") != F.col("xor_dst"))

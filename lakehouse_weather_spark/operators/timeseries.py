@@ -1354,10 +1354,15 @@ def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # pre-aggregate lineitem to one row per order BEFORE the join:
+    # the shuffle carries (key, max_ship) pairs instead of full
+    # 16-column lineitem rows, and the join is key-to-key 1:1
+    ship = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.max("l_shipdate").alias("max_ship")
+    )
     span = (
-        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_totalprice", "o_orderdate")
-        .agg(F.max("l_shipdate").alias("max_ship"))
+        orders.select("o_orderkey", "o_totalprice", "o_orderdate")
+        .join(ship, "o_orderkey")
         .select(
             "o_orderkey",
             F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
