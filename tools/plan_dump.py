@@ -94,6 +94,24 @@ SHOWCASE = {
     "q_kmv_distinct": "Bottom-k sketch: distinct-hash shuffle once,"
     " then the k-th-minimum window per type; the kth-min table is"
     " |types| rows and broadcasts back onto the exact-count agg.",
+    "q_global_ordinal": "Global numbering WITHOUT the single-task"
+    " window: per-day counts aggregate to a bounded offset list that"
+    " broadcasts back; the only unbounded windows partition per day.",
+    "q_merkle_diff": "Both replicas fold in ONE lineitem scan + ONE"
+    " partial-agg shuffle (conditional aggregates for the lossy"
+    " side); the diff join runs on 64 bucket rows.",
+    "q_kcore": "Each peel round is a degree partial-agg + two"
+    " semi-joins on the shrinking checkpointed edge list; early-exit"
+    " on fixpoint keeps rounds at the graph's peel depth.",
+    "q_tfidf": "The big shuffle carries (word, count) pairs; df is a"
+    " vocabulary-sized agg; the 1-row corpus count cross-joins as a"
+    " broadcast; the top-k window partitions per doc.",
+    "q_sequence_pack": "Greedy packing is sequential per source and"
+    " parallel across sources: one collect_list shuffle builds each"
+    " source's series, the fold runs inside a single project.",
+    "q_prorate_revenue": "lineitem pre-aggregates to one row per order"
+    " BEFORE the join; month explode fans out bounded spans; the"
+    " telescoping window partitions per order.",
     "q_zone_map": "Two counts-only aggregations over shard keys;"
     " output is O(shards) regardless of table size — the stats pass"
     " that justifies time-partitioned layouts.",
