@@ -217,6 +217,7 @@ HEADLINE = [
     "q_format_masks",
     "q_assortativity",
     "q_sequence_pack",
+    "q_bellman_ford",
 ]
 
 

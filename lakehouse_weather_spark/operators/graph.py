@@ -791,3 +791,99 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mom.select(
         F.col("n").alias("n_directed_edges"), r.alias("assortativity")
     )
+
+
+# --- weighted shortest paths (bounded Bellman-Ford) -------------------
+
+BF_ROUNDS = 4  # min-plus relaxation rounds (both engines run exactly these)
+
+# Deterministic integer edge weight in [1, 9] from the canonical pair —
+# a stand-in for a similarity distance; md5 (never hash()) so weights
+# agree across engines, runs, and partitionings.
+_BF_W_SPARK = (
+    "1 + pmod(cast(conv(substr(md5(concat('bf_', cast(doc_a as string),"
+    " '_', cast(doc_b as string))), 1, 15), 16, 10) as bigint), 9)"
+)
+_BF_W_DUCK = (
+    "1 + CAST(('0x' || substr(md5('bf_' || CAST(doc_a AS VARCHAR) || '_'"
+    " || CAST(doc_b AS VARCHAR)), 1, 15)) AS BIGINT) % 9"
+)
+
+
+def _bellman_oracle() -> str:
+    parts = [
+        f"WITH {_minhash_pairs_cte()},",
+        f"""
+        we AS MATERIALIZED (
+            SELECT doc_a, doc_b, {_BF_W_DUCK} AS w FROM mpairs
+        ),
+        e AS MATERIALIZED (
+            SELECT doc_a AS src, doc_b AS dst, w FROM we
+            UNION ALL SELECT doc_b, doc_a, w FROM we
+        ),
+        d0 AS MATERIALIZED (
+            SELECT min(src) AS node, CAST(0 AS BIGINT) AS dist FROM e
+        )""",
+    ]
+    for r in range(1, BF_ROUNDS + 1):
+        parts.append(
+            f""",
+        d{r} AS MATERIALIZED (
+            SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{r - 1}
+                UNION ALL
+                SELECT e.dst AS node, d.dist + e.w AS dist
+                FROM d{r - 1} d JOIN e ON e.src = d.node
+            ) GROUP BY node
+        )"""
+        )
+    parts.append(
+        f"""
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(dist AS BIGINT) AS dist
+        FROM d{BF_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "q_bellman_ford",
+    oracle=_bellman_oracle(),
+    doc=f"Weighted single-source shortest paths by {BF_ROUNDS} rounds of"
+    " Bellman-Ford min-plus relaxation over the near-dup graph"
+    " (deterministic md5 edge weights stand in for a similarity"
+    " distance; source = smallest edge-bearing doc). Each round is"
+    " ONE equi-join of the frontier table against the edge list +"
+    " one min partial agg — the iterative-relaxation shape that"
+    " scales where Dijkstra's priority queue cannot, and the"
+    " weighted generalization of q_bfs_radius's hop counting."
+    " Distances are exact int64 mins (no float accumulation), every"
+    " round checkpoints, and the bounded round count is part of the"
+    " semantics: both engines run EXACTLY the same relaxations, so"
+    " nodes beyond the horizon carry identical partial bounds.",
+)
+def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    we = pairs.select("doc_a", "doc_b", F.expr(_BF_W_SPARK).alias("w"))
+    e = we.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w"
+    ).unionByName(
+        we.select(
+            F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w"
+        )
+    )
+    e = _checkpoint(e)
+    d = e.agg(F.min("src").alias("node")).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(BF_ROUNDS):
+        relaxed = d.join(e, d["node"] == e["src"]).select(
+            F.col("dst").alias("node"),
+            (F.col("dist") + F.col("w")).alias("dist"),
+        )
+        d = _checkpoint(
+            d.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+        )
+    return d.select(F.col("node").cast("bigint").alias("node"), "dist")

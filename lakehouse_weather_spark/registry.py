@@ -198,6 +198,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_format_masks",
     "q_assortativity",
     "q_sequence_pack",
+    "q_bellman_ford",
 })
 
 

@@ -409,6 +409,9 @@ _DEDUP_QUERIES = [
     # assortativity where the near-dup graph is one clique + one pair:
     # constant-degree components stress the zero-variance guard
     "q_assortativity",
+    # Bellman-Ford where the source component is one pair: most nodes
+    # stay unreached and rounds past convergence must be no-ops
+    "q_bellman_ford",
 ]
 
 
