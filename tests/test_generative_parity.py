@@ -37,6 +37,15 @@ _FUZZ_QUERIES = [
     "q_mannwhitney",
     "q_holt_linear",
     "q_volume_anomaly",
+    # round-4: folds, interpolation, global numbering, mask profiling
+    "q_theilsen",
+    "q_zset_ivm",
+    "q_journey_paths",
+    "q_ohlc_daily",
+    "q_rank_shift",
+    "q_resample_linear",
+    "q_global_ordinal",
+    "q_format_masks",
     "q_survival_km",  # lineitem-free? no — events-only variant excluded
 ]
 _FUZZ_QUERIES.remove("q_survival_km")
@@ -103,6 +112,12 @@ _DOC_FUZZ_QUERIES = [
     "q_vocab_growth",
     "q_zipf_constancy",
     "q_t_closeness",
+    # round-4: term weighting, packing, sampling, n-gram streams
+    "q_tfidf",
+    "q_skipgram",
+    "q_phrase_search",
+    "q_sequence_pack",
+    "q_weighted_sample",
 ]
 
 _WORDS = ["a", "b", "the", "fox", "w1", "w2", "x", ""]
