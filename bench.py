@@ -218,6 +218,7 @@ HEADLINE = [
     "q_assortativity",
     "q_sequence_pack",
     "q_bellman_ford",
+    "q_growth_accounting",
 ]
 
 

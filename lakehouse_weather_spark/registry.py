@@ -199,6 +199,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_assortativity",
     "q_sequence_pack",
     "q_bellman_ford",
+    "q_growth_accounting",
 })
 
 

@@ -1168,3 +1168,165 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_per_user_fx"
         ),
     )
+
+
+@register(
+    "q_growth_accounting",
+    oracle="""
+        WITH active AS (
+            SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+            FROM events
+        ),
+        ctx AS (
+            SELECT user_id, week,
+                   min(week) OVER (PARTITION BY user_id) AS first_week,
+                   lag(week) OVER (PARTITION BY user_id
+                                   ORDER BY week) AS prev_week,
+                   lead(week) OVER (PARTITION BY user_id
+                                    ORDER BY week) AS next_week
+            FROM active
+        )
+        SELECT CAST(week AS TIMESTAMP) AS week,
+               CAST(count(*) AS BIGINT) AS n_active,
+               CAST(sum(CASE WHEN week = first_week
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN prev_week IS NOT NULL
+                             AND date_diff('week', prev_week, week) = 1
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_retained,
+               CAST(sum(CASE WHEN prev_week IS NOT NULL
+                             AND date_diff('week', prev_week, week) > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_resurrected,
+               CAST(sum(CASE WHEN next_week IS NULL
+                             OR date_diff('week', week, next_week) > 1
+                             THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_churn_next
+        FROM ctx GROUP BY week
+    """,
+    doc="Weekly growth accounting — every active user classifies as NEW"
+    " (first-ever week), RETAINED (also active the immediately prior"
+    " week), or RESURRECTED (returning after a gap), plus the count"
+    " that will NOT return next week (churn-next): the"
+    " new+retained+resurrected-churned decomposition growth teams"
+    " reconcile MAU movement with. One distinct shuffle builds the"
+    " (user, week) activity table; first/prev/next come from"
+    " per-user windows (parallel across users, each a handful of"
+    " weeks); the final agg is week-bounded. All classifications are"
+    " integer week arithmetic on truncated timestamps — no float, no"
+    " timezone wobble (session pinned UTC).",
+)
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    active = ev.select(
+        "user_id",
+        F.date_trunc("week", "ts").cast("timestamp_ntz").alias("week"),
+    ).distinct()
+    wu = Window.partitionBy("user_id")
+    wo = Window.partitionBy("user_id").orderBy("week")
+    ctx = active.select(
+        "user_id",
+        "week",
+        F.min("week").over(wu).alias("first_week"),
+        F.lag("week").over(wo).alias("prev_week"),
+        F.lead("week").over(wo).alias("next_week"),
+    )
+    wk = lambda a, b: F.expr(f"datediff(week, {a}, {b})")  # noqa: E731
+    return ctx.groupBy("week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_active"),
+        F.sum(F.when(F.col("week") == F.col("first_week"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_new"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (wk("prev_week", "week") == 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum(
+            F.when(
+                F.col("prev_week").isNotNull()
+                & (wk("prev_week", "week") > 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_resurrected"),
+        F.sum(
+            F.when(
+                F.col("next_week").isNull()
+                | (wk("week", "next_week") > 1),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_churn_next"),
+    )
+
+
+def stream_zset_ivm(
+    spark: SparkSession,
+    changelog_dir: str,
+    target_dir: str,
+    checkpoint_dir: str,
+    snapshot_df,
+) -> None:
+    """Streaming Z-set view maintenance: the batch delta rule of
+    ``operators/ivm.q_zset_ivm`` running continuously. ``snapshot_df``
+    (event_type, n_rows, total_fx) seeds a versioned target; every
+    micro-batch of the weighted changelog (event_type, fx, w with
+    w = +1 insert / -1 retraction) folds in as ONE group-sized outer
+    join — groups whose weight reaches zero vanish. Linear aggregates
+    make the fold exact regardless of how the changelog splits into
+    micro-batches, which is the property the equals-batch test pins.
+    """
+    from lakehouse_weather_spark.pipeline.atomic import (
+        publish,
+        publish_df,
+        read_current,
+    )
+
+    publish_df(snapshot_df, target_dir)
+
+    def fold_batch(batch_df, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        delta = batch_df.groupBy("event_type").agg(
+            F.sum("w").cast("bigint").alias("dn"),
+            F.sum(F.col("w") * F.col("fx")).cast("bigint").alias("dfx"),
+        )
+        cur = read_current(s, target_dir)
+        merged = (
+            cur.join(delta, "event_type", "full_outer")
+            .select(
+                "event_type",
+                (
+                    F.coalesce(F.col("n_rows"), F.lit(0))
+                    + F.coalesce(F.col("dn"), F.lit(0))
+                ).cast("bigint").alias("n_rows"),
+                (
+                    F.coalesce(F.col("total_fx"), F.lit(0))
+                    + F.coalesce(F.col("dfx"), F.lit(0))
+                ).cast("bigint").alias("total_fx"),
+            )
+            .filter(F.col("n_rows") > 0)
+        )
+
+        def write_version(path: str) -> None:
+            merged.write.mode("overwrite").parquet(path)
+
+        publish(target_dir, write_version)
+
+    q = (
+        spark.readStream.schema("event_type string, fx bigint, w int")
+        .option("maxFilesPerTrigger", 1)  # force multi-batch folding
+        .parquet(changelog_dir)
+        .writeStream.foreachBatch(fold_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -101,6 +101,9 @@ _QUERIES = [
     # types live entirely in one half (n=0 ranks tie-broken by name)
     "q_ohlc_daily",
     "q_rank_shift",
+    # growth accounting where a user is active ONE week (new + churn
+    # in the same row) and weeks have gaps (resurrection)
+    "q_growth_accounting",
     # linear interpolation where a type has ONE observation (prev ==
     # next on every grid row) and the grid has leading/trailing gaps
     "q_resample_linear",

@@ -371,3 +371,60 @@ def test_stream_session_window_equals_batch(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert stream == batch
+
+
+def test_stream_zset_ivm_equals_batch(spark, sf_dir, tmp_path):
+    """The streaming Z-set fold (snapshot (+) per-micro-batch deltas,
+    retractions included) must land bit-exactly on the batch
+    q_zset_ivm result, no matter how the changelog splits into
+    micro-batches (maxFilesPerTrigger=1 forces several folds)."""
+    from lakehouse_weather_spark.operators.ivm import (
+        _DEL_LT,
+        _DEL_MOD,
+        _H,
+        q_zset_ivm,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+    from lakehouse_weather_spark.streaming.events import stream_zset_ivm
+
+    ev = load_table(spark, str(sf_dir), "events").select(
+        "event_type",
+        F.expr("cast(round(value * 10000, 0) as bigint)").alias("fx"),
+        F.expr(_H).alias("hh"),
+    )
+    base = ev.filter(F.col("hh") % 2 == 0)
+    snapshot = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("fx").cast("bigint").alias("total_fx"),
+    )
+    retract = base.filter(F.col("hh") % _DEL_MOD < _DEL_LT).select(
+        "event_type", "fx", F.lit(-1).cast("int").alias("w")
+    )
+    insert = ev.filter(F.col("hh") % 2 == 1).select(
+        "event_type", "fx", F.lit(1).cast("int").alias("w")
+    )
+    changelog_dir = tmp_path / "changelog"
+    # two separate files => at least two micro-batches
+    retract.coalesce(1).write.mode("append").parquet(str(changelog_dir))
+    insert.coalesce(1).write.mode("append").parquet(str(changelog_dir))
+
+    target = str(tmp_path / "zset_target")
+    stream_zset_ivm(
+        spark,
+        str(changelog_dir),
+        target,
+        str(tmp_path / "ckpt_zset"),
+        snapshot,
+    )
+
+    from lakehouse_weather_spark.pipeline.atomic import read_current
+
+    got = {
+        r.event_type: (r.n_rows, r.total_fx)
+        for r in read_current(spark, target).collect()
+    }
+    want = {
+        r.event_type: (r.n_rows, r.total_fx)
+        for r in q_zset_ivm(spark, str(sf_dir)).collect()
+    }
+    assert got == want
