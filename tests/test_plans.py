@@ -278,3 +278,41 @@ def test_ndcg_broadcasts_query_panel(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_ndcg")
     assert "hashpartitioning(q_id" in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_global_ordinal_offsets_broadcast(spark, sf_dir):
+    # the scalable numbering joins the bounded per-day offset list by
+    # BROADCAST; the raw table never shuffles for that join
+    plan = _plan(spark, sf_dir, "q_global_ordinal")
+    assert "BroadcastHashJoin" in plan
+    # and the day-bucket window is hash-partitioned (per-day), i.e. the
+    # events exchange is hashpartitioning, never SinglePartition
+    assert "SinglePartition" not in plan.split("BroadcastExchange")[0]
+
+
+def test_merkle_diff_single_scan(spark, sf_dir):
+    # both replica signatures fold in ONE lineitem scan (conditional
+    # aggregation), not one scan per side
+    import re
+
+    plan = _plan(spark, sf_dir, "q_merkle_diff")
+    # count scan NODES (the "(N) Scan parquet" detail headers), not
+    # every textual mention
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+
+
+def test_tfidf_corpus_count_broadcasts(spark, sf_dir):
+    # the 1-row corpus count joins as a broadcast nested loop (1-row
+    # bound), and the doc top-k window partitions per doc
+    plan = _plan(spark, sf_dir, "q_tfidf")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_sequence_pack_single_shuffle_fold(spark, sf_dir):
+    # packing = one collect_list aggregation per source + a narrow fold:
+    # exactly one pair of HashAggregate/ObjectHashAggregate exchanges,
+    # no window, no join
+    plan = _plan(spark, sf_dir, "q_sequence_pack")
+    assert "Join" not in plan
+    assert "Window" not in plan
