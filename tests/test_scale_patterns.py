@@ -134,6 +134,13 @@ def test_headline_queries_within_perf_budget(spark, sf_dir):
         "q_minhash_neardup",
         "q_tpch_q1",
         "q_agg_basic",
+        # round-4 heavies: iterative graph loops and the fold family
+        "q_kcore",
+        "q_bellman_ford",
+        "q_assortativity",
+        "q_prorate_revenue",
+        "q_merkle_diff",
+        "q_sequence_pack",
     ]
     # warm the session so the first query doesn't pay JVM/codegen boot
     spark.range(1).collect()
