@@ -219,6 +219,8 @@ HEADLINE = [
     "q_sequence_pack",
     "q_bellman_ford",
     "q_growth_accounting",
+    "q_ols_trend",
+    "q_running_unique",
 ]
 
 

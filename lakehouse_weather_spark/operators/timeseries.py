@@ -1431,3 +1431,119 @@ def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("alloc_fx").cast("bigint").alias("revenue_fx"),
         F.count(F.lit(1)).cast("bigint").alias("n_order_months"),
     )
+
+
+# --- OLS trend (the parametric companion to Theil-Sen) ----------------
+
+
+@register(
+    "q_ols_trend",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS h,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        idx AS (
+            SELECT event_type,
+                   CAST(date_diff('day',
+                       min(h) OVER (PARTITION BY event_type), h)
+                       AS BIGINT) AS x,
+                   cnt AS y
+            FROM daily
+        ),
+        mom AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy
+            FROM idx GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CASE WHEN n * sxx - sx * sx = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE CAST(n * sxy - sx * sy AS DOUBLE)
+                         / CAST(n * sxx - sx * sx AS DOUBLE) END
+                   AS ols_slope,
+               CASE WHEN n * sxx - sx * sx = 0
+                    THEN CAST(sy AS DOUBLE) / n
+                    ELSE (CAST(sy AS DOUBLE)
+                          - (CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE))
+                            * CAST(sx AS DOUBLE)) / n END AS intercept,
+               CASE WHEN (n * sxx - sx * sx) = 0
+                      OR (n * syy - sy * sy) = 0 THEN CAST(0 AS DOUBLE)
+                    ELSE (CAST(n * sxy - sx * sy AS DOUBLE)
+                          * CAST(n * sxy - sx * sy AS DOUBLE))
+                         / (CAST(n * sxx - sx * sx AS DOUBLE)
+                            * CAST(n * syy - sy * sy AS DOUBLE)) END
+                   AS r_squared
+        FROM mom
+    """,
+    doc="Closed-form OLS trend per event type over daily volumes —"
+    " slope, intercept, and R² from SIX exact integer sufficient"
+    " sums (x = day index from the per-type min day, y = count):"
+    " the parametric companion to q_theilsen, and reading both"
+    " answers 'is the trend real or one outlier day?' — OLS moves"
+    " with the outlier, Theil-Sen doesn't, and R² quantifies the"
+    " fit. One daily partial agg + one per-type moment agg (the"
+    " q_corr_matrix single-scan pattern); the only doubles are the"
+    " final three expressions, written IDENTICALLY in both engines;"
+    " single-day types define slope 0 / intercept mean / R² 0 on"
+    " the zero-variance guards.",
+)
+def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type")
+    idx = daily.select(
+        "event_type",
+        F.datediff(
+            F.col("h").cast("date"), F.min("h").over(w).cast("date")
+        )
+        .cast("bigint")
+        .alias("x"),
+        F.col("cnt").alias("y"),
+    )
+    mom = idx.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    slope = F.when(dx == 0, F.lit(0.0)).otherwise(
+        cov.cast("double") / dx.cast("double")
+    )
+    intercept = F.when(
+        dx == 0, F.col("sy").cast("double") / F.col("n")
+    ).otherwise(
+        (
+            F.col("sy").cast("double")
+            - (cov.cast("double") / dx.cast("double"))
+            * F.col("sx").cast("double")
+        )
+        / F.col("n")
+    )
+    r2 = F.when((dx == 0) | (dy == 0), F.lit(0.0)).otherwise(
+        (cov.cast("double") * cov.cast("double"))
+        / (dx.cast("double") * dy.cast("double"))
+    )
+    return mom.select(
+        "event_type",
+        "n",
+        slope.alias("ols_slope"),
+        intercept.alias("intercept"),
+        r2.alias("r_squared"),
+    )

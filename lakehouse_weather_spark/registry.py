@@ -200,6 +200,8 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_sequence_pack",
     "q_bellman_ford",
     "q_growth_accounting",
+    "q_ols_trend",
+    "q_running_unique",
 })
 
 

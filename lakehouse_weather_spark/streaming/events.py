@@ -1330,3 +1330,51 @@ def stream_zset_ivm(
         .start()
     )
     q.awaitTermination(120)
+
+
+@register(
+    "q_running_unique",
+    oracle="""
+        WITH firsts AS (
+            SELECT user_id, date_trunc('day', min(ts)) AS first_day
+            FROM events GROUP BY user_id
+        ),
+        daily AS (
+            SELECT first_day AS day,
+                   CAST(count(*) AS BIGINT) AS n_new
+            FROM firsts GROUP BY first_day
+        )
+        SELECT CAST(day AS TIMESTAMP) AS day, n_new,
+               CAST(sum(n_new) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT) AS cum_users
+        FROM daily
+    """,
+    doc="Cumulative unique-user adoption curve via the FIRST-TOUCH"
+    " trick: a naive 'distinct users up to each day' needs a"
+    " cumulative distinct over raw events (quadratic or a giant"
+    " state); instead each user reduces to one first-seen day, new"
+    " users count per day, and a cumulative sum over the BOUNDED"
+    " day list replays the curve exactly — running distinct"
+    " becomes running SUM because first-touches never repeat. Two"
+    " partial-agg shuffles at user then day granularity; the only"
+    " no-partition window runs on calendar-bounded rows.",
+)
+def q_running_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).cast("timestamp_ntz").alias(
+            "first_day"
+        )
+    )
+    daily = firsts.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_new")
+    )
+    w = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return daily.select(
+        "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )

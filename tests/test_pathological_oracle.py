@@ -104,6 +104,10 @@ _QUERIES = [
     # growth accounting where a user is active ONE week (new + churn
     # in the same row) and weeks have gaps (resurrection)
     "q_growth_accounting",
+    # OLS on single-day types (zero x-variance guards) and the
+    # adoption curve with several users sharing one first day
+    "q_ols_trend",
+    "q_running_unique",
     # linear interpolation where a type has ONE observation (prev ==
     # next on every grid row) and the grid has leading/trailing gaps
     "q_resample_linear",
