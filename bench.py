@@ -221,6 +221,7 @@ HEADLINE = [
     "q_growth_accounting",
     "q_ols_trend",
     "q_running_unique",
+    "q_local_peaks",
 ]
 
 

@@ -1510,3 +1510,67 @@ def q_rank_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("rank_gain"),
     )
+
+
+# --- local peak detection --------------------------------------------
+
+
+@register(
+    "q_local_peaks",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, date_trunc('day', ts) AS day,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events GROUP BY 1, 2
+        ),
+        ctx AS (
+            SELECT event_type, day, cnt,
+                   lag(cnt) OVER (PARTITION BY event_type
+                                  ORDER BY day) AS prev_cnt,
+                   lead(cnt) OVER (PARTITION BY event_type
+                                   ORDER BY day) AS next_cnt
+            FROM daily
+        )
+        SELECT event_type, CAST(day AS TIMESTAMP) AS day, cnt,
+               cnt - greatest(coalesce(prev_cnt, 0),
+                              coalesce(next_cnt, 0)) AS prominence
+        FROM ctx
+        WHERE cnt > coalesce(prev_cnt, 0)
+          AND cnt > coalesce(next_cnt, 0)
+    """,
+    doc="Local volume peaks per event type: days strictly above BOTH"
+    " calendar neighbors (series edges compare against 0, so a"
+    " spike on the first or last day still surfaces), with"
+    " prominence = height over the taller neighbor — the"
+    " peak-picking primitive behind incident annotation and"
+    " burst-day reporting, complementing q_volume_anomaly's"
+    " day-over-day deltas and q_outlier_mad's global outliers."
+    " One daily partial agg; lag/lead windows partition per type"
+    " over calendar-bounded rows; all comparisons are exact int64.",
+)
+def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    ctx = daily.select(
+        "event_type",
+        "day",
+        "cnt",
+        F.coalesce(F.lag("cnt").over(w), F.lit(0)).alias("prev_cnt"),
+        F.coalesce(F.lead("cnt").over(w), F.lit(0)).alias("next_cnt"),
+    )
+    return ctx.filter(
+        (F.col("cnt") > F.col("prev_cnt")) & (F.col("cnt") > F.col("next_cnt"))
+    ).select(
+        "event_type",
+        "day",
+        "cnt",
+        (F.col("cnt") - F.greatest("prev_cnt", "next_cnt")).alias(
+            "prominence"
+        ),
+    )

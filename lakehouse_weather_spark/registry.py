@@ -202,6 +202,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_growth_accounting",
     "q_ols_trend",
     "q_running_unique",
+    "q_local_peaks",
 })
 
 

@@ -108,6 +108,8 @@ _QUERIES = [
     # adoption curve with several users sharing one first day
     "q_ols_trend",
     "q_running_unique",
+    # peaks on 1-day series (both neighbors absent -> edge vs 0)
+    "q_local_peaks",
     # linear interpolation where a type has ONE observation (prev ==
     # next on every grid row) and the grid has leading/trailing gaps
     "q_resample_linear",
