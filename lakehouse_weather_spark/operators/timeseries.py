@@ -1303,34 +1303,22 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                        INTERVAL 1 MONTH)) AS DATE) AS m0
             FROM span
         ),
-        overlap AS (
-            SELECT o_orderkey, total_fx, d0, d1, m0,
-                   date_diff('day',
-                       greatest(m0, d0),
-                       least(CAST(m0 + INTERVAL 1 MONTH AS DATE)
-                             - INTERVAL 1 DAY, d1)) + 1 AS odays
-            FROM months
-        ),
-        cum AS (
-            SELECT o_orderkey, total_fx, m0,
-                   sum(odays) OVER (PARTITION BY o_orderkey
-                                    ORDER BY m0) AS cdays,
-                   date_diff('day', d0, d1) + 1 AS tdays
-            FROM overlap
-        ),
         alloc AS (
+            -- the span is CONTIGUOUS from d0, so cumulative overlap
+            -- days through any month have a CLOSED FORM — no window,
+            -- no lag: cd(m) = days d0..min(month_end, d1), and the
+            -- previous cumulative is the same formula at m0 - 1 day,
+            -- clamped at 0 for the first month
             SELECT m0, o_orderkey,
-                   (total_fx * cdays) // tdays
-                       - (total_fx * (cdays - (cdays - lag_c)))
-                         // tdays AS wrong,
-                   (total_fx * cdays) // tdays
-                       - (total_fx * coalesce(lag_c, 0)) // tdays
-                       AS alloc_fx
-            FROM (
-                SELECT *, lag(cdays) OVER (PARTITION BY o_orderkey
-                                           ORDER BY m0) AS lag_c
-                FROM cum
-            )
+                   (total_fx * (date_diff('day', d0,
+                        least(CAST(m0 + INTERVAL 1 MONTH AS DATE)
+                              - INTERVAL 1 DAY, d1)) + 1))
+                       // (date_diff('day', d0, d1) + 1)
+                   - (total_fx * greatest(date_diff('day', d0,
+                        least(CAST(m0 - INTERVAL 1 DAY AS DATE), d1))
+                        + 1, 0))
+                       // (date_diff('day', d0, d1) + 1) AS alloc_fx
+            FROM months
         )
         SELECT CAST(m0 AS TIMESTAMP) AS month,
                CAST(sum(alloc_fx) AS BIGINT) AS revenue_fx,
@@ -1345,13 +1333,16 @@ def q_ohlc_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     " to EXACTLY the order total (no float proration drift, no lost"
     " remainder pennies), the invariant finance reconciliation"
     " demands. Month explode is sequence() over a per-order bounded"
-    " span; the cumulative window partitions by order (a handful of"
-    " months each); one final month partial agg. Degenerate spans"
-    " (ship before order) normalize through least/greatest.",
+    " span; cumulative overlap days have a CLOSED FORM on the"
+    " contiguous span, so there is NO per-order window — explode,"
+    " narrow date math, one final month partial agg. The per-order"
+    " max-ship table broadcasts (key + one date per order); at a"
+    " scale where that side outgrows executor memory, drop the hint"
+    " and AQE falls back to the shuffle join, rest of the plan"
+    " unchanged. Degenerate spans (ship before order) normalize"
+    " through least/greatest.",
 )
 def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
     # pre-aggregate lineitem to one row per order BEFORE the join:
@@ -1362,7 +1353,9 @@ def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     span = (
         orders.select("o_orderkey", "o_totalprice", "o_orderdate")
-        .join(ship, "o_orderkey")
+        # the per-order max-ship table is key + one date (~16 B/row):
+        # broadcast it so the orders side never shuffles for the join
+        .join(F.broadcast(ship), "o_orderkey")
         .select(
             "o_orderkey",
             F.expr("cast(round(o_totalprice * 100, 0) as bigint)").alias(
@@ -1390,40 +1383,39 @@ def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("m0_ts"),
     ).withColumn("m0", F.col("m0_ts").cast("date")).drop("m0_ts")
-    overlap = months.select(
-        "o_orderkey",
-        "total_fx",
-        "d0",
-        "d1",
-        "m0",
-        (
-            F.datediff(
-                F.least(
-                    F.expr("date_add(add_months(m0, 1), -1)"), F.col("d1")
-                ),
-                F.greatest(F.col("m0"), F.col("d0")),
-            )
-            + 1
-        ).alias("odays"),
+    # contiguous-span closed form: cumulative overlap days through a
+    # month (and through the previous month) are direct date math, so
+    # the telescoping needs NO window and NO lag — explode + narrow
+    # arithmetic is the whole per-month stage
+    cd = (
+        F.datediff(
+            F.least(F.expr("date_add(add_months(m0, 1), -1)"), F.col("d1")),
+            F.col("d0"),
+        )
+        + 1
     )
-    w = Window.partitionBy("o_orderkey").orderBy("m0")
-    cum = overlap.select(
-        "o_orderkey",
-        "total_fx",
-        "m0",
-        F.sum("odays").over(w).alias("cdays"),
-        (F.datediff("d1", "d0") + 1).alias("tdays"),
+    cd_prev = F.greatest(
+        F.datediff(
+            F.least(F.expr("date_add(m0, -1)"), F.col("d1")), F.col("d0")
+        )
+        + 1,
+        F.lit(0),
     )
-    alloc = cum.select(
+    tdays = F.datediff("d1", "d0") + 1
+    alloc = months.select(
         "m0",
         "o_orderkey",
         (
-            F.expr("(total_fx * cdays) div tdays")
-            - F.expr(
-                "(total_fx * coalesce(lag(cdays) over (partition by"
-                " o_orderkey order by m0), 0)) div tdays"
+            (F.col("total_fx") * cd - (F.col("total_fx") * cd) % tdays)
+            / tdays
+            - (
+                F.col("total_fx") * cd_prev
+                - (F.col("total_fx") * cd_prev) % tdays
             )
-        ).alias("alloc_fx"),
+            / tdays
+        )
+        .cast("bigint")
+        .alias("alloc_fx"),
     )
     return alloc.groupBy(
         F.col("m0").cast("timestamp_ntz").alias("month")
