@@ -222,6 +222,7 @@ HEADLINE = [
     "q_ols_trend",
     "q_running_unique",
     "q_local_peaks",
+    "q_row_diff",
 ]
 
 

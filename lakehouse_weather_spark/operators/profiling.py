@@ -1292,3 +1292,139 @@ def q_format_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("bigint").alias("mask_rank"),
         )
     )
+
+
+# --- column-level snapshot diff (CDC row diff) ------------------------
+
+# Deterministic "second snapshot": drop ~0.5% of rows by key hash and
+# bump l_quantity on a disjoint ~1% (an update), so the diff contains
+# both change types. Same md5 machinery as q_merkle_diff.
+_RD_MOD = 1000
+_RD_DEL_LT = 5
+_RD_UPD_LO, _RD_UPD_HI = 5, 15
+
+
+@register(
+    "q_row_diff",
+    oracle=f"""
+        WITH src AS (
+            -- pk is (orderkey, linenumber, partkey, suppkey): the
+            -- 2-col prefix is NOT unique in this fixture, and a CDC
+            -- diff on a non-key fans out the join
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   l_quantity, l_extendedprice, l_returnflag,
+                   CAST(('0x' || substr(md5('rd_'
+                       || CAST(l_orderkey AS VARCHAR) || '_'
+                       || CAST(l_linenumber AS VARCHAR) || '_'
+                       || CAST(l_partkey AS VARCHAR) || '_'
+                       || CAST(l_suppkey AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_RD_MOD} AS r
+            FROM lineitem
+        ),
+        dst AS (
+            SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+                   CASE WHEN r >= {_RD_UPD_LO} AND r < {_RD_UPD_HI}
+                        THEN l_quantity + 1 ELSE l_quantity END
+                       AS l_quantity,
+                   l_extendedprice, l_returnflag
+            FROM src WHERE r >= {_RD_DEL_LT}
+        )
+        SELECT s.l_orderkey, s.l_linenumber, s.l_partkey, s.l_suppkey,
+               CASE WHEN d.l_orderkey IS NULL THEN 'D' ELSE 'U' END
+                   AS change_type,
+               CASE WHEN d.l_orderkey IS NULL THEN ''
+                    ELSE concat_ws(',',
+                        CASE WHEN s.l_quantity IS DISTINCT FROM
+                                  d.l_quantity THEN 'l_quantity' END,
+                        CASE WHEN s.l_extendedprice IS DISTINCT FROM
+                                  d.l_extendedprice
+                             THEN 'l_extendedprice' END,
+                        CASE WHEN s.l_returnflag IS DISTINCT FROM
+                                  d.l_returnflag THEN 'l_returnflag' END)
+               END AS changed_cols
+        FROM src s
+        LEFT JOIN dst d
+          ON d.l_orderkey = s.l_orderkey
+         AND d.l_linenumber = s.l_linenumber
+         AND d.l_partkey = s.l_partkey
+         AND d.l_suppkey = s.l_suppkey
+        WHERE d.l_orderkey IS NULL
+           OR s.l_quantity IS DISTINCT FROM d.l_quantity
+           OR s.l_extendedprice IS DISTINCT FROM d.l_extendedprice
+           OR s.l_returnflag IS DISTINCT FROM d.l_returnflag
+    """,
+    doc="Column-level snapshot diff (the Debezium-style CDC readout):"
+    " two table versions join on the primary key and every surviving"
+    " row reports WHICH columns changed (IS DISTINCT FROM — NULL-safe,"
+    " so NULL->value and value->NULL both register), deletes report"
+    " as 'D' — the audit that turns 'the tables differ' (q_merkle"
+    " diff / q_table_checksum) into an actionable migration worklist."
+    " The second snapshot derives deterministically (md5 key-hash"
+    " delete + disjoint quantity-bump update bands), so both engines"
+    " diff identical inputs. ONE key-partitioned join; at 100 TB you"
+    " run it bucket-by-bucket behind the merkle diff so only"
+    " disagreeing hash ranges ever join.",
+)
+def q_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    kh = F.expr(
+        "cast(conv(substr(md5(concat('rd_', cast(l_orderkey as string),"
+        " '_', cast(l_linenumber as string),"
+        " '_', cast(l_partkey as string),"
+        " '_', cast(l_suppkey as string))), 1, 15), 16, 10) as bigint)"
+    )
+    src = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        "l_quantity",
+        "l_extendedprice",
+        "l_returnflag",
+        (kh % _RD_MOD).alias("r"),
+    )
+    dst = src.filter(F.col("r") >= _RD_DEL_LT).select(
+        F.col("l_orderkey").alias("d_orderkey"),
+        F.col("l_linenumber").alias("d_linenumber"),
+        F.col("l_partkey").alias("d_partkey"),
+        F.col("l_suppkey").alias("d_suppkey"),
+        F.when(
+            (F.col("r") >= _RD_UPD_LO) & (F.col("r") < _RD_UPD_HI),
+            F.col("l_quantity") + 1,
+        )
+        .otherwise(F.col("l_quantity"))
+        .alias("d_quantity"),
+        F.col("l_extendedprice").alias("d_extendedprice"),
+        F.col("l_returnflag").alias("d_returnflag"),
+    )
+    j = src.join(
+        dst,
+        (src["l_orderkey"] == dst["d_orderkey"])
+        & (src["l_linenumber"] == dst["d_linenumber"])
+        & (src["l_partkey"] == dst["d_partkey"])
+        & (src["l_suppkey"] == dst["d_suppkey"]),
+        "left",
+    )
+    deleted = F.col("d_orderkey").isNull()
+    diff = lambda a, b, name: F.when(  # noqa: E731
+        ~F.col(a).eqNullSafe(F.col(b)), F.lit(name)
+    )
+    changed = F.concat_ws(
+        ",",
+        diff("l_quantity", "d_quantity", "l_quantity"),
+        diff("l_extendedprice", "d_extendedprice", "l_extendedprice"),
+        diff("l_returnflag", "d_returnflag", "l_returnflag"),
+    )
+    return j.filter(
+        deleted
+        | ~F.col("l_quantity").eqNullSafe(F.col("d_quantity"))
+        | ~F.col("l_extendedprice").eqNullSafe(F.col("d_extendedprice"))
+        | ~F.col("l_returnflag").eqNullSafe(F.col("d_returnflag"))
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_suppkey",
+        F.when(deleted, "D").otherwise("U").alias("change_type"),
+        F.when(deleted, "").otherwise(changed).alias("changed_cols"),
+    )

@@ -203,6 +203,7 @@ _ROUND4_NEW: frozenset[str] = frozenset({
     "q_ols_trend",
     "q_running_unique",
     "q_local_peaks",
+    "q_row_diff",
 })
 
 

@@ -460,6 +460,9 @@ _REL_QUERIES = [
     "q_prorate_revenue",
     # mode with a tie (two statuses at equal count -> value tiebreak)
     "q_agg_mode",
+    # row diff where the NULL returnflag row survives: NULL-safe
+    # column compare must NOT flag NULL == NULL as changed
+    "q_row_diff",
 ]
 
 
