@@ -46,6 +46,10 @@ _FUZZ_QUERIES = [
     "q_resample_linear",
     "q_global_ordinal",
     "q_format_masks",
+    "q_ols_trend",
+    "q_local_peaks",
+    "q_running_unique",
+    "q_growth_accounting",
     "q_survival_km",  # lineitem-free? no — events-only variant excluded
 ]
 _FUZZ_QUERIES.remove("q_survival_km")
