@@ -1768,6 +1768,13 @@ def _td_oracle() -> str:
                        ORDER BY d.dot DESC, d.vec_id) AS rnk
             FROM dots d
         ),
+        -- NOTE shared-pool assumption: teams A and B rank the IDENTICAL
+        -- candidate pool (same dots CTE), so both exhaust at the same
+        -- step and this recursion's stop-at-first-empty-step semantics
+        -- coincide with the Spark fold's skip-and-keep-drafting. If a
+        -- per-team candidate filter is ever added, this oracle must
+        -- gain the skip semantics too (draft on even when one team has
+        -- no unpicked candidate) or the two will diverge.
         td(q_id, i, picked) AS (
             SELECT q_id, 0, CAST([] AS BIGINT[]) FROM ql
             UNION ALL

@@ -68,12 +68,6 @@ _TOKEN_RE = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 )
 def q_chunk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    n_chunks = F.greatest(
-        (F.length("text") - F.lit(CHUNK_OVERLAP) + F.lit(CHUNK_STRIDE - 1))
-        .cast("long")
-        / F.lit(CHUNK_STRIDE),
-        F.lit(1),
-    )
     # integer division via expr to match DuckDB's // exactly
     return docs.select(
         "doc_id",

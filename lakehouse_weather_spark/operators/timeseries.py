@@ -1402,17 +1402,16 @@ def q_prorate_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(0),
     )
     tdays = F.datediff("d1", "d0") + 1
-    alloc = months.select(
+    # integer `div` end-to-end (matches the oracle's // exactly and has
+    # no 2^53 float-mantissa dependency, unlike (a - a % b) / b)
+    alloc = months.withColumns(
+        {"cd": cd, "cd_prev": cd_prev, "tdays": tdays}
+    ).select(
         "m0",
         "o_orderkey",
-        (
-            (F.col("total_fx") * cd - (F.col("total_fx") * cd) % tdays)
-            / tdays
-            - (
-                F.col("total_fx") * cd_prev
-                - (F.col("total_fx") * cd_prev) % tdays
-            )
-            / tdays
+        F.expr(
+            "((total_fx * cd) div tdays)"
+            " - ((total_fx * cd_prev) div tdays)"
         )
         .cast("bigint")
         .alias("alloc_fx"),

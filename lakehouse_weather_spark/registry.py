@@ -86,7 +86,7 @@ _QUERY_MODULES = [
 _loaded = False
 
 # Queries already green in a prior driver correctness record
-# (CORRECTNESS_r01.json + CORRECTNESS_r02.json + CORRECTNESS_r03.json).
+# (CORRECTNESS_r01.json .. CORRECTNESS_r04.json).
 # The external gate walks the registry in order and may stop after a
 # fixed budget, so load_all() floats every query NOT yet in a driver
 # record to the front — new and previously-uncut queries get gate
@@ -147,6 +147,23 @@ _PRIOR_VERIFIED = frozenset({
     "q_array_explode", "q_scalar_mix", "q_map_histogram",
     "q_url_canonical", "q_join_asof_tolerance", "q_join_salted",
     "q_join_range_naive", "q_tpch_q1", "q_tpch_q7",
+    # --- round 4 record (50/50 green) ---
+    "q_jaccard_threshold_hist", "q_dup_spans", "q_minhash_scurve",
+    "q_cluster_split", "q_span_cut", "q_ann_recall", "q_label_outliers",
+    "q_maxsim_late_interaction", "q_mrl_prefix_eval", "q_embed_norm_audit",
+    "q_embed_standardize", "q_ndcg", "q_unicode_nfc", "q_langid_eval",
+    "q_collocations", "q_unigram_surprisal", "q_cdc_chunks",
+    "q_winnow_fingerprint", "q_vocab_coverage", "q_oov_rate",
+    "q_epoch_shuffle", "q_source_cap", "q_kfold_assign",
+    "q_shard_manifest", "q_leakage_pairs", "q_word_diversity",
+    "q_gopher_rules", "q_quantile_sketch", "q_hll_manual",
+    "q_sliding_distinct", "q_k_anonymity", "q_selfjoin_fanout",
+    "q_join_cardinality", "q_table_checksum", "q_l_diversity",
+    "q_hash_ring", "q_binary_ahash", "q_binary_neardup",
+    "q_kmeans_clusters", "q_semantic_dedup", "q_silhouette", "q_coreset",
+    "q_bpe_pair_counts", "q_tokenize_greedy", "q_tokenizer_fertility",
+    "q_triangle_stats", "q_degree_hist", "q_link_prediction",
+    "q_label_propagation", "q_source_overlap",
 })
 
 # Queries first registered in round 4 (no driver record yet, but also
@@ -207,10 +224,40 @@ _ROUND4_NEW: frozenset[str] = frozenset({
 })
 
 
+# Queries first registered in round 5: ordered after the round-4 batch
+# so the oldest never-driver-sampled queries keep draining first.
+_ROUND5_NEW: frozenset[str] = frozenset({
+    "q_rouge_overlap",
+    "q_reservoir_per_group",
+    "q_stable_marriage",
+    "q_bandit_thompson",
+    "q_doc_dating",
+    "q_perplexity_bucket",
+    "q_url_dedup_norm",
+    "q_robots_gate",
+    "q_suffix_autodetect",
+    "q_cooccur_pmi",
+    "q_graph_2hop",
+    "q_influence_cascade",
+    "q_tpch_q3_bucketed",
+    "q_schema_drift",
+    "q_late_data_audit",
+    "q_anchor_text",
+    "q_repetition_loops",
+    "q_layout_columns",
+    "q_citation_graph",
+    "q_dedup_shingle_size",
+})
+
+
 def _registered_round4_new() -> frozenset[str]:
     """Subset of _ROUND4_NEW actually registered (forward names are
     allowed while round-4 queries land incrementally)."""
     return frozenset(n for n in _ROUND4_NEW if n in REGISTRY)
+
+
+def _registered_round5_new() -> frozenset[str]:
+    return frozenset(n for n in _ROUND5_NEW if n in REGISTRY)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -234,15 +281,19 @@ def load_all() -> dict[str, QuerySpec]:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
         r4_new = _registered_round4_new()
-        # backlog first (registered, never driver-sampled), then this
-        # round's new queries, then queries with a standing record
+        r5_new = _registered_round5_new()
+        # oldest never-driver-sampled queries first (the r3 backlog),
+        # then the round-4 batch, then this round's new queries, then
+        # queries with a standing record
+        later = _PRIOR_VERIFIED | r4_new | r5_new
         ordered = {
-            n: s
-            for n, s in REGISTRY.items()
-            if n not in _PRIOR_VERIFIED and n not in r4_new
+            n: s for n, s in REGISTRY.items() if n not in later
         }
         ordered.update(
             {n: s for n, s in REGISTRY.items() if n in r4_new}
+        )
+        ordered.update(
+            {n: s for n, s in REGISTRY.items() if n in r5_new}
         )
         ordered.update(
             {n: s for n, s in REGISTRY.items() if n in _PRIOR_VERIFIED}

@@ -452,17 +452,18 @@ def stream_tumbling_counts(
     max_files_per_trigger: int | None = None,
     output_mode: str = "complete",
 ) -> DataFrame:
-    """output_mode semantics matter for late data: in COMPLETE mode all
-    window state is retained and late rows still aggregate; in APPEND
-    mode a window emits once the watermark passes its end, its state is
-    evicted, and rows older than the watermark are DROPPED (bounded
-    state) — asserted in tests/test_streaming.py."""
     """True Structured Streaming tumbling-window count with watermark:
     readStream over a directory of events parquet files (the file-stream
     source requires a directory — new files appearing there are
     incrementally processed), 1-hour windows, 2-hour watermark for late
     data, availableNow trigger into a memory sink. Returns the completed
     result table (equal to the batch q_win_tumbling counts).
+
+    output_mode semantics matter for late data: in COMPLETE mode all
+    window state is retained and late rows still aggregate; in APPEND
+    mode a window emits once the watermark passes its end, its state is
+    evicted, and rows older than the watermark are DROPPED (bounded
+    state) — asserted in tests/test_streaming.py.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
