@@ -520,6 +520,95 @@ def _jaccard_pairs(
     )
 
 
+def _jaccard_pairs_high(
+    spark, sf_dir, t_num: int = 4, t_den: int = 5
+) -> DataFrame:
+    """Exact jaccard pairs >= t (= t_num/t_den) via POSITIONAL PREFIX
+    FILTERING (PPJoin-style) — the scale path for high thresholds.
+
+    The base ``_jaccard_pairs`` counts EVERY within-bucket pair (the
+    candidate set is sum-of-bucket-squares and dominates at corpus
+    scale). For t >= ~0.5 the prefix-filtering principle prunes almost
+    all of it losslessly: order each doc's capped shingle set by a
+    GLOBAL total order (df asc, hash asc — rare-first maximizes
+    selectivity), keep only the first ``n - ceil(t*n) + 1`` tokens, and
+    generate candidates from prefix-token collisions only. Any pair
+    with jaccard >= t shares >= 1 prefix token (with the length filter
+    t*max(na,nb) <= min(na,nb), the true overlap bound
+    ceil(t/(1+t)(na+nb)) >= ceil(t*n) for both docs, so this prefix is
+    at least as long as the lemma's n - alpha + 1). ceil is exact
+    integer arithmetic ((t_num*n + t_den-1) div t_den) — a float 0.8*n
+    rounds UP at n=5k and silently loses pairs. Verification is a
+    narrow array_intersect over the per-doc sorted arrays (two
+    broadcast-sized joins), never a re-scan.
+
+    The brute-force DuckDB oracle on every consumer certifies the
+    filter loses no pairs (same gate-proves-blocking pattern as
+    q_editdist_neardup)."""
+    sh = _spark_shingle_hashes(spark, sf_dir)
+    hdf = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+    )
+    # (doc_id, toks sorted by (df, h), n): the global order is a pure
+    # function of the token, so every doc sorts consistently
+    arrays = (
+        sh.join(hdf, "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list(F.struct("df", "h"))).alias("tf"))
+        .select(
+            "doc_id",
+            F.expr("transform(tf, x -> x.h)").alias("toks"),
+            F.size("tf").alias("n"),
+        )
+    )
+    arrays = arrays.persist()
+    prefix_len = F.expr(
+        f"n - ((n * {t_num} + {t_den - 1}) div {t_den}) + 1"
+    )
+    prefix = arrays.select(
+        "doc_id",
+        "n",
+        F.explode(F.slice("toks", F.lit(1), prefix_len)).alias("h"),
+    )
+    # candidates: within-bucket pairs over PREFIX tokens only, with the
+    # integer length-ratio filter fused into the pair lambda
+    pair_expr = F.expr(
+        "flatten(transform(ids, (x, i) ->"
+        " filter(transform(slice(ids, i + 2, size(ids)),"
+        " y -> struct(x.doc_id AS doc_a, x.n AS na,"
+        " y.doc_id AS doc_b, y.n AS nb)),"
+        f" p -> p.na * {t_num} <= p.nb * {t_den}"
+        f" AND p.nb * {t_num} <= p.na * {t_den})))"
+    )
+    cand = (
+        prefix.groupBy("h")
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "n"))).alias("ids"))
+        .filter(F.size("ids") >= 2)
+        .select(F.explode(pair_expr).alias("p"))
+        .select("p.doc_a", "p.na", "p.doc_b", "p.nb")
+        .distinct()
+    )
+    ta = arrays.select(F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta"))
+    tb = arrays.select(F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb"))
+    i = F.size(F.array_intersect("ta", "tb"))
+    jac = i.cast("double") / (F.col("na") + F.col("nb") - i)
+    return (
+        cand.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn("n_inter", i)
+        .filter(F.col("n_inter") * t_den >= (F.col("na") + F.col("nb") - F.col("n_inter")) * t_num)
+        .select(
+            "doc_a",
+            "doc_b",
+            jac.alias("jaccard"),
+            "n_inter",
+            (F.col("na") + F.col("nb") - F.col("n_inter")).alias("n_union"),
+        )
+    )
+
+
 @register(
     "q_ngram_jaccard",
     oracle=f"""
@@ -634,11 +723,10 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     " the same closure with a recursive CTE.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = (
-        q_ngram_jaccard(spark, sf_dir)
-        .filter(F.col("jaccard") >= _CLUSTER_THRESHOLD)
-        .select("doc_a", "doc_b")
-    )
+    # prefix-filtered exact-jaccard candidates (lossless at t=0.8; the
+    # brute-force oracle certifies it) — the candidate set is prefix
+    # collisions only, not sum-of-bucket-squares
+    pairs = _jaccard_pairs_high(spark, sf_dir, 4, 5).select("doc_a", "doc_b")
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     )

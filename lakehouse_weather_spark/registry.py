@@ -229,24 +229,20 @@ _ROUND4_NEW: frozenset[str] = frozenset({
 _ROUND5_NEW: frozenset[str] = frozenset({
     "q_rouge_overlap",
     "q_reservoir_per_group",
-    "q_stable_marriage",
-    "q_bandit_thompson",
-    "q_doc_dating",
+    "q_kmv_intersect",
+    "q_ips_offpolicy",
     "q_perplexity_bucket",
-    "q_url_dedup_norm",
-    "q_robots_gate",
-    "q_suffix_autodetect",
-    "q_cooccur_pmi",
+    "q_cooccur_lift",
     "q_graph_2hop",
-    "q_influence_cascade",
+    "q_modularity",
     "q_tpch_q3_bucketed",
-    "q_schema_drift",
-    "q_late_data_audit",
-    "q_anchor_text",
     "q_repetition_loops",
-    "q_layout_columns",
-    "q_citation_graph",
     "q_dedup_shingle_size",
+    "q_sql_udf",
+    "q_hll_merge_daily",
+    "q_range_split_points",
+    "q_late_data_audit",
+    "q_power_iteration",
 })
 
 
