@@ -887,3 +887,206 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min("dist").cast("bigint").alias("dist"))
         )
     return d.select(F.col("node").cast("bigint").alias("node"), "dist")
+
+
+# --- 2-hop neighborhoods ----------------------------------------------
+
+
+@register(
+    "q_graph_2hop",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM mpairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM mpairs
+        ),
+        hop2 AS (
+            SELECT DISTINCT s1.u, s2.v
+            FROM sym s1 JOIN sym s2 ON s1.v = s2.u AND s2.v <> s1.u
+        ),
+        strict2 AS (
+            SELECT h.u, h.v FROM hop2 h
+            WHERE NOT EXISTS (
+                SELECT 1 FROM sym s WHERE s.u = h.u AND s.v = h.v
+            )
+        ),
+        n1 AS (SELECT u, count(DISTINCT v) AS n_1hop FROM sym GROUP BY u),
+        n2 AS (SELECT u, count(*) AS n_2hop FROM strict2 GROUP BY u)
+        SELECT n1.u AS doc_id,
+               CAST(n1.n_1hop AS BIGINT) AS n_1hop,
+               CAST(coalesce(n2.n_2hop, 0) AS BIGINT) AS n_2hop_strict
+        FROM n1 LEFT JOIN n2 USING (u)
+    """,
+    doc="Strict 2-hop neighborhood size per node over the MinHash"
+    " near-dup graph (friends-of-friends that are not already"
+    " neighbors, self excluded) — the transitive-duplication reach"
+    " signal: a doc with small degree but large 2-hop reach sits"
+    " between duplicate clusters that the pairwise threshold keeps"
+    " separate. Plan: one self-equi-join of the symmetric edge list on"
+    " the middle node + distinct + anti-join back onto edges + one agg"
+    " — all equi-shuffles on node id. Scale: the join fan-out is"
+    " bounded by the df-capped degree (the banding df-caps shingle"
+    " buckets upstream), the standard guard for power-law graphs.",
+)
+def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    s2 = sym.select(F.col("u").alias("mid"), F.col("v").alias("w"))
+    hop2 = (
+        sym.join(s2, sym.v == s2.mid)
+        .filter(F.col("w") != F.col("u"))
+        .select("u", F.col("w").alias("v"))
+        .distinct()
+    )
+    strict2 = hop2.join(sym, ["u", "v"], "left_anti")
+    n1 = sym.groupBy("u").agg(
+        F.countDistinct("v").cast("bigint").alias("n_1hop")
+    )
+    n2 = strict2.groupBy("u").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_2hop")
+    )
+    return (
+        n1.join(n2, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            "n_1hop",
+            F.coalesce("n_2hop", F.lit(0)).cast("bigint").alias("n_2hop_strict"),
+        )
+    )
+
+
+# --- modularity of the source partition -------------------------------
+
+
+@register(
+    "q_modularity",
+    oracle=f"""
+        WITH {_minhash_pairs_cte()},
+        m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM mpairs),
+        sym AS (
+            SELECT doc_a AS u, doc_b AS v FROM mpairs
+            UNION ALL SELECT doc_b, doc_a FROM mpairs
+        ),
+        deg AS (SELECT u, count(*) AS deg FROM sym GROUP BY u),
+        nsrc AS (
+            SELECT d.u, doc.source FROM deg d
+            JOIN documents doc ON doc.doc_id = d.u
+        ),
+        dsum AS (
+            SELECT n.source, CAST(count(*) AS BIGINT) AS n_nodes,
+                   CAST(sum(deg.deg) AS BIGINT) AS d_sum
+            FROM nsrc n JOIN deg ON deg.u = n.u
+            GROUP BY n.source
+        ),
+        ein AS (
+            SELECT da.source, CAST(count(*) AS BIGINT) AS e_in
+            FROM mpairs p
+            JOIN documents da ON da.doc_id = p.doc_a
+            JOIN documents db ON db.doc_id = p.doc_b
+            WHERE da.source = db.source
+            GROUP BY da.source
+        ),
+        rows_ AS (
+            SELECT d.source, d.n_nodes, coalesce(e.e_in, 0) AS e_in,
+                   d.d_sum,
+                   4 * m.m * coalesce(e.e_in, 0) - d.d_sum * d.d_sum
+                       AS q_num
+            FROM dsum d LEFT JOIN ein e USING (source), m
+        )
+        SELECT r.source, r.n_nodes, r.e_in, r.d_sum,
+               CAST(r.q_num AS DOUBLE) / (4.0 * m.m * m.m)
+                   AS contribution,
+               CAST((SELECT sum(q_num) FROM rows_) AS DOUBLE)
+                   / (4.0 * m.m * m.m) AS modularity_total
+        FROM rows_ r, m
+    """,
+    doc="Newman modularity of the SOURCE partition over the near-dup"
+    " graph: Q = sum_c [e_c/m - (d_c/2m)^2], computed as one exact"
+    " integer numerator per community over the common denominator 4m^2"
+    " (sum of per-community doubles would be association-order-"
+    " dependent; the integer form is engine- and partition-order-"
+    " exact, int64-safe while d_c < 3e9 and m < 1.5e9). High Q means"
+    " duplication is intra-source (dedup shards cleanly by source);"
+    " Q near 0 means cross-source mirroring dominates — the decision"
+    " signal for partitioning a 100 TB dedup by provenance. Plan:"
+    " degree agg + two broadcast-dimension joins + a 2-row-level agg;"
+    " raw pairs shuffle once.",
+)
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    mrow = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    sym = pairs.select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    ).unionByName(
+        pairs.select(F.col("doc_b").alias("u"), F.col("doc_a").alias("v"))
+    )
+    deg = sym.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    dsum = (
+        deg.join(F.broadcast(docs.withColumnRenamed("doc_id", "u")), "u")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("d_sum"),
+        )
+    )
+    ein = (
+        pairs.join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")
+                )
+            ),
+            "doc_a",
+        )
+        .join(
+            F.broadcast(
+                docs.select(
+                    F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")
+                )
+            ),
+            "doc_b",
+        )
+        .filter(F.col("sa") == F.col("sb"))
+        .groupBy(F.col("sa").alias("source"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    rows = (
+        dsum.join(ein, "source", "left")
+        .crossJoin(F.broadcast(mrow))
+        .select(
+            "source",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "d_sum",
+            "m",
+            (
+                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+        )
+    )
+    tot = rows.agg(F.sum("q_num").cast("bigint").alias("q_num_total"))
+    return rows.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_nodes",
+        "e_in",
+        "d_sum",
+        (
+            F.col("q_num").cast("double")
+            / (F.lit(4.0) * F.col("m") * F.col("m"))
+        ).alias("contribution"),
+        (
+            F.col("q_num_total").cast("double")
+            / (F.lit(4.0) * F.col("m") * F.col("m"))
+        ).alias("modularity_total"),
+    )

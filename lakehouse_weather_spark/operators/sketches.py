@@ -756,3 +756,288 @@ def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("kmv_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV set algebra: pairwise intersection estimates (theta-sketch style)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_kmv_intersect",
+    oracle=f"""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST(('0x' || substr(md5('kmv_' || CAST(user_id AS VARCHAR)),
+                                        1, 15)) AS BIGINT) AS hv
+            FROM events
+        ),
+        tp AS (
+            SELECT a.event_type AS type_a, b.event_type AS type_b
+            FROM (SELECT DISTINCT event_type FROM h) a
+            JOIN (SELECT DISTINCT event_type FROM h) b
+              ON a.event_type < b.event_type
+        ),
+        member AS (
+            SELECT tp.type_a, tp.type_b, h.hv,
+                   max(CASE WHEN h.event_type = tp.type_a THEN 1 ELSE 0 END)
+                       AS in_a,
+                   max(CASE WHEN h.event_type = tp.type_b THEN 1 ELSE 0 END)
+                       AS in_b
+            FROM tp JOIN h
+              ON h.event_type = tp.type_a OR h.event_type = tp.type_b
+            GROUP BY tp.type_a, tp.type_b, h.hv
+        ),
+        ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY type_a, type_b
+                                         ORDER BY hv) AS rn
+            FROM member
+        ),
+        bottom AS (SELECT * FROM ranked WHERE rn <= {KMV_K}),
+        agg AS (
+            SELECT type_a, type_b,
+                   CAST(count(*) AS BIGINT) AS n_sample,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_both,
+                   max(CASE WHEN rn = {KMV_K} THEN hv END) AS kth_min
+            FROM bottom GROUP BY type_a, type_b
+        ),
+        exact AS (
+            SELECT type_a, type_b,
+                   CAST(sum(in_a * in_b) AS BIGINT) AS n_exact_inter
+            FROM member GROUP BY type_a, type_b
+        )
+        SELECT a.type_a, a.type_b, e.n_exact_inter, a.n_both,
+               CASE WHEN a.kth_min IS NULL
+                    THEN CAST(a.n_sample AS DOUBLE)
+                    ELSE CAST({KMV_K - 1} AS DOUBLE) * {_KMV_HASH_SPACE}
+                         / a.kth_min END AS union_estimate,
+               CASE WHEN a.kth_min IS NULL
+                    THEN CAST(a.n_both AS DOUBLE)
+                    ELSE (CAST(a.n_both AS DOUBLE) / {KMV_K})
+                         * (CAST({KMV_K - 1} AS DOUBLE) * {_KMV_HASH_SPACE}
+                            / a.kth_min) END AS inter_estimate
+        FROM agg a JOIN exact e USING (type_a, type_b)
+    """,
+    doc=f"KMV/theta-sketch SET ALGEBRA: pairwise audience-overlap"
+    f" estimates between event-type user sets. The union's bottom-{KMV_K}"
+    " sketch is a uniform sample of A UNION B, so the fraction of its"
+    " entries present in both sides estimates the Jaccard, and"
+    " intersection = jaccard_hat * union_hat — the composition"
+    " theta sketches use (Dasgupta et al., DataSketches). Deterministic"
+    " md5 hashing makes the estimate EXACTLY replayable (hash-checked"
+    " against DuckDB, with the exact intersection beside it to expose"
+    " the error). Scale: per-type bottom-k partials are k-row"
+    " mergeables; the pair expansion is over the tiny type directory,"
+    " never over raw events. The n_both/k ratio and the (k-1)*H/kth"
+    " division are the only float steps (5-bit mantissa numerators"
+    " - engine-exact).",
+)
+def q_kmv_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.expr(
+        "cast(conv(substr(md5(concat('kmv_', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    h = ev.select("event_type", hv.alias("hv")).distinct()
+    types = h.select("event_type").distinct()
+    tp = (
+        types.select(F.col("event_type").alias("type_a"))
+        .join(
+            types.select(F.col("event_type").alias("type_b")),
+            F.col("type_a") < F.col("type_b"),
+        )
+    )
+    member = (
+        h.join(
+            F.broadcast(tp),
+            (F.col("event_type") == F.col("type_a"))
+            | (F.col("event_type") == F.col("type_b")),
+        )
+        .groupBy("type_a", "type_b", "hv")
+        .agg(
+            F.max((F.col("event_type") == F.col("type_a")).cast("int")).alias("in_a"),
+            F.max((F.col("event_type") == F.col("type_b")).cast("int")).alias("in_b"),
+        )
+    )
+    w = Window.partitionBy("type_a", "type_b").orderBy("hv")
+    bottom = member.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") <= KMV_K
+    )
+    agg = bottom.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sample"),
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_both"),
+        F.max(F.when(F.col("rn") == KMV_K, F.col("hv"))).alias("kth_min"),
+    )
+    exact = member.groupBy("type_a", "type_b").agg(
+        F.sum(F.col("in_a") * F.col("in_b")).cast("bigint").alias("n_exact_inter")
+    )
+    union_est = F.when(
+        F.col("kth_min").isNull(), F.col("n_sample").cast("double")
+    ).otherwise(
+        F.lit(float(KMV_K - 1)) * F.lit(float(_KMV_HASH_SPACE)) / F.col("kth_min")
+    )
+    inter_est = F.when(
+        F.col("kth_min").isNull(), F.col("n_both").cast("double")
+    ).otherwise(
+        (F.col("n_both").cast("double") / F.lit(float(KMV_K)))
+        * (
+            F.lit(float(KMV_K - 1))
+            * F.lit(float(_KMV_HASH_SPACE))
+            / F.col("kth_min")
+        )
+    )
+    return agg.join(exact, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "n_exact_inter",
+        "n_both",
+        union_est.alias("union_estimate"),
+        inter_est.alias("inter_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL mergeability: daily partials merged == whole-range build
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_hll_merge_daily",
+    oracle=f"""
+        WITH reg AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   hv % {HLL_M} AS register,
+                   hv // {HLL_M} AS rest
+            FROM (
+                SELECT event_type, ts,
+                       CAST(('0x' || substr(md5('hll_' || CAST(user_id AS VARCHAR)),
+                                            1, 15)) AS BIGINT) AS hv
+                FROM events
+            )
+        ),
+        daily AS (
+            SELECT event_type, d, register,
+                   min(CASE WHEN rest = 0 THEN 0
+                            ELSE length(bin(rest)) END) AS msb
+            FROM reg GROUP BY event_type, d, register
+        ),
+        merged AS (
+            SELECT event_type, register, min(msb) AS msb
+            FROM daily GROUP BY event_type, register
+        ),
+        direct AS (
+            SELECT event_type, register,
+                   min(CASE WHEN rest = 0 THEN 0
+                            ELSE length(bin(rest)) END) AS msb
+            FROM reg GROUP BY event_type, register
+        ),
+        zm AS (
+            SELECT event_type,
+                   CAST(sum(CAST(1 AS BIGINT) << msb) AS BIGINT) AS zsum,
+                   CAST(count(*) AS BIGINT) AS n_used
+            FROM merged GROUP BY event_type
+        ),
+        zd AS (
+            SELECT event_type,
+                   CAST(sum(CAST(1 AS BIGINT) << msb) AS BIGINT) AS zsum,
+                   CAST(count(*) AS BIGINT) AS n_used
+            FROM direct GROUP BY event_type
+        ),
+        nd AS (
+            SELECT event_type,
+                   CAST(count(DISTINCT date_trunc('day', ts)) AS BIGINT)
+                       AS n_days
+            FROM events GROUP BY event_type
+        )
+        SELECT m.event_type, nd.n_days,
+               {_HLL_ALPHA_M2} * CAST({1 << (_HLL_REST_BITS + 1)} AS DOUBLE)
+                   / (m.zsum + (CAST({HLL_M} AS BIGINT) - m.n_used)
+                      * CAST({1 << (_HLL_REST_BITS + 1)} AS BIGINT))
+                   AS est_merged,
+               {_HLL_ALPHA_M2} * CAST({1 << (_HLL_REST_BITS + 1)} AS DOUBLE)
+                   / (d.zsum + (CAST({HLL_M} AS BIGINT) - d.n_used)
+                      * CAST({1 << (_HLL_REST_BITS + 1)} AS BIGINT))
+                   AS est_direct,
+               CAST(m.zsum = d.zsum AND m.n_used = d.n_used AS BOOLEAN)
+                   AS partials_lossless
+        FROM zm m JOIN zd d USING (event_type) JOIN nd USING (event_type)
+    """,
+    doc="HLL MERGEABILITY, proven on data: build one register-vector"
+    " partial per (event_type, day), merge the daily partials"
+    " (register-wise min-msb = max-rho), and show the merged estimate"
+    " equals the whole-range single-pass build BIT-FOR-BIT"
+    " (partials_lossless column). This is the property that makes"
+    " sketch rollups work at 100 TB: daily partials are built once in"
+    " the ingest pass, and any date-range NDV (weekly, monthly,"
+    " backfill) is a register-wise min over partials — no re-scan of"
+    " raw events, associative, and exactly as accurate as a direct"
+    " build. Same hand-rolled exact-replay HLL as q_hll_manual"
+    " (integer registers, one final literal-coefficient division), so"
+    " DuckDB replays both arms hash-exactly.",
+)
+def q_hll_merge_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hv = F.expr(
+        "cast(conv(substr(md5(concat('hll_', cast(user_id as string))),"
+        " 1, 15), 16, 10) as bigint)"
+    )
+    reg = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        (hv % HLL_M).alias("register"),
+        F.expr(
+            "cast(conv(substr(md5(concat('hll_', cast(user_id as string))),"
+            f" 1, 15), 16, 10) as bigint) DIV {HLL_M}"
+        ).alias("rest"),
+    )
+    msb = F.min(
+        F.when(F.col("rest") == 0, 0).otherwise(F.length(F.expr("bin(rest)")))
+    ).cast("bigint")
+    daily = reg.groupBy("event_type", "d", "register").agg(msb.alias("msb"))
+    merged = daily.groupBy("event_type", "register").agg(
+        F.min("msb").cast("bigint").alias("msb")
+    )
+    direct = reg.groupBy("event_type", "register").agg(msb.alias("msb"))
+
+    def z(frame):
+        return frame.groupBy("event_type").agg(
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), CAST(msb AS INT))"))
+            .cast("bigint")
+            .alias("zsum"),
+            F.count(F.lit(1)).cast("bigint").alias("n_used"),
+        )
+
+    full = F.lit(1 << (_HLL_REST_BITS + 1)).cast("bigint")
+
+    def est(zsum, n_used):
+        return (
+            F.lit(_HLL_ALPHA_M2)
+            * full.cast("double")
+            / (zsum + (F.lit(HLL_M) - n_used) * full).cast("double")
+        )
+
+    zm = z(merged)
+    zd = z(direct).select(
+        "event_type",
+        F.col("zsum").alias("zsum_d"),
+        F.col("n_used").alias("n_used_d"),
+    )
+    nd = ev.groupBy("event_type").agg(
+        F.countDistinct(F.date_trunc("day", "ts")).cast("bigint").alias("n_days")
+    )
+    return (
+        zm.join(zd, "event_type")
+        .join(nd, "event_type")
+        .select(
+            "event_type",
+            "n_days",
+            est(F.col("zsum"), F.col("n_used")).alias("est_merged"),
+            est(F.col("zsum_d"), F.col("n_used_d")).alias("est_direct"),
+            (
+                (F.col("zsum") == F.col("zsum_d"))
+                & (F.col("n_used") == F.col("n_used_d"))
+            ).alias("partials_lossless"),
+        )
+    )
