@@ -486,3 +486,127 @@ def q_seq_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Off-policy evaluation: IPS / SNIPS over the event log
+# ---------------------------------------------------------------------------
+
+_IPS_CTX_BUCKETS = 10
+
+
+@register(
+    "q_ips_offpolicy",
+    oracle=f"""
+        WITH log_ AS (
+            SELECT user_id % {_IPS_CTX_BUCKETS} AS ctx,
+                   event_type AS action,
+                   CAST(round(value * 100) AS BIGINT) AS r_fx
+            FROM events
+        ),
+        ctx_n AS (SELECT ctx, CAST(count(*) AS BIGINT) AS n_ctx
+                  FROM log_ GROUP BY ctx),
+        act_n AS (
+            SELECT ctx, action, CAST(count(*) AS BIGINT) AS n_act,
+                   CAST(sum(r_fx) AS BIGINT) AS sum_r_fx
+            FROM log_ GROUP BY ctx, action
+        ),
+        target AS (
+            SELECT ctx, action AS pi_action
+            FROM (
+                SELECT ctx, action,
+                       row_number() OVER (
+                           PARTITION BY ctx
+                           ORDER BY sum_r_fx * 1000000 // n_act DESC, action
+                       ) AS rk
+                FROM act_n
+            )
+            WHERE rk = 1
+        ),
+        matched AS (
+            SELECT a.ctx, a.action, a.n_act, a.sum_r_fx
+            FROM act_n a JOIN target t
+              ON a.ctx = t.ctx AND a.action = t.pi_action
+        ),
+        logged AS (
+            SELECT ctx, CAST(sum(r_fx) AS BIGINT) AS sum_all_fx
+            FROM log_ GROUP BY ctx
+        )
+        SELECT m.ctx, m.action AS pi_action,
+               m.n_act AS n_matched, c.n_ctx,
+               CAST(m.n_act AS DOUBLE) / c.n_ctx AS propensity,
+               CAST(m.sum_r_fx AS DOUBLE) * c.n_ctx
+                   / (m.n_act * 100.0 * c.n_ctx) AS ips_value,
+               CAST(m.sum_r_fx AS DOUBLE) / (m.n_act * 100.0)
+                   AS snips_value,
+               CAST(l.sum_all_fx AS DOUBLE) / (c.n_ctx * 100.0)
+                   AS logged_value
+        FROM matched m
+        JOIN ctx_n c USING (ctx)
+        JOIN logged l USING (ctx)
+    """,
+    doc="Off-policy evaluation (IPS / self-normalized IPS) of a greedy"
+    " target policy over the logged event stream: context = user-id"
+    " bucket, logged action = event_type, reward = value; the logging"
+    " propensity is the empirical action share per context and the"
+    " target policy picks the empirically-best action (integer-scaled"
+    " mean, deterministic action tie-break). IPS ="
+    " mean(1{{a=pi(x)}} r / p(a|x)); with a deterministic target the"
+    " per-context estimate collapses to closed form over three exact"
+    " integer aggregates (rewards are cent-exact int64), so every"
+    " float column is ONE final division — engine-exact, no float"
+    " accumulation anywhere. Scale: two partial-agg passes over the"
+    " log + a per-context argmax on the tiny (ctx, action) table;"
+    " nothing driver-side.",
+)
+def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    log_ = ev.select(
+        (F.col("user_id") % _IPS_CTX_BUCKETS).alias("ctx"),
+        F.col("event_type").alias("action"),
+        F.round(F.col("value") * 100).cast("bigint").alias("r_fx"),
+    )
+    ctx_n = log_.groupBy("ctx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ctx")
+    )
+    act_n = log_.groupBy("ctx", "action").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_act"),
+        F.sum("r_fx").cast("bigint").alias("sum_r_fx"),
+    )
+    w = Window.partitionBy("ctx").orderBy(
+        F.desc(F.expr("sum_r_fx * 1000000 div n_act")), F.asc("action")
+    )
+    target = (
+        act_n.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("ctx", F.col("action").alias("pi_action"))
+    )
+    matched = act_n.join(
+        target.withColumnRenamed("pi_action", "action"),
+        ["ctx", "action"],
+    ).select("ctx", "action", "n_act", "sum_r_fx")
+    logged = log_.groupBy("ctx").agg(
+        F.sum("r_fx").cast("bigint").alias("sum_all_fx")
+    )
+    return (
+        matched.join(ctx_n, "ctx")
+        .join(logged, "ctx")
+        .select(
+            "ctx",
+            F.col("action").alias("pi_action"),
+            F.col("n_act").alias("n_matched"),
+            "n_ctx",
+            (F.col("n_act").cast("double") / F.col("n_ctx")).alias("propensity"),
+            (
+                F.col("sum_r_fx").cast("double")
+                * F.col("n_ctx")
+                / (F.col("n_act") * 100.0 * F.col("n_ctx"))
+            ).alias("ips_value"),
+            (
+                F.col("sum_r_fx").cast("double") / (F.col("n_act") * 100.0)
+            ).alias("snips_value"),
+            (
+                F.col("sum_all_fx").cast("double") / (F.col("n_ctx") * 100.0)
+            ).alias("logged_value"),
+        )
+    )

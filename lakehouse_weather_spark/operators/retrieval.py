@@ -440,3 +440,174 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         picks, "rank int, vec_id long, rel_fx long, maxsim_fx long"
     )
+
+
+# ---------------------------------------------------------------------------
+# ROUGE overlap between paired documents (summarization-eval primitive)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_rouge_overlap",
+    oracle="""
+        WITH paired AS (
+            SELECT doc_id, doc_id // 2 AS pid, doc_id % 2 AS role, text
+            FROM documents
+        ),
+        uni AS (
+            SELECT pid, role, word, count(*) AS c
+            FROM (
+                SELECT pid, role, unnest(string_split(text, ' ')) AS word
+                FROM paired
+            ) GROUP BY pid, role, word
+        ),
+        lens AS (
+            SELECT pid, role, CAST(sum(c) AS BIGINT) AS n_words
+            FROM uni GROUP BY pid, role
+        ),
+        clip1 AS (
+            SELECT a.pid,
+                   CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+            FROM uni a JOIN uni b
+              ON a.pid = b.pid AND a.role = 0 AND b.role = 1
+             AND a.word = b.word
+            GROUP BY a.pid
+        ),
+        bi AS (
+            SELECT pid, role, w1 || ' ' || w2 AS bg, count(*) AS c
+            FROM (
+                SELECT pid, role, words[i] AS w1, words[i + 1] AS w2
+                FROM (
+                    SELECT pid, role, string_split(text, ' ') AS words,
+                           unnest(generate_series(
+                               1, len(string_split(text, ' ')) - 1)) AS i
+                    FROM paired
+                )
+            ) GROUP BY pid, role, bg
+        ),
+        bilens AS (
+            SELECT pid, role, CAST(sum(c) AS BIGINT) AS n_bg
+            FROM bi GROUP BY pid, role
+        ),
+        clip2 AS (
+            SELECT a.pid, CAST(sum(least(a.c, b.c)) AS BIGINT) AS clip
+            FROM bi a JOIN bi b
+              ON a.pid = b.pid AND a.role = 0 AND b.role = 1
+             AND a.bg = b.bg
+            GROUP BY a.pid
+        )
+        SELECT lr.pid,
+               lr.n_words AS ref_words, lc.n_words AS cand_words,
+               coalesce(c1.clip, 0) AS rouge1_clip,
+               coalesce(c2.clip, 0) AS rouge2_clip,
+               CAST(coalesce(c1.clip, 0) AS DOUBLE) / lr.n_words
+                   AS rouge1_recall,
+               CAST(coalesce(c1.clip, 0) AS DOUBLE) / lc.n_words
+                   AS rouge1_precision,
+               CAST(2 * coalesce(c1.clip, 0) AS DOUBLE)
+                   / (lr.n_words + lc.n_words) AS rouge1_f1,
+               CAST(coalesce(c2.clip, 0) AS DOUBLE) / br.n_bg
+                   AS rouge2_recall
+        FROM lens lr
+        JOIN lens lc ON lc.pid = lr.pid AND lc.role = 1
+        JOIN bilens br ON br.pid = lr.pid AND br.role = 0
+        LEFT JOIN clip1 c1 ON c1.pid = lr.pid
+        LEFT JOIN clip2 c2 ON c2.pid = lr.pid
+        WHERE lr.role = 0
+    """,
+    doc="ROUGE-1/2 overlap (Lin 2004, clipped n-gram counts) between"
+    " deterministically paired documents (doc 2p = reference, 2p+1 ="
+    " candidate) — the summarization / near-dup-explanation eval"
+    " primitive. Clipped overlap = sum over n-grams of"
+    " min(count_ref, count_cand) via ONE equi-join on (pair, n-gram)"
+    " of the per-doc count tables; F1 = 2*clip/(len_r + len_c) is"
+    " algebraically identical to the harmonic mean but avoids the"
+    " intermediate P,R divisions (one IEEE division per output column,"
+    " engine-exact). Scale: n-gram count tables are narrow explodes +"
+    " one partial agg; the join key (pid, ngram) is high-cardinality,"
+    " skew-free.",
+)
+def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    paired = docs.select(
+        (F.col("doc_id") / 2).cast("bigint").alias("pid"),
+        (F.col("doc_id") % 2).alias("role"),
+        "text",
+    )
+    uni = (
+        paired.select(
+            "pid", "role", F.explode(F.split("text", " ")).alias("word")
+        )
+        .groupBy("pid", "role", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    lens = uni.groupBy("pid", "role").agg(
+        F.sum("c").cast("bigint").alias("n_words")
+    )
+    u0 = uni.filter(F.col("role") == 0).select("pid", "word", F.col("c").alias("c0"))
+    u1 = uni.filter(F.col("role") == 1).select("pid", "word", F.col("c").alias("c1"))
+    clip1 = (
+        u0.join(u1, ["pid", "word"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("c0", "c1")).cast("bigint").alias("clip1"))
+    )
+    bi = (
+        paired.select(
+            "pid",
+            "role",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                    " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
+                )
+            ).alias("bg"),
+        )
+        .groupBy("pid", "role", "bg")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    bilens = bi.groupBy("pid", "role").agg(
+        F.sum("c").cast("bigint").alias("n_bg")
+    )
+    b0 = bi.filter(F.col("role") == 0).select("pid", "bg", F.col("c").alias("c0"))
+    b1 = bi.filter(F.col("role") == 1).select("pid", "bg", F.col("c").alias("c1"))
+    clip2 = (
+        b0.join(b1, ["pid", "bg"])
+        .groupBy("pid")
+        .agg(F.sum(F.least("c0", "c1")).cast("bigint").alias("clip2"))
+    )
+    lr = lens.filter(F.col("role") == 0).select(
+        "pid", F.col("n_words").alias("ref_words")
+    )
+    lc = lens.filter(F.col("role") == 1).select(
+        "pid", F.col("n_words").alias("cand_words")
+    )
+    br = bilens.filter(F.col("role") == 0).select(
+        "pid", F.col("n_bg").alias("ref_bg")
+    )
+    out = (
+        lr.join(lc, "pid")
+        .join(br, "pid")
+        .join(clip1, "pid", "left")
+        .join(clip2, "pid", "left")
+        .select(
+            "pid",
+            "ref_words",
+            "cand_words",
+            F.coalesce("clip1", F.lit(0)).cast("bigint").alias("rouge1_clip"),
+            F.coalesce("clip2", F.lit(0)).cast("bigint").alias("rouge2_clip"),
+            (
+                F.coalesce("clip1", F.lit(0)).cast("double") / F.col("ref_words")
+            ).alias("rouge1_recall"),
+            (
+                F.coalesce("clip1", F.lit(0)).cast("double") / F.col("cand_words")
+            ).alias("rouge1_precision"),
+            (
+                (2 * F.coalesce("clip1", F.lit(0))).cast("double")
+                / (F.col("ref_words") + F.col("cand_words"))
+            ).alias("rouge1_f1"),
+            (
+                F.coalesce("clip2", F.lit(0)).cast("double") / F.col("ref_bg")
+            ).alias("rouge2_recall"),
+        )
+    )
+    return out

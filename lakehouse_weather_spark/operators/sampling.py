@@ -927,3 +927,58 @@ def q_sequence_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
             "waste_tokens"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-group reservoir sampling (hash-order equivalent)
+# ---------------------------------------------------------------------------
+
+RESERVOIR_K = 5
+
+_RES_H_SPARK = (
+    "cast(conv(substr(md5(concat('res_', cast(doc_id as string))), 1, 15),"
+    " 16, 10) as bigint)"
+)
+_RES_H_DUCK = (
+    "CAST(('0x' || substr(md5('res_' || CAST(doc_id AS VARCHAR)), 1, 15))"
+    " AS BIGINT)"
+)
+
+
+@register(
+    "q_reservoir_per_group",
+    oracle=f"""
+        SELECT doc_id, source, n_chars, CAST(rk AS BIGINT) AS sample_rank
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (PARTITION BY source
+                                      ORDER BY {_RES_H_DUCK}, doc_id) AS rk
+            FROM documents
+        )
+        WHERE rk <= {RESERVOIR_K}
+    """,
+    doc=f"Per-source uniform {RESERVOIR_K}-document sample — the"
+    " distributed equivalent of per-group reservoir sampling"
+    " (Vitter's algorithm R keeps a uniform k-subset under streaming;"
+    " keeping the k smallest values of a uniform random key is the"
+    " same distribution, and a salted md5 of the row key IS that"
+    " uniform key, made deterministic). Scale shape: per-partition"
+    " partial top-k merges into a global per-group top-k"
+    " (TakeOrdered-like, mergeable, one shuffle of k-row partials);"
+    " no global sort, no rand() (partitioning-dependent), replayable"
+    " across engines and reruns — which is exactly why hash-order"
+    " reservoirs are how production pipelines sample eval sets.",
+)
+def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(F.expr(_RES_H_SPARK), F.col("doc_id"))
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= RESERVOIR_K)
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            F.col("sample_rank").cast("bigint").alias("sample_rank"),
+        )
+    )

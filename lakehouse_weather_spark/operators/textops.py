@@ -1468,3 +1468,178 @@ def q_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_pairs"), "w1", "w2", "distance")
         .limit(_SG_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Doc-level word co-occurrence lift (market-basket association)
+# ---------------------------------------------------------------------------
+
+_LIFT_MIN_SUPPORT = 25
+_LIFT_TOPK = 30
+
+
+@register(
+    "q_cooccur_lift",
+    oracle=f"""
+        WITH dw AS (
+            SELECT DISTINCT doc_id, word
+            FROM (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                FROM documents
+            )
+        ),
+        n AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+              FROM dw),
+        wc AS (SELECT word, CAST(count(*) AS BIGINT) AS c FROM dw
+               GROUP BY word),
+        pairs AS (
+            SELECT a.word AS w1, b.word AS w2,
+                   CAST(count(*) AS BIGINT) AS c_both
+            FROM dw a JOIN dw b
+              ON a.doc_id = b.doc_id AND a.word < b.word
+            GROUP BY a.word, b.word
+        )
+        SELECT p.w1, p.w2, p.c_both, ca.c AS c_w1, cb.c AS c_w2,
+               CAST(n.n_docs * p.c_both AS DOUBLE) / (ca.c * cb.c) AS lift
+        FROM pairs p
+        JOIN wc ca ON ca.word = p.w1
+        JOIN wc cb ON cb.word = p.w2
+        CROSS JOIN n
+        WHERE p.c_both >= {_LIFT_MIN_SUPPORT}
+        ORDER BY CAST(n.n_docs * p.c_both AS DOUBLE) / (ca.c * cb.c) DESC,
+                 w1, w2
+        LIMIT {_LIFT_TOPK}
+    """,
+    doc=f"Document-level word co-occurrence LIFT, top {_LIFT_TOPK} pairs"
+    f" with support >= {_LIFT_MIN_SUPPORT} docs: lift ="
+    " N*c(a,b)/(c(a)*c(b)) — the rational-arithmetic association"
+    " measure (PMI without the engine-dependent log; same ranking)."
+    " Pair generation is per-document over the DISTINCT word set"
+    " (array pair expansion is bounded by per-doc vocabulary, the"
+    " market-basket analogue of the df-cap), counts aggregate with"
+    " map-side partials, and the result is a TakeOrdered top-k —"
+    " no global sort. The lift division is the single float step.",
+)
+def q_cooccur_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    dw = docs.select(
+        "doc_id",
+        F.explode(F.expr("array_distinct(split(text, ' '))")).alias("word"),
+    )
+    n = dw.agg(F.countDistinct("doc_id").cast("bigint").alias("n_docs"))
+    wc = dw.groupBy("word").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # per-doc sorted word array -> nested pair expansion (w1 < w2 by
+    # construction), same narrow pattern as the jaccard bucket pair-gen
+    pair_expr = F.expr(
+        "flatten(transform(ws, (x, i) ->"
+        " transform(slice(ws, i + 2, size(ws)), y -> struct(x AS w1, y AS w2))))"
+    )
+    pairs = (
+        dw.groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("word")).alias("ws"))
+        .select(F.explode(pair_expr).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_both"))
+        .filter(F.col("c_both") >= _LIFT_MIN_SUPPORT)
+    )
+    lift = (
+        F.col("n_docs").cast("double") * F.col("c_both")
+    ) / (F.col("c_w1") * F.col("c_w2"))
+    return (
+        pairs.join(wc.select(F.col("word").alias("w1"), F.col("c").alias("c_w1")), "w1")
+        .join(wc.select(F.col("word").alias("w2"), F.col("c").alias("c_w2")), "w2")
+        .crossJoin(F.broadcast(n))
+        .select("w1", "w2", "c_both", "c_w1", "c_w2", lift.alias("lift"))
+        .orderBy(F.desc("lift"), "w1", "w2")
+        .limit(_LIFT_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Generation-loop detector: runs of identical fixed-size blocks
+# ---------------------------------------------------------------------------
+
+_LOOP_BLOCK = 16
+_LOOP_MIN_RUN = 3
+
+
+@register(
+    "q_repetition_loops",
+    oracle=f"""
+        WITH blocks AS (
+            SELECT doc_id, i,
+                   substring(text, (i - 1) * {_LOOP_BLOCK} + 1,
+                             {_LOOP_BLOCK}) AS blk
+            FROM (
+                SELECT doc_id, text,
+                       unnest(generate_series(
+                           1, (length(text) + {_LOOP_BLOCK - 1})
+                              // {_LOOP_BLOCK})) AS i
+                FROM documents
+            )
+        ),
+        flagged AS (
+            SELECT doc_id, i, blk,
+                   CASE WHEN blk = lag(blk) OVER
+                       (PARTITION BY doc_id ORDER BY i)
+                       THEN 0 ELSE 1 END AS is_new
+            FROM blocks
+        ),
+        grp AS (
+            SELECT doc_id,
+                   sum(is_new) OVER (PARTITION BY doc_id ORDER BY i
+                       ROWS UNBOUNDED PRECEDING) AS g
+            FROM flagged
+        ),
+        runs AS (
+            SELECT doc_id, g, CAST(count(*) AS BIGINT) AS run_len
+            FROM grp GROUP BY doc_id, g
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_runs,
+               max(run_len) AS max_run,
+               max(run_len) >= {_LOOP_MIN_RUN} AS has_loop
+        FROM runs GROUP BY doc_id
+    """,
+    doc=f"Degenerate-repetition (generation-loop) detector: chunk each"
+    f" doc into fixed {_LOOP_BLOCK}-char blocks and measure the longest"
+    " run of IDENTICAL consecutive blocks (lag-compare -> gaps-and-"
+    f"islands run grouping); max_run >= {_LOOP_MIN_RUN} flags the"
+    " doc. The cheap screen for model-generated loop text and boiler-"
+    "plate stutter that n-gram ratio filters (q_quality_repetition)"
+    " miss when the loop period exceeds the n-gram. All windows"
+    " partition by doc_id — narrow per-doc work at any corpus size;"
+    " backreference regexes (the other way to find loops) are"
+    " RE2-incompatible and unscannable.",
+)
+def q_repetition_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = fan_out(load_table(spark, sf_dir, "documents"), "doc_id")
+    blocks = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, (length(text) + {_LOOP_BLOCK - 1})"
+                f" div {_LOOP_BLOCK}),"
+                f" i -> substring(text, (i - 1) * {_LOOP_BLOCK} + 1,"
+                f" {_LOOP_BLOCK}))"
+            )
+        ).alias("i", "blk"),
+    )
+    wo = Window.partitionBy("doc_id").orderBy("i")
+    flagged = blocks.withColumn(
+        "is_new",
+        F.when(F.col("blk") == F.lag("blk").over(wo), 0).otherwise(1),
+    )
+    grp = flagged.withColumn(
+        "g", F.sum("is_new").over(wo.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    runs = grp.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).cast("bigint").alias("run_len")
+    )
+    return runs.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_runs"),
+        F.max("run_len").alias("max_run"),
+        (F.max("run_len") >= _LOOP_MIN_RUN).alias("has_loop"),
+    )

@@ -231,7 +231,7 @@ _ROUND5_NEW: frozenset[str] = frozenset({
     "q_reservoir_per_group",
     "q_kmv_intersect",
     "q_ips_offpolicy",
-    "q_perplexity_bucket",
+    "q_stream_dedup",
     "q_cooccur_lift",
     "q_graph_2hop",
     "q_modularity",
