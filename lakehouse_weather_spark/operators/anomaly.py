@@ -1574,3 +1574,85 @@ def q_local_peaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "prominence"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-data / out-of-orderness audit (watermark sizing input)
+# ---------------------------------------------------------------------------
+
+# lateness histogram bucket upper bounds, seconds (last bucket open)
+_LATE_BOUNDS = (0, 60, 600, 3600, 21600, 86400)
+
+
+@register(
+    "q_late_data_audit",
+    oracle=f"""
+        WITH seq AS (
+            SELECT event_type,
+                   CAST(epoch(max(ts) OVER (PARTITION BY user_id
+                            ORDER BY event_id
+                            ROWS UNBOUNDED PRECEDING)) AS BIGINT)
+                   - CAST(epoch(ts) AS BIGINT) AS late_s
+            FROM events
+        ),
+        bucketed AS (
+            SELECT event_type,
+                   CASE
+                       WHEN late_s <= 0 THEN 'b0_on_time'
+                       WHEN late_s <= 60 THEN 'b1_1min'
+                       WHEN late_s <= 600 THEN 'b2_10min'
+                       WHEN late_s <= 3600 THEN 'b3_1h'
+                       WHEN late_s <= 21600 THEN 'b4_6h'
+                       WHEN late_s <= 86400 THEN 'b5_1d'
+                       ELSE 'b6_over_1d' END AS bucket,
+                   late_s
+            FROM seq
+        )
+        SELECT event_type, bucket,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(late_s) AS BIGINT) AS max_late_s
+        FROM bucketed
+        GROUP BY event_type, bucket
+    """,
+    doc="Out-of-orderness audit over the event log: per event, lateness"
+    " = (running max event-time so far in ARRIVAL order, per user) -"
+    " own event-time; histogrammed per event type. This is the"
+    " empirical input that sizes a Structured Streaming WATERMARK —"
+    " pick the bucket that covers the tail you are willing to wait"
+    " for, and streaming/events.py's watermarked aggregations drop"
+    " exactly what this query quantifies (its APPEND-mode test"
+    " demonstrates the drop). Arrival order = event_id (the log's"
+    " monotone ingest key). All windows partition by user_id — narrow"
+    " per-user scans, no global ordering anywhere.",
+)
+def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type",
+        (
+            F.unix_timestamp(F.max("ts").over(w))
+            - F.unix_timestamp("ts")
+        ).cast("bigint").alias("late_s"),
+    )
+    bucket = (
+        F.when(F.col("late_s") <= 0, "b0_on_time")
+        .when(F.col("late_s") <= 60, "b1_1min")
+        .when(F.col("late_s") <= 600, "b2_10min")
+        .when(F.col("late_s") <= 3600, "b3_1h")
+        .when(F.col("late_s") <= 21600, "b4_6h")
+        .when(F.col("late_s") <= 86400, "b5_1d")
+        .otherwise("b6_over_1d")
+    )
+    return (
+        late.withColumn("bucket", bucket)
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("late_s").cast("bigint").alias("max_late_s"),
+        )
+    )

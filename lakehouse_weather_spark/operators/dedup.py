@@ -42,12 +42,12 @@ _SPARK_H = "cast(conv(substr(md5({expr}), 1, 15), 16, 10) as bigint)"
 _DUCK_H = "CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
 
 
-def _spark_shingles(text_col: str = "text") -> str:
-    """SQL expr: word 3-gram shingles of a text column."""
+def _spark_shingles(text_col: str = "text", words: int = SHINGLE_WORDS) -> str:
+    """SQL expr: word n-gram shingles of a text column."""
     w = f"split({text_col}, ' ')"
     return (
-        f"transform(sequence(1, greatest(size({w}) - {SHINGLE_WORDS - 1}, 1)),"
-        f" i -> concat_ws(' ', slice({w}, i, {SHINGLE_WORDS})))"
+        f"transform(sequence(1, greatest(size({w}) - {words - 1}, 1)),"
+        f" i -> concat_ws(' ', slice({w}, i, {words})))"
     )
 
 
@@ -61,7 +61,9 @@ def _sample_docs(docs: DataFrame, doc_cap: int) -> DataFrame:
     return docs.orderBy(order, "doc_id").limit(doc_cap)
 
 
-def _spark_shingle_hashes(spark, sf_dir, doc_cap: int | None = None) -> DataFrame:
+def _spark_shingle_hashes(
+    spark, sf_dir, doc_cap: int | None = None, words: int = SHINGLE_WORDS
+) -> DataFrame:
     """Distinct (doc_id, h) word-3-gram shingle hashes — the join/
     signature currency for minhash + jaccard (60-bit ints join ~5x
     faster than shingle strings and shrink the shuffle).
@@ -83,23 +85,23 @@ def _spark_shingle_hashes(spark, sf_dir, doc_cap: int | None = None) -> DataFram
     # narrow; md5->int runs AFTER the explode, on a flat column, where
     # whole-stage codegen vectorizes it (hashing inside the transform
     # lambda is evaluated interpreted, per element — ~2x slower).
-    shingles = F.expr(f"array_distinct({_spark_shingles()})")
+    shingles = F.expr(f"array_distinct({_spark_shingles(words=words)})")
     return docs.select(
         "doc_id", F.explode(shingles).alias("s")
     ).select("doc_id", F.expr(_SPARK_H.format(expr="s")).alias("h"))
 
 
-def _duck_shingles_cte(src: str = "documents") -> str:
+def _duck_shingles_cte(src: str = "documents", words: int = SHINGLE_WORDS) -> str:
     return f"""
     sh AS (
         SELECT DISTINCT doc_id,
                CAST(('0x' || substr(md5(
-                   array_to_string(words[i : i + {SHINGLE_WORDS - 1}], ' ')
+                   array_to_string(words[i : i + {words - 1}], ' ')
                ), 1, 15)) AS BIGINT) AS h
         FROM (
             SELECT doc_id, string_split(text, ' ') AS words,
                    unnest(generate_series(
-                       1, greatest(len(string_split(text, ' ')) - {SHINGLE_WORDS - 1}, 1)
+                       1, greatest(len(string_split(text, ' ')) - {words - 1}, 1)
                    )) AS i
             FROM {src}
         )
@@ -521,7 +523,12 @@ def _jaccard_pairs(
 
 
 def _jaccard_pairs_high(
-    spark, sf_dir, t_num: int = 4, t_den: int = 5
+    spark,
+    sf_dir,
+    t_num: int = 4,
+    t_den: int = 5,
+    doc_cap: int | None = None,
+    words: int = SHINGLE_WORDS,
 ) -> DataFrame:
     """Exact jaccard pairs >= t (= t_num/t_den) via POSITIONAL PREFIX
     FILTERING (PPJoin-style) — the scale path for high thresholds.
@@ -545,7 +552,7 @@ def _jaccard_pairs_high(
     The brute-force DuckDB oracle on every consumer certifies the
     filter loses no pairs (same gate-proves-blocking pattern as
     q_editdist_neardup)."""
-    sh = _spark_shingle_hashes(spark, sf_dir)
+    sh = _spark_shingle_hashes(spark, sf_dir, doc_cap, words)
     hdf = (
         sh.groupBy("h")
         .agg(F.count(F.lit(1)).alias("df"))
@@ -1891,3 +1898,87 @@ def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("words").cast("bigint").alias("n_words"),
         F.expr(f"size({keep})").cast("bigint").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle-size sensitivity audit
+# ---------------------------------------------------------------------------
+
+_SSZ_DOC_CAP = 1500
+_SSZ_WIDTHS = (2, 3, 4, 5)
+
+
+def _ssz_oracle() -> str:
+    blocks = []
+    for w in _SSZ_WIDTHS:
+        blocks.append(f"""
+        SELECT {w} AS shingle_words,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(count(DISTINCT doc_a) + count(DISTINCT doc_b) AS BIGINT)
+                   AS n_docs_touched,
+               CAST(sum(i) AS BIGINT) AS sum_inter
+        FROM (
+            WITH samp AS (
+                SELECT doc_id, text FROM documents
+                ORDER BY md5('cap_' || CAST(doc_id AS VARCHAR)), doc_id
+                LIMIT {_SSZ_DOC_CAP}
+            ),
+            {_duck_shingles_cte(src="samp", words=w)},
+            hdf AS (SELECT h, count(*) AS df FROM sh GROUP BY h),
+            capped AS (
+                SELECT sh.doc_id, sh.h FROM sh JOIN hdf USING (h)
+                WHERE hdf.df <= {DF_CAP}
+            ),
+            sizes AS (SELECT doc_id, count(*) AS n FROM capped
+                      GROUP BY doc_id),
+            inter AS (
+                SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                       count(*) AS i
+                FROM capped a JOIN capped b
+                  ON a.h = b.h AND a.doc_id < b.doc_id
+                GROUP BY 1, 2
+            )
+            SELECT doc_a, doc_b, i
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE i * 5 >= (sa.n + sb.n - i) * 4
+        )
+        """)
+    return " UNION ALL ".join(blocks)
+
+
+@register(
+    "q_dedup_shingle_size",
+    oracle=_ssz_oracle(),
+    doc=f"Shingle-width sensitivity audit for the near-dup pipeline:"
+    f" exact jaccard >= 0.8 pair counts at word widths {_SSZ_WIDTHS},"
+    f" on the standard md5-ordered {_SSZ_DOC_CAP}-doc sample (bounded"
+    " BY CONSTRUCTION at any corpus size — the q_lsh_eval audit"
+    " pattern). Wider shingles shrink the pair set (3-grams are the"
+    " industry default; this measures how much the choice matters on"
+    " YOUR corpus before a 100 TB run commits to one). Each width runs"
+    " the prefix-filtered high-threshold path — candidates are prefix"
+    " collisions, not bucket squares — and the brute-force oracle"
+    " re-certifies losslessness at every width.",
+)
+def q_dedup_shingle_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for w in _SSZ_WIDTHS:
+        pairs = _jaccard_pairs_high(
+            spark, sf_dir, 4, 5, doc_cap=_SSZ_DOC_CAP, words=w
+        )
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            (
+                F.countDistinct("doc_a") + F.countDistinct("doc_b")
+            ).cast("bigint").alias("n_docs_touched"),
+            F.sum("n_inter").cast("bigint").alias("sum_inter"),
+        ).select(
+            F.lit(w).cast("int").alias("shingle_words"),
+            "n_pairs",
+            "n_docs_touched",
+            "sum_inter",
+        )
+        out = agg if out is None else out.unionByName(agg)
+    return out

@@ -1428,3 +1428,110 @@ def q_row_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(deleted, "D").otherwise("U").alias("change_type"),
         F.when(deleted, "").otherwise(changed).alias("changed_cols"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Range-partition planner: sampled split points + balance audit
+# ---------------------------------------------------------------------------
+
+_RSP_PARTS = 16
+_RSP_SAMPLE = 1009
+
+_RSP_H_SPARK = (
+    "cast(conv(substr(md5(concat('rsp_', cast(o_orderkey as string))),"
+    " 1, 15), 16, 10) as bigint)"
+)
+_RSP_H_DUCK = (
+    "CAST(('0x' || substr(md5('rsp_' || CAST(o_orderkey AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "q_range_split_points",
+    oracle=f"""
+        WITH s AS (
+            SELECT o_orderdate AS v FROM orders
+            ORDER BY {_RSP_H_DUCK}, o_orderkey
+            LIMIT {_RSP_SAMPLE}
+        ),
+        ranked AS (
+            SELECT v, row_number() OVER (ORDER BY v) AS rn FROM s
+        ),
+        cuts AS (
+            SELECT k,
+                   (SELECT v FROM ranked
+                    WHERE rn = (k * {_RSP_SAMPLE}) // {_RSP_PARTS}) AS cut
+            FROM (SELECT unnest(generate_series(1, {_RSP_PARTS - 1})) AS k)
+        ),
+        assigned AS (
+            SELECT (SELECT count(*) FROM cuts
+                    WHERE cut < o.o_orderdate) AS part_id,
+                   o.o_orderdate
+            FROM orders o
+        ),
+        total AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders)
+        SELECT CAST(part_id AS INTEGER) AS part_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               min(o_orderdate) AS min_key,
+               max(o_orderdate) AS max_key,
+               CAST(count(*) * {_RSP_PARTS} AS DOUBLE) / total.n
+                   AS balance_ratio
+        FROM assigned, total
+        GROUP BY part_id, total.n
+    """,
+    doc=f"Range-partition PLANNER audit: compute {_RSP_PARTS}-way"
+    " split points for a date-ordered rewrite of orders (the layout a"
+    " lakehouse write uses for time-travel-friendly, range-prunable"
+    " files) from a fixed deterministic sample, assign every row, and"
+    " report per-partition balance (ratio 1.0 = perfectly equi-depth)."
+    " This is what repartitionByRange does internally with a"
+    " NONDETERMINISTIC reservoir sample; the md5-ordered sample makes"
+    f" the boundaries reproducible AND oracle-checkable. Sample is"
+    f" bounded ({_RSP_SAMPLE} rows) at any table size; assignment is a"
+    " broadcast array lookup — one wide agg total.",
+)
+def q_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    sample = (
+        orders.select(
+            F.col("o_orderdate").alias("v"),
+            F.expr(_RSP_H_SPARK).alias("h"),
+            "o_orderkey",
+        )
+        .orderBy("h", "o_orderkey")
+        .limit(_RSP_SAMPLE)
+    )
+    ranked = sample.select(
+        "v", F.row_number().over(Window.orderBy("v")).alias("rn")
+    )
+    ks = [(k * _RSP_SAMPLE) // _RSP_PARTS for k in range(1, _RSP_PARTS)]
+    cuts = (
+        ranked.filter(F.col("rn").isin(ks))
+        .agg(F.sort_array(F.collect_list("v")).alias("cuts"))
+    )
+    assigned = orders.crossJoin(F.broadcast(cuts)).select(
+        F.expr("size(filter(cuts, c -> c < o_orderdate))").alias("part_id"),
+        "o_orderdate",
+    )
+    total = orders.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        assigned.groupBy("part_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderdate").alias("min_key"),
+            F.max("o_orderdate").alias("max_key"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("part_id").cast("int").alias("part_id"),
+            "n_rows",
+            "min_key",
+            "max_key",
+            (
+                (F.col("n_rows") * _RSP_PARTS).cast("double") / F.col("n")
+            ).alias("balance_ratio"),
+        )
+    )

@@ -971,3 +971,100 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
         LIMIT 100
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# Q3 over co-bucketed fact tables: the exchange-free repeat-join path
+# ---------------------------------------------------------------------------
+
+_BUCKETS_Q3 = 8
+
+
+def _bucketed_name(base: str, sf_dir: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"lws_{base}_b{_BUCKETS_Q3}_{tag}"
+
+
+def ensure_bucketed_facts(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Materialize orders + lineitem bucketed AND sorted by orderkey
+    (idempotent per sf_dir). This is the one-time pre-shuffle that every
+    subsequent orderkey equi-join amortizes against — the managed-table
+    analogue of Hive/Iceberg bucket transforms."""
+    from lakehouse_weather_spark.plans import write_bucketed
+
+    names = []
+    for base, key in (("orders", "o_orderkey"), ("lineitem", "l_orderkey")):
+        name = _bucketed_name(base, sf_dir)
+        if not spark.catalog.tableExists(name):
+            # the in-memory catalog forgets tables between sessions but
+            # the warehouse directory survives: clear a stale location
+            # before the managed-table write (on a real cluster the
+            # metastore persists and this branch never fires)
+            import shutil
+
+            loc = (
+                spark.conf.get("spark.sql.warehouse.dir")
+                .removeprefix("file:")
+                + f"/{name}"
+            )
+            shutil.rmtree(loc, ignore_errors=True)
+            write_bucketed(
+                load_table(spark, sf_dir, base), name, key, _BUCKETS_Q3
+            )
+        names.append(name)
+    return names[0], names[1]
+
+
+@register(
+    "q_tpch_q3_bucketed",
+    oracle=f"""
+        SELECT l.l_orderkey,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               o.o_orderdate, o.o_orderpriority
+        FROM customer c
+        JOIN orders o ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate < TIMESTAMP '1998-01-01'
+          AND l.l_shipdate > TIMESTAMP '1995-03-15'
+        GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+        ORDER BY revenue DESC, l.l_orderkey
+        LIMIT 10
+    """,
+    doc="TPC-H Q3 answered ENTIRELY WITHOUT A SHUFFLE over co-bucketed"
+    f" fact tables (orders + lineitem bucketed by orderkey x"
+    f" {_BUCKETS_Q3}): the broadcast customer join preserves the"
+    " streamed side's bucketing, the orders-lineitem sort-merge join"
+    " runs exchange-free on matching HashPartitioning, and the groupBy"
+    " (whose keys include l_orderkey) is satisfied by the same"
+    " partitioning — tests/test_plans.py asserts ZERO Exchange nodes"
+    " outside the broadcast. This is the amortization lever for"
+    " repeated 100 TB fact-fact joins: pay the layout shuffle once at"
+    " ingest, never again per query. Result is bit-identical to"
+    " q_tpch_q3 (same oracle).",
+)
+def q_tpch_q3_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders_t, lineitem_t = ensure_bucketed_facts(spark, sf_dir)
+    c = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = spark.table(orders_t).filter(
+        F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp_ntz")
+    )
+    li = spark.table(lineitem_t).filter(
+        F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp_ntz")
+    )
+    return (
+        o.join(F.broadcast(c), c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )

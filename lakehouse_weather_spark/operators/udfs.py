@@ -256,3 +256,60 @@ def q_udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.pos, b.bigram"
         " FROM v_docs_udtf d, LATERAL bigrams_udtf(d.text) b"
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL UDFs (Spark 4 CREATE FUNCTION ... RETURN): the fast UDF path
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_sql_udf",
+    oracle="""
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 100)
+                             AS BIGINT)) AS BIGINT) AS net_fx,
+               CAST(sum(CASE
+                        WHEN l_quantity < 10 THEN 0
+                        WHEN l_quantity < 30 THEN 1
+                        ELSE 2 END) AS BIGINT) AS bracket_sum
+        FROM lineitem
+        GROUP BY l_returnflag
+    """,
+    doc="SQL UDFs (Spark 4 `CREATE TEMPORARY FUNCTION ... RETURN expr`):"
+    " net_price_fx(price, discount) and qty_bracket(qty) defined ONCE"
+    " in SQL and reused across queries — the UDF abstraction that stays"
+    " INSIDE Catalyst. Unlike a Python UDF (row-at-a-time, plan-opaque,"
+    " banned from this repo's hot paths by the plan gate), a SQL UDF is"
+    " inlined into the logical plan at resolution: it codegen-fuses,"
+    " pushes down, and costs exactly what the raw expression costs —"
+    " tests/test_plans.py asserts the plan contains no BatchEvalPython"
+    " and the same WholeStageCodegen span as the inline form. The"
+    " oracle runs the macro-expanded expressions.",
+)
+def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_price_fx("
+        "price DOUBLE, discount DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(round(price * (1 - discount) * 100) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION qty_bracket(qty DOUBLE)"
+        " RETURNS INT RETURN CASE WHEN qty < 10 THEN 0"
+        " WHEN qty < 30 THEN 1 ELSE 2 END"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(count(*) AS BIGINT) AS n_items,
+               CAST(sum(net_price_fx(l_extendedprice, l_discount))
+                    AS BIGINT) AS net_fx,
+               CAST(sum(qty_bracket(l_quantity)) AS BIGINT) AS bracket_sum
+        FROM v_lineitem_sqludf
+        GROUP BY l_returnflag
+        """
+    )
