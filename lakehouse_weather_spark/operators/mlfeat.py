@@ -331,3 +331,159 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("aggregate(pairs, cast(0 as bigint), (a, p) -> a + p.cnt)")
         .alias("n_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: power iteration on an exact integer Gram matrix
+# ---------------------------------------------------------------------------
+
+_PI_X_SCALE = 1_000_000   # element quantization (exact in int64)
+_PI_VNORM = 1 << 20       # vector renorm target after each matvec
+_PI_ITERS = 3
+_PI_VEC_CAP = 4000        # deterministic md5 vector sample (audit-bounded)
+
+
+def _pi_fdiv_duck(a: str, b: str) -> str:
+    """Exact FLOOR division for possibly-negative a (b > 0), written so
+    truncating and flooring integer dividers agree: subtract the
+    non-negative mod first, then the division is exact."""
+    return f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
+
+
+def _pi_fdiv_spark(a: str, b: str) -> str:
+    return f"((({a}) - pmod({a}, {b})) div ({b}))"
+
+
+def _pi_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, _PI_ITERS + 1):
+        steps.append(f"""
+        w{k} AS (
+            SELECT g2.i AS pos, CAST(sum(g2.g * {prev}.v) AS BIGINT) AS w
+            FROM g2 JOIN {prev} ON {prev}.pos = g2.j
+            GROUP BY g2.i
+        ),
+        m{k} AS (
+            SELECT greatest(max(abs(w)), 1) // {_PI_VNORM} + 1 AS d
+            FROM w{k}
+        ),
+        v{k} AS (
+            SELECT pos, CAST({_pi_fdiv_duck('w', 'd')} AS BIGINT) AS v
+            FROM w{k}, m{k}
+        )""")
+        prev = f"v{k}"
+    return f"""
+        WITH samp AS (
+            SELECT vec_id, embedding FROM embeddings
+            ORDER BY md5('cap_' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_PI_VEC_CAP}
+        ),
+        u AS (
+            SELECT vec_id, embedding,
+                   unnest(generate_series(1, len(embedding))) AS pos
+            FROM samp
+        ),
+        xf AS (
+            SELECT vec_id, pos,
+                   CAST(round(CAST(embedding[pos] AS DOUBLE)
+                              * {_PI_X_SCALE}) AS BIGINT) AS x
+            FROM u
+        ),
+        g AS (
+            SELECT a.pos AS i, b.pos AS j, CAST(sum(a.x * b.x) AS BIGINT) AS g
+            FROM xf a JOIN xf b USING (vec_id)
+            GROUP BY a.pos, b.pos
+        ),
+        gm AS (SELECT max(abs(g)) // {_PI_VNORM} + 1 AS d FROM g),
+        g2 AS (
+            SELECT i, j, CAST({_pi_fdiv_duck('g', 'd')} AS BIGINT) AS g
+            FROM g, gm
+        ),
+        v0 AS (
+            SELECT DISTINCT i AS pos, CAST({_PI_VNORM} AS BIGINT) AS v
+            FROM g2
+        ),{{them}}
+        SELECT CAST(pos AS BIGINT) AS dim,
+               v AS v_fx,
+               CAST(v AS DOUBLE) / {_PI_VNORM} AS component
+        FROM {prev}
+    """.replace("{them}", ",".join(steps))
+
+
+@register(
+    "q_power_iteration",
+    oracle=_pi_oracle(),
+    doc=f"Distributed PCA top principal direction via {_PI_ITERS} power"
+    " iterations on an EXACT INTEGER Gram matrix: embeddings are"
+    f" fixed-point-quantized (x{_PI_X_SCALE}), the dim x dim Gram"
+    " accumulates in int64 (associative — partition-order-free), and"
+    " each matvec renormalizes with an exact floor division to the"
+    f" 2^20 scale, so all {_PI_ITERS} iterations are pure integer"
+    " arithmetic and DuckDB replays the eigenvector bit-for-bit —"
+    " power iteration WITHOUT the float-accumulation nondeterminism"
+    " that makes distributed PCA normally unreproducible. Scale shape:"
+    " the Gram reduce is one partial-agg shuffle of dim^2-sized"
+    " partials (the mapInPandas/BLAS form computes the same integers"
+    " faster; the SQL form is the provable one); every iteration is a"
+    " join+agg over the dim x dim matrix — executor-sized, never"
+    " corpus-sized. The corpus side is a deterministic md5 sample"
+    f" ({_PI_VEC_CAP} vectors), the standard bounded-audit pattern."
+    " The floor-division helper subtracts the non-negative mod first"
+    " so Spark's truncating `div` and DuckDB's flooring `//` agree on"
+    " negative numerators.",
+)
+def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    order = F.md5(F.concat(F.lit("cap_"), F.col("vec_id").cast("string")))
+    samp = emb.orderBy(order, "vec_id").limit(_PI_VEC_CAP)
+    xf = samp.select(
+        "vec_id", F.posexplode("embedding").alias("p0", "val")
+    ).select(
+        "vec_id",
+        (F.col("p0") + 1).alias("pos"),
+        F.expr(
+            f"CAST(round(CAST(val AS DOUBLE) * {_PI_X_SCALE}) AS BIGINT)"
+        ).alias("x"),
+    )
+    a = xf.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xa"))
+    b = xf.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xb"))
+    g = (
+        a.join(b, "vec_id")
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("g"))
+    )
+    gm = g.agg(
+        (F.expr(f"max(abs(g)) div {_PI_VNORM}") + 1).cast("bigint").alias("d")
+    )
+    g2 = g.crossJoin(F.broadcast(gm)).select(
+        "i", "j", F.expr(_pi_fdiv_spark("g", "d")).cast("bigint").alias("g")
+    )
+    # dim x dim: tiny — persist so the 3 matvecs don't rebuild the Gram
+    g2 = g2.persist()
+    v = g2.select(F.col("i").alias("pos")).distinct().withColumn(
+        "v", F.lit(_PI_VNORM).cast("bigint")
+    )
+    for _ in range(_PI_ITERS):
+        w = (
+            g2.join(v.withColumnRenamed("pos", "j"), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
+        )
+        m = w.agg(
+            (
+                F.expr(f"greatest(max(abs(w)), 1) div {_PI_VNORM}") + 1
+            ).cast("bigint").alias("d")
+        )
+        v = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.col("i").alias("pos"),
+                F.expr(_pi_fdiv_spark("w", "d")).cast("bigint").alias("v"),
+            )
+        )
+    return v.select(
+        F.col("pos").cast("bigint").alias("dim"),
+        F.col("v").alias("v_fx"),
+        (F.col("v").cast("double") / _PI_VNORM).alias("component"),
+    )

@@ -1379,3 +1379,44 @@ def q_running_unique(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming dedup with state-bounded watermark (registered query)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_stream_dedup",
+    oracle="""
+        SELECT DISTINCT user_id, event_type FROM events
+    """,
+    doc="TRUE Structured Streaming deduplication through the oracle"
+    " gate: the pytest-proven ``stream_dedup`` operator (readStream ->"
+    " dropDuplicatesWithinWatermark(user_id, event_type) with an"
+    " event-time watermark -> availableNow memory sink) run end-to-end"
+    " and hash-checked against batch SELECT DISTINCT. The watermark"
+    " BOUNDS the dedup state (keys older than it are evicted — the"
+    " only way streaming dedup survives an unbounded stream; plain"
+    " dropDuplicates state grows forever). The registered output is"
+    " the emission-idempotent key projection (a key re-emitted after"
+    " state eviction collapses in the final distinct); multi-batch"
+    " state behavior is asserted in tests/test_streaming.py.",
+)
+def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(tempfile.gettempdir(), f"lws_stream_dedup_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+    os.makedirs(events_dir)
+    os.symlink(
+        os.path.join(sf_dir, "events.parquet"),
+        os.path.join(events_dir, "events.parquet"),
+    )
+    sink = stream_dedup(spark, events_dir, os.path.join(base, "ckpt"))
+    return sink.select("user_id", "event_type").distinct()
