@@ -1414,9 +1414,15 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(base, ignore_errors=True)
     events_dir = os.path.join(base, "events")
     os.makedirs(events_dir)
-    os.symlink(
-        os.path.join(sf_dir, "events.parquet"),
-        os.path.join(events_dir, "events.parquet"),
-    )
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        # Spark-written layout: a directory of part files — link each
+        # data file directly so the stream source sees a flat dir
+        import glob
+
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            os.symlink(f, os.path.join(events_dir, os.path.basename(f)))
+    else:
+        os.symlink(src, os.path.join(events_dir, "events.parquet"))
     sink = stream_dedup(spark, events_dir, os.path.join(base, "ckpt"))
     return sink.select("user_id", "event_type").distinct()

@@ -113,6 +113,17 @@ _QUERIES = [
     # linear interpolation where a type has ONE observation (prev ==
     # next on every grid row) and the grid has leading/trailing gaps
     "q_resample_linear",
+    # round-5: KMV pair sketches where every type has < k hashes (the
+    # exact-fallback path on BOTH the union and intersection arms);
+    # HLL daily partials where most (type, day) cells are singletons;
+    # IPS where a context holds one action (propensity 1); lateness
+    # where same-microsecond ties make late_s exactly 0
+    "q_kmv_intersect",
+    "q_hll_merge_daily",
+    "q_ips_offpolicy",
+    "q_late_data_audit",
+    # true streaming dedup on a multi-file fixture directory
+    "q_stream_dedup",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -281,6 +292,15 @@ _DOC_QUERIES = [
     "q_chi2_independence",
     "q_curriculum_order",
     "q_hhi_concentration",
+    # round-5: ROUGE where doc 6 has no partner (pair dropped by BOTH
+    # engines) and the duplicate pair scores a perfect 1.0; reservoir
+    # groups smaller than k; lift support floor excluding everything
+    # (empty result must agree); repetition blocks on texts shorter
+    # than one block
+    "q_rouge_overlap",
+    "q_reservoir_per_group",
+    "q_cooccur_lift",
+    "q_repetition_loops",
 ]
 
 _EMB_QUERIES = [
@@ -293,6 +313,9 @@ _EMB_QUERIES = [
     "q_coreset",
     "q_embed_centroid",
     "q_hybrid_rrf",
+    # round-5: power iteration at dim 8 with duplicate vectors (rank-
+    # deficient Gram) — the integer renorm must still converge
+    "q_power_iteration",
 ]
 
 
@@ -421,6 +444,14 @@ _DEDUP_QUERIES = [
     # Bellman-Ford where the source component is one pair: most nodes
     # stay unreached and rounds past convergence must be no-ops
     "q_bellman_ford",
+    # round-5: shingle-width audit where 1-word docs collapse to the
+    # single-shingle branch at EVERY width; 2-hop reach on a graph
+    # that is one pair (strict 2-hop must be empty); modularity where
+    # the near-dup graph lives in one source (Q = contribution of a
+    # single community)
+    "q_dedup_shingle_size",
+    "q_graph_2hop",
+    "q_modularity",
 ]
 
 
@@ -463,6 +494,13 @@ _REL_QUERIES = [
     # row diff where the NULL returnflag row survives: NULL-safe
     # column compare must NOT flag NULL == NULL as changed
     "q_row_diff",
+    # round-5: range split points where the sample is the whole table
+    # and cut dates repeat (ties at every boundary); bucketed Q3 on a
+    # 4-order fixture (buckets mostly empty); SQL UDFs macro-expanded
+    # over 5 lineitem rows
+    "q_range_split_points",
+    "q_tpch_q3_bucketed",
+    "q_sql_udf",
 ]
 
 
