@@ -557,7 +557,11 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             "role",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),"
+                    # slice-to-length, NOT sequence(1, n-1): Spark's
+                    # sequence DESCENDS when stop < start, so a 1-word
+                    # doc would yield [1, 0] instead of no bigrams
+                    "transform(slice(sequence(1, size(split(text, ' '))), 1,"
+                    " greatest(size(split(text, ' ')) - 1, 0)),"
                     " i -> concat_ws(' ', slice(split(text, ' '), i, 2)))"
                 )
             ).alias("bg"),
