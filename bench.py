@@ -223,6 +223,23 @@ HEADLINE = [
     "q_running_unique",
     "q_local_peaks",
     "q_row_diff",
+    # round-5 additions
+    "q_rouge_overlap",
+    "q_reservoir_per_group",
+    "q_kmv_intersect",
+    "q_ips_offpolicy",
+    "q_cooccur_lift",
+    "q_graph_2hop",
+    "q_modularity",
+    "q_tpch_q3_bucketed",
+    "q_repetition_loops",
+    "q_dedup_shingle_size",
+    "q_sql_udf",
+    "q_hll_merge_daily",
+    "q_range_split_points",
+    "q_late_data_audit",
+    "q_power_iteration",
+    "q_stream_dedup",
 ]
 
 

@@ -50,6 +50,11 @@ _FUZZ_QUERIES = [
     "q_local_peaks",
     "q_running_unique",
     "q_growth_accounting",
+    # round-5: sketch fallbacks, propensity singletons, lateness ties
+    "q_kmv_intersect",
+    "q_hll_merge_daily",
+    "q_ips_offpolicy",
+    "q_late_data_audit",
     "q_survival_km",  # lineitem-free? no — events-only variant excluded
 ]
 _FUZZ_QUERIES.remove("q_survival_km")

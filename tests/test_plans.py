@@ -316,3 +316,75 @@ def test_sequence_pack_single_shuffle_fold(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_sequence_pack")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+# --- round-5 plan gates ------------------------------------------------
+
+
+def test_bucketed_q3_has_no_shuffle_exchange(spark, sf_dir):
+    # co-bucketed orders/lineitem + broadcast customer: the whole Q3
+    # answer (joins AND the orderkey-prefixed groupBy) reuses the
+    # bucket layout — any non-broadcast Exchange is a regression
+    plan = _plan(spark, sf_dir, "q_tpch_q3_bucketed")
+    import re
+
+    shuffles = [
+        l
+        for l in plan.splitlines()
+        if re.search(r"\(\d+\) Exchange", l.strip())
+    ]
+    assert not shuffles, shuffles
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    # a SQL UDF must macro-expand at resolution: no Python eval node,
+    # and the partial aggregate computes the EXPANDED expression (the
+    # UDF body reached map-side combine — proof it never left Catalyst)
+    plan = _plan(spark, sf_dir, "q_sql_udf")
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_sum(cast(round" in plan
+
+
+def test_prefix_filtered_clusters_have_no_bucket_square(spark, sf_dir):
+    # the 0.8 cluster family generates candidates from PREFIX-token
+    # collisions and verifies with array_intersect — no shingle
+    # self-join, no cartesian anywhere (q_dedup_clusters checkpoints
+    # this pipeline eagerly, so gate the pair plan itself)
+    import contextlib
+    import io
+
+    from lakehouse_weather_spark.operators.dedup import _jaccard_pairs_high
+
+    df = _jaccard_pairs_high(spark, sf_dir, 4, 5)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "array_intersect" in plan
+    assert "slice(toks" in plan  # the prefix cut is in the plan
+
+
+def test_power_iteration_stays_integer_and_broadcast(spark, sf_dir):
+    # every renorm divisor is a 1-row broadcast; no Python nodes; the
+    # matvec joins are hash joins on the dim-sized matrix
+    plan = _plan(spark, sf_dir, "q_power_iteration")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmv_intersect_broadcasts_pair_directory(spark, sf_dir):
+    # the (type_a, type_b) directory is tiny and must broadcast into
+    # the OR-membership join; the bottom-k window partitions per pair
+    plan = _plan(spark, sf_dir, "q_kmv_intersect")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_late_data_audit_windows_stay_user_sharded(spark, sf_dir):
+    # the running max partitions by user_id — never a global window
+    plan = _plan(spark, sf_dir, "q_late_data_audit")
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
