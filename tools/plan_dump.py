@@ -112,6 +112,18 @@ SHOWCASE = {
     "q_prorate_revenue": "lineitem pre-aggregates to one row per order"
     " BEFORE the join; month explode fans out bounded spans; the"
     " telescoping window partitions per order.",
+    "q_tpch_q3_bucketed": "Zero shuffle exchanges: co-bucketed"
+    " orders/lineitem sort-merge exchange-free, broadcast customer"
+    " preserves bucketing, the orderkey-prefixed groupBy reuses it.",
+    "q_power_iteration": "dim^2 integer Gram via one partial-agg"
+    " shuffle; every renorm divisor is a 1-row broadcast; matvecs are"
+    " joins on the executor-sized matrix, never the corpus.",
+    "q_kmv_intersect": "Per-type bottom-k partials merge into pair"
+    " sketches; the type-pair directory broadcasts; raw events shuffle"
+    " once as distinct hashes.",
+    "q_repetition_loops": "Fixed-block explode is narrow; run"
+    " detection windows partition per doc — per-doc work at any"
+    " corpus size.",
     "q_zone_map": "Two counts-only aggregations over shard keys;"
     " output is O(shards) regardless of table size — the stats pass"
     " that justifies time-partitioned layouts.",
