@@ -339,7 +339,7 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _PI_X_SCALE = 1_000_000   # element quantization (exact in int64)
 _PI_VNORM = 1 << 20       # vector renorm target after each matvec
-_PI_ITERS = 3
+_PI_ITERS = 8
 _PI_VEC_CAP = 4000        # deterministic md5 vector sample (audit-bounded)
 
 
@@ -414,8 +414,12 @@ def _pi_oracle() -> str:
 @register(
     "q_power_iteration",
     oracle=_pi_oracle(),
-    doc=f"Distributed PCA top principal direction via {_PI_ITERS} power"
-    " iterations on an EXACT INTEGER Gram matrix: embeddings are"
+    doc=f"Distributed PCA direction estimate: {_PI_ITERS} power-"
+    "iteration steps toward the dominant Gram eigenvector — a"
+    " DETERMINISTIC k-step transform (on a flat spectrum like this"
+    " fixture's random embeddings, full convergence needs ~1/log("
+    "lambda1/lambda2) steps; k is the knob, the mechanics are what"
+    " this query certifies). EXACT INTEGER throughout: embeddings are"
     f" fixed-point-quantized (x{_PI_X_SCALE}), the dim x dim Gram"
     " accumulates in int64 (associative — partition-order-free), and"
     " each matvec renormalizes with an exact floor division to the"
@@ -464,12 +468,18 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     v = g2.select(F.col("i").alias("pos")).distinct().withColumn(
         "v", F.lit(_PI_VNORM).cast("bigint")
     )
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
     for _ in range(_PI_ITERS):
         w = (
             g2.join(v.withColumnRenamed("pos", "j"), "j")
             .groupBy("i")
             .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
         )
+        # w feeds BOTH the divisor aggregate and the renorm projection:
+        # without a lineage cut the logical plan doubles every round
+        # (2^k growth). The frame is dim-sized, so the cut is free.
+        w = _checkpoint(w)
         m = w.agg(
             (
                 F.expr(f"greatest(max(abs(w)), 1) div {_PI_VNORM}") + 1

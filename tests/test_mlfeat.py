@@ -119,3 +119,70 @@ def test_feature_hashing_conserves_tokens(spark, sf_dir):
         counts[bucket(w)] += 1
     got = next(r.features for r in rows if r.doc_id == some_doc)
     assert json.loads(got) == counts
+
+
+def test_power_iteration_matches_exact_python_replay(spark, sf_dir):
+    """Third independent implementation: replay the sampled Gram build
+    and every integer iteration in plain python bignum arithmetic — the
+    Spark result must match BIT-FOR-BIT (the DuckDB oracle is the
+    second implementation; this one has no SQL in common with either).
+    Also check the direction is sane vs the float eigenvector: after k
+    steps the cosine must at least strictly beat the starting all-ones
+    vector's cosine (flat random spectra converge slowly by design)."""
+    import hashlib
+
+    import numpy as np
+
+    from lakehouse_weather_spark.operators.mlfeat import (
+        _PI_ITERS,
+        _PI_VEC_CAP,
+        _PI_VNORM,
+        _PI_X_SCALE,
+        q_power_iteration,
+    )
+
+    rows = q_power_iteration(spark, sf_dir).orderBy("dim").collect()
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    emb.sort(
+        key=lambda r: (
+            hashlib.md5(f"cap_{r.vec_id}".encode()).hexdigest(),
+            r.vec_id,
+        )
+    )
+    Xi = np.array(
+        [
+            np.round(np.array(r.embedding, dtype=np.float64) * _PI_X_SCALE)
+            for r in emb[:_PI_VEC_CAP]
+        ]
+    ).astype(np.int64)
+    dim = Xi.shape[1]
+    # int64 matmul is exact here: |x| <= 1e6 -> products <= 1e12,
+    # summed over <= 4000 rows -> < 2^53 << 2^63
+    G = (Xi.T @ Xi).tolist()
+    gmax = max(abs(x) for r in G for x in r)
+    d = gmax // _PI_VNORM + 1
+    G2 = [[x // d for x in r] for r in G]  # python // IS floor div
+    v = [_PI_VNORM] * dim
+    for _ in range(_PI_ITERS):
+        w = [sum(G2[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        dd = max(max(abs(x) for x in w), 1) // _PI_VNORM + 1
+        v = [x // dd for x in w]
+    assert [r.v_fx for r in rows] == v
+
+    Gf = np.array(G2, dtype=np.float64)
+    _, vecs = np.linalg.eigh(Gf)
+    top = vecs[:, -1]
+    vf = np.array(v, dtype=np.float64)
+    ones = np.ones(dim)
+    cos_v = abs(vf @ top) / (np.linalg.norm(vf) * np.linalg.norm(top))
+    cos_1 = abs(ones @ top) / (np.linalg.norm(ones) * np.linalg.norm(top))
+    assert cos_v > cos_1
+
+
+def test_power_iteration_is_deterministic_across_runs(spark, sf_dir):
+    from lakehouse_weather_spark.operators.mlfeat import q_power_iteration
+
+    a = q_power_iteration(spark, sf_dir).orderBy("dim").collect()
+    b = q_power_iteration(spark, sf_dir).orderBy("dim").collect()
+    assert [r.v_fx for r in a] == [r.v_fx for r in b]
