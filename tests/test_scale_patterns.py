@@ -141,6 +141,13 @@ def test_headline_queries_within_perf_budget(spark, sf_dir):
         "q_prorate_revenue",
         "q_merkle_diff",
         "q_sequence_pack",
+        # round-5 heavies: multi-width shingle audit, Gram + iteration
+        # loop, streaming-through-the-gate, bucketed-table write path
+        "q_dedup_shingle_size",
+        "q_power_iteration",
+        "q_stream_dedup",
+        "q_tpch_q3_bucketed",
+        "q_graph_2hop",
     ]
     # warm the session so the first query doesn't pay JVM/codegen boot
     spark.range(1).collect()

@@ -50,3 +50,28 @@ def test_file_inventory(spark, sf_dir, tmp_path):
     hi = orders.agg(F.max("o_orderkey")).first()[0]
     assert min(r.o_orderkey_min for r in inv) == lo
     assert max(r.o_orderkey_max for r in inv) == hi
+
+
+def test_rotation_bookkeeping_is_consistent():
+    """The gate-ordering sets must stay truthful: every name in the
+    round-new sets is registered, the prior-verified set only contains
+    registered names, and the ordering floats never-driver-sampled
+    queries ahead of every query with a standing record."""
+    from lakehouse_weather_spark import registry as R
+
+    regs = R.load_all()
+    assert set(R._ROUND5_NEW) <= set(regs)
+    assert set(R._ROUND4_NEW) <= set(regs)
+    assert R._PRIOR_VERIFIED <= set(regs)
+    # no overlap between buckets
+    assert not (R._PRIOR_VERIFIED & R._ROUND4_NEW)
+    assert not (R._PRIOR_VERIFIED & R._ROUND5_NEW)
+    assert not (R._ROUND4_NEW & R._ROUND5_NEW)
+    order = list(regs)
+    first_prior = min(
+        i for i, n in enumerate(order) if n in R._PRIOR_VERIFIED
+    )
+    last_unsampled = max(
+        i for i, n in enumerate(order) if n not in R._PRIOR_VERIFIED
+    )
+    assert last_unsampled < first_prior
