@@ -1904,7 +1904,7 @@ def q_span_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shingle-size sensitivity audit
 # ---------------------------------------------------------------------------
 
-_SSZ_DOC_CAP = 1500
+_SSZ_DOC_CAP = 800
 _SSZ_WIDTHS = (2, 3, 4, 5)
 
 

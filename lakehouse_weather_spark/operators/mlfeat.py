@@ -350,10 +350,6 @@ def _pi_fdiv_duck(a: str, b: str) -> str:
     return f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
 
 
-def _pi_fdiv_spark(a: str, b: str) -> str:
-    return f"((({a}) - pmod({a}, {b})) div ({b}))"
-
-
 def _pi_oracle() -> str:
     steps = []
     prev = "v0"
@@ -438,62 +434,71 @@ def _pi_oracle() -> str:
     " negative numerators.",
 )
 def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     emb = load_table(spark, sf_dir, "embeddings")
     order = F.md5(F.concat(F.lit("cap_"), F.col("vec_id").cast("string")))
     samp = emb.orderBy(order, "vec_id").limit(_PI_VEC_CAP)
+    # quantize JVM-SIDE (Spark round() == DuckDB round() by decimal
+    # HALF_UP semantics) so the Arrow kernel below touches only exact
+    # integers — no float rounding anywhere in Python
     xf = samp.select(
-        "vec_id", F.posexplode("embedding").alias("p0", "val")
-    ).select(
-        "vec_id",
-        (F.col("p0") + 1).alias("pos"),
         F.expr(
-            f"CAST(round(CAST(val AS DOUBLE) * {_PI_X_SCALE}) AS BIGINT)"
-        ).alias("x"),
+            "transform(embedding,"
+            f" v -> CAST(round(CAST(v AS DOUBLE) * {_PI_X_SCALE}) AS BIGINT))"
+        ).alias("x")
     )
-    a = xf.select("vec_id", F.col("pos").alias("i"), F.col("x").alias("xa"))
-    b = xf.select("vec_id", F.col("pos").alias("j"), F.col("x").alias("xb"))
-    g = (
-        a.join(b, "vec_id")
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("xa") * F.col("xb")).cast("bigint").alias("g"))
-    )
-    gm = g.agg(
-        (F.expr(f"max(abs(g)) div {_PI_VNORM}") + 1).cast("bigint").alias("d")
-    )
-    g2 = g.crossJoin(F.broadcast(gm)).select(
-        "i", "j", F.expr(_pi_fdiv_spark("g", "d")).cast("bigint").alias("g")
-    )
-    # dim x dim: tiny — persist so the 3 matvecs don't rebuild the Gram
-    g2 = g2.persist()
-    v = g2.select(F.col("i").alias("pos")).distinct().withColumn(
-        "v", F.lit(_PI_VNORM).cast("bigint")
-    )
-    from lakehouse_weather_spark.operators.dedup import _checkpoint
 
-    for _ in range(_PI_ITERS):
-        w = (
-            g2.join(v.withColumnRenamed("pos", "j"), "j")
-            .groupBy("i")
-            .agg(F.sum(F.col("g") * F.col("v")).cast("bigint").alias("w"))
-        )
-        # w feeds BOTH the divisor aggregate and the renorm projection:
-        # without a lineage cut the logical plan doubles every round
-        # (2^k growth). The frame is dim-sized, so the cut is free.
-        w = _checkpoint(w)
-        m = w.agg(
-            (
-                F.expr(f"greatest(max(abs(w)), 1) div {_PI_VNORM}") + 1
-            ).cast("bigint").alias("d")
-        )
-        v = (
-            w.crossJoin(F.broadcast(m))
-            .select(
-                F.col("i").alias("pos"),
-                F.expr(_pi_fdiv_spark("w", "d")).cast("bigint").alias("v"),
+    def gram_partials(batches):
+        # per-batch integer outer-product accumulation: X^T X in int64
+        # (|x| <= 1e6 -> products <= 1e12, summed over <= 1e4 batch
+        # rows -> < 2^63). Integer adds are associative, so the
+        # partial-then-final-sum is partition-order-free and EXACT —
+        # the BLAS-speed form of the same integers the SQL self-join
+        # computes (sanctioned Arrow kernel, see test_plans allowlist).
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array([np.asarray(a, dtype=np.int64) for a in pdf["x"]])
+            P = X.T @ X
+            dim = P.shape[0]
+            ii, jj = np.indices((dim, dim))
+            yield pd.DataFrame(
+                {
+                    "i": (ii + 1).ravel().astype(np.int32),
+                    "j": (jj + 1).ravel().astype(np.int32),
+                    "g": P.ravel(),
+                }
             )
-        )
-    return v.select(
-        F.col("pos").cast("bigint").alias("dim"),
-        F.col("v").alias("v_fx"),
-        (F.col("v").cast("double") / _PI_VNORM).alias("component"),
+
+    g = (
+        xf.mapInPandas(gram_partials, "i int, j int, g long")
+        .groupBy("i", "j")
+        .agg(F.sum("g").cast("bigint").alias("g"))
+    )
+    # the Gram is dim x dim — a MODEL, not data. Fetch it and run the
+    # iterations driver-local in exact python integers (MLlib's PCA
+    # does exactly this: distributed covariance, local eigensolve);
+    # DataFrame-per-iteration was 16 scheduler round-trips for 64-row
+    # frames. python `//` IS floor division, matching the portable
+    # fdiv the DuckDB oracle replays.
+    rows = g.collect()
+    dim = max(r.i for r in rows)
+    G = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        G[r.i - 1][r.j - 1] = r.g
+    gmax = max(abs(x) for row in G for x in row)
+    d = gmax // _PI_VNORM + 1
+    G2 = [[x // d for x in row] for row in G]
+    v = [_PI_VNORM] * dim
+    for _ in range(_PI_ITERS):
+        w = [
+            sum(G2[i][j] * v[j] for j in range(dim)) for i in range(dim)
+        ]
+        dd = max(max(abs(x) for x in w), 1) // _PI_VNORM + 1
+        v = [x // dd for x in w]
+    return spark.createDataFrame(
+        [(i + 1, v[i], v[i] / _PI_VNORM) for i in range(dim)],
+        "dim long, v_fx long, component double",
     )

