@@ -240,6 +240,8 @@ HEADLINE = [
     "q_late_data_audit",
     "q_power_iteration",
     "q_stream_dedup",
+    "q_zorder_prune",
+    "q_entity_blocks",
 ]
 
 
@@ -270,11 +272,22 @@ def main() -> None:
         pass
     warm_sec = time.time() - t0
 
+    def _drop_cached_state() -> None:
+        """Measure each query standalone: drop Dataset caches AND
+        persisted RDDs (localCheckpoints) left by the previous query,
+        so 200+ queries don't accumulate executor memory pressure that
+        taxes the tail of the run."""
+        spark.catalog.clearCache()
+        jsc = spark.sparkContext._jsc
+        for rdd in list(jsc.getPersistentRDDs().values()):
+            rdd.unpersist(False)
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         spec = specs.get(name)
         if spec is None:
             continue
+        _drop_cached_state()
         t0 = time.time()
         df = spec.fn(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()

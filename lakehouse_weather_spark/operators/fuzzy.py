@@ -167,3 +167,81 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     labels = label_propagate(_checkpoint(edges))
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
+
+
+# ---------------------------------------------------------------------------
+# Blocking audit: pair-budget accounting before an entity-resolution run
+# ---------------------------------------------------------------------------
+
+_EB_TOPK = 20
+
+
+@register(
+    "q_entity_blocks",
+    oracle=f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   string_split(text, ' ')[1] || '#' ||
+                       CAST(n_chars // 100 AS VARCHAR) AS block_key
+            FROM documents
+        ),
+        blocks AS (
+            SELECT block_key, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                       AS pair_budget
+            FROM keyed GROUP BY block_key
+        ),
+        tot AS (
+            SELECT CAST(sum(pair_budget) AS BIGINT) AS total_budget
+            FROM blocks
+        )
+        SELECT b.block_key, b.n_docs, b.pair_budget,
+               CAST(b.pair_budget * 10000 // greatest(t.total_budget, 1)
+                    AS BIGINT) AS budget_share_bp
+        FROM blocks b, tot t
+        ORDER BY b.pair_budget DESC, b.block_key
+        LIMIT {_EB_TOPK}
+    """,
+    doc="Blocking-key audit BEFORE an entity-resolution / fuzzy-join"
+    " run: block sizes and the quadratic pair budget n*(n-1)/2 per"
+    " block (first-word + length-centile key), top blocks by budget"
+    " with exact basis-point share of the total. The pair budget IS"
+    " the cost model of every blocked matcher (q_editdist_neardup's"
+    " PassJoin, the minhash bands): one skewed mega-block quietly"
+    " turns a linear pipeline quadratic, and this audit is how you"
+    " find it before paying for it at 100 TB — the block-size"
+    " histogram decides df-caps and salting. One partial-agg shuffle"
+    " + a TakeOrdered top-k.",
+)
+def q_entity_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        F.concat(
+            F.expr("split(text, ' ')[0]"),
+            F.lit("#"),
+            F.expr("CAST(n_chars div 100 AS STRING)"),
+        ).alias("block_key")
+    )
+    blocks = keyed.groupBy("block_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.expr("CAST(count(1) * (count(1) - 1) div 2 AS BIGINT)").alias(
+            "pair_budget"
+        ),
+    )
+    tot = blocks.agg(
+        F.sum("pair_budget").cast("bigint").alias("total_budget")
+    )
+    return (
+        blocks.crossJoin(F.broadcast(tot))
+        .select(
+            "block_key",
+            "n_docs",
+            "pair_budget",
+            F.expr(
+                "CAST(pair_budget * 10000"
+                " div greatest(total_budget, 1) AS BIGINT)"
+            ).alias("budget_share_bp"),
+        )
+        .orderBy(F.desc("pair_budget"), "block_key")
+        .limit(_EB_TOPK)
+    )

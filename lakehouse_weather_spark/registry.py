@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.stats",  # + profiling additions
     "lakehouse_weather_spark.operators.reshape",
     "lakehouse_weather_spark.operators.profiling",
+    "lakehouse_weather_spark.zorder",  # registered z-order audit
     "lakehouse_weather_spark.operators.multimodal",
     "lakehouse_weather_spark.operators.clustering",
     "lakehouse_weather_spark.operators.bpe",
@@ -243,6 +244,8 @@ _ROUND5_NEW: frozenset[str] = frozenset({
     "q_range_split_points",
     "q_late_data_audit",
     "q_power_iteration",
+    "q_zorder_prune",
+    "q_entity_blocks",
 })
 
 

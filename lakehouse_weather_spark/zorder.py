@@ -78,3 +78,200 @@ def zorder_write(
         .write.mode("overwrite")
         .parquet(out_dir)
     )
+
+
+# ---------------------------------------------------------------------------
+# Registered z-order effectiveness audit (deterministic, oracle-checked)
+# ---------------------------------------------------------------------------
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+from lakehouse_weather_spark.registry import register  # noqa: E402
+from lakehouse_weather_spark.sources.tables import load_table  # noqa: E402
+
+_ZP_BITS = 4                 # 16 buckets/dim, 256 z-cells
+_ZP_FILES = 64               # simulated file count per layout
+_ZP_SAMPLE = 1009
+_ZP_PRED_BUCKET = 7          # predicate: totalprice in bucket 7 of 16
+
+_ZP_H_SPARK = (
+    "cast(conv(substr(md5(concat('zp_', cast(o_orderkey as string))),"
+    " 1, 15), 16, 10) as bigint)"
+)
+_ZP_H_DUCK = (
+    "CAST(('0x' || substr(md5('zp_' || CAST(o_orderkey AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+
+
+def _interleave_sql(zc: str, zp: str, bits: int, idiv: str = "div") -> str:
+    """Morton interleave via pure integer-division/mod arithmetic
+    (bitwise operator precedence differs between the two SQL parsers,
+    arithmetic doesn't). ``idiv`` is the engine's integer-division
+    operator: Spark ``div``, DuckDB ``//`` — operands are non-negative
+    so trunc/floor agree."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({zc}) {idiv} {1 << b}) % 2) * {1 << (2 * b + 1)}")
+        terms.append(f"((({zp}) {idiv} {1 << b}) % 2) * {1 << (2 * b)}")
+    return " + ".join(terms)
+
+
+def _zp_cuts_sql(col: str, engine: str, typ: str) -> str:
+    """Engine SQL for the deterministic equi-depth cut points of one
+    column (the q_range_split_points machinery at 2^_ZP_BITS buckets).
+    COALESCE to an empty list: on tables smaller than the sample's cut
+    positions DuckDB's list() over zero rows is NULL while Spark's
+    collect_list is an empty array — both must bucket everything to 0."""
+    n = 1 << _ZP_BITS
+    ks = ", ".join(
+        str((k * _ZP_SAMPLE) // n) for k in range(1, n)
+    )
+    if engine == "duck":
+        return f"""
+            SELECT COALESCE(list_sort(list(v)), CAST([] AS {typ}[]))
+                       AS cuts FROM (
+                SELECT v, row_number() OVER (ORDER BY v) AS rn FROM (
+                    SELECT {col} AS v FROM orders
+                    ORDER BY {_ZP_H_DUCK}, o_orderkey
+                    LIMIT {_ZP_SAMPLE}
+                )
+            ) WHERE rn IN ({ks})
+        """
+    raise ValueError(engine)
+
+
+@register(
+    "q_zorder_prune",
+    oracle=f"""
+        WITH cc AS ({_zp_cuts_sql('o_custkey', 'duck', 'BIGINT')}),
+        cp AS ({_zp_cuts_sql('o_totalprice', 'duck', 'DOUBLE')}),
+        bucketed AS (
+            SELECT len(list_filter(cc.cuts, c -> c < o.o_custkey)) AS zc,
+                   len(list_filter(cp.cuts, c -> c < o.o_totalprice)) AS zp,
+                   ({_ZP_H_DUCK.replace('o.', '')}) % {1 << _ZP_BITS} AS hmod
+            FROM orders o, cc, cp
+        ),
+        filed AS (
+            SELECT zc, zp,
+                   ({_interleave_sql('zc', 'zp', _ZP_BITS, '//')})
+                       * {_ZP_FILES} // {1 << (2 * _ZP_BITS)} AS file_z,
+                   (zc * {1 << _ZP_BITS} + zp)
+                       * {_ZP_FILES} // {1 << (2 * _ZP_BITS)} AS file_lin2,
+                   (zc * {1 << _ZP_BITS} + hmod)
+                       * {_ZP_FILES} // {1 << (2 * _ZP_BITS)} AS file_lin1
+            FROM bucketed
+        )
+        SELECT layout,
+               CAST(count(DISTINCT f) AS BIGINT) AS n_files,
+               CAST(count(DISTINCT CASE WHEN zp = {_ZP_PRED_BUCKET}
+                                        THEN f END) AS BIGINT)
+                   AS files_touched,
+               CAST(sum(CASE WHEN zp = {_ZP_PRED_BUCKET} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS rows_matched
+        FROM (
+            SELECT 'sort_custkey_only' AS layout, file_lin1 AS f, zp
+            FROM filed
+            UNION ALL
+            SELECT 'sort_custkey_price', file_lin2, zp FROM filed
+            UNION ALL
+            SELECT 'zorder', file_z, zp FROM filed
+        )
+        GROUP BY layout
+    """,
+    doc=f"Z-ORDER file-skipping effectiveness, measured: bucket orders"
+    f" into a {1 << _ZP_BITS}x{1 << _ZP_BITS} (custkey, totalprice)"
+    f" grid via deterministic sampled equi-depth cuts, lay the rows"
+    f" into {_ZP_FILES} simulated files three ways — custkey sort with"
+    " unordered remainder, (custkey, price) compound sort, and"
+    " Morton-interleaved z-value — and count how many files a"
+    " selective predicate on the SECOND column (one totalprice band,"
+    " no custkey constraint) must touch. Measured on the fixture:"
+    " custkey-only touches ALL files (the band smears across every"
+    " stripe), the compound sort touches one file per stripe, and"
+    " z-order halves that again by folding both dimensions into"
+    " every file's extent — the justification for zorder.py's"
+    " OPTIMIZE ZORDER writer at 100 TB, where file-skip ratios are"
+    " the scan bill. Deterministic end-to-end (sampled cuts,"
+    " arithmetic bit interleave), so even file assignments"
+    " oracle-match.",
+)
+def q_zorder_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+
+    def cuts_df(col: str):
+        sample = (
+            orders.select(
+                F.col(col).alias("v"),
+                F.expr(_ZP_H_SPARK).alias("h"),
+                "o_orderkey",
+            )
+            .orderBy("h", "o_orderkey")
+            .limit(_ZP_SAMPLE)
+        )
+        ranked = sample.select(
+            "v", F.row_number().over(Window.orderBy("v")).alias("rn")
+        )
+        n = 1 << _ZP_BITS
+        ks = [(k * _ZP_SAMPLE) // n for k in range(1, n)]
+        return ranked.filter(F.col("rn").isin(ks)).agg(
+            F.sort_array(F.collect_list("v")).alias("cuts")
+        )
+
+    cc = cuts_df("o_custkey").withColumnRenamed("cuts", "cuts_c")
+    cp = cuts_df("o_totalprice").withColumnRenamed("cuts", "cuts_p")
+    bucketed = (
+        orders.crossJoin(F.broadcast(cc))
+        .crossJoin(F.broadcast(cp))
+        .select(
+            F.expr("size(filter(cuts_c, c -> c < o_custkey))").alias("zc"),
+            F.expr("size(filter(cuts_p, c -> c < o_totalprice))").alias("zp"),
+            (F.expr(_ZP_H_SPARK) % (1 << _ZP_BITS)).alias("hmod"),
+        )
+    )
+    filed = bucketed.select(
+        "zp",
+        F.expr(
+            f"({_interleave_sql('zc', 'zp', _ZP_BITS)})"
+            f" * {_ZP_FILES} div {1 << (2 * _ZP_BITS)}"
+        ).alias("file_z"),
+        F.expr(
+            f"(zc * {1 << _ZP_BITS} + zp)"
+            f" * {_ZP_FILES} div {1 << (2 * _ZP_BITS)}"
+        ).alias("file_lin2"),
+        F.expr(
+            f"(zc * {1 << _ZP_BITS} + hmod)"
+            f" * {_ZP_FILES} div {1 << (2 * _ZP_BITS)}"
+        ).alias("file_lin1"),
+    )
+    both = (
+        filed.select(
+            F.lit("sort_custkey_only").alias("layout"),
+            F.col("file_lin1").alias("f"),
+            "zp",
+        )
+        .unionByName(
+            filed.select(
+                F.lit("sort_custkey_price").alias("layout"),
+                F.col("file_lin2").alias("f"),
+                "zp",
+            )
+        )
+        .unionByName(
+            filed.select(
+                F.lit("zorder").alias("layout"),
+                F.col("file_z").alias("f"),
+                "zp",
+            )
+        )
+    )
+    hit = F.when(F.col("zp") == _ZP_PRED_BUCKET, F.col("f"))
+    return both.groupBy("layout").agg(
+        F.countDistinct("f").cast("bigint").alias("n_files"),
+        F.countDistinct(hit).cast("bigint").alias("files_touched"),
+        F.sum((F.col("zp") == _ZP_PRED_BUCKET).cast("int"))
+        .cast("bigint")
+        .alias("rows_matched"),
+    )

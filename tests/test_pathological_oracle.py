@@ -296,11 +296,13 @@ _DOC_QUERIES = [
     # engines) and the duplicate pair scores a perfect 1.0; reservoir
     # groups smaller than k; lift support floor excluding everything
     # (empty result must agree); repetition blocks on texts shorter
-    # than one block
+    # than one block; blocking audit where most blocks are singletons
+    # (pair budget 0) and the total-budget guard divides by >= 1
     "q_rouge_overlap",
     "q_reservoir_per_group",
     "q_cooccur_lift",
     "q_repetition_loops",
+    "q_entity_blocks",
 ]
 
 _EMB_QUERIES = [
@@ -497,10 +499,12 @@ _REL_QUERIES = [
     # round-5: range split points where the sample is the whole table
     # and cut dates repeat (ties at every boundary); bucketed Q3 on a
     # 4-order fixture (buckets mostly empty); SQL UDFs macro-expanded
-    # over 5 lineitem rows
+    # over 5 lineitem rows; z-order layouts where most grid cells are
+    # empty and cut lists have duplicate values
     "q_range_split_points",
     "q_tpch_q3_bucketed",
     "q_sql_udf",
+    "q_zorder_prune",
 ]
 
 
