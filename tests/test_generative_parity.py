@@ -127,6 +127,16 @@ _DOC_FUZZ_QUERIES = [
     "q_phrase_search",
     "q_sequence_pack",
     "q_weighted_sample",
+    # round-5: clipped-count overlap on random pairs, per-group
+    # reservoirs smaller than k, lift support-floor edge, block runs
+    # on short random texts, singleton blocking keys, width audit on
+    # docs shorter than every shingle window
+    "q_rouge_overlap",
+    "q_reservoir_per_group",
+    "q_cooccur_lift",
+    "q_repetition_loops",
+    "q_entity_blocks",
+    "q_dedup_shingle_size",
 ]
 
 _WORDS = ["a", "b", "the", "fox", "w1", "w2", "x", ""]
