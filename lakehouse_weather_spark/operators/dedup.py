@@ -703,8 +703,12 @@ def _checkpoint(df: DataFrame) -> DataFrame:
 # fans the keep-policy / split / accounting out from it. The memo is
 # the in-process form of that materialized intermediate (checkpointed,
 # so it is data, not lineage); every consumer is still independently
-# oracle-verified end-to-end.
-_CLUSTER_LABEL_MEMO: dict[tuple[int, str], DataFrame] = {}
+# oracle-verified end-to-end. Keyed by a WEAK session reference (an
+# id() key could alias a new session after the old one is collected)
+# and the input path.
+import weakref
+
+_CLUSTER_LABEL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 @register(
@@ -740,8 +744,8 @@ _CLUSTER_LABEL_MEMO: dict[tuple[int, str], DataFrame] = {}
     " the same closure with a recursive CTE.",
 )
 def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    key = (id(spark), sf_dir)
-    memo = _CLUSTER_LABEL_MEMO.get(key)
+    per_session = _CLUSTER_LABEL_MEMO.setdefault(spark, {})
+    memo = per_session.get(sf_dir)
     if memo is not None:
         return memo
     # prefix-filtered exact-jaccard candidates (lossless at t=0.8; the
@@ -758,7 +762,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint the bounded label table so the memo hands every later
     # consumer data, not a live plan into this call's lineage
     out = _checkpoint(out)
-    _CLUSTER_LABEL_MEMO[key] = out
+    per_session[sf_dir] = out
     return out
 
 
