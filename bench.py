@@ -242,6 +242,8 @@ HEADLINE = [
     "q_stream_dedup",
     "q_zorder_prune",
     "q_entity_blocks",
+    "q_cluster_purity",
+    "q_erasure_audit",
 ]
 
 

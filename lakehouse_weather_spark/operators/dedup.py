@@ -2074,3 +2074,111 @@ def q_dedup_shingle_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_inter",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cluster purity: does transitive consolidation over-merge?
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_cluster_purity",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+        {_DUCK_CAPPED_CTE},
+        epairs AS (
+            SELECT doc_a, doc_b
+            FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i)
+                  >= {_CLUSTER_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM epairs
+            UNION ALL SELECT doc_b, doc_a FROM epairs
+        ),
+        reach(n, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.n = e.b
+        ),
+        clusters AS (
+            SELECT n AS doc_id, min(r) AS rep FROM reach GROUP BY n
+        ),
+        cpairs AS (
+            SELECT c1.rep, c1.doc_id AS doc_a, c2.doc_id AS doc_b
+            FROM clusters c1 JOIN clusters c2
+              ON c1.rep = c2.rep AND c1.doc_id < c2.doc_id
+        ),
+        scored AS (
+            SELECT p.rep,
+                   CASE WHEN coalesce(i.i, 0) * 5
+                             >= (sa.n + sb.n - coalesce(i.i, 0)) * 4
+                        THEN 1 ELSE 0 END AS ok
+            FROM cpairs p
+            JOIN sizes sa ON p.doc_a = sa.doc_id
+            JOIN sizes sb ON p.doc_b = sb.doc_id
+            LEFT JOIN inter i
+              ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        )
+        SELECT rep AS cluster_rep,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(ok) AS BIGINT) AS n_pairs_ok,
+               CAST(sum(ok) * 10000 // count(*) AS BIGINT) AS purity_bp
+        FROM scored GROUP BY rep
+    """,
+    doc="Transitive-closure PURITY audit of the near-dup clusters:"
+    " connected components merge by CHAINS (a~b, b~c puts a,c in one"
+    " cluster even when jaccard(a,c) < 0.8), and this measures how"
+    " much — for every intra-cluster doc pair, is the DIRECT exact"
+    " jaccard still >= 0.8? purity_bp = 10000 * ok-pairs / pairs per"
+    " cluster. Low-purity clusters are the over-merge candidates a"
+    " keep-one-per-cluster policy silently destroys; the standard"
+    " fix (re-split or raise the threshold) starts from exactly this"
+    " table. Pair expansion is within-cluster only (near-dup"
+    " components are df-cap-bounded); missing intersection rows are"
+    " jaccard-0 pairs (LEFT JOIN + coalesce, both engines).",
+)
+def q_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    c1 = clusters.select(
+        F.col("cluster_rep").alias("rep"), F.col("doc_id").alias("doc_a")
+    )
+    c2 = clusters.select(
+        F.col("cluster_rep").alias("rep"), F.col("doc_id").alias("doc_b")
+    )
+    cpairs = c1.join(c2, "rep").filter(F.col("doc_a") < F.col("doc_b"))
+    # exact jaccard for the candidate pairs from the per-doc capped
+    # token arrays (same currency as the prefix-filtered pipeline)
+    sh = _spark_shingle_hashes(spark, sf_dir)
+    hdf = (
+        sh.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= DF_CAP)
+    )
+    arrays = (
+        sh.join(hdf.select("h"), "h")
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("h")).alias("toks"))
+    )
+    ta = arrays.select(
+        F.col("doc_id").alias("doc_a"), F.col("toks").alias("ta")
+    )
+    tb = arrays.select(
+        F.col("doc_id").alias("doc_b"), F.col("toks").alias("tb")
+    )
+    i = F.size(F.array_intersect("ta", "tb"))
+    u = F.size("ta") + F.size("tb") - i
+    scored = (
+        cpairs.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .select("rep", (i * 5 >= u * 4).cast("int").alias("ok"))
+    )
+    return scored.groupBy(F.col("rep").alias("cluster_rep")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("ok").cast("bigint").alias("n_pairs_ok"),
+        F.expr("CAST(sum(ok) * 10000 div count(1) AS BIGINT)").alias(
+            "purity_bp"
+        ),
+    )

@@ -1535,3 +1535,86 @@ def q_range_split_points(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("balance_ratio"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Erasure (right-to-be-forgotten) audit: affected rows + rewrite cost
+# ---------------------------------------------------------------------------
+
+_ERASE_MOD = 97  # deterministic stand-in for the deletion-request list
+
+
+@register(
+    "q_erasure_audit",
+    oracle=f"""
+        WITH marked AS (
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(user_id % {_ERASE_MOD} = 0 AS INTEGER) AS hit,
+                   user_id
+            FROM events
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(sum(hit) AS BIGINT) AS n_rows_affected,
+                   CAST(count(DISTINCT CASE WHEN hit = 1 THEN user_id END)
+                        AS BIGINT) AS n_users_affected,
+                   CAST(count(DISTINCT d) AS BIGINT) AS n_days,
+                   CAST(count(DISTINCT CASE WHEN hit = 1 THEN d END)
+                        AS BIGINT) AS n_days_touched
+            FROM marked GROUP BY event_type
+        )
+        SELECT event_type, n_rows, n_rows_affected, n_users_affected,
+               CAST(n_rows_affected * 10000 // n_rows AS BIGINT)
+                   AS row_share_bp,
+               n_days, n_days_touched,
+               CAST(n_days_touched * 10000 // n_days AS BIGINT)
+                   AS rewrite_share_bp
+        FROM per_type
+    """,
+    doc="Right-to-be-forgotten (GDPR erasure) COST audit: for a"
+    f" deletion-request list (user_id %% {_ERASE_MOD} == 0 as the"
+    " deterministic stand-in), per event type — affected rows/users,"
+    " and the copy-on-write bill: how many DAY PARTITIONS contain at"
+    " least one affected row and therefore must be rewritten"
+    " (rewrite_share_bp). The punchline every lakehouse learns: a"
+    " 0.3% row deletion can touch 100% of partitions, which is why"
+    " erasure pipelines batch requests and why user-id bucketing"
+    " (confining each user to one file family) beats time-only"
+    " layouts for deletion-heavy tables. One scan, two partial aggs;"
+    " the anti-join that EXECUTES the deletion is pipeline/"
+    "incremental.py's MERGE-delete, tested separately.",
+)
+def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    marked = ev.select(
+        "event_type",
+        F.date_trunc("day", "ts").alias("d"),
+        (F.col("user_id") % _ERASE_MOD == 0).cast("int").alias("hit"),
+        "user_id",
+    )
+    per_type = marked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("hit").cast("bigint").alias("n_rows_affected"),
+        F.countDistinct(
+            F.when(F.col("hit") == 1, F.col("user_id"))
+        ).cast("bigint").alias("n_users_affected"),
+        F.countDistinct("d").cast("bigint").alias("n_days"),
+        F.countDistinct(F.when(F.col("hit") == 1, F.col("d")))
+        .cast("bigint")
+        .alias("n_days_touched"),
+    )
+    return per_type.select(
+        "event_type",
+        "n_rows",
+        "n_rows_affected",
+        "n_users_affected",
+        F.expr("CAST(n_rows_affected * 10000 div n_rows AS BIGINT)").alias(
+            "row_share_bp"
+        ),
+        "n_days",
+        "n_days_touched",
+        F.expr(
+            "CAST(n_days_touched * 10000 div n_days AS BIGINT)"
+        ).alias("rewrite_share_bp"),
+    )

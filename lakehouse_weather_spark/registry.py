@@ -246,6 +246,8 @@ _ROUND5_NEW: frozenset[str] = frozenset({
     "q_power_iteration",
     "q_zorder_prune",
     "q_entity_blocks",
+    "q_cluster_purity",
+    "q_erasure_audit",
 })
 
 

@@ -124,6 +124,9 @@ _QUERIES = [
     "q_late_data_audit",
     # true streaming dedup on a multi-file fixture directory
     "q_stream_dedup",
+    # erasure audit where the deletion list matches nobody (user ids
+    # 1..6 and 40000/40001: 0 hits -> all-zero shares, no /0)
+    "q_erasure_audit",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -454,6 +457,9 @@ _DEDUP_QUERIES = [
     "q_dedup_shingle_size",
     "q_graph_2hop",
     "q_modularity",
+    # purity over the duplicate-pair cluster (exact dup pair must be
+    # purity 10000) and the chained near-dup triple
+    "q_cluster_purity",
 ]
 
 
