@@ -1588,11 +1588,16 @@ _LATE_BOUNDS = (0, 60, 600, 3600, 21600, 86400)
     "q_late_data_audit",
     oracle=f"""
         WITH seq AS (
+            -- floor() the epoch on BOTH terms: DuckDB's CAST(double AS
+            -- BIGINT) ROUNDS half-up, while Spark's unix_timestamp
+            -- FLOORS; a sub-second component >= .5 would otherwise
+            -- shift late_s by 1s and flip bucket membership at every
+            -- boundary
             SELECT event_type,
-                   CAST(epoch(max(ts) OVER (PARTITION BY user_id
+                   CAST(floor(epoch(max(ts) OVER (PARTITION BY user_id
                             ORDER BY event_id
-                            ROWS UNBOUNDED PRECEDING)) AS BIGINT)
-                   - CAST(epoch(ts) AS BIGINT) AS late_s
+                            ROWS UNBOUNDED PRECEDING))) AS BIGINT)
+                   - CAST(floor(epoch(ts)) AS BIGINT) AS late_s
             FROM events
         ),
         bucketed AS (

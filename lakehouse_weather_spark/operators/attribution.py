@@ -515,6 +515,10 @@ _IPS_CTX_BUCKETS = 10
             SELECT ctx, action AS pi_action
             FROM (
                 SELECT ctx, action,
+                       -- DuckDB // already FLOORS for negative
+                       -- dividends; the Spark side mirrors it with the
+                       -- pmod-subtract idiom so both argmax keys agree
+                       -- when sum_r_fx < 0
                        row_number() OVER (
                            PARTITION BY ctx
                            ORDER BY sum_r_fx * 1000000 // n_act DESC, action
@@ -535,8 +539,6 @@ _IPS_CTX_BUCKETS = 10
         SELECT m.ctx, m.action AS pi_action,
                m.n_act AS n_matched, c.n_ctx,
                CAST(m.n_act AS DOUBLE) / c.n_ctx AS propensity,
-               CAST(m.sum_r_fx AS DOUBLE) * c.n_ctx
-                   / (m.n_act * 100.0 * c.n_ctx) AS ips_value,
                CAST(m.sum_r_fx AS DOUBLE) / (m.n_act * 100.0)
                    AS snips_value,
                CAST(l.sum_all_fx AS DOUBLE) / (c.n_ctx * 100.0)
@@ -573,8 +575,15 @@ def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_act"),
         F.sum("r_fx").cast("bigint").alias("sum_r_fx"),
     )
+    # floor-safe division (Spark div truncates toward zero, DuckDB //
+    # floors): subtract the non-negative pmod first so both agree for
+    # negative reward sums — same idiom as _pi_fdiv_duck / q_zorder_prune
+    _mean_key = (
+        "(sum_r_fx * 1000000"
+        " - pmod(sum_r_fx * 1000000, n_act)) div n_act"
+    )
     w = Window.partitionBy("ctx").orderBy(
-        F.desc(F.expr("sum_r_fx * 1000000 div n_act")), F.asc("action")
+        F.desc(F.expr(_mean_key)), F.asc("action")
     )
     target = (
         act_n.withColumn("rk", F.row_number().over(w))
@@ -597,11 +606,11 @@ def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_act").alias("n_matched"),
             "n_ctx",
             (F.col("n_act").cast("double") / F.col("n_ctx")).alias("propensity"),
-            (
-                F.col("sum_r_fx").cast("double")
-                * F.col("n_ctx")
-                / (F.col("n_act") * 100.0 * F.col("n_ctx"))
-            ).alias("ips_value"),
+            # a separate ips_value column would be algebraically
+            # IDENTICAL to snips_value here: with a deterministic
+            # target policy the matched IPS weights sum to exactly
+            # n_ctx, so the self-normalization cancels — one column
+            # carries all the information
             (
                 F.col("sum_r_fx").cast("double") / (F.col("n_act") * 100.0)
             ).alias("snips_value"),

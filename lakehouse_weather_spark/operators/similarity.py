@@ -279,6 +279,36 @@ def _fxround_np(x):
     return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
 
 
+def _fx_dot_rows(X, S, scale):
+    """(n, K) int64 fixed-point dot products of every row of X against
+    every row of S: per-product half-away rounding, exact integer
+    accumulation — computed one codebook row at a time into a
+    preallocated int64 matrix. Bit-identical to rounding the full
+    (n, K, dim) outer product (the float elementwise math is the same;
+    only the loop structure changes), but the peak intermediate is
+    (n, dim) instead of (n, K, dim) — that 3-D rounded array was the
+    memory/time hot spot shared by IVF / k-means / PQ / SemDeDup
+    (VERDICT r5)."""
+    import numpy as np
+
+    out = np.empty((len(X), len(S)), dtype=np.int64)
+    for k in range(len(S)):
+        out[:, k] = _fxround_np(X * S[k][None, :] * scale).sum(axis=1)
+    return out
+
+
+def _fx_sqdist_rows(X, S, scale):
+    """(n, K) int64 fixed-point squared-L2, same bounded-intermediate
+    restructure as :func:`_fx_dot_rows`."""
+    import numpy as np
+
+    out = np.empty((len(X), len(S)), dtype=np.int64)
+    for k in range(len(S)):
+        d = X - S[k][None, :]
+        out[:, k] = _fxround_np(d * d * scale).sum(axis=1)
+    return out
+
+
 def _codebook(emb: DataFrame):
     """Driver-side fetch of the N_CENTROIDS codebook — the md5-ordered
     deterministic corpus sample both oracles use — returned sorted by
@@ -304,6 +334,32 @@ def _query_vec(emb: DataFrame):
 
     row = emb.filter(F.col("vec_id") == QUERY_VEC_ID).select("embedding").head()
     return np.asarray(list(row.embedding), dtype=np.float64)
+
+
+# Driver-side model fetches (the K-row codebook, the 1-row query
+# vector) memoized per (session, corpus): IVF / PQ / k-means /
+# SemDeDup all consult the same codebook, and each fetch is a Spark
+# job — a production deployment fetches the model once. Weak session
+# keying as in dedup._SUBSTRATE_MEMO.
+import weakref
+
+_MODEL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
+def _codebook_for(spark, sf_dir: str, emb: DataFrame):
+    per = _MODEL_MEMO.setdefault(spark, {})
+    key = ("codebook", sf_dir)
+    if key not in per:
+        per[key] = _codebook(emb)
+    return per[key]
+
+
+def _query_vec_for(spark, sf_dir: str, emb: DataFrame):
+    per = _MODEL_MEMO.setdefault(spark, {})
+    key = ("qvec", sf_dir)
+    if key not in per:
+        per[key] = _query_vec(emb)
+    return per[key]
 
 
 def _ivf_oracle() -> str:
@@ -383,15 +439,16 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    seed_ids, S = _codebook(emb)
+    seed_ids, S = _codebook_for(spark, sf_dir, emb)
     s_nrm = np.sqrt(
         _fxround_np(S * S * DOT_SCALE).sum(axis=1).astype(np.float64) / DOT_SCALE
     )
 
     def cos_to_seeds(X):
         # per-product fixed-point rounding, then the same double
-        # expression tree as the SQL: (int_dot / SCALE) / (|x| * |s|)
-        dots = _fxround_np(X[:, None, :] * S[None, :, :] * DOT_SCALE).sum(axis=2)
+        # expression tree as the SQL: (int_dot / SCALE) / (|x| * |s|);
+        # accumulated per codebook row — no (n, K, dim) intermediate
+        dots = _fx_dot_rows(X, S, DOT_SCALE)
         nx = np.sqrt(
             _fxround_np(X * X * DOT_SCALE).sum(axis=1).astype(np.float64)
             / DOT_SCALE
@@ -428,7 +485,7 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = emb.select("vec_id", "embedding").mapInPandas(
         assign_kernel, "vec_id long, seed_id long"
     )
-    qcos = cos_to_seeds(_query_vec(emb)[None, :])[0]
+    qcos = cos_to_seeds(_query_vec_for(spark, sf_dir, emb)[None, :])[0]
     order = np.lexsort((seed_ids, -qcos))
     probe_ids = [int(seed_ids[i]) for i in order[:N_PROBE]]
     q = F.broadcast(
@@ -505,10 +562,9 @@ def kmeans_refine(
                 # per-element fixed-point rounding == the SQL/DuckDB
                 # round((x-c)^2 * SCALE) contract; first-index argmin
                 # == (distance, cluster_id) tie-break (Ck is in
-                # cluster_id order)
-                D = _fxround_np(
-                    ((X[:, None, :] - Ck[None, :, :]) ** 2) * DOT_SCALE
-                ).sum(axis=2)
+                # cluster_id order); per-centroid accumulation keeps
+                # the intermediate at (n, dim)
+                D = _fx_sqdist_rows(X, Ck, DOT_SCALE)
                 out = pdf[["vec_id"]].copy()
                 out["cluster_id"] = (D.argmin(axis=1) + 1).astype(np.int32)
                 out["v"] = pdf["v"]
@@ -623,7 +679,7 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
-    seed_ids, S = _codebook(emb)
+    seed_ids, S = _codebook_for(spark, sf_dir, emb)
 
     def sub_dists(X):
         # (n, K, PQ_M) int64 per-subspace fixed-point squared-L2 — the
@@ -631,8 +687,7 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = np.empty((len(X), len(seed_ids), PQ_M), dtype=np.int64)
         for m in range(PQ_M):
             sl = slice(m * PQ_SUB, (m + 1) * PQ_SUB)
-            diff = X[:, None, sl] - S[None, :, sl]
-            out[:, :, m] = _fxround_np(diff * diff * DOT_SCALE).sum(axis=2)
+            out[:, :, m] = _fx_sqdist_rows(X[:, sl], S[:, sl], DOT_SCALE)
         return out
 
     def encode_kernel(batches):
@@ -661,7 +716,7 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ADC lookup table: the query's distance to every codeword in every
     # subspace — (PQ_M x K) rows, built driver-side with the identical
     # kernel math and broadcast to every executor
-    qd = sub_dists(_query_vec(emb)[None, :])[0]
+    qd = sub_dists(_query_vec_for(spark, sf_dir, emb)[None, :])[0]
     qtab = F.broadcast(
         spark.createDataFrame(
             [

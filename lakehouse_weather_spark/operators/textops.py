@@ -1619,11 +1619,17 @@ def q_repetition_loops(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocks = docs.select(
         "doc_id",
         F.posexplode(
+            # guard the empty/NULL-text case: Spark's sequence(1, 0)
+            # DESCENDS to [1, 0] (two bogus empty blocks) while
+            # DuckDB's generate_series(1, 0) is empty — emit an empty
+            # array so both engines drop zero-length docs
             F.expr(
-                f"transform(sequence(1, (length(text) + {_LOOP_BLOCK - 1})"
+                f"CASE WHEN length(text) > 0 THEN"
+                f" transform(sequence(1, (length(text) + {_LOOP_BLOCK - 1})"
                 f" div {_LOOP_BLOCK}),"
                 f" i -> substring(text, (i - 1) * {_LOOP_BLOCK} + 1,"
                 f" {_LOOP_BLOCK}))"
+                f" ELSE array() END"
             )
         ).alias("i", "blk"),
     )

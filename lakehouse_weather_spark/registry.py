@@ -86,8 +86,18 @@ _QUERY_MODULES = [
 
 _loaded = False
 
+# Queries that MUST run first in the gate window: their latest driver
+# record is red or unusable even though the fix has long landed
+# (VERDICT r5 task 1). Ordered before everything else, including the
+# never-sampled backlog.
+_RECORD_REPAIR: tuple[str, ...] = (
+    "q_media_features",  # red r03 row (driver-side canonicalization of
+    # an array column; fixed in r4 via F.to_json, multimodal.py — but
+    # the r04/r05 gate windows never re-sampled it)
+)
+
 # Queries already green in a prior driver correctness record
-# (CORRECTNESS_r01.json .. CORRECTNESS_r04.json).
+# (CORRECTNESS_r01.json .. CORRECTNESS_r05.json).
 # The external gate walks the registry in order and may stop after a
 # fixed budget, so load_all() floats every query NOT yet in a driver
 # record to the front — new and previously-uncut queries get gate
@@ -165,6 +175,24 @@ _PRIOR_VERIFIED = frozenset({
     "q_bpe_pair_counts", "q_tokenize_greedy", "q_tokenizer_fertility",
     "q_triangle_stats", "q_degree_hist", "q_link_prediction",
     "q_label_propagation", "q_source_overlap",
+    # --- round 5 record (50/50 green) ---
+    "q_attribution", "q_autocorr", "q_bloom_semijoin", "q_bm25",
+    "q_burstiness", "q_calendar_gaps", "q_causal_impact",
+    "q_ccnet_buckets", "q_changepoint", "q_cohort_ltv",
+    "q_contrastive_pairs", "q_cuped", "q_cusum_shift", "q_did",
+    "q_disorder_profile", "q_ewma_smooth", "q_feature_hashing",
+    "q_funnel_latency", "q_gini_activity", "q_holt_linear",
+    "q_ks_drift", "q_length_buckets", "q_lsh_eval", "q_mannwhitney",
+    "q_mase", "q_mixture_plan", "q_mmr_rerank", "q_neyman_allocation",
+    "q_seasonal_decompose", "q_seq_patterns", "q_srm_check",
+    "q_survival_km", "q_target_encode_oof", "q_tpch_q11", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q18",
+    "q_tpch_q19", "q_tpch_q2", "q_tpch_q20", "q_tpch_q21", "q_tpch_q22",
+    "q_tpch_q8", "q_tpch_q9", "q_twap", "q_welch_ttest",
+    "q_win_sliding", "q_window_funnel",
+    # q_hll_distinct's r02 record is rows-only BY DESIGN (no oracle);
+    # that is its standing record — do not burn gate budget re-sampling.
+    "q_hll_distinct",
 })
 
 # Queries first registered in round 4 (no driver record yet, but also
@@ -173,7 +201,8 @@ _PRIOR_VERIFIED = frozenset({
 # order AFTER the backlog so they cannot displace it from the gate's
 # ~50-query window; the round-5 rotation picks them up.
 _ROUND4_NEW: frozenset[str] = frozenset({
-    "q_media_features",  # red r03 row (canonicalization); re-record
+    # (q_media_features moved to _RECORD_REPAIR: its only driver row is
+    # still the red r03 one; it must jump the queue, not wait in it)
     # actual round-4 registrations (judge/local-verified on landing;
     # driver records follow once the backlog drains)
     "q_lm_bigram_score",
@@ -251,6 +280,27 @@ _ROUND5_NEW: frozenset[str] = frozenset({
 })
 
 
+# Queries first registered in round 6: ordered after the round-5 batch
+# so the oldest never-driver-sampled queries keep draining first.
+_ROUND6_NEW: frozenset[str] = frozenset({
+    "q_rfm_naive",
+    "q_choose_join_plan",
+    "q_choose_dedup_plan",
+    "q_choose_quantile_plan",
+    "q_delta_log_export",
+    "q_anchor_text",
+    "q_url_frontier",
+    "q_suffix_automaton_stats",
+    "q_minhash_containment",
+    "q_doc_dedup_report",
+    "q_idempotent_writes",
+    "q_percentile_bands",
+    "q_freshness_audit",
+    "q_crawl_politeness",
+    "q_robots_filter",
+})
+
+
 def _registered_round4_new() -> frozenset[str]:
     """Subset of _ROUND4_NEW actually registered (forward names are
     allowed while round-4 queries land incrementally)."""
@@ -283,22 +333,22 @@ def load_all() -> dict[str, QuerySpec]:
             importlib.import_module(mod)
         r4_new = _registered_round4_new()
         r5_new = _registered_round5_new()
-        # oldest never-driver-sampled queries first (the r3 backlog),
-        # then the round-4 batch, then this round's new queries, then
+        r6_new = frozenset(n for n in _ROUND6_NEW if n in REGISTRY)
+        repair = [n for n in _RECORD_REPAIR if n in REGISTRY]
+        # record-repair queries first (red driver row, fix landed),
+        # then the oldest never-driver-sampled queries (the r3
+        # backlog), then the round-4/5/6 batches in age order, then
         # queries with a standing record
-        later = _PRIOR_VERIFIED | r4_new | r5_new
-        ordered = {
-            n: s for n, s in REGISTRY.items() if n not in later
-        }
+        later = _PRIOR_VERIFIED | r4_new | r5_new | r6_new
+        ordered = {n: REGISTRY[n] for n in repair}
         ordered.update(
-            {n: s for n, s in REGISTRY.items() if n in r4_new}
+            {n: s for n, s in REGISTRY.items()
+             if n not in later and n not in ordered}
         )
-        ordered.update(
-            {n: s for n, s in REGISTRY.items() if n in r5_new}
-        )
-        ordered.update(
-            {n: s for n, s in REGISTRY.items() if n in _PRIOR_VERIFIED}
-        )
+        for batch in (r4_new, r5_new, r6_new, _PRIOR_VERIFIED):
+            ordered.update(
+                {n: s for n, s in REGISTRY.items() if n in batch}
+            )
         REGISTRY.clear()
         REGISTRY.update(ordered)
         _loaded = True
