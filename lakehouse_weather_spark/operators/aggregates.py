@@ -643,9 +643,7 @@ def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --- RFM customer segmentation ---------------------------------------
 
 
-@register(
-    "q_rfm",
-    oracle="""
+_RFM_ORACLE = """
         WITH mx AS (SELECT max(o_orderdate) AS maxd FROM orders),
         per_cust AS (
             SELECT o_custkey AS c_custkey,
@@ -674,26 +672,14 @@ def q_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                    || CAST(m_score AS VARCHAR) AS rfm_segment
         FROM scored
-    """,
-    doc="RFM customer segmentation: recency (days since last order,"
-    " relative to the corpus max date), frequency (order count), and"
-    " monetary (fixed-point lifetime total), each scored into"
-    " quintiles by ntile(5) with a custkey tie-break (recency"
-    " inverted so 5 = most recent — the marketing convention), then"
-    " concatenated into the classic 3-digit segment code. Both"
-    " engines implement identical ntile semantics (earlier buckets"
-    " absorb the remainder) over an identical total order, so the"
-    " scores hash-match. The ntile windows are GLOBAL over the"
-    " |customers|-row aggregate — fine at dimension-table"
-    " cardinality; at 100 TB swap in approx-quantile cut points and"
-    " a broadcast CASE, keeping the same output contract.",
-)
-def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
+    """
 
+
+def _rfm_per_cust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(c_custkey, r_days, f_orders, m_fx) — the RFM base aggregate."""
     orders = load_table(spark, sf_dir, "orders")
     mx = orders.agg(F.max("o_orderdate").alias("maxd"))
-    per_cust = (
+    return (
         orders.crossJoin(F.broadcast(mx))
         .groupBy(F.col("o_custkey").alias("c_custkey"))
         .agg(
@@ -708,19 +694,9 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("m_fx"),
         )
     )
-    scored = per_cust.select(
-        "c_custkey",
-        "r_days",
-        "f_orders",
-        "m_fx",
-        (6 - F.ntile(5).over(Window.orderBy("r_days", "c_custkey"))).alias(
-            "r_score"
-        ),
-        F.ntile(5)
-        .over(Window.orderBy("f_orders", "c_custkey"))
-        .alias("f_score"),
-        F.ntile(5).over(Window.orderBy("m_fx", "c_custkey")).alias("m_score"),
-    )
+
+
+def _rfm_select(scored: DataFrame) -> DataFrame:
     return scored.select(
         "c_custkey",
         "r_days",
@@ -735,6 +711,120 @@ def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("m_score").cast("string"),
         ).alias("rfm_segment"),
     )
+
+
+@register(
+    "q_rfm",
+    oracle=_RFM_ORACLE,
+    doc="RFM customer segmentation: recency (days since last order,"
+    " relative to the corpus max date), frequency (order count), and"
+    " monetary (fixed-point lifetime total), each scored into"
+    " quintiles with a custkey tie-break (recency inverted so 5 ="
+    " most recent — the marketing convention), then concatenated into"
+    " the classic 3-digit segment code. SCALE-SAFE DEFAULT: each"
+    " metric's quintile comes from a distributed global rank (the"
+    " q_global_ordinal decomposition — coarse value buckets, bounded"
+    " cumulative-offset window, per-bucket row_number) plus exact"
+    " integer ntile arithmetic bucket(r) over (rank, n), so NO window"
+    " ever sees the whole customer table in one partition (the"
+    " q_rfm_naive twin keeps the three global ntile() windows the"
+    " way q_join_range keeps its BNLJ twin). The oracle is the naive"
+    " ntile form, so the gate proves the decomposition bit-identical.",
+)
+def q_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_cust = _rfm_per_cust(spark, sf_dir)
+    n_tot = per_cust.agg(F.count(F.lit(1)).cast("bigint").alias("n_tot"))
+
+    def global_rank(value: str, bucket, out: str) -> DataFrame:
+        """Distributed rank over the unique total order (value,
+        c_custkey): per-bucket counts -> cumulative offsets over the
+        BOUNDED bucket list -> offset + row_number within bucket.
+        Buckets follow the value order, so ranks are globally exact."""
+        base = per_cust.select("c_custkey", value).withColumn("bkt", bucket)
+        counts = base.groupBy("bkt").agg(F.count(F.lit(1)).alias("n"))
+        w_off = Window.orderBy("bkt").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        offsets = counts.select(
+            "bkt", F.coalesce(F.sum("n").over(w_off), F.lit(0)).alias("off")
+        )
+        w_in = Window.partitionBy("bkt").orderBy(value, "c_custkey")
+        return base.join(F.broadcast(offsets), "bkt").select(
+            "c_custkey",
+            (F.col("off") + F.row_number().over(w_in))
+            .cast("bigint")
+            .alias(out),
+        )
+
+    # bucket keys: r_days/f_orders are their own (value-range-bounded)
+    # buckets; m_fx coarsens to ~1e4-money-unit buckets — bucket count
+    # is bounded by the VALUE RANGE, never by customer count
+    rk_r = global_rank("r_days", F.col("r_days"), "rk_r")
+    rk_f = global_rank("f_orders", F.col("f_orders"), "rk_f")
+    rk_m = global_rank("m_fx", F.expr("m_fx div 100000000"), "rk_m")
+
+    def ntile5(rank: str) -> F.Column:
+        # exact ntile(5) arithmetic over (rank, n): the first n%5
+        # buckets absorb the remainder (size q+1), the rest get q —
+        # identical to the SQL ntile both engines implement
+        q, m = "(n_tot div 5)", "(n_tot % 5)"
+        return F.expr(
+            f"CASE WHEN {rank} <= {m} * ({q} + 1)"
+            f" THEN ({rank} + {q}) div ({q} + 1)"
+            f" ELSE {m} + ({rank} - {m} * ({q} + 1) + {q} - 1) div {q}"
+            f" END"
+        )
+
+    scored = (
+        per_cust.join(rk_r, "c_custkey")
+        .join(rk_f, "c_custkey")
+        .join(rk_m, "c_custkey")
+        .crossJoin(F.broadcast(n_tot))
+        .select(
+            "c_custkey",
+            "r_days",
+            "f_orders",
+            "m_fx",
+            (F.lit(6) - ntile5("rk_r")).alias("r_score"),
+            ntile5("rk_f").alias("f_score"),
+            ntile5("rk_m").alias("m_score"),
+        )
+    )
+    return _rfm_select(scored)
+
+
+@register(
+    "q_rfm_naive",
+    oracle=_RFM_ORACLE,
+    doc="q_rfm's single-window twin: the three quintiles come straight"
+    " from global ntile(5) windows — the idiomatic one-liner, kept"
+    " (like q_join_range_naive) as the readable reference form and"
+    " the fixture-scale shortcut. The windows have NO partition key,"
+    " so the whole per-customer table funnels through ONE task: fine"
+    " at dimension-table cardinality, the documented anti-pattern at"
+    " 100 TB — use q_rfm (distributed-rank + exact integer ntile"
+    " arithmetic, bit-identical output) there.",
+)
+def q_rfm_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    per_cust = _rfm_per_cust(spark, sf_dir)
+    scored = per_cust.select(
+        "c_custkey",
+        "r_days",
+        "f_orders",
+        "m_fx",
+        (6 - F.ntile(5).over(Window.orderBy("r_days", "c_custkey"))).alias(
+            "r_score"
+        ),
+        F.ntile(5)
+        .over(Window.orderBy("f_orders", "c_custkey"))
+        .alias("f_score"),
+        F.ntile(5).over(Window.orderBy("m_fx", "c_custkey")).alias("m_score"),
+    )
+    return _rfm_select(scored)
 
 
 # --- Wilson confidence bounds ----------------------------------------

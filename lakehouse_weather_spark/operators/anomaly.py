@@ -1661,3 +1661,87 @@ def q_late_data_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("late_s").cast("bigint").alias("max_late_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Freshness / staleness audit (pipeline-health primitive)
+# ---------------------------------------------------------------------------
+
+_FRESH_STALE_DAYS = 3
+_FRESH_WINDOW_DAYS = 7
+
+
+@register(
+    "q_freshness_audit",
+    oracle=f"""
+        WITH mx AS (
+            SELECT date_trunc('day', max(ts)) AS maxd FROM events
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(date_trunc('day', max(ts)) AS DATE) AS last_day,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN date_trunc('day', ts)
+                            > (SELECT maxd FROM mx)
+                              - INTERVAL {_FRESH_WINDOW_DAYS} DAY
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_last_{_FRESH_WINDOW_DAYS}d
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type,
+               strftime(last_day, '%Y-%m-%d') AS last_day,
+               CAST(date_diff('day', last_day,
+                    CAST((SELECT maxd FROM mx) AS DATE)) AS BIGINT)
+                   AS days_stale,
+               n_events, n_last_{_FRESH_WINDOW_DAYS}d,
+               date_diff('day', last_day,
+                   CAST((SELECT maxd FROM mx) AS DATE))
+                   > {_FRESH_STALE_DAYS} AS is_stale
+        FROM per_type
+    """,
+    doc="Ingest-freshness audit per event type: last observed day,"
+    f" staleness in days relative to the corpus high-water mark, the"
+    f" trailing-{_FRESH_WINDOW_DAYS}-day volume, and a stale flag"
+    f" (> {_FRESH_STALE_DAYS} days silent) — the first page of any"
+    " pipeline-health dashboard and the trigger for the quarantine /"
+    " backfill runbooks (ref: the weather DAG's daily pulls,"
+    " dags/bronze.py, have no freshness check at all — a dead API"
+    " key goes unnoticed). ONE partial-agg pass + a 1-row broadcast"
+    " high-water mark; day-truncated integer arithmetic, bit-exact.",
+)
+def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.sources.tables import with_event_ts
+
+    ev = with_event_ts(load_table(spark, sf_dir, "events"))
+    mx = ev.agg(F.date_trunc("day", F.max("ts")).alias("maxd"))
+    per_type = (
+        ev.crossJoin(F.broadcast(mx))
+        .groupBy("event_type")
+        .agg(
+            F.date_trunc("day", F.max("ts")).alias("last_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(
+                    F.date_trunc("day", F.col("ts"))
+                    > F.expr(
+                        f"maxd - INTERVAL {_FRESH_WINDOW_DAYS} DAY"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"n_last_{_FRESH_WINDOW_DAYS}d"),
+            F.first("maxd").alias("maxd"),
+        )
+    )
+    stale = F.datediff(F.col("maxd"), F.col("last_day")).cast("bigint")
+    return per_type.select(
+        "event_type",
+        # string, not DATE: date-typed output canonicalizes differently
+        # across pandas bridges (datetime64 vs date) — format is stable
+        F.date_format("last_day", "yyyy-MM-dd").alias("last_day"),
+        stale.alias("days_stale"),
+        "n_events",
+        f"n_last_{_FRESH_WINDOW_DAYS}d",
+        (stale > _FRESH_STALE_DAYS).alias("is_stale"),
+    )

@@ -954,6 +954,157 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DUCK_CLUSTERS_CTE = f"""
+        pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= {_CLUSTER_THRESHOLD}
+        ),
+        edges AS (
+            SELECT doc_a AS a, doc_b AS b FROM pairs
+            UNION ALL SELECT doc_b, doc_a FROM pairs
+        ),
+        reach(n, r) AS (
+            SELECT a, a FROM (SELECT DISTINCT a FROM edges)
+            UNION
+            SELECT e.a, reach.r FROM edges e JOIN reach ON reach.n = e.b
+        ),
+        clusters AS (
+            SELECT n AS doc_id, min(r) AS cluster_rep FROM reach GROUP BY n
+        )"""
+
+
+@register(
+    "q_dedup_cross_source",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+        {_DUCK_CAPPED_CTE},
+        {_DUCK_CLUSTERS_CTE}
+        SELECT c.cluster_rep,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT d.source) AS BIGINT) AS n_sources,
+               count(DISTINCT d.source) > 1 AS cross_source,
+               arg_max(d.doc_id, d.n_chars * 10000000 - d.doc_id)
+                   AS keep_doc_id,
+               arg_max(d.source, d.n_chars * 10000000 - d.doc_id)
+                   AS keep_source
+        FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+        GROUP BY c.cluster_rep
+    """,
+    doc="Provenance-aware dedup policy: per near-dup cluster, how many"
+    " SOURCES its members span and which source survives under the"
+    " keep-longest policy — the audit that tells a corpus curator"
+    " whether near-dups are intra-source boilerplate (dedup freely)"
+    " or cross-source syndication (dropping them shifts the source"
+    " mixture, so the mixture weights must be recomputed after dedup"
+    " — the interaction q_mixture_plan otherwise misses). Reuses the"
+    " memoized cluster labels (q_dedup_clusters) + one broadcast-"
+    "friendly dim join; keep tie-breaks are exact integers, so the"
+    " winning source hash-matches.",
+)
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clusters = q_dedup_clusters(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "n_chars"
+    )
+    joined = clusters.join(docs, "doc_id")
+    pref = F.col("n_chars") * 10_000_000 - F.col("doc_id")
+    return joined.groupBy("cluster_rep").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+        (F.countDistinct("source") > 1).alias("cross_source"),
+        F.max_by("doc_id", pref).alias("keep_doc_id"),
+        F.max_by("source", pref).alias("keep_source"),
+    )
+
+
+@register(
+    "q_doc_dedup_report",
+    oracle=f"""
+        WITH RECURSIVE {_DUCK_SHINGLES_CTE},
+        {_DUCK_CAPPED_CTE},
+        {_DUCK_CLUSTERS_CTE},
+        exact AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(count(DISTINCT sha256(substr(text, 1, 80)))
+                        AS BIGINT) AS n_exact_groups
+            FROM documents
+        ),
+        near AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_clustered_docs,
+                   CAST(count(DISTINCT c.cluster_rep) AS BIGINT)
+                       AS n_clusters,
+                   CAST(sum(d.n_chars) AS BIGINT) AS clustered_chars
+            FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+        ),
+        kept AS (
+            SELECT CAST(sum(mx) AS BIGINT) AS kept_chars FROM (
+                SELECT max(d.n_chars) AS mx
+                FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+                GROUP BY c.cluster_rep
+            )
+        )
+        SELECT e.n_docs,
+               e.n_docs - e.n_exact_groups AS n_exact_redundant,
+               n.n_clusters, n.n_clustered_docs,
+               n.n_clustered_docs - n.n_clusters AS n_near_redundant,
+               n.clustered_chars - k.kept_chars AS chars_saved
+        FROM exact e, near n, kept k
+    """,
+    doc="One-row dedup accounting flagship: corpus size, exact-"
+    "duplicate redundancy (docs minus distinct 80-char-prefix"
+    " hashes), near-dup cluster count / membership / redundancy, and"
+    " the character volume reclaimed by keep-longest — the single"
+    " table a data-budget review reads before signing off the dedup"
+    " stage (every ingredient is separately gate-verified:"
+    " q_dedup_hash, q_dedup_clusters, q_dedup_keep_best). Reuses the"
+    " memoized cluster labels, adds two partial-agg scans; all"
+    " integers, bit-exact.",
+)
+def q_doc_dedup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "n_chars"
+    )
+    exact = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.countDistinct(F.sha2(F.substring("text", 1, 80), 256))
+        .cast("bigint")
+        .alias("n_exact_groups"),
+    )
+    clustered = q_dedup_clusters(spark, sf_dir).join(
+        docs.select("doc_id", "n_chars"), "doc_id"
+    )
+    near = clustered.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clustered_docs"),
+        F.countDistinct("cluster_rep").cast("bigint").alias("n_clusters"),
+        F.sum("n_chars").cast("bigint").alias("clustered_chars"),
+    )
+    kept = (
+        clustered.groupBy("cluster_rep")
+        .agg(F.max("n_chars").alias("mx"))
+        .agg(F.sum("mx").cast("bigint").alias("kept_chars"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(near))
+        .crossJoin(F.broadcast(kept))
+        .select(
+            "n_docs",
+            (F.col("n_docs") - F.col("n_exact_groups")).alias(
+                "n_exact_redundant"
+            ),
+            "n_clusters",
+            "n_clustered_docs",
+            (F.col("n_clustered_docs") - F.col("n_clusters")).alias(
+                "n_near_redundant"
+            ),
+            (F.col("clustered_chars") - F.col("kept_chars")).alias(
+                "chars_saved"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup
 # ---------------------------------------------------------------------------
@@ -1007,7 +1158,9 @@ _DUCK_VEC_CTE = f"""
     " dot products bit-exactly. At 100 TB the same kernel scores"
     " LSH-bucket-local candidates instead of all block pairs.",
 )
-def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_embed_neardup(
+    spark: SparkSession, sf_dir: str, vec_cap: int | None = None
+) -> DataFrame:
     import numpy as np
     import pandas as pd
 
@@ -1024,6 +1177,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold = 0.4
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    if vec_cap is not None:
+        # deterministic md5-ordered cap (the shingle pipeline's
+        # _sample_docs idiom): the exact O(n^2) arm is then safe to
+        # point at a full-scale corpus BY CONSTRUCTION — at most
+        # vec_cap vectors enter the block-pair fan-out no matter the
+        # input size. Default off: the registered query stays the
+        # exact whole-corpus baseline beside the LSH/SemDeDup scale
+        # arms (oracle unchanged).
+        order = F.md5(F.concat(F.lit("cap_"), F.col("vec_id").cast("string")))
+        emb = emb.orderBy(order, "vec_id").limit(vec_cap)
     # every vector joins each block pair (bi, bj) that contains its own
     # block: B replicas per vector, B*(B+1)/2 independent score tasks
     blk = F.pmod(F.hash("vec_id"), F.lit(n_blocks))
@@ -1225,7 +1388,17 @@ def update_clusters(labels: DataFrame, new_pairs: DataFrame) -> DataFrame:
     )
 
 
-def _minhash_estimate_oracle() -> str:
+def _minhash_matches_expr() -> str:
+    return " + ".join(
+        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
+        for k in range(N_HASHES)
+    )
+
+
+def _minhash_cand_scaffold() -> str:
+    """Shared WITH-chain for the signature-audit oracles: shingles ->
+    per-doc MinHash signature -> banded candidates -> exact set sizes
+    and candidate-only intersections."""
     mins = ",\n               ".join(
         f"min(({a} * (h % {P}) + {b}) % {P}) AS s{k}"
         for k, (a, b) in enumerate(zip(MINHASH_A, MINHASH_B))
@@ -1239,12 +1412,7 @@ def _minhash_estimate_oracle() -> str:
         + " AS band_hash FROM sig"
         for b in range(N_BANDS)
     )
-    matches = " + ".join(
-        f"CASE WHEN a.s{k} = b.s{k} THEN 1 ELSE 0 END"
-        for k in range(N_HASHES)
-    )
-    return f"""
-        WITH {_DUCK_SHINGLES_CTE},
+    return f"""{_DUCK_SHINGLES_CTE},
         sig AS (
             SELECT doc_id,
                {mins}
@@ -1266,7 +1434,13 @@ def _minhash_estimate_oracle() -> str:
             JOIN sh x ON x.doc_id = c.doc_a
             JOIN sh y ON y.doc_id = c.doc_b AND y.h = x.h
             GROUP BY c.doc_a, c.doc_b
-        )
+        )"""
+
+
+def _minhash_estimate_oracle() -> str:
+    matches = _minhash_matches_expr()
+    return f"""
+        WITH {_minhash_cand_scaffold()}
         SELECT c.doc_a, c.doc_b,
                CAST(({matches}) AS BIGINT) AS n_matching,
                CAST(({matches}) AS DOUBLE) / {N_HASHES} AS jaccard_est,
@@ -1720,6 +1894,93 @@ def _scurve_oracle() -> str:
                ) AS BIGINT) AS n_pairs_at_least
         FROM counts
     """
+
+
+def _minhash_containment_oracle() -> str:
+    matches = _minhash_matches_expr()
+    return f"""
+        WITH {_minhash_cand_scaffold()}
+        SELECT c.doc_a, c.doc_b,
+               CAST(({matches}) AS BIGINT) AS n_matching,
+               CAST(({matches}) * (sa.n + sb.n) AS DOUBLE)
+                   / (({N_HASHES} + ({matches})) * sa.n)
+                   AS containment_est_a,
+               CAST(coalesce(i.i, 0) AS DOUBLE) / sa.n
+                   AS containment_exact_a
+        FROM cand c
+        JOIN sig a ON a.doc_id = c.doc_a
+        JOIN sig b ON b.doc_id = c.doc_b
+        LEFT JOIN inter i ON i.doc_a = c.doc_a AND i.doc_b = c.doc_b
+        JOIN sizes sa ON sa.doc_id = c.doc_a
+        JOIN sizes sb ON sb.doc_id = c.doc_b
+    """
+
+
+@register(
+    "q_minhash_containment",
+    oracle=_minhash_containment_oracle(),
+    doc="Containment estimated FROM STORED MINHASH SIGNATURES, next to"
+    " the exact value: Jaccard and containment are interconvertible"
+    " given set sizes — C_a = |A∩B|/|A| = J*(|A|+|B|)/((1+J)*|A|) —"
+    " so with J ≈ m/K the kilobyte signature artifact plus two stored"
+    " set sizes screens for ASYMMETRIC subset-duplication (quoted /"
+    " embedded docs) without re-shingling the corpus; q_containment"
+    " is the exact full pass this screen gates at 100 TB. Everything"
+    " is one float division over exact integers (m, K, na, nb, i),"
+    " so estimate AND truth hash-match the oracle. Reuses the"
+    " memoized shingle/signature substrate — no new wide work beyond"
+    " the candidate-only intersection join.",
+)
+def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = minhash_signatures(spark, sf_dir)
+    cand = minhash_pairs_from_signatures(sig)
+    sa = sig.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"s{k}").alias(f"a{k}") for k in range(N_HASHES)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"s{k}").alias(f"b{k}") for k in range(N_HASHES)],
+    )
+    m = sum(
+        (
+            F.when(F.col(f"a{k}") == F.col(f"b{k}"), 1).otherwise(0)
+            for k in range(N_HASHES)
+        ),
+        F.lit(0),
+    ).cast("bigint")
+    sh = _spark_shingle_hashes(spark, sf_dir)
+    sizes = sh.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    xa = sh.select(F.col("doc_id").alias("doc_a"), "h")
+    xb = sh.select(F.col("doc_id").alias("doc_b"), "h")
+    inter = (
+        cand.join(xa, "doc_a")
+        .join(xb, ["doc_b", "h"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("i"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    i0 = F.coalesce(F.col("i"), F.lit(0).cast("bigint"))
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .join(inter, ["doc_a", "doc_b"], "left")
+        .join(na, "doc_a")
+        .join(nb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            m.alias("n_matching"),
+            (
+                (m * (F.col("na") + F.col("nb"))).cast("double")
+                / ((F.lit(N_HASHES) + m) * F.col("na"))
+            ).alias("containment_est_a"),
+            (i0.cast("double") / F.col("na")).alias("containment_exact_a"),
+        )
+    )
 
 
 @register(

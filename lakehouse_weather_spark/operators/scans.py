@@ -55,3 +55,57 @@ def q_scan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "events").select(
         "event_id", "ts", "user_id", "event_type", "value"
     )
+
+
+@register(
+    "q_delta_log_export",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY source
+    """,
+    doc="Delta-protocol interop round-trip: publish a per-source"
+    " document summary into a scratch VERSIONED table (pipeline/"
+    "atomic.py commit protocol), export a minimal _delta_log"
+    " (protocol 1/2 + metaData schemaString + add actions,"
+    " atomic.export_delta_log), REPLAY the log with the protocol's"
+    " reader rules (adds minus removes -> live file set), and read"
+    " the snapshot back through exactly those files. The oracle"
+    " computes the same aggregate straight from the source, so the"
+    " gate proves the published-exported-replayed snapshot is"
+    " bit-identical to the data that went in — the external-reader"
+    " guarantee (duckdb delta_scan / delta-rs see this exact layout;"
+    " tests/test_incremental.py skip-gates the real delta_scan read"
+    " on extension availability).",
+)
+def q_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+    )
+
+    summary = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+        )
+    )
+    # scratch location keyed by corpus: rerunning just republishes the
+    # next version of the same table (exercising version turnover)
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"lws_delta_export_{key}"
+    )
+    publish_df(summary, table_dir, schema_mode="overwrite")
+    export_delta_log(table_dir)
+    files, schema_string = replay_delta_log(table_dir)
+    assert files and '"type":"struct"' in schema_string.replace(" ", "")
+    return spark.read.parquet(*files).select("source", "n_docs", "sum_chars")

@@ -69,3 +69,80 @@ def bucketed_join(
 ) -> DataFrame:
     """Join two co-bucketed tables — plan should contain no Exchange."""
     return spark.table(left_table).join(spark.table(right_table), key)
+
+
+# ---------------------------------------------------------------------------
+# Cost-based arm selection: turn the repo's pre-flight audits
+# (q_skew_profile / q_selfjoin_fanout / q_entity_blocks — decide-
+# before-you-shuffle statistics) into DECISIONS. The engine ships exact
+# and scale arms side by side (plain vs salted join, exact all-pairs vs
+# LSH dedup, global window vs sampled cut points); these selectors pick
+# the arm from the same bounded statistics the audits report, so the
+# choice is reproducible and oracle-checkable (operators/planner.py
+# registers the decision tables as gate-verified queries).
+# ---------------------------------------------------------------------------
+
+# A dim side at or under this row count broadcasts (mirrors the spirit
+# of spark.sql.autoBroadcastJoinThreshold, stated in rows so the
+# decision is exact-integer and engine-portable).
+BROADCAST_CAP_ROWS = 20_000
+# A single join key carrying more rows than this is a hot key: even an
+# AQE-split partition cannot parallelize one key's sort/build — salt it.
+HOT_KEY_ROWS = 10_000
+# Exact all-pairs matchers stop being the right arm past this many
+# candidate pairs; blocked/LSH arms take over.
+EXACT_PAIR_BUDGET = 10_000_000
+# A global (no-partition) ranking window is acceptable below this row
+# count; above it, use sampled cut points / the q_global_ordinal
+# decomposition.
+WINDOW_BUDGET_ROWS = 100_000
+
+
+def choose_join_arm(n_dim: int, max_key_cnt: int) -> str:
+    """'broadcast' | 'salted_smj' | 'smj' from two exact integers:
+    the dim-side row count and the hottest fact-side key's row count."""
+    if n_dim <= BROADCAST_CAP_ROWS:
+        return "broadcast"
+    if max_key_cnt > HOT_KEY_ROWS:
+        return "salted_smj"
+    return "smj"
+
+
+def choose_dedup_arm(n_items: int) -> str:
+    """'exact' (all-pairs, blocked kernel) | 'lsh' (banded MinHash /
+    prefix-filtered) from the corpus size: n*(n-1)/2 candidate pairs
+    against EXACT_PAIR_BUDGET."""
+    if n_items * (n_items - 1) // 2 <= EXACT_PAIR_BUDGET:
+        return "exact"
+    return "lsh"
+
+
+def choose_quantile_arm(n_rows: int) -> str:
+    """'window' (global ntile/rank — one task) | 'sampled_cutpoints'
+    (q_equidepth_hist / scale-safe q_rfm machinery)."""
+    if n_rows <= WINDOW_BUDGET_ROWS:
+        return "window"
+    return "sampled_cutpoints"
+
+
+def choose_join_plan(
+    fact: DataFrame, key: str, dim: DataFrame
+) -> tuple[str, dict]:
+    """Compute the decide-before-you-shuffle statistics (one partial-agg
+    groupBy on the fact key + two tiny counts) and return
+    (arm, stats). The stats are the q_skew_profile inputs; nothing
+    corpus-sized reaches the driver."""
+    per_key = fact.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+    row = per_key.agg(
+        F.sum("cnt").cast("bigint").alias("n_fact"),
+        F.max("cnt").cast("bigint").alias("max_key_cnt"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    ).collect()[0]
+    n_dim = dim.count()
+    stats = {
+        "n_fact": row.n_fact,
+        "n_keys": row.n_keys,
+        "max_key_cnt": row.max_key_cnt,
+        "n_dim": n_dim,
+    }
+    return choose_join_arm(n_dim, row.max_key_cnt), stats

@@ -51,6 +51,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.stats",  # + profiling additions
     "lakehouse_weather_spark.operators.reshape",
     "lakehouse_weather_spark.operators.profiling",
+    "lakehouse_weather_spark.operators.planner",
     "lakehouse_weather_spark.zorder",  # registered z-order audit
     "lakehouse_weather_spark.operators.multimodal",
     "lakehouse_weather_spark.operators.clustering",
@@ -288,16 +289,11 @@ _ROUND6_NEW: frozenset[str] = frozenset({
     "q_choose_dedup_plan",
     "q_choose_quantile_plan",
     "q_delta_log_export",
-    "q_anchor_text",
-    "q_url_frontier",
-    "q_suffix_automaton_stats",
     "q_minhash_containment",
+    "q_dedup_cross_source",
     "q_doc_dedup_report",
-    "q_idempotent_writes",
-    "q_percentile_bands",
     "q_freshness_audit",
-    "q_crawl_politeness",
-    "q_robots_filter",
+    "q_percentile_bands",
 })
 
 

@@ -134,3 +134,34 @@ def test_coreset_greedy_invariants(spark, sf_dir):
         for v in mind:
             mind[v] = min(mind[v], d(emb[v], emb[pick]))
     assert ids == want
+
+
+def test_embed_neardup_vec_cap_bounds_input(spark, sf_dir):
+    """vec_cap makes the exact O(n^2) arm safe by construction: the
+    capped run's pair endpoints must all come from the deterministic
+    md5-ordered sample, and every capped pair must appear in the
+    uncapped result with the SAME cosine (the cap restricts the input,
+    never changes scoring)."""
+    from lakehouse_weather_spark.operators.dedup import q_embed_neardup
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    cap = 100
+    emb = load_table(spark, sf_dir, "embeddings")
+    order = F.md5(F.concat(F.lit("cap_"), F.col("vec_id").cast("string")))
+    sampled = {
+        r.vec_id
+        for r in emb.orderBy(order, "vec_id").limit(cap).select("vec_id").collect()
+    }
+    assert len(sampled) == min(cap, emb.count())
+    capped = q_embed_neardup(spark, sf_dir, vec_cap=cap).collect()
+    full = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in q_embed_neardup(spark, sf_dir).collect()
+    }
+    for r in capped:
+        assert r.vec_a in sampled and r.vec_b in sampled
+        assert full[(r.vec_a, r.vec_b)] == r.cosine  # bit-identical
+    # the cap must also be COMPLETE over the sample: every full pair
+    # with both endpoints sampled appears in the capped run
+    expected = {k for k in full if k[0] in sampled and k[1] in sampled}
+    assert expected == {(r.vec_a, r.vec_b) for r in capped}

@@ -687,3 +687,113 @@ def test_merge_conflict_detection_prevents_lost_update(spark, tmp_path):
     merge_upsert(spark, table, upd_a, key="k", keep=10)
     got = {(r.k, r.v) for r in read_current(spark, table).collect()}
     assert got == {(1, 10), (2, 20), (3, 30), (4, 40)}
+
+
+def test_delta_log_export_structure_and_replay(spark, tmp_path):
+    """export_delta_log writes a protocol-1/2 log whose replay yields
+    exactly the committed snapshot's files, with a schemaString that
+    matches the published DataFrame's Spark schema."""
+    import json
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+        resolve,
+    )
+
+    table_dir = str(tmp_path / "dtable")
+    df = spark.range(0, 100).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"),
+        F.concat(F.lit("s"), F.col("id").cast("string")).alias("name"),
+    )
+    publish_df(df, table_dir)
+    log_dir = export_delta_log(table_dir)
+    commit = os.path.join(log_dir, "00000000000000000000.json")
+    assert os.path.exists(commit)
+    actions = [json.loads(line) for line in open(commit)]
+    kinds = [next(iter(a)) for a in actions]
+    assert kinds[0] == "protocol" and kinds[1] == "metaData"
+    assert actions[0]["protocol"] == {
+        "minReaderVersion": 1,
+        "minWriterVersion": 2,
+    }
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(a["path"].startswith("v") for a in adds)
+    # every add's file exists with the recorded size
+    for a in adds:
+        full = os.path.join(table_dir, a["path"])
+        assert os.path.getsize(full) == a["size"]
+    # replay == the committed snapshot's parquet set
+    files, schema_string = replay_delta_log(table_dir)
+    committed = {
+        os.path.join(resolve(table_dir), f)
+        for f in os.listdir(resolve(table_dir))
+        if f.endswith(".parquet")
+    }
+    assert set(files) == committed
+    # schemaString round-trips through Spark's own schema JSON parser
+    from pyspark.sql.types import StructType
+
+    parsed = StructType.fromJson(json.loads(schema_string))
+    assert [f.name for f in parsed.fields] == ["k", "v", "name"]
+    assert [f.dataType.simpleString() for f in parsed.fields] == [
+        "bigint",
+        "double",
+        "string",
+    ]
+    # the replayed files read back to the published rows
+    back = spark.read.parquet(*files)
+    assert back.count() == 100
+    assert back.agg(F.sum("v")).collect()[0][0] == float(sum(2 * i for i in range(100)))
+
+
+def test_delta_log_export_tracks_new_publish(spark, tmp_path):
+    """Re-export after a second publish points at the NEW version's
+    files only (the export follows the pointer)."""
+    from lakehouse_weather_spark.pipeline.atomic import (
+        current_version,
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+    )
+
+    table_dir = str(tmp_path / "dtable2")
+    publish_df(spark.range(0, 10).select(F.col("id").alias("k")), table_dir)
+    export_delta_log(table_dir)
+    v1_files, _ = replay_delta_log(table_dir)
+    publish_df(spark.range(0, 20).select(F.col("id").alias("k")), table_dir)
+    export_delta_log(table_dir)
+    v2_files, _ = replay_delta_log(table_dir)
+    v2 = current_version(table_dir)
+    assert all(f"/{v2}/" in f for f in v2_files)
+    assert set(v1_files).isdisjoint(v2_files)
+    assert spark.read.parquet(*v2_files).count() == 20
+
+
+def test_delta_scan_external_read(spark, tmp_path):
+    """Real external-reader proof via DuckDB's delta extension —
+    skip-gated: the extension needs a network install, absent in this
+    container."""
+    import duckdb
+    import pytest
+
+    con = duckdb.connect()
+    try:
+        con.execute("LOAD delta")
+    except Exception:
+        pytest.skip("duckdb delta extension unavailable (no network)")
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+    )
+
+    table_dir = str(tmp_path / "dtable3")
+    publish_df(
+        spark.range(0, 50).select(F.col("id").alias("k")), table_dir
+    )
+    export_delta_log(table_dir)
+    n = con.sql(f"SELECT count(*) FROM delta_scan('{table_dir}')").fetchone()[0]
+    assert n == 50
