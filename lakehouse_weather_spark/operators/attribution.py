@@ -515,13 +515,17 @@ _IPS_CTX_BUCKETS = 10
             SELECT ctx, action AS pi_action
             FROM (
                 SELECT ctx, action,
-                       -- DuckDB // already FLOORS for negative
-                       -- dividends; the Spark side mirrors it with the
-                       -- pmod-subtract idiom so both argmax keys agree
-                       -- when sum_r_fx < 0
+                       -- DuckDB // TRUNCATES toward zero (verified:
+                       -- -7 // 2 = -3), so emulate FLOOR division with
+                       -- the pmod-subtract form to match the Spark
+                       -- side's floor key when sum_r_fx < 0 — the same
+                       -- _pi_fdiv_duck idiom mlfeat.py uses
                        row_number() OVER (
                            PARTITION BY ctx
-                           ORDER BY sum_r_fx * 1000000 // n_act DESC, action
+                           ORDER BY (sum_r_fx * 1000000
+                                     - ((sum_r_fx * 1000000 % n_act
+                                         + n_act) % n_act))
+                                    // n_act DESC, action
                        ) AS rk
                 FROM act_n
             )

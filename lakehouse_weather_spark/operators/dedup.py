@@ -2388,19 +2388,29 @@ def q_dedup_shingle_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             >= (F.col("na") + F.col("nb") - F.col("n_inter")) * 4
         )
     )
+    agg = pairs.groupBy("w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
+        .cast("bigint")
+        .alias("n_docs_touched"),
+        F.sum("n_inter").cast("bigint").alias("sum_inter"),
+    )
+    # Width spine: the oracle is a UNION ALL of ungrouped aggregates and
+    # therefore emits one row per width UNCONDITIONALLY (count=0, sum
+    # NULL when no pair qualifies); a bare groupBy would drop a width
+    # whose pair set is empty — exactly the zero the audit exists to
+    # report on a clean corpus. Left-join the constant width list and
+    # coalesce the counts to 0 (sum_inter stays NULL, matching SQL's
+    # empty-aggregate sum).
+    spine = spark.range(1).select(F.explode(widths).alias("w"))
     return (
-        pairs.groupBy("w")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            (F.countDistinct("doc_a") + F.countDistinct("doc_b"))
-            .cast("bigint")
-            .alias("n_docs_touched"),
-            F.sum("n_inter").cast("bigint").alias("sum_inter"),
-        )
+        spine.join(agg, "w", "left")
         .select(
             F.col("w").cast("int").alias("shingle_words"),
-            "n_pairs",
-            "n_docs_touched",
+            F.coalesce("n_pairs", F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce("n_docs_touched", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_touched"),
             "sum_inter",
         )
     )

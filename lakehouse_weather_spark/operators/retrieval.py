@@ -251,12 +251,12 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidates",
             "n_truth",
             "tp",
-            (F.col("tp").cast("double") / F.col("n_candidates")).alias(
-                "candidate_precision"
-            ),
-            (F.col("tp").cast("double") / F.col("n_truth")).alias(
-                "candidate_recall"
-            ),
+            # try_divide: on an empty candidate/truth set the ratio is
+            # NULL, matching DuckDB's x/0 -> NULL (ANSI / would throw)
+            F.try_divide(F.col("tp").cast("double"), F.col("n_candidates"))
+            .alias("candidate_precision"),
+            F.try_divide(F.col("tp").cast("double"), F.col("n_truth"))
+            .alias("candidate_recall"),
         )
     )
 

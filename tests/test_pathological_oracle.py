@@ -845,3 +845,96 @@ def test_pathological_tail_parity(spark, patho_all_dir, patho_all_con, name):
     assert res["status"] in ("OK", "ROWS_ONLY"), (
         name, res.get("detail"), res,
     )
+
+
+# --- round-7 falsifying corpora ---------------------------------------
+
+# The round-6 hypothesis fuzzer found q_dedup_shingle_size returning 0
+# rows where its oracle returns 4 on any corpus where some width yields
+# zero qualifying pairs (falsifying example: ONE single-word document).
+# Pin that corpus forever: the audit/report queries must emit their
+# unconditional spine rows even when every bucket is empty.
+_SINGLE_DOC_QUERIES = [
+    "q_dedup_shingle_size",
+    "q_jaccard_threshold_hist",
+    "q_lsh_eval",
+    "q_minhash_scurve",
+    "q_dedup_savings",
+    "q_doc_dedup_report",
+    "q_entity_blocks",
+]
+
+
+@pytest.fixture(scope="module")
+def single_doc_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("single_doc")
+    spark.createDataFrame(
+        [(0, "hello", "en", "srcA", 5)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{out}/documents.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def single_doc_con(single_doc_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{single_doc_dir}/documents.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", _SINGLE_DOC_QUERIES)
+def test_single_doc_parity(spark, single_doc_dir, single_doc_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, single_doc_con, single_doc_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# Negative rewards with INEXACT integer quotients: Spark `div`
+# truncates toward zero while DuckDB `//` also truncates — but the
+# floor idioms on either side must agree too. The round-6 advice found
+# q_ips_offpolicy's argmax key flooring on the Spark side while the
+# oracle truncated; this fixture makes any trunc/floor disagreement
+# flip the per-ctx argmax.
+@pytest.fixture(scope="module")
+def neg_reward_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("neg_reward")
+    rows, eid = [], 0
+    for uid, typ, vals in [
+        (1, "a", [-0.07, -0.07, -0.08]),  # sum=-22c, n=3: inexact, <0
+        (1, "b", [-0.07, -0.08]),         # sum=-15c, n=2: inexact, <0
+        (11, "a", [-0.11, -0.05]),        # ctx 1 again (11 % 10)
+        (2, "a", [0.07, 0.08, 0.09]),
+        (2, "b", [0.05]),
+    ]:
+        for v in vals:
+            rows.append(
+                (eid, _BASE + dt.timedelta(minutes=eid), uid, typ, v, "")
+            )
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long,"
+        " event_type string, value double, props string",
+    ).coalesce(1).write.parquet(f"{out}/events.parquet")
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def neg_reward_con(neg_reward_dir):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM"
+        f" read_parquet('{neg_reward_dir}/events.parquet/*.parquet')"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", ["q_ips_offpolicy", "q_attribution"])
+def test_negative_reward_parity(spark, neg_reward_dir, neg_reward_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, neg_reward_con, neg_reward_dir)
+    assert res["status"] == "OK", (name, res.get("detail"), res)
