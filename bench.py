@@ -244,6 +244,16 @@ HEADLINE = [
     "q_entity_blocks",
     "q_cluster_purity",
     "q_erasure_audit",
+    # round-6 additions
+    "q_choose_join_plan",
+    "q_choose_dedup_plan",
+    "q_choose_quantile_plan",
+    "q_delta_log_export",
+    "q_dedup_cross_source",
+    "q_doc_dedup_report",
+    "q_minhash_containment",
+    "q_freshness_audit",
+    "q_rfm_naive",
 ]
 
 

@@ -454,7 +454,13 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     picks = [(1, _CORESET_SEED, None)]
     for i in range(2, CORESET_K + 1):
         top = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
-        row = top.collect()[0]  # k-row driver fetch total, by design
+        rows = top.collect()  # k-row driver fetch total, by design
+        if not rows:
+            # corpus smaller than the pick budget (or empty): the
+            # oracle's p{i} CTEs go empty the same way — emit only the
+            # unconditional seed row plus whatever was reachable
+            break
+        row = rows[0]
         picks.append((i, row.vec_id, row.mind))
         if i < CORESET_K:
             cent = emb.filter(F.col("vec_id") == row.vec_id).select(

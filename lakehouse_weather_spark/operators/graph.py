@@ -70,6 +70,12 @@ def pagerank(
         .distinct()
     )
     n = nodes.count()
+    if n == 0:
+        # empty edge list: no nodes, no ranks — avoid the 1/n teleport
+        # division and return the empty (node, rank) frame directly
+        return nodes.select(
+            "node", F.lit(None).cast("double").alias("rank")
+        )
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_deg = edges.join(out_deg, "src")
 

@@ -484,6 +484,12 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     # frames. python `//` IS floor division, matching the portable
     # fdiv the DuckDB oracle replays.
     rows = g.collect()
+    if not rows:
+        # empty embeddings: no Gram, no component — the oracle's vals
+        # CTE is empty the same way
+        return spark.createDataFrame(
+            [], "dim long, v_fx long, component double"
+        )
     dim = max(r.i for r in rows)
     G = [[0] * dim for _ in range(dim)]
     for r in rows:

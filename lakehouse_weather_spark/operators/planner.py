@@ -90,7 +90,12 @@ def q_choose_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = load_table(spark, sf_dir, dim)
         per_key = f.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
         stats = per_key.agg(
-            F.sum("cnt").cast("bigint").alias("n_fact"),
+            # coalesce: on an EMPTY fact table sum() is NULL while the
+            # oracle's scalar count(*) subquery is 0 (max_key_cnt stays
+            # NULL — the oracle's max() over no groups is NULL too)
+            F.coalesce(F.sum("cnt"), F.lit(0))
+            .cast("bigint")
+            .alias("n_fact"),
             F.count(F.lit(1)).cast("bigint").alias("n_keys"),
             F.max("cnt").cast("bigint").alias("max_key_cnt"),
         )

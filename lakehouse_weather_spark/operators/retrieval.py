@@ -140,6 +140,12 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
         .collect()[0]
     )
     n, sdl = stats_row["n"], stats_row["sdl"]
+    if not n:
+        # empty corpus: no stats to score against — the oracle's WHERE
+        # hits > 0 selects nothing the same way
+        return docs.select(
+            "doc_id", F.lit(None).cast("double").alias("bm25")
+        ).limit(0)
     dfs = [stats_row[f"df{i}"] for i in range(len(BM25_TERMS))]
     score = _score_sql("spark", n, sdl, dfs)
     hits = " + ".join(f"CASE WHEN {tf} > 0 THEN 1 ELSE 0 END" for tf in tf_int)
@@ -420,26 +426,32 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bounded model fetch: the pool and its similarity grid
     prows = {r.vec_id: r.rel_fx for r in pool.collect()}
     srows = {(r.a, r.b): r.sim_fx for r in sims.collect()}
-    first = max(prows, key=lambda v: (prows[v], -v))
-    picks = [(1, first, prows[first], None)]
-    maxsim = {
-        v: srows[(v, first)] for v in prows if v != first
-    }
-    for i in range(2, MMR_K + 1):
-        pick = max(
-            maxsim,
-            key=lambda v: (
-                _LAM_NUM * prows[v] - (_LAM_DEN - _LAM_NUM) * maxsim[v],
-                -v,
-            ),
-        )
-        picks.append((i, pick, prows[pick], maxsim[pick]))
-        del maxsim[pick]
-        for v in maxsim:
-            maxsim[v] = max(maxsim[v], srows[(v, pick)])
-    return emb.sparkSession.createDataFrame(
-        picks, "rank int, vec_id long, rel_fx long, maxsim_fx long"
-    )
+    picks = []
+    if prows:
+        first = max(prows, key=lambda v: (prows[v], -v))
+        picks = [(1, first, prows[first], None)]
+        maxsim = {
+            v: srows[(v, first)] for v in prows if v != first
+        }
+        # pool smaller than MMR_K (or empty): the oracle's p{i} CTEs
+        # run dry the same way — emit only the reachable picks
+        for i in range(2, MMR_K + 1):
+            if not maxsim:
+                break
+            pick = max(
+                maxsim,
+                key=lambda v: (
+                    _LAM_NUM * prows[v]
+                    - (_LAM_DEN - _LAM_NUM) * maxsim[v],
+                    -v,
+                ),
+            )
+            picks.append((i, pick, prows[pick], maxsim[pick]))
+            del maxsim[pick]
+            for v in maxsim:
+                maxsim[v] = max(maxsim[v], srows[(v, pick)])
+    schema = "rank int, vec_id long, rel_fx long, maxsim_fx long"
+    return emb.sparkSession.createDataFrame(picks, schema)
 
 
 # ---------------------------------------------------------------------------

@@ -440,6 +440,12 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
     seed_ids, S = _codebook_for(spark, sf_dir, emb)
+    if not len(seed_ids):
+        # empty corpus: no codebook, no candidates — the oracle's
+        # seeds CTE is empty the same way
+        return e.select(
+            "vec_id", F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
     s_nrm = np.sqrt(
         _fxround_np(S * S * DOT_SCALE).sum(axis=1).astype(np.float64) / DOT_SCALE
     )
@@ -680,6 +686,12 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
     e = emb.select("vec_id", "embedding", norm.alias("nrm"))
     seed_ids, S = _codebook_for(spark, sf_dir, emb)
+    if not len(seed_ids):
+        # empty corpus: no codebook, no codes — the oracle's seeds CTE
+        # is empty the same way
+        return e.select(
+            "vec_id", F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
 
     def sub_dists(X):
         # (n, K, PQ_M) int64 per-subspace fixed-point squared-L2 — the

@@ -399,3 +399,80 @@ def test_late_data_audit_windows_stay_user_sharded(spark, sf_dir):
     plan = _plan(spark, sf_dir, "q_late_data_audit")
     assert "Window" in plan
     assert "SinglePartition" not in plan
+
+
+# ---------------------------------------------------------------------
+# Unpartitioned-window whitelist: every Window.orderBy() WITHOUT a
+# partitionBy funnels its input through ONE partition, which is only
+# acceptable over a provably-bounded table. Each whitelisted site below
+# carries its written bound argument; a NEW unpartitioned window fails
+# this gate until its bound is argued here. (The bench tail's
+# "No Partition Defined" warnings must all be attributable to these.)
+_UNPARTITIONED_WINDOW_WHITELIST = {
+    # file (relative to the package) -> (site count, bound argument)
+    "streaming/events.py": (
+        1, "running cumulative over the per-DAY aggregate — calendar-"
+           "bounded (one row per day in the corpus horizon)"),
+    "operators/sampling.py": (
+        2, "q_curriculum_order's |langs|-row alphabet window; "
+           "q_weighted_sample's rank over the WPS_K-row TakeOrdered "
+           "winner set"),
+    "operators/timeseries.py": (
+        1, "Kaplan-Meier suffix sums over the ~100-row duration-bucket "
+           "table"),
+    "operators/sorts.py": (
+        1, "q_global_ordinal's bucket-offset window over the bucket "
+           "list (value-range bucket count), never the raw table"),
+    "operators/textops.py": (
+        3, "rank windows over the |vocab|-row word-frequency aggregate "
+           "(q_unigram_surprisal / q_vocab_coverage / q_oov_rate) — "
+           "vocabulary-bounded, the documented q_vocab_coverage "
+           "precedent"),
+    "operators/aggregates.py": (
+        4, "q_rfm's bucket-offset window (value-range bucket count) + "
+           "q_rfm_naive's three ntile windows — the DOCUMENTED naive "
+           "twin kept to prove the distributed q_rfm decomposition "
+           "bit-identical"),
+    "operators/dedup.py": (
+        1, "q_minhash_scurve's cumulative over <= N_HASHES+1 "
+           "signature-match counts"),
+    "operators/skyline.py": (
+        1, "per-bucket best-size offsets over the bucket list"),
+    "operators/profiling.py": (
+        2, "row_number over the md5-ordered SAMPLE_K-capped sample "
+           "(equi-depth cut points), bounded by construction"),
+    "operators/mlfeat.py": (
+        1, "per-source directory (|sources| rows)"),
+    "operators/lm.py": (
+        2, "q_vocab_growth's bucket cumulative (bucket count) and "
+           "q_zipf_constancy's rank over the |vocab|-row frequency "
+           "table"),
+    "operators/mixture.py": (
+        1, "largest-remainder rank over the |sources|-row quota table"),
+    "operators/similarity.py": (
+        4, "q_hybrid_rrf's two rank windows over RRF_TOPN-limited "
+           "lists; q_mrl_prefix_eval's two rank windows over "
+           "TOP_K-limited lists — all post-TakeOrdered"),
+    "operators/anomaly.py": (
+        2, "q_rank_shift's two rank windows over the |event_types|-row "
+           "count table"),
+    "zorder.py": (
+        1, "row_number over the SAMPLE-capped cut-point table"),
+}
+
+
+def test_unpartitioned_windows_are_whitelisted():
+    import re
+
+    pkg = Path(__file__).resolve().parent.parent / "lakehouse_weather_spark"
+    actual: dict[str, int] = {}
+    for py in sorted(pkg.rglob("*.py")):
+        n = len(re.findall(r"Window\.orderBy\(", py.read_text()))
+        if n:
+            actual[str(py.relative_to(pkg))] = n
+    expected = {k: v[0] for k, v in _UNPARTITIONED_WINDOW_WHITELIST.items()}
+    assert actual == expected, (
+        "unpartitioned Window.orderBy sites changed — every site needs "
+        f"a written bound argument in the whitelist. actual={actual} "
+        f"expected={expected}"
+    )
