@@ -60,8 +60,12 @@ _REFINE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 def _kmeans_refined(
     spark: SparkSession, sf_dir: str, n_iter: int
 ) -> tuple[DataFrame, DataFrame]:
+    from lakehouse_weather_spark.sources.tables import corpus_fingerprint
+
     per = _REFINE_MEMO.setdefault(spark, {})
-    key = (sf_dir, n_iter)
+    # fingerprint: invalidate if the corpus is rewritten under the same
+    # path mid-session (round-6 ADVICE, same as dedup._substrate)
+    key = (sf_dir, n_iter, corpus_fingerprint(sf_dir, "embeddings"))
     if key not in per:
         cents, assignment = kmeans_refine(
             load_table(spark, sf_dir, "embeddings"), n_iter=n_iter

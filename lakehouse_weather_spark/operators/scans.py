@@ -98,11 +98,14 @@ def q_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").cast("bigint").alias("sum_chars"),
         )
     )
-    # scratch location keyed by corpus: rerunning just republishes the
-    # next version of the same table (exercising version turnover)
+    # scratch location keyed by corpus AND pid: rerunning in the same
+    # process republishes the next version of the same table
+    # (exercising version turnover), while concurrent sessions over the
+    # same corpus (bench + gate driver, pytest-xdist) never race one
+    # directory's publish/export/replay (round-6 ADVICE)
     key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     table_dir = os.path.join(
-        tempfile.gettempdir(), f"lws_delta_export_{key}"
+        tempfile.gettempdir(), f"lws_delta_export_{key}_{os.getpid()}"
     )
     publish_df(summary, table_dir, schema_mode="overwrite")
     export_delta_log(table_dir)

@@ -347,16 +347,22 @@ _MODEL_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _codebook_for(spark, sf_dir: str, emb: DataFrame):
+    from lakehouse_weather_spark.sources.tables import corpus_fingerprint
+
     per = _MODEL_MEMO.setdefault(spark, {})
-    key = ("codebook", sf_dir)
+    # fingerprint: invalidate if the corpus is rewritten under the same
+    # path mid-session (round-6 ADVICE, same as dedup._substrate)
+    key = ("codebook", sf_dir, corpus_fingerprint(sf_dir, "embeddings"))
     if key not in per:
         per[key] = _codebook(emb)
     return per[key]
 
 
 def _query_vec_for(spark, sf_dir: str, emb: DataFrame):
+    from lakehouse_weather_spark.sources.tables import corpus_fingerprint
+
     per = _MODEL_MEMO.setdefault(spark, {})
-    key = ("qvec", sf_dir)
+    key = ("qvec", sf_dir, corpus_fingerprint(sf_dir, "embeddings"))
     if key not in per:
         per[key] = _query_vec(emb)
     return per[key]

@@ -26,15 +26,24 @@ def salted_join(
     key: str,
     how: str = "inner",
     salt: int = 16,
+    auto: bool = False,
 ) -> DataFrame:
     """Equi-join with key salting: left gets salt = hash(all cols) % n,
     right is exploded to all n salt values. Result equals a plain join;
     the hot key's rows spread across ``salt`` reducers.
 
+    ``auto=True`` measures first (``choose_join_plan``'s bounded
+    statistics) and only pays the salt replication when the hottest key
+    actually exceeds HOT_KEY_ROWS — broadcasting instead when the right
+    side fits, plain SMJ otherwise. Callers who already KNOW the skew
+    keep the default direct path.
+
     pmod, not abs(hash)%salt: hash() can return Int.MinValue, where
     abs() stays negative and a non-power-of-2 salt would yield a _salt
     outside 0..salt-1 that never matches the replicated right side —
     silently dropping the row from an inner join."""
+    if auto:
+        return auto_join(left, right, key, how=how, salt=salt)[0]
     salted_left = left.withColumn(
         "_salt", F.pmod(F.hash(*left.columns), F.lit(salt)).cast("int")
     )
@@ -123,6 +132,31 @@ def choose_quantile_arm(n_rows: int) -> str:
     if n_rows <= WINDOW_BUDGET_ROWS:
         return "window"
     return "sampled_cutpoints"
+
+
+def auto_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    how: str = "inner",
+    salt: int = 16,
+) -> tuple[DataFrame, str, dict]:
+    """The selector WIRED to a consumer: measure (choose_join_plan's
+    bounded stats), pick the arm, build that join. Returns
+    (result, arm, stats) so callers/tests can audit the decision.
+
+    - 'broadcast': right fits BROADCAST_CAP_ROWS — hint it so the skew
+      question never arises (broadcast joins don't shuffle the fact).
+    - 'salted_smj': one fact key exceeds HOT_KEY_ROWS — even an
+      AQE-split partition cannot parallelize ONE key's sort/build.
+    - 'smj': plain shuffle join; AQE handles moderate skew at runtime.
+    """
+    arm, stats = choose_join_plan(left, key, right)
+    if arm == "broadcast":
+        return left.join(F.broadcast(right), key, how), arm, stats
+    if arm == "salted_smj":
+        return salted_join(left, right, key, how=how, salt=salt), arm, stats
+    return left.join(right, key, how), arm, stats
 
 
 def choose_join_plan(

@@ -90,3 +90,30 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql use."""
     for name in TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def corpus_fingerprint(sf_dir: str, name: str) -> str:
+    """Cheap content fingerprint of a table's files (relative path,
+    size, mtime per file) for memo-key invalidation: the substrate/model
+    memos serve checkpointed snapshots keyed by (session, sf_dir,
+    params), and without this a corpus REWRITTEN under the same path
+    mid-session (a regenerated fixture) would silently serve the stale
+    snapshot (round-6 ADVICE). A scandir over a handful of parquet
+    files — microseconds, no data read."""
+    import hashlib
+    import os
+
+    root = dataset_path(sf_dir, f"{name}.parquet")
+    entries = []
+    if os.path.isdir(root):
+        for base, _dirs, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                p = os.path.join(base, f)
+                st = os.stat(p)
+                entries.append(
+                    (os.path.relpath(p, root), st.st_size, st.st_mtime_ns)
+                )
+    else:
+        st = os.stat(root)
+        entries.append((name, st.st_size, st.st_mtime_ns))
+    return hashlib.md5(repr(entries).encode()).hexdigest()

@@ -149,7 +149,12 @@ _doc = st.tuples(
 
 
 @settings(
-    max_examples=4,
+    # 12, not 4: the documents family is where the round-6 fuzzer paid
+    # off (the shingle-width spine drop) — a bigger example budget here
+    # buys the most divergence coverage per second (each example is one
+    # (corpus, query) draw, so 12 examples still samples a minority of
+    # the 23-query pool per run; rounds accumulate coverage)
+    max_examples=12,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture],
 )

@@ -797,3 +797,153 @@ def test_delta_scan_external_read(spark, tmp_path):
     export_delta_log(table_dir)
     n = con.sql(f"SELECT count(*) FROM delta_scan('{table_dir}')").fetchone()[0]
     assert n == 50
+
+
+def test_delta_log_export_is_multi_commit(spark, tmp_path):
+    """Each publish+export appends ONE new commit (removes of the prior
+    snapshot + adds of the new one); replay honors at_version for
+    external time travel; re-export with no new version is a no-op."""
+    import json
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+    )
+
+    table_dir = str(tmp_path / "dmulti")
+    publish_df(spark.range(0, 10).select(F.col("id").alias("k")), table_dir)
+    export_delta_log(table_dir)
+    publish_df(spark.range(0, 25).select(F.col("id").alias("k")), table_dir)
+    export_delta_log(table_dir)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    assert commits == [
+        "00000000000000000000.json",
+        "00000000000000000001.json",
+    ]
+    c1 = [json.loads(ln) for ln in open(os.path.join(log_dir, commits[1]))]
+    kinds = [next(iter(a)) for a in c1]
+    # commit 1: schema unchanged -> no metaData; the old snapshot's
+    # files removed, the new one's added
+    assert "metaData" not in kinds and "protocol" not in kinds
+    assert kinds.count("remove") >= 1 and kinds.count("add") >= 1
+    removed = {a["remove"]["path"] for a in c1 if "remove" in a}
+    assert all(p.startswith("v000001/") for p in removed)
+    # time travel through the exported history
+    v1_files, _ = replay_delta_log(table_dir, at_version="v000001")
+    v2_files, _ = replay_delta_log(table_dir, at_version="v000002")
+    head_files, _ = replay_delta_log(table_dir)
+    assert head_files == v2_files
+    assert spark.read.parquet(*v1_files).count() == 10
+    assert spark.read.parquet(*v2_files).count() == 25
+    # idempotent: nothing new to export -> no new commit
+    export_delta_log(table_dir)
+    assert sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    ) == commits
+
+
+def test_delta_log_export_ntz_needs_feature_protocol(spark, tmp_path):
+    """TIMESTAMP_NTZ columns require reader 3 / writer 7 with the
+    timestampNtz table feature — protocol 1/2 with an NTZ column is
+    protocol-invalid (round-6 ADVICE)."""
+    import json
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+    )
+
+    table_dir = str(tmp_path / "dntz")
+    df = spark.range(0, 5).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.col("id") * 3600)
+        .cast("timestamp_ntz")
+        .alias("ts"),
+    )
+    publish_df(df, table_dir)
+    export_delta_log(table_dir)
+    commit = os.path.join(
+        table_dir, "_delta_log", "00000000000000000000.json"
+    )
+    actions = [json.loads(ln) for ln in open(commit)]
+    proto = next(a["protocol"] for a in actions if "protocol" in a)
+    assert proto == {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["timestampNtz"],
+        "writerFeatures": ["timestampNtz"],
+    }
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert '"timestamp_ntz"' in meta["schemaString"]
+
+
+def test_delta_log_checkpoint_every_10_commits(spark, tmp_path):
+    """Commit 10 gets a classic checkpoint parquet + _last_checkpoint
+    pointer whose add set equals the live snapshot at that commit."""
+    import json
+
+    import pyarrow.parquet as pq
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+    )
+
+    table_dir = str(tmp_path / "dckpt")
+    for i in range(11):
+        publish_df(
+            spark.range(0, 5 + i).select(F.col("id").alias("k")),
+            table_dir,
+        )
+        export_delta_log(table_dir)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    ckpt = os.path.join(log_dir, f"{10:020d}.checkpoint.parquet")
+    assert os.path.exists(ckpt)
+    last = json.load(open(os.path.join(log_dir, "_last_checkpoint")))
+    assert last["version"] == 10
+    tbl = pq.read_table(ckpt)
+    assert set(tbl.column_names) == {"protocol", "metaData", "add", "remove"}
+    adds = [a for a in tbl.column("add").to_pylist() if a is not None]
+    live, _ = replay_delta_log(table_dir, at_version="v000011")
+    assert sorted(os.path.join(table_dir, a["path"]) for a in adds) == live
+    assert last["size"] == len(tbl)
+    # exactly one protocol and one metaData row
+    assert sum(p is not None for p in tbl.column("protocol").to_pylist()) == 1
+    assert sum(m is not None for m in tbl.column("metaData").to_pylist()) == 1
+
+
+def test_delta_log_export_skips_vacuumed_versions(spark, tmp_path):
+    """Publishing several versions between exports (retention keep=2)
+    jumps the log straight to the oldest retained successor — the same
+    bounded history as time travel past VACUUM."""
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+    )
+
+    table_dir = str(tmp_path / "dvac")
+    publish_df(spark.range(0, 3).select(F.col("id").alias("k")), table_dir)
+    export_delta_log(table_dir)
+    # v2..v5; keep=2 retains the committed v5 plus v3, v4 — v2 is gone
+    # by the time the second export runs
+    for n in (7, 9, 13, 17):
+        publish_df(
+            spark.range(0, n).select(F.col("id").alias("k")), table_dir
+        )
+    export_delta_log(table_dir)
+    files, _ = replay_delta_log(table_dir)
+    assert spark.read.parquet(*files).count() == 17
+    v3_files, _ = replay_delta_log(table_dir, at_version="v000003")
+    assert spark.read.parquet(*v3_files).count() == 9
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        replay_delta_log(table_dir, at_version="v000002")

@@ -83,3 +83,100 @@ def test_registered_decisions_match_library(spark, sf_dir):
         assert r.arm == choose_dedup_arm(r.n_items)
     for r in specs["q_choose_quantile_plan"].fn(spark, sf_dir).collect():
         assert r.arm == choose_quantile_arm(r.n_rows)
+
+
+def test_auto_join_picks_salted_on_hot_key(spark):
+    """The selector wired to a consumer: a fact with ONE key carrying
+    more than HOT_KEY_ROWS rows and a dim too big to broadcast must go
+    down the salted path (the _salt column appears in the plan), and
+    the result must equal the plain join exactly."""
+    import contextlib
+    import io
+
+    from lakehouse_weather_spark.plans import HOT_KEY_ROWS, auto_join
+
+    fact = spark.range(0, HOT_KEY_ROWS + 500).select(
+        # one hot key (0) + a long tail of singletons
+        F.when(F.col("id") < HOT_KEY_ROWS + 1, F.lit(0))
+        .otherwise(F.col("id"))
+        .alias("k"),
+        F.col("id").alias("payload"),
+    )
+    dim = spark.range(0, 25_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("dval")
+    )
+    joined, arm, stats = auto_join(fact, dim, "k")
+    assert arm == "salted_smj"
+    assert stats["max_key_cnt"] == HOT_KEY_ROWS + 1
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        joined.explain("formatted")
+    assert "_salt" in buf.getvalue()
+    plain = fact.join(dim, "k")
+    assert joined.count() == plain.count()
+    assert (
+        joined.agg(F.sum("payload"), F.sum("dval")).collect()
+        == plain.agg(F.sum("payload"), F.sum("dval")).collect()
+    )
+
+
+def test_auto_join_picks_broadcast_on_small_dim(spark):
+    from lakehouse_weather_spark.plans import auto_join
+
+    fact = spark.range(0, 5_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("dval")
+    )
+    joined, arm, _ = auto_join(fact, dim, "k")
+    assert arm == "broadcast"
+    assert joined.count() == 5_000
+
+
+def test_salted_join_auto_delegates(spark):
+    from lakehouse_weather_spark.plans import salted_join
+
+    fact = spark.range(0, 1_000).select(
+        (F.col("id") % 7).alias("k"), F.col("id").alias("payload")
+    )
+    dim = spark.range(0, 7).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dval")
+    )
+    # small dim -> the auto path broadcasts instead of paying the salt
+    out = salted_join(fact, dim, "k", auto=True)
+    assert out.count() == 1_000
+
+
+def test_near_dup_pairs_auto_small_corpus_exact(spark, sf_dir):
+    """On the fixture corpus (well under the pair budget) the auto
+    entry picks the exact arm, and its pair set equals the PPJoin
+    scale arm's — the selector changes cost, never answers."""
+    from lakehouse_weather_spark.operators.dedup import (
+        _jaccard_pairs_high,
+        near_dup_pairs_auto,
+    )
+
+    pairs, arm, stats = near_dup_pairs_auto(spark, sf_dir)
+    assert arm == "exact"
+    got = {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    want = {
+        (r.doc_a, r.doc_b)
+        for r in _jaccard_pairs_high(spark, sf_dir).select(
+            "doc_a", "doc_b"
+        ).collect()
+    }
+    assert got == want
+    assert stats["n_items"] > 0
+
+
+def test_near_dup_pairs_auto_lsh_above_budget(spark, sf_dir, monkeypatch):
+    """Shrinking the pair budget flips the SAME corpus to the lsh arm
+    (monkeypatched constant — the decision rule, not a giant fixture)."""
+    from lakehouse_weather_spark import plans
+    from lakehouse_weather_spark.operators import dedup as D
+
+    monkeypatch.setattr(plans, "EXACT_PAIR_BUDGET", 10)
+    pairs, arm, _ = D.near_dup_pairs_auto(spark, sf_dir)
+    assert arm == "lsh"
+    assert pairs.count() >= 0

@@ -53,3 +53,33 @@ def test_failfast_mode_raises(spark, tmp_path):
     schema = StructType([StructField("doc_id", StringType())])
     with pytest.raises(Exception, match="FAILFAST|Malformed|FAILED_READ"):
         spark.read.schema(schema).option("mode", "FAILFAST").json(str(raw)).collect()
+
+
+def test_substrate_memo_invalidates_on_corpus_rewrite(spark, tmp_path):
+    """The dedup substrate memo folds a file fingerprint into its key:
+    rewriting the corpus under the SAME path mid-session must rebuild
+    the checkpointed substrate, not serve the stale snapshot."""
+    import shutil
+
+    from lakehouse_weather_spark.operators.dedup import (
+        _spark_shingle_hashes,
+    )
+
+    d = str(tmp_path / "corpus")
+    spark.createDataFrame(
+        [(0, "alpha beta gamma delta", "en", "s", 22)],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    n1 = _spark_shingle_hashes(spark, d).count()
+    shutil.rmtree(f"{d}/documents.parquet")
+    spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta", "en", "s", 22),
+            (1, "epsilon zeta eta theta iota kappa", "en", "s", 33),
+        ],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    ).coalesce(1).write.parquet(f"{d}/documents.parquet")
+    n2 = _spark_shingle_hashes(spark, d).count()
+    assert n2 > n1  # stale memo would have returned n1 again
