@@ -593,3 +593,216 @@ def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= AHASH_HAMMING_MAX)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# DCT perceptual hash (pHash) over decoded pixels
+# ---------------------------------------------------------------------------
+
+_PHASH_N = 32  # resample grid; DCT runs on the 32x32 grayscale
+_PHASH_K = 8   # low-frequency block kept (top-left KxK)
+
+# pixel decoder seam: bytes -> (PHASH_N x PHASH_N) float64 grayscale.
+# Same injectable-decode design as media_features: the codec boundary
+# is ONE function, everything after it is real math.
+PixelFn = Callable[[bytes], "np.ndarray"]
+
+
+def real_pixels(content: bytes) -> "np.ndarray":
+    """Decode + grayscale + resample via Pillow when importable (the
+    real codec path); raises ValueError otherwise so callers route to
+    an injected decoder — the same optional-dependency contract as
+    real_decode/pypdf."""
+    try:
+        import io
+
+        from PIL import Image
+    except ImportError as exc:  # pragma: no cover - codec-less container
+        raise ValueError("no pixel codec available (Pillow)") from exc
+    with Image.open(io.BytesIO(bytes(content or b""))) as im:
+        g = im.convert("L").resize((_PHASH_N, _PHASH_N))
+        return np.asarray(g, dtype=np.float64)
+
+
+def fake_pixels(content: bytes) -> "np.ndarray":
+    """Deterministic decoder stand-in: tile the RAW BYTES into the
+    resample grid (truncate/repeat to N*N). Not a synthetic constant —
+    the 'pixels' are a pure function of the payload, so equal payloads
+    hash equal, near-equal payloads hash near, and the kernel math
+    downstream is exactly the production computation."""
+    b = np.frombuffer(bytes(content or b"\x00"), dtype=np.uint8)
+    need = _PHASH_N * _PHASH_N
+    reps = -(-need // max(len(b), 1))
+    return (
+        np.tile(b, reps)[:need].reshape(_PHASH_N, _PHASH_N)
+        .astype(np.float64)
+    )
+
+
+def _dct_mat(n: int) -> "np.ndarray":
+    """Orthonormal DCT-II basis: C[k, i] = s_k cos(pi (2i+1) k / 2n),
+    s_0 = sqrt(1/n), s_k = sqrt(2/n). The 2-D DCT of X is C @ X @ C.T
+    (separability) — pure numpy, no scipy; the naive O(n^4) direct sum
+    in tests/test_multimodal.py certifies the kernel."""
+    i = np.arange(n)
+    k = np.arange(n)[:, None]
+    c = np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+    c *= np.sqrt(2.0 / n)
+    c[0] *= np.sqrt(0.5)
+    return c
+
+
+_DCT_C = None
+
+
+def phash64(gray: "np.ndarray") -> int:
+    """64-bit DCT perceptual hash: 2-D DCT-II of the grayscale grid,
+    keep the top-left 8x8 low-frequency block, set bit j iff
+    coefficient j exceeds the MEDIAN of the 63 non-DC coefficients
+    (the DC bit compares against the same median, so the hash is 64
+    bits and brightness-offset changes flip at most the DC bit).
+    Robust to re-encoding/resampling, unlike byte-level aHash."""
+    global _DCT_C
+    if _DCT_C is None:
+        _DCT_C = _dct_mat(_PHASH_N)
+    d = _DCT_C @ gray @ _DCT_C.T
+    low = d[:_PHASH_K, :_PHASH_K].ravel()
+    med = float(np.median(low[1:]))
+    bits = low > med
+    out = 0
+    for j in range(_PHASH_K * _PHASH_K):
+        if bits[j]:
+            out |= 1 << j
+    # two's-complement into int64 range for a BIGINT column
+    return out - (1 << 64) if out >= (1 << 63) else out
+
+
+def phash_features(
+    df: DataFrame, pixel_fn: PixelFn = real_pixels
+) -> DataFrame:
+    """(doc_id, phash) via Arrow-batched mapInPandas — decode stays
+    inside the executor task (bytes never shuffle), the DCT is a pair
+    of 32x32 matmuls per asset. The production perceptual-dedup shape:
+    hash once at ingest, then q_binary_neardup-style banded self-join
+    on the signatures."""
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def ph_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "phash": [
+                        phash64(pixel_fn(c)) for c in pdf["content"]
+                    ],
+                }
+            )
+
+    return df.mapInPandas(ph_map, schema=schema)
+
+
+@register(
+    "q_binary_phash",
+    oracle=None,  # DCT is not SQL-expressible; kernel certified by the
+    # naive-DCT reference + property tests in tests/test_multimodal.py
+    doc="DCT perceptual hash over the binary landing: decode (injected"
+    " deterministic byte-grid decoder here; Pillow via real_pixels in"
+    " production — the codec boundary is one function), 32x32"
+    " grayscale, orthonormal 2-D DCT-II (two matmuls), top-left 8x8"
+    " low-frequency block thresholded at its non-DC median -> 64-bit"
+    " signature. The decode-and-transform half of perceptual image"
+    " dedup, robust to re-encoding where q_binary_ahash's byte hash is"
+    " not; downstream banding reuses the q_binary_neardup pigeonhole"
+    " machinery unchanged. Arrow-batched mapInPandas, bytes never"
+    " leave the scan task.",
+)
+def q_binary_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return phash_features(assets_table(spark, sf_dir), pixel_fn=fake_pixels)
+
+
+# ---------------------------------------------------------------------------
+# EXIF + WAV probes: pure-stdlib container parsing (no codec)
+# ---------------------------------------------------------------------------
+
+
+def exif_probe(content: bytes) -> dict:
+    """Parse the JPEG APP1/Exif TIFF IFD0 for Orientation (tag 0x0112)
+    and DateTime (0x0132) — pure struct walking, both byte orders, no
+    codec. Returns {} for non-JPEG / Exif-less payloads. This is the
+    metadata-governance pass a media pipeline runs at ingest (rotation
+    normalization, capture-time partitioning) without decoding pixels."""
+    import struct
+
+    b = bytes(content or b"")
+    if b[:3] != b"\xff\xd8\xff":
+        return {}
+    i = 2
+    while i + 4 < len(b):
+        if b[i] != 0xFF:
+            return {}
+        marker, seg_len = b[i + 1], struct.unpack(">H", b[i + 2 : i + 4])[0]
+        if marker == 0xE1 and b[i + 4 : i + 10] == b"Exif\x00\x00":
+            tiff = i + 10
+            order = b[tiff : tiff + 2]
+            if order not in (b"II", b"MM"):
+                return {}
+            e = "<" if order == b"II" else ">"
+            (ifd_off,) = struct.unpack(e + "I", b[tiff + 4 : tiff + 8])
+            p = tiff + ifd_off
+            (n_tags,) = struct.unpack(e + "H", b[p : p + 2])
+            out: dict = {}
+            for t in range(n_tags):
+                ent = p + 2 + 12 * t
+                tag, typ, cnt = struct.unpack(
+                    e + "HHI", b[ent : ent + 8]
+                )
+                if tag == 0x0112 and typ == 3:  # SHORT orientation
+                    (out["orientation"],) = struct.unpack(
+                        e + "H", b[ent + 8 : ent + 10]
+                    )
+                elif tag == 0x0132 and typ == 2:  # ASCII datetime
+                    (off,) = struct.unpack(e + "I", b[ent + 8 : ent + 12])
+                    raw = b[tiff + off : tiff + off + cnt]
+                    out["datetime"] = raw.rstrip(b"\x00").decode(
+                        "ascii", "replace"
+                    )
+            return out
+        if marker == 0xD8 or 0xD0 <= marker <= 0xD7:
+            i += 2
+        else:
+            i += 2 + seg_len
+    return {}
+
+
+def wav_probe(content: bytes) -> dict:
+    """Parse a RIFF/WAVE header (fmt + data chunks) for sample rate,
+    channels, bit depth and duration — pure struct, no codec. Returns
+    {} for non-WAV payloads. The audio twin of real_decode's header
+    parsers: everything a landing audit needs before any DSP."""
+    import struct
+
+    b = bytes(content or b"")
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return {}
+    out: dict = {}
+    i = 12
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        (clen,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and clen >= 16:
+            ch, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", b[i + 22 : i + 24])
+            out.update(channels=ch, sample_rate=rate, bits=bits)
+        elif cid == b"data":
+            out["data_bytes"] = clen
+        i += 8 + clen + (clen % 2)
+    if {"channels", "sample_rate", "bits", "data_bytes"} <= out.keys():
+        denom = out["sample_rate"] * out["channels"] * (out["bits"] // 8)
+        if denom:
+            out["duration_ms"] = out["data_bytes"] * 1000 // denom
+    return out

@@ -1618,3 +1618,235 @@ def q_erasure_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(n_days_touched * 10000 div n_days AS BIGINT)"
         ).alias("rewrite_share_bp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Small-file compaction plan (the OPTIMIZE / coalesce-partitions decision)
+# ---------------------------------------------------------------------------
+
+# Target rows per compacted output file (row count is the scale-free
+# proxy the fixture supports; a deployment uses bytes identically).
+_COMPACT_TARGET = 1_500
+
+
+@register(
+    "q_compaction_plan",
+    oracle=f"""
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM events GROUP BY 1
+        ),
+        cum AS (
+            SELECT day, n_rows,
+                   CAST(coalesce(sum(n_rows) OVER (
+                       ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                       AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+            FROM per_day
+        ),
+        assign AS (
+            SELECT day, n_rows,
+                   CAST(cum_before // {_COMPACT_TARGET} AS BIGINT)
+                       AS bin_id
+            FROM cum
+        )
+        SELECT bin_id,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               strftime(min(day), '%Y-%m-%d') AS first_day,
+               strftime(max(day), '%Y-%m-%d') AS last_day
+        FROM assign GROUP BY bin_id
+    """,
+    doc="Small-file compaction plan over the date-partitioned event"
+    " landing (the classic many-tiny-daily-files problem): walk the"
+    " day partitions in order, running-sum their row counts, and cut a"
+    f" compaction bin every {_COMPACT_TARGET} rows (bin = exclusive"
+    " running sum div target — exactly the deterministic form of"
+    " Spark AQE's coalesceShufflePartitions / Delta OPTIMIZE's"
+    " bin-packing walk). Output: per output file, the input-file count,"
+    " row total and day span — the table a maintenance job turns into"
+    " rewrite jobs. The running window orders the per-DAY aggregate"
+    " (calendar-bounded, one row per day — the whitelisted"
+    " unpartitioned-window shape), never the raw events.",
+)
+def q_compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows")
+    )
+    # calendar-bounded window (one row per day) — whitelisted shape
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
+    assign = (
+        per_day.withColumn(
+            "cum_before", F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+        )
+        .withColumn(
+            "bin_id",
+            F.expr(f"CAST(cum_before div {_COMPACT_TARGET} AS BIGINT)"),
+        )
+        .drop("cum_before")
+    )
+    return (
+        assign.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_files"),
+            F.sum("n_rows").cast("bigint").alias("total_rows"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias(
+                "first_day"
+            ),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .select("bin_id", "n_files", "total_rows", "first_day", "last_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Partition retention / expiration plan
+# ---------------------------------------------------------------------------
+
+_RETAIN_DAYS = 5
+
+
+@register(
+    "q_retention_plan",
+    oracle=f"""
+        WITH per_day AS (
+            SELECT CAST(ts AS DATE) AS day,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY 1
+        ),
+        hw AS (SELECT max(day) AS horizon FROM per_day)
+        SELECT strftime(day, '%Y-%m-%d') AS day, n_rows, n_users,
+               CAST(datediff('day', day, horizon) AS BIGINT) AS age_days,
+               datediff('day', day, horizon) >= {_RETAIN_DAYS} AS expire
+        FROM per_day, hw
+    """,
+    doc=f"Partition retention plan: per day partition of the event"
+    " landing, row/user counts, age against the corpus high-water day,"
+    f" and the expire flag at a {_RETAIN_DAYS}-day retention horizon —"
+    " the decision table a lifecycle job (Delta VACUUM / retention"
+    " enforcement / GDPR storage-limitation audit) executes, and the"
+    " companion to q_erasure_audit (which prices row-level deletes"
+    " where this prices partition drops — the cheap path when age, not"
+    " identity, drives deletion). Aging against the DATA's high-water"
+    " mark, not wall clock, keeps the plan reproducible (and is how a"
+    " backfilled table should age anyway). One partial-agg pass + a"
+    " 1-row broadcast horizon join.",
+)
+def q_retention_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_day = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    hw = per_day.agg(F.max("day").alias("horizon"))
+    return per_day.crossJoin(F.broadcast(hw)).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_rows",
+        "n_users",
+        F.datediff(F.col("horizon"), F.col("day"))
+        .cast("bigint")
+        .alias("age_days"),
+        (
+            F.datediff(F.col("horizon"), F.col("day")) >= _RETAIN_DAYS
+        ).alias("expire"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Differentially-private count release (discrete Laplace, exact dyadics)
+# ---------------------------------------------------------------------------
+
+# Geometric(1/2) inverse-CDF thresholds: G(h) >= k iff
+# h >= 2^60 - 2^(60-k), k = 1..16 (magnitude capped at 16). X = G1 - G2
+# is two-sided-geometric / discrete-Laplace noise with alpha = 1/2,
+# i.e. epsilon = ln 2 at sensitivity 1 — and because every threshold is
+# a dyadic integer, the draw is pure int64 comparisons: bit-identical
+# across engines, no libm anywhere.
+_GEOM_T = (
+    576460752303423488,
+    864691128455135232,
+    1008806316530991104,
+    1080863910568919040,
+    1116892707587883008,
+    1134907106097364992,
+    1143914305352105984,
+    1148417904979476480,
+    1150669704793161728,
+    1151795604700004352,
+    1152358554653425664,
+    1152640029630136320,
+    1152780767118491648,
+    1152851135862669312,
+    1152886320234758144,
+    1152903912420802560,
+)
+
+_DP_HA_SPARK = (
+    "cast(conv(substr(md5(concat('dpa_', event_type)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_DP_HB_SPARK = (
+    "cast(conv(substr(md5(concat('dpb_', event_type)), 1, 15), 16, 10)"
+    " as bigint)"
+)
+_DP_HA_DUCK = (
+    "CAST(('0x' || substr(md5('dpa_' || event_type), 1, 15)) AS BIGINT)"
+)
+_DP_HB_DUCK = (
+    "CAST(('0x' || substr(md5('dpb_' || event_type), 1, 15)) AS BIGINT)"
+)
+
+
+def _geom_sum(h_expr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({h_expr}) >= {t} THEN 1 ELSE 0 END)"
+        for t in _GEOM_T
+    )
+
+
+@register(
+    "q_dp_counts",
+    oracle=f"""
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(({_geom_sum(_DP_HA_DUCK)})
+                    - ({_geom_sum(_DP_HB_DUCK)}) AS BIGINT) AS noise,
+               CAST(count(*) + ({_geom_sum(_DP_HA_DUCK)})
+                    - ({_geom_sum(_DP_HB_DUCK)}) AS BIGINT) AS noisy_n
+        FROM events GROUP BY event_type
+    """,
+    doc="Differentially-private count release: per-type event counts"
+    " plus discrete-Laplace noise X = G1 - G2 (two iid Geometric(1/2)"
+    " draws), giving epsilon = ln 2 at sensitivity 1 (EVENT-level"
+    " adjacency: one event changes one count by 1; user-level DP"
+    " would scale noise by each user's contribution bound). The"
+    " geometric inverse-CDF thresholds are dyadic integers, so the"
+    " noise is pure int64 comparisons on 60-bit md5 draws — the"
+    " mechanism is reproducible and engine-exact, which is exactly"
+    " what a privacy AUDIT needs (the production release would key the"
+    " hash by a secret per-release seed; the mechanism is unchanged)."
+    " Output keeps the true n beside noisy_n because this is the"
+    " audit view proving the mechanism; the release ships noisy_n"
+    " only. One partial-agg scan; noise is a per-GROUP scalar.",
+)
+def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    noise = (
+        f"CAST(({_geom_sum(_DP_HA_SPARK)})"
+        f" - ({_geom_sum(_DP_HB_SPARK)}) AS BIGINT)"
+    )
+    return (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "event_type",
+            "n",
+            F.expr(noise).alias("noise"),
+            (F.col("n") + F.expr(noise)).cast("bigint").alias("noisy_n"),
+        )
+    )

@@ -982,3 +982,77 @@ def q_reservoir_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("sample_rank").cast("bigint").alias("sample_rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic MLM/span-corruption mask plan
+# ---------------------------------------------------------------------------
+
+# 15% mask rate (the BERT default) as a 60-bit integer threshold:
+# floor(0.15 * 2^60) — token i of doc d masks iff its md5 draw is
+# below it, so the plan is reproducible across runs/engines/partitions.
+_MLM_T = 172938225691027040
+
+_MLM_H_SPARK = (
+    "cast(conv(substr(md5(concat('mlm_', cast(doc_id as string), '_',"
+    " cast(i as string))), 1, 15), 16, 10) as bigint)"
+)
+_MLM_H_DUCK = (
+    "CAST(('0x' || substr(md5('mlm_' || CAST(doc_id AS VARCHAR) || '_'"
+    " || CAST(i AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "q_mlm_masks",
+    oracle=f"""
+        WITH lens AS (
+            SELECT doc_id,
+                   array_length(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        ipos AS (
+            SELECT doc_id, n, unnest(generate_series(1, n)) AS i
+            FROM lens
+        ),
+        pos AS (
+            SELECT doc_id, n, i, {_MLM_H_DUCK} AS h FROM ipos
+        )
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) FILTER (WHERE h < {_MLM_T}) AS BIGINT)
+                   AS n_masked,
+               CAST(min(i) FILTER (WHERE h < {_MLM_T}) AS BIGINT)
+                   AS first_masked,
+               CAST(count(*) FILTER (WHERE h < {_MLM_T}) * 1000
+                    // max(n) AS BIGINT) AS masked_pm
+        FROM pos GROUP BY doc_id
+    """,
+    doc="Deterministic masked-LM corruption plan: token position i of"
+    " doc d masks iff a 60-bit md5(doc, i) draw clears the integer"
+    " 15%-rate threshold — the BERT-style pretraining mask, made"
+    " reproducible across runs, engines and partitionings (a training"
+    " pipeline wants the SAME example set per epoch seed for"
+    " debuggability and loss-curve comparability; rand() gives neither)."
+    " Per doc: token count, mask count, first masked position, exact"
+    " per-mille mask rate. Plan shape: one narrow per-doc pass — the"
+    " mask decisions are a filtered sequence() inside the row, no"
+    " explode reaches any shuffle; at 100 TB this runs at scan speed"
+    " next to tokenization.",
+)
+def q_mlm_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    masked = (
+        f"filter(sequence(1, size(split(text, ' '))),"
+        f" i -> ({_MLM_H_SPARK}) < {_MLM_T})"
+    )
+    return docs.select(
+        "doc_id",
+        F.expr("size(split(text, ' '))").cast("bigint").alias("n_tokens"),
+        F.expr(f"size({masked})").cast("bigint").alias("n_masked"),
+        F.expr(f"array_min({masked})").cast("bigint").alias("first_masked"),
+        F.expr(
+            f"CAST(size({masked}) * 1000"
+            f" div size(split(text, ' ')) AS BIGINT)"
+        ).alias("masked_pm"),
+    )

@@ -371,3 +371,191 @@ def q_simpson_flip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nations", "n_flipped", "simpson",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence intervals (distributed bootstrap)
+# ---------------------------------------------------------------------------
+
+# Resample count: with B = 40 the empirical 2.5%/97.5% quantiles of the
+# resample means ARE the min/max order statistics (floor(0.025*40) = 1st,
+# ceil(0.975*40) = 40th), so the CI needs no engine-dependent quantile
+# interpolation — exact min/max of exact integers.
+_BOOT_B = 40
+# Poisson(1) CDF as 28-bit integer thresholds (floor(CDF(k) * 16^7),
+# k = 0..8, weight capped at 9): the per-(row, b) weight is the number
+# of thresholds at or below the row's 28-bit md5 draw — pure integer
+# comparisons, no float anywhere, so both engines derive the IDENTICAL
+# resample weights. 28 bits quantizes the CDF at 2^-28 — statistically
+# irrelevant for a bootstrap and exactly reproduced by both engines.
+_POIS_T = (
+    98751885,
+    197503771,
+    246879713,
+    263338361,
+    267453023,
+    268275955,
+    268413111,
+    268432704,
+    268435153,
+)
+
+# One md5 yields FOUR independent 28-bit draws (hex chars 1-7, 9-15,
+# 17-23, 25-31 of the 128-bit digest): replicate b = (g-1)*4 + i + 1
+# for group g in 1..B/4 and quarter i in 0..3. md5 over a short concat
+# IS this query's unit cost — one hash per draw measured 8.8 s at
+# sf0.1, four draws per hash ~2.5 s.
+_BOOT_G = _BOOT_B // 4
+_BOOT_M_SPARK = (
+    "md5(concat('boot_', cast(g as string), '_',"
+    " cast(event_id as string)))"
+)
+_BOOT_M_DUCK = (
+    "md5('boot_' || CAST(g AS VARCHAR) || '_'"
+    " || CAST(event_id AS VARCHAR))"
+)
+
+
+def _pois_w(h_expr: str) -> str:
+    return " + ".join(
+        f"(CASE WHEN ({h_expr}) >= {t} THEN 1 ELSE 0 END)" for t in _POIS_T
+    )
+
+
+@register(
+    "q_bootstrap_ci",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_id, event_type,
+                   CAST(round(value * 100) AS BIGINT) AS r_fx
+            FROM events
+        ),
+        bw AS (
+            SELECT event_type, b, r_fx, {_pois_w('h')} AS w
+            FROM (
+                SELECT event_type, r_fx,
+                       (g - 1) * 4 + i + 1 AS b,
+                       CAST(('0x' || substr(m, 1 + i * 8, 7))
+                            AS BIGINT) AS h
+                FROM (
+                    SELECT event_type, r_fx, g, {_BOOT_M_DUCK} AS m
+                    FROM ev, generate_series(1, {_BOOT_G}) AS t(g)
+                ), generate_series(0, 3) AS s(i)
+            )
+        ),
+        means AS (
+            SELECT event_type, b,
+                   CASE WHEN sum(w) = 0 THEN NULL
+                        ELSE CAST((sum(w * r_fx) * 10000) // sum(w)
+                                  AS BIGINT) END AS bmean_fx
+            FROM bw GROUP BY event_type, b
+        ),
+        base AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST((sum(r_fx) * 10000) // count(*) AS BIGINT)
+                       AS mean_fx
+            FROM ev GROUP BY event_type
+        )
+        SELECT base.event_type, n_events, mean_fx,
+               CAST(count(m.bmean_fx) AS BIGINT) AS n_boot,
+               CAST(min(m.bmean_fx) AS BIGINT) AS ci_lo_fx,
+               CAST(max(m.bmean_fx) AS BIGINT) AS ci_hi_fx
+        FROM base JOIN means m USING (event_type)
+        GROUP BY 1, 2, 3
+    """,
+    doc=f"Poisson bootstrap CI for the per-type mean value — THE"
+    " distributed bootstrap (Chamandy et al., Google): classical"
+    " resampling needs n draws WITH replacement per replicate (a"
+    " global shuffle per replicate); weighting each row by an"
+    f" independent Poisson(1) count instead is one narrow map pass"
+    f" that emits {_BOOT_B} (replicate, weight) pairs per row into a"
+    " partial-agg shuffle of |types| x B cells. Weights come from"
+    " 60-bit md5 draws compared against integer Poisson-CDF"
+    " thresholds, resample means are exact truncating integer"
+    f" divisions (cents x 1e4), and with B = {_BOOT_B} the empirical"
+    " 2.5/97.5% quantiles are the min/max order statistics — the whole"
+    " CI is integer arithmetic, bit-identical in both engines. An"
+    " all-zero-weight replicate (possible on tiny groups) is NULL and"
+    " excluded by min/max/count on both sides.",
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 100).cast("bigint").alias("r_fx"),
+    )
+    # explode the replicate index FIRST, hash on the flat column:
+    # md5/conv inside a transform() lambda is evaluated interpreted per
+    # element (~50x slower, measured 75 s at sf0.1), while the flat
+    # form runs inside whole-stage codegen (~3 s). The B-fold explode
+    # is map-side only — partial aggregation reduces it to |types| x B
+    # cells before the shuffle.
+    bw = (
+        ev.select(
+            "event_type",
+            "r_fx",
+            "event_id",
+            F.explode(F.expr(f"sequence(1, {_BOOT_G})")).alias("g"),
+        )
+        # hash ONCE per (row, g) into a column (inlining the hash into
+        # _pois_w would compute 9 md5s per row), then split the digest
+        # into its four 28-bit quarters
+        .select(
+            "event_type",
+            "r_fx",
+            "g",
+            F.expr(_BOOT_M_SPARK).alias("m"),
+        )
+        .select(
+            "event_type",
+            "r_fx",
+            "g",
+            # plain array of substrings (codegen), conv on the FLAT
+            # column after the explode — conv inside a transform
+            # lambda is evaluated interpreted, per element
+            F.posexplode(
+                F.expr(
+                    "array(substr(m, 1, 7), substr(m, 9, 7),"
+                    " substr(m, 17, 7), substr(m, 25, 7))"
+                )
+            ).alias("i", "hs"),
+        )
+        .select(
+            "event_type",
+            "r_fx",
+            F.expr("(g - 1) * 4 + i + 1").alias("b"),
+            F.expr("cast(conv(hs, 16, 10) as bigint)").alias("h"),
+        )
+        .select(
+            "event_type", "r_fx", "b", F.expr(_pois_w("h")).alias("w")
+        )
+    )
+    means = (
+        bw.groupBy("event_type", "b")
+        .agg(
+            F.sum("w").alias("sum_w"),
+            F.sum(F.col("w") * F.col("r_fx")).alias("sum_wx"),
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "CASE WHEN sum_w = 0 THEN NULL"
+                " ELSE CAST((sum_wx * 10000) div sum_w AS BIGINT) END"
+            ).alias("bmean_fx"),
+        )
+    )
+    base = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr("CAST((sum(r_fx) * 10000) div count(*) AS BIGINT)").alias(
+            "mean_fx"
+        ),
+    )
+    boot = means.groupBy("event_type").agg(
+        F.count("bmean_fx").cast("bigint").alias("n_boot"),
+        F.min("bmean_fx").cast("bigint").alias("ci_lo_fx"),
+        F.max("bmean_fx").cast("bigint").alias("ci_hi_fx"),
+    )
+    return base.join(boot, "event_type").select(
+        "event_type", "n_events", "mean_fx", "n_boot",
+        "ci_lo_fx", "ci_hi_fx",
+    )

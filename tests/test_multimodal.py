@@ -241,3 +241,135 @@ def test_media_features_real_decoder_end_to_end(spark):
     assert (got[1].width, got[1].height, got[1].channels) == (16, 8, 3)
     assert (got[2].width, got[2].height, got[2].channels) == (4, 32, 4)
     assert len(got[1].byte_histogram) == 16
+
+
+# --- DCT perceptual hash + container probes (round 7) -----------------
+
+
+def test_dct_matrix_matches_naive_reference():
+    """The matmul DCT kernel must equal the O(n^4) textbook DCT-II sum."""
+    import numpy as np
+
+    from lakehouse_weather_spark.operators.multimodal import _dct_mat
+
+    n = 8
+    C = _dct_mat(n)
+    X = (np.arange(n * n, dtype=np.float64).reshape(n, n) * 7) % 101
+    D = C @ X @ C.T
+    ref = np.zeros((n, n))
+    for k in range(n):
+        for li in range(n):
+            s = 0.0
+            for i in range(n):
+                for j in range(n):
+                    s += (
+                        X[i, j]
+                        * np.cos(np.pi * (2 * i + 1) * k / (2 * n))
+                        * np.cos(np.pi * (2 * j + 1) * li / (2 * n))
+                    )
+            sk = np.sqrt((1 if k == 0 else 2) / n)
+            sl = np.sqrt((1 if li == 0 else 2) / n)
+            ref[k, li] = sk * sl * s
+    assert np.allclose(D, ref)
+    # orthonormal: C @ C.T == I
+    assert np.allclose(C @ C.T, np.eye(n))
+
+
+def test_phash_properties():
+    import numpy as np
+
+    from lakehouse_weather_spark.operators.multimodal import (
+        fake_pixels,
+        phash64,
+    )
+
+    a = b"the quick brown fox jumps over the lazy dog " * 30
+    h_a = phash64(fake_pixels(a))
+    # deterministic
+    assert h_a == phash64(fake_pixels(a))
+    # int64 range (BIGINT column)
+    assert -(1 << 63) <= h_a < (1 << 63)
+    # a small payload perturbation moves FEW bits; unrelated content
+    # moves many (the perceptual-locality property aHash lacks under
+    # re-encoding)
+    near = bytearray(a)
+    near[100] ^= 0x01
+    h_near = phash64(fake_pixels(bytes(near)))
+    far = bytes(reversed(a)) + b"entirely different payload " * 40
+    h_far = phash64(fake_pixels(far))
+
+    def ham(x, y):
+        return bin((x ^ y) & ((1 << 64) - 1)).count("1")
+
+    assert ham(h_a, h_near) < ham(h_a, h_far)
+    assert ham(h_a, h_near) <= 8
+    # brightness offset flips at most the DC bit (bit 0)
+    h_bright = phash64(fake_pixels(a).astype("float64") + 25.0)
+    assert (h_a ^ h_bright) & ~1 == 0
+
+
+def test_q_binary_phash_matches_driver_side(spark, sf_dir):
+    from lakehouse_weather_spark.operators.multimodal import (
+        assets_table,
+        fake_pixels,
+        phash64,
+    )
+    from lakehouse_weather_spark.registry import load_all
+
+    out = {
+        r.doc_id: r.phash
+        for r in load_all()["q_binary_phash"].fn(spark, sf_dir).collect()
+    }
+    assets = assets_table(spark, sf_dir).select("doc_id", "content").collect()
+    assert out and len(out) == len(assets)
+    for r in assets[:25]:
+        assert out[r.doc_id] == phash64(fake_pixels(bytes(r.content)))
+
+
+def _exif_jpeg(orientation=6, dt=b"2026:01:02 03:04:05\x00"):
+    import struct
+
+    entries = struct.pack(
+        "<HHIHxx", 0x0112, 3, 1, orientation
+    ) + struct.pack("<HHII", 0x0132, 2, len(dt), 38)
+    tiff = (
+        b"II" + struct.pack("<HI", 42, 8)
+        + struct.pack("<H", 2) + entries
+        + struct.pack("<I", 0) + dt
+    )
+    app1 = b"Exif\x00\x00" + tiff
+    return (
+        b"\xff\xd8\xff\xe1" + __import__("struct").pack(">H", len(app1) + 2)
+        + app1
+    )
+
+
+def test_exif_probe_parses_ifd0():
+    from lakehouse_weather_spark.operators.multimodal import exif_probe
+
+    meta = exif_probe(_exif_jpeg())
+    assert meta["orientation"] == 6
+    assert meta["datetime"] == "2026:01:02 03:04:05"
+    # non-JPEG and Exif-less payloads degrade to {}
+    assert exif_probe(b"\x89PNG\r\n\x1a\nrest") == {}
+    assert exif_probe(b"") == {}
+    assert exif_probe(b"\xff\xd8\xff\xdb\x00\x04\x00\x00") == {}
+
+
+def test_wav_probe_parses_riff_header():
+    import struct
+
+    from lakehouse_weather_spark.operators.multimodal import wav_probe
+
+    data_len = 44100 * 2 * 2  # one second of 16-bit stereo
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", data_len) + b"\x00" * data_len
+    )
+    meta = wav_probe(wav)
+    assert meta["channels"] == 2
+    assert meta["sample_rate"] == 44100
+    assert meta["bits"] == 16
+    assert meta["duration_ms"] == 1000
+    assert wav_probe(b"not a wav") == {}

@@ -439,8 +439,10 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
     "operators/skyline.py": (
         1, "per-bucket best-size offsets over the bucket list"),
     "operators/profiling.py": (
-        2, "row_number over the md5-ordered SAMPLE_K-capped sample "
-           "(equi-depth cut points), bounded by construction"),
+        3, "two row_number windows over the md5-ordered SAMPLE_K-capped "
+           "sample (equi-depth cut points), bounded by construction; "
+           "q_compaction_plan's running sum over the per-DAY aggregate "
+           "(calendar-bounded, one row per day)"),
     "operators/mlfeat.py": (
         1, "per-source directory (|sources| rows)"),
     "operators/lm.py": (
