@@ -254,6 +254,13 @@ HEADLINE = [
     "q_minhash_containment",
     "q_freshness_audit",
     "q_rfm_naive",
+    # round-7 additions
+    "q_bootstrap_ci",
+    "q_mlm_masks",
+    "q_compaction_plan",
+    "q_retention_plan",
+    "q_dp_counts",
+    "q_binary_phash",
 ]
 
 
