@@ -111,4 +111,15 @@ def q_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     export_delta_log(table_dir)
     files, schema_string = replay_delta_log(table_dir)
     assert files and '"type":"struct"' in schema_string.replace(" ", "")
+    # multi-commit time travel: a process rerun re-publishes the next
+    # version of the same table, and the export appends ONE new commit
+    # per version — assert the exported history still resolves every
+    # retained version to a distinct file set (the external reader's
+    # view of time travel)
+    from lakehouse_weather_spark.pipeline.atomic import list_versions
+
+    retained = list_versions(table_dir)
+    if len(retained) > 1:
+        prev_files, _ = replay_delta_log(table_dir, at_version=retained[-2])
+        assert prev_files and set(prev_files) != set(files)
     return spark.read.parquet(*files).select("source", "n_docs", "sum_chars")
