@@ -90,12 +90,9 @@ _loaded = False
 # Queries that MUST run first in the gate window: their latest driver
 # record is red or unusable even though the fix has long landed
 # (VERDICT r5 task 1). Ordered before everything else, including the
-# never-sampled backlog.
-_RECORD_REPAIR: tuple[str, ...] = (
-    "q_media_features",  # red r03 row (driver-side canonicalization of
-    # an array column; fixed in r4 via F.to_json, multimodal.py — but
-    # the r04/r05 gate windows never re-sampled it)
-)
+# never-sampled backlog. Empty since round 7: q_media_features got its
+# clean rows-only r06 row (500 rows) and moved to _PRIOR_VERIFIED.
+_RECORD_REPAIR: tuple[str, ...] = ()
 
 # Queries already green in a prior driver correctness record
 # (CORRECTNESS_r01.json .. CORRECTNESS_r05.json).
@@ -194,6 +191,23 @@ _PRIOR_VERIFIED = frozenset({
     # q_hll_distinct's r02 record is rows-only BY DESIGN (no oracle);
     # that is its standing record — do not burn gate budget re-sampling.
     "q_hll_distinct",
+    # --- round 6 record (49 oracle-green + q_media_features rows-only,
+    # its designed standing record — the red r03 row is superseded) ---
+    "q_media_features", "q_abc_classification", "q_decayed_engagement",
+    "q_user_features", "q_grouping_sets", "q_rollup_consistency",
+    "q_type_cooccurrence", "q_rfm", "q_wilson_bounds", "q_eb_shrinkage",
+    "q_win_distribution", "q_win_navigation", "q_point_in_time_features",
+    "q_set_intersect_all", "q_set_except_all", "q_corpus_curation",
+    "q_data_card", "q_source_scorecard", "q_mrr", "q_team_draft",
+    "q_tfidf", "q_phrase_search", "q_skipgram", "q_curriculum_order",
+    "q_weighted_sample", "q_sequence_pack", "q_kmv_distinct",
+    "q_chi2_independence", "q_simpson_flip", "q_lateral_topk",
+    "q_resample_linear", "q_t_closeness", "q_benford", "q_zone_map",
+    "q_merkle_diff", "q_fd_discovery", "q_format_masks", "q_row_diff",
+    "q_bfs_radius", "q_kcore", "q_assortativity", "q_bellman_ford",
+    "q_streaks", "q_theilsen", "q_ohlc_daily", "q_prorate_revenue",
+    "q_ols_trend", "q_hhi_concentration", "q_lm_bigram_score",
+    "q_dsir_weights",
 })
 
 # Queries first registered in round 4 (no driver record yet, but also
@@ -327,9 +341,15 @@ def load_all() -> dict[str, QuerySpec]:
     if not _loaded:
         for mod in _QUERY_MODULES:
             importlib.import_module(mod)
-        r4_new = _registered_round4_new()
-        r5_new = _registered_round5_new()
-        r6_new = frozenset(n for n in _ROUND6_NEW if n in REGISTRY)
+        # a batch member that has since earned a driver record belongs
+        # to _PRIOR_VERIFIED (standing record — don't re-burn gate
+        # budget), so subtract it from its registration batch
+        r4_new = _registered_round4_new() - _PRIOR_VERIFIED
+        r5_new = _registered_round5_new() - _PRIOR_VERIFIED
+        r6_new = frozenset(
+            n for n in _ROUND6_NEW
+            if n in REGISTRY and n not in _PRIOR_VERIFIED
+        )
         repair = [n for n in _RECORD_REPAIR if n in REGISTRY]
         # record-repair queries first (red driver row, fix landed),
         # then the oldest never-driver-sampled queries (the r3
