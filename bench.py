@@ -261,6 +261,7 @@ HEADLINE = [
     "q_retention_plan",
     "q_dp_counts",
     "q_binary_phash",
+    "q_video_frame_neardup",
 ]
 
 

@@ -806,3 +806,77 @@ def wav_probe(content: bytes) -> dict:
         if denom:
             out["duration_ms"] = out["data_bytes"] * 1000 // denom
     return out
+
+
+# ---------------------------------------------------------------------------
+# Video near-dup: frame sampling -> per-frame pHash -> hash equi-join
+# ---------------------------------------------------------------------------
+
+_VIDEO_MIN_SHARED = 2  # frames two videos must share to pair
+
+
+def frame_phashes(
+    df: DataFrame,
+    pixel_fn: PixelFn = real_pixels,
+    n_frames: int = 4,
+) -> DataFrame:
+    """(doc_id, frame_idx, phash) — frame_sample's evenly-spaced byte
+    windows hashed with the DCT kernel. In production the frame stubs
+    come from a video codec inside the same mapInPandas seam; the
+    sampling + hashing + join shape is unchanged."""
+    frames = frame_sample(df, n_frames=n_frames)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("frame_idx", IntegerType()),
+            StructField("phash", LongType()),
+        ]
+    )
+
+    def ph_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "frame_idx": pdf["frame_idx"].values,
+                    "phash": [
+                        phash64(pixel_fn(c)) for c in pdf["frame_stub"]
+                    ],
+                }
+            )
+
+    return frames.mapInPandas(ph_map, schema=schema)
+
+
+@register(
+    "q_video_frame_neardup",
+    oracle=None,  # DCT frame hashes are not SQL-expressible; the join
+    # semantics are pytest-proven on constructed shared-frame videos
+    doc="Video near-duplicate candidates: sample 4 evenly-spaced"
+    " frames per asset (frame_sample; codec-backed in production,"
+    " deterministic byte windows here), DCT-pHash each frame, and"
+    f" pair videos sharing >= {_VIDEO_MIN_SHARED} exact frame hashes"
+    " — the industry shape for re-upload/clip detection (frame"
+    " signatures join by EQUALITY, so the matcher is a hash"
+    " equi-join on the signature column + a pair-count filter, never"
+    " an all-pairs scan; at 100 TB the signature table is tiny"
+    " next to the video bytes and buckets by hash). distinct frame"
+    " hashes per video first: a static intro card repeated across"
+    " every frame must count once, not n_frames times.",
+)
+def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    assets = assets_table(spark, sf_dir)
+    sigs = (
+        frame_phashes(assets, pixel_fn=fake_pixels)
+        .select("doc_id", "phash")
+        .distinct()
+    )
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "phash")
+    return (
+        a.join(b, "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_frames"))
+        .filter(F.col("n_shared_frames") >= _VIDEO_MIN_SHARED)
+    )

@@ -373,3 +373,52 @@ def test_wav_probe_parses_riff_header():
     assert meta["bits"] == 16
     assert meta["duration_ms"] == 1000
     assert wav_probe(b"not a wav") == {}
+
+
+def test_video_frame_neardup_pairs_shared_frames(spark, tmp_path):
+    from lakehouse_weather_spark.operators.multimodal import (
+        _VIDEO_MIN_SHARED,
+        frame_phashes,
+        fake_pixels,
+    )
+    import pyspark.sql.functions as F
+
+    # three "videos": a and b share the first half of their bytes
+    # (so the first 2 of 4 sampled frames coincide); c is unrelated
+    half = bytes(range(256)) * 8
+    va = half + b"tail-A-" * 100
+    vb = half + b"tail-B!" * 100
+    vc = bytes(reversed(half)) + b"other" * 200
+    df = spark.createDataFrame(
+        [(1, va), (2, vb), (3, vc)], "doc_id long, content binary"
+    )
+    sigs = frame_phashes(df, pixel_fn=fake_pixels)
+    rows = sigs.collect()
+    assert len(rows) == 12  # 3 videos x 4 frames
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, set()).add(r.phash)
+    shared_ab = by_doc[1] & by_doc[2]
+    assert len(shared_ab) >= _VIDEO_MIN_SHARED
+    assert not (by_doc[1] & by_doc[3])
+    # the registered query's join reproduces the set arithmetic
+    sd = sigs.select("doc_id", "phash").distinct()
+    a = sd.select(F.col("doc_id").alias("doc_a"), "phash")
+    b = sd.select(F.col("doc_id").alias("doc_b"), "phash")
+    pairs = (
+        a.join(b, "phash")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= _VIDEO_MIN_SHARED)
+        .collect()
+    )
+    assert [(r.doc_a, r.doc_b) for r in pairs] == [(1, 2)]
+
+
+def test_q_video_frame_neardup_runs(spark, sf_dir):
+    from lakehouse_weather_spark.registry import load_all
+
+    df = load_all()["q_video_frame_neardup"].fn(spark, sf_dir)
+    assert df.columns == ["doc_a", "doc_b", "n_shared_frames"]
+    assert df.count() >= 0

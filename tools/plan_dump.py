@@ -127,6 +127,14 @@ SHOWCASE = {
     "q_zone_map": "Two counts-only aggregations over shard keys;"
     " output is O(shards) regardless of table size — the stats pass"
     " that justifies time-partitioned layouts.",
+    "q_bootstrap_ci": "Poisson bootstrap: the B-fold replicate explode"
+    " and the md5 weight draws stay map-side (codegen'd flat columns,"
+    " no lambda eval); partial HashAggregate reduces to |types| x B"
+    " cells BEFORE the exchange; the 1-row-per-type base stats branch"
+    " broadcasts.",
+    "q_compaction_plan": "Per-day partial agg, then the bin-packing"
+    " running sum over the calendar-bounded day table (whitelisted"
+    " unpartitioned window) — output is O(days), never O(rows).",
 }
 
 
