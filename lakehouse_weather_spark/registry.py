@@ -218,54 +218,23 @@ _PRIOR_VERIFIED = frozenset({
 _ROUND4_NEW: frozenset[str] = frozenset({
     # (q_media_features moved to _RECORD_REPAIR: its only driver row is
     # still the red r03 one; it must jump the queue, not wait in it)
-    # actual round-4 registrations (judge/local-verified on landing;
-    # driver records follow once the backlog drains)
-    "q_lm_bigram_score",
-    "q_dsir_weights",
+    # actual round-4 registrations still awaiting a driver record
+    # (members promoted to _PRIOR_VERIFIED as their records land —
+    # 32 moved after CORRECTNESS_r06)
     "q_vocab_growth",
     "q_zipf_constancy",
-    "q_t_closeness",
     "q_variant_extract",
-    "q_bfs_radius",
-    "q_lateral_topk",
-    "q_streaks",
-    "q_benford",
-    "q_zone_map",
-    "q_curriculum_order",
-    "q_chi2_independence",
     "q_kn_bigram_score",
-    "q_mrr",
-    "q_kmv_distinct",
-    "q_team_draft",
-    "q_hhi_concentration",
     "q_cvm_drift",
     "q_weighted_median",
     "q_global_ordinal",
-    "q_merkle_diff",
-    "q_weighted_sample",
-    "q_kcore",
-    "q_tfidf",
-    "q_phrase_search",
-    "q_theilsen",
-    "q_fd_discovery",
     "q_zset_ivm",
-    "q_simpson_flip",
     "q_journey_paths",
-    "q_skipgram",
-    "q_ohlc_daily",
     "q_rank_shift",
-    "q_resample_linear",
-    "q_prorate_revenue",
     "q_agg_mode",
-    "q_format_masks",
-    "q_assortativity",
-    "q_sequence_pack",
-    "q_bellman_ford",
     "q_growth_accounting",
-    "q_ols_trend",
     "q_running_unique",
     "q_local_peaks",
-    "q_row_diff",
 })
 
 
