@@ -58,6 +58,11 @@ _FUZZ_QUERIES = [
     "q_survival_km",  # lineitem-free? no — events-only variant excluded
 ]
 _FUZZ_QUERIES.remove("q_survival_km")
+# round-7 event-family registrations join the fuzz pool
+_FUZZ_QUERIES.extend(
+    ["q_bootstrap_ci", "q_dp_counts", "q_compaction_plan",
+     "q_retention_plan"]
+)
 
 _BASE = dt.datetime(2026, 7, 1)
 
@@ -137,6 +142,8 @@ _DOC_FUZZ_QUERIES = [
     "q_repetition_loops",
     "q_entity_blocks",
     "q_dedup_shingle_size",
+    # round-7: mask plans on random short docs
+    "q_mlm_masks",
 ]
 
 _WORDS = ["a", "b", "the", "fox", "w1", "w2", "x", ""]

@@ -127,6 +127,14 @@ _QUERIES = [
     # erasure audit where the deletion list matches nobody (user ids
     # 1..6 and 40000/40001: 0 hits -> all-zero shares, no /0)
     "q_erasure_audit",
+    # round-7: Poisson bootstrap where tiny types can draw all-zero
+    # replicate weights (NULL mean excluded on both sides); DP noise on
+    # 1-event types (count + negative noise can go below zero);
+    # compaction/retention over an 8-day toy calendar
+    "q_bootstrap_ci",
+    "q_dp_counts",
+    "q_compaction_plan",
+    "q_retention_plan",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -306,6 +314,9 @@ _DOC_QUERIES = [
     "q_cooccur_lift",
     "q_repetition_loops",
     "q_entity_blocks",
+    # round-7: MLM masks on 1-word and duplicate docs (n_tokens = 1;
+    # identical plans for identical doc_ids regardless of text dupes)
+    "q_mlm_masks",
 ]
 
 _EMB_QUERIES = [
