@@ -262,6 +262,8 @@ HEADLINE = [
     "q_dp_counts",
     "q_binary_phash",
     "q_video_frame_neardup",
+    "q_knn_confusion",
+    "q_calibration_bins",
 ]
 
 

@@ -23,7 +23,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.functions import DOT_SCALE, duck_dot_sum, spark_dot
-from lakehouse_weather_spark.operators.dedup import _SPARK_DOT, _DUCK_VEC_CTE
+from lakehouse_weather_spark.operators.dedup import (
+    _SPARK_DOT,
+    _DUCK_VEC_CTE,
+    _checkpoint,
+)
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import load_table
 
@@ -1966,3 +1970,144 @@ def q_team_draft(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("B"))
         .alias("team"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact kNN label-vote confusion matrix (classifier-quality audit)
+# ---------------------------------------------------------------------------
+
+_KNN_CAP = 400  # md5-ordered deterministic sample (audit is fixed-cost)
+_KNN_K = 5
+
+def _knn_oracle() -> str:
+    return f"""
+        WITH samp AS (
+            SELECT vec_id, embedding, label FROM embeddings
+            ORDER BY md5('cap_' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_KNN_CAP}
+        ),
+        u AS (
+            SELECT vec_id, label,
+                   unnest(generate_series(1, len(embedding))) AS pos,
+                   embedding
+            FROM samp
+        ),
+        vals AS (
+            SELECT vec_id, label, pos,
+                   CAST(embedding[pos] AS DOUBLE) AS val
+            FROM u
+        ),
+        dists AS (
+            SELECT a.vec_id AS qid, a.label AS true_label,
+                   b.vec_id AS nid, b.label AS n_label,
+                   CAST(sum(CAST(round((a.val - b.val) * (a.val - b.val)
+                        * {DOT_SCALE}) AS BIGINT)) AS BIGINT) AS sq
+            FROM vals a JOIN vals b
+              ON a.pos = b.pos AND a.vec_id <> b.vec_id
+            GROUP BY 1, 2, 3, 4
+        ),
+        topk AS (
+            SELECT qid, true_label, n_label
+            FROM (
+                SELECT qid, true_label, n_label,
+                       row_number() OVER (
+                           PARTITION BY qid ORDER BY sq, nid) AS rn
+                FROM dists
+            ) WHERE rn <= {_KNN_K}
+        ),
+        votes AS (
+            SELECT qid, true_label, n_label AS pred_label,
+                   count(*) AS c
+            FROM topk GROUP BY 1, 2, 3
+        ),
+        pred AS (
+            SELECT qid, true_label, pred_label
+            FROM (
+                SELECT qid, true_label, pred_label,
+                       row_number() OVER (
+                           PARTITION BY qid
+                           ORDER BY c DESC, pred_label) AS rn
+                FROM votes
+            ) WHERE rn = 1
+        )
+        SELECT CAST(true_label AS INT) AS true_label,
+               CAST(pred_label AS INT) AS pred_label,
+               CAST(count(*) AS BIGINT) AS n
+        FROM pred GROUP BY 1, 2
+    """
+
+
+@register(
+    "q_knn_confusion",
+    oracle=_knn_oracle(),
+    doc=f"Exact {_KNN_K}-NN label-vote confusion matrix over the"
+    f" md5-ordered {_KNN_CAP}-vector sample: each vector's label is"
+    " predicted by majority vote of its nearest neighbors (fixed-point"
+    " squared-L2, (distance, vec_id) and (votes DESC, label) exact"
+    " tie-breaks) and the (true, predicted) counts roll up — the"
+    " labels-quality / embedding-quality audit an auto-labeling"
+    " pipeline runs before trusting propagated labels. Audit cost is"
+    " bounded BY CONSTRUCTION (the sample caps the quadratic arm, the"
+    " q_lsh_eval pattern); windows partition per query vector. At"
+    " corpus scale the same vote runs on top of the IVF/LSH candidate"
+    " generators instead of the exact pair grid.",
+)
+def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # The sample is a MODEL (bounded at _KNN_CAP): fetch it once,
+    # broadcast it in the kernel closure, and vote per Arrow batch with
+    # the same int64 per-term-rounded squared-L2 the IVF/k-means family
+    # uses (_fx_sqdist_rows — bit-identical to the SQL expression, fuzz
+    # suites police the rounding parity). The zip_with/crossJoin form
+    # evaluated the lambda interpreted per element (9.2 s at sf0.1);
+    # this is the same integers at BLAS speed (<1 s). At corpus scale
+    # the vote runs on IVF/LSH candidates instead of the exact grid.
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    order = F.md5(F.concat(F.lit("cap_"), F.col("vec_id").cast("string")))
+    samp = _checkpoint(
+        emb.orderBy(order, "vec_id")
+        .limit(_KNN_CAP)
+        .select("vec_id", "embedding", "label")
+    )
+    rows = samp.collect()  # bounded model fetch (<= _KNN_CAP rows)
+    rows.sort(key=lambda r: r.vec_id)  # nid-ascending for tie-breaks
+    nids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    nlabels = np.array([r.label for r in rows], dtype=np.int64)
+    S = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+
+    def vote_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].map(np.asarray)).astype(
+                np.float64
+            )
+            sq = _fx_sqdist_rows(X, S, DOT_SCALE)
+            preds = []
+            for i, qid in enumerate(pdf["vec_id"].to_numpy(np.int64)):
+                d = sq[i].copy()
+                d[nids == qid] = np.iinfo(np.int64).max  # exclude self
+                # stable argsort over nid-ascending S == (sq, nid) order
+                nn = np.argsort(d, kind="stable")[:_KNN_K]
+                labs, counts = np.unique(nlabels[nn], return_counts=True)
+                # (votes DESC, label ASC): labs is ascending, stable
+                # argsort of -counts keeps the smallest label first
+                preds.append(int(labs[np.argsort(-counts, kind="stable")[0]]))
+            yield pd.DataFrame(
+                {
+                    "true_label": pdf["label"].to_numpy(np.int64),
+                    "pred_label": np.array(preds, dtype=np.int64),
+                }
+            )
+
+    pred = samp.mapInPandas(
+        vote_kernel, "true_label long, pred_label long"
+    )
+    return pred.groupBy(
+        F.col("true_label").cast("int").alias("true_label"),
+        F.col("pred_label").cast("int").alias("pred_label"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))

@@ -559,3 +559,106 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "n_events", "mean_fx", "n_boot",
         "ci_lo_fx", "ci_hi_fx",
     )
+
+
+# ---------------------------------------------------------------------------
+# Calibration audit: reliability bins + fixed-point Brier decomposition
+# ---------------------------------------------------------------------------
+
+# synthetic perfectly-calibrated predictor: score p ~ md5-uniform per
+# event, outcome y | p ~ Bernoulli(p) via a SECOND independent draw —
+# both as 60-bit integer comparisons, so the audit mechanism (the part
+# this query ships) is engine-exact end to end, and its output should
+# show bin accuracy tracking bin mean score (the property a REAL
+# model's scores are checked against by swapping in its score column).
+_CAL_BINS = 10
+_CAL_P_SPARK = (
+    "cast(conv(substr(md5(concat('calp_', cast(event_id as string))),"
+    " 1, 15), 16, 10) as bigint)"
+)
+_CAL_Y_SPARK = (
+    "cast(conv(substr(md5(concat('caly_', cast(event_id as string))),"
+    " 1, 15), 16, 10) as bigint)"
+)
+_CAL_P_DUCK = (
+    "CAST(('0x' || substr(md5('calp_' || CAST(event_id AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+_CAL_Y_DUCK = (
+    "CAST(('0x' || substr(md5('caly_' || CAST(event_id AS VARCHAR)),"
+    " 1, 15)) AS BIGINT)"
+)
+# p_fx = h div (2^60 // 10^4): a multiply-first form (h * 10^4 //
+# 2^60) overflows int64 on the Spark side (DuckDB silently promotes to
+# HUGEINT); the divide-first form stays in int64 on both engines and
+# both compute the IDENTICAL value. Range 0..10000 inclusive (the top
+# edge can land an 11th bin with ~2^-60 mass — same on both engines).
+_CAL_DIV = (1 << 60) // 10000
+
+
+@register(
+    "q_calibration_bins",
+    oracle=f"""
+        WITH scored AS (
+            SELECT {_CAL_P_DUCK} // {_CAL_DIV} AS p_fx,
+                   CASE WHEN {_CAL_Y_DUCK} < {_CAL_P_DUCK}
+                        THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        binned AS (
+            SELECT CAST(p_fx * {_CAL_BINS} // 10000 AS BIGINT) AS bin,
+                   p_fx, y
+            FROM scored
+        )
+        SELECT bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(p_fx) AS BIGINT) AS sum_p_fx,
+               CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum((p_fx - y * 10000) * (p_fx - y * 10000))
+                    AS BIGINT) AS brier_fx2
+        FROM binned GROUP BY bin
+    """,
+    doc=f"Model-calibration reliability table: scores bucket into"
+    f" {_CAL_BINS} probability bins and each bin reports count, summed"
+    " score, positives, and the fixed-point Brier numerator"
+    " sum((p - y)^2 x 1e8) — the expected-calibration-error inputs"
+    " every scoring pipeline (quality classifiers, dedup verifiers,"
+    " LM judges) publishes beside its predictions. The demo predictor"
+    " is synthetic-but-calibrated BY CONSTRUCTION (y | p ~"
+    " Bernoulli(p) from two independent md5 draws as pure int64"
+    " comparisons), so the mechanism is gate-verified bit-exactly and"
+    " a real model swaps its score column into the same plan. One"
+    " partial-agg scan; output is O(bins).",
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    scored = ev.select(
+        F.expr(
+            f"{_CAL_P_SPARK} div {_CAL_DIV}"
+        ).alias("p_fx"),
+        F.expr(
+            f"CASE WHEN {_CAL_Y_SPARK} < {_CAL_P_SPARK}"
+            " THEN 1 ELSE 0 END"
+        ).alias("y"),
+    )
+    return (
+        scored.select(
+            F.expr(f"CAST(p_fx * {_CAL_BINS} div 10000 AS BIGINT)").alias(
+                "bin"
+            ),
+            "p_fx",
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("p_fx").cast("bigint").alias("sum_p_fx"),
+            F.sum("y").cast("bigint").alias("n_pos"),
+            F.sum(
+                (F.col("p_fx") - F.col("y") * 10000)
+                * (F.col("p_fx") - F.col("y") * 10000)
+            )
+            .cast("bigint")
+            .alias("brier_fx2"),
+        )
+    )

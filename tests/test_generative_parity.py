@@ -61,7 +61,7 @@ _FUZZ_QUERIES.remove("q_survival_km")
 # round-7 event-family registrations join the fuzz pool
 _FUZZ_QUERIES.extend(
     ["q_bootstrap_ci", "q_dp_counts", "q_compaction_plan",
-     "q_retention_plan"]
+     "q_retention_plan", "q_calibration_bins"]
 )
 
 _BASE = dt.datetime(2026, 7, 1)

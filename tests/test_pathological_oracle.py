@@ -135,6 +135,8 @@ _QUERIES = [
     "q_dp_counts",
     "q_compaction_plan",
     "q_retention_plan",
+    # calibration bins where single events land in sparse bins
+    "q_calibration_bins",
 ]
 
 _BASE = dt.datetime(2026, 3, 1)
@@ -332,6 +334,9 @@ _EMB_QUERIES = [
     # round-5: power iteration at dim 8 with duplicate vectors (rank-
     # deficient Gram) — the integer renorm must still converge
     "q_power_iteration",
+    # round-7: kNN vote over duplicate vectors (exact distance ties ->
+    # nid tie-break) and a corpus smaller than the sample cap
+    "q_knn_confusion",
 ]
 
 
@@ -709,6 +714,7 @@ _ANN_QUERIES = [
     "q_mrl_prefix_eval",
     "q_semantic_dedup",
     "q_embed_neardup",
+    "q_knn_confusion",
 ]
 
 
