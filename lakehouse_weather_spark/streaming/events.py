@@ -1426,3 +1426,42 @@ def q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         os.symlink(src, os.path.join(events_dir, "events.parquet"))
     sink = stream_dedup(spark, events_dir, os.path.join(base, "ckpt"))
     return sink.select("user_id", "event_type").distinct()
+
+
+def stream_dedup_to_files(
+    spark: SparkSession,
+    events_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+) -> None:
+    """``stream_dedup`` against Spark's transactional FILE sink — the
+    restart/exactly-once shape: the checkpoint carries both the source
+    offsets (which input files are consumed) and the dedup state, and
+    the file sink's own commit log makes replayed batches idempotent.
+    Stop/restart with the SAME checkpoint resumes where the last run
+    committed: already-consumed files are not re-read, already-seen
+    keys stay deduplicated ACROSS restarts, and a restart with no new
+    input emits nothing (tests/test_streaming.py proves all three).
+    This is the durability contract a production landing job runs
+    under; the memory-sink variant above keeps the oracle-gated
+    semantics check."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        .transform(_ts_ltz)
+        .withWatermark("ts", "24 hours")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", out_dir)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)

@@ -428,3 +428,60 @@ def test_stream_zset_ivm_equals_batch(spark, sf_dir, tmp_path):
         for r in q_zset_ivm(spark, str(sf_dir)).collect()
     }
     assert got == want
+
+
+def test_stream_dedup_survives_restart_exactly_once(spark, tmp_path):
+    """The durability contract: stop/restart with the same checkpoint
+    (1) does not re-read consumed input files, (2) keeps dedup state
+    ACROSS restarts (a later duplicate of a pre-restart key is still
+    dropped), and (3) a restart with no new input emits nothing."""
+    import datetime as dt
+
+    from lakehouse_weather_spark.streaming.events import (
+        stream_dedup_to_files,
+    )
+
+    events_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    base = dt.datetime(2026, 4, 1, 12, 0)
+
+    def write_batch(rows, name):
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long,"
+            " event_type string, value double, props string",
+        ).coalesce(1).write.mode("append").parquet(events_dir)
+
+    # batch 1: keys (1, view), (2, click) + an in-batch duplicate
+    write_batch(
+        [
+            (1, base, 1, "view", 1.0, ""),
+            (2, base + dt.timedelta(minutes=1), 2, "click", 1.0, ""),
+            (3, base + dt.timedelta(minutes=2), 1, "view", 9.0, ""),
+        ],
+        "b1",
+    )
+    stream_dedup_to_files(spark, events_dir, out_dir, ckpt)
+    first = spark.read.parquet(out_dir)
+    assert first.count() == 2
+    assert {r.event_id for r in first.collect()} == {1, 2}
+
+    # batch 2: a CROSS-RESTART duplicate of (1, view) + one new key
+    write_batch(
+        [
+            (4, base + dt.timedelta(minutes=3), 1, "view", 5.0, ""),
+            (5, base + dt.timedelta(minutes=4), 3, "purchase", 2.0, ""),
+        ],
+        "b2",
+    )
+    stream_dedup_to_files(spark, events_dir, out_dir, ckpt)
+    second = spark.read.parquet(out_dir)
+    # only the new key lands: state survived the restart, and batch-1
+    # files were not re-read (their rows would re-land otherwise)
+    assert second.count() == 3
+    assert {r.event_id for r in second.collect()} == {1, 2, 5}
+
+    # restart with NO new input: nothing emits
+    stream_dedup_to_files(spark, events_dir, out_dir, ckpt)
+    assert spark.read.parquet(out_dir).count() == 3
