@@ -97,6 +97,10 @@ _ARROW_KERNEL_ALLOWED = {
     # integer Gram partials: per-batch int64 X^T X (associative exact
     # adds) — the BLAS form of the Gram self-join, JVM-side quantized
     "q_power_iteration": ("MapInPandas",),
+    # kNN vote: dense (sample x sample) fixed-point squared-L2 against
+    # the broadcast-in-closure sample — the IVF/PQ kernel pattern; the
+    # interpreted zip_with crossJoin form cost 9.2 s at sf0.1
+    "q_knn_confusion": ("MapInPandas",),
 }
 
 
