@@ -297,8 +297,15 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_old").cast("bigint").alias("t_old"),
         F.sum("n_new").cast("bigint").alias("t_new"),
     )
-    p_old = F.col("n_old").cast("double") / F.col("t_old")
-    p_new = F.col("n_new").cast("double") / F.col("t_new")
+    # nullif on the TOTALS too: a corpus living entirely in one time
+    # half (e.g. a single event) zeroes t_old or t_new — DuckDB's 0/0
+    # is NULL while Spark's ANSI double division throws
+    p_old = F.expr(
+        "cast(n_old as double) / nullif(cast(t_old as double), 0d)"
+    )
+    p_new = F.expr(
+        "cast(n_new as double) / nullif(cast(t_new as double), 0d)"
+    )
     return halves.crossJoin(F.broadcast(tot)).select(
         "event_type",
         "n_old",
@@ -310,7 +317,7 @@ def q_dist_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (p_new - p_old)
             * (p_new - p_old)
-            / F.expr("nullif(cast(n_old as double) / t_old, 0d)")
+            / F.nullif(p_old, F.lit(0.0))
         ).alias("chi2_term"),
     )
 

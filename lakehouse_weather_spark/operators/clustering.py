@@ -346,7 +346,10 @@ def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
             "vec_id",
             F.col("ds")[0]["cluster_id"].cast("bigint").alias("cluster_id"),
             F.col("ds")[0]["di"].cast("bigint").alias("a_fx"),
-            F.col("ds")[1]["di"].cast("bigint").alias("b_fx"),
+            # try_element_at: a 1-centroid codebook (1-vector corpus)
+            # has no second-nearest — NULL, like the oracle's min over
+            # an empty other-cluster set (ds[1] would throw under ANSI)
+            F.expr("try_element_at(ds, 2).di").cast("bigint").alias("b_fx"),
         )
     )
     return sil.select(

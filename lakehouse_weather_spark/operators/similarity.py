@@ -1492,10 +1492,18 @@ def q_embed_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM vals GROUP BY pos
         )
         SELECT v.vec_id, CAST(v.pos AS INTEGER) AS pos,
+               -- greatest(., 0): the E[x^2]-E[x]^2 form can dip a few
+               -- ulps NEGATIVE when the true variance is ~0 (the two
+               -- fixed-point roundings differ; n = 1 exhibits it) —
+               -- DuckDB's sqrt(negative) ERRORS and Spark's returns
+               -- NaN; the clamp makes both engines yield NULL via the
+               -- nullif
                (v.val - CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)
-               / NULLIF(sqrt(CAST(s.sxx AS DOUBLE) / {DOT_SCALE} / s.n
+               / NULLIF(sqrt(greatest(
+                      CAST(s.sxx AS DOUBLE) / {DOT_SCALE} / s.n
                       - (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)
-                        * (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n)), 0)
+                        * (CAST(s.sx AS DOUBLE) / {DOT_SCALE} / s.n),
+                      0)), 0)
                    AS z
         FROM vals v JOIN stats s USING (pos)
     """,
@@ -1540,9 +1548,10 @@ def q_embed_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             (F.col("val") - mean)
             / F.expr("nullif(" + (
-                f"sqrt(cast(sxx as double) / {DOT_SCALE} / n"
+                f"sqrt(greatest(cast(sxx as double) / {DOT_SCALE} / n"
                 f" - (cast(sx as double) / {DOT_SCALE} / n)"
-                f" * (cast(sx as double) / {DOT_SCALE} / n))"
+                f" * (cast(sx as double) / {DOT_SCALE} / n),"
+                " cast(0 as double)))"
             ) + ", cast(0 as double))")
         ).alias("z"),
     )
@@ -2087,19 +2096,24 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
                 np.float64
             )
             sq = _fx_sqdist_rows(X, S, DOT_SCALE)
-            preds = []
+            trues, preds = [], []
             for i, qid in enumerate(pdf["vec_id"].to_numpy(np.int64)):
-                d = sq[i].copy()
-                d[nids == qid] = np.iinfo(np.int64).max  # exclude self
+                valid = nids != qid  # exclude self BY DROPPING it: a
+                # sentinel distance would still get picked on a 1-vector
+                # corpus where the oracle's a <> b join is empty
+                if not valid.any():
+                    continue
+                d, vl = sq[i][valid], nlabels[valid]
                 # stable argsort over nid-ascending S == (sq, nid) order
                 nn = np.argsort(d, kind="stable")[:_KNN_K]
-                labs, counts = np.unique(nlabels[nn], return_counts=True)
+                labs, counts = np.unique(vl[nn], return_counts=True)
                 # (votes DESC, label ASC): labs is ascending, stable
                 # argsort of -counts keeps the smallest label first
                 preds.append(int(labs[np.argsort(-counts, kind="stable")[0]]))
+                trues.append(int(pdf["label"].iloc[i]))
             yield pd.DataFrame(
                 {
-                    "true_label": pdf["label"].to_numpy(np.int64),
+                    "true_label": np.array(trues, dtype=np.int64),
                     "pred_label": np.array(preds, dtype=np.int64),
                 }
             )

@@ -326,10 +326,16 @@ QS_BINS = 64
             SELECT min(value) AS vmin, max(value) AS vmax FROM events
         ),
         binned AS (
+            -- degenerate range (all values equal, e.g. one event):
+            -- bin 0 on BOTH engines (DuckDB's 0/0 is NULL and its
+            -- least() ignores NULLs -> bin 9; Spark's ANSI division
+            -- throws — the explicit CASE removes both behaviors)
             SELECT e.event_type,
-                   least(CAST(floor((e.value - r.vmin) * {QS_BINS}
-                                    / (r.vmax - r.vmin)) AS BIGINT),
-                         {QS_BINS - 1}) AS bin
+                   CASE WHEN r.vmax = r.vmin THEN 0
+                        ELSE least(CAST(floor((e.value - r.vmin)
+                                        * {QS_BINS}
+                                        / (r.vmax - r.vmin)) AS BIGINT),
+                                   {QS_BINS - 1}) END AS bin
             FROM events e CROSS JOIN rng r
         ),
         hist AS (
@@ -399,14 +405,21 @@ def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         "vmin",
         "vmax",
-        F.least(
-            F.floor(
-                (F.col("value") - F.col("vmin"))
-                * QS_BINS
-                / (F.col("vmax") - F.col("vmin"))
-            ).cast("bigint"),
-            F.lit(QS_BINS - 1),
-        ).alias("bin"),
+        # degenerate range -> bin 0 (mirrored in the oracle: DuckDB's
+        # 0/0-is-NULL + NULL-ignoring least() would pick bin 9 and
+        # Spark's ANSI division would throw)
+        F.when(F.col("vmax") == F.col("vmin"), F.lit(0).cast("bigint"))
+        .otherwise(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("vmin"))
+                    * QS_BINS
+                    / (F.col("vmax") - F.col("vmin"))
+                ).cast("bigint"),
+                F.lit(QS_BINS - 1),
+            )
+        )
+        .alias("bin"),
     )
     hist = binned.groupBy("event_type", "bin").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")

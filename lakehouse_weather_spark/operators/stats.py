@@ -87,10 +87,13 @@ def _r_expr(x: str, y: str, duck: bool = False) -> str:
     sxx = _dec2dbl(f"s_{x}_{x}", duck)
     syy = _dec2dbl(f"s_{y}_{y}", duck)
     sx, sy = _dec2dbl(f"s_{x}", duck), _dec2dbl(f"s_{y}", duck)
+    # nullif: a zero-variance column (constant values, or n = 1) has
+    # undefined r — DuckDB's x/0.0 yields NULL while Spark's ANSI
+    # division throws; nullif makes BOTH engines emit NULL
     return (
         f"((n * {sxy}) - ({sx} * {sy}))"
-        f" / (sqrt((n * {sxx}) - ({sx} * {sx}))"
-        f" * sqrt((n * {syy}) - ({sy} * {sy})))"
+        f" / nullif(sqrt((n * {sxx}) - ({sx} * {sx}))"
+        f" * sqrt((n * {syy}) - ({sy} * {sy})), 0e0)"
     )
 
 

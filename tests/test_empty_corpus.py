@@ -115,3 +115,67 @@ def test_whitelist_matches_engine_probe(spark):
     df = spark.range(0).select(F.col("id").alias("a"))
     assert df.rollup("a").agg(F.count(F.lit(1))).count() == 0
     assert df.cube("a").agg(F.count(F.lit(1))).count() == 0
+
+
+# --- single-row corpus sweep ------------------------------------------
+
+# The 1-row twin of the empty sweep: every table holds exactly ONE row.
+# This is where zero-variance, self-pair-only, one-time-half and
+# second-order-statistic guards live — the round-7 run caught six more
+# real defects (kNN self-exclusion on a 1-vector corpus, negative
+# fixed-point variance under sqrt, ANSI divide-by-zero on empty time
+# halves / degenerate value ranges, zero-variance Pearson).
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(spark, tmp_path_factory):
+    out = tmp_path_factory.mktemp("one_row_corpus")
+    for t in TABLES:
+        (
+            spark.read.parquet(f"/root/testdata/sf0.001/{t}.parquet")
+            .limit(1)
+            .coalesce(1)
+            .write.parquet(f"{out}/{t}.parquet")
+        )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def one_row_con(one_row_dir):
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{one_row_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+def test_single_row_corpus_parity(spark, one_row_dir, one_row_con):
+    failures: dict[str, str] = {}
+    for name, spec in load_all().items():
+        if spec.oracle is None:
+            continue
+        try:
+            ddf = one_row_con.execute(spec.oracle).fetchdf()
+            duck = ("ok", len(ddf), canonize(ddf))
+        except Exception as e:  # noqa: BLE001
+            duck = ("err", type(e).__name__, str(e)[:120])
+        try:
+            spdf = spec.fn(spark, one_row_dir).toPandas()
+            sp = ("ok", len(spdf), canonize(spdf))
+        except Exception as e:  # noqa: BLE001
+            sp = ("err", type(e).__name__, str(e)[:120])
+        verdict = None
+        if sp[0] == "ok" and duck[0] == "ok":
+            if sp[1] != duck[1]:
+                verdict = f"ROWCOUNT spark={sp[1]} duck={duck[1]}"
+            elif sp[2] != duck[2]:
+                verdict = f"VALUES n={sp[1]}"
+        elif sp[0] != duck[0]:
+            verdict = f"ONE_SIDE_ERR spark={sp[:2]} duck={duck[:2]}"
+        elif sp[0] == "err":
+            verdict = f"BOTH_ERR spark={sp[1]} duck={duck[1]}"
+        if verdict is not None:
+            failures[name] = verdict
+    assert not failures, failures
