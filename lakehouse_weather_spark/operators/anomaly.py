@@ -1752,3 +1752,175 @@ def q_freshness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"n_last_{_FRESH_WINDOW_DAYS}d",
         (stale > _FRESH_STALE_DAYS).alias("is_stale"),
     )
+
+
+# --- Kruskal-Wallis H: k-sample rank test across ALL event types -----
+
+# The k-sample completion of the drift triptych's pairwise tests
+# (q_mannwhitney is 2-sample): one H statistic asking whether ANY of
+# the k event-type populations is location-shifted, computed from
+# GLOBAL average ranks. The naive form is a single table-wide window —
+# the q_rfm anti-plan — so the Spark side uses the q_global_ordinal
+# decomposition instead: rows bucket by a monotone coarse prefix of the
+# rank key (value-range-bounded bucket count), per-bucket counts fold
+# into starting offsets via one bounded window, and ranks are computed
+# WITHIN buckets in parallel. Equal values always share a bucket (the
+# prefix is a pure function of the value), so tie groups never
+# straddle buckets and the doubled average-rank idiom
+# (2*min_rank + ties - 1, the q_mannwhitney precedent) stays exact.
+#
+# Integer discipline: the per-type contribution R_j^2/n_j would
+# overflow int64 squared, so it is computed as the exact quotient
+# decomposition r2*a + (r2*r) div n (a = r2 div n, r = r2 mod n) —
+# every intermediate <= 4*N^3, headroom to ~1.3e6 events at this
+# resolution (the q_cvm_drift precedent: beyond that, drop a decimal
+# digit of rank resolution). The final H / tie-correction are a
+# handful of scalar IEEE ops on exact int64 inputs — no float SUM
+# whose partial order could differ between engines.
+
+_KW_BUCKET_DIV = 1 << 20  # value-prefix bucket width on the fx scale
+
+
+@register(
+    "q_kruskal_wallis",
+    oracle=f"""
+        WITH fx AS (
+            SELECT event_type,
+                   CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
+            FROM events
+        ),
+        ranked AS (
+            SELECT event_type, vfx,
+                   rank() OVER (ORDER BY vfx) AS min_rank,
+                   count(*) OVER (PARTITION BY vfx) AS c
+            FROM fx
+        ),
+        per_type AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(2 * min_rank + c - 1) AS BIGINT) AS r2_sum
+            FROM ranked GROUP BY event_type
+        ),
+        q AS (
+            SELECT event_type, n, r2_sum,
+                   r2_sum * (r2_sum // n)
+                       + (r2_sum * (r2_sum % n)) // n AS qj
+            FROM per_type
+        ),
+        ties AS (
+            SELECT CAST(sum(c * c * c - c) AS BIGINT) AS tie_term
+            FROM (SELECT vfx, CAST(count(*) AS BIGINT) AS c
+                  FROM fx GROUP BY vfx)
+        ),
+        tot AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nt,
+                   CAST(sum(qj) AS BIGINT) AS sum_q
+            FROM q
+        )
+        SELECT q.event_type, q.n, q.r2_sum,
+               (3.0 * tot.sum_q)
+                   / (CAST(tot.nt AS DOUBLE) * (tot.nt + 1))
+                   - 3.0 * (tot.nt + 1) AS h_stat,
+               ((3.0 * tot.sum_q)
+                   / (CAST(tot.nt AS DOUBLE) * (tot.nt + 1))
+                   - 3.0 * (tot.nt + 1))
+                   / nullif(1.0 - CAST(ties.tie_term AS DOUBLE)
+                            / nullif(CAST(tot.nt AS DOUBLE) * tot.nt
+                                     * tot.nt - tot.nt, 0.0),
+                            0.0) AS h_tied
+        FROM q, tot, ties
+    """,
+    doc="Kruskal-Wallis H across all event types: GLOBAL doubled"
+    " average ranks via the q_global_ordinal bucket decomposition"
+    " (monotone value-prefix buckets, one bounded offset window,"
+    " per-bucket parallel rank windows — never a table-wide window),"
+    " per-type rank sums kept int64-exact through a quotient-remainder"
+    " square, and the tie-corrected H as mirrored scalar IEEE ops on"
+    " exact integer inputs. The oracle computes the NAIVE single-window"
+    " form, so a gate pass proves the distributed decomposition"
+    " bit-identical. Output: one row per event type with its n and"
+    " doubled rank sum plus the (global) H and tie-corrected H.",
+)
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    fx = ev.select(
+        "event_type",
+        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    )
+    # monotone non-negative bucket key: equal vfx => equal bucket, and
+    # bucket order respects vfx order (offset makes the div a floor)
+    vmin = fx.agg(F.min("vfx").alias("vmin"))
+    bucketed = fx.crossJoin(F.broadcast(vmin)).withColumn(
+        "bucket", F.expr(f"(vfx - vmin) div {_KW_BUCKET_DIV}")
+    )
+    counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("bn")
+    )
+    # bounded offset window: one row per occupied value-range bucket
+    # (range/2^20 rows), never the raw table
+    w_off = Window.orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = counts.select(
+        "bucket",
+        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
+    )
+    w_rank = Window.partitionBy("bucket").orderBy("vfx")
+    w_tie = Window.partitionBy("bucket", "vfx")
+    ranked = (
+        bucketed.join(F.broadcast(offsets), "bucket")
+        .select(
+            "event_type",
+            "vfx",
+            (F.col("off") + F.rank().over(w_rank)).alias("min_rank"),
+            F.count(F.lit(1)).over(w_tie).alias("c"),
+        )
+    )
+    per_type = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(2 * F.col("min_rank") + F.col("c") - 1)
+        .cast("bigint")
+        .alias("r2_sum"),
+    )
+    q = per_type.select(
+        "event_type",
+        "n",
+        "r2_sum",
+        F.expr(
+            "r2_sum * (r2_sum div n) + (r2_sum * (r2_sum % n)) div n"
+        ).alias("qj"),
+    )
+    ties = (
+        fx.groupBy("vfx")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+            .cast("bigint")
+            .alias("tie_term")
+        )
+    )
+    tot = q.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("qj").cast("bigint").alias("sum_q"),
+    )
+    h = (
+        "(3.0 * sum_q) / (CAST(nt AS DOUBLE) * (nt + 1))"
+        " - 3.0 * (nt + 1)"
+    )
+    return (
+        q.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(ties))
+        .select(
+            "event_type",
+            "n",
+            "r2_sum",
+            F.expr(h).alias("h_stat"),
+            F.expr(
+                f"({h}) / nullif(1.0 - CAST(tie_term AS DOUBLE)"
+                " / nullif(CAST(nt AS DOUBLE) * nt * nt - nt, 0.0),"
+                " 0.0)"
+            ).alias("h_tied"),
+        )
+    )

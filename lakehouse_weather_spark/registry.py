@@ -68,6 +68,7 @@ _QUERY_MODULES = [
     "lakehouse_weather_spark.operators.ivm",
     "lakehouse_weather_spark.operators.mlfeat",
     "lakehouse_weather_spark.operators.attribution",
+    "lakehouse_weather_spark.operators.recsys",
     "lakehouse_weather_spark.operators.cms",
     "lakehouse_weather_spark.operators.bloom",
     "lakehouse_weather_spark.operators.udfs",

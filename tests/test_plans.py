@@ -460,8 +460,10 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
            "lists; q_mrl_prefix_eval's two rank windows over "
            "TOP_K-limited lists — all post-TakeOrdered"),
     "operators/anomaly.py": (
-        2, "q_rank_shift's two rank windows over the |event_types|-row "
-           "count table"),
+        3, "q_rank_shift's two rank windows over the |event_types|-row "
+           "count table; q_kruskal_wallis's bucket-offset window over "
+           "the value-range bucket list (range/2^20 rows), never the "
+           "raw table"),
     "zorder.py": (
         1, "row_number over the SAMPLE-capped cut-point table"),
 }
