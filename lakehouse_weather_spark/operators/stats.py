@@ -665,3 +665,143 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("brier_fx2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Isotonic calibration: PAVA over the reliability bins, in closed form
+# ---------------------------------------------------------------------------
+
+# The calibration map itself: the monotone step function closest (L2)
+# to the per-bin empirical rates — what a production scorer ships
+# beside q_calibration_bins' reliability table. Instead of the
+# sequential pool-adjacent-violators loop (driver-side, order-
+# dependent), both engines evaluate the MINIMAX characterization of
+# the isotonic fit (Robertson-Wright-Dykstra):
+#
+#     fit_i = max_{j <= i} min_{k >= i} avg(y over bins j..k)
+#
+# which is a closed-form triangle join over the BIN table — bounded at
+# |bins|^3 <= ~1.3k rows regardless of corpus size, so the whole fit
+# is driver-scale after the one binning scan. Interval averages are
+# ppm-floored integers (sums of y are non-negative, so trunc == floor
+# in both engines), and max/min of exact integers are engine-exact;
+# the monotonicity of the minimax holds for ANY value matrix (the
+# j-set grows and the k-set shrinks with i), so the output is a valid
+# isotonic map even under quantization.
+
+
+@register(
+    "q_isotonic_pava",
+    oracle=f"""
+        WITH scored AS (
+            SELECT {_CAL_P_DUCK} // {_CAL_DIV} AS p_fx,
+                   CASE WHEN {_CAL_Y_DUCK} < {_CAL_P_DUCK}
+                        THEN 1 ELSE 0 END AS y
+            FROM events
+        ),
+        bins AS (
+            SELECT CAST(p_fx * {_CAL_BINS} // 10000 AS BIGINT) AS bin,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(y) AS BIGINT) AS sum_y
+            FROM scored GROUP BY 1
+        ),
+        ivals AS (
+            SELECT j.bin AS jb, k.bin AS kb,
+                   (sum(m.sum_y) * 1000000) // sum(m.n) AS val
+            FROM bins j
+            JOIN bins k ON k.bin >= j.bin
+            JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+            GROUP BY j.bin, k.bin
+        ),
+        inner_min AS (
+            SELECT i.bin, v.jb, min(v.val) AS mn
+            FROM bins i
+            JOIN ivals v ON v.jb <= i.bin AND v.kb >= i.bin
+            GROUP BY i.bin, v.jb
+        ),
+        fit AS (
+            SELECT bin, CAST(max(mn) AS BIGINT) AS iso_ppm
+            FROM inner_min GROUP BY bin
+        )
+        SELECT b.bin, b.n, b.sum_y,
+               CAST(b.sum_y * 1000000 // b.n AS BIGINT) AS rate_ppm,
+               f.iso_ppm
+        FROM bins b JOIN fit f USING (bin)
+    """,
+    doc="Isotonic (PAVA) calibration map over q_calibration_bins'"
+    " reliability bins, evaluated via the closed-form minimax"
+    " characterization fit_i = max_{j<=i} min_{k>=i} avg(bins j..k)"
+    " instead of the sequential pooling loop — a |bins|^3-bounded"
+    " triangle join that stays declarative and engine-exact"
+    " (ppm-floored interval averages on non-negative integer sums)."
+    " One binning scan over events; everything downstream is"
+    " bin-table-scale. A real model swaps its score column into the"
+    " same plan; the synthetic predictor is calibrated by"
+    " construction, so the fitted map should track the diagonal.",
+)
+def q_isotonic_pava(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    bins = (
+        ev.select(
+            F.expr(f"{_CAL_P_SPARK} div {_CAL_DIV}").alias("p_fx"),
+            F.expr(
+                f"CASE WHEN {_CAL_Y_SPARK} < {_CAL_P_SPARK}"
+                " THEN 1 ELSE 0 END"
+            ).alias("y"),
+        )
+        .select(
+            F.expr(f"CAST(p_fx * {_CAL_BINS} div 10000 AS BIGINT)")
+            .alias("bin"),
+            "y",
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("y").cast("bigint").alias("sum_y"),
+        )
+    )
+    j = bins.select(
+        F.col("bin").alias("jb"),
+        F.col("n").alias("jn"),
+        F.col("sum_y").alias("jy"),
+    )
+    k = bins.select(F.col("bin").alias("kb"))
+    m = bins.select(
+        F.col("bin").alias("mb"),
+        F.col("n").alias("mn_n"),
+        F.col("sum_y").alias("mn_y"),
+    )
+    ivals = (
+        j.join(F.broadcast(k), F.col("kb") >= F.col("jb"))
+        .join(
+            F.broadcast(m),
+            (F.col("mb") >= F.col("jb")) & (F.col("mb") <= F.col("kb")),
+        )
+        .groupBy("jb", "kb")
+        .agg(
+            F.expr("(sum(mn_y) * 1000000) div sum(mn_n)").alias("val")
+        )
+    )
+    i = bins.select(F.col("bin").alias("ib"))
+    inner_min = (
+        i.join(
+            F.broadcast(ivals),
+            (F.col("jb") <= F.col("ib")) & (F.col("kb") >= F.col("ib")),
+        )
+        .groupBy("ib", "jb")
+        .agg(F.min("val").alias("mn"))
+    )
+    fit = inner_min.groupBy("ib").agg(
+        F.max("mn").cast("bigint").alias("iso_ppm")
+    )
+    return bins.join(
+        F.broadcast(fit), bins.bin == fit.ib
+    ).select(
+        "bin",
+        "n",
+        "sum_y",
+        F.expr("CAST(sum_y * 1000000 div n AS BIGINT)").alias(
+            "rate_ppm"
+        ),
+        "iso_ppm",
+    )

@@ -1538,3 +1538,105 @@ def q_ols_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         intercept.alias("intercept"),
         r2.alias("r_squared"),
     )
+
+
+# --- SAX symbolization + motif counts ---------------------------------
+
+# Symbolic Aggregate approXimation (Lin/Keogh et al., DMKD'07) adapted
+# to be engine-exact: the PAA step is the per-(type, day) mean (exact
+# integer sum/count, truncating division — both engines truncate), and
+# the alphabet breakpoints are EQUI-DEPTH per type (ntile over the
+# per-type day series) instead of the paper's Gaussian table — rank-
+# based discretization needs no float quantiles and matches DuckDB's
+# standard-SQL ntile bit-for-bit given the deterministic (value, day)
+# tiebreak. Downstream, consecutive-day symbol bigrams are the motif
+# vocabulary — the "repeated shape" index that turns a 100 TB metric
+# archive into a searchable symbol corpus (every window is per-type,
+# parallel across types; the day table is calendar-bounded).
+
+_SAX_ALPHABET = "abcd"  # 4 equi-depth symbols
+
+
+@register(
+    "q_sax_motifs",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type,
+                   datediff('day', DATE '1970-01-01',
+                            CAST(ts AS DATE)) AS dayidx,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                        AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS paa_fx
+            FROM events
+            GROUP BY event_type, CAST(ts AS DATE)
+        ),
+        sym AS (
+            SELECT event_type, dayidx,
+                   substr('{_SAX_ALPHABET}',
+                          CAST(ntile({len(_SAX_ALPHABET)}) OVER (
+                              PARTITION BY event_type
+                              ORDER BY paa_fx, dayidx
+                          ) AS INTEGER), 1) AS s
+            FROM daily
+        ),
+        grams AS (
+            SELECT event_type,
+                   lag(s) OVER (PARTITION BY event_type
+                                ORDER BY dayidx) || s AS motif
+            FROM sym
+        )
+        SELECT event_type, motif, CAST(count(*) AS BIGINT) AS n
+        FROM grams WHERE motif IS NOT NULL
+        GROUP BY event_type, motif
+    """,
+    doc="SAX symbolization of each event type's daily-mean series:"
+    " exact integer PAA (per-day fixed-point mean, truncating"
+    " division), equi-depth 4-letter alphabet via per-type ntile with"
+    " a deterministic (value, day) tiebreak, then consecutive-day"
+    " bigram motif counts — the symbol index that makes shape search"
+    " over a metric archive a string problem. All windows are"
+    " per-type (parallel) over the calendar-bounded day table; the"
+    " rank-based alphabet replaces the paper's Gaussian breakpoints"
+    " so both engines discretize bit-identically.",
+)
+def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("dayidx"),
+            F.round(F.col("value") * 10000, 0)
+            .cast("bigint")
+            .alias("vfx"),
+        )
+        .groupBy("event_type", "dayidx")
+        .agg(
+            F.expr(
+                "CAST(sum(vfx) AS BIGINT) div CAST(count(*) AS BIGINT)"
+            ).alias("paa_fx")
+        )
+    )
+    k = len(_SAX_ALPHABET)
+    w_nt = Window.partitionBy("event_type").orderBy("paa_fx", "dayidx")
+    sym = daily.select(
+        "event_type",
+        "dayidx",
+        F.substring(
+            F.lit(_SAX_ALPHABET), F.ntile(k).over(w_nt), 1
+        ).alias("s"),
+    )
+    w_seq = Window.partitionBy("event_type").orderBy("dayidx")
+    grams = sym.select(
+        "event_type",
+        F.concat(F.lag("s").over(w_seq), F.col("s")).alias("motif"),
+    ).filter(F.col("motif").isNotNull())
+    return grams.groupBy("event_type", "motif").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
