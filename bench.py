@@ -264,6 +264,14 @@ HEADLINE = [
     "q_video_frame_neardup",
     "q_knn_confusion",
     "q_calibration_bins",
+    # round-7 second batch
+    "q_basket_pairs",
+    "q_itemcf_topk",
+    "q_kruskal_wallis",
+    "q_isotonic_pava",
+    "q_sax_motifs",
+    "q_hilbert_prune",
+    "q_delta_partitioned_export",
 ]
 
 

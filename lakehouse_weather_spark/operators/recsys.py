@@ -91,24 +91,60 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(item_a, item_b, n_a, n_b, n_ab, n_baskets, ms) for every
-    frequent pair — the shared A-priori core of both queries."""
+    frequent pair — the shared A-priori core of both queries.
+
+    Pair generation is the dedup family's band-agg shape, not a
+    basket⋈basket self-join: ONE groupBy collapses each basket to its
+    sorted distinct item array, the A-priori prune drops infrequent
+    items from the array (array_intersect against the broadcast
+    frequent list), and ordered pairs explode NARROWLY from the pruned
+    array — so the only shuffles are the basket collapse and the final
+    |items|²-bounded pair count, where the self-join form shuffles the
+    basket table twice more."""
     baskets = _baskets(spark, sf_dir)
-    nb = baskets.agg(
-        F.countDistinct("basket").alias("n_baskets")
+    grouped = baskets.groupBy("basket").agg(
+        F.sort_array(F.collect_set("item")).alias("items")
+    )
+    nb = grouped.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_baskets")
     ).select(
         "n_baskets",
         F.greatest(
             F.expr(f"n_baskets div {_MINSUP_DIV}"), F.lit(2)
         ).alias("ms"),
     )
-    items = baskets.groupBy("item").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_item")
+    items_cnt = (
+        grouped.select(F.explode("items").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_item"))
     )
-    freq = items.crossJoin(F.broadcast(nb)).filter(
+    freq = items_cnt.crossJoin(F.broadcast(nb)).filter(
         F.col("n_item") >= F.col("ms")
     )
-    # A-priori prune: only FREQUENT items enter pair generation — the
-    # frequent-item set is |items|-bounded, so both sides broadcast
+    freq_arr = freq.agg(
+        F.sort_array(F.collect_list("item")).alias("freq_items")
+    )
+    pairs = (
+        grouped.crossJoin(F.broadcast(freq_arr))
+        # A-priori prune INSIDE the row: drop infrequent items from the
+        # sorted array before any pair exists (order is preserved, so
+        # generated pairs are already item_a < item_b)
+        .select(
+            F.array_intersect("items", "freq_items").alias("fi")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(fi, (x, i) ->"
+                    " transform(slice(fi, i + 2, size(fi)),"
+                    " y -> struct(x AS item_a, y AS item_b))))"
+                )
+            ).alias("p")
+        )
+        .select("p.item_a", "p.item_b")
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    )
     fa = F.broadcast(
         freq.select(
             F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
@@ -119,19 +155,11 @@ def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
         )
     )
-    a = baskets.select("basket", F.col("item").alias("item_a"))
-    b = baskets.select("basket", F.col("item").alias("item_b"))
-    pairs = (
-        a.join(fa, "item_a")
-        .join(
-            b.join(fb, "item_b"),
-            ["basket"],
-        )
-        .filter(F.col("item_a") < F.col("item_b"))
-        .groupBy("item_a", "item_b", "n_a", "n_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_ab"))
+    return (
+        pairs.join(fa, "item_a")
+        .join(fb, "item_b")
+        .crossJoin(F.broadcast(nb))
     )
-    return pairs.crossJoin(F.broadcast(nb))
 
 
 @register(

@@ -123,3 +123,108 @@ def q_delta_log_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev_files, _ = replay_delta_log(table_dir, at_version=retained[-2])
         assert prev_files and set(prev_files) != set(files)
     return spark.read.parquet(*files).select("source", "n_docs", "sum_chars")
+
+
+@register(
+    "q_delta_partitioned_export",
+    oracle="""
+        SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1
+    """,
+    doc="HIVE-PARTITIONED Delta export round-trip: publish the daily"
+    " event-type counts partitioned by day (publish_df partition_by),"
+    " export the _delta_log — metaData.partitionColumns plus per-file"
+    " partitionValues parsed from the hive directory layout — replay"
+    " it, and read the snapshot back through exactly the replayed"
+    " files with partition discovery, RECOVERING the day column from"
+    " the directory names (the data files do not contain it). The"
+    " oracle recomputes the aggregate straight from events, so the"
+    " gate proves the partition metadata round-trips losslessly —"
+    " the layout partition pruning depends on at 100 TB, where a"
+    " one-day predicate must become one directory, not a full scan.",
+)
+def q_delta_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        publish_df,
+        replay_delta_log,
+    )
+
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias(
+                "day"
+            ),
+            "event_type",
+        )
+        .groupBy("day", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"lws_delta_part_{key}_{os.getpid()}"
+    )
+    vpath = publish_df(
+        daily, table_dir, schema_mode="overwrite", partition_by=["day"]
+    )
+    log_dir = export_delta_log(table_dir)
+    # the log must carry the partition metadata external readers prune
+    # with: partitionColumns in metaData, per-file partitionValues
+    commits = sorted(
+        f for f in os.listdir(log_dir)
+        if f.endswith(".json") and f[:-5].isdigit()
+    )
+    partcols = None
+    n_adds_with_vals = 0
+    for c in commits:
+        commit_adds = 0
+        with open(os.path.join(log_dir, c)) as fh:
+            for line in fh:
+                a = json.loads(line)
+                if "metaData" in a:
+                    partcols = a["metaData"]["partitionColumns"]
+                elif "add" in a and a["add"]["partitionValues"].get("day"):
+                    commit_adds += 1
+        if commit_adds:
+            # every commit fully replaces the snapshot, so the LAST
+            # commit's adds are exactly the live set (a same-process
+            # rerun appends further commits for the re-published
+            # versions)
+            n_adds_with_vals = commit_adds
+    assert partcols == ["day"], partcols
+    files, schema_string = replay_delta_log(table_dir)
+    out_schema = StructType(
+        [
+            StructField("day", StringType()),
+            StructField("n_types", LongType()),
+            StructField("n_events", LongType()),
+        ]
+    )
+    if not files:
+        # an empty corpus publishes an EMPTY partitioned snapshot:
+        # zero data files, valid zero-add commit
+        return spark.createDataFrame([], out_schema)
+    assert n_adds_with_vals == len(files), (n_adds_with_vals, len(files))
+    assert '"day"' in schema_string  # partition col in the full schema
+    replayed = spark.read.option("basePath", vpath).parquet(*files)
+    return replayed.groupBy(
+        F.col("day").cast("string").alias("day")
+    ).agg(
+        F.countDistinct("event_type").cast("bigint").alias("n_types"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )

@@ -306,6 +306,7 @@ def publish_df(
     count_rows: bool = False,
     schema_mode: str = "evolve",
     expected_version: str | None = ...,
+    partition_by: list[str] | None = None,
 ) -> str:
     """Publish a DataFrame as the next committed version. The version
     manifest records the schema (and, when ``count_rows``, the exact
@@ -321,9 +322,27 @@ def publish_df(
     ``count_rows`` piggybacks on the WRITE job via the Observation API
     (an accumulator over the rows the writer streams) — the manifest
     row count costs zero extra jobs, where the previous ``df.count()``
-    re-ran the whole plan."""
+    re-ran the whole plan.
+
+    ``partition_by`` writes the snapshot hive-partitioned (one
+    ``col=value`` directory level per column). The manifest records the
+    partition columns so the Delta export emits them as
+    ``metaData.partitionColumns`` with per-file ``partitionValues`` —
+    the layout partition pruning needs at 100 TB (a day-partitioned
+    fact table turns a one-day query from a full scan into one
+    directory)."""
     check_schema(table_dir, df, schema_mode)
     meta: dict = {"schema": df.schema.jsonValue()}
+    if partition_by:
+        missing = [c for c in partition_by if c not in df.columns]
+        if missing:
+            raise ValueError(f"partition columns not in df: {missing}")
+        meta["partition_by"] = list(partition_by)
+
+    def _writer(d):
+        w = d.write.mode("errorifexists")
+        return w.partitionBy(*partition_by) if partition_by else w
+
     if count_rows:
         from pyspark.sql import Observation
         from pyspark.sql import functions as F
@@ -332,7 +351,7 @@ def publish_df(
         observed = df.observe(obs, F.count(F.lit(1)).alias("n_rows"))
 
         def _write(path: str) -> None:
-            observed.write.mode("errorifexists").parquet(path)
+            _writer(observed).parquet(path)
             meta["n_rows"] = obs.get["n_rows"]
 
         return publish(
@@ -341,7 +360,7 @@ def publish_df(
         )
     return publish(
         table_dir,
-        lambda path: df.write.mode("errorifexists").parquet(path),
+        lambda path: _writer(df).parquet(path),
         keep,
         meta=meta,
         expected_version=expected_version,
@@ -436,8 +455,16 @@ def external_read_path(table_dir: str) -> str:
     committed snapshot through — the interop property of keeping
     versions as plain parquet directories: nothing but a path
     resolution separates an outside reader from the Spark one
-    (tests/test_incremental.py proves DuckDB row parity)."""
-    return os.path.join(resolve(table_dir), "*.parquet")
+    (tests/test_incremental.py proves DuckDB row parity).
+    Hive-partitioned snapshots return a recursive glob; pair it with
+    the reader's hive-partitioning option to recover the partition
+    columns."""
+    vpath = resolve(table_dir)
+    if any(
+        name.endswith(".parquet") for name in os.listdir(vpath)
+    ):
+        return os.path.join(vpath, "*.parquet")
+    return os.path.join(vpath, "**", "*.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -481,14 +508,24 @@ def _pa_field_to_spark(t) -> object:
     raise ValueError(f"unsupported parquet type for Delta export: {t}")
 
 
-def _delta_schema_string(version_path: str) -> str:
-    """Spark-JSON schemaString for the snapshot's parquet files."""
+def _delta_schema_string(
+    version_path: str, partition_fields: list[dict] | None = None
+) -> str:
+    """Spark-JSON schemaString for the snapshot's parquet files.
+    Hive-partitioned snapshots keep partition values in directory
+    names, not data files, so the caller passes the partition columns'
+    Spark schema-JSON fragments (from the publish manifest) and they
+    are appended to the footer-derived data fields — the full logical
+    schema the Delta protocol requires."""
     import glob as _glob
     import json
 
     import pyarrow.parquet as pq
 
-    files = sorted(_glob.glob(os.path.join(version_path, "*.parquet")))
+    files = sorted(
+        _glob.glob(os.path.join(version_path, "**", "*.parquet"),
+                   recursive=True)
+    )
     if not files:
         raise FileNotFoundError(f"no parquet files in {version_path}")
     schema = pq.read_schema(files[0])
@@ -501,6 +538,7 @@ def _delta_schema_string(version_path: str) -> str:
         }
         for f in schema
     ]
+    fields.extend(partition_fields or [])
     return json.dumps({"type": "struct", "fields": fields})
 
 
@@ -524,18 +562,54 @@ def _delta_protocol(schema_string: str) -> dict:
     return {"minReaderVersion": 1, "minWriterVersion": 2}
 
 
-def _delta_adds(table_dir: str, version: str) -> list[dict]:
-    vpath = os.path.join(table_dir, version)
-    adds = []
-    for name in sorted(os.listdir(vpath)):
-        if not name.endswith(".parquet"):
+def _version_meta(table_dir: str, version: str) -> dict:
+    """The version's manifest dict ({} for pre-manifest versions)."""
+    import json
+
+    try:
+        with open(os.path.join(table_dir, version, _MANIFEST)) as fh:
+            return json.load(fh)
+    except (FileNotFoundError, ValueError):
+        return {}
+
+
+def _partition_values_from_relpath(relpath: str) -> dict:
+    """Delta ``partitionValues`` from a hive-layout relative path:
+    every ``col=value`` directory segment, URL-decoded, with Spark's
+    null sentinel mapped to JSON null per the protocol."""
+    from urllib.parse import unquote
+
+    out: dict = {}
+    for seg in relpath.split(os.sep)[:-1]:
+        if "=" not in seg:
             continue
-        st = os.stat(os.path.join(vpath, name))
+        k, _, v = seg.partition("=")
+        out[unquote(k)] = (
+            None if v == "__HIVE_DEFAULT_PARTITION__" else unquote(v)
+        )
+    return out
+
+
+def _delta_adds(table_dir: str, version: str) -> list[dict]:
+    """One add action per data file of the snapshot, walking hive
+    partition subdirectories and carrying their values — external
+    readers get partition pruning from the log alone."""
+    vpath = os.path.join(table_dir, version)
+    rels = []
+    for root, _dirs, files in os.walk(vpath):
+        for name in files:
+            if name.endswith(".parquet"):
+                rels.append(
+                    os.path.relpath(os.path.join(root, name), vpath)
+                )
+    adds = []
+    for rel in sorted(rels):
+        st = os.stat(os.path.join(vpath, rel))
         adds.append(
             {
                 "add": {
-                    "path": f"{version}/{name}",
-                    "partitionValues": {},
+                    "path": f"{version}/{rel}",
+                    "partitionValues": _partition_values_from_relpath(rel),
                     "size": st.st_size,
                     "modificationTime": int(st.st_mtime * 1000),
                     "dataChange": True,
@@ -569,6 +643,7 @@ def _read_delta_log_state(log_dir: str) -> dict | None:
         "schema_string": "",
         "protocol": None,
         "table_id": None,
+        "partition_columns": None,
     }
     for c in commits:
         with open(os.path.join(log_dir, c)) as fh:
@@ -577,6 +652,9 @@ def _read_delta_log_state(log_dir: str) -> dict | None:
                 if "metaData" in a:
                     state["schema_string"] = a["metaData"]["schemaString"]
                     state["table_id"] = a["metaData"]["id"]
+                    state["partition_columns"] = a["metaData"].get(
+                        "partitionColumns", []
+                    )
                 elif "protocol" in a:
                     state["protocol"] = a["protocol"]
                 elif "add" in a:
@@ -593,6 +671,7 @@ def _read_delta_log_state(log_dir: str) -> dict | None:
 def _write_delta_checkpoint(
     log_dir: str, commit_num: int, live: set, schema_string: str,
     protocol: dict, table_id: str,
+    partition_columns: list[str] | None = None,
 ) -> None:
     """Classic single-file Delta checkpoint at ``commit_num`` plus the
     ``_last_checkpoint`` pointer: the reconstructed snapshot (protocol,
@@ -667,7 +746,7 @@ def _write_delta_checkpoint(
             "description": None,
             "format": {"provider": "parquet", "options": []},
             "schemaString": schema_string,
-            "partitionColumns": [],
+            "partitionColumns": partition_columns or [],
             "configuration": [],
             "createdTime": int(time.time() * 1000),
         },
@@ -675,10 +754,14 @@ def _write_delta_checkpoint(
     add_col: list = [None, None]
     for path in sorted(live):
         st = os.stat(os.path.join(table_dir, path))
+        # path is "<version>/<rel>": partition segments live below the
+        # version directory
+        rel = path.split("/", 1)[1] if "/" in path else path
+        pvals = sorted(_partition_values_from_relpath(rel).items())
         add_col.append(
             {
                 "path": path,
-                "partitionValues": [],
+                "partitionValues": pvals,
                 "size": st.st_size,
                 "modificationTime": int(st.st_mtime * 1000),
                 "dataChange": True,
@@ -758,6 +841,7 @@ def export_delta_log(table_dir: str, table_id: str | None = None) -> str:
         live: set = set()
         last_schema = ""
         last_protocol: dict | None = None
+        last_partcols: list | None = None
     else:
         last_sv = state["source_version"]
         exported_upto = int(last_sv[1:]) if last_sv else -1
@@ -766,16 +850,35 @@ def export_delta_log(table_dir: str, table_id: str | None = None) -> str:
         live = state["live"]
         last_schema = state["schema_string"]
         last_protocol = state["protocol"]
+        last_partcols = state["partition_columns"]
 
     for v in pending:
-        schema_string = _delta_schema_string(os.path.join(table_dir, v))
+        meta = _version_meta(table_dir, v)
+        partcols = list(meta.get("partition_by") or [])
+        pfields = [
+            f
+            for f in (meta.get("schema") or {}).get("fields", [])
+            if f.get("name") in partcols
+        ]
+        try:
+            schema_string = _delta_schema_string(
+                os.path.join(table_dir, v), pfields
+            )
+        except FileNotFoundError:
+            # an EMPTY partitioned snapshot writes no data files at
+            # all; the manifest's full Spark schema (which includes
+            # the partition columns) still makes a valid zero-add
+            # commit
+            if not meta.get("schema"):
+                raise
+            schema_string = json.dumps(meta["schema"])
         proto = _delta_protocol(schema_string)
         now_ms = int(time.time() * 1000)
         actions: list[dict] = []
         if last_protocol != proto:
             actions.append({"protocol": proto})
             last_protocol = proto
-        if schema_string != last_schema:
+        if schema_string != last_schema or partcols != last_partcols:
             actions.append(
                 {
                     "metaData": {
@@ -785,13 +888,14 @@ def export_delta_log(table_dir: str, table_id: str | None = None) -> str:
                         "id": expected_id,
                         "format": {"provider": "parquet", "options": {}},
                         "schemaString": schema_string,
-                        "partitionColumns": [],
+                        "partitionColumns": partcols,
                         "configuration": {},
                         "createdTime": now_ms,
                     }
                 }
             )
             last_schema = schema_string
+            last_partcols = partcols
         actions.extend(
             {
                 "remove": {
@@ -828,6 +932,7 @@ def export_delta_log(table_dir: str, table_id: str | None = None) -> str:
             _write_delta_checkpoint(
                 dest, next_commit, live, last_schema,
                 last_protocol or _delta_protocol(last_schema), expected_id,
+                partition_columns=last_partcols or [],
             )
         next_commit += 1
     return dest

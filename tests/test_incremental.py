@@ -947,3 +947,84 @@ def test_delta_log_export_skips_vacuumed_versions(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError):
         replay_delta_log(table_dir, at_version="v000002")
+
+
+def test_delta_log_export_partitioned(spark, tmp_path):
+    """A hive-partitioned publish exports partitionColumns in metaData
+    and per-file partitionValues parsed from the directory layout; the
+    replayed snapshot reads back (Spark partition discovery AND duckdb
+    hive_partitioning) with the partition column recovered from paths,
+    and an empty partitioned publish still exports a valid zero-add
+    commit from the manifest schema."""
+    import json
+
+    import duckdb
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        external_read_path,
+        publish_df,
+        replay_delta_log,
+        resolve,
+    )
+
+    table_dir = str(tmp_path / "ptable")
+    df = spark.range(0, 60).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("bucket"),
+        (F.col("id") * 7).alias("v"),
+    )
+    vpath = publish_df(df, table_dir, partition_by=["bucket"])
+    log_dir = export_delta_log(table_dir)
+    commit = os.path.join(log_dir, "00000000000000000000.json")
+    actions = [json.loads(line) for line in open(commit)]
+    meta = next(a["metaData"] for a in actions if "metaData" in a)
+    assert meta["partitionColumns"] == ["bucket"]
+    # the partition column is in the FULL schema even though data
+    # files don't contain it
+    from pyspark.sql.types import StructType
+
+    parsed = StructType.fromJson(json.loads(meta["schemaString"]))
+    assert "bucket" in [f.name for f in parsed.fields]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(
+        a["partitionValues"].get("bucket") in {"0", "1", "2"} for a in adds
+    )
+    # replay -> Spark read with partition discovery recovers bucket
+    files, _schema = replay_delta_log(table_dir)
+    assert set(files) == {
+        os.path.join(resolve(table_dir), a["path"].split("/", 1)[1])
+        for a in adds
+    }
+    back = spark.read.option("basePath", vpath).parquet(*files)
+    # partition TYPE inference reads "0" back as int — the recovered
+    # VALUE is what the layout guarantees; cast for comparison
+    got = {
+        (r["bucket"], r["n"])
+        for r in back.groupBy(
+            F.col("bucket").cast("string").alias("bucket")
+        ).agg(F.count("*").alias("n")).collect()
+    }
+    assert got == {("0", 20), ("1", 20), ("2", 20)}
+    # duckdb reads the same snapshot through the recursive glob
+    glob = external_read_path(table_dir)
+    assert "**" in glob
+    dk = duckdb.sql(
+        f"SELECT bucket, count(*) n FROM"
+        f" read_parquet('{glob}', hive_partitioning=true)"
+        f" GROUP BY bucket ORDER BY bucket"
+    ).fetchall()
+    assert [(str(b), n) for b, n in dk] == [("0", 20), ("1", 20), ("2", 20)]
+    # empty partitioned publish: zero-add commit, manifest schema
+    empty_dir = str(tmp_path / "etable")
+    publish_df(df.limit(0), empty_dir, partition_by=["bucket"])
+    elog = export_delta_log(empty_dir)
+    eactions = [
+        json.loads(line)
+        for line in open(os.path.join(elog, "00000000000000000000.json"))
+    ]
+    assert not [a for a in eactions if "add" in a]
+    emeta = next(a["metaData"] for a in eactions if "metaData" in a)
+    assert emeta["partitionColumns"] == ["bucket"]
+    efiles, eschema = replay_delta_log(empty_dir)
+    assert efiles == [] and "bucket" in eschema
