@@ -272,6 +272,7 @@ HEADLINE = [
     "q_sax_motifs",
     "q_hilbert_prune",
     "q_delta_partitioned_export",
+    "q_dbscan_grid",
 ]
 
 

@@ -487,3 +487,273 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.sparkSession.createDataFrame(
         picks, "rank int, vec_id long, radius_fx long"
     )
+
+
+# --- DBSCAN via grid blocking -----------------------------------------
+
+# Density clustering completes the clustering family (k-means: convex
+# partitions; SemDeDup: per-cluster near-dup; here: arbitrary-shape
+# density components + principled NOISE — the outlier set a curation
+# pipeline actually wants from embedding space). The audit runs on a
+# deterministic md5-ordered sample cap (the q_knn_confusion precedent:
+# the oracle's transitive-closure replay is O(component^2), so the
+# certified arm stays bounded while the Spark plan itself is the
+# full-scale shape).
+#
+# Scale shape: candidate pairs come from a GRID equi-join — each point
+# explodes to its 3x3 neighbor cells of width eps and joins points'
+# own cell key — never an all-pairs theta join; exact squared distance
+# verifies candidates. Degrees, core flags, and border assignment are
+# hash aggregates; components run min-label propagation on the
+# CORE-CORE edge subgraph (label_propagate, checkpointed). At 100 TB
+# you add a per-cell density cap exactly like the dedup family's
+# DF_CAP: a cell holding 10^6 points is a degenerate hub whose pairs
+# are bots, not structure.
+
+_DBS_CAP = 600
+_DBS_EPS_FX = 15_000    # eps = 0.015 on the 1e6 fixed-point scale
+_DBS_MINPTS = 4
+_DBS_H_SPARK = "md5(concat('dbs_', cast(vec_id as string)))"
+_DBS_H_DUCK = "md5('dbs_' || CAST(vec_id AS VARCHAR))"
+
+
+@register(
+    "q_dbscan_grid",
+    oracle=f"""
+        WITH RECURSIVE pts AS (
+            SELECT vec_id,
+                   CAST(round(embedding[1]*1000000) AS BIGINT) AS x,
+                   CAST(round(embedding[2]*1000000) AS BIGINT) AS y
+            FROM (SELECT * FROM embeddings
+                  ORDER BY {_DBS_H_DUCK}, vec_id
+                  LIMIT {_DBS_CAP})),
+        pairs AS (
+            SELECT a.vec_id AS a_id, b.vec_id AS b_id FROM pts a
+            JOIN pts b ON a.vec_id <> b.vec_id
+            AND (a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y)
+                <= {_DBS_EPS_FX * _DBS_EPS_FX}),
+        deg AS (
+            SELECT p.vec_id, 1 + COALESCE(c.n, 0) AS deg FROM pts p
+            LEFT JOIN (SELECT a_id, count(*) AS n FROM pairs
+                       GROUP BY 1) c ON c.a_id = p.vec_id),
+        core AS (SELECT vec_id FROM deg WHERE deg >= {_DBS_MINPTS}),
+        ce AS (
+            SELECT a_id, b_id FROM pairs
+            JOIN core ca ON ca.vec_id = a_id
+            JOIN core cb ON cb.vec_id = b_id),
+        reach(n, r) AS (
+            SELECT vec_id, vec_id FROM core
+            UNION
+            SELECT ce.a_id, reach.r FROM ce JOIN reach ON reach.n = ce.b_id),
+        clab AS (SELECT n AS vec_id, min(r) AS label FROM reach GROUP BY n),
+        blab AS (
+            SELECT p.a_id AS vec_id, min(cl.label) AS label FROM pairs p
+            JOIN clab cl ON cl.vec_id = p.b_id
+            WHERE NOT EXISTS (SELECT 1 FROM core c WHERE c.vec_id = p.a_id)
+            GROUP BY p.a_id),
+        assigned AS (SELECT * FROM clab UNION ALL SELECT * FROM blab)
+        SELECT CAST((SELECT count(*) FROM pts) AS BIGINT) AS n_points,
+               CAST((SELECT count(*) FROM core) AS BIGINT) AS n_core,
+               CAST((SELECT count(*) FROM blab) AS BIGINT) AS n_border,
+               CAST((SELECT count(*) FROM pts)
+                    - (SELECT count(*) FROM core)
+                    - (SELECT count(*) FROM blab) AS BIGINT) AS n_noise,
+               CAST((SELECT count(DISTINCT label) FROM assigned)
+                    AS BIGINT) AS n_clusters,
+               CAST((SELECT max(n) FROM (SELECT count(*) AS n
+                     FROM assigned GROUP BY label)) AS BIGINT)
+                   AS max_cluster_size
+    """,
+    doc=f"Grid-blocked DBSCAN over the first two embedding dimensions"
+    f" (eps {_DBS_EPS_FX}/1e6 fixed-point, minPts {_DBS_MINPTS},"
+    f" md5-capped {_DBS_CAP}-vector certified arm): candidate pairs"
+    " from a 3x3 neighbor-cell EQUI-join (each point explodes to nine"
+    " cell keys of width eps, never an all-pairs theta join), exact"
+    " integer squared-distance verify, core points by neighborhood"
+    " count, components via checkpointed min-label propagation on the"
+    " core-core subgraph, borders assigned min core label, the rest"
+    " NOISE — the outlier set density clustering exists to surface."
+    " Oracle replays the closure with a recursive CTE; output is the"
+    " one-row census (points/core/border/noise/clusters/max size).",
+)
+def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    eps, eps2 = _DBS_EPS_FX, _DBS_EPS_FX * _DBS_EPS_FX
+    emb = load_table(spark, sf_dir, "embeddings")
+    pts = (
+        emb.select(
+            "vec_id",
+            F.expr(_DBS_H_SPARK).alias("h"),
+            F.expr(
+                "CAST(round(element_at(embedding, 1) * 1000000)"
+                " AS BIGINT)"
+            ).alias("x"),
+            F.expr(
+                "CAST(round(element_at(embedding, 2) * 1000000)"
+                " AS BIGINT)"
+            ).alias("y"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_DBS_CAP)
+        .drop("h")
+    )
+    # exact floor-division cell coordinates (pmod-subtract: x may be
+    # negative, trunc div is not floor — the q_zorder_prune idiom)
+    cells = pts.select(
+        "vec_id",
+        "x",
+        "y",
+        F.expr(f"(x - pmod(x, {eps})) div {eps}").alias("cx"),
+        F.expr(f"(y - pmod(y, {eps})) div {eps}").alias("cy"),
+    )
+    offsets = F.expr(
+        "array(" + ", ".join(
+            f"struct({dx} AS dx, {dy} AS dy)"
+            for dx in (-1, 0, 1) for dy in (-1, 0, 1)
+        ) + ")"
+    )
+    a9 = cells.select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.explode(offsets).alias("o"),
+        "cx",
+        "cy",
+    ).select(
+        "a_id",
+        "ax",
+        "ay",
+        (F.col("cx") + F.col("o.dx")).alias("kx"),
+        (F.col("cy") + F.col("o.dy")).alias("ky"),
+    )
+    b = cells.select(
+        F.col("vec_id").alias("b_id"),
+        F.col("x").alias("bx"),
+        F.col("y").alias("by"),
+        F.col("cx").alias("kx"),
+        F.col("cy").alias("ky"),
+    )
+    pairs = (
+        a9.join(b, ["kx", "ky"])
+        .filter(
+            (F.col("a_id") != F.col("b_id"))
+            & (
+                (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+                + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+                <= eps2
+            )
+        )
+        .select("a_id", "b_id")
+    )
+    pairs = _checkpoint(pairs)
+    deg = (
+        pts.select("vec_id")
+        .join(
+            pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
+                F.count(F.lit(1)).alias("nn")
+            ),
+            "vec_id",
+            "left",
+        )
+        .select("vec_id", (F.coalesce("nn", F.lit(0)) + 1).alias("deg"))
+    )
+    core = deg.filter(F.col("deg") >= _DBS_MINPTS).select("vec_id")
+    core_a = core.select(F.col("vec_id").alias("a_id"))
+    core_b = core.select(F.col("vec_id").alias("b_id"))
+    ce = (
+        pairs.join(core_a, "a_id")
+        .join(core_b, "b_id")
+        .select("a_id", "b_id")
+    )
+    # certified-arm component kernel: the core graph is <= _DBS_CAP
+    # nodes BY CONSTRUCTION (the md5 cap), so min-label union-find on
+    # the driver is a bounded k-row fetch — the coreset/kNN-confusion
+    # precedent. The full-scale arm swaps in dedup.label_propagate,
+    # whose per-round convergence jobs only pay off once the graph no
+    # longer fits a driver list.
+    core_ids = [r[0] for r in core.collect()]
+    parent = {v: v for v in core_ids}
+
+    def find(v):
+        while parent[v] != v:
+            parent[v] = parent[parent[v]]
+            v = parent[v]
+        return v
+
+    for ra, rb in ce.collect():
+        xa, xb = find(ra), find(rb)
+        if xa != xb:
+            # union by MIN root: the final label is the component's
+            # smallest vec_id, matching the oracle's min(r) closure
+            lo, hi = (xa, xb) if xa < xb else (xb, xa)
+            parent[hi] = lo
+    clab_rows = [(v, find(v)) for v in core_ids]
+    clab = spark.createDataFrame(
+        clab_rows or [], "vec_id: long, label: long"
+    )
+    blab = (
+        pairs.join(
+            F.broadcast(
+                clab.select(
+                    F.col("vec_id").alias("b_id"),
+                    F.col("label").alias("core_label"),
+                )
+            ),
+            "b_id",
+        )
+        .join(core.withColumnRenamed("vec_id", "a_id"), "a_id", "left_anti")
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.min("core_label").alias("label"))
+    )
+    # fused census: ONE per-point role table -> one scalar agg plus one
+    # two-level cluster-size agg (never five independent subtrees)
+    point_roles = _checkpoint(
+        pts.select("vec_id")
+        .join(core.withColumn("is_core", F.lit(1)), "vec_id", "left")
+        .join(clab, "vec_id", "left")
+        .unionByName(
+            blab.select(
+                "vec_id", F.lit(None).cast("int").alias("is_core"), "label"
+            ),
+            allowMissingColumns=False,
+        )
+        .groupBy("vec_id")
+        .agg(
+            F.max("is_core").alias("is_core"),
+            F.min("label").alias("label"),
+        )
+    )
+    stats = point_roles.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        # coalesce: sum over an EMPTY corpus is NULL, the census says 0
+        F.coalesce(F.sum(F.coalesce("is_core", F.lit(0))), F.lit(0))
+        .cast("bigint")
+        .alias("n_core"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("is_core").isNull() & F.col("label").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("n_border"),
+        F.countDistinct("label").cast("bigint").alias("n_clusters"),
+    )
+    max_sz = (
+        point_roles.filter(F.col("label").isNotNull())
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n").cast("bigint").alias("max_cluster_size"))
+    )
+    return stats.crossJoin(max_sz).select(
+        "n_points",
+        "n_core",
+        "n_border",
+        (F.col("n_points") - F.col("n_core") - F.col("n_border"))
+        .cast("bigint")
+        .alias("n_noise"),
+        "n_clusters",
+        "max_cluster_size",
+    )
