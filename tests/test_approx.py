@@ -175,3 +175,53 @@ def test_minhash_big_bucket_routing_exact(spark, sf_dir):
             ).collect()
         }
         assert routed == base, cap
+
+
+# --- isotonic calibration: minimax == sequential PAVA -----------------
+
+
+def test_isotonic_pava_matches_sequential_pooling(spark, sf_dir):
+    """q_isotonic_pava's closed-form minimax fit equals the classic
+    sequential pool-adjacent-violators algorithm run with EXACT
+    fractions on the query's own bins, floored to ppm (floor commutes
+    with min/max, so minimax-of-floored-averages == floor-of-exact-
+    PAVA), and the fitted map is monotone non-decreasing in the bin."""
+    from fractions import Fraction
+
+    from lakehouse_weather_spark.registry import load_all
+
+    rows = sorted(
+        load_all()["q_isotonic_pava"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["bin"],
+    )
+    assert rows
+    # sequential PAVA on (n, sum_y) with exact rational block averages
+    blocks: list[list] = []  # [sum_y, n]
+    for r in rows:
+        blocks.append([r["sum_y"], r["n"]])
+        while len(blocks) > 1 and (
+            Fraction(blocks[-2][0], blocks[-2][1])
+            > Fraction(blocks[-1][0], blocks[-1][1])
+        ):
+            b = blocks.pop()
+            blocks[-1][0] += b[0]
+            blocks[-1][1] += b[1]
+    fits = []
+    for sy, n in blocks:
+        fits.extend([Fraction(sy, n)] * n)
+    # expand block fits back to bins (each bin contributes n rows of
+    # identical fit inside its block) — walk blocks by bin counts
+    bin_fit = []
+    i = 0
+    for sy, n in blocks:
+        consumed = 0
+        val = Fraction(sy, n)
+        while consumed < n:
+            bin_fit.append(val)
+            consumed += rows[i]["n"]
+            i += 1
+    assert len(bin_fit) == len(rows)
+    got = [r["iso_ppm"] for r in rows]
+    expect = [int(f * 1_000_000) for f in bin_fit]  # floor for f >= 0
+    assert got == expect, (got, expect)
+    assert got == sorted(got)  # monotone

@@ -165,3 +165,88 @@ def test_embed_neardup_vec_cap_bounds_input(spark, sf_dir):
     # with both endpoints sampled appears in the capped run
     expected = {k for k in full if k[0] in sampled and k[1] in sampled}
     assert expected == {(r.vec_a, r.vec_b) for r in capped}
+
+
+# --- DBSCAN: grid-blocked census == brute-force reference -------------
+
+
+def test_dbscan_grid_matches_bruteforce_reference(spark, sf_dir):
+    """The grid equi-join candidate generation loses no pair and the
+    census matches a from-scratch O(n^2) python DBSCAN (exact integer
+    distances, min-id component labels) on the same capped sample."""
+    import hashlib
+
+    import duckdb
+
+    from lakehouse_weather_spark.operators.clustering import (
+        _DBS_CAP,
+        _DBS_EPS_FX,
+        _DBS_MINPTS,
+    )
+    from lakehouse_weather_spark.registry import load_all
+
+    raw = duckdb.sql(
+        f"SELECT vec_id, embedding[1] e1, embedding[2] e2"
+        f" FROM read_parquet('{sf_dir}/embeddings.parquet')"
+    ).fetchall()
+    keyed = sorted(
+        raw,
+        key=lambda r: (
+            hashlib.md5(f"dbs_{r[0]}".encode()).hexdigest(),
+            r[0],
+        ),
+    )[:_DBS_CAP]
+    pts = {
+        r[0]: (int(round(r[1] * 1_000_000)), int(round(r[2] * 1_000_000)))
+        for r in keyed
+    }
+    eps2 = _DBS_EPS_FX * _DBS_EPS_FX
+    ids = sorted(pts)
+    nbrs = {i: set() for i in ids}
+    for i in ids:
+        for j in ids:
+            if i < j:
+                dx = pts[i][0] - pts[j][0]
+                dy = pts[i][1] - pts[j][1]
+                if dx * dx + dy * dy <= eps2:
+                    nbrs[i].add(j)
+                    nbrs[j].add(i)
+    core = {i for i in ids if 1 + len(nbrs[i]) >= _DBS_MINPTS}
+    # components over core-core edges: BFS, label = min id in component
+    label = {}
+    for c in sorted(core):
+        if c in label:
+            continue
+        comp, todo = [], [c]
+        seen = {c}
+        while todo:
+            v = todo.pop()
+            comp.append(v)
+            for w in nbrs[v]:
+                if w in core and w not in seen:
+                    seen.add(w)
+                    todo.append(w)
+        lab = min(comp)
+        for v in comp:
+            label[v] = lab
+    border = {}
+    for i in ids:
+        if i in core:
+            continue
+        core_nb = [label[j] for j in nbrs[i] if j in core]
+        if core_nb:
+            border[i] = min(core_nb)
+    assigned = {**label, **border}
+    sizes: dict = {}
+    for lab in assigned.values():
+        sizes[lab] = sizes.get(lab, 0) + 1
+    expect = {
+        "n_points": len(ids),
+        "n_core": len(core),
+        "n_border": len(border),
+        "n_noise": len(ids) - len(core) - len(border),
+        "n_clusters": len(set(assigned.values())),
+        "max_cluster_size": max(sizes.values()) if sizes else None,
+    }
+    got = load_all()["q_dbscan_grid"].fn(spark, sf_dir).collect()[0].asDict()
+    assert got == expect, (got, expect)

@@ -83,3 +83,65 @@ def test_zorder_shrinks_file_spans_on_both_columns(spark, sf_dir, tmp_path):
     assert plain_span_b > 0.9 * full_b  # baseline doesn't help col B
     # row preservation
     assert spark.read.parquet(z_dir).count() == orders.count()
+
+
+# --- Hilbert kernel: unrolled arithmetic == textbook recursion --------
+
+
+def _xy2d_textbook(n: int, x: int, y: int) -> int:
+    """The canonical Wikipedia xy2d recursion, kept verbatim as the
+    reference implementation the SQL unroll must match."""
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_unroll_matches_textbook_everywhere(spark):
+    """q_hilbert_prune's per-level CASE/div/mod arithmetic computes the
+    textbook Hilbert index for EVERY cell of the 16x16 grid (a
+    bijection onto 0..255) — evaluated through Spark's own expression
+    engine, not a Python reimplementation."""
+    from lakehouse_weather_spark.zorder import _ZP_BITS, _hilbert_level_sql
+
+    import pyspark.sql.functions as F
+
+    n = 1 << _ZP_BITS
+    grid = spark.range(n * n).select(
+        (F.col("id") % n).alias("gx"), (F.col("id") / n).cast("int").alias("gy")
+    )
+    h = grid.select(
+        "gx",
+        "gy",
+        F.col("gx").alias("hx"),
+        F.col("gy").alias("hy"),
+        F.lit(0).alias("hd"),
+    )
+    s = n // 2
+    while s > 0:
+        x, y, d = _hilbert_level_sql(s, n, "div")
+        h = h.select(
+            "gx",
+            "gy",
+            F.expr(x).alias("hx"),
+            F.expr(y).alias("hy"),
+            F.expr(d).alias("hd"),
+        )
+        s //= 2
+    rows = h.select("gx", "gy", "hd").collect()
+    assert len(rows) == n * n
+    seen = set()
+    for r in rows:
+        expect = _xy2d_textbook(n, r["gx"], r["gy"])
+        assert r["hd"] == expect, (r["gx"], r["gy"], r["hd"], expect)
+        seen.add(r["hd"])
+    assert seen == set(range(n * n))  # bijection
