@@ -984,6 +984,64 @@ def replay_delta_log(
     return [os.path.join(table_dir, p) for p in sorted(live)], schema_string
 
 
+def compact_current(
+    spark: SparkSession,
+    table_dir: str,
+    target_bytes: int = 128 * 1024 * 1024,
+) -> str | None:
+    """EXECUTE the small-file compaction the q_compaction_plan audit
+    plans: when the committed snapshot holds more data files than
+    ceil(total_bytes / target_bytes), rewrite it as the next version
+    with that many evenly-sized files (one shuffle — the honest cost of
+    even output; Delta OPTIMIZE pays the same) and commit through the
+    ordinary publish protocol, so readers never see a half-compacted
+    table and the pre-compaction version stays retained for time
+    travel. Hive partition columns from the manifest are preserved.
+    Returns the new version path, or None when the snapshot is already
+    compact (a no-op MUST not burn a version: compaction runs on a
+    schedule, and an always-publish would churn retention).
+
+    At 100 TB this is the bin-packing walk that keeps scan-task count
+    proportional to data, not to ingest-commit count — the read-side
+    half of the small-files problem the plan query measures.
+    (``pipeline.incremental.compact_partitions`` is the unversioned
+    file-count twin for plain directories; this one is byte-targeted
+    and commits through the pointer protocol.)"""
+    import math
+
+    version = current_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    vpath = os.path.join(table_dir, version)
+    sizes = []
+    for root, _dirs, files in os.walk(vpath):
+        sizes.extend(
+            os.path.getsize(os.path.join(root, f))
+            for f in files
+            if f.endswith(".parquet")
+        )
+    if not sizes:
+        return None
+    n_target = max(1, math.ceil(sum(sizes) / target_bytes))
+    if len(sizes) <= n_target:
+        return None
+    meta = _version_meta(table_dir, version)
+    partition_by = list(meta.get("partition_by") or [])
+    df = spark.read.parquet(vpath)
+    df = (
+        df.repartition(n_target, *partition_by)
+        if partition_by
+        else df.repartition(n_target)
+    )
+    return publish_df(
+        df,
+        table_dir,
+        schema_mode="enforce",
+        partition_by=partition_by or None,
+        expected_version=version,
+    )
+
+
 def merge_upsert(
     spark: SparkSession,
     table_dir: str,

@@ -412,6 +412,76 @@ def stream_stream_join(
     return spark.table("view_click_joins")
 
 
+def stream_stream_left_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream LEFT OUTER join with watermarked state — the hard
+    half of streaming joins: matched (view, click) pairs emit as they
+    match, and a view with NO click in its 1-hour window emits exactly
+    once WITH NULL click columns, but only after the join watermark
+    (the min of both sides') passes the end of its window — Spark holds
+    the view in state until then, because a matching click could still
+    arrive. Correctness therefore depends on watermark ADVANCEMENT: a
+    run whose input ends mid-window never flushes its tail (the test
+    appends far-future sentinel rows to push the watermark past every
+    real window — the stateful-sessionize precedent). State stays
+    bounded by the same eviction: views leave state at window end +
+    watermark delay, never accumulate."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(left_dir).schema
+
+    def reader(path: str):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.parquet(path)
+
+    views = (
+        reader(left_dir)
+        .transform(_ts_ltz)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        reader(right_dir)
+        .transform(_ts_ltz)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("view_click_left_joins")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("view_click_left_joins")
+
+
 def stream_dedup(
     spark: SparkSession, events_dir: str, checkpoint_dir: str
 ) -> DataFrame:

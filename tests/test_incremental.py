@@ -1028,3 +1028,53 @@ def test_delta_log_export_partitioned(spark, tmp_path):
     assert emeta["partitionColumns"] == ["bucket"]
     efiles, eschema = replay_delta_log(empty_dir)
     assert efiles == [] and "bucket" in eschema
+
+
+def test_compact_current_executes_the_plan(spark, tmp_path):
+    """compact_current rewrites a many-small-files snapshot into the
+    bin-packed file count as a NEW committed version (rows identical,
+    old version retained), no-ops when already compact, and the delta
+    export appends a commit for the compacted snapshot."""
+    from lakehouse_weather_spark.pipeline.atomic import (
+        compact_current,
+        current_version,
+        export_delta_log,
+        list_versions,
+        publish_df,
+        replay_delta_log,
+        resolve,
+    )
+
+    table_dir = str(tmp_path / "ctable")
+    df = spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    publish_df(df.repartition(16), table_dir)
+    v1 = current_version(table_dir)
+    n_files_before = len(
+        [f for f in os.listdir(resolve(table_dir)) if f.endswith(".parquet")]
+    )
+    assert n_files_before == 16
+    total = sum(
+        os.path.getsize(os.path.join(resolve(table_dir), f))
+        for f in os.listdir(resolve(table_dir))
+        if f.endswith(".parquet")
+    )
+    # target 1/4 of the total -> 4 output files
+    new_path = compact_current(spark, table_dir, target_bytes=total // 4 + 1)
+    assert new_path is not None and current_version(table_dir) != v1
+    n_files_after = len(
+        [f for f in os.listdir(resolve(table_dir)) if f.endswith(".parquet")]
+    )
+    assert n_files_after < n_files_before and n_files_after <= 4
+    back = spark.read.parquet(resolve(table_dir))
+    assert back.count() == 10_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 3 * sum(range(10_000))
+    # the pre-compaction version is retained for time travel
+    assert v1 in list_versions(table_dir)
+    # idempotent: a second run at the same target is a no-op
+    assert compact_current(spark, table_dir, target_bytes=total // 4 + 1) is None
+    # the export records the compacted snapshot as its own commit
+    export_delta_log(table_dir)
+    files, _ = replay_delta_log(table_dir)
+    assert len(files) == n_files_after

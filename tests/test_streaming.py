@@ -485,3 +485,85 @@ def test_stream_dedup_survives_restart_exactly_once(spark, tmp_path):
     # restart with NO new input: nothing emits
     stream_dedup_to_files(spark, events_dir, out_dir, ckpt)
     assert spark.read.parquet(out_dir).count() == 3
+
+
+def test_stream_stream_left_join_emits_unmatched_after_watermark(
+    spark, sf_dir, tmp_path
+):
+    """LEFT OUTER stream-stream join semantics: matched pairs equal the
+    batch inner join, and every view with NO click in its window is
+    emitted EXACTLY ONCE with NULL click columns — but only because the
+    sentinel files push the join watermark past every real window
+    (without advancement the unmatched tail would stay in state
+    forever, which is the semantics this test pins)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lakehouse_weather_spark.streaming.events import (
+        stream_stream_left_join,
+    )
+
+    events_dir = tmp_path / "events_lj"
+    events_dir.mkdir()
+    t = pq.read_table(Path(sf_dir) / "events.parquet")
+    ts_type = t.schema.field("ts").type
+    ts = pc.cast(t.column("ts"), pa.int64())
+    hi = pc.max(ts).as_py()
+    century = _century_in_ts_units(ts_type)
+    pq.write_table(t, events_dir / "00.parquet")
+    # two sentinel files, each carrying one far-future VIEW and one
+    # far-future CLICK (user -1) so BOTH sides' watermarks advance:
+    # sentinel N moves the watermark at its batch's end, sentinel N+1's
+    # batch then evicts and emits the unmatched views
+    for k in (1, 2):
+        rows = t.slice(0, 2)
+        rows = rows.set_column(
+            rows.schema.get_field_index("ts"),
+            "ts",
+            pa.array([hi + k * century] * 2, type=pa.int64()).cast(ts_type),
+        )
+        rows = rows.set_column(
+            rows.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([-1, -1], type=t.schema.field("user_id").type),
+        )
+        rows = rows.set_column(
+            rows.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(["view", "click"], type=t.schema.field("event_type").type),
+        )
+        pq.write_table(rows, events_dir / f"{k:02d}.parquet")
+
+    result = stream_stream_left_join(
+        spark,
+        str(events_dir),
+        str(events_dir),
+        str(tmp_path / "ckpt_lj"),
+        max_files_per_trigger=1,
+    ).filter(F.col("v_user") != -1)
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS v_user", "ts AS view_ts"
+    )
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS c_user", "ts AS click_ts"
+    )
+    cond = (
+        (views.v_user == clicks.c_user)
+        & (clicks.click_ts >= views.view_ts)
+        & (clicks.click_ts < views.view_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    n_matched_batch = views.join(clicks, cond).count()
+    n_unmatched_batch = views.join(clicks, cond, "left_anti").count()
+    assert n_matched_batch > 0 and n_unmatched_batch > 0
+
+    matched = result.filter(F.col("click_id").isNotNull())
+    unmatched = result.filter(F.col("click_id").isNull())
+    assert matched.count() == n_matched_batch
+    assert unmatched.count() == n_unmatched_batch
+    # exactly once: unmatched view ids are distinct
+    assert unmatched.select("view_id").distinct().count() == n_unmatched_batch
