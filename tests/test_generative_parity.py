@@ -63,6 +63,11 @@ _FUZZ_QUERIES.extend(
     ["q_bootstrap_ci", "q_dp_counts", "q_compaction_plan",
      "q_retention_plan", "q_calibration_bins"]
 )
+# round-7 second batch: global-rank decomposition, symbolization, and
+# the bin-table isotonic fit must stay exact on degenerate streams
+_FUZZ_QUERIES.extend(
+    ["q_kruskal_wallis", "q_sax_motifs", "q_isotonic_pava"]
+)
 
 _BASE = dt.datetime(2026, 7, 1)
 
@@ -204,6 +209,9 @@ _EMB_FUZZ_QUERIES = [
     "q_silhouette",
     "q_coreset",
     "q_kmeans_clusters",
+    # exact-tie vectors: DBSCAN's zero-distance pairs and min-root
+    # component labels on duplicate-coordinate clusters
+    "q_dbscan_grid",
 ]
 
 # degenerate-leaning vector component pool: zeros (zero-norm vectors),

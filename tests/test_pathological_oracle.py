@@ -122,6 +122,11 @@ _QUERIES = [
     "q_hll_merge_daily",
     "q_ips_offpolicy",
     "q_late_data_audit",
+    # round-7 second batch: k-sample global ranks, SAX symbols, and
+    # the isotonic bin fit over the degenerate event stream
+    "q_kruskal_wallis",
+    "q_sax_motifs",
+    "q_isotonic_pava",
     # true streaming dedup on a multi-file fixture directory
     "q_stream_dedup",
     # erasure audit where the deletion list matches nobody (user ids
@@ -625,6 +630,10 @@ _STAR_QUERIES = [
     "q_bitmap_distinct",
     "q_histogram",
     "q_date_format",
+    # association mining on the tiny star: never-ordered part 9,
+    # single-line orders (no pairs), everything-supplier skew
+    "q_basket_pairs",
+    "q_itemcf_topk",
 ]
 
 
@@ -695,6 +704,7 @@ def test_pathological_star_parity(
 # --- 64-dim pathological embeddings: the ANN family ------------------
 
 _ANN_QUERIES = [
+    "q_dbscan_grid",
     "q_vector_topk",
     "q_vector_topk_lsh",
     "q_vector_topk_ivf",
