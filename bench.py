@@ -273,6 +273,7 @@ HEADLINE = [
     "q_hilbert_prune",
     "q_delta_partitioned_export",
     "q_dbscan_grid",
+    "q_propensity_strata",
 ]
 
 

@@ -623,3 +623,145 @@ def q_ips_offpolicy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("logged_value"),
         )
     )
+
+
+# --- Stratified observational effect: the propensity-adjustment table -
+
+
+@register(
+    "q_propensity_strata",
+    oracle=f"""
+        WITH bounds AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid_us
+            FROM events
+        ),
+        pre AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS pre_n,
+                   CAST(max(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS treated
+            FROM events, bounds
+            WHERE epoch_us(ts) < mid_us
+            GROUP BY user_id
+        ),
+        post AS (
+            SELECT user_id,
+                   CAST(sum(CAST(round(value * {_BP}) AS BIGINT))
+                        AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS out_fx
+            FROM events, bounds
+            WHERE epoch_us(ts) >= mid_us
+            GROUP BY user_id
+        ),
+        avgn AS (
+            SELECT CAST(sum(pre_n) AS BIGINT)
+                       // CAST(count(*) AS BIGINT) AS avg_n
+            FROM pre
+        ),
+        units AS (
+            SELECT CASE WHEN pre_n * 100 <= avg_n * 80 THEN 0
+                        WHEN pre_n * 100 <= avg_n * 95 THEN 1
+                        WHEN pre_n * 100 <= avg_n * 105 THEN 2
+                        WHEN pre_n * 100 <= avg_n * 125 THEN 3
+                        ELSE 4 END AS stratum,
+                   treated, out_fx
+            FROM pre JOIN post USING (user_id), avgn
+        )
+        SELECT stratum,
+               CAST(sum(treated) AS BIGINT) AS n_treated,
+               CAST(sum(1 - treated) AS BIGINT) AS n_control,
+               CAST(sum(CASE WHEN treated = 1 THEN out_fx END)
+                    AS BIGINT) AS sum_t_fx,
+               CAST(sum(CASE WHEN treated = 0 THEN out_fx END)
+                    AS BIGINT) AS sum_c_fx,
+               (CAST(sum(CASE WHEN treated = 1 THEN out_fx END)
+                     AS DOUBLE)
+                    / nullif(sum(treated), 0)
+                - CAST(sum(CASE WHEN treated = 0 THEN out_fx END)
+                       AS DOUBLE)
+                    / nullif(sum(1 - treated), 0)) / {_BP}
+                   AS diff_means
+        FROM units GROUP BY stratum
+    """,
+    doc="Stratified observational treatment-effect table — the"
+    " propensity-adjustment mechanism (Rosenbaum-Rubin"
+    " subclassification): treatment = any pre-period purchase,"
+    " outcome = the user's post-period mean value (exact truncating"
+    " fixed-point), strata = pre-period activity relative to the"
+    " global mean (80/95/105/125% cutoffs via integer"
+    " cross-multiplication — scale-invariant, so the same five"
+    " strata survive a 1000x corpus; rank-based quintiles would swap"
+    " in the sampled-cuts machinery). Activity is the confounder a"
+    " naive diff-of-means ignores. One row per stratum"
+    " with both arms' counts, exact fixed-point outcome sums, and the"
+    " within-stratum difference of means as mirrored IEEE ops on"
+    " exact integers — the analyst pools with the weighting of their"
+    " estimand (ATT: n_treated; ATE: n). Two hash aggregates and a"
+    " user-key join; no windows, no driver math.",
+)
+def q_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
+    )
+    evb = ev.crossJoin(F.broadcast(bounds))
+    pre = (
+        evb.filter(F.expr(f"{us} < mid_us"))
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("pre_n"),
+            F.max(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("treated"),
+        )
+    )
+    post = (
+        evb.filter(F.expr(f"{us} >= mid_us"))
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                f"CAST(sum(CAST(round(value * {_BP}) AS BIGINT))"
+                " AS BIGINT) div CAST(count(*) AS BIGINT)"
+            ).alias("out_fx")
+        )
+    )
+    avgn = pre.agg(
+        F.expr(
+            "CAST(sum(pre_n) AS BIGINT) div CAST(count(*) AS BIGINT)"
+        ).alias("avg_n")
+    )
+    units = (
+        pre.join(post, "user_id")
+        .crossJoin(F.broadcast(avgn))
+        .select(
+            F.expr(
+                "CASE WHEN pre_n * 100 <= avg_n * 80 THEN 0"
+                " WHEN pre_n * 100 <= avg_n * 95 THEN 1"
+                " WHEN pre_n * 100 <= avg_n * 105 THEN 2"
+                " WHEN pre_n * 100 <= avg_n * 125 THEN 3"
+                " ELSE 4 END"
+            ).alias("stratum"),
+            "treated",
+            "out_fx",
+        )
+    )
+    return units.groupBy("stratum").agg(
+        F.sum("treated").cast("bigint").alias("n_treated"),
+        F.sum(1 - F.col("treated")).cast("bigint").alias("n_control"),
+        F.sum(F.when(F.col("treated") == 1, F.col("out_fx")))
+        .cast("bigint")
+        .alias("sum_t_fx"),
+        F.sum(F.when(F.col("treated") == 0, F.col("out_fx")))
+        .cast("bigint")
+        .alias("sum_c_fx"),
+        F.expr(
+            "(CAST(sum(CASE WHEN treated = 1 THEN out_fx END)"
+            " AS DOUBLE) / nullif(sum(treated), 0)"
+            " - CAST(sum(CASE WHEN treated = 0 THEN out_fx END)"
+            " AS DOUBLE) / nullif(sum(1 - treated), 0))"
+            f" / {_BP}"
+        ).alias("diff_means"),
+    )

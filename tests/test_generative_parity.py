@@ -66,7 +66,8 @@ _FUZZ_QUERIES.extend(
 # round-7 second batch: global-rank decomposition, symbolization, and
 # the bin-table isotonic fit must stay exact on degenerate streams
 _FUZZ_QUERIES.extend(
-    ["q_kruskal_wallis", "q_sax_motifs", "q_isotonic_pava"]
+    ["q_kruskal_wallis", "q_sax_motifs", "q_isotonic_pava",
+     "q_propensity_strata"]
 )
 
 _BASE = dt.datetime(2026, 7, 1)

@@ -127,6 +127,7 @@ _QUERIES = [
     "q_kruskal_wallis",
     "q_sax_motifs",
     "q_isotonic_pava",
+    "q_propensity_strata",
     # true streaming dedup on a multi-file fixture directory
     "q_stream_dedup",
     # erasure audit where the deletion list matches nobody (user ids
