@@ -135,6 +135,22 @@ SHOWCASE = {
     "q_compaction_plan": "Per-day partial agg, then the bin-packing"
     " running sum over the calendar-bounded day table (whitelisted"
     " unpartitioned window) — output is O(days), never O(rows).",
+    "q_basket_pairs": "ONE collect_set shuffle collapses each basket;"
+    " the A-priori prune runs INSIDE the row (array_intersect against"
+    " the broadcast frequent list) and ordered pairs explode narrowly"
+    " — the basket table never self-joins.",
+    "q_hilbert_prune": "The Hilbert walk is four unrolled levels of"
+    " integer CASE/div/mod fused into whole-stage codegen; the audit"
+    " is one orders scan + a 2-group hash agg — no joins beyond the"
+    " broadcast cut-point rows.",
+    "q_kruskal_wallis": "Global ranks WITHOUT the single-task window:"
+    " value-prefix buckets shuffle once, the bounded offset window"
+    " runs over the bucket list, and rank windows partition per"
+    " bucket — parallel at any scale.",
+    "q_dbscan_grid": "Candidates from a hash EQUI-join on 3x3 exploded"
+    " cell keys (fanout 9, never all-pairs); distance verify, degree"
+    " count, and the census are codegen'd aggregates; components run"
+    " on the bounded core-edge fetch.",
 }
 
 
