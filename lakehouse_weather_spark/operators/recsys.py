@@ -2,7 +2,7 @@
 
 The reference curates documents one-by-one and has no co-occurrence
 analytics at all (its only cross-row operator family is dedup,
-``dags/silver_dag.py``); these are the DERIVED association-mining ops a
+``dags/silver.py``); these are the DERIVED association-mining ops a
 lakehouse serving both analysts ("what sells together") and a training
 pipeline ("which sources/topics co-occur in a context window") needs.
 
