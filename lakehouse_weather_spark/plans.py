@@ -180,3 +180,73 @@ def choose_join_plan(
         "n_dim": n_dim,
     }
     return choose_join_arm(n_dim, row.max_key_cnt), stats
+
+
+_QUANTILE_SAMPLE = 1009  # deterministic sample size for the cut points
+
+
+def auto_quantiles(
+    df: DataFrame,
+    col: str,
+    key: str,
+    n_buckets: int = 16,
+) -> tuple[DataFrame, str, dict]:
+    """The quantile selector WIRED to a consumer (completing the
+    choose_* family beside auto_join / near_dup_pairs_auto): measure
+    the row count — the same bounded stat q_choose_quantile_plan's
+    decision table consumes — pick the arm, and build it. Returns
+    (df + an exact 0..n_buckets-1 ``bucket`` column, arm, stats).
+
+    - 'window': exact global ntile. One task, but the measurement just
+      proved the input is under WINDOW_BUDGET_ROWS, so the single
+      partition is bounded BY CONSTRUCTION — the legitimate use of the
+      otherwise-forbidden unpartitioned window.
+    - 'sampled_cutpoints': the q_zorder_prune machinery — a
+      deterministic md5-ordered sample's equi-depth cut points
+      broadcast back, bucketing via a narrow array fold. Approximate
+      bucket BOUNDARIES (sample-exact), every row still deterministic;
+      scales to any input because nothing global ever sorts.
+
+    ``key`` is a unique tiebreak column: it makes the window arm's
+    ntile order (and the sample membership) deterministic, so the same
+    input always yields the same buckets."""
+    from pyspark.sql import Window
+
+    n_rows = df.count()
+    arm = choose_quantile_arm(n_rows)
+    stats = {"n_rows": n_rows, "n_buckets": n_buckets}
+    if arm == "window":
+        w = Window.orderBy(F.col(col), F.col(key))
+        out = df.withColumn(
+            "bucket", F.ntile(n_buckets).over(w) - F.lit(1)
+        )
+        return out, arm, stats
+    sample = (
+        df.select(
+            F.col(col).alias("_v"),
+            F.md5(F.concat(F.lit("aq_"), F.col(key).cast("string"))).alias(
+                "_h"
+            ),
+            F.col(key).alias("_k"),
+        )
+        .orderBy("_h", "_k")
+        .limit(_QUANTILE_SAMPLE)
+    )
+    ranked = sample.select(
+        "_v", F.row_number().over(Window.orderBy("_v", "_k")).alias("_rn")
+    )
+    ks = [
+        (k * _QUANTILE_SAMPLE) // n_buckets for k in range(1, n_buckets)
+    ]
+    cuts = ranked.filter(F.col("_rn").isin(ks)).agg(
+        F.sort_array(F.collect_list("_v")).alias("_cuts")
+    )
+    out = (
+        df.crossJoin(F.broadcast(cuts))
+        .withColumn(
+            "bucket",
+            F.expr(f"size(filter(_cuts, c -> c < {col}))"),
+        )
+        .drop("_cuts")
+    )
+    return out, arm, stats

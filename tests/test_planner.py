@@ -180,3 +180,54 @@ def test_near_dup_pairs_auto_lsh_above_budget(spark, sf_dir, monkeypatch):
     pairs, arm, _ = D.near_dup_pairs_auto(spark, sf_dir)
     assert arm == "lsh"
     assert pairs.count() >= 0
+
+
+def test_auto_quantiles_window_arm_is_exact(spark):
+    """Under the window budget the arm is 'window' and buckets are the
+    exact equi-depth partition: sizes differ by at most 1 and bucket
+    order follows value order."""
+    from lakehouse_weather_spark.plans import auto_quantiles
+
+    df = spark.range(1000).selectExpr(
+        "id AS k", "(id * 37) % 1000 AS v"
+    )
+    out, arm, stats = auto_quantiles(df, "v", "k", n_buckets=8)
+    assert arm == "window" and stats["n_rows"] == 1000
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(sizes) == set(range(8))
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    # value ranges do not overlap across buckets
+    import pyspark.sql.functions as F
+
+    rng = out.groupBy("bucket").agg(
+        F.min("v").alias("lo"), F.max("v").alias("hi")
+    ).orderBy("bucket").collect()
+    for a, b in zip(rng, rng[1:]):
+        assert a["hi"] <= b["lo"]
+
+
+def test_auto_quantiles_sampled_arm_scales(spark, monkeypatch):
+    """Shrinking the window budget flips the SAME input to the sampled
+    arm: every row lands in a valid bucket and no bucket hoards more
+    than a small multiple of its fair share (sample-exact cuts)."""
+    from lakehouse_weather_spark import plans
+
+    monkeypatch.setattr(plans, "WINDOW_BUDGET_ROWS", 10)
+    df = spark.range(2000).selectExpr(
+        "id AS k", "(id * 37) % 2000 AS v"
+    )
+    out, arm, _ = plans.auto_quantiles(df, "v", "k", n_buckets=8)
+    assert arm == "sampled_cutpoints"
+    sizes = {
+        r["bucket"]: r["n"]
+        for r in out.groupBy("bucket").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    assert set(sizes) <= set(range(8)) and sum(sizes.values()) == 2000
+    assert max(sizes.values()) <= 3 * (2000 // 8)

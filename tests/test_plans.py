@@ -466,6 +466,12 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
            "raw table"),
     "zorder.py": (
         1, "row_number over the SAMPLE-capped cut-point table"),
+    "plans.py": (
+        2, "auto_quantiles: the window arm's ntile is taken ONLY when "
+           "the measured row count is under WINDOW_BUDGET_ROWS (bounded "
+           "by construction — that is the selector's whole decision); "
+           "the sampled arm's row_number runs over the "
+           "_QUANTILE_SAMPLE-capped cut-point sample"),
 }
 
 
