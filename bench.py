@@ -274,6 +274,7 @@ HEADLINE = [
     "q_delta_partitioned_export",
     "q_dbscan_grid",
     "q_propensity_strata",
+    "q_mmd_drift",
 ]
 
 

@@ -508,3 +508,332 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(i + 1, v[i], v[i] / _PI_VNORM) for i in range(dim)],
         "dim long, v_fx long, component double",
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-distribution drift: kernel MMD from integer moment matrices
+# ---------------------------------------------------------------------------
+
+# Maximum Mean Discrepancy (Gretton et al., JMLR'12) between the
+# embedding distributions of every label pair — the drift monitor an
+# embedding pipeline runs when a model / corpus version changes. The
+# naive estimator sums kernels over O(n^2) pairs; for the linear and
+# degree-2 polynomial kernels it collapses to MOMENTS:
+#
+#   linear:  MMD^2 = || mean_a - mean_b ||^2          (first moments)
+#   poly-2 ((x.y)^2): sum_ij (x_i.x_j)^2 = tr(M M') with
+#            M = sum_i x_i x_i^T                      (second moments)
+#
+# so one pass builds per-label integer sum vectors and dim x dim moment
+# matrices (the q_power_iteration Gram shape — int64, associative,
+# partition-order-free), and the statistic is a handful of exact
+# integer contractions: poly-2 MMD^2 * (scale) =
+# tr(M2_a M2_a)/n_a^2 + tr(M2_b M2_b)/n_b^2 - 2 tr(M2_a M2_b)/(n_a n_b).
+# A COMMON floor-divided renorm (the _pi_fdiv idiom) keeps every
+# product in int64, with the same divisor for all labels so the scaled
+# statistics stay comparable. The corpus side is the standard bounded
+# md5 sample; contractions are dim^2-sized — executor math, not data.
+
+_MMD_X_SCALE = 10_000
+_MMD_VNORM = 1 << 20
+_MMD_CAP = 2000
+
+
+def _mmd_fdiv_spark(a: str, b: str) -> str:
+    return f"((({a}) - pmod(({a}), ({b}))) div ({b}))"
+
+
+@register(
+    "q_mmd_drift",
+    oracle=f"""
+        WITH samp AS (
+            SELECT vec_id, label, embedding FROM embeddings
+            ORDER BY md5('mmd_' || CAST(vec_id AS VARCHAR)), vec_id
+            LIMIT {_MMD_CAP}
+        ),
+        xf AS (
+            SELECT vec_id, label, pos,
+                   CAST(round(CAST(embedding[pos] AS DOUBLE)
+                              * {_MMD_X_SCALE}) AS BIGINT) AS x
+            FROM (SELECT vec_id, label, embedding,
+                         unnest(generate_series(1, len(embedding))) AS pos
+                  FROM samp)
+        ),
+        ns AS (
+            SELECT label, CAST(count(DISTINCT vec_id) AS BIGINT) AS n
+            FROM xf GROUP BY label
+        ),
+        s AS (
+            SELECT label, pos, CAST(sum(x) AS BIGINT) AS s
+            FROM xf GROUP BY label, pos
+        ),
+        m AS (
+            SELECT a.label, a.pos AS i, b.pos AS j,
+                   CAST(sum(a.x * b.x) AS BIGINT) AS m
+            FROM xf a JOIN xf b USING (vec_id)
+            WHERE a.label = b.label
+            GROUP BY a.label, a.pos, b.pos
+        ),
+        dm AS (SELECT max(abs(m)) // {_MMD_VNORM} + 1 AS d FROM m),
+        m2 AS (
+            SELECT label, i, j,
+                   CAST({_pi_fdiv_duck('m', 'd')} AS BIGINT) AS m
+            FROM m, dm
+        ),
+        frob AS (
+            SELECT label, CAST(sum(m * m) AS BIGINT) AS ff
+            FROM m2 GROUP BY label
+        ),
+        lp AS (
+            SELECT na.label AS label_a, nb.label AS label_b,
+                   na.n AS n_a, nb.n AS n_b
+            FROM ns na JOIN ns nb ON na.label < nb.label
+        ),
+        cross_t AS (
+            SELECT p.label_a, p.label_b,
+                   CAST(sum(ma.m * mb.m) AS BIGINT) AS ab
+            FROM lp p
+            JOIN m2 ma ON ma.label = p.label_a
+            JOIN m2 mb ON mb.label = p.label_b
+                      AND mb.i = ma.i AND mb.j = ma.j
+            GROUP BY p.label_a, p.label_b
+        ),
+        sd AS (
+            SELECT p.label_a, p.label_b,
+                   max(abs(sa.s * p.n_b - sb.s * p.n_a))
+                       // {_MMD_VNORM} + 1 AS dd
+            FROM lp p
+            JOIN s sa ON sa.label = p.label_a
+            JOIN s sb ON sb.label = p.label_b AND sb.pos = sa.pos
+            GROUP BY p.label_a, p.label_b
+        ),
+        lin AS (
+            SELECT p.label_a, p.label_b,
+                   CAST(sum(
+                       {_pi_fdiv_duck('sa.s * p.n_b - sb.s * p.n_a', 'sd.dd')}
+                       * {_pi_fdiv_duck('sa.s * p.n_b - sb.s * p.n_a', 'sd.dd')}
+                   ) AS BIGINT) AS lin_fx
+            FROM lp p
+            JOIN sd ON sd.label_a = p.label_a AND sd.label_b = p.label_b
+            JOIN s sa ON sa.label = p.label_a
+            JOIN s sb ON sb.label = p.label_b AND sb.pos = sa.pos
+            GROUP BY p.label_a, p.label_b
+        )
+        SELECT p.label_a, p.label_b, p.n_a, p.n_b,
+               l.lin_fx,
+               fa.ff AS poly_aa, fb.ff AS poly_bb, c.ab AS poly_ab,
+               CAST(fa.ff AS DOUBLE) / (CAST(p.n_a AS DOUBLE) * p.n_a)
+                   + CAST(fb.ff AS DOUBLE) / (CAST(p.n_b AS DOUBLE) * p.n_b)
+                   - 2 * CAST(c.ab AS DOUBLE)
+                       / (CAST(p.n_a AS DOUBLE) * p.n_b) AS mmd_poly
+        FROM lp p
+        JOIN frob fa ON fa.label = p.label_a
+        JOIN frob fb ON fb.label = p.label_b
+        JOIN cross_t c ON c.label_a = p.label_a AND c.label_b = p.label_b
+        JOIN lin l ON l.label_a = p.label_a AND l.label_b = p.label_b
+    """,
+    doc="Embedding-distribution drift between every label pair:"
+    " linear- and degree-2-polynomial-kernel MMD^2 computed from"
+    " per-label integer MOMENTS instead of O(n^2) kernel pairs — one"
+    " pass builds int64 sum vectors and dim x dim moment matrices"
+    " (the q_power_iteration Gram shape, associative and"
+    " partition-order-free), a COMMON exact floor-divided renorm"
+    " bounds every contraction in int64, and the poly-2 statistic is"
+    " tr(M_a M_b) algebra over dim^2-sized tables. The corpus side is"
+    " the standard bounded md5 sample; everything after the moment"
+    " reduce is executor-scale. Exact integers end-to-end; the final"
+    " normalized MMD is a handful of mirrored IEEE ops the oracle"
+    " replays bit-for-bit.",
+)
+def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    samp = (
+        emb.select(
+            "vec_id",
+            "label",
+            "embedding",
+            F.expr(
+                "md5(concat('mmd_', cast(vec_id as string)))"
+            ).alias("h"),
+        )
+        .orderBy("h", "vec_id")
+        .limit(_MMD_CAP)
+        .drop("h")
+    )
+    xf = samp.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos0", "ev"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.expr(
+            f"CAST(round(CAST(ev AS DOUBLE) * {_MMD_X_SCALE}) AS BIGINT)"
+        ).alias("x"),
+    )
+    ns = xf.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
+    )
+    s = xf.groupBy("label", "pos").agg(
+        F.sum("x").cast("bigint").alias("s")
+    )
+    # per-label moment matrices via the q_power_iteration Arrow kernel
+    # (sanctioned, see test_plans allowlist): quantization happens
+    # JVM-side so Python touches only exact integers, each batch
+    # accumulates X^T X per label in int64 BLAS (associative — the
+    # partial-then-final sum is partition-order-free), and only
+    # |labels| x dim^2 cells ever shuffle
+    import numpy as np
+    import pandas as pd
+
+    qx = samp.select(
+        "label",
+        F.expr(
+            "transform(embedding, v ->"
+            f" CAST(round(CAST(v AS DOUBLE) * {_MMD_X_SCALE}) AS BIGINT))"
+        ).alias("x"),
+    )
+
+    def moment_partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            for lab, grp in pdf.groupby("label"):
+                X = np.array(
+                    [np.asarray(a, dtype=np.int64) for a in grp["x"]]
+                )
+                P = X.T @ X
+                dim = P.shape[0]
+                ii, jj = np.indices((dim, dim))
+                yield pd.DataFrame(
+                    {
+                        "label": np.full(dim * dim, lab),
+                        "i": (ii + 1).ravel().astype(np.int32),
+                        "j": (jj + 1).ravel().astype(np.int32),
+                        "g": P.ravel(),
+                    }
+                )
+
+    m = (
+        qx.mapInPandas(moment_partials, "label int, i int, j int, g long")
+        .groupBy("label", "i", "j")
+        .agg(F.sum("g").cast("bigint").alias("m"))
+    )
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
+    m = _checkpoint(m)
+    dm = m.agg(
+        F.expr(f"max(abs(m)) div {_MMD_VNORM} + 1").alias("d")
+    )
+    m2 = m.crossJoin(F.broadcast(dm)).select(
+        "label",
+        "i",
+        "j",
+        F.expr(f"CAST({_mmd_fdiv_spark('m', 'd')} AS BIGINT)").alias("m"),
+    )
+    m2 = _checkpoint(m2)
+    frob = m2.groupBy("label").agg(
+        F.sum(F.col("m") * F.col("m")).cast("bigint").alias("ff")
+    )
+    na = ns.select(F.col("label").alias("label_a"), F.col("n").alias("n_a"))
+    nb = ns.select(F.col("label").alias("label_b"), F.col("n").alias("n_b"))
+    lp = na.join(nb, F.col("label_a") < F.col("label_b"))
+    ma = m2.select(
+        F.col("label").alias("label_a"),
+        "i",
+        "j",
+        F.col("m").alias("m_a"),
+    )
+    mb = m2.select(
+        F.col("label").alias("mlb"),
+        F.col("i").alias("bi"),
+        F.col("j").alias("bj"),
+        F.col("m").alias("m_b"),
+    )
+    cross_t = (
+        lp.join(ma, "label_a")
+        .join(
+            mb,
+            (F.col("mlb") == F.col("label_b"))
+            & (F.col("bi") == F.col("i"))
+            & (F.col("bj") == F.col("j")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(F.col("m_a") * F.col("m_b")).cast("bigint").alias("ab"))
+    )
+    sa = s.select(
+        F.col("label").alias("label_a"),
+        "pos",
+        F.col("s").alias("s_a"),
+    )
+    sb = s.select(
+        F.col("label").alias("slb"),
+        F.col("pos").alias("bpos"),
+        F.col("s").alias("s_b"),
+    )
+    sj = (
+        lp.join(sa, "label_a")
+        .join(
+            sb,
+            (F.col("slb") == F.col("label_b"))
+            & (F.col("bpos") == F.col("pos")),
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            (F.col("s_a") * F.col("n_b") - F.col("s_b") * F.col("n_a"))
+            .alias("dnum"),
+        )
+    )
+    sd = sj.groupBy("label_a", "label_b").agg(
+        F.expr(f"max(abs(dnum)) div {_MMD_VNORM} + 1").alias("dd")
+    )
+    lin = (
+        sj.join(sd, ["label_a", "label_b"])
+        .select(
+            "label_a",
+            "label_b",
+            F.expr(
+                f"{_mmd_fdiv_spark('dnum', 'dd')}"
+                f" * {_mmd_fdiv_spark('dnum', 'dd')}"
+            ).alias("sq"),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum("sq").cast("bigint").alias("lin_fx"))
+    )
+    fa = frob.select(
+        F.col("label").alias("label_a"), F.col("ff").alias("poly_aa")
+    )
+    fb = frob.select(
+        F.col("label").alias("label_b"), F.col("ff").alias("poly_bb")
+    )
+    return (
+        lp.join(F.broadcast(lin), ["label_a", "label_b"])
+        .join(F.broadcast(fa), "label_a")
+        .join(F.broadcast(fb), "label_b")
+        .join(
+            F.broadcast(
+                cross_t.withColumnRenamed("ab", "poly_ab")
+            ),
+            ["label_a", "label_b"],
+        )
+        .select(
+            "label_a",
+            "label_b",
+            "n_a",
+            "n_b",
+            "lin_fx",
+            "poly_aa",
+            "poly_bb",
+            "poly_ab",
+            F.expr(
+                "CAST(poly_aa AS DOUBLE) / (CAST(n_a AS DOUBLE) * n_a)"
+                " + CAST(poly_bb AS DOUBLE) / (CAST(n_b AS DOUBLE) * n_b)"
+                " - 2 * CAST(poly_ab AS DOUBLE)"
+                " / (CAST(n_a AS DOUBLE) * n_b)"
+            ).alias("mmd_poly"),
+        )
+    )

@@ -213,6 +213,8 @@ _EMB_FUZZ_QUERIES = [
     # exact-tie vectors: DBSCAN's zero-distance pairs and min-root
     # component labels on duplicate-coordinate clusters
     "q_dbscan_grid",
+    # kernel-MMD moments: zero-norm vectors, single-label corpora
+    "q_mmd_drift",
 ]
 
 # degenerate-leaning vector component pool: zeros (zero-norm vectors),

@@ -706,6 +706,7 @@ def test_pathological_star_parity(
 
 _ANN_QUERIES = [
     "q_dbscan_grid",
+    "q_mmd_drift",
     "q_vector_topk",
     "q_vector_topk_lsh",
     "q_vector_topk_ivf",

@@ -70,6 +70,11 @@ _ARROW_KERNEL_ALLOWED = {
     # math keeps both bit-exact vs the DuckDB oracle
     "q_vector_topk_ivf": ("MapInPandas",),
     "q_vector_topk_pq": ("MapInPandas",),
+    # per-label integer moment matrices (X^T X in int64 BLAS) — the
+    # q_power_iteration Gram kernel shape; quantization is JVM-side and
+    # integer adds are associative, so the kernel is bit-exact vs the
+    # DuckDB self-join oracle
+    "q_mmd_drift": ("MapInPandas",),
     # §2.11 grouped-map demo — the applyInPandas kernel IS the query's
     # subject; fixed-point moments make it oracle-checkable
     "q_group_normalize": ("FlatMapGroupsInPandas",),
