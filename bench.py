@@ -275,6 +275,7 @@ HEADLINE = [
     "q_dbscan_grid",
     "q_propensity_strata",
     "q_mmd_drift",
+    "q_linkage_patterns",
 ]
 
 

@@ -245,3 +245,165 @@ def q_entity_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pair_budget"), "block_key")
         .limit(_EB_TOPK)
     )
+
+
+# --- Fellegi-Sunter agreement-pattern table ---------------------------
+
+# Probabilistic record linkage's statistical core (Fellegi & Sunter,
+# JASA 1969; Splink et al. industrialize it): for blocked candidate
+# pairs, tabulate the AGREEMENT PATTERN over comparison fields and each
+# pattern's observed match rate — the m/u-probability input the EM
+# weights are fit from. Here the "records" are documents, the
+# comparison fields are (lang, source, length band), and ground truth
+# is an exact word-bigram Jaccard on the candidate pair (the dedup
+# family's similarity, so the table reads as: which cheap field
+# agreements PREDICT expensive textual match). All counting is exact
+# integers; the truth threshold compares cross-multiplied integers, so
+# nothing floats anywhere.
+
+_FS_CAP = 1500          # md5-bounded doc sample (audit-bounded pairs)
+_FS_BLOCK_CAP = 64      # skip hot first-word blocks (bot headers, not
+                        # signal — the dedup DF_CAP precedent)
+_FS_LEN_BAND = 256      # n_chars band width
+_FS_JACC_NUM = 1        # match truth: jaccard >= 1/4
+_FS_JACC_DEN = 4
+
+
+@register(
+    "q_linkage_patterns",
+    oracle=f"""
+        WITH samp AS (
+            SELECT doc_id, lang, source, n_chars,
+                   string_split(trim(text), ' ') AS toks
+            FROM (SELECT * FROM documents
+                  WHERE length(trim(text)) > 0
+                  ORDER BY md5('fs_' || CAST(doc_id AS VARCHAR)), doc_id
+                  LIMIT {_FS_CAP})
+        ),
+        g AS (
+            SELECT doc_id, lang, source, n_chars,
+                   lower(toks[1]) AS tok0,
+                   list_distinct([toks[k] || '#' || toks[k + 1]
+                                  FOR k IN generate_series(1, len(toks) - 1)])
+                       AS grams
+            FROM samp
+        ),
+        blocks AS (
+            SELECT tok0 FROM g GROUP BY tok0
+            HAVING count(*) <= {_FS_BLOCK_CAP}
+        ),
+        pairs AS (
+            SELECT a.doc_id AS da, b.doc_id AS db,
+                   CAST(a.lang = b.lang AS INTEGER) AS f_lang,
+                   CAST(a.source = b.source AS INTEGER) AS f_source,
+                   CAST(a.n_chars // {_FS_LEN_BAND}
+                        = b.n_chars // {_FS_LEN_BAND} AS INTEGER)
+                       AS f_band,
+                   len(list_intersect(a.grams, b.grams)) AS inter,
+                   len(a.grams) + len(b.grams)
+                       - len(list_intersect(a.grams, b.grams)) AS uni
+            FROM g a
+            JOIN blocks bl ON bl.tok0 = a.tok0
+            JOIN g b ON b.tok0 = a.tok0 AND a.doc_id < b.doc_id
+        )
+        SELECT CAST(f_lang * 4 + f_source * 2 + f_band AS BIGINT)
+                   AS pattern,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CASE WHEN inter * {_FS_JACC_DEN}
+                             >= uni * {_FS_JACC_NUM}
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+               CAST(sum(CASE WHEN inter * {_FS_JACC_DEN}
+                             >= uni * {_FS_JACC_NUM}
+                        THEN 1 ELSE 0 END) * 1000
+                    // count(*) AS BIGINT) AS match_pm
+        FROM pairs GROUP BY 1
+    """,
+    doc="Fellegi-Sunter agreement-pattern table over blocked document"
+    " pairs: candidates block on the lowercased first token"
+    f" (hot blocks past {_FS_BLOCK_CAP} skipped — the DF_CAP"
+    " precedent), each pair's pattern packs (lang, source,"
+    f" {_FS_LEN_BAND}-char length band) agreements into 3 bits, and"
+    " ground truth is an exact word-bigram Jaccard"
+    f" >= {_FS_JACC_NUM}/{_FS_JACC_DEN} decided by cross-multiplied"
+    " integers — the per-pattern match-rate (m-probability) table EM"
+    " linkage weights are fit from, reading as 'which cheap field"
+    " agreements predict expensive textual match'. The corpus side is"
+    " the standard md5-bounded sample; pair fan-out is block-capped;"
+    " everything aggregates map-side to 8 pattern rows.",
+)
+def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    samp = (
+        docs.filter(F.expr("length(trim(text)) > 0"))
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            F.expr("lower(split(trim(text), ' ')[0])").alias("tok0"),
+            F.expr(
+                "array_distinct(transform("
+                " slice(split(trim(text), ' '), 1,"
+                "       size(split(trim(text), ' ')) - 1),"
+                " (w, k) -> concat(w, '#',"
+                "     element_at(split(trim(text), ' '), k + 2))))"
+            ).alias("grams"),
+            F.expr(
+                "md5(concat('fs_', cast(doc_id as string)))"
+            ).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(_FS_CAP)
+        .drop("h")
+    )
+    blocks = (
+        samp.groupBy("tok0")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= _FS_BLOCK_CAP)
+        .select("tok0")
+    )
+    a = samp.join(blocks, "tok0")
+    b = samp.join(blocks, "tok0").select(
+        F.col("tok0").alias("btok"),
+        F.col("doc_id").alias("db"),
+        F.col("lang").alias("blang"),
+        F.col("source").alias("bsource"),
+        F.col("n_chars").alias("bchars"),
+        F.col("grams").alias("bgrams"),
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("btok") == F.col("tok0"))
+            & (F.col("doc_id") < F.col("db")),
+        )
+        .select(
+            (
+                (F.col("lang") == F.col("blang")).cast("int") * 4
+                + (F.col("source") == F.col("bsource")).cast("int") * 2
+                + (
+                    F.expr(f"n_chars div {_FS_LEN_BAND}")
+                    == F.expr(f"bchars div {_FS_LEN_BAND}")
+                ).cast("int")
+            )
+            .cast("bigint")
+            .alias("pattern"),
+            F.expr("size(array_intersect(grams, bgrams))").alias("inter"),
+            F.expr(
+                "size(grams) + size(bgrams)"
+                " - size(array_intersect(grams, bgrams))"
+            ).alias("uni"),
+        )
+    )
+    hit = (
+        F.col("inter") * _FS_JACC_DEN >= F.col("uni") * _FS_JACC_NUM
+    ).cast("int")
+    return pairs.groupBy("pattern").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum(hit).cast("bigint").alias("n_match"),
+        F.expr(
+            f"CAST(sum(CASE WHEN inter * {_FS_JACC_DEN}"
+            f" >= uni * {_FS_JACC_NUM} THEN 1 ELSE 0 END) * 1000"
+            " div count(*) AS BIGINT)"
+        ).alias("match_pm"),
+    )

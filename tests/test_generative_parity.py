@@ -121,6 +121,7 @@ def test_random_event_tables_stay_engine_exact(
 
 
 _DOC_FUZZ_QUERIES = [
+    "q_linkage_patterns",
     "q_text_quality",
     "q_bigram_novelty",
     "q_neyman_allocation",

@@ -242,6 +242,7 @@ def test_pathological_fixture_exercises_the_edges(spark, patho_dir):
 # --- documents / embeddings pathological fixture ---------------------
 
 _DOC_QUERIES = [
+    "q_linkage_patterns",
     "q_feature_hashing",
     "q_oov_rate",
     "q_contrastive_pairs",
@@ -884,6 +885,7 @@ def test_pathological_tail_parity(spark, patho_all_dir, patho_all_con, name):
 # Pin that corpus forever: the audit/report queries must emit their
 # unconditional spine rows even when every bucket is empty.
 _SINGLE_DOC_QUERIES = [
+    "q_linkage_patterns",
     "q_dedup_shingle_size",
     "q_jaccard_threshold_hist",
     "q_lsh_eval",
