@@ -344,9 +344,13 @@ _PI_VEC_CAP = 4000        # deterministic md5 vector sample (audit-bounded)
 
 
 def _pi_fdiv_duck(a: str, b: str) -> str:
-    """Exact FLOOR division for possibly-negative a (b > 0), written so
-    truncating and flooring integer dividers agree: subtract the
-    non-negative mod first, then the division is exact."""
+    """Exact FLOOR division for possibly-negative a (b > 0): subtract
+    the non-negative mod first, then the division is exact, so ANY
+    integer divider returns the floor result. Both engines truncate
+    toward zero on negatives (Spark ``div`` AND DuckDB ``//``:
+    -7 // 2 = -3 in DuckDB, not -4) — this helper exists to get floor
+    semantics portably on both, not to paper over an engine
+    difference."""
     return f"((({a}) - ((({a}) % ({b}) + ({b})) % ({b}))) // ({b}))"
 
 
@@ -429,9 +433,11 @@ def _pi_oracle() -> str:
     " join+agg over the dim x dim matrix — executor-sized, never"
     " corpus-sized. The corpus side is a deterministic md5 sample"
     f" ({_PI_VEC_CAP} vectors), the standard bounded-audit pattern."
-    " The floor-division helper subtracts the non-negative mod first"
-    " so Spark's truncating `div` and DuckDB's flooring `//` agree on"
-    " negative numerators.",
+    " The floor-division helper subtracts the non-negative mod first,"
+    " making the division exact — so the idiom yields FLOOR semantics"
+    " portably on BOTH engines (Spark `div` and DuckDB `//` each"
+    " truncate toward zero on negatives: -7 // 2 = -3 in DuckDB too;"
+    " neither floors natively).",
 )
 def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np

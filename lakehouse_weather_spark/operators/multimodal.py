@@ -848,6 +848,26 @@ def frame_phashes(
     return frames.mapInPandas(ph_map, schema=schema)
 
 
+_REUPLOAD_OFFSET = 10_000_000  # twin doc_id = original + offset
+_REUPLOAD_EVERY = 21           # every 21st video gets a re-upload twin
+
+
+def video_assets_with_reuploads(assets: DataFrame) -> DataFrame:
+    """Video slice of the asset corpus plus deterministic *re-upload
+    twins*: every ``_REUPLOAD_EVERY``-th video is duplicated byte-for-
+    byte under ``doc_id + _REUPLOAD_OFFSET``, modelling the same clip
+    uploaded twice (identical bytes => identical evenly-spaced frame
+    windows => all frame hashes shared). The r07 gate corpus had no
+    organically shared frame hashes, so the near-dup record carried no
+    signal (VERDICT r7); the twins make the expected-pair set non-empty
+    and exactly predictable at any scale factor."""
+    videos = assets.filter(F.col("media_type") == "video/mp4")
+    twins = videos.filter(
+        F.col("doc_id") % _REUPLOAD_EVERY == 2
+    ).withColumn("doc_id", F.col("doc_id") + F.lit(_REUPLOAD_OFFSET))
+    return videos.unionByName(twins)
+
+
 @register(
     "q_video_frame_neardup",
     oracle=None,  # DCT frame hashes are not SQL-expressible; the join
@@ -862,10 +882,14 @@ def frame_phashes(
     " an all-pairs scan; at 100 TB the signature table is tiny"
     " next to the video bytes and buckets by hash). distinct frame"
     " hashes per video first: a static intro card repeated across"
-    " every frame must count once, not n_frames times.",
+    " every frame must count once, not n_frames times. The corpus"
+    " folds in byte-identical re-upload twins"
+    " (video_assets_with_reuploads) so the result set is non-empty"
+    " and exactly the twin pairs — every (v, v+offset) and nothing"
+    " else unless two source docs truly collide.",
 )
 def q_video_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    assets = assets_table(spark, sf_dir)
+    assets = video_assets_with_reuploads(assets_table(spark, sf_dir))
     sigs = (
         frame_phashes(assets, pixel_fn=fake_pixels)
         .select("doc_id", "phash")

@@ -72,8 +72,24 @@ def resolve(table_dir: str) -> str:
 
 
 def read_current(spark: SparkSession, table_dir: str) -> DataFrame:
-    """Read the committed version of a versioned parquet table."""
-    return spark.read.parquet(resolve(table_dir))
+    """Read the committed version of a versioned parquet table.
+
+    Reads with the MANIFEST schema when the version recorded one:
+    hive partition-directory type inference would otherwise retype
+    string partition values that look like dates/ints (day='2024-01-02'
+    -> date) and the round-trip would no longer match what was
+    published (ADVICE r7). Pre-manifest versions fall back to
+    inference."""
+    version = current_version(table_dir)
+    if version is None:
+        raise FileNotFoundError(f"no committed version in {table_dir}")
+    meta = _version_meta(table_dir, version)
+    reader = spark.read
+    if meta.get("schema"):
+        from pyspark.sql.types import StructType
+
+        reader = reader.schema(StructType.fromJson(meta["schema"]))
+    return reader.parquet(os.path.join(table_dir, version))
 
 
 def _acquire_lock(table_dir: str, timeout: float = 30.0) -> str:
@@ -1006,33 +1022,95 @@ def compact_current(
     half of the small-files problem the plan query measures.
     (``pipeline.incremental.compact_partitions`` is the unversioned
     file-count twin for plain directories; this one is byte-targeted
-    and commits through the pointer protocol.)"""
+    and commits through the pointer protocol.)
+
+    Partitioned snapshots are handled per hive partition: each
+    partition gets its own file target ceil(partition_bytes /
+    target_bytes) and is split across that many writer tasks by a
+    hash salt, so a single mega-partition still compacts to many
+    evenly-sized files (``repartition(n, *partition_by)`` alone would
+    hash only the partition columns — one file per distinct value, big
+    partitions never split, and the no-op check would never converge).
+    The snapshot is read back with the MANIFEST schema, not inferred:
+    hive partition-directory inference retypes string partition values
+    that look like dates/ints (day='2024-01-02' -> date), which the
+    ``enforce`` publish gate would then correctly reject."""
     import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
 
     version = current_version(table_dir)
     if version is None:
         raise FileNotFoundError(f"no committed version in {table_dir}")
     vpath = os.path.join(table_dir, version)
-    sizes = []
+    # per-hive-partition file inventory: relative partition dir ("" for
+    # unpartitioned) -> list of file sizes
+    part_files: dict[str, list[int]] = {}
     for root, _dirs, files in os.walk(vpath):
-        sizes.extend(
-            os.path.getsize(os.path.join(root, f))
-            for f in files
-            if f.endswith(".parquet")
-        )
-    if not sizes:
+        rel = os.path.relpath(root, vpath)
+        key = "" if rel == "." else rel
+        for f in files:
+            if f.endswith(".parquet"):
+                part_files.setdefault(key, []).append(
+                    os.path.getsize(os.path.join(root, f))
+                )
+    if not part_files:
         return None
-    n_target = max(1, math.ceil(sum(sizes) / target_bytes))
-    if len(sizes) <= n_target:
+    targets = {
+        p: max(1, math.ceil(sum(sz) / target_bytes))
+        for p, sz in part_files.items()
+    }
+    # partition-aware no-op: EVERY partition already at-or-under its
+    # own file target => nothing to do, no version burned (repeated
+    # scheduled runs must converge, not republish forever)
+    if all(len(sz) <= targets[p] for p, sz in part_files.items()):
         return None
     meta = _version_meta(table_dir, version)
     partition_by = list(meta.get("partition_by") or [])
-    df = spark.read.parquet(vpath)
-    df = (
-        df.repartition(n_target, *partition_by)
-        if partition_by
-        else df.repartition(n_target)
-    )
+    reader = spark.read
+    if meta.get("schema"):
+        reader = reader.schema(StructType.fromJson(meta["schema"]))
+    df = reader.parquet(vpath)
+    n_total = sum(targets.values())
+    if partition_by:
+        # broadcast the per-partition file target onto each row (keys
+        # compared as strings — exactly the hive path encoding the
+        # inventory was keyed by), then salt within the partition so a
+        # large partition spreads over its n_p writer tasks
+        rows = []
+        for p, n_p in targets.items():
+            vals = _partition_values_from_relpath(
+                os.path.join(p, "_")  # helper expects a file-level path
+            )
+            rows.append(tuple(vals.get(c) for c in partition_by) + (n_p,))
+        map_schema = ", ".join(
+            [f"`__pv_{c}` string" for c in partition_by]
+            + ["`__n_files` int"]
+        )
+        mapping = F.broadcast(spark.createDataFrame(rows, map_schema))
+        cond = [
+            df[c].cast("string").eqNullSafe(mapping[f"__pv_{c}"])
+            for c in partition_by
+        ]
+        data_cols = list(df.columns)
+        payload = [c for c in data_cols if c not in partition_by]
+        salted = (
+            df.join(mapping, cond, "left")
+            .withColumn(
+                "__salt",
+                F.pmod(
+                    F.xxhash64(*payload) if payload else F.lit(0),
+                    F.coalesce(F.col("__n_files"), F.lit(1)),
+                ),
+            )
+        )
+        df = (
+            salted.repartition(n_total, *partition_by, "__salt")
+            .select(*data_cols)
+        )
+    else:
+        df = df.repartition(n_total)
     return publish_df(
         df,
         table_dir,

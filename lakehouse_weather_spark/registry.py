@@ -91,9 +91,12 @@ _loaded = False
 # Queries that MUST run first in the gate window: their latest driver
 # record is red or unusable even though the fix has long landed
 # (VERDICT r5 task 1). Ordered before everything else, including the
-# never-sampled backlog. Empty since round 7: q_media_features got its
-# clean rows-only r06 row (500 rows) and moved to _PRIOR_VERIFIED.
-_RECORD_REPAIR: tuple[str, ...] = ()
+# never-sampled backlog. Round 8: q_video_frame_neardup's r07 row is
+# rows-only with spark_rows=0 (the synthetic corpus had no shared
+# frame hashes, so the record proved nothing — VERDICT r7 "what's
+# wrong" §2); the corpus now folds deterministic re-upload twins in,
+# so it must re-record with signal.
+_RECORD_REPAIR: tuple[str, ...] = ("q_video_frame_neardup",)
 
 # Queries already green in a prior driver correctness record
 # (CORRECTNESS_r01.json .. CORRECTNESS_r05.json).
@@ -209,6 +212,26 @@ _PRIOR_VERIFIED = frozenset({
     "q_streaks", "q_theilsen", "q_ohlc_daily", "q_prorate_revenue",
     "q_ols_trend", "q_hhi_concentration", "q_lm_bigram_score",
     "q_dsir_weights",
+    # --- round 7 record (48 oracle-green + q_binary_phash rows-only,
+    # its designed standing record — 500 rows, DCT kernel pytest-proven;
+    # q_video_frame_neardup deliberately absent: its r07 rows-only row
+    # had spark_rows=0, see _RECORD_REPAIR) ---
+    "q_agg_mode", "q_basket_pairs", "q_bootstrap_ci",
+    "q_calibration_bins", "q_cluster_purity", "q_compaction_plan",
+    "q_cooccur_lift", "q_cvm_drift", "q_dbscan_grid",
+    "q_dedup_shingle_size", "q_delta_partitioned_export", "q_dp_counts",
+    "q_entity_blocks", "q_erasure_audit", "q_global_ordinal",
+    "q_graph_2hop", "q_growth_accounting", "q_hilbert_prune",
+    "q_hll_merge_daily", "q_isotonic_pava", "q_itemcf_topk",
+    "q_journey_paths", "q_kmv_intersect", "q_kn_bigram_score",
+    "q_knn_confusion", "q_kruskal_wallis", "q_late_data_audit",
+    "q_linkage_patterns", "q_local_peaks", "q_mlm_masks", "q_mmd_drift",
+    "q_modularity", "q_propensity_strata", "q_range_split_points",
+    "q_rank_shift", "q_repetition_loops", "q_reservoir_per_group",
+    "q_retention_plan", "q_rouge_overlap", "q_running_unique",
+    "q_sax_motifs", "q_stream_dedup", "q_variant_extract",
+    "q_vocab_growth", "q_weighted_median", "q_zipf_constancy",
+    "q_zorder_prune", "q_zset_ivm", "q_binary_phash",
 })
 
 # Queries first registered in round 4 (no driver record yet, but also

@@ -1078,3 +1078,74 @@ def test_compact_current_executes_the_plan(spark, tmp_path):
     export_delta_log(table_dir)
     files, _ = replay_delta_log(table_dir)
     assert len(files) == n_files_after
+
+
+def test_compact_current_partitioned_snapshot(spark, tmp_path):
+    """ADVICE r7 (medium + low): compacting a hive-partitioned snapshot
+    must (a) not retype date/int-looking STRING partition values on
+    read-back (manifest-schema read, else publish enforce raises
+    SchemaMismatchError), (b) split a mega-partition across its own
+    per-partition file target rather than one-file-per-partition-value,
+    and (c) converge — the second run at the same target is a no-op."""
+    import glob
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        compact_current,
+        current_version,
+        publish_df,
+        read_current,
+        resolve,
+    )
+
+    table_dir = str(tmp_path / "ptable")
+    # day is a STRING that LOOKS like a date; bucket LOOKS like an int —
+    # exactly the values partition-column inference retypes
+    df = spark.range(0, 12_000).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 7).alias("v"),
+        F.when(F.col("id") % 3 == 0, "2024-01-02")
+        .when(F.col("id") % 3 == 1, "2024-01-03")
+        .otherwise("2024-01-04")
+        .alias("day"),
+    )
+    publish_df(df.repartition(12), table_dir, partition_by=["day"])
+    v1 = current_version(table_dir)
+
+    def files_per_partition():
+        out = {}
+        for day_dir in glob.glob(os.path.join(resolve(table_dir), "day=*")):
+            out[os.path.basename(day_dir)] = [
+                os.path.getsize(p)
+                for p in glob.glob(os.path.join(day_dir, "*.parquet"))
+            ]
+        return out
+
+    before = files_per_partition()
+    assert all(len(sz) == 12 for sz in before.values())
+    per_part_bytes = {p: sum(sz) for p, sz in before.items()}
+    # target ~1/3 of each partition's bytes -> 3-4 files per partition,
+    # NOT 1 (the old repartition(n, *partition_by) shape collapsed each
+    # partition to a single file and never split large ones)
+    target = max(per_part_bytes.values()) // 3 + 1
+    new_path = compact_current(spark, table_dir, target_bytes=target)
+    assert new_path is not None and current_version(table_dir) != v1
+    after = files_per_partition()
+    assert set(after) == set(before)  # partition values preserved as strings
+    for p, sz in after.items():
+        import math
+
+        n_p = max(1, math.ceil(per_part_bytes[p] / target))
+        assert 1 < len(sz) <= n_p, (p, len(sz), n_p)
+    back = read_current(spark, table_dir)
+    assert dict(back.dtypes)["day"] == "string"  # not retyped to date
+    assert back.count() == 12_000
+    assert back.agg(F.sum("v")).collect()[0][0] == 7 * sum(range(12_000))
+    # convergence: repeated scheduled runs must reach a steady no-op
+    # within a couple of passes (the rewrite can shrink total bytes —
+    # fewer files, less parquet overhead — lowering the per-partition
+    # target by one once), never republish forever
+    for _ in range(3):
+        if compact_current(spark, table_dir, target_bytes=target) is None:
+            break
+    else:
+        raise AssertionError("compaction never converged to a no-op")

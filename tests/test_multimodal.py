@@ -421,4 +421,32 @@ def test_q_video_frame_neardup_runs(spark, sf_dir):
 
     df = load_all()["q_video_frame_neardup"].fn(spark, sf_dir)
     assert df.columns == ["doc_a", "doc_b", "n_shared_frames"]
-    assert df.count() >= 0
+    from pyspark.sql import functions as F
+
+    rows = df.collect()
+    assert len(rows) > 0  # re-upload twins guarantee a non-empty record
+
+    # exactly the byte-identical re-upload twins (v, v + offset) must
+    # pair — identical bytes => identical frame windows => >= 2 shared
+    # distinct frame hashes (4 windows can at most collide to 2)
+    from lakehouse_weather_spark.operators.multimodal import (
+        _REUPLOAD_EVERY,
+        _REUPLOAD_OFFSET,
+        assets_table,
+    )
+
+    expected = {
+        (int(r.doc_id), int(r.doc_id) + _REUPLOAD_OFFSET)
+        for r in assets_table(spark, sf_dir)
+        .filter(
+            (F.col("media_type") == "video/mp4")
+            & (F.col("doc_id") % _REUPLOAD_EVERY == 2)
+        )
+        .select("doc_id")
+        .collect()
+    }
+    got = {(int(r.doc_a), int(r.doc_b)) for r in rows}
+    assert expected <= got
+    # non-twin pairs only via true frame-hash collisions between
+    # distinct source docs; none exist in this corpus
+    assert got == expected
