@@ -276,6 +276,17 @@ HEADLINE = [
     "q_propensity_strata",
     "q_mmd_drift",
     "q_linkage_patterns",
+    # round-8 batch
+    "q_delta_external_read",
+    "q_interval_overlap_join",
+    "q_cdc_net_effect",
+    "q_permutation_test",
+    "q_jackknife_ratio",
+    "q_loo_source_value",
+    "q_mann_kendall",
+    "q_levene_bf",
+    "q_geo_radius_join",
+    "q_geo_cell_rollup",
 ]
 
 

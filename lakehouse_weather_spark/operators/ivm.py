@@ -108,3 +108,96 @@ def q_zset_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("total_fx"),
     )
     return merged.filter(F.col("n_rows") > 0)
+
+
+# CDC op per event type: the fixture's event stream read as a keyed
+# changelog (entity = user). signup creates, error tombstones, the
+# engagement types carry value updates.
+_CDC_OP = (
+    "CASE WHEN event_type = 'signup' THEN 'c'"
+    " WHEN event_type = 'error' THEN 'd' ELSE 'u' END"
+)
+
+
+@register(
+    "q_cdc_net_effect",
+    oracle=f"""
+        WITH log AS (
+            SELECT user_id, ts, event_id, value,
+                   {_CDC_OP} AS op,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS rn_a,
+                   row_number() OVER (
+                       PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                   ) AS rn_d
+            FROM events
+        ),
+        agg AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_changes,
+                   max(CASE WHEN rn_a = 1 THEN op END) AS first_op,
+                   max(CASE WHEN rn_d = 1 THEN op END) AS last_op,
+                   max(CASE WHEN rn_d = 1 THEN value END) AS last_value
+            FROM log GROUP BY user_id
+        )
+        SELECT user_id, n_changes, first_op, last_op,
+               CASE WHEN last_op = 'd' AND first_op = 'c' THEN 'noop'
+                    WHEN last_op = 'd' THEN 'delete'
+                    WHEN first_op = 'c' THEN 'insert'
+                    ELSE 'update' END AS net_op,
+               CASE WHEN last_op = 'd' THEN NULL
+                    ELSE last_value END AS final_value
+        FROM agg
+    """,
+    doc="CDC changelog COMPACTION (the Debezium/Kafka-log-squash"
+    " semantics every lakehouse ingest needs): the event stream read"
+    " as a keyed change log — signup=create, error=tombstone, the"
+    " engagement types=value updates — squashed per entity into ONE"
+    " net row: first/last op, net operation (create+delete inside the"
+    " window cancels to noop; a trailing tombstone deletes; a leading"
+    " create inserts; else update) and the final value (NULL when"
+    " tombstoned). This is the read-side twin of q_zset_ivm's weighted"
+    " fold: compaction bounds the MERGE input to one row per touched"
+    " key no matter how hot the key, which is what keeps a 100 TB"
+    " merge proportional to entities, not to events. One shuffle on"
+    " user_id (two window passes share the partitioning); the"
+    " changelog is never self-joined.",
+)
+def q_cdc_net_effect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value", F.expr(_CDC_OP).alias("op")
+    )
+    wa = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = ev.select(
+        "user_id", "op", "value",
+        F.row_number().over(wa).alias("rn_a"),
+        F.row_number().over(wd).alias("rn_d"),
+    )
+    agg = marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_changes"),
+        F.max(F.when(F.col("rn_a") == 1, F.col("op"))).alias("first_op"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("op"))).alias("last_op"),
+        F.max(F.when(F.col("rn_d") == 1, F.col("value"))).alias(
+            "last_value"
+        ),
+    )
+    return agg.select(
+        "user_id", "n_changes", "first_op", "last_op",
+        F.when(
+            (F.col("last_op") == "d") & (F.col("first_op") == "c"),
+            F.lit("noop"),
+        )
+        .when(F.col("last_op") == "d", F.lit("delete"))
+        .when(F.col("first_op") == "c", F.lit("insert"))
+        .otherwise(F.lit("update"))
+        .alias("net_op"),
+        F.when(F.col("last_op") == "d", F.lit(None).cast("double"))
+        .otherwise(F.col("last_value"))
+        .alias("final_value"),
+    )

@@ -316,3 +316,102 @@ def q_join_range_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.ts < probe.probe_ts + F.expr("INTERVAL 1 HOUR")
     )
     return F.broadcast(probe).join(events, cond).select("probe_id", "event_id")
+
+
+@register(
+    "q_interval_overlap_join",
+    oracle="""
+        WITH a AS (
+            SELECT event_id AS err_id, user_id,
+                   epoch_us(ts) AS a_start,
+                   epoch_us(ts) + 1800000000 AS a_end
+            FROM events WHERE event_type = 'error'
+        ),
+        b AS (
+            SELECT event_id AS p_id, user_id,
+                   epoch_us(ts) AS b_start,
+                   epoch_us(ts) + 3600000000 AS b_end
+            FROM events WHERE event_type = 'purchase'
+        )
+        SELECT a.user_id,
+               CAST(count(*) AS BIGINT) AS n_overlap_pairs,
+               CAST(sum(least(a_end, b_end)
+                        - greatest(a_start, b_start)) AS BIGINT)
+                   AS total_overlap_us
+        FROM a JOIN b
+          ON a.user_id = b.user_id
+         AND a.a_start < b.b_end AND b.b_start < a.a_end
+        GROUP BY a.user_id
+    """,
+    doc="INTERVAL x INTERVAL overlap join (the temporal-join operator"
+    " beyond point-in-range): 30-minute error-incident windows against"
+    " 1-hour purchase-activity windows of the same user, overlapping"
+    " when a_start < b_end AND b_start < a_end; emits per-user overlap"
+    " pair count + total overlapped microseconds (integer-exact, no"
+    " float time math). Executed as an EQUI-join: each interval"
+    " replicates to every hour band it touches (bounded spans:"
+    " <= 2 bands each), the join keys on (user_id, band), and a pair"
+    " is kept only in the band where its OVERLAP STARTS —"
+    " band = greatest(a_start_band, b_start_band) — so cross-band"
+    " double-counting is eliminated WITHOUT a distinct shuffle. This"
+    " is the only interval-join formulation that survives two large"
+    " sides at 100 TB (hash join on band keys; the theta form is a"
+    " nested loop); unbounded interval lengths would instead cap the"
+    " band span by splitting long intervals, same replicate shape."
+    " ref: the weather-obs time-window semantics the reference's DAG"
+    " encodes implicitly via day-partitioned batches (dags/bronze.py).",
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _HOUR_US = 3_600_000_000
+    ev = load_table(spark, sf_dir, "events")
+    us = F.expr("unix_micros(cast(ts as timestamp))")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("err_id"),
+        "user_id",
+        us.alias("a_start"),
+        (us + F.lit(30 * 60 * 1_000_000)).alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        us.alias("b_start"),
+        (us + F.lit(60 * 60 * 1_000_000)).alias("b_end"),
+    )
+
+    def banded(df: DataFrame, start: str, end: str) -> DataFrame:
+        # half-open [start, end): the last touched band holds end-1
+        return df.withColumn(
+            "band",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} div {_HOUR_US}"),
+                    F.expr(f"({end} - 1) div {_HOUR_US}"),
+                )
+            ),
+        )
+
+    pairs = (
+        banded(a, "a_start", "a_end")
+        .join(banded(b, "b_start", "b_end"), ["user_id", "band"])
+        .filter(
+            (F.col("a_start") < F.col("b_end"))
+            & (F.col("b_start") < F.col("a_end"))
+            # keep the pair only where the overlap starts: no cross-band
+            # duplicates, no distinct
+            & (
+                F.col("band")
+                == F.expr(
+                    f"greatest(a_start div {_HOUR_US},"
+                    f" b_start div {_HOUR_US})"
+                )
+            )
+        )
+    )
+    return pairs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_overlap_pairs"),
+        F.sum(
+            F.least("a_end", "b_end") - F.greatest("a_start", "b_start")
+        )
+        .cast("bigint")
+        .alias("total_overlap_us"),
+    )

@@ -66,6 +66,8 @@ _QUERY_MODULES = [
     # design (nothing above may be displaced), local-gate covered
     "lakehouse_weather_spark.operators.anomaly",
     "lakehouse_weather_spark.operators.ivm",
+    "lakehouse_weather_spark.operators.inference",
+    "lakehouse_weather_spark.operators.geo",
     "lakehouse_weather_spark.operators.mlfeat",
     "lakehouse_weather_spark.operators.attribution",
     "lakehouse_weather_spark.operators.recsys",
@@ -304,6 +306,24 @@ _ROUND6_NEW: frozenset[str] = frozenset({
 })
 
 
+# Queries first registered in round 8: ordered after the round-6 batch
+# so the 13 oldest never-driver-sampled queries (the r5/r6 stragglers
+# VERDICT r7 task 1 wants drained) stay at the very front of the gate
+# window; the round-8 registrations follow them inside the ~50 budget.
+_ROUND8_NEW: frozenset[str] = frozenset({
+    "q_delta_external_read",
+    "q_interval_overlap_join",
+    "q_cdc_net_effect",
+    "q_permutation_test",
+    "q_jackknife_ratio",
+    "q_loo_source_value",
+    "q_mann_kendall",
+    "q_levene_bf",
+    "q_geo_radius_join",
+    "q_geo_cell_rollup",
+})
+
+
 def _registered_round4_new() -> frozenset[str]:
     """Subset of _ROUND4_NEW actually registered (forward names are
     allowed while round-4 queries land incrementally)."""
@@ -343,18 +363,22 @@ def load_all() -> dict[str, QuerySpec]:
             n for n in _ROUND6_NEW
             if n in REGISTRY and n not in _PRIOR_VERIFIED
         )
+        r8_new = frozenset(
+            n for n in _ROUND8_NEW
+            if n in REGISTRY and n not in _PRIOR_VERIFIED
+        )
         repair = [n for n in _RECORD_REPAIR if n in REGISTRY]
         # record-repair queries first (red driver row, fix landed),
         # then the oldest never-driver-sampled queries (the r3
-        # backlog), then the round-4/5/6 batches in age order, then
+        # backlog), then the round-4/5/6/8 batches in age order, then
         # queries with a standing record
-        later = _PRIOR_VERIFIED | r4_new | r5_new | r6_new
+        later = _PRIOR_VERIFIED | r4_new | r5_new | r6_new | r8_new
         ordered = {n: REGISTRY[n] for n in repair}
         ordered.update(
             {n: s for n, s in REGISTRY.items()
              if n not in later and n not in ordered}
         )
-        for batch in (r4_new, r5_new, r6_new, _PRIOR_VERIFIED):
+        for batch in (r4_new, r5_new, r6_new, r8_new, _PRIOR_VERIFIED):
             ordered.update(
                 {n: s for n, s in REGISTRY.items() if n in batch}
             )

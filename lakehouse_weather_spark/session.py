@@ -41,6 +41,15 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
+        # --- memory: local mode hosts all executor threads inside the
+        # driver JVM, whose default 1g heap OOMs well before the box
+        # does (observed: sf1 slope bench, 32 threads). Only effective
+        # when THIS process launches the JVM (true for every CLI/test
+        # entry here); a cluster deployment sizes executors instead.
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         # --- correctness / determinism ---
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "true")

@@ -495,3 +495,29 @@ def test_unpartitioned_windows_are_whitelisted():
         f"a written bound argument in the whitelist. actual={actual} "
         f"expected={expected}"
     )
+
+
+def test_interval_overlap_join_is_equi_join(spark, sf_dir):
+    # the interval x interval overlap must plan as an equi join on
+    # (user_id, band) — the theta form is a nested loop that dies when
+    # both interval sets are large
+    plan = _plan(spark, sf_dir, "q_interval_overlap_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_geo_radius_join_blocks_on_grid_cells(spark, sf_dir):
+    # the radius join must probe 3x3 grid cells via an equi join —
+    # never the all-pairs quadratic self-join the oracle uses
+    plan = _plan(spark, sf_dir, "q_geo_radius_join")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastHashJoin" in plan) or ("SortMergeJoin" in plan)
+
+
+def test_cdc_net_effect_windows_stay_user_sharded(spark, sf_dir):
+    # both changelog window passes partition on user_id and share one
+    # exchange; a global window would serialize the log
+    plan = _plan(spark, sf_dir, "q_cdc_net_effect")
+    assert "hashpartitioning(user_id" in plan
