@@ -287,6 +287,12 @@ HEADLINE = [
     "q_levene_bf",
     "q_geo_radius_join",
     "q_geo_cell_rollup",
+    "q_text_code_score",
+    "q_rolling_backtest",
+    "q_stream_static_enrich",
+    "q_ols_2feat",
+    "q_markov_stationary",
+    "q_encoding_advisor",
 ]
 
 

@@ -1096,3 +1096,121 @@ def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.lit(4.0) * F.col("m") * F.col("m"))
         ).alias("modularity_total"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain stationary distribution over the event-type transition
+# matrix (integer fixed-point power iteration, unrolled in the oracle)
+# ---------------------------------------------------------------------------
+
+_MK_SCALE = 1_000_000_000
+_MK_ITERS = 8
+
+
+def _mk_oracle() -> str:
+    steps = []
+    prev = "v0"
+    for k in range(1, _MK_ITERS + 1):
+        steps.append(
+            f"""v{k} AS (
+            SELECT m.to_t AS state,
+                   CAST(sum((p.v * m.c) // m.r) AS BIGINT) AS v
+            FROM m JOIN {prev} p ON p.state = m.from_t
+            GROUP BY m.to_t
+        )"""
+        )
+        prev = f"v{k}"
+    joined = ",\n        ".join(steps)
+    return f"""
+        WITH ordered AS (
+            SELECT user_id, event_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS next_type
+            FROM events
+        ),
+        m0 AS (
+            SELECT event_type AS from_t, next_type AS to_t,
+                   CAST(count(*) AS BIGINT) AS c
+            FROM ordered WHERE next_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        r AS (
+            SELECT from_t, CAST(sum(c) AS BIGINT) AS r FROM m0
+            GROUP BY from_t
+        ),
+        m AS (
+            SELECT m0.from_t, m0.to_t, m0.c, r.r
+            FROM m0 JOIN r ON r.from_t = m0.from_t
+        ),
+        states AS (SELECT DISTINCT from_t AS state FROM m0),
+        ns AS (SELECT CAST(count(*) AS BIGINT) AS n FROM states),
+        v0 AS (
+            SELECT state, CAST({_MK_SCALE} // ns.n AS BIGINT) AS v
+            FROM states CROSS JOIN ns
+        ),
+        {joined}
+        SELECT state AS event_type, v AS pi_fx,
+               CAST(CAST(v AS DOUBLE) / {_MK_SCALE}.0 AS DOUBLE) AS pi
+        FROM {prev}
+    """
+
+
+@register(
+    "q_markov_stationary",
+    oracle=_mk_oracle(),
+    doc="Stationary distribution of the user-journey Markov chain:"
+    " per-user consecutive event-type transitions (lead window,"
+    " user-sharded) build the row-stochastic matrix, then"
+    f" {_MK_ITERS} unrolled power-iteration rounds in integer fixed"
+    f" point — v'_j = sum_i (v_i * c_ij) div r_i at {_MK_SCALE:.0e}"
+    " scale, transition probabilities applied as exact rationals"
+    " c/r, truncating division identical on both engines (the"
+    " q_power_iteration / pagerank discipline; the tiny truncation"
+    " mass-leak per round is deterministic and identical). Where"
+    " q_event_transitions reports the one-step matrix, this is its"
+    " long-run fixed point — the equilibrium share of journey time"
+    " per state. Scale: the iteration runs on the |types|^2 matrix —"
+    " executor-sized arithmetic after one window + one count shuffle"
+    " over the corpus.",
+)
+def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    m0 = (
+        ordered.filter(F.col("next_type").isNotNull())
+        .groupBy(
+            F.col("event_type").alias("from_t"),
+            F.col("next_type").alias("to_t"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    r = m0.groupBy("from_t").agg(F.sum("c").cast("bigint").alias("r"))
+    m = m0.join(r, "from_t")
+    states = m0.select(F.col("from_t").alias("state")).distinct()
+    ns = states.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    v = states.crossJoin(F.broadcast(ns)).select(
+        "state", F.expr(f"cast({_MK_SCALE} div n as bigint)").alias("v")
+    )
+    for _ in range(_MK_ITERS):
+        v = (
+            m.join(v, m.from_t == v.state)
+            .select(
+                F.col("to_t").alias("state"),
+                F.expr("(v * c) div r").alias("vc"),
+            )
+            .groupBy("state")
+            .agg(F.sum("vc").cast("bigint").alias("v"))
+        )
+    return v.select(
+        F.col("state").alias("event_type"),
+        F.col("v").alias("pi_fx"),
+        (F.col("v").cast("double") / F.lit(float(_MK_SCALE))).alias("pi"),
+    )

@@ -673,3 +673,140 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as double)"
         ).alias("w_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-feature OLS via exact normal equations (Cramer)
+# ---------------------------------------------------------------------------
+
+
+def _ols2_dets(duck: bool) -> dict[str, str]:
+    """Cramer cofactor expansions of the 3x3 normal equations, with
+    every moment lifted to DECIMAL(38,0)/HUGEINT FIRST: the cofactor
+    products reach ~1e21 at sf0.1 (int64 overflows — observed) and
+    ~1e24 at sf1, well inside 128-bit/38-digit range."""
+    if duck:
+        c = {k: f"CAST({k} AS HUGEINT)" for k in
+             ("n", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y")}
+    else:
+        c = {k: f"cast({k} as decimal(38,0))" for k in
+             ("n", "s1", "s2", "s11", "s22", "s12", "sy", "s1y", "s2y")}
+    n, s1, s2 = c["n"], c["s1"], c["s2"]
+    s11, s22, s12 = c["s11"], c["s22"], c["s12"]
+    sy, s1y, s2y = c["sy"], c["s1y"], c["s2y"]
+    det = (
+        f"({n} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    d0 = (
+        f"({sy} * ({s11} * {s22} - {s12} * {s12})"
+        f" - {s1} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" + {s2} * ({s1y} * {s12} - {s11} * {s2y}))"
+    )
+    d1 = (
+        f"({n} * ({s1y} * {s22} - {s12} * {s2y})"
+        f" - {sy} * ({s1} * {s22} - {s12} * {s2})"
+        f" + {s2} * ({s1} * {s2y} - {s1y} * {s2}))"
+    )
+    d2 = (
+        f"({n} * ({s11} * {s2y} - {s1y} * {s12})"
+        f" - {s1} * ({s1} * {s2y} - {s1y} * {s2})"
+        f" + {sy} * ({s1} * {s12} - {s11} * {s2}))"
+    )
+    return {"det": det, "d0": d0, "d1": d1, "d2": d2}
+
+
+def _signed_dec2dbl(s: str, duck: bool) -> str:
+    """Exact wide-integer -> double for SIGNED values: _dec2dbl's
+    deterministic power-of-two split requires a nonnegative input, so
+    split off the sign first (both branches evaluate the same split
+    tree on |s|)."""
+    pos = _dec2dbl(f"(CASE WHEN ({s}) < 0 THEN -({s}) ELSE ({s}) END)", duck)
+    return f"(CASE WHEN ({s}) < 0 THEN -{pos} ELSE {pos} END)"
+
+
+def _ols2_projection(duck: bool) -> str:
+    d = _ols2_dets(duck)
+    det_dbl = _signed_dec2dbl(d["det"], duck)
+    parts = []
+    for i in range(3):
+        num_dbl = _signed_dec2dbl(d[f"d{i}"], duck)
+        parts.append(
+            f"CAST({num_dbl} / nullif({det_dbl}, 0e0) AS DOUBLE)"
+            f" AS beta{i}_fx"
+        )
+    return ",\n               ".join(parts)
+
+
+@register(
+    "q_ols_2feat",
+    oracle=f"""
+        WITH rows_ AS (
+            -- dayofweek: DuckDB is 0-based (Sun=0), Spark 1-based
+            -- (Sun=1) -> +1 aligns them
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS x1,
+                   CAST(dayofweek(ts) + 1 AS BIGINT) AS x2,
+                   CAST(round(value * 100) AS BIGINT) AS y
+            FROM events
+        ),
+        m AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(x1) AS BIGINT) AS s1,
+                   CAST(sum(x2) AS BIGINT) AS s2,
+                   CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                   CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                   CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                   CAST(sum(x2 * y) AS BIGINT) AS s2y
+            FROM rows_ GROUP BY event_type
+        )
+        SELECT event_type, n,
+               {_ols2_projection(duck=True)}
+        FROM m
+    """,
+    doc="Multiple regression per group WITHOUT an ML library: value"
+    " (fx) on hour-of-day and day-of-week via the 3x3 normal"
+    " equations solved in closed form (Cramer cofactor expansion)."
+    " The nine sufficient statistics are exact int64 sums reduced"
+    " with map-side combine; the cofactor determinants evaluate in"
+    " DECIMAL(38)/HUGEINT (they reach ~1e21 at sf0.1 — int64"
+    " overflows, observed firsthand) and convert to double through"
+    " the signed power-of-two split (_signed_dec2dbl), so the one"
+    " final division is mirrored IEEE on both engines. The"
+    " distributed-OLS pattern that generalizes: p features need"
+    " p(p+3)/2 moments and an executor-sized solve — at 100 TB still"
+    " ONE scan, one |groups|-row shuffle, no gradient passes."
+    " Extends q_ols_trend (single regressor) to the multivariate"
+    " case.",
+)
+def q_ols_2feat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.select(
+        "event_type",
+        F.expr("cast(hour(ts) as bigint)").alias("x1"),
+        F.expr("cast(dayofweek(ts) as bigint)").alias("x2"),
+        F.expr("cast(round(value * 100) as bigint)").alias("y"),
+    )
+    m = rows.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+    return m.select(
+        "event_type",
+        "n",
+        *[
+            F.expr(e)
+            for e in _ols2_projection(duck=False).split(",\n               ")
+        ],
+    )

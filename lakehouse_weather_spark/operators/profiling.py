@@ -1850,3 +1850,113 @@ def q_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n") + F.expr(noise)).cast("bigint").alias("noisy_n"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Columnar encoding advisor (storage layout profiling)
+# ---------------------------------------------------------------------------
+
+_ENC_PAGE_ROWS = 8192       # simulated parquet page / row-group unit
+_ENC_DICT_MAX_CARD = 10     # NDV <= n/10 -> dictionary wins
+_ENC_RLE_MIN_RUN_FX = 4000  # avg run >= 4.0 (x1000 fx) -> RLE wins
+
+
+def _enc_profile_duck(col_expr: str, name: str) -> str:
+    return f"""
+        SELECT '{name}' AS col_name,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+               CAST(sum(is_run_start) AS BIGINT) AS n_runs,
+               CAST((count(*) * 1000) // nullif(sum(is_run_start), 0)
+                    AS BIGINT) AS avg_run_len_fx,
+               CASE
+                 WHEN count(DISTINCT v) * {_ENC_DICT_MAX_CARD}
+                      <= count(*) THEN 'DICT'
+                 WHEN (count(*) * 1000) // nullif(sum(is_run_start), 0)
+                      >= {_ENC_RLE_MIN_RUN_FX} THEN 'RLE'
+                 ELSE 'PLAIN'
+               END AS advice
+        FROM (
+            SELECT v,
+                   CASE WHEN lag(v) OVER (
+                            PARTITION BY pg ORDER BY event_id
+                        ) IS DISTINCT FROM v THEN 1 ELSE 0 END
+                       AS is_run_start
+            FROM (
+                SELECT event_id, event_id // {_ENC_PAGE_ROWS} AS pg,
+                       CAST({col_expr} AS VARCHAR) AS v
+                FROM events
+            )
+        )
+    """
+
+
+@register(
+    "q_encoding_advisor",
+    oracle=" UNION ALL ".join(
+        _enc_profile_duck(c, n)
+        for n, c in [
+            ("event_type", "event_type"),
+            ("user_id", "user_id"),
+            ("props", "props"),
+            ("day", "CAST(ts AS DATE)"),
+        ]
+    ),
+    doc="Columnar ENCODING ADVISOR — the storage-layout profiling pass"
+    " behind parquet writer tuning and Z-order decisions: per column,"
+    " row count, NDV, value-run count within simulated"
+    f" {_ENC_PAGE_ROWS}-row pages (runs are a per-page property, which"
+    " also keeps every window PARTITIONED — no global sort), average"
+    " run length in x1000 fixed point, and the encoding verdict"
+    " (DICT when NDV <= n/10, RLE when avg run >= 4, else PLAIN)."
+    " Complements q_zone_map / q_zorder_prune: those measure skipping"
+    " under a layout, this measures the encoding the layout earns."
+    " One window + one agg per profiled column over a narrow"
+    " projection; columns profile independently (a real deployment"
+    " fans them out in one pass with conditional aggs).",
+)
+def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cols = [
+        ("event_type", F.col("event_type").cast("string")),
+        ("user_id", F.col("user_id").cast("string")),
+        ("props", F.col("props").cast("string")),
+        ("day", F.col("ts").cast("date").cast("string")),
+    ]
+    out = None
+    for name, expr in cols:
+        base = ev.select(
+            "event_id",
+            F.expr(f"event_id div {_ENC_PAGE_ROWS}").alias("pg"),
+            expr.alias("v"),
+        )
+        runs = base.select(
+            "v",
+            F.expr(
+                "CASE WHEN lag(v) OVER ("
+                " PARTITION BY pg ORDER BY event_id)"
+                " IS DISTINCT FROM v THEN 1 ELSE 0 END"
+            ).alias("is_run_start"),
+        )
+        prof = runs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("v").cast("bigint").alias("n_distinct"),
+            F.sum("is_run_start").cast("bigint").alias("n_runs"),
+        ).select(
+            F.lit(name).alias("col_name"),
+            "n_rows",
+            "n_distinct",
+            "n_runs",
+            F.expr(
+                "cast((n_rows * 1000) div nullif(n_runs, 0) as bigint)"
+            ).alias("avg_run_len_fx"),
+            F.expr(
+                f"CASE WHEN n_distinct * {_ENC_DICT_MAX_CARD} <= n_rows"
+                " THEN 'DICT'"
+                " WHEN (n_rows * 1000) div nullif(n_runs, 0)"
+                f" >= {_ENC_RLE_MIN_RUN_FX} THEN 'RLE'"
+                " ELSE 'PLAIN' END"
+            ).alias("advice"),
+        )
+        out = prof if out is None else out.unionByName(prof)
+    return out

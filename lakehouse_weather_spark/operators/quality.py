@@ -527,3 +527,91 @@ def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         p_stop.alias("pass_stopwords"),
         (p_wc & p_mwl & p_sym & p_alpha & p_stop).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-vs-prose classification signals
+# ---------------------------------------------------------------------------
+
+# integer weights for the code-likeness score (fx scale: ratios x 1000,
+# floor-divided — exact on both engines)
+_CODE_W_SYM = 5
+_CODE_W_DIGIT = 2
+_CODE_W_LONGTOK = 3
+
+
+@register(
+    "q_text_code_score",
+    oracle=f"""
+        WITH feats AS (
+            SELECT doc_id,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(regexp_replace(
+                       text, '[^{{}}()\\[\\];=<>|&]', '', 'g'))
+                       AS BIGINT) AS sym_cnt,
+                   CAST(length(regexp_replace(text, '[^0-9]', '', 'g'))
+                       AS BIGINT) AS digit_cnt,
+                   CAST(length(text) - length(replace(text, '_', ''))
+                       AS BIGINT) AS underscore_cnt,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        w -> length(w) >= 20))
+                       AS BIGINT) AS long_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_chars, sym_cnt, digit_cnt, underscore_cnt,
+               long_tokens,
+               CAST(
+                 ({_CODE_W_SYM} * sym_cnt * 1000) // nullif(n_chars, 0)
+                 + ({_CODE_W_DIGIT} * digit_cnt * 1000)
+                     // nullif(n_chars, 0)
+                 + {_CODE_W_LONGTOK} * long_tokens
+               AS BIGINT) AS code_score_fx
+        FROM feats
+    """,
+    doc="Code-vs-prose classification signals per document — the"
+    " routing pass an LLM data pipeline runs to send code to a code"
+    " tokenizer/quality stack and prose to the Gopher rules: density"
+    " of code punctuation ({}()[];=<>|&), digit density, underscore"
+    " (snake_case) count, and pathologically long tokens"
+    " (minified/encoded blobs), combined into an integer fixed-point"
+    " score (ratios x1000, floor-divided — no float drift). Pure"
+    " regexp_replace + length arithmetic: narrow, codegen'd,"
+    " scan-speed, no explode (the same shape as the PII pass). On"
+    " this prose-only fixture scores sit near zero — the signal"
+    " columns are the point; thresholds are a consumer policy.",
+)
+def q_text_code_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n_chars = F.expr("cast(length(text) as bigint)")
+    sym = F.expr(
+        r"cast(length(regexp_replace(text,"
+        r" '[^{}()\\[\\];=<>|&]', '')) as bigint)"
+    )
+    digit = F.expr(
+        "cast(length(regexp_replace(text, '[^0-9]', '')) as bigint)"
+    )
+    under = F.expr(
+        "cast(length(text) - length(replace(text, '_', '')) as bigint)"
+    )
+    longtok = F.expr(
+        "cast(size(filter(split(text, ' '),"
+        " w -> length(w) >= 20)) as bigint)"
+    )
+    feats = docs.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        sym.alias("sym_cnt"),
+        digit.alias("digit_cnt"),
+        under.alias("underscore_cnt"),
+        longtok.alias("long_tokens"),
+    )
+    return feats.select(
+        "*",
+        F.expr(
+            f"cast(({_CODE_W_SYM} * sym_cnt * 1000)"
+            " div nullif(n_chars, 0)"
+            f" + ({_CODE_W_DIGIT} * digit_cnt * 1000)"
+            " div nullif(n_chars, 0)"
+            f" + {_CODE_W_LONGTOK} * long_tokens as bigint)"
+        ).alias("code_score_fx"),
+    )

@@ -1640,3 +1640,116 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return grams.groupBy("event_type", "motif").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-origin forecast backtest (naive + seasonal-naive baselines)
+# ---------------------------------------------------------------------------
+
+_BT_HORIZONS = (1, 2, 3)
+_BT_SEASON = 7
+
+
+@register(
+    "q_rolling_backtest",
+    oracle=f"""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS x
+            FROM events GROUP BY 1, 2
+        ),
+        lagged AS (
+            SELECT event_type, day, x,
+                   {", ".join(
+                       f"lag(x, {h}) OVER (PARTITION BY event_type"
+                       f" ORDER BY day) AS f{h}"
+                       for h in (*_BT_HORIZONS, _BT_SEASON)
+                   )}
+            FROM daily
+        ),
+        errs AS (
+            {" UNION ALL ".join(
+                f"SELECT event_type, 'naive' AS method,"
+                f" CAST({h} AS BIGINT) AS horizon,"
+                f" abs(x - f{h}) AS ae FROM lagged"
+                f" WHERE f{h} IS NOT NULL"
+                for h in _BT_HORIZONS
+            )}
+            UNION ALL
+            SELECT event_type, 'snaive', CAST({_BT_SEASON} AS BIGINT),
+                   abs(x - f{_BT_SEASON}) FROM lagged
+            WHERE f{_BT_SEASON} IS NOT NULL
+        )
+        SELECT event_type, method, horizon,
+               CAST(count(*) AS BIGINT) AS n_evals,
+               CAST(sum(ae) AS BIGINT) AS sum_abs_err_fx,
+               CAST(CAST(sum(ae) AS DOUBLE)
+                    / CAST(count(*) AS DOUBLE) / 100.0 AS DOUBLE)
+                   AS mae
+        FROM errs GROUP BY event_type, method, horizon
+    """,
+    doc="Rolling-origin forecast BACKTEST of the two baselines every"
+    " forecasting system must beat — naive (last value, horizons"
+    f" {_BT_HORIZONS}) and seasonal-naive (same weekday,"
+    f" m={_BT_SEASON}) — on each event type's daily total series."
+    " Per-(series, method, horizon) MAE from integer absolute errors;"
+    " lags via windows PARTITIONED by series (never a global sort),"
+    " one daily partial agg + one window shuffle. This is the"
+    " evaluation harness that makes q_holt_linear/q_seasonal_decompose"
+    " claims falsifiable — at 100 TB with millions of series the"
+    " shape is unchanged: windows shard by series key and the MAE"
+    " fold is decomposable (cf. q_mase, which normalizes one model"
+    " by the naive baseline; this emits the baseline grid itself).",
+)
+def q_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.col("ts").cast("date").alias("day"),
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("fx").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = daily.select(
+        "event_type",
+        "x",
+        *[
+            F.lag("x", h).over(w).alias(f"f{h}")
+            for h in (*_BT_HORIZONS, _BT_SEASON)
+        ],
+    )
+    parts = [
+        lagged.filter(F.col(f"f{h}").isNotNull()).select(
+            "event_type",
+            F.lit("naive").alias("method"),
+            F.lit(h).cast("bigint").alias("horizon"),
+            F.abs(F.col("x") - F.col(f"f{h}")).alias("ae"),
+        )
+        for h in _BT_HORIZONS
+    ]
+    parts.append(
+        lagged.filter(F.col(f"f{_BT_SEASON}").isNotNull()).select(
+            "event_type",
+            F.lit("snaive").alias("method"),
+            F.lit(_BT_SEASON).cast("bigint").alias("horizon"),
+            F.abs(F.col("x") - F.col(f"f{_BT_SEASON}")).alias("ae"),
+        )
+    )
+    errs = parts[0]
+    for p in parts[1:]:
+        errs = errs.unionByName(p)
+    return errs.groupBy("event_type", "method", "horizon").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_evals"),
+        F.sum("ae").cast("bigint").alias("sum_abs_err_fx"),
+        (
+            F.sum("ae").cast("double")
+            / F.count(F.lit(1)).cast("double")
+            / F.lit(100.0)
+        ).alias("mae"),
+    )

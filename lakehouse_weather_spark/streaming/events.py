@@ -1535,3 +1535,105 @@ def stream_dedup_to_files(
         .start()
     )
     q.awaitTermination(120)
+
+
+def stream_static_enrich(
+    spark: SparkSession,
+    events_dir: str,
+    dim: DataFrame,
+    checkpoint_dir: str,
+    queryname: str = "stream_static_enrich",
+) -> DataFrame:
+    """STREAM-STATIC join: the unbounded event stream enriched against
+    a bounded dimension — the lookup-join every streaming landing path
+    runs (ref: the bronze DAG joins nothing and re-reads everything,
+    ``dags/bronze.py``; here enrichment happens in-flight). The static
+    side re-resolves per micro-batch (Spark re-plans it each trigger,
+    so a dimension UPDATE is picked up at the next batch) and joins
+    statelessly — no watermark, no state store: only stream-STREAM
+    joins buffer state. At 100 TB/day the dimension broadcasts and
+    the stream never shuffles for the lookup."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    static = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(static.schema)
+        .parquet(events_dir)
+        .transform(_ts_ltz)
+        .join(F.broadcast(dim), "user_id", "left")
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(queryname)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(queryname)
+
+
+@register(
+    "q_stream_static_enrich",
+    oracle="""
+        SELECT c.c_mktsegment AS segment,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT))
+                    AS BIGINT) AS sum_fx
+        FROM events e JOIN customer c ON c.c_custkey = e.user_id
+        GROUP BY c.c_mktsegment
+    """,
+    doc="TRUE Structured Streaming stream-static enrichment through"
+    " the oracle gate: readStream over the events files, broadcast"
+    " left join against the customer dimension INSIDE the stream"
+    " (stateless — no watermark or state store needed for"
+    " stream-static), availableNow into a memory sink, then the"
+    " enriched rows aggregate per segment and hash-check against the"
+    " equivalent batch join. Proves the in-flight lookup join emits"
+    " exactly the batch semantics (inner-matched rows; the left-join"
+    " stream keeps unmatched events flowing, which the aggregation"
+    " filter drops to mirror the batch INNER join).",
+)
+def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"lws_stream_enrich_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+    os.makedirs(events_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            os.symlink(f, os.path.join(events_dir, os.path.basename(f)))
+    else:
+        os.symlink(src, os.path.join(events_dir, "events.parquet"))
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    sink = stream_static_enrich(
+        spark,
+        events_dir,
+        dim,
+        os.path.join(base, "ckpt"),
+        queryname=f"stream_static_enrich_{tag}",
+    )
+    return (
+        sink.filter(F.col("segment").isNotNull())
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)")
+            .alias("sum_fx"),
+        )
+    )
