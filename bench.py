@@ -293,6 +293,9 @@ HEADLINE = [
     "q_ols_2feat",
     "q_markov_stationary",
     "q_encoding_advisor",
+    "q_version_cdf",
+    "q_weighted_quantiles",
+    "q_qini_uplift",
 ]
 
 

@@ -1195,3 +1195,122 @@ def q_agg_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cnt").cast("bigint").alias("mode_count"),
         )
     )
+
+
+@register(
+    "q_weighted_quantiles",
+    oracle="""
+        WITH wr AS (
+            SELECT l_returnflag,
+                   CAST(round(l_extendedprice * 100) AS BIGINT) AS price_c,
+                   CAST(l_quantity AS BIGINT) AS wq,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY round(l_extendedprice * 100),
+                                l_orderkey, l_linenumber) AS rn
+            FROM lineitem
+        ),
+        cum AS (
+            SELECT l_returnflag, price_c, rn,
+                   sum(wq) OVER (PARTITION BY l_returnflag ORDER BY rn
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cw,
+                   sum(wq) OVER (PARTITION BY l_returnflag) AS wtot
+            FROM wr
+        ),
+        t AS (
+            SELECT l_returnflag,
+                   min(CASE WHEN cw * 4 >= 1 * wtot THEN rn END) AS r25,
+                   min(CASE WHEN cw * 4 >= 2 * wtot THEN rn END) AS r50,
+                   min(CASE WHEN cw * 4 >= 3 * wtot THEN rn END) AS r75,
+                   CAST(max(wtot) AS BIGINT) AS total_weight
+            FROM cum GROUP BY l_returnflag
+        )
+        SELECT c.l_returnflag,
+               CAST(max(CASE WHEN c.rn = t.r25 THEN c.price_c END)
+                    AS BIGINT) AS p25_price_c,
+               CAST(max(CASE WHEN c.rn = t.r50 THEN c.price_c END)
+                    AS BIGINT) AS p50_price_c,
+               CAST(max(CASE WHEN c.rn = t.r75 THEN c.price_c END)
+                    AS BIGINT) AS p75_price_c,
+               t.total_weight
+        FROM cum c JOIN t ON t.l_returnflag = c.l_returnflag
+        GROUP BY c.l_returnflag, t.total_weight
+    """,
+    doc="Exact WEIGHTED QUANTILES (p25/p50/p75) of unit price per"
+    " return flag, weighted by quantity — 'the price below which a"
+    " quarter/half/three-quarters of UNITS sold sit', the"
+    " unequal-weight generalization of q_agg_median and the multi-p"
+    " extension of q_weighted_median. Defining inequality cw * 4 >="
+    " p4 * wtot entirely in exact int64 (quantity is integral; price"
+    " ordered as integer cents) — no division, no float boundary."
+    " The three target ranks come from ONE conditional-min aggregate"
+    " over the cumulative pass (no per-p rescans), then one join"
+    " fetches the three order statistics. Per-group sort window +"
+    " two partial aggs; at scale this is the one sort per group the"
+    " exact statistic needs — the approximate arm is"
+    " q_quantile_sketch.",
+)
+def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.expr("round(l_extendedprice * 100)"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = li.select(
+        "l_returnflag",
+        F.expr("cast(round(l_extendedprice * 100) as bigint)").alias(
+            "price_c"
+        ),
+        F.col("l_quantity").cast("bigint").alias("wq"),
+        F.row_number().over(w).alias("rn"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wtot = Window.partitionBy("l_returnflag")
+    cum = wr.select(
+        "l_returnflag",
+        "price_c",
+        "rn",
+        F.sum("wq").over(wcum).alias("cw"),
+        F.sum("wq").over(wtot).alias("wtot"),
+    )
+    t = cum.groupBy("l_returnflag").agg(
+        F.min(F.expr("CASE WHEN cw * 4 >= 1 * wtot THEN rn END")).alias(
+            "r25"
+        ),
+        F.min(F.expr("CASE WHEN cw * 4 >= 2 * wtot THEN rn END")).alias(
+            "r50"
+        ),
+        F.min(F.expr("CASE WHEN cw * 4 >= 3 * wtot THEN rn END")).alias(
+            "r75"
+        ),
+        F.max("wtot").cast("bigint").alias("total_weight"),
+    )
+    return (
+        cum.join(t, "l_returnflag")
+        .groupBy("l_returnflag", "total_weight")
+        .agg(
+            F.max(
+                F.expr("CASE WHEN rn = r25 THEN price_c END")
+            ).cast("bigint").alias("p25_price_c"),
+            F.max(
+                F.expr("CASE WHEN rn = r50 THEN price_c END")
+            ).cast("bigint").alias("p50_price_c"),
+            F.max(
+                F.expr("CASE WHEN rn = r75 THEN price_c END")
+            ).cast("bigint").alias("p75_price_c"),
+        )
+        .select(
+            "l_returnflag",
+            "p25_price_c",
+            "p50_price_c",
+            "p75_price_c",
+            "total_weight",
+        )
+    )

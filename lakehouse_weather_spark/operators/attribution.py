@@ -765,3 +765,119 @@ def q_propensity_strata(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / {_BP}"
         ).alias("diff_means"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Qini uplift curve (policy-targeting evaluation)
+# ---------------------------------------------------------------------------
+
+_QINI_BUCKETS = 10
+
+
+@register(
+    "q_qini_uplift",
+    oracle=f"""
+        WITH u AS (
+            SELECT user_id,
+                   CAST(max(CASE WHEN event_type = 'signup'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS treated,
+                   CAST(sum(CASE WHEN event_type = 'purchase'
+                            THEN CAST(round(value * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS y_fx,
+                   CAST(('0x' || substr(md5('qini'
+                        || CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT)
+                       % {_QINI_BUCKETS} AS decile
+            FROM events GROUP BY user_id
+        ),
+        d AS (
+            SELECT decile,
+                   CAST(sum(treated) AS BIGINT) AS t_n,
+                   CAST(sum(treated * y_fx) AS BIGINT) AS t_y,
+                   CAST(sum(1 - treated) AS BIGINT) AS c_n,
+                   CAST(sum((1 - treated) * y_fx) AS BIGINT) AS c_y
+            FROM u GROUP BY decile
+        ),
+        cum AS (
+            SELECT a.decile,
+                   CAST(sum(b.t_n) AS BIGINT) AS cum_t_n,
+                   CAST(sum(b.t_y) AS BIGINT) AS cum_t_y_fx,
+                   CAST(sum(b.c_n) AS BIGINT) AS cum_c_n,
+                   CAST(sum(b.c_y) AS BIGINT) AS cum_c_y_fx
+            FROM d a JOIN d b ON b.decile <= a.decile
+            GROUP BY a.decile
+        )
+        SELECT decile, cum_t_n, cum_t_y_fx, cum_c_n, cum_c_y_fx,
+               CAST(CAST(cum_t_y_fx AS DOUBLE)
+                    - CAST(cum_c_y_fx AS DOUBLE)
+                      * CAST(cum_t_n AS DOUBLE)
+                      / nullif(CAST(cum_c_n AS DOUBLE), 0e0)
+                    AS DOUBLE) AS qini_fx
+        FROM cum
+    """,
+    doc="Qini uplift curve — the targeting-policy evaluation the"
+    " causal stack feeds (complements q_propensity_strata's effect"
+    " estimate and q_ips_offpolicy's policy value): users bucketed by"
+    " a deterministic hash-model score into deciles, treatment ="
+    " organic signup exposure, outcome = purchase value fx; per"
+    " cumulative decile the Qini coordinate cum_t_y - cum_c_y *"
+    " cum_t_n / cum_c_n measures incremental outcome above the"
+    " scaled control baseline. Cumulative sums run as a bounded"
+    f" {_QINI_BUCKETS}x{_QINI_BUCKETS} triangle self-join over the"
+    " decile AGGREGATES — never an unpartitioned window, never a"
+    " rescan. All counts/outcomes exact int64; the one division is"
+    " mirrored IEEE. At 100 TB: one user-grain agg shuffle + decile"
+    " arithmetic that fits in a cache line.",
+)
+def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.expr(
+            "cast(max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)"
+            " as bigint)"
+        ).alias("treated"),
+        F.expr(
+            "cast(sum(CASE WHEN event_type = 'purchase'"
+            " THEN cast(round(value * 100) as bigint) ELSE 0 END)"
+            " as bigint)"
+        ).alias("y_fx"),
+    ).select(
+        "treated",
+        "y_fx",
+        F.expr(
+            "cast(conv(substr(md5(concat('qini',"
+            " cast(user_id as string))), 1, 15), 16, 10) as bigint)"
+            f" % {_QINI_BUCKETS}"
+        ).alias("decile"),
+    )
+    d = u.groupBy("decile").agg(
+        F.sum("treated").cast("bigint").alias("t_n"),
+        F.sum(F.col("treated") * F.col("y_fx")).cast("bigint").alias("t_y"),
+        F.sum(F.lit(1) - F.col("treated")).cast("bigint").alias("c_n"),
+        F.sum((F.lit(1) - F.col("treated")) * F.col("y_fx"))
+        .cast("bigint")
+        .alias("c_y"),
+    )
+    a = d.select(F.col("decile").alias("d_a"))
+    cum = (
+        a.join(d, F.col("decile") <= F.col("d_a"))
+        .groupBy("d_a")
+        .agg(
+            F.sum("t_n").cast("bigint").alias("cum_t_n"),
+            F.sum("t_y").cast("bigint").alias("cum_t_y_fx"),
+            F.sum("c_n").cast("bigint").alias("cum_c_n"),
+            F.sum("c_y").cast("bigint").alias("cum_c_y_fx"),
+        )
+        .withColumnRenamed("d_a", "decile")
+    )
+    return cum.select(
+        "decile",
+        "cum_t_n",
+        "cum_t_y_fx",
+        "cum_c_n",
+        "cum_c_y_fx",
+        F.expr(
+            "cast(cast(cum_t_y_fx as double)"
+            " - cast(cum_c_y_fx as double) * cast(cum_t_n as double)"
+            " / nullif(cast(cum_c_n as double), 0e0) as double)"
+        ).alias("qini_fx"),
+    )

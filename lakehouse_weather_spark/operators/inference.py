@@ -273,8 +273,11 @@ def q_jackknife_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         "st",
         "nt",
         "j",
+        # nullif: with a single populated bucket the leave-one-out
+        # remainder is empty — NULL on both engines (DuckDB // 0 is
+        # NULL, Spark ANSI div throws without the guard)
         F.expr(
-            f"((st - s) * {_JK_SCALE}) div (nt - n)"
+            f"((st - s) * {_JK_SCALE}) div nullif(nt - n, 0)"
         ).alias("rfx"),
     )
     mu = loo.agg(
@@ -418,9 +421,13 @@ def q_loo_source_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "n_docs",
             "sum_chars",
-            (
-                (F.col("st") - F.col("sum_chars")).cast("double")
-                / (F.col("nt") - F.col("n_docs")).cast("double")
+            # nullif: a source holding the WHOLE corpus (single-row /
+            # single-source fixtures) has no leave-one-out remainder —
+            # NULL on both engines (DuckDB 0/0 is NULL, Spark ANSI
+            # throws without the guard)
+            F.expr(
+                "cast(st - sum_chars as double)"
+                " / nullif(cast(nt - n_docs as double), 0e0)"
             ).alias("loo_mean_chars"),
             (
                 F.col("st").cast("double") / F.col("nt").cast("double")
@@ -664,8 +671,11 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_i",
         "s_i",
         "ss_i",
+        # nullif on k-1: a single-group corpus has no between-group
+        # variance to test — NULL on both engines
         F.expr(
-            "cast((cast(n - k as double) / cast(k - 1 as double))"
+            "cast((cast(n - k as double)"
+            " / nullif(cast(k - 1 as double), 0e0))"
             " * (between_part"
             "    - cast(s as double) * cast(s as double)"
             "      / cast(n as double))"

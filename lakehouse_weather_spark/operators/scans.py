@@ -311,3 +311,101 @@ def q_delta_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame([], out_schema)
     pdf = tbl.select(["lang", "source", "n_docs", "sum_chars"]).to_pandas()
     return spark.createDataFrame(pdf, out_schema)
+
+
+@register(
+    "q_version_cdf",
+    oracle="""
+        WITH b AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+            FROM events
+        ),
+        v1 AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_fx
+            FROM events, b WHERE epoch_us(ts) < b.mid GROUP BY user_id
+        ),
+        v2 AS (
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS sum_fx
+            FROM events, b WHERE epoch_us(ts) >= b.mid GROUP BY user_id
+        )
+        SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
+               CASE WHEN v1.user_id IS NULL THEN 'insert'
+                    WHEN v2.user_id IS NULL THEN 'delete'
+                    WHEN v1.n_events != v2.n_events
+                      OR v1.sum_fx != v2.sum_fx THEN 'update'
+               END AS _change,
+               coalesce(v2.n_events, v1.n_events) AS n_events,
+               coalesce(v2.sum_fx, v1.sum_fx) AS sum_fx
+        FROM v1 FULL OUTER JOIN v2 ON v1.user_id = v2.user_id
+        WHERE NOT (v1.user_id IS NOT NULL AND v2.user_id IS NOT NULL
+                   AND v1.n_events = v2.n_events
+                   AND v1.sum_fx = v2.sum_fx)
+    """,
+    doc="Change-data-feed THROUGH the versioned store, oracle-gated:"
+    " publish the first-time-half per-user aggregate as v1 and the"
+    " second half as v2 of one scratch versioned table (exact integer"
+    " epoch midpoint — the q_dist_drift idiom), then read the CDF"
+    " between the two RETAINED versions with table_changes"
+    " (pipeline/atomic.py): inserts = users new in v2, deletes ="
+    " users gone from v2, updates = changed aggregates — the Delta"
+    " CDF semantics computed as the snapshot full-outer diff when the"
+    " writer keeps no row-level log. The oracle recomputes the"
+    " symmetric diff straight from events, so the gate proves"
+    " publish -> time-travel reads -> diff lossless end to end. At"
+    " 100 TB the diff is one key-partitioned full-outer join of two"
+    " snapshot scans; file-level pruning (unchanged-file skipping)"
+    " refines the same plan.",
+)
+def q_version_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        list_versions,
+        publish_df,
+        table_changes,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid")
+    )
+    halves = ev.crossJoin(F.broadcast(bounds))
+
+    def half_agg(pred):
+        return (
+            halves.filter(pred)
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_events"),
+                F.expr(
+                    "cast(sum(cast(round(value * 100) as bigint))"
+                    " as bigint)"
+                ).alias("sum_fx"),
+            )
+        )
+
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    table_dir = os.path.join(
+        tempfile.gettempdir(), f"lws_version_cdf_{key}_{os.getpid()}"
+    )
+    # fresh two-version history per run (rerun idempotence)
+    shutil.rmtree(table_dir, ignore_errors=True)
+    publish_df(half_agg(F.expr(us) < F.col("mid")), table_dir, keep=3)
+    publish_df(
+        half_agg(F.expr(us) >= F.col("mid")),
+        table_dir,
+        keep=3,
+        schema_mode="enforce",
+    )
+    v1, v2 = list_versions(table_dir)[-2:]
+    return table_changes(spark, table_dir, "user_id", v1, v2).select(
+        "user_id", "_change", "n_events", "sum_fx"
+    )

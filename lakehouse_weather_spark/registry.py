@@ -327,6 +327,9 @@ _ROUND8_NEW: frozenset[str] = frozenset({
     "q_ols_2feat",
     "q_markov_stationary",
     "q_encoding_advisor",
+    "q_version_cdf",
+    "q_weighted_quantiles",
+    "q_qini_uplift",
 })
 
 

@@ -151,6 +151,23 @@ SHOWCASE = {
     " cell keys (fanout 9, never all-pairs); distance verify, degree"
     " count, and the census are codegen'd aggregates; components run"
     " on the bounded core-edge fetch.",
+    "q_interval_overlap_join": "Interval x interval overlap as an"
+    " EQUI-join on (user, hour-band) with bounded fanout (<= 2 bands"
+    " per interval); the overlap-starts-here band filter dedupes"
+    " without a distinct shuffle.",
+    "q_geo_radius_join": "Radius join blocks points into radius-sized"
+    " grid cells; probe side explodes to the 3x3 neighborhood and"
+    " hash-joins on the cell key — candidates scale with local"
+    " density, never |points|^2.",
+    "q_permutation_test": "The B-fold label explode is a narrow (b,"
+    " fx) map that partial-aggregates map-side to B rows before the"
+    " ONLY shuffle; extremeness is decided on broadcast decimals.",
+    "q_cdc_net_effect": "Both changelog window passes partition on"
+    " user_id and share one exchange; the squash emits one row per"
+    " touched entity — MERGE input stays entity-proportional.",
+    "q_mann_kendall": "The pairwise stage self-joins WITHIN user"
+    " partitions (<= C(31,2) pairs each) — linear in users; sign"
+    " decisions are integer cross products in codegen.",
 }
 
 
