@@ -296,6 +296,9 @@ HEADLINE = [
     "q_version_cdf",
     "q_weighted_quantiles",
     "q_qini_uplift",
+    "q_group_sequential",
+    "q_trimmed_mean",
+    "q_spearman_corr",
 ]
 
 

@@ -1314,3 +1314,67 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_weight",
         )
     )
+
+
+@register(
+    "q_trimmed_mean",
+    oracle="""
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS q,
+                   row_number() OVER (PARTITION BY l_returnflag
+                       ORDER BY l_quantity, l_orderkey, l_linenumber)
+                       AS rn,
+                   count(*) OVER (PARTITION BY l_returnflag) AS n
+            FROM lineitem
+        ),
+        kept AS (
+            SELECT * FROM ranked
+            WHERE rn > n // 10 AND rn <= n - (n // 10)
+        )
+        SELECT l_returnflag,
+               CAST(max(n) AS BIGINT) AS n_total,
+               CAST(count(*) AS BIGINT) AS n_kept,
+               CAST(min(q) AS BIGINT) AS kept_min_qty,
+               CAST(max(q) AS BIGINT) AS kept_max_qty,
+               CAST(CAST(sum(q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                    AS DOUBLE) AS trimmed_mean_qty
+        FROM kept GROUP BY l_returnflag
+    """,
+    doc="Exact 10% TRIMMED MEAN of quantity per return flag — the"
+    " outlier-robust location estimate between mean (fragile) and"
+    " median (throws away 98% of the data): rank rows per group with"
+    " the deterministic order-statistic tiebreak (q_agg_median"
+    " idiom), drop the bottom and top n div 10 ranks EXACTLY (floor"
+    " — no interpolated partial weights, so the kept set is a"
+    " bit-certain row set on both engines), integer-sum the kept"
+    " values and divide once. Emits the kept range as evidence of"
+    " what the trim cut. Same per-group sort-window shape as the"
+    " median family; one extra partial agg.",
+)
+def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_returnflag").orderBy(
+        "l_quantity", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    kept = ranked.filter(
+        F.expr("rn > n div 10 AND rn <= n - (n div 10)")
+    )
+    return kept.groupBy("l_returnflag").agg(
+        F.max("n").cast("bigint").alias("n_total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.min("q").cast("bigint").alias("kept_min_qty"),
+        F.max("q").cast("bigint").alias("kept_max_qty"),
+        (
+            F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("trimmed_mean_qty"),
+    )

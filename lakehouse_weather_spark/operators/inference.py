@@ -42,24 +42,24 @@ def _h_duck(expr: str) -> str:
 # Randomization (permutation) test
 # ---------------------------------------------------------------------------
 
-_PERM_B = 200
+_PERM_B = 120  # one md5 word yields 60 label bits; 2 words per event
 
 
 @register(
     "q_permutation_test",
     oracle=f"""
         WITH ev AS (
-            SELECT event_id, user_id,
-                   CAST(round(value * 100) AS BIGINT) AS fx
+            SELECT user_id,
+                   CAST(round(value * 100) AS BIGINT) AS fx,
+                   {_h_duck("'permA' || CAST(event_id AS VARCHAR)")} AS h0,
+                   {_h_duck("'permB' || CAST(event_id AS VARCHAR)")} AS h1
             FROM events
         ),
         lab AS (
             SELECT b.b, ev.fx,
                    CASE WHEN b.b = -1 THEN user_id % 2
-                        ELSE {_h_duck(
-                            "'perm' || CAST(b.b AS VARCHAR) || '_'"
-                            " || CAST(event_id AS VARCHAR)"
-                        )} % 2
+                        ELSE ((CASE WHEN b.b < 60 THEN h0 ELSE h1 END)
+                              >> (b.b % 60)) % 2
                    END AS grp
             FROM ev CROSS JOIN (
                 SELECT generate_series AS b
@@ -99,40 +99,47 @@ _PERM_B = 200
         GROUP BY obs.na, obs.nb
     """,
     doc="Randomization test for the mean-value difference between the"
-    f" even/odd user cohorts: {_PERM_B} seeded label reassignments"
-    " (md5(perm_b, event_id) — deterministic, cluster-order-free),"
-    " two-sided p-value with the +1 correction. The extremeness"
-    " comparison |Sa*nb - Sb*na| cross-multiplied by the opposite"
-    " denominators runs entirely in HUGEINT/DECIMAL(38) — mean"
-    " differences are compared as exact rationals, never as floats, so"
-    " the count of extreme permutations is bit-certain on both"
-    " engines. Scale shape: one narrow B-fold explode of (b, fx) that"
-    " partial-aggregates map-side to B rows before the only shuffle —"
-    " the q_bootstrap_ci shape; the permutation table is never"
-    " materialized per-copy. At 100 TB the B x groups grid is a few"
-    " hundred rows of driver-free arithmetic.",
+    f" even/odd user cohorts: {_PERM_B} seeded label reassignments,"
+    " two-sided p-value with the +1 correction. Labels are HARVESTED"
+    " AS BITS: each event hashes TWICE (md5 -> 60-bit words) and"
+    " permutation b reads bit b%60 of word b div 60 — md5 bits are"
+    " independent, so this is B independent reassignments at 2 hashes"
+    " per event instead of B (the naive per-(b,event) md5 measured"
+    " 17.9 s at sf0.1; the bit harvest keeps identical statistical"
+    " semantics and engine-exactness — variable-distance"
+    " shiftright/>> are plain integer ops on both engines). The"
+    " extremeness comparison |Sa*nb - Sb*na| cross-multiplied by the"
+    " opposite denominators runs entirely in HUGEINT/DECIMAL(38) —"
+    " mean differences compare as exact rationals, never floats."
+    " Scale shape: one narrow B-fold explode that partial-aggregates"
+    " map-side to B rows before the only shuffle (the q_bootstrap_ci"
+    " shape). At 100 TB the B x groups grid is a few hundred rows of"
+    " driver-free arithmetic.",
 )
 def q_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
         "user_id",
         F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        F.expr(
+            _h_spark("concat('permA', cast(event_id as string))")
+        ).alias("h0"),
+        F.expr(
+            _h_spark("concat('permB', cast(event_id as string))")
+        ).alias("h1"),
     )
     lab = ev.select(
         "fx",
-        F.explode(F.expr(f"sequence(-1, {_PERM_B - 1})")).alias("b"),
         "user_id",
-        "event_id",
+        "h0",
+        "h1",
+        F.explode(F.expr(f"sequence(-1, {_PERM_B - 1})")).alias("b"),
     ).select(
         "b",
         "fx",
         F.expr(
-            "CASE WHEN b = -1 THEN user_id % 2 ELSE "
-            + _h_spark(
-                "concat('perm', cast(b as string), '_',"
-                " cast(event_id as string))"
-            )
-            + " % 2 END"
+            "CASE WHEN b = -1 THEN user_id % 2"
+            " ELSE shiftright(CASE WHEN b < 60 THEN h0 ELSE h1 END,"
+            " cast(b % 60 as int)) % 2 END"
         ).alias("grp"),
     )
     stats = lab.groupBy("b").agg(
@@ -819,4 +826,279 @@ def q_ols_2feat(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(e)
             for e in _ols2_projection(duck=False).split(",\n               ")
         ],
+    )
+
+
+# ---------------------------------------------------------------------------
+# Group-sequential experiment monitoring (daily z-statistic ladder)
+# ---------------------------------------------------------------------------
+
+# Pocock-style constant boundary in milli-z units: |z| >= 2.413 flags
+# (5 looks, alpha ~ 0.05). Integer comparison on the squared statistic
+# avoids a float threshold crossing.
+_GS_BOUND_MILLI = 2413
+
+
+@register(
+    "q_group_sequential",
+    oracle=f"""
+        WITH daily AS (
+            SELECT CAST(ts AS DATE) AS day, user_id % 2 AS arm,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)
+                            * CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS ss
+            FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+            SELECT a.day,
+                   CAST(sum(CASE WHEN b.arm = 0 THEN b.n END) AS BIGINT)
+                       AS n0,
+                   CAST(sum(CASE WHEN b.arm = 0 THEN b.s END) AS BIGINT)
+                       AS s0,
+                   CAST(sum(CASE WHEN b.arm = 0 THEN b.ss END) AS BIGINT)
+                       AS ss0,
+                   CAST(sum(CASE WHEN b.arm = 1 THEN b.n END) AS BIGINT)
+                       AS n1,
+                   CAST(sum(CASE WHEN b.arm = 1 THEN b.s END) AS BIGINT)
+                       AS s1,
+                   CAST(sum(CASE WHEN b.arm = 1 THEN b.ss END) AS BIGINT)
+                       AS ss1
+            FROM (SELECT DISTINCT day FROM daily) a
+            JOIN daily b ON b.day <= a.day
+            GROUP BY a.day
+        )
+        SELECT CAST(day AS VARCHAR) AS day, n0, n1,
+               CAST((CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)) / 100.0
+                    AS DOUBLE) AS mean_diff,
+               CAST(
+                 (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / nullif(sqrt(
+                     (CAST(ss0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                      - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                        * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+                       / CAST(n0 AS DOUBLE)
+                     + (CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                       / CAST(n1 AS DOUBLE)), 0e0)
+                 AS DOUBLE) AS z_stat,
+               CAST(abs(
+                 (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                  - CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                 / nullif(sqrt(
+                     (CAST(ss0 AS DOUBLE) / CAST(n0 AS DOUBLE)
+                      - (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE))
+                        * (CAST(s0 AS DOUBLE) / CAST(n0 AS DOUBLE)))
+                       / CAST(n0 AS DOUBLE)
+                     + (CAST(ss1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                        - (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                          * (CAST(s1 AS DOUBLE) / CAST(n1 AS DOUBLE)))
+                       / CAST(n1 AS DOUBLE)), 0e0))
+                 >= {_GS_BOUND_MILLI} / 1000.0 AS BOOLEAN)
+                   AS boundary_crossed
+        FROM cum WHERE n0 IS NOT NULL AND n1 IS NOT NULL
+    """,
+    doc="GROUP-SEQUENTIAL experiment monitor — the daily-peeking ladder"
+    " real A/B systems run instead of one fixed-horizon test: per day,"
+    " the CUMULATIVE Welch z-statistic for the even/odd-cohort mean"
+    " difference from exact integer daily moments (n, S, SS per arm),"
+    " cumulated via a bounded |days|x|days| triangle join over the"
+    " DAILY AGGREGATES (never an unpartitioned window, never an"
+    " events rescan), with a Pocock-style constant boundary |z| >="
+    f" {_GS_BOUND_MILLI / 1000} flagged per look. sqrt is IEEE"
+    " correctly-rounded on both engines, so the mirrored projection"
+    " stays bit-exact; moments are int64. Complements q_welch_ttest"
+    " (one look) and q_srm_check (assignment health). At 100 TB: one"
+    " (day, arm) partial-agg shuffle, then calendar-sized arithmetic.",
+)
+def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            F.col("ts").cast("date").alias("day"),
+            (F.col("user_id") % 2).alias("arm"),
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        )
+        .groupBy("day", "arm")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("fx").cast("bigint").alias("s"),
+            F.sum(F.col("fx") * F.col("fx")).cast("bigint").alias("ss"),
+        )
+    )
+    days = daily.select("day").distinct().select(F.col("day").alias("d_a"))
+    cum = (
+        days.join(daily, F.col("day") <= F.col("d_a"))
+        .groupBy("d_a")
+        .agg(
+            *[
+                F.sum(F.expr(f"CASE WHEN arm = {a} THEN {c} END"))
+                .cast("bigint")
+                .alias(f"{c}{a}")
+                for a in (0, 1)
+                for c in ("n", "s", "ss")
+            ]
+        )
+        .withColumnRenamed("d_a", "day")
+    )
+    mean_diff = (
+        "(cast(s1 as double) / cast(n1 as double)"
+        " - cast(s0 as double) / cast(n0 as double))"
+    )
+    se = (
+        "sqrt((cast(ss0 as double) / cast(n0 as double)"
+        " - (cast(s0 as double) / cast(n0 as double))"
+        " * (cast(s0 as double) / cast(n0 as double)))"
+        " / cast(n0 as double)"
+        " + (cast(ss1 as double) / cast(n1 as double)"
+        " - (cast(s1 as double) / cast(n1 as double))"
+        " * (cast(s1 as double) / cast(n1 as double)))"
+        " / cast(n1 as double))"
+    )
+    return cum.filter(
+        F.col("n0").isNotNull() & F.col("n1").isNotNull()
+    ).select(
+        F.col("day").cast("string").alias("day"),
+        "n0",
+        "n1",
+        F.expr(f"cast({mean_diff} / 100.0 as double)").alias("mean_diff"),
+        F.expr(
+            f"cast({mean_diff} / nullif({se}, 0e0) as double)"
+        ).alias("z_stat"),
+        F.expr(
+            f"cast(abs({mean_diff} / nullif({se}, 0e0))"
+            f" >= {_GS_BOUND_MILLI} / 1000.0 as boolean)"
+        ).alias("boundary_crossed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation with exact tie handling
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_spearman_corr",
+    oracle="""
+        WITH r AS (
+            SELECT l_returnflag,
+                   CAST(l_quantity AS BIGINT) AS x,
+                   CAST(round(l_discount * 100) AS BIGINT) AS y
+            FROM lineitem
+        ),
+        ranked AS (
+            SELECT l_returnflag,
+                   2 * rank() OVER (PARTITION BY l_returnflag ORDER BY x)
+                     + count(*) OVER (PARTITION BY l_returnflag, x) - 1
+                       AS rx2,
+                   2 * rank() OVER (PARTITION BY l_returnflag ORDER BY y)
+                     + count(*) OVER (PARTITION BY l_returnflag, y) - 1
+                       AS ry2
+            FROM r
+        ),
+        m AS (
+            SELECT l_returnflag,
+                   CAST(count(*) AS HUGEINT) AS n,
+                   CAST(sum(CAST(rx2 AS HUGEINT)) AS HUGEINT) AS sx,
+                   CAST(sum(CAST(ry2 AS HUGEINT)) AS HUGEINT) AS sy,
+                   CAST(sum(CAST(rx2 AS HUGEINT) * rx2) AS HUGEINT)
+                       AS sxx,
+                   CAST(sum(CAST(ry2 AS HUGEINT) * ry2) AS HUGEINT)
+                       AS syy,
+                   CAST(sum(CAST(rx2 AS HUGEINT) * ry2) AS HUGEINT)
+                       AS sxy
+            FROM ranked GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(
+                 {num} / nullif(sqrt({dxx}) * sqrt({dyy}), 0e0)
+                 AS DOUBLE) AS spearman_rho
+        FROM m
+    """.format(
+        num=_signed_dec2dbl("n * sxy - sx * sy", duck=True),
+        dxx=_dec2dbl("(n * sxx - sx * sx)", duck=True),
+        dyy=_dec2dbl("(n * syy - sy * sy)", duck=True),
+    ),
+    doc="Spearman rank correlation (quantity vs discount per return"
+    " flag) with EXACT tie handling — the monotone-association screen"
+    " Pearson r (q_corr_matrix) can't provide under outliers or"
+    " nonlinearity. Average ranks are carried DOUBLED"
+    " (2*minrank + ties - 1: kruskal's integer trick, no .5 floats);"
+    " the Spark side never ranks the raw table — both measures are"
+    " low-cardinality, so tie-corrected ranks fold from per-(group,"
+    " value) COUNT MAPS: cnt_less via a cumulative window over the"
+    " bounded distinct-value list (<= 50 rows per group), doubled"
+    " ranks broadcast-join back to the scan, and rho comes from five"
+    " HUGEINT/DECIMAL moments (doubled ranks square to ~1e21 at sf1)"
+    " through the signed power-of-two split. For a near-unique"
+    " measure the same decomposition buckets by coarse value band"
+    " first (q_global_ordinal's pattern). The oracle is the naive"
+    " window form, so the gate proves the map-based decomposition"
+    " bit-identical to textbook ranking.",
+)
+def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.expr("cast(round(l_discount * 100) as bigint)").alias("y"),
+    )
+
+    def rank_map(df, col):
+        counts = df.groupBy("l_returnflag", col).agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        )
+        w = (
+            Window.partitionBy("l_returnflag")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return counts.select(
+            "l_returnflag",
+            col,
+            # doubled average rank: 2*(cnt_less + 1) + cnt - 1
+            (
+                2 * (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
+                + F.col("cnt")
+                - 1
+            ).alias(f"r{col}2"),
+        )
+
+    rx = rank_map(li, "x")
+    ry = rank_map(li, "y")
+    ranked = (
+        li.join(F.broadcast(rx), ["l_returnflag", "x"])
+        .join(F.broadcast(ry), ["l_returnflag", "y"])
+    )
+    dec = "decimal(38,0)"
+    m = ranked.groupBy("l_returnflag").agg(
+        F.expr(f"cast(count(*) as {dec})").alias("n"),
+        F.expr(f"cast(sum(cast(rx2 as {dec})) as {dec})").alias("sx"),
+        F.expr(f"cast(sum(cast(ry2 as {dec})) as {dec})").alias("sy"),
+        F.expr(f"cast(sum(cast(rx2 as {dec}) * rx2) as {dec})").alias(
+            "sxx"
+        ),
+        F.expr(f"cast(sum(cast(ry2 as {dec}) * ry2) as {dec})").alias(
+            "syy"
+        ),
+        F.expr(f"cast(sum(cast(rx2 as {dec}) * ry2) as {dec})").alias(
+            "sxy"
+        ),
+    )
+    num = _signed_dec2dbl("n * sxy - sx * sy", duck=False)
+    dxx = _dec2dbl("(n * sxx - sx * sx)", duck=False)
+    dyy = _dec2dbl("(n * syy - sy * sy)", duck=False)
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            f"cast({num} / nullif(sqrt({dxx}) * sqrt({dyy}), 0e0)"
+            " as double)"
+        ).alias("spearman_rho"),
     )

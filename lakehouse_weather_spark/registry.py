@@ -330,6 +330,9 @@ _ROUND8_NEW: frozenset[str] = frozenset({
     "q_version_cdf",
     "q_weighted_quantiles",
     "q_qini_uplift",
+    "q_group_sequential",
+    "q_trimmed_mean",
+    "q_spearman_corr",
 })
 
 
