@@ -299,6 +299,7 @@ HEADLINE = [
     "q_group_sequential",
     "q_trimmed_mean",
     "q_spearman_corr",
+    "q_stream_join",
 ]
 
 

@@ -333,6 +333,7 @@ _ROUND8_NEW: frozenset[str] = frozenset({
     "q_group_sequential",
     "q_trimmed_mean",
     "q_spearman_corr",
+    "q_stream_join",
 })
 
 

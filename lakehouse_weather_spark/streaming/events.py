@@ -360,6 +360,7 @@ def stream_stream_join(
     left_dir: str,
     right_dir: str,
     checkpoint_dir: str,
+    queryname: str = "view_click_joins",
 ) -> DataFrame:
     """Stream-stream inner join with watermarked state: match each
     'view' event to 'click' events by the same user within 1 hour after
@@ -402,14 +403,14 @@ def stream_stream_join(
     ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
     q = (
         joined.writeStream.format("memory")
-        .queryName("view_click_joins")
+        .queryName(queryname)
         .outputMode("append")
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(180)
-    return spark.table("view_click_joins")
+    return spark.table(queryname)
 
 
 def stream_stream_left_join(
@@ -1636,4 +1637,64 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("cast(sum(cast(round(value * 100) as bigint)) as bigint)")
             .alias("sum_fx"),
         )
+    )
+
+
+@register(
+    "q_stream_join",
+    oracle="""
+        WITH views AS (
+            SELECT event_id AS view_id, user_id, ts AS view_ts
+            FROM events WHERE event_type = 'view'
+        ),
+        clicks AS (
+            SELECT event_id AS click_id, user_id, ts AS click_ts
+            FROM events WHERE event_type = 'click'
+        )
+        SELECT v.view_id, c.click_id, v.user_id
+        FROM views v JOIN clicks c
+          ON c.user_id = v.user_id
+         AND c.click_ts >= v.view_ts
+         AND c.click_ts < CAST(v.view_ts AS TIMESTAMP) + INTERVAL 1 HOUR
+    """,
+    doc="TRUE Structured Streaming stream-STREAM inner join through"
+    " the oracle gate: both sides readStream over the events files,"
+    " watermarked 2 hours, views matched to clicks of the same user"
+    " within 1 hour after the view (the canonical funnel/attribution"
+    " join; state on BOTH sides is bounded by the watermarks —"
+    " unbounded-state stream joins die in production), availableNow"
+    " into a memory sink, hash-checked against the equivalent batch"
+    " range join. Multi-batch watermark eviction is separately proven"
+    " in tests/test_streaming.py (sentinel-file advancement); the"
+    " left-outer half lives in stream_stream_left_join.",
+)
+def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"lws_stream_join_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+    os.makedirs(events_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    if os.path.isdir(src):
+        for f in glob.glob(os.path.join(src, "*.parquet")):
+            os.symlink(f, os.path.join(events_dir, os.path.basename(f)))
+    else:
+        os.symlink(src, os.path.join(events_dir, "events.parquet"))
+    sink = stream_stream_join(
+        spark,
+        events_dir,
+        events_dir,
+        os.path.join(base, "ckpt"),
+        queryname=f"stream_join_{tag}",
+    )
+    return sink.select(
+        "view_id", "click_id", F.col("v_user").alias("user_id")
     )

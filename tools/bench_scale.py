@@ -59,6 +59,11 @@ DEFAULT_QUERIES = [
     # relational heavies
     "q_tpch_q1", "q_tpch_q9", "q_tpch_q21", "q_join_range",
     "q_minhash_neardup",
+    # round-8 join/pair-shaped additions
+    "q_interval_overlap_join", "q_geo_radius_join", "q_mann_kendall",
+    "q_permutation_test", "q_cdc_net_effect", "q_spearman_corr",
+    "q_markov_stationary", "q_weighted_quantiles", "q_version_cdf",
+    "q_group_sequential",
 ]
 
 SCALES = [0.1, 1.0]
