@@ -598,12 +598,26 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
                        AS ss_i
             FROM z GROUP BY event_type
         ),
+        terms AS (
+            -- per-group S_i^2/n_i as ONE mirrored IEEE division of the
+            -- exact integer S_i^2 (power-of-two split) by n_i; the
+            -- k-term float sum then folds in SORTED group order via an
+            -- explicit list_reduce, so the addition sequence (and thus
+            -- the rounded result) is identical on both engines — a
+            -- bare sum(double) over groups is engine-order-dependent
+            -- (caught by the pathological battery)
+            SELECT event_type,
+                   ({s2dbl} / CAST(n_i AS DOUBLE)) AS term
+            FROM g
+        ),
         tot AS (
-            SELECT CAST(sum(n_i) AS BIGINT) AS n,
-                   CAST(sum(s_i) AS BIGINT) AS s,
+            SELECT CAST(sum(g.n_i) AS BIGINT) AS n,
+                   CAST(sum(g.s_i) AS BIGINT) AS s,
                    CAST(count(*) AS BIGINT) AS k,
-                   CAST(sum(CAST(s_i * s_i AS HUGEINT) / n_i)
-                        AS DOUBLE) AS between_part
+                   (SELECT list_reduce(
+                        list(term ORDER BY event_type),
+                        (a, b) -> a + b) FROM terms)
+                       AS between_part
             FROM g
         )
         SELECT g.event_type, g.n_i, g.s_i, g.ss_i,
@@ -620,7 +634,9 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
         CROSS JOIN g g2
         GROUP BY g.event_type, g.n_i, g.s_i, g.ss_i,
                  t.n, t.s, t.k, t.between_part
-    """,
+    """.format(
+        s2dbl=_dec2dbl("CAST(s_i AS HUGEINT) * s_i", duck=True)
+    ),
     doc="Brown-Forsythe variance-homogeneity test (median-based Levene"
     " — the robust default) of value across event types: per-group"
     " LOWER median via the exact order-statistic idiom (q_agg_median;"
@@ -663,13 +679,21 @@ def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cast(sum(cast(z_fx * z_fx as decimal(38,0))) as bigint)"
         ).alias("ss_i"),
     )
+    # between_part: per-group S_i^2/n_i as one mirrored IEEE division
+    # (exact S_i^2 through the power-of-two split), folded in SORTED
+    # group order with an explicit aggregate() lambda — identical
+    # addition sequence on both engines; sum(double) over groups is
+    # engine-order-dependent (caught by the pathological battery).
+    # aggregate()'s 0.0 seed is exact: 0 + t == t in IEEE.
+    s2dbl = _dec2dbl("cast(s_i as decimal(38,0)) * s_i", duck=False)
     tot = g.agg(
         F.sum("n_i").cast("bigint").alias("n"),
         F.sum("s_i").cast("bigint").alias("s"),
         F.count(F.lit(1)).cast("bigint").alias("k"),
         F.expr(
-            "cast(sum(cast(s_i * s_i as decimal(38,0)) / n_i)"
-            " as double)"
+            "aggregate(array_sort(collect_list(struct(event_type,"
+            f" ({s2dbl} / cast(n_i as double)) as term))),"
+            " cast(0 as double), (a, x) -> a + x.term)"
         ).alias("between_part"),
         F.sum("ss_i").cast("bigint").alias("ss_all"),
     )
@@ -986,10 +1010,13 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_spearman_corr",
     oracle="""
         WITH r AS (
+            -- complete-case: NULL measures carry no rank information
+            -- (and engines disagree on NULL ordering in rank windows)
             SELECT l_returnflag,
                    CAST(l_quantity AS BIGINT) AS x,
                    CAST(round(l_discount * 100) AS BIGINT) AS y
             FROM lineitem
+            WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
         ),
         ranked AS (
             SELECT l_returnflag,
@@ -1044,10 +1071,20 @@ def q_group_sequential(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_returnflag",
-        F.col("l_quantity").cast("bigint").alias("x"),
-        F.expr("cast(round(l_discount * 100) as bigint)").alias("y"),
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        # complete-case, mirrored in the oracle: NULL measures carry no
+        # rank information, and the equi-join/rank-window NULL
+        # semantics differ across engines
+        .filter(
+            F.col("l_quantity").isNotNull()
+            & F.col("l_discount").isNotNull()
+        )
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("bigint").alias("x"),
+            F.expr("cast(round(l_discount * 100) as bigint)").alias("y"),
+        )
     )
 
     def rank_map(df, col):
@@ -1060,8 +1097,8 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .rowsBetween(Window.unboundedPreceding, -1)
         )
         return counts.select(
-            "l_returnflag",
-            col,
+            F.col("l_returnflag").alias(f"g_{col}"),
+            F.col(col).alias(f"v_{col}"),
             # doubled average rank: 2*(cnt_less + 1) + cnt - 1
             (
                 2 * (F.coalesce(F.sum("cnt").over(w), F.lit(0)) + 1)
@@ -1072,9 +1109,20 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     rx = rank_map(li, "x")
     ry = rank_map(li, "y")
+    # NULL-SAFE on the group key: a NULL l_returnflag is a legitimate
+    # group (the oracle's window PARTITION BY keeps it); a plain
+    # equi-join would silently drop it (pathological-battery find)
     ranked = (
-        li.join(F.broadcast(rx), ["l_returnflag", "x"])
-        .join(F.broadcast(ry), ["l_returnflag", "y"])
+        li.join(
+            F.broadcast(rx),
+            F.col("l_returnflag").eqNullSafe(F.col("g_x"))
+            & (F.col("x") == F.col("v_x")),
+        )
+        .join(
+            F.broadcast(ry),
+            F.col("l_returnflag").eqNullSafe(F.col("g_y"))
+            & (F.col("y") == F.col("v_y")),
+        )
     )
     dec = "decimal(38,0)"
     m = ranked.groupBy("l_returnflag").agg(

@@ -833,6 +833,15 @@ _TAIL_QUERIES = [
     "q_tokenize_greedy", "q_tokenizer_fertility", "q_triangle_stats",
     "q_udf_urljoin", "q_udtf_ngrams", "q_unicode_nfc", "q_unpivot",
     "q_url_canonical", "q_wilson_bounds", "q_win_rank_stats",
+    # round-8 additions (streaming/scratch-table ops excluded here:
+    # the empty- and single-row-corpus gates already run them)
+    "q_interval_overlap_join", "q_cdc_net_effect", "q_permutation_test",
+    "q_jackknife_ratio", "q_loo_source_value", "q_mann_kendall",
+    "q_levene_bf", "q_geo_radius_join", "q_geo_cell_rollup",
+    "q_text_code_score", "q_rolling_backtest", "q_ols_2feat",
+    "q_markov_stationary", "q_encoding_advisor", "q_weighted_quantiles",
+    "q_qini_uplift", "q_group_sequential", "q_trimmed_mean",
+    "q_spearman_corr", "q_version_cdf",
 ]
 
 
