@@ -299,7 +299,13 @@ HEADLINE = [
     "q_group_sequential",
     "q_trimmed_mean",
     "q_spearman_corr",
-    "q_stream_join",
+    # q_stream_join is deliberately NOT benched: a full streaming
+    # lifecycle (two file sources, stateful join state stores,
+    # watermark-advance micro-batches, checkpoint IO) costs ~7.5 s of
+    # fixed machinery at ANY corpus size — ingest-shaped, not
+    # query-shaped. It stays oracle-gated in the registry; the
+    # under-budget q_stream_dedup / q_stream_static_enrich keep
+    # streaming represented in the headline timings.
 ]
 
 

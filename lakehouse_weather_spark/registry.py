@@ -241,52 +241,20 @@ _PRIOR_VERIFIED = frozenset({
 # round-3 registrations that have never had a driver record). They
 # order AFTER the backlog so they cannot displace it from the gate's
 # ~50-query window; the round-5 rotation picks them up.
-_ROUND4_NEW: frozenset[str] = frozenset({
-    # (q_media_features moved to _RECORD_REPAIR: its only driver row is
-    # still the red r03 one; it must jump the queue, not wait in it)
-    # actual round-4 registrations still awaiting a driver record
-    # (members promoted to _PRIOR_VERIFIED as their records land —
-    # 32 moved after CORRECTNESS_r06)
-    "q_vocab_growth",
-    "q_zipf_constancy",
-    "q_variant_extract",
-    "q_kn_bigram_score",
-    "q_cvm_drift",
-    "q_weighted_median",
-    "q_global_ordinal",
-    "q_zset_ivm",
-    "q_journey_paths",
-    "q_rank_shift",
-    "q_agg_mode",
-    "q_growth_accounting",
-    "q_running_unique",
-    "q_local_peaks",
-})
+_ROUND4_NEW: frozenset[str] = frozenset()
+# (emptied after CORRECTNESS_r07: the final 14 members all carry
+# driver records now and moved to _PRIOR_VERIFIED)
 
 
 # Queries first registered in round 5: ordered after the round-4 batch
 # so the oldest never-driver-sampled queries keep draining first.
 _ROUND5_NEW: frozenset[str] = frozenset({
-    "q_rouge_overlap",
-    "q_reservoir_per_group",
-    "q_kmv_intersect",
+    # members promoted to _PRIOR_VERIFIED as driver records landed;
+    # the four below are the never-driver-sampled r5 stragglers
     "q_ips_offpolicy",
-    "q_stream_dedup",
-    "q_cooccur_lift",
-    "q_graph_2hop",
-    "q_modularity",
     "q_tpch_q3_bucketed",
-    "q_repetition_loops",
-    "q_dedup_shingle_size",
     "q_sql_udf",
-    "q_hll_merge_daily",
-    "q_range_split_points",
-    "q_late_data_audit",
     "q_power_iteration",
-    "q_zorder_prune",
-    "q_entity_blocks",
-    "q_cluster_purity",
-    "q_erasure_audit",
 })
 
 
