@@ -299,6 +299,7 @@ HEADLINE = [
     "q_group_sequential",
     "q_trimmed_mean",
     "q_spearman_corr",
+    "q_linkage_em",
     # q_stream_join is deliberately NOT benched: a full streaming
     # lifecycle (two file sources, stateful join state stores,
     # watermark-advance micro-batches, checkpoint IO) costs ~7.5 s of

@@ -269,10 +269,10 @@ _FS_JACC_NUM = 1        # match truth: jaccard >= 1/4
 _FS_JACC_DEN = 4
 
 
-@register(
-    "q_linkage_patterns",
-    oracle=f"""
-        WITH samp AS (
+# Shared SQL for the Fellegi-Sunter family: blocked-pair construction
+# (samp/g/blocks/pairs CTEs) and the 8-row agreement-pattern aggregate —
+# q_linkage_patterns emits the table; q_linkage_em fits EM weights on it.
+_FS_PREFIX_CTES = f"""samp AS (
             SELECT doc_id, lang, source, n_chars,
                    string_split(trim(text), ' ') AS toks
             FROM (SELECT * FROM documents
@@ -305,8 +305,9 @@ _FS_JACC_DEN = 4
             FROM g a
             JOIN blocks bl ON bl.tok0 = a.tok0
             JOIN g b ON b.tok0 = a.tok0 AND a.doc_id < b.doc_id
-        )
-        SELECT CAST(f_lang * 4 + f_source * 2 + f_band AS BIGINT)
+        )"""
+
+_FS_PATTERN_SELECT = f"""SELECT CAST(f_lang * 4 + f_source * 2 + f_band AS BIGINT)
                    AS pattern,
                CAST(count(*) AS BIGINT) AS n_pairs,
                CAST(sum(CASE WHEN inter * {_FS_JACC_DEN}
@@ -316,7 +317,14 @@ _FS_JACC_DEN = 4
                              >= uni * {_FS_JACC_NUM}
                         THEN 1 ELSE 0 END) * 1000
                     // count(*) AS BIGINT) AS match_pm
-        FROM pairs GROUP BY 1
+        FROM pairs GROUP BY 1"""
+
+
+@register(
+    "q_linkage_patterns",
+    oracle=f"""
+        WITH {_FS_PREFIX_CTES}
+        {_FS_PATTERN_SELECT}
     """,
     doc="Fellegi-Sunter agreement-pattern table over blocked document"
     " pairs: candidates block on the lowercased first token"
@@ -406,4 +414,198 @@ def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" >= uni * {_FS_JACC_NUM} THEN 1 ELSE 0 END) * 1000"
             " div count(*) AS BIGINT)"
         ).alias("match_pm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter EM weight fitting over the agreement-pattern table
+# ---------------------------------------------------------------------------
+
+_EM_S = 1_000_000   # probability fixed point
+_EM_ROUNDS = 5
+_EM_P0 = _EM_S // 10
+_EM_M0 = 8 * _EM_S // 10
+_EM_U0 = _EM_S // 10
+
+
+def _em_round_sql(k: int) -> str:
+    """One EM round as a CTE pair: resp{k} (per-pattern responsibility
+    under the r{k-1} parameters) and r{k} (the M-step update). All
+    integer floor divisions at the _EM_S fixed point — identical
+    truncation on both engines."""
+    S = f"CAST({_EM_S} AS BIGINT)"
+    prev = f"r{k - 1}"
+
+    def w(pcol: str, f2: str, f1: str, f0: str) -> str:
+        t2 = f"(CASE WHEN b2 = 1 THEN {f2} ELSE {S} - {f2} END)"
+        t1 = f"(CASE WHEN b1 = 1 THEN {f1} ELSE {S} - {f1} END)"
+        t0 = f"(CASE WHEN b0 = 1 THEN {f0} ELSE {S} - {f0} END)"
+        return (
+            f"((((({pcol} * {t2}) // {S}) * {t1}) // {S})"
+            f" * {t0}) // {S}"
+        )
+
+    wm = w("r.p", "r.m2", "r.m1", "r.m0")
+    wu = w(f"({S} - r.p)", "r.u2", "r.u1", "r.u0")
+    return f"""resp{k} AS (
+            SELECT n_pairs, b2, b1, b0,
+                   (({wm}) * {S})
+                       // greatest(({wm}) + ({wu}), 1) AS resp
+            FROM pats CROSS JOIN {prev} r
+        ),
+        r{k} AS (
+            SELECT
+              CAST(sum(n_pairs * resp)
+                   // greatest(sum(n_pairs), 1) AS BIGINT) AS p,
+              CAST(sum(n_pairs * resp * b2) * {S}
+                   // greatest(sum(n_pairs * resp), 1) AS BIGINT) AS m2,
+              CAST(sum(n_pairs * resp * b1) * {S}
+                   // greatest(sum(n_pairs * resp), 1) AS BIGINT) AS m1,
+              CAST(sum(n_pairs * resp * b0) * {S}
+                   // greatest(sum(n_pairs * resp), 1) AS BIGINT) AS m0,
+              CAST(sum(n_pairs * ({S} - resp) * b2) * {S}
+                   // greatest(sum(n_pairs * ({S} - resp)), 1)
+                   AS BIGINT) AS u2,
+              CAST(sum(n_pairs * ({S} - resp) * b1) * {S}
+                   // greatest(sum(n_pairs * ({S} - resp)), 1)
+                   AS BIGINT) AS u1,
+              CAST(sum(n_pairs * ({S} - resp) * b0) * {S}
+                   // greatest(sum(n_pairs * ({S} - resp)), 1)
+                   AS BIGINT) AS u0
+            FROM resp{k}
+        )"""
+
+
+def _em_oracle() -> str:
+    rounds = ",\n        ".join(
+        _em_round_sql(k) for k in range(1, _EM_ROUNDS + 1)
+    )
+    last = f"r{_EM_ROUNDS}"
+    S = f"CAST({_EM_S} AS BIGINT)"
+    # final responsibilities under the LAST round's parameters (one
+    # more E-step, no M-step), emitted per pattern with the params
+    t2 = f"(CASE WHEN b2 = 1 THEN r.m2 ELSE {S} - r.m2 END)"
+    t1 = f"(CASE WHEN b1 = 1 THEN r.m1 ELSE {S} - r.m1 END)"
+    t0 = f"(CASE WHEN b0 = 1 THEN r.m0 ELSE {S} - r.m0 END)"
+    s2 = f"(CASE WHEN b2 = 1 THEN r.u2 ELSE {S} - r.u2 END)"
+    s1 = f"(CASE WHEN b1 = 1 THEN r.u1 ELSE {S} - r.u1 END)"
+    s0 = f"(CASE WHEN b0 = 1 THEN r.u0 ELSE {S} - r.u0 END)"
+    wm = f"(((((r.p * {t2}) // {S}) * {t1}) // {S}) * {t0}) // {S}"
+    wu = (
+        f"((((({S} - r.p) * {s2}) // {S}) * {s1}) // {S})"
+        f" * {s0} // {S}"
+    )
+    return f"""
+        WITH {{prefix}},
+        patterns AS (
+            {{pattern_select}}
+        ),
+        pats AS (
+            SELECT pattern, n_pairs,
+                   pattern // 4 % 2 AS b2,
+                   pattern // 2 % 2 AS b1,
+                   pattern % 2 AS b0
+            FROM patterns
+        ),
+        r0 AS (SELECT CAST({_EM_P0} AS BIGINT) AS p,
+                      CAST({_EM_M0} AS BIGINT) AS m2,
+                      CAST({_EM_M0} AS BIGINT) AS m1,
+                      CAST({_EM_M0} AS BIGINT) AS m0,
+                      CAST({_EM_U0} AS BIGINT) AS u2,
+                      CAST({_EM_U0} AS BIGINT) AS u1,
+                      CAST({_EM_U0} AS BIGINT) AS u0),
+        {rounds}
+        SELECT pats.pattern, pats.n_pairs,
+               CAST((({wm}) * {S})
+                    // greatest(({wm}) + ({wu}), 1) AS BIGINT)
+                   AS resp_fx,
+               CAST(r.p AS BIGINT) AS p_hat_fx,
+               CAST(r.m2 AS BIGINT) AS m_lang_fx,
+               CAST(r.m1 AS BIGINT) AS m_source_fx,
+               CAST(r.m0 AS BIGINT) AS m_band_fx,
+               CAST(r.u2 AS BIGINT) AS u_lang_fx,
+               CAST(r.u1 AS BIGINT) AS u_source_fx,
+               CAST(r.u0 AS BIGINT) AS u_band_fx
+        FROM pats CROSS JOIN {last} r
+    """
+
+
+@register(
+    "q_linkage_em",
+    oracle=_em_oracle().format(
+        prefix=_FS_PREFIX_CTES, pattern_select=_FS_PATTERN_SELECT
+    ),
+    doc="Fellegi-Sunter EM weight fitting — the UNSUPERVISED step the"
+    " agreement-pattern table (q_linkage_patterns) exists to feed:"
+    f" {_EM_ROUNDS} EM rounds estimate the latent match prevalence p"
+    " and per-field m/u probabilities from pattern frequencies alone"
+    " (no ground-truth labels), then a final E-step emits each"
+    " pattern's match responsibility. The whole fit runs in"
+    f" {_EM_S:.0e}-scale integer fixed point — every product chain"
+    " floor-divides at each step, so the parameter trajectory is"
+    " bit-identical on Spark (bounded Python ints over the COLLECTED"
+    " 8-row pattern table — the markov/dbscan bounded-driver"
+    " precedent) and DuckDB (fully unrolled CTE rounds). Scale: the"
+    " corpus-side work is q_linkage_patterns' blocked pair build;"
+    " the EM itself is 8-row arithmetic wherever it runs.",
+)
+def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    S = _EM_S
+    pat_rows = (
+        q_linkage_patterns(spark, sf_dir)
+        .select("pattern", "n_pairs")
+        .collect()  # bounded: <= 8 agreement patterns, documented
+    )
+    pats = [
+        (
+            int(r["pattern"]),
+            int(r["n_pairs"]),
+            (int(r["pattern"]) // 4) % 2,
+            (int(r["pattern"]) // 2) % 2,
+            int(r["pattern"]) % 2,
+        )
+        for r in pat_rows
+    ]
+    p, m, u = _EM_P0, [_EM_M0] * 3, [_EM_U0] * 3
+
+    def weights(pv, fv, b):
+        # fv indexed [b2, b1, b0] to mirror the SQL's m2/m1/m0 order
+        t = [fv[i] if b[i] == 1 else S - fv[i] for i in range(3)]
+        return ((((pv * t[0]) // S) * t[1]) // S) * t[2] // S
+
+    for _ in range(_EM_ROUNDS):
+        sn = sr = 0
+        srb = [0, 0, 0]
+        snr = 0
+        snrb = [0, 0, 0]
+        for _pat, n, b2, b1, b0 in pats:
+            b = (b2, b1, b0)
+            wm = weights(p, m, b)
+            wu = weights(S - p, u, b)
+            resp = (wm * S) // max(wm + wu, 1)
+            sn += n
+            sr += n * resp
+            snr += n * (S - resp)
+            for i, bit in enumerate(b):
+                srb[i] += n * resp * bit
+                snrb[i] += n * (S - resp) * bit
+        p = sr // max(sn, 1)
+        m = [(srb[i] * S) // max(sr, 1) for i in range(3)]
+        u = [(snrb[i] * S) // max(snr, 1) for i in range(3)]
+
+    out = []
+    for pat, n, b2, b1, b0 in pats:
+        b = (b2, b1, b0)
+        wm = weights(p, m, b)
+        wu = weights(S - p, u, b)
+        resp = (wm * S) // max(wm + wu, 1)
+        out.append(
+            (pat, n, resp, p, m[0], m[1], m[2], u[0], u[1], u[2])
+        )
+    return spark.createDataFrame(
+        out,
+        "pattern bigint, n_pairs bigint, resp_fx bigint,"
+        " p_hat_fx bigint, m_lang_fx bigint, m_source_fx bigint,"
+        " m_band_fx bigint, u_lang_fx bigint, u_source_fx bigint,"
+        " u_band_fx bigint",
     )

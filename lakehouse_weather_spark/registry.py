@@ -302,6 +302,7 @@ _ROUND8_NEW: frozenset[str] = frozenset({
     "q_trimmed_mean",
     "q_spearman_corr",
     "q_stream_join",
+    "q_linkage_em",
 })
 
 

@@ -841,7 +841,7 @@ _TAIL_QUERIES = [
     "q_text_code_score", "q_rolling_backtest", "q_ols_2feat",
     "q_markov_stationary", "q_encoding_advisor", "q_weighted_quantiles",
     "q_qini_uplift", "q_group_sequential", "q_trimmed_mean",
-    "q_spearman_corr", "q_version_cdf",
+    "q_spearman_corr", "q_version_cdf", "q_linkage_em",
 ]
 
 
