@@ -92,13 +92,10 @@ _loaded = False
 
 # Queries that MUST run first in the gate window: their latest driver
 # record is red or unusable even though the fix has long landed
-# (VERDICT r5 task 1). Ordered before everything else, including the
-# never-sampled backlog. Round 8: q_video_frame_neardup's r07 row is
-# rows-only with spark_rows=0 (the synthetic corpus had no shared
-# frame hashes, so the record proved nothing — VERDICT r7 "what's
-# wrong" §2); the corpus now folds deterministic re-upload twins in,
-# so it must re-record with signal.
-_RECORD_REPAIR: tuple[str, ...] = ("q_video_frame_neardup",)
+# (VERDICT r5 task 1). Empty as of round 9: every registered query has
+# a green (or rows-only-by-design, with non-zero rows) driver record
+# across CORRECTNESS_r01..r08.
+_RECORD_REPAIR: tuple[str, ...] = ()
 
 # Queries already green in a prior driver correctness record
 # (CORRECTNESS_r01.json .. CORRECTNESS_r05.json).
@@ -234,86 +231,35 @@ _PRIOR_VERIFIED = frozenset({
     "q_sax_motifs", "q_stream_dedup", "q_variant_extract",
     "q_vocab_growth", "q_weighted_median", "q_zipf_constancy",
     "q_zorder_prune", "q_zset_ivm", "q_binary_phash",
+    # --- round 8 record (49 oracle-green + q_video_frame_neardup
+    # rows-only with 24 rows of real signal — its record repair landed;
+    # this drained every r5/r6 straggler and the full round-8 batch, so
+    # ALL 385 registered queries now hold a driver record) ---
+    "q_cdc_net_effect", "q_choose_dedup_plan", "q_choose_join_plan",
+    "q_choose_quantile_plan", "q_dedup_cross_source",
+    "q_delta_external_read", "q_delta_log_export", "q_doc_dedup_report",
+    "q_encoding_advisor", "q_freshness_audit", "q_geo_cell_rollup",
+    "q_geo_radius_join", "q_group_sequential", "q_interval_overlap_join",
+    "q_ips_offpolicy", "q_jackknife_ratio", "q_levene_bf",
+    "q_linkage_em", "q_loo_source_value", "q_mann_kendall",
+    "q_markov_stationary", "q_minhash_containment", "q_ols_2feat",
+    "q_permutation_test", "q_power_iteration", "q_qini_uplift",
+    "q_rfm_naive", "q_rolling_backtest", "q_spearman_corr", "q_sql_udf",
+    "q_stream_join", "q_stream_static_enrich", "q_text_code_score",
+    "q_tpch_q3_bucketed", "q_trimmed_mean", "q_version_cdf",
+    "q_video_frame_neardup", "q_weighted_quantiles",
 })
 
-# Queries first registered in round 4 (no driver record yet, but also
-# not part of the ~117-query backlog the round-4 gate must drain: the
-# round-3 registrations that have never had a driver record). They
-# order AFTER the backlog so they cannot displace it from the gate's
-# ~50-query window; the round-5 rotation picks them up.
-_ROUND4_NEW: frozenset[str] = frozenset()
-# (emptied after CORRECTNESS_r07: the final 14 members all carry
-# driver records now and moved to _PRIOR_VERIFIED)
+# Rounds 4-8 registration batches all drained (every member holds a
+# driver record and moved to _PRIOR_VERIFIED; see git history for the
+# per-round membership).
 
-
-# Queries first registered in round 5: ordered after the round-4 batch
-# so the oldest never-driver-sampled queries keep draining first.
-_ROUND5_NEW: frozenset[str] = frozenset({
-    # members promoted to _PRIOR_VERIFIED as driver records landed;
-    # the four below are the never-driver-sampled r5 stragglers
-    "q_ips_offpolicy",
-    "q_tpch_q3_bucketed",
-    "q_sql_udf",
-    "q_power_iteration",
+# Queries first registered in round 9: with the backlog fully drained
+# these are the ONLY rows without a driver record, so they occupy the
+# front of the gate window (~50 query budget).
+_ROUND9_NEW: frozenset[str] = frozenset({
+    # populated as round-9 queries land
 })
-
-
-# Queries first registered in round 6: ordered after the round-5 batch
-# so the oldest never-driver-sampled queries keep draining first.
-_ROUND6_NEW: frozenset[str] = frozenset({
-    "q_rfm_naive",
-    "q_choose_join_plan",
-    "q_choose_dedup_plan",
-    "q_choose_quantile_plan",
-    "q_delta_log_export",
-    "q_minhash_containment",
-    "q_dedup_cross_source",
-    "q_doc_dedup_report",
-    "q_freshness_audit",
-    "q_percentile_bands",
-})
-
-
-# Queries first registered in round 8: ordered after the round-6 batch
-# so the 13 oldest never-driver-sampled queries (the r5/r6 stragglers
-# VERDICT r7 task 1 wants drained) stay at the very front of the gate
-# window; the round-8 registrations follow them inside the ~50 budget.
-_ROUND8_NEW: frozenset[str] = frozenset({
-    "q_delta_external_read",
-    "q_interval_overlap_join",
-    "q_cdc_net_effect",
-    "q_permutation_test",
-    "q_jackknife_ratio",
-    "q_loo_source_value",
-    "q_mann_kendall",
-    "q_levene_bf",
-    "q_geo_radius_join",
-    "q_geo_cell_rollup",
-    "q_text_code_score",
-    "q_rolling_backtest",
-    "q_stream_static_enrich",
-    "q_ols_2feat",
-    "q_markov_stationary",
-    "q_encoding_advisor",
-    "q_version_cdf",
-    "q_weighted_quantiles",
-    "q_qini_uplift",
-    "q_group_sequential",
-    "q_trimmed_mean",
-    "q_spearman_corr",
-    "q_stream_join",
-    "q_linkage_em",
-})
-
-
-def _registered_round4_new() -> frozenset[str]:
-    """Subset of _ROUND4_NEW actually registered (forward names are
-    allowed while round-4 queries land incrementally)."""
-    return frozenset(n for n in _ROUND4_NEW if n in REGISTRY)
-
-
-def _registered_round5_new() -> frozenset[str]:
-    return frozenset(n for n in _ROUND5_NEW if n in REGISTRY)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -339,28 +285,21 @@ def load_all() -> dict[str, QuerySpec]:
         # a batch member that has since earned a driver record belongs
         # to _PRIOR_VERIFIED (standing record — don't re-burn gate
         # budget), so subtract it from its registration batch
-        r4_new = _registered_round4_new() - _PRIOR_VERIFIED
-        r5_new = _registered_round5_new() - _PRIOR_VERIFIED
-        r6_new = frozenset(
-            n for n in _ROUND6_NEW
-            if n in REGISTRY and n not in _PRIOR_VERIFIED
-        )
-        r8_new = frozenset(
-            n for n in _ROUND8_NEW
+        r9_new = frozenset(
+            n for n in _ROUND9_NEW
             if n in REGISTRY and n not in _PRIOR_VERIFIED
         )
         repair = [n for n in _RECORD_REPAIR if n in REGISTRY]
         # record-repair queries first (red driver row, fix landed),
-        # then the oldest never-driver-sampled queries (the r3
-        # backlog), then the round-4/5/6/8 batches in age order, then
-        # queries with a standing record
-        later = _PRIOR_VERIFIED | r4_new | r5_new | r6_new | r8_new
+        # then any never-driver-sampled stragglers, then the round-9
+        # batch, then queries with a standing record
+        later = _PRIOR_VERIFIED | r9_new
         ordered = {n: REGISTRY[n] for n in repair}
         ordered.update(
             {n: s for n, s in REGISTRY.items()
              if n not in later and n not in ordered}
         )
-        for batch in (r4_new, r5_new, r6_new, r8_new, _PRIOR_VERIFIED):
+        for batch in (r9_new, _PRIOR_VERIFIED):
             ordered.update(
                 {n: s for n, s in REGISTRY.items() if n in batch}
             )

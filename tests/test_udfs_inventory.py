@@ -60,18 +60,15 @@ def test_rotation_bookkeeping_is_consistent():
     from lakehouse_weather_spark import registry as R
 
     regs = R.load_all()
-    assert set(R._ROUND5_NEW) <= set(regs)
-    assert set(R._ROUND4_NEW) <= set(regs)
+    assert set(R._ROUND9_NEW) <= set(regs)
     assert R._PRIOR_VERIFIED <= set(regs)
     # no overlap between buckets
-    assert not (R._PRIOR_VERIFIED & R._ROUND4_NEW)
-    assert not (R._PRIOR_VERIFIED & R._ROUND5_NEW)
-    assert not (R._ROUND4_NEW & R._ROUND5_NEW)
+    assert not (R._PRIOR_VERIFIED & R._ROUND9_NEW)
     order = list(regs)
-    first_prior = min(
-        i for i, n in enumerate(order) if n in R._PRIOR_VERIFIED
-    )
-    last_unsampled = max(
-        i for i, n in enumerate(order) if n not in R._PRIOR_VERIFIED
-    )
-    assert last_unsampled < first_prior
+    unsampled = [i for i, n in enumerate(order)
+                 if n not in R._PRIOR_VERIFIED]
+    if unsampled:
+        first_prior = min(
+            i for i, n in enumerate(order) if n in R._PRIOR_VERIFIED
+        )
+        assert max(unsampled) < first_prior
