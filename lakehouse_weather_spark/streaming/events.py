@@ -377,48 +377,56 @@ def stream_stream_join(
     # the stream build and restore after.
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
-    schema = spark.read.parquet(left_dir).schema
+    # restore in finally: a thrown build error or awaitTermination
+    # timeout must not leave the session-wide conf pinned at 8 for
+    # every later query in the shared bench/gate session
+    try:
+        schema = spark.read.parquet(left_dir).schema
 
-    views = (
-        spark.readStream.schema(schema)
-        .parquet(left_dir)
-        .transform(_ts_ltz)
-        .filter(F.col("event_type") == "view")
-        .select(
-            F.col("event_id").alias("view_id"),
-            F.col("user_id").alias("v_user"),
-            F.col("ts").alias("view_ts"),
+        views = (
+            spark.readStream.schema(schema)
+            .parquet(left_dir)
+            .transform(_ts_ltz)
+            .filter(F.col("event_type") == "view")
+            .select(
+                F.col("event_id").alias("view_id"),
+                F.col("user_id").alias("v_user"),
+                F.col("ts").alias("view_ts"),
+            )
+            .withWatermark("view_ts", "2 hours")
         )
-        .withWatermark("view_ts", "2 hours")
-    )
-    clicks = (
-        spark.readStream.schema(schema)
-        .parquet(right_dir)
-        .transform(_ts_ltz)
-        .filter(F.col("event_type") == "click")
-        .select(
-            F.col("event_id").alias("click_id"),
-            F.col("user_id").alias("c_user"),
-            F.col("ts").alias("click_ts"),
+        clicks = (
+            spark.readStream.schema(schema)
+            .parquet(right_dir)
+            .transform(_ts_ltz)
+            .filter(F.col("event_type") == "click")
+            .select(
+                F.col("event_id").alias("click_id"),
+                F.col("user_id").alias("c_user"),
+                F.col("ts").alias("click_ts"),
+            )
+            .withWatermark("click_ts", "2 hours")
         )
-        .withWatermark("click_ts", "2 hours")
-    )
-    joined = views.join(
-        clicks,
-        (F.col("v_user") == F.col("c_user"))
-        & (F.col("click_ts") >= F.col("view_ts"))
-        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
-    ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(queryname)
-        .outputMode("append")
-        .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(180)
-    spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+        joined = views.join(
+            clicks,
+            (F.col("v_user") == F.col("c_user"))
+            & (F.col("click_ts") >= F.col("view_ts"))
+            & (
+                F.col("click_ts")
+                < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+        ).select("view_id", "click_id", "v_user", "view_ts", "click_ts")
+        q = (
+            joined.writeStream.format("memory")
+            .queryName(queryname)
+            .outputMode("append")
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(queryname)
 
 
@@ -490,6 +498,80 @@ def stream_stream_left_join(
     )
     q.awaitTermination(180)
     return spark.table("view_click_left_joins")
+
+
+def stream_stream_full_join(
+    spark: SparkSession,
+    left_dir: str,
+    right_dir: str,
+    checkpoint_dir: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Stream-stream FULL OUTER join with watermarked state — the
+    final rung of the streaming-join ladder: matched (view, click)
+    pairs emit as they match, a view with NO click in its 1-hour
+    window emits exactly once with NULL click columns, AND a click
+    matching NO view emits exactly once with NULL view columns. Both
+    unmatched sides are held in state until the join watermark (the
+    min of the two input watermarks) proves no counterpart can still
+    arrive, then flush exactly once — so emission again depends on
+    watermark ADVANCEMENT (the test pushes it with far-future sentinel
+    files on both sides). State stays bounded: each side's rows leave
+    state once the watermark passes their join-window end. Spark
+    requires at least one watermark-bounded range condition between
+    the event-time columns for outer joins — the 1-hour band below is
+    exactly that."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    schema = spark.read.parquet(left_dir).schema
+
+    def reader(path: str):
+        r = spark.readStream.schema(schema)
+        if max_files_per_trigger:
+            r = r.option("maxFilesPerTrigger", str(max_files_per_trigger))
+        return r.parquet(path)
+
+    views = (
+        reader(left_dir)
+        .transform(_ts_ltz)
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", "2 hours")
+    )
+    clicks = (
+        reader(right_dir)
+        .transform(_ts_ltz)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    joined = views.join(
+        clicks,
+        (F.col("v_user") == F.col("c_user"))
+        & (F.col("click_ts") >= F.col("view_ts"))
+        & (F.col("click_ts") < F.col("view_ts") + F.expr("INTERVAL 1 HOUR")),
+        "fullOuter",
+    ).select(
+        "view_id", "click_id", "v_user", "c_user", "view_ts", "click_ts"
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("view_click_full_joins")
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table("view_click_full_joins")
 
 
 def stream_dedup(
@@ -1627,9 +1709,14 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             os.symlink(f, os.path.join(events_dir, os.path.basename(f)))
     else:
         os.symlink(src, os.path.join(events_dir, "events.parquet"))
+    # _matched: always-non-null marker so the INNER-join mirror below
+    # filters on join success itself, not on the segment attribute —
+    # a matched customer with NULL c_mktsegment must be KEPT (it forms
+    # the oracle's NULL group), which segment IS NOT NULL would drop
     dim = load_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"),
         F.col("c_mktsegment").alias("segment"),
+        F.lit(1).alias("_matched"),
     )
     sink = stream_static_enrich(
         spark,
@@ -1639,7 +1726,7 @@ def q_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         queryname=f"stream_static_enrich_{tag}",
     )
     return (
-        sink.filter(F.col("segment").isNotNull())
+        sink.filter(F.col("_matched").isNotNull())
         .groupBy("segment")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_events"),

@@ -5,8 +5,11 @@ counters/totals/last-seen maintained across micro-batches — expressed
 on Spark's arbitrary-state API ladder:
 
 - **transformWithStateInPandas** (Spark 4 StatefulProcessor, RocksDB
-  state store): the preferred backend — typed ValueState, timers, TTL,
-  independent state evolution. It needs ``google.protobuf`` in the
+  state store): the preferred backend — typed ValueState plus
+  event-time TIMERS, both exercised here: the profile processor uses
+  ValueState only, and ``stream_session_eviction`` registers/deletes/
+  fires real timers to evict idle-session state (proven multi-batch in
+  tests/test_stateful.py). It needs ``google.protobuf`` in the
   Python workers (the driver<->state-server protocol is protobuf).
   This container does not ship protobuf on sys.path, but a pure-Python
   copy rides along inside the preinstalled Google Cloud SDK;
@@ -37,6 +40,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import (
     DoubleType,
     LongType,
+    StringType,
     StructField,
     StructType,
 )
@@ -251,6 +255,193 @@ def latest_profiles(updates: DataFrame) -> DataFrame:
             F.struct("n_events", "total_value", "last_ts_us"), F.col("n_events")
         ).alias("p")
     ).select("user_id", "p.n_events", "p.total_value", "p.last_ts_us")
+
+
+# ---------------------------------------------------------------------------
+# Timer-driven session eviction: event-time timers + state TTL proof
+# ---------------------------------------------------------------------------
+
+# session-eviction output: one row per CLOSED session, emitted exactly
+# once — either by the arrival of a later-session event for the same
+# user ('event') or by an event-time TIMER firing after the watermark
+# passes session_end + gap ('timer'). The timer path is what proves
+# state actually leaves the store for idle keys.
+SESSION_EVICT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+        StructField("closed_by", StringType()),
+        # watermark (ms) of the emitting micro-batch: lets a test prove
+        # a timer fired MID-stream, not in one terminal flush
+        StructField("wm_ms", LongType()),
+    ]
+)
+
+_SESSION_STATE_SCHEMA = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("start_us", LongType()),
+        StructField("end_us", LongType()),
+    ]
+)
+
+
+def _ts_to_us(v) -> int:
+    import pandas as pd
+
+    return int(v) // 1_000 if not isinstance(v, pd.Timestamp) else v.value // 1_000
+
+
+def _make_session_evict_processor(gap_us: int):
+    """StatefulProcessor that sessionizes each user's event stream with
+    an idle ``gap`` and EVICTS closed sessions via registered
+    event-time timers: every handleInputRows re-arms ONE timer at
+    session_end + gap (deleting the stale one), and handleExpiredTimer
+    emits the session row and clears state — the timer/TTL surface
+    transformWithState exists for. Sessions superseded inside
+    handleInputRows (a new event beyond the gap) close inline, so the
+    operator's output equals batch sessionization while the TIMER path
+    covers the idle tail no later event will ever close."""
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class SessionEvictProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._state = handle.getValueState(
+                "session", _SESSION_STATE_SCHEMA
+            )
+
+        def _row(self, user_id, n, start_us, end_us, closed_by, wm_ms):
+            import pandas as pd
+
+            return pd.DataFrame(
+                [(user_id, n, start_us, end_us, closed_by, wm_ms)],
+                columns=[
+                    "user_id", "n_events", "start_us", "end_us",
+                    "closed_by", "wm_ms",
+                ],
+            )
+
+        def handleInputRows(self, key, rows, timer_values):
+            import pandas as pd
+
+            us: list[int] = []
+            for pdf in rows:
+                us.extend(_ts_to_us(v) for v in pdf["ts"])
+            us.sort()
+            have = self._state.exists()
+            n, start_us, end_us = (
+                self._state.get() if have else (0, 0, 0)
+            )
+            for t in us:
+                if have and t - end_us > gap_us:
+                    # a later-session event closes the open session
+                    # inline — the timer would fire too late to keep
+                    # the two sessions apart
+                    yield self._row(
+                        key[0], n, start_us, end_us, "event",
+                        timer_values.getCurrentWatermarkInMs(),
+                    )
+                    have = False
+                if not have:
+                    n, start_us, end_us, have = 1, t, t, True
+                else:
+                    n += 1
+                    end_us = max(end_us, t)
+            self._state.update((n, start_us, end_us))
+            # exactly one armed timer per key: re-arm at the new
+            # session end (listTimers returns this key's timers only)
+            for old in self._handle.listTimers():
+                self._handle.deleteTimer(old)
+            self._handle.registerTimer((end_us + gap_us) // 1_000)
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+            # watermark passed session_end + gap: no event can close
+            # this session any more — emit once and drop the state
+            # (parameter names must match the base class exactly: the
+            # runtime invokes this hook with keyword arguments)
+            if self._state.exists():
+                n, start_us, end_us = self._state.get()
+                yield self._row(
+                    key[0], n, start_us, end_us, "timer",
+                    timerValues.getCurrentWatermarkInMs(),
+                )
+                self._state.clear()
+
+        def close(self) -> None:
+            pass
+
+    return SessionEvictProcessor()
+
+
+def stream_session_eviction(
+    spark: SparkSession,
+    events_dir: str,
+    checkpoint_dir: str,
+    gap_minutes: int = 30,
+    watermark: str = "1 minute",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Sessionize a user event stream with timer-driven state eviction
+    (transformWithStateInPandas, timeMode=EventTime): closed sessions
+    emit exactly once, idle keys leave the store when their event-time
+    timer fires. Requires the TWS backend (HAS_TWS_DEPS). Returns the
+    append-mode memory-sink table of closed sessions."""
+    if not HAS_TWS_DEPS:
+        raise RuntimeError("transformWithState needs google.protobuf")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+    )
+    static = spark.read.parquet(events_dir)
+    reader = spark.readStream.schema(static.schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger)
+        )
+    stream = reader.parquet(events_dir)
+    # event-time timers key off the watermark: normalize ts to a real
+    # timestamp column first (legacy int64-nanos fixtures included)
+    ts_field = dict(
+        (f.name, f.dataType.simpleString()) for f in static.schema.fields
+    )["ts"]
+    if ts_field == "bigint":
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    else:
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    grouped = (
+        stream.withWatermark("ts", watermark)
+        .select("user_id", "ts")
+        .groupBy("user_id")
+    )
+    out = grouped.transformWithStateInPandas(
+        statefulProcessor=_make_session_evict_processor(
+            gap_minutes * 60 * 1_000_000
+        ),
+        outputStructType=SESSION_EVICT_SCHEMA,
+        outputMode="Append",
+        timeMode="EventTime",
+    )
+    import hashlib
+
+    name = "sess_evict_" + hashlib.md5(
+        checkpoint_dir.encode()
+    ).hexdigest()[:16]
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
 
 
 # ---------------------------------------------------------------------------

@@ -184,3 +184,112 @@ def test_memory_sink_names_are_stable_digests():
         "profile_" + hashlib.md5(b"/tmp/ckpt").hexdigest()[:16]
         == "profile_" + hashlib.md5(b"/tmp/ckpt").hexdigest()[:16]
     )
+
+
+@pytest.mark.skipif(
+    not HAS_TWS_DEPS, reason="transformWithState needs google.protobuf"
+)
+def test_timer_fired_eviction_across_microbatches(spark, tmp_path):
+    """REAL event-time timers on transformWithStateInPandas: sessions
+    with an idle gap are evicted from state by REGISTERED TIMERS firing
+    as the watermark advances across micro-batches — terminal sessions
+    (no later event for the key) can ONLY close via the timer path, and
+    the emitted watermark stamps prove firings happened at (at least)
+    two different watermarks, i.e. mid-stream, not one terminal flush.
+    Sessions superseded by a later event close inline ('event')."""
+    import datetime as dt
+
+    import pyarrow as pa
+
+    from lakehouse_weather_spark.streaming.stateful import (
+        stream_session_eviction,
+    )
+
+    B = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ts(minutes: float) -> dt.datetime:
+        return B + dt.timedelta(minutes=minutes)
+
+    # file 0 (<= 10:20): user1 session A, user2's single session
+    f0 = [
+        (1, ts(0)), (1, ts(5)), (1, ts(10)),          # u1 A: 3 events
+        (2, ts(0)), (2, ts(5)), (2, ts(10)), (2, ts(15)), (2, ts(20)),
+    ]
+    # file 1: user3's lone event (11:00), user1 session B (12:00+)
+    f1 = [(3, ts(60)), (1, ts(120)), (1, ts(121))]
+    # sentinel files: far-future user -1 rows advance the watermark so
+    # every terminal session's timer fires. FOUR sentinel batches, not
+    # two: a timer registered in batch N is only guaranteed visible to
+    # expiry checks a couple of batches later (register -> watermark
+    # advance -> fire), so trailing batches give every straggler a
+    # firing opportunity before availableNow terminates.
+    f2 = [(-1, ts(100 * 365 * 24 * 60))]
+    f3 = [(-1, ts(101 * 365 * 24 * 60))]
+    f4 = [(-1, ts(102 * 365 * 24 * 60))]
+    f5 = [(-1, ts(103 * 365 * 24 * 60))]
+
+    events_dir = tmp_path / "sess_events"
+    events_dir.mkdir()
+    schema = pa.schema(
+        [("user_id", pa.int64()), ("ts", pa.timestamp("us"))]
+    )
+    import os
+
+    for i, rows in enumerate((f0, f1, f2, f3, f4, f5)):
+        path = events_dir / f"{i:02d}.parquet"
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": [r[0] for r in rows],
+                    "ts": [r[1] for r in rows],
+                },
+                schema=schema,
+            ),
+            path,
+        )
+        # FileStreamSource orders batches by MODIFICATION TIME, and
+        # same-second writes tie arbitrarily — pin strictly increasing
+        # mtimes so the micro-batch order (and thus the watermark walk
+        # this test asserts) is deterministic
+        os.utime(path, (1_700_000_000 + i * 100, 1_700_000_000 + i * 100))
+
+    out = stream_session_eviction(
+        spark,
+        str(events_dir),
+        str(tmp_path / "ckpt_sess"),
+        gap_minutes=30,
+        watermark="1 minute",
+        max_files_per_trigger=1,
+    ).filter(F.col("user_id") != -1)
+    rows = out.collect()
+
+    def us(minutes: float) -> int:
+        return int(
+            (B + dt.timedelta(minutes=minutes)).timestamp() * 1_000_000
+        )
+
+    got = {
+        (r.user_id, r.n_events, r.start_us, r.end_us) for r in rows
+    }
+    expected = {
+        (1, 3, us(0), us(10)),     # u1 session A
+        (1, 2, us(120), us(121)),  # u1 session B (terminal)
+        (2, 5, us(0), us(20)),     # u2 (terminal)
+        (3, 1, us(60), us(60)),    # u3 (terminal)
+    }
+    assert got == expected
+    # exactly once: no duplicate session emissions at all
+    assert len(rows) == len(expected)
+
+    by_session = {
+        (r.user_id, r.start_us): r for r in rows
+    }
+    # terminal sessions (no later event for the key) can only close by
+    # a fired timer
+    assert by_session[(1, us(120))].closed_by == "timer"
+    assert by_session[(2, us(0))].closed_by == "timer"
+    assert by_session[(3, us(60))].closed_by == "timer"
+    # timers fired at >= 2 distinct watermarks => firings were spread
+    # across micro-batches, not one terminal flush
+    timer_wms = {r.wm_ms for r in rows if r.closed_by == "timer"}
+    assert len(timer_wms) >= 2, timer_wms

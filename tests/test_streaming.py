@@ -3,6 +3,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 from pathlib import Path
 
@@ -512,6 +513,7 @@ def test_stream_stream_left_join_emits_unmatched_after_watermark(
     hi = pc.max(ts).as_py()
     century = _century_in_ts_units(ts_type)
     pq.write_table(t, events_dir / "00.parquet")
+    os.utime(events_dir / "00.parquet", (1_700_000_000, 1_700_000_000))
     # two sentinel files, each carrying one far-future VIEW and one
     # far-future CLICK (user -1) so BOTH sides' watermarks advance:
     # sentinel N moves the watermark at its batch's end, sentinel N+1's
@@ -534,6 +536,13 @@ def test_stream_stream_left_join_emits_unmatched_after_watermark(
             pa.array(["view", "click"], type=t.schema.field("event_type").type),
         )
         pq.write_table(rows, events_dir / f"{k:02d}.parquet")
+        # FileStreamSource orders batches by mtime; same-second writes
+        # tie arbitrarily — pin increasing mtimes so sentinels process
+        # AFTER the data file and the watermark advances as designed
+        os.utime(
+            events_dir / f"{k:02d}.parquet",
+            (1_700_000_000 + k * 100, 1_700_000_000 + k * 100),
+        )
 
     result = stream_stream_left_join(
         spark,
@@ -567,3 +576,100 @@ def test_stream_stream_left_join_emits_unmatched_after_watermark(
     assert unmatched.count() == n_unmatched_batch
     # exactly once: unmatched view ids are distinct
     assert unmatched.select("view_id").distinct().count() == n_unmatched_batch
+
+
+def test_stream_stream_full_join_emits_both_unmatched_sides(
+    spark, sf_dir, tmp_path
+):
+    """FULL OUTER stream-stream join semantics: matched pairs equal the
+    batch inner join, every view with no click in its window emits
+    exactly once with NULL click columns, AND every click matching no
+    view emits exactly once with NULL view columns — both flushed only
+    because the sentinel files push the join watermark past every real
+    window (unmatched rows from BOTH sides are held in state until the
+    watermark proves no counterpart can arrive)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from lakehouse_weather_spark.streaming.events import (
+        stream_stream_full_join,
+    )
+
+    events_dir = tmp_path / "events_fj"
+    events_dir.mkdir()
+    t = pq.read_table(Path(sf_dir) / "events.parquet")
+    ts_type = t.schema.field("ts").type
+    ts = pc.cast(t.column("ts"), pa.int64())
+    hi = pc.max(ts).as_py()
+    century = _century_in_ts_units(ts_type)
+    pq.write_table(t, events_dir / "00.parquet")
+    os.utime(events_dir / "00.parquet", (1_700_000_000, 1_700_000_000))
+    for k in (1, 2):
+        rows = t.slice(0, 2)
+        rows = rows.set_column(
+            rows.schema.get_field_index("ts"),
+            "ts",
+            pa.array([hi + k * century] * 2, type=pa.int64()).cast(ts_type),
+        )
+        rows = rows.set_column(
+            rows.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([-1, -1], type=t.schema.field("user_id").type),
+        )
+        rows = rows.set_column(
+            rows.schema.get_field_index("event_type"),
+            "event_type",
+            pa.array(["view", "click"], type=t.schema.field("event_type").type),
+        )
+        pq.write_table(rows, events_dir / f"{k:02d}.parquet")
+        # pin increasing mtimes: FileStreamSource breaks same-second
+        # mtime ties arbitrarily, and sentinels must process LAST
+        os.utime(
+            events_dir / f"{k:02d}.parquet",
+            (1_700_000_000 + k * 100, 1_700_000_000 + k * 100),
+        )
+
+    result = stream_stream_full_join(
+        spark,
+        str(events_dir),
+        str(events_dir),
+        str(tmp_path / "ckpt_fj"),
+        max_files_per_trigger=1,
+    ).filter(
+        (F.coalesce(F.col("v_user"), F.lit(0)) != -1)
+        & (F.coalesce(F.col("c_user"), F.lit(0)) != -1)
+    )
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter("event_type = 'view'").selectExpr(
+        "event_id AS view_id", "user_id AS v_user", "ts AS view_ts"
+    )
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "event_id AS click_id", "user_id AS c_user", "ts AS click_ts"
+    )
+    cond = (
+        (views.v_user == clicks.c_user)
+        & (clicks.click_ts >= views.view_ts)
+        & (clicks.click_ts < views.view_ts + F.expr("INTERVAL 1 HOUR"))
+    )
+    n_matched = views.join(clicks, cond).count()
+    n_view_only = views.join(clicks, cond, "left_anti").count()
+    n_click_only = clicks.join(views, cond, "left_anti").count()
+    assert n_matched > 0 and n_view_only > 0 and n_click_only > 0
+
+    matched = result.filter(
+        F.col("view_id").isNotNull() & F.col("click_id").isNotNull()
+    )
+    view_only = result.filter(F.col("click_id").isNull())
+    click_only = result.filter(F.col("view_id").isNull())
+    assert matched.count() == n_matched
+    assert view_only.count() == n_view_only
+    assert click_only.count() == n_click_only
+    # exactly once on both unmatched sides
+    assert view_only.select("view_id").distinct().count() == n_view_only
+    assert (
+        click_only.select("click_id").distinct().count() == n_click_only
+    )
