@@ -44,9 +44,12 @@ _K = 3
     "q_outlier_mad",
     oracle=f"""
         WITH fx AS (
+            -- complete cases: NULL value ranks NULLS LAST here but
+            -- NULLS FIRST in Spark, shifting the median rank
             SELECT event_id, event_type, value,
                    CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
             FROM events
+            WHERE value IS NOT NULL
         ),
         ranked AS (
             SELECT *,
@@ -91,7 +94,9 @@ _K = 3
 )
 def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    fx = ev.select(
+    # complete cases (mirrored in the oracle): NULL vfx shifts the
+    # median rank under Spark's NULLS FIRST vs DuckDB's NULLS LAST
+    fx = ev.filter(F.col("value").isNotNull()).select(
         "event_id",
         "event_type",
         "value",
@@ -371,9 +376,12 @@ def q_interarrival_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_winsorize",
     oracle="""
         WITH fx AS (
+            -- complete cases: NULL value ranks NULLS LAST here but
+            -- NULLS FIRST in Spark, shifting the clip-bound ranks
             SELECT event_type,
                    CAST(round(value * 10000) AS BIGINT) AS v_fx
             FROM events
+            WHERE value IS NOT NULL
         ),
         ranked AS (
             SELECT event_type, v_fx,
@@ -415,7 +423,9 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    fx = ev.select(
+    # complete cases (mirrored in the oracle): NULL v_fx ranks NULLS
+    # FIRST here vs DuckDB's NULLS LAST, shifting the clip bounds
+    fx = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.expr("CAST(round(value * 10000, 0) AS BIGINT)").alias("v_fx"),
     )
@@ -725,6 +735,9 @@ def q_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
                    CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
                         THEN 1 ELSE 0 END AS h1
             FROM events
+            -- complete cases: NULL value sorts NULLS LAST here but
+            -- NULLS FIRST in Spark, shifting the ECDF walk
+            WHERE value IS NOT NULL
         ),
         tot AS (
             SELECT event_type,
@@ -767,15 +780,25 @@ def q_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + unix_micros(max(CAST(ts AS TIMESTAMP)))) DIV 2"
         ).alias("mid_us")
     )
-    fx = ev.crossJoin(F.broadcast(mid)).select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
-        F.when(
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") < F.col("mid_us"), 1
+    # complete cases (mirrored in the oracle): NULL value sorts NULLS
+    # FIRST here / NULLS LAST in DuckDB, shifting the ECDF walk
+    fx = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * _SCALE, 0)
+            .cast("bigint")
+            .alias("vfx"),
+            F.when(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                < F.col("mid_us"),
+                1,
+            )
+            .otherwise(0)
+            .alias("h1"),
         )
-        .otherwise(0)
-        .alias("h1"),
     )
     tot = fx.groupBy("event_type").agg(
         F.sum("h1").cast("bigint").alias("n1"),
@@ -892,11 +915,14 @@ def q_gini_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         fx AS (
+            -- complete cases: a NULL value would rank NULLS LAST here
+            -- but NULLS FIRST in Spark, shifting every derived rank
             SELECT event_type,
                    CAST(epoch_us(ts) < (SELECT mid_us FROM bounds)
                         AS INTEGER) AS is_old,
                    CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
             FROM events
+            WHERE value IS NOT NULL
         ),
         agg AS (
             SELECT event_type,
@@ -955,10 +981,18 @@ def q_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
     )
-    fx = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
-        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    # complete cases (mirrored in the oracle): NULL value rows would
+    # inflate n_old/n_new while dropping out of the sums
+    fx = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
+            F.round(F.col("value") * _SCALE, 0)
+            .cast("bigint")
+            .alias("vfx"),
+        )
     )
     agg = fx.groupBy("event_type").agg(
         F.sum("is_old").cast("bigint").alias("n_old"),
@@ -1175,11 +1209,14 @@ def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events
         ),
         fx AS (
+            -- complete cases: a NULL value would rank NULLS LAST here
+            -- but NULLS FIRST in Spark, shifting every derived rank
             SELECT event_type,
                    CAST(epoch_us(ts) < (SELECT mid_us FROM bounds)
                         AS INTEGER) AS is_old,
                    CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
             FROM events
+            WHERE value IS NOT NULL
         ),
         ranked AS (
             SELECT event_type, is_old, vfx,
@@ -1242,10 +1279,18 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounds = ev.agg(
         F.expr(f"(min({us}) + max({us})) div 2").alias("mid_us")
     )
-    fx = ev.crossJoin(F.broadcast(bounds)).select(
-        "event_type",
-        F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
-        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
+    # complete cases (mirrored in the oracle): NULL value ranks NULLS
+    # FIRST here but NULLS LAST in DuckDB, shifting every tied rank
+    fx = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.expr(f"cast({us} < mid_us as int)").alias("is_old"),
+            F.round(F.col("value") * _SCALE, 0)
+            .cast("bigint")
+            .alias("vfx"),
+        )
     )
     wrank = Window.partitionBy("event_type").orderBy("vfx")
     wtie = Window.partitionBy("event_type", "vfx")
@@ -1327,6 +1372,9 @@ _CVM_SCALE = 1_000_000_000_000
                    CASE WHEN epoch_us(ts) < (SELECT mid_us FROM bounds)
                         THEN 1 ELSE 0 END AS h1
             FROM events
+            -- complete cases: NULL value sorts NULLS LAST here but
+            -- NULLS FIRST in Spark, shifting the ECDF walk
+            WHERE value IS NOT NULL
         ),
         tot AS (
             SELECT event_type,
@@ -1383,15 +1431,25 @@ def q_cvm_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + unix_micros(max(CAST(ts AS TIMESTAMP)))) DIV 2"
         ).alias("mid_us")
     )
-    fx = ev.crossJoin(F.broadcast(mid)).select(
-        "event_type",
-        "event_id",
-        F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
-        F.when(
-            F.expr("unix_micros(CAST(ts AS TIMESTAMP))") < F.col("mid_us"), 1
+    # complete cases (mirrored in the oracle): NULL value sorts NULLS
+    # FIRST here / NULLS LAST in DuckDB, shifting the ECDF walk
+    fx = (
+        ev.filter(F.col("value").isNotNull())
+        .crossJoin(F.broadcast(mid))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * _SCALE, 0)
+            .cast("bigint")
+            .alias("vfx"),
+            F.when(
+                F.expr("unix_micros(CAST(ts AS TIMESTAMP))")
+                < F.col("mid_us"),
+                1,
+            )
+            .otherwise(0)
+            .alias("h1"),
         )
-        .otherwise(0)
-        .alias("h1"),
     )
     tot = fx.groupBy("event_type").agg(
         F.sum("h1").cast("bigint").alias("n1"),
@@ -1785,9 +1843,13 @@ _KW_BUCKET_DIV = 1 << 20  # value-prefix bucket width on the fx scale
     "q_kruskal_wallis",
     oracle=f"""
         WITH fx AS (
+            -- complete cases: NULL value ranks NULLS LAST here but
+            -- NULLS FIRST in Spark (and NULL buckets drop from the
+            -- distributed offset join entirely)
             SELECT event_type,
                    CAST(round(value * {_SCALE}) AS BIGINT) AS vfx
             FROM events
+            WHERE value IS NOT NULL
         ),
         ranked AS (
             SELECT event_type, vfx,
@@ -1845,7 +1907,10 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
-    fx = ev.select(
+    # complete cases (mirrored in the oracle): NULL vfx would rank
+    # NULLS FIRST vs DuckDB's NULLS LAST — and worse, its NULL bucket
+    # key would silently drop from the inner offset join below
+    fx = ev.filter(F.col("value").isNotNull()).select(
         "event_type",
         F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
     )

@@ -150,9 +150,13 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_changepoint",
     oracle=f"""
         WITH daily AS (
+            -- NULL ts would form a NULL day ordered NULLS LAST here
+            -- but NULLS FIRST in Spark, shifting every prefix sum
             SELECT event_type, date_trunc('day', ts) AS d,
                    CAST(count(*) AS BIGINT) AS cnt
-            FROM events GROUP BY 1, 2
+            FROM events
+            WHERE ts IS NOT NULL
+            GROUP BY 1, 2
         ),
         seq AS (
             SELECT event_type, d, cnt,
@@ -194,7 +198,11 @@ def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     " every window runs on |types| x |days| rows.",
 )
 def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL ts excluded (mirrored in the oracle): a NULL day would
+    # order NULLS FIRST here vs DuckDB's LAST, shifting prefix sums
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     daily = ev.groupBy(
         "event_type", F.date_trunc("day", "ts").alias("d")
     ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))

@@ -1123,11 +1123,16 @@ def _mk_oracle() -> str:
     joined = ",\n        ".join(steps)
     return f"""
         WITH ordered AS (
+            -- complete cases: a NULL event_type would enter the
+            -- DISTINCT state count here but drop from the matrix join
+            -- (NULL never equi-joins), skewing v0's mass split; a NULL
+            -- ts orders NULLS LAST here vs NULLS FIRST in Spark
             SELECT user_id, event_type,
                    lead(event_type) OVER (
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS next_type
             FROM events
+            WHERE event_type IS NOT NULL AND ts IS NOT NULL
         ),
         m0 AS (
             SELECT event_type AS from_t, next_type AS to_t,
@@ -1184,7 +1189,11 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_weather_spark.sources.tables import load_table
 
-    ev = load_table(spark, sf_dir, "events")
+    # complete cases (mirrored in the oracle): NULL event_type would
+    # desync the state count between engines, NULL ts the lead order
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull() & F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         "event_type", F.lead("event_type").over(w).alias("next_type")

@@ -572,9 +572,14 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_levene_bf",
     oracle="""
         WITH v AS (
+            -- complete cases only: a NULL value would rank NULLS FIRST
+            -- in Spark but NULLS LAST in DuckDB (shifting the median
+            -- rank), and a NULL event_type would shift the sorted fold
+            -- order of the between_part accumulation
             SELECT event_type, event_id,
                    CAST(round(value * 100) AS BIGINT) AS fx
             FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
         ),
         med AS (
             SELECT event_type, fx AS med_fx
@@ -652,10 +657,19 @@ def q_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_levene_bf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+    # complete cases, mirrored in the oracle: NULL value ranks
+    # NULLS FIRST here but NULLS LAST in DuckDB (median-rank shift),
+    # and a NULL event_type would shift the sorted fold order
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        )
     )
     w = Window.partitionBy("event_type").orderBy("fx", "event_id")
     wn = Window.partitionBy("event_type")

@@ -42,7 +42,11 @@ _DEL_LT = 2  # 20% of the snapshot gets retracted
     "q_zset_ivm",
     oracle=f"""
         WITH h AS (
+            -- complete cases: an all-NULL-fx group sums to NULL here
+            -- (vs Spark's coalesced 0), and pandas would coerce the
+            -- whole bigint column to float64
             SELECT event_type, value, {_H_DUCK} AS hh FROM events
+            WHERE value IS NOT NULL
         ),
         final AS (
             -- the state the incremental fold must land on: surviving
@@ -74,10 +78,16 @@ _DEL_LT = 2  # 20% of the snapshot gets retracted
     " groups-sized broadcast fold.",
 )
 def q_zset_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.expr("cast(round(value * 10000, 0) as bigint)").alias("fx"),
-        F.expr(_H).alias("hh"),
+    # complete cases (mirrored in the oracle): an all-NULL-fx group
+    # would land on 0 here but NULL in the oracle's from-scratch sum
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 10000, 0) as bigint)").alias("fx"),
+            F.expr(_H).alias("hh"),
+        )
     )
     base = ev.filter(F.col("hh") % 2 == 0)
     # changelog: retractions of a base subset (w = -1) + inserts (+1)
@@ -96,8 +106,19 @@ def q_zset_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("w").cast("bigint").alias("dn"),
         F.sum(F.col("w") * F.col("fx")).cast("bigint").alias("dfx"),
     )
-    merged = snap.join(delta, "event_type", "full_outer").select(
-        "event_type",
+    # NULL-SAFE fold join: a NULL group key is a legitimate Z-set
+    # group, and a plain equi-join would leave the snapshot's NULL row
+    # and its retraction delta unjoined — the retraction would never
+    # cancel (caught by the null-bearing pathological corpus)
+    delta = delta.withColumnRenamed("event_type", "d_event_type")
+    merged = snap.join(
+        delta,
+        F.col("event_type").eqNullSafe(F.col("d_event_type")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("event_type"), F.col("d_event_type")).alias(
+            "event_type"
+        ),
         (
             F.coalesce(F.col("n_rows"), F.lit(0))
             + F.coalesce(F.col("dn"), F.lit(0))

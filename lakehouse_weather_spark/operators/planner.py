@@ -96,7 +96,10 @@ def q_choose_join_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.sum("cnt"), F.lit(0))
             .cast("bigint")
             .alias("n_fact"),
-            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            # count(key), not count(*): groupBy emits a NULL-key group
+            # but the oracle's count(DISTINCT key) ignores NULLs — and
+            # a NULL key never joins, so it is not a key for planning
+            F.count(F.col(key)).cast("bigint").alias("n_keys"),
             F.max("cnt").cast("bigint").alias("max_key_cnt"),
         )
         dimc = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_dim"))

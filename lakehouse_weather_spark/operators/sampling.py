@@ -410,11 +410,15 @@ def q_temporal_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q_negative_samples",
     oracle="""
         WITH tagged AS (
+            -- complete cases: a NULL event_type/value makes a NULL
+            -- item whose NULL md5 order key ranks NULLS LAST here but
+            -- NULLS FIRST in Spark, shifting every user's picks
             SELECT user_id,
                    event_type || '_' ||
                    CAST(least(CAST(floor(value * 10) AS BIGINT), 9)
                         AS VARCHAR) AS item
             FROM events
+            WHERE event_type IS NOT NULL AND value IS NOT NULL
         ),
         users AS (SELECT DISTINCT user_id FROM tagged),
         items AS (SELECT DISTINCT item FROM tagged),
@@ -452,7 +456,11 @@ def q_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pseudo-item vocabulary: (event_type, value decile) — 50 items,
     # coarse enough to broadcast, fine enough that every user has
     # genuinely unseen items
-    tagged = ev.select(
+    # complete cases (mirrored in the oracle): a NULL item would enter
+    # the vocabulary and rank NULLS FIRST here vs DuckDB's NULLS LAST
+    tagged = ev.filter(
+        F.col("event_type").isNotNull() & F.col("value").isNotNull()
+    ).select(
         "user_id",
         F.expr(
             "concat(event_type, '_',"

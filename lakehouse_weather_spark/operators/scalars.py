@@ -388,6 +388,9 @@ def q_scalar_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
                CAST(count(*) AS BIGINT) AS n_total
         FROM events
+        -- complete cases: Spark's map_from_entries THROWS on a NULL
+        -- map key, so NULL event_type rows are excluded on both sides
+        WHERE event_type IS NOT NULL
         GROUP BY user_id
     """,
     doc="Map-type surface: per-user event-type histogram built as a"
@@ -400,7 +403,11 @@ def q_scalar_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     " downstream ML featurization reads.",
 )
 def q_map_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # NULL event_type excluded (mirrored in the oracle): a NULL map
+    # key makes map_from_entries throw at runtime
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isNotNull()
+    )
     counts = ev.groupBy("user_id", "event_type").agg(
         F.count(F.lit(1)).alias("cnt")
     )

@@ -320,17 +320,25 @@ def q_delta_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
             FROM events
         ),
+        -- complete cases: a NULL user_id has no identity to diff on
+        -- (NULL never equi-joins, so the full-outer diff would call
+        -- the same row insert+delete), and the engines' diff joins
+        -- disagree on NULL-key handling
         v1 AS (
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS sum_fx
-            FROM events, b WHERE epoch_us(ts) < b.mid GROUP BY user_id
+            FROM events, b
+            WHERE epoch_us(ts) < b.mid AND user_id IS NOT NULL
+            GROUP BY user_id
         ),
         v2 AS (
             SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
                    CAST(sum(CAST(round(value * 100) AS BIGINT))
                         AS BIGINT) AS sum_fx
-            FROM events, b WHERE epoch_us(ts) >= b.mid GROUP BY user_id
+            FROM events, b
+            WHERE epoch_us(ts) >= b.mid AND user_id IS NOT NULL
+            GROUP BY user_id
         )
         SELECT coalesce(v1.user_id, v2.user_id) AS user_id,
                CASE WHEN v1.user_id IS NULL THEN 'insert'
@@ -380,8 +388,10 @@ def q_version_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     halves = ev.crossJoin(F.broadcast(bounds))
 
     def half_agg(pred):
+        # NULL user_id excluded (mirrored in the oracle): an entity
+        # key must be non-NULL for the version diff to have identity
         return (
-            halves.filter(pred)
+            halves.filter(pred & F.col("user_id").isNotNull())
             .groupBy("user_id")
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_events"),

@@ -337,6 +337,9 @@ QS_BINS = 64
                                         / (r.vmax - r.vmin)) AS BIGINT),
                                    {QS_BINS - 1}) END AS bin
             FROM events e CROSS JOIN rng r
+            -- complete cases: NULL value makes a NULL bin, ordered
+            -- NULLS LAST here but NULLS FIRST in Spark's cum walk
+            WHERE e.value IS NOT NULL
         ),
         hist AS (
             SELECT event_type, bin, CAST(count(*) AS BIGINT) AS c
@@ -356,6 +359,7 @@ QS_BINS = 64
             SELECT event_type, event_id,
                    CAST(round(value * 10000) AS BIGINT) AS vfx
             FROM events
+            WHERE value IS NOT NULL
         ),
         ranked AS (
             SELECT event_type, vfx,
@@ -395,7 +399,11 @@ QS_BINS = 64
 def q_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # complete cases (mirrored in the oracle): a NULL value makes a
+    # NULL bin / NULL vfx, ordered NULLS FIRST here vs DuckDB's LAST
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
     rng = ev.agg(
         F.min("value").alias("vmin"), F.max("value").alias("vmax")
     )

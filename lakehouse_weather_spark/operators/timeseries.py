@@ -1568,6 +1568,10 @@ _SAX_ALPHABET = "abcd"  # 4 equi-depth symbols
                         AS BIGINT)
                        // CAST(count(*) AS BIGINT) AS paa_fx
             FROM events
+            -- complete cases: an all-NULL day yields NULL paa_fx,
+            -- which ntile orders NULLS LAST here / FIRST in Spark;
+            -- a NULL ts makes a NULL dayidx with the same skew
+            WHERE value IS NOT NULL AND ts IS NOT NULL
             GROUP BY event_type, CAST(ts AS DATE)
         ),
         sym AS (
@@ -1603,8 +1607,11 @@ def q_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     ev = load_table(spark, sf_dir, "events")
+    # complete cases (mirrored in the oracle): an all-NULL day would
+    # emit NULL paa_fx, ordered NULLS FIRST here vs DuckDB's LAST
     daily = (
-        ev.select(
+        ev.filter(F.col("value").isNotNull() & F.col("ts").isNotNull())
+        .select(
             "event_type",
             F.datediff(
                 F.col("ts").cast("date"),

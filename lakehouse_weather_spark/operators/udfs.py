@@ -92,19 +92,26 @@ _DSCALE = 1_000_000
     # agree bit-for-bit (naive pandas mean()/std() accumulate in
     # engine-specific order and differ at the last ulp).
     oracle=f"""
-        WITH m AS (
+        WITH ev AS (
+            -- complete cases: a NULL user_id row would drop from this
+            -- inner join but survive Spark's NULL groupBy group, and a
+            -- NULL value would poison the fixed-point moments
+            SELECT * FROM events
+            WHERE user_id IS NOT NULL AND value IS NOT NULL
+        ),
+        m AS (
             SELECT user_id,
                    CAST(sum(CAST(floor(value * {_ZSCALE}) AS BIGINT))
                         AS DOUBLE) / {_ZSCALE} / count(*) AS mean,
                    count(*) AS n
-            FROM events GROUP BY user_id
+            FROM ev GROUP BY user_id
         ),
         v AS (
             SELECT e.user_id,
                    CAST(sum(CAST(floor((e.value - m.mean) * (e.value - m.mean)
                                        * {_DSCALE}) AS BIGINT)) AS DOUBLE)
                        / {_DSCALE} / (m.n - 1) AS var
-            FROM events e JOIN m USING (user_id)
+            FROM ev e JOIN m USING (user_id)
             WHERE m.n > 1
             GROUP BY e.user_id, m.n
         )
@@ -112,7 +119,7 @@ _DSCALE = 1_000_000
                CASE WHEN v.var > 0
                     THEN (e.value - m.mean) / sqrt(v.var)
                     ELSE 0.0 END AS value_z
-        FROM events e
+        FROM ev e
         JOIN m USING (user_id)
         LEFT JOIN v USING (user_id)
     """,
@@ -155,7 +162,12 @@ def q_group_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"event_id": pdf["event_id"], "user_id": pdf["user_id"], "value_z": z}
         )
 
-    ev = load_table(spark, sf_dir, "events")
+    # complete cases (mirrored in the oracle): NULL user_id would form
+    # its own pandas group here but drop from the oracle's inner join,
+    # and a NaN value would poison the int64 fixed-point casts
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("value").isNotNull()
+    )
     return ev.groupBy("user_id").applyInPandas(normalize, schema=out_schema)
 
 

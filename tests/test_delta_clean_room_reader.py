@@ -225,3 +225,36 @@ def test_validator_catches_corruption(spark, tmp_path):
             fh.write(json.dumps(a) + "\n")
     problems = DeltaTable(table_dir).validate()
     assert any("does not exist" in p for p in problems)
+
+
+def test_reader_v2_column_mapping_gate(spark, tmp_path):
+    """Protocol reader version 2 signals column mapping: physical
+    parquet column names may differ from the logical schema. This
+    reader resolves columns by logical name only, so it must accept a
+    v2 log ONLY when delta.columnMapping.mode is absent/'none', and
+    refuse any real mapping mode instead of silently misreading."""
+    table_dir = str(tmp_path / "t6")
+    publish_df(spark.range(0, 10).select(F.col("id").alias("k")), table_dir)
+    export_delta_log(table_dir)
+    log_dir = os.path.join(table_dir, "_delta_log")
+    c0 = os.path.join(log_dir, "00000000000000000000.json")
+    lines = [json.loads(ln) for ln in open(c0)]
+    for a in lines:
+        if "protocol" in a:
+            a["protocol"] = {"minReaderVersion": 2, "minWriterVersion": 5}
+    with open(c0, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    # v2 without a mapping mode: acceptable (logical == physical names)
+    assert DeltaTable(table_dir).snapshot().version == 0
+
+    for a in lines:
+        if "metaData" in a:
+            a["metaData"].setdefault("configuration", {})[
+                "delta.columnMapping.mode"
+            ] = "name"
+    with open(c0, "w") as fh:
+        for a in lines:
+            fh.write(json.dumps(a) + "\n")
+    with pytest.raises(DeltaProtocolError, match="columnMapping"):
+        DeltaTable(table_dir).snapshot()

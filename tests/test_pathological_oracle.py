@@ -978,3 +978,89 @@ def test_negative_reward_parity(spark, neg_reward_dir, neg_reward_con, name):
     spec = load_all()[name]
     res = compare_one(name, spec, spark, neg_reward_con, neg_reward_dir)
     assert res["status"] == "OK", (name, res.get("detail"), res)
+
+
+# --- round-9 null-bearing corpus ---------------------------------------
+
+# ADVICE r8 flagged the complete-case class: Spark sorts NULLS FIRST
+# where DuckDB defaults NULLS LAST, NULL keys silently drop from inner
+# joins, and map keys may not be NULL. A sweep of the full registry
+# over an events table carrying NULL value / NULL event_type / NULL
+# user_id rows surfaced 16 latent divergences (all fixed with mirrored
+# complete-case filters or null-safe joins); this corpus pins them.
+_NULL_EVENTS_QUERIES = [
+    "q_levene_bf", "q_mannwhitney", "q_kruskal_wallis", "q_cvm_drift",
+    "q_ks_drift", "q_outlier_mad", "q_winsorize", "q_sax_motifs",
+    "q_negative_samples", "q_quantile_sketch", "q_choose_join_plan",
+    "q_markov_stationary", "q_welch_ttest", "q_zset_ivm",
+    "q_group_normalize", "q_map_histogram", "q_version_cdf",
+    # near relatives that already passed the null sweep — pinned so
+    # they stay null-clean
+    "q_spearman_corr", "q_mann_kendall", "q_trimmed_mean",
+    "q_weighted_quantiles", "q_permutation_test", "q_dist_drift",
+    "q_theilsen", "q_changepoint", "q_agg_basic", "q_histogram",
+]
+
+
+@pytest.fixture(scope="module")
+def null_events_dir(spark, patho_all_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("null_events")
+    import shutil
+
+    for t in ("customer", "orders", "lineitem", "region", "nation",
+              "supplier", "part", "documents", "embeddings"):
+        shutil.copytree(
+            f"{patho_all_dir}/{t}.parquet", f"{out}/{t}.parquet"
+        )
+    from pyspark.sql import functions as F
+
+    ev = spark.read.parquet(f"{patho_all_dir}/events.parquet")
+    names = [f.name for f in ev.schema.fields]
+    base = ev.orderBy("event_id").limit(1).collect()[0]
+    maxid = ev.agg(F.max("event_id")).first()[0]
+
+    def mk(i, **kw):
+        d = {n: None for n in names}
+        d.update(
+            event_id=maxid + i, ts=base["ts"], user_id=1,
+            event_type="view", value=1.0, props="",
+        )
+        d.update(kw)
+        return tuple(d[n] for n in names)
+
+    extra = spark.createDataFrame(
+        [
+            mk(1, value=None),
+            mk(2, value=None, event_type="click"),
+            mk(3, event_type=None, value=3.25),
+            mk(4, event_type=None, value=None),
+            mk(5, user_id=None, value=0.5),
+            mk(6, ts=None, value=0.75),
+        ],
+        ev.schema,
+    )
+    ev.unionByName(extra).coalesce(1).write.parquet(
+        f"{out}/events.parquet"
+    )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def null_events_con(null_events_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "region", "nation",
+              "supplier", "part", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{null_events_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _NULL_EVENTS_QUERIES)
+def test_null_events_parity(spark, null_events_dir, null_events_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, null_events_con, null_events_dir)
+    assert res["status"] in ("OK", "ROWS_ONLY"), (
+        name, res.get("detail"), res,
+    )

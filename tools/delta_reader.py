@@ -246,6 +246,21 @@ class DeltaTable:
         mrv = snap.protocol.get("minReaderVersion")
         if mrv not in (1, 2, 3):
             raise DeltaProtocolError(f"unsupported minReaderVersion {mrv}")
+        if mrv == 2:
+            # reader version 2 exists to signal column mapping
+            # (PROTOCOL.md "Column Mapping"): physical parquet column
+            # names may differ from the logical schema. This reader
+            # resolves columns by logical name only, so accept v2
+            # solely when the table's columnMapping mode is absent or
+            # 'none' — anything else would be silently misread.
+            mode = ((snap.metadata or {}).get("configuration") or {}).get(
+                "delta.columnMapping.mode", "none"
+            )
+            if mode != "none":
+                raise DeltaProtocolError(
+                    f"columnMapping mode {mode!r} not supported"
+                    " (logical-name reader)"
+                )
         if mrv == 3:
             feats = set(snap.protocol.get("readerFeatures") or [])
             unsupported = feats - _SUPPORTED_READER_FEATURES
