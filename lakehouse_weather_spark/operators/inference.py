@@ -1164,3 +1164,117 @@ def q_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             " as double)"
         ).alias("spearman_rho"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_anova_f",
+    oracle="""
+        WITH v AS (
+            -- complete cases (the q_levene_bf discipline): NULL value
+            -- or NULL event_type would skew ranks/fold order between
+            -- engines
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS fx
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        g AS (
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum(fx) AS BIGINT) AS s_i,
+                   CAST(sum(CAST(fx AS HUGEINT) * fx) AS BIGINT) AS ss_i
+            FROM v GROUP BY event_type
+        ),
+        terms AS (
+            SELECT event_type,
+                   ({s2dbl} / CAST(n_i AS DOUBLE)) AS term
+            FROM g
+        ),
+        tot AS (
+            SELECT CAST(sum(g.n_i) AS BIGINT) AS n,
+                   CAST(sum(g.s_i) AS BIGINT) AS s,
+                   CAST(sum(g.ss_i) AS BIGINT) AS ss,
+                   CAST(count(*) AS BIGINT) AS k,
+                   (SELECT list_reduce(
+                        list(term ORDER BY event_type),
+                        (a, b) -> a + b) FROM terms) AS grp_part
+            FROM g
+        )
+        SELECT k, n,
+               (grp_part - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                           / CAST(n AS DOUBLE)) AS ss_between,
+               (CAST(ss AS DOUBLE) - grp_part) AS ss_within,
+               CAST(
+                 ((grp_part - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                              / CAST(n AS DOUBLE))
+                  / nullif(CAST(k - 1 AS DOUBLE), 0e0))
+                 / nullif((CAST(ss AS DOUBLE) - grp_part)
+                          / nullif(CAST(n - k AS DOUBLE), 0e0), 0e0)
+                 AS DOUBLE) AS f_stat
+        FROM tot
+    """.format(
+        s2dbl=_dec2dbl("CAST(s_i AS HUGEINT) * s_i", duck=True)
+    ),
+    doc="Classic one-way ANOVA F across event types on the fixed-point"
+    " values: per-group integer moments (n_i, S_i, SS_i), the"
+    " between-group part sum(S_i^2/n_i) folded in SORTED group order"
+    " (exact S_i^2 through the 2^60/2^30 power-of-two split — the"
+    " q_levene_bf discipline, so both engines add in the same"
+    " sequence), and F = (SSB/(k-1)) / (SSW/(N-k)) as mirrored IEEE"
+    " ops. Completes the location-test triptych: q_welch_ttest is the"
+    " 2-sample parametric test, q_kruskal_wallis the k-sample rank"
+    " test, this the k-sample parametric test. ONE partial-agg"
+    " shuffle to k rows; the finale is k-row arithmetic.",
+)
+def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        )
+    )
+    g = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_i"),
+        F.sum("fx").cast("bigint").alias("s_i"),
+        F.expr(
+            "cast(sum(cast(fx as decimal(38,0)) * fx) as bigint)"
+        ).alias("ss_i"),
+    )
+    s2dbl = _dec2dbl("cast(s_i as decimal(38,0)) * s_i", duck=False)
+    tot = g.agg(
+        F.sum("n_i").cast("bigint").alias("n"),
+        F.sum("s_i").cast("bigint").alias("s"),
+        F.sum("ss_i").cast("bigint").alias("ss"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        # sorted fold: identical addition sequence on both engines
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type,"
+            f" ({s2dbl} / cast(n_i as double)) as term))),"
+            " cast(0 as double), (a, x) -> a + x.term)"
+        ).alias("grp_part"),
+    )
+    ssb = (
+        "(grp_part - cast(s as double) * cast(s as double)"
+        " / cast(n as double))"
+    )
+    ssw = "(cast(ss as double) - grp_part)"
+    return tot.select(
+        "k",
+        "n",
+        F.expr(ssb).alias("ss_between"),
+        F.expr(ssw).alias("ss_within"),
+        F.expr(
+            f"cast(({ssb} / nullif(cast(k - 1 as double), 0e0))"
+            f" / nullif({ssw} / nullif(cast(n - k as double), 0e0),"
+            " 0e0) as double)"
+        ).alias("f_stat"),
+    )

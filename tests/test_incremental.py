@@ -18,6 +18,40 @@ from lakehouse_weather_spark.pipeline.incremental import (
 )
 
 
+def _assert_clean_room_conformant(spark, table_dir: str) -> None:
+    """Protocol conformance on a WRITER MUTATION PATH: export the
+    Delta log, then require the clean-room from-spec reader
+    (tools/delta_reader.py — zero code shared with the writer) to
+    validate() clean AND read back exactly the rows read_current sees.
+    Called after every mutation kind — merge, schema evolution,
+    compaction (flat + partitioned), retention expiry — so conformance
+    is asserted per path, not only on the publish->export gate query."""
+    tools = str(Path(__file__).resolve().parent.parent / "tools")
+    if tools not in sys.path:
+        sys.path.insert(0, tools)
+    from delta_reader import DeltaTable
+
+    from lakehouse_weather_spark.pipeline.atomic import (
+        export_delta_log,
+        read_current,
+    )
+
+    export_delta_log(table_dir)
+    dt = DeltaTable(table_dir)
+    problems = dt.validate()
+    assert problems == [], problems
+    tbl = dt.to_arrow()
+    cols = sorted(tbl.schema.names)
+    foreign = sorted(
+        tuple(str(row[c]) for c in cols) for row in tbl.to_pylist()
+    )
+    cur = read_current(spark, table_dir)
+    ours = sorted(
+        tuple(str(r[c]) for c in cols) for r in cur.collect()
+    )
+    assert foreign == ours, (len(foreign), len(ours))
+
+
 def test_merge_upsert(spark, sf_dir, tmp_path):
     base_dir = str(tmp_path / "base")
     out_dir = str(tmp_path / "merged")
@@ -529,6 +563,9 @@ def test_vacuum_retention(spark, sf_dir, tmp_path):
     # keep=0 drops every predecessor, never the committed version
     assert vacuum(table, keep=0) == ["v000003"]
     assert list_versions(table) == ["v000004"]
+    # the RETENTION-EXPIRY path is clean-room-reader conformant (the
+    # export skips vacuumed versions; the survivor must read back)
+    _assert_clean_room_conformant(spark, table)
 
 
 def test_merge_upsert_update_insert_delete(spark, tmp_path):
@@ -563,6 +600,8 @@ def test_merge_upsert_update_insert_delete(spark, tmp_path):
     v1 = {(r.k, r.s, r.v) for r in read_version(spark, table, "v000001").collect()}
     assert v1 == {(1, "a", 10), (2, "b", 20), (3, "c", 30)}
     assert list_versions(table) == ["v000001", "v000002"]
+    # the MERGE mutation path is clean-room-reader conformant
+    _assert_clean_room_conformant(spark, table)
 
 
 def test_merge_upsert_schema_evolution(spark, tmp_path):
@@ -592,6 +631,8 @@ def test_merge_upsert_schema_evolution(spark, tmp_path):
         (r.k, r.v, r.extra) for r in read_current(spark, table).collect()
     }
     assert got == {(1, 10, None), (2, 200, "new"), (5, 50, "col")}
+    # the SCHEMA-EVOLUTION mutation path is clean-room-reader conformant
+    _assert_clean_room_conformant(spark, table)
 
 
 def test_external_reader_parity_duckdb(spark, sf_dir, tmp_path):
@@ -1078,6 +1119,8 @@ def test_compact_current_executes_the_plan(spark, tmp_path):
     export_delta_log(table_dir)
     files, _ = replay_delta_log(table_dir)
     assert len(files) == n_files_after
+    # the COMPACTION mutation path is clean-room-reader conformant
+    _assert_clean_room_conformant(spark, table_dir)
 
 
 def test_compact_current_partitioned_snapshot(spark, tmp_path):
@@ -1138,6 +1181,9 @@ def test_compact_current_partitioned_snapshot(spark, tmp_path):
         assert 1 < len(sz) <= n_p, (p, len(sz), n_p)
     back = read_current(spark, table_dir)
     assert dict(back.dtypes)["day"] == "string"  # not retyped to date
+    # the PARTITIONED-COMPACTION path is clean-room-reader conformant
+    # (typed partitionValues reattach included)
+    _assert_clean_room_conformant(spark, table_dir)
     assert back.count() == 12_000
     assert back.agg(F.sum("v")).collect()[0][0] == 7 * sum(range(12_000))
     # convergence: repeated scheduled runs must reach a steady no-op
