@@ -373,7 +373,7 @@ def main() -> None:
     # machinery (two file sources, state stores, checkpoint IO) costs
     # ~7.5 s at ANY corpus size — q_stream_dedup and
     # q_stream_static_enrich stay in to represent streaming.
-    exclude = {"q_stream_join"}
+    exclude = {"q_stream_join", "q_stream_session_evict"}
     ordered = list(HEADLINE) + sorted(
         n for n in specs if n not in set(HEADLINE) and n not in exclude
     )

@@ -1989,3 +1989,76 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h_tied"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy changers between time halves (round 9)
+# ---------------------------------------------------------------------------
+
+_HC_TOPK = 20
+
+
+@register(
+    "q_heavy_change",
+    oracle=f"""
+        WITH b AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   CAST(sum(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                   CAST(sum(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+            FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT user_id, n_old, n_new,
+               abs(n_new - n_old) AS abs_change
+        FROM per_user
+        ORDER BY abs_change DESC, user_id
+        LIMIT {_HC_TOPK}
+    """,
+    doc="Heavy CHANGERS (not heavy hitters): the top-"
+    f"{_HC_TOPK} users by absolute activity-count change between the"
+    " stream's time halves — the key-level drill-down behind"
+    " q_volume_anomaly's aggregate alarm (which segment moved the"
+    " metric). Exact conditional counts in one partial-agg shuffle,"
+    " then a deterministic TakeOrdered top-k (|delta| desc, user_id"
+    " tiebreak) — never a global rank window, so at 100 TB the"
+    " reduction is per-partition heaps merging k rows at the driver."
+    " The sketch-space analog (two CMS snapshots differenced) lives"
+    " in operators/cms.py; this exact form is its ground truth.",
+)
+def q_heavy_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.expr(f"CASE WHEN {us} < mid THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_old"),
+            F.sum(F.expr(f"CASE WHEN {us} >= mid THEN 1 ELSE 0 END"))
+            .cast("bigint")
+            .alias("n_new"),
+        )
+    )
+    return (
+        per_user.select(
+            "user_id",
+            "n_old",
+            "n_new",
+            F.abs(F.col("n_new") - F.col("n_old")).alias("abs_change"),
+        )
+        .orderBy(F.col("abs_change").desc(), "user_id")
+        .limit(_HC_TOPK)
+    )

@@ -889,3 +889,93 @@ def q_qini_uplift(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / nullif(cast(cum_c_n as double), 0e0) as double)"
         ).alias("qini_fx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Lorenz-curve deciles of value concentration (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_lorenz_deciles",
+    oracle="""
+        WITH per_user AS (
+            SELECT event_type, user_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS v_fx
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+              AND value IS NOT NULL
+            GROUP BY event_type, user_id
+        ),
+        binned AS (
+            SELECT event_type, v_fx,
+                   ntile(10) OVER (PARTITION BY event_type
+                                   ORDER BY v_fx, user_id) AS decile
+            FROM per_user
+        ),
+        dec AS (
+            SELECT event_type, decile,
+                   CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(v_fx) AS BIGINT) AS dec_fx
+            FROM binned GROUP BY event_type, decile
+        )
+        SELECT event_type, decile, n_users, dec_fx,
+               CAST(CAST(sum(dec_fx) OVER (PARTITION BY event_type
+                         ORDER BY decile
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS DOUBLE)
+                    / nullif(CAST(sum(dec_fx) OVER (
+                         PARTITION BY event_type) AS DOUBLE), 0e0)
+                    AS DOUBLE) AS cum_share
+        FROM dec
+    """,
+    doc="Lorenz-curve deciles per event type: users ranked by their"
+    " total fixed-point value (deterministic (v, user) tiebreak),"
+    " cut into equi-count deciles, cumulative value share per decile"
+    " — the concentration CURVE whose summary scalar q_gini_activity"
+    " and q_hhi_concentration already report (the curve says WHERE"
+    " the concentration lives: a bottom-decile share near zero is a"
+    " long free-rider tail, a top-decile share near one is"
+    " whale-dependence). Exact integer sums; only the final shares"
+    " divide. The ntile window is type-partitioned; at 100 TB the"
+    " decile cut swaps to q_range_split_points' sampled cut points,"
+    " same downstream shape (the cumulative window then runs on"
+    " 10 rows per type).",
+)
+def q_lorenz_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+        & F.col("event_type").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("v_fx")
+    )
+    w_nt = Window.partitionBy("event_type").orderBy("v_fx", "user_id")
+    binned = per_user.select(
+        "event_type",
+        "v_fx",
+        F.ntile(10).over(w_nt).alias("decile"),
+    )
+    dec = binned.groupBy("event_type", "decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("v_fx").cast("bigint").alias("dec_fx"),
+    )
+    return dec.select(
+        "event_type",
+        "decile",
+        "n_users",
+        "dec_fx",
+        F.expr(
+            "cast(cast(sum(dec_fx) OVER (PARTITION BY event_type"
+            " ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND"
+            " CURRENT ROW) as double)"
+            " / nullif(cast(sum(dec_fx) OVER"
+            " (PARTITION BY event_type) as double), 0e0) as double)"
+        ).alias("cum_share"),
+    )

@@ -219,3 +219,179 @@ def q_geo_cell_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sum_fx").cast("bigint").alias("sum_fx"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-user trajectory metrics (round 9)
+# ---------------------------------------------------------------------------
+
+# per-EVENT coordinates: each event is a visit at a seeded point in the
+# city box (the per-user point above is home; this is movement)
+def _elat_spark() -> str:
+    return (
+        "cast(conv(substr(md5(concat('elat',"
+        f" cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+        f" % {_BOX_UDEG}"
+    )
+
+
+def _elon_spark() -> str:
+    return (
+        "cast(conv(substr(md5(concat('elon',"
+        f" cast(event_id as string))), 1, 15), 16, 10) as bigint)"
+        f" % {_BOX_UDEG}"
+    )
+
+
+def _elat_duck() -> str:
+    return (
+        "CAST(('0x' || substr(md5('elat' || CAST(event_id AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {_BOX_UDEG}"
+    )
+
+
+def _elon_duck() -> str:
+    return (
+        "CAST(('0x' || substr(md5('elon' || CAST(event_id AS VARCHAR)),"
+        f" 1, 15)) AS BIGINT) % {_BOX_UDEG}"
+    )
+
+
+@register(
+    "q_geo_trajectory",
+    oracle=f"""
+        WITH pts AS (
+            -- complete cases: NULL ts would desync the step order
+            -- (NULLS FIRST here vs LAST there), NULL user the join
+            SELECT user_id, ts, event_id,
+                   {_elat_duck()} AS lat, {_elon_duck()} AS lon
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        steps AS (
+            SELECT user_id, ts, event_id,
+                   sqrt(CAST(
+                       (lat - lag(lat) OVER w) * (lat - lag(lat) OVER w)
+                     + (lon - lag(lon) OVER w) * (lon - lag(lon) OVER w)
+                     AS DOUBLE)) AS step
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        marked AS (
+            SELECT *,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id) AS rn_a,
+                   row_number() OVER (PARTITION BY user_id
+                       ORDER BY ts DESC, event_id DESC) AS rn_d
+            FROM pts
+        ),
+        ends AS (
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_points,
+                   min(CASE WHEN rn_a = 1 THEN lat END) AS lat0,
+                   min(CASE WHEN rn_a = 1 THEN lon END) AS lon0,
+                   min(CASE WHEN rn_d = 1 THEN lat END) AS lat1,
+                   min(CASE WHEN rn_d = 1 THEN lon END) AS lon1
+            FROM marked GROUP BY user_id
+        ),
+        path AS (
+            -- float fold in STEP order: list_reduce's ((s1+s2)+s3)
+            -- equals Spark's 0.0-seeded aggregate() because 0+s1 is
+            -- exact — the q_levene_bf sorted-fold discipline
+            SELECT user_id,
+                   coalesce((SELECT list_reduce(
+                       list(s.step ORDER BY s.ts, s.event_id),
+                       (a, b) -> a + b)
+                     FROM steps s
+                     WHERE s.user_id = e.user_id
+                       AND s.step IS NOT NULL), 0e0) AS path_len
+            FROM ends e
+        )
+        SELECT e.user_id, e.n_points, p.path_len,
+               sqrt(CAST((e.lat1 - e.lat0) * (e.lat1 - e.lat0)
+                       + (e.lon1 - e.lon0) * (e.lon1 - e.lon0)
+                    AS DOUBLE)) AS displacement,
+               CAST(p.path_len / nullif(sqrt(CAST(
+                        (e.lat1 - e.lat0) * (e.lat1 - e.lat0)
+                      + (e.lon1 - e.lon0) * (e.lon1 - e.lon0)
+                    AS DOUBLE)), 0e0) AS DOUBLE) AS tortuosity
+        FROM ends e JOIN path p ON p.user_id = e.user_id
+    """,
+    doc="Per-user trajectory metrics over seeded per-event visit"
+    " points: total path length (sum of consecutive-step planar"
+    " distances — each step ONE correctly-rounded sqrt of an exact"
+    " integer, the k-step float sum folded in step order on both"
+    " engines via the sorted-fold discipline), net displacement"
+    " (first->last point), and tortuosity = path/displacement (~1"
+    " beelines, >>1 wandering — the trip-vs-dwell classifier). Trig"
+    " haversine is banned (libm); planar micro-degrees are exact and"
+    " city-scale faithful. Scale: the step window and the fold are"
+    " both user-partitioned — per-key sequential by nature, fully"
+    " parallel across users.",
+)
+def q_geo_trajectory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("user_id").isNotNull() & F.col("ts").isNotNull())
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.expr(_elat_spark()).alias("lat"),
+            F.expr(_elon_spark()).alias("lon"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_lat = F.lag("lat").over(w)
+    lag_lon = F.lag("lon").over(w)
+    steps = pts.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "lat",
+        "lon",
+        F.sqrt(
+            (
+                (F.col("lat") - lag_lat) * (F.col("lat") - lag_lat)
+                + (F.col("lon") - lag_lon) * (F.col("lon") - lag_lon)
+            ).cast("double")
+        ).alias("step"),
+    )
+    w_d = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    marked = steps.select(
+        "*",
+        F.row_number().over(w).alias("rn_a"),
+        F.row_number().over(w_d).alias("rn_d"),
+    )
+    agg = marked.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+        F.min(F.expr("CASE WHEN rn_a = 1 THEN lat END")).alias("lat0"),
+        F.min(F.expr("CASE WHEN rn_a = 1 THEN lon END")).alias("lon0"),
+        F.min(F.expr("CASE WHEN rn_d = 1 THEN lat END")).alias("lat1"),
+        F.min(F.expr("CASE WHEN rn_d = 1 THEN lon END")).alias("lon1"),
+        # sorted float fold: aggregate()'s 0.0 seed is exact (0+s1=s1),
+        # so the addition sequence matches DuckDB's list_reduce
+        F.expr(
+            "coalesce(aggregate(array_sort(collect_list("
+            " CASE WHEN step IS NOT NULL"
+            " THEN struct(ts, event_id, step) END)),"
+            " cast(0 as double), (a, x) -> a + x.step), 0e0)"
+        ).alias("path_len"),
+    )
+    disp = (
+        "sqrt(cast((lat1 - lat0) * (lat1 - lat0)"
+        " + (lon1 - lon0) * (lon1 - lon0) as double))"
+    )
+    return agg.select(
+        "user_id",
+        "n_points",
+        "path_len",
+        F.expr(disp).alias("displacement"),
+        F.expr(
+            f"cast(path_len / nullif({disp}, 0e0) as double)"
+        ).alias("tortuosity"),
+    )

@@ -1278,3 +1278,818 @@ def q_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
             " 0e0) as double)"
         ).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# 2x2 odds ratio with Haldane-Anscombe correction (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_odds_ratio",
+    oracle="""
+        WITH b AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+            FROM events WHERE value IS NOT NULL
+        ),
+        v AS (
+            -- complete cases: NULL value would shift the median rank
+            -- (Spark NULLS FIRST vs DuckDB NULLS LAST)
+            SELECT event_type, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS fx,
+                   CAST(epoch_us(ts) < (SELECT mid FROM b) AS INTEGER)
+                       AS is_old
+            FROM events WHERE value IS NOT NULL
+        ),
+        med AS (
+            -- per-TYPE lower median (Mood's median test): the rank
+            -- window stays key-partitioned, never table-global
+            SELECT event_type, fx AS med_fx FROM (
+                SELECT event_type, fx,
+                       row_number() OVER (PARTITION BY event_type
+                                          ORDER BY fx, event_id) AS rn,
+                       count(*) OVER (PARTITION BY event_type) AS n
+                FROM v
+            ) WHERE rn = (n + 1) // 2
+        ),
+        cells AS (
+            SELECT v.event_type,
+                   CAST(sum(CASE WHEN is_old = 1 AND fx > m.med_fx
+                            THEN 1 ELSE 0 END) AS BIGINT) AS a,
+                   CAST(sum(CASE WHEN is_old = 1 AND fx <= m.med_fx
+                            THEN 1 ELSE 0 END) AS BIGINT) AS bb,
+                   CAST(sum(CASE WHEN is_old = 0 AND fx > m.med_fx
+                            THEN 1 ELSE 0 END) AS BIGINT) AS c,
+                   CAST(sum(CASE WHEN is_old = 0 AND fx <= m.med_fx
+                            THEN 1 ELSE 0 END) AS BIGINT) AS d
+            FROM v JOIN med m ON m.event_type = v.event_type
+            GROUP BY v.event_type
+        )
+        SELECT event_type, a, bb AS b, c, d,
+               ((CAST(a AS DOUBLE) + 0.5) * (CAST(d AS DOUBLE) + 0.5))
+                   / ((CAST(bb AS DOUBLE) + 0.5)
+                      * (CAST(c AS DOUBLE) + 0.5)) AS odds_ratio,
+               sqrt(1e0 / (CAST(a AS DOUBLE) + 0.5)
+                    + 1e0 / (CAST(bb AS DOUBLE) + 0.5)
+                    + 1e0 / (CAST(c AS DOUBLE) + 0.5)
+                    + 1e0 / (CAST(d AS DOUBLE) + 0.5)) AS se_log_or
+        FROM cells
+    """,
+    doc="Mood's-median-test 2x2 odds ratio per event type: time half"
+    " (old/new) x value above/below the TYPE's exact lower median"
+    " (key-partitioned rank idiom, complete-case) — an OR away from 1"
+    " means the type's location drifted between halves. Cells are exact integer conditional sums; the"
+    " Haldane-Anscombe +0.5 correction keeps the ratio finite on"
+    " zero cells, and the Wald log-OR standard error"
+    " sqrt(sum 1/(cell+0.5)) ships alongside so callers build CIs in"
+    " log space with their own z — both emitted columns are pure"
+    " mirrored IEEE ops (division, sqrt), no ln/exp library-rounding"
+    " risk inside the gate. One rank window + one conditional-agg"
+    " shuffle; output is |types| rows.",
+)
+def q_odds_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("value").isNotNull()
+    )
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid")
+    )
+    v = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "event_id",
+        F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        F.expr(f"cast({us} < mid as int)").alias("is_old"),
+    )
+    w = Window.partitionBy("event_type").orderBy("fx", "event_id")
+    wn = Window.partitionBy("event_type")
+    med = (
+        v.select(
+            "event_type",
+            "fx",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.expr("rn = (n + 1) div 2"))
+        .select("event_type", F.col("fx").alias("med_fx"))
+    )
+    cells = (
+        v.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CASE WHEN is_old = 1 AND fx > med_fx"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("a"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN is_old = 1 AND fx <= med_fx"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("b"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN is_old = 0 AND fx > med_fx"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("c"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN is_old = 0 AND fx <= med_fx"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("d"),
+        )
+    )
+    return cells.select(
+        "event_type",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr(
+            "((cast(a as double) + 0.5) * (cast(d as double) + 0.5))"
+            " / ((cast(b as double) + 0.5)"
+            " * (cast(c as double) + 0.5))"
+        ).alias("odds_ratio"),
+        F.expr(
+            "sqrt(1e0 / (cast(a as double) + 0.5)"
+            " + 1e0 / (cast(b as double) + 0.5)"
+            " + 1e0 / (cast(c as double) + 0.5)"
+            " + 1e0 / (cast(d as double) + 0.5))"
+        ).alias("se_log_or"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over exact permutation p-values (round 9)
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA_NUM, _BH_ALPHA_DEN = 1, 20  # alpha = 0.05 as an exact rational
+
+
+@register(
+    "q_fdr_bh",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type, user_id,
+                   CAST(round(value * 100) AS BIGINT) AS fx,
+                   {_h_duck("'permA' || CAST(event_id AS VARCHAR)")} AS h0,
+                   {_h_duck("'permB' || CAST(event_id AS VARCHAR)")} AS h1
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        lab AS (
+            SELECT ev.event_type, b.b, ev.fx,
+                   CASE WHEN b.b = -1 THEN user_id % 2
+                        ELSE ((CASE WHEN b.b < 60 THEN h0 ELSE h1 END)
+                              >> (b.b % 60)) % 2
+                   END AS grp
+            FROM ev CROSS JOIN (
+                SELECT generate_series AS b
+                FROM generate_series(-1, {_PERM_B - 1})
+            ) b
+        ),
+        stats AS (
+            SELECT event_type, b,
+                   CAST(sum(CASE WHEN grp = 0 THEN fx END) AS HUGEINT)
+                       AS sa,
+                   CAST(count(CASE WHEN grp = 0 THEN fx END) AS HUGEINT)
+                       AS na,
+                   CAST(sum(CASE WHEN grp = 1 THEN fx END) AS HUGEINT)
+                       AS sb,
+                   CAST(count(CASE WHEN grp = 1 THEN fx END) AS HUGEINT)
+                       AS nb
+            FROM lab GROUP BY event_type, b
+        ),
+        obs AS (SELECT * FROM stats WHERE b = -1),
+        pv AS (
+            SELECT o.event_type,
+                   CAST(1 + sum(CASE WHEN
+                        abs(p.sa * p.nb - p.sb * p.na)
+                            * (o.na * o.nb)
+                        >= abs(o.sa * o.nb - o.sb * o.na)
+                            * (p.na * p.nb)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS p_num
+            FROM stats p JOIN obs o ON o.event_type = p.event_type
+            WHERE p.b >= 0
+            GROUP BY o.event_type
+        ),
+        ranked AS (
+            SELECT event_type, p_num,
+                   row_number() OVER (ORDER BY p_num, event_type)
+                       AS rnk,
+                   count(*) OVER () AS m
+            FROM pv
+        ),
+        -- BH step-up, EXACT integers: p_i <= alpha*i/m  <=>
+        -- p_num*m*alpha_den <= (B+1)*i*alpha_num
+        passing AS (
+            SELECT max(CASE WHEN p_num * m * {_BH_ALPHA_DEN}
+                            <= {_PERM_B + 1} * rnk * {_BH_ALPHA_NUM}
+                       THEN rnk ELSE 0 END) OVER () AS k_max,
+                   event_type, p_num, rnk, m
+            FROM ranked
+        )
+        SELECT event_type,
+               CAST(p_num AS BIGINT) AS p_num,
+               CAST(CAST(p_num AS DOUBLE)
+                    / CAST({_PERM_B + 1} AS DOUBLE) AS DOUBLE) AS p_value,
+               CAST(rnk AS BIGINT) AS rnk,
+               CAST(m AS BIGINT) AS m,
+               (rnk <= k_max) AS rejected
+        FROM passing
+    """,
+    doc="Benjamini-Hochberg FDR control over the per-event-type"
+    f" randomization tests: each type runs the {_PERM_B}-reassignment"
+    " permutation test (q_permutation_test's md5 bit harvest, one"
+    " B-fold narrow explode partial-aggregating to |types|*(B+1)"
+    " rows), yielding p-values that are EXACT RATIONALS p_num/(B+1)."
+    " The BH step-up then needs NO floats at all: p_i <= alpha*i/m"
+    " cross-multiplies to p_num*m*20 <= (B+1)*i, so the rejection set"
+    " is bit-exact by construction — the multiple-testing layer every"
+    " per-segment drift scan needs before paging anyone. The final"
+    " windows run on m = |types| rows (bounded); p_value is emitted"
+    " as the one mirrored double division for readability.",
+)
+def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            "user_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+            F.expr(
+                _h_spark("concat('permA', cast(event_id as string))")
+            ).alias("h0"),
+            F.expr(
+                _h_spark("concat('permB', cast(event_id as string))")
+            ).alias("h1"),
+        )
+    )
+    lab = ev.select(
+        "event_type",
+        "fx",
+        "user_id",
+        "h0",
+        "h1",
+        F.explode(F.expr(f"sequence(-1, {_PERM_B - 1})")).alias("b"),
+    ).select(
+        "event_type",
+        "b",
+        "fx",
+        F.expr(
+            "CASE WHEN b = -1 THEN user_id % 2"
+            " ELSE shiftright(CASE WHEN b < 60 THEN h0 ELSE h1 END,"
+            " cast(b % 60 as int)) % 2 END"
+        ).alias("grp"),
+    )
+    dec = "decimal(38,0)"
+    stats = lab.groupBy("event_type", "b").agg(
+        F.expr(
+            f"cast(sum(CASE WHEN grp = 0 THEN fx END) as {dec})"
+        ).alias("sa"),
+        F.expr(
+            f"cast(count(CASE WHEN grp = 0 THEN fx END) as {dec})"
+        ).alias("na"),
+        F.expr(
+            f"cast(sum(CASE WHEN grp = 1 THEN fx END) as {dec})"
+        ).alias("sb"),
+        F.expr(
+            f"cast(count(CASE WHEN grp = 1 THEN fx END) as {dec})"
+        ).alias("nb"),
+    )
+    obs = stats.filter(F.col("b") == -1).select(
+        "event_type",
+        F.col("sa").alias("osa"),
+        F.col("na").alias("ona"),
+        F.col("sb").alias("osb"),
+        F.col("nb").alias("onb"),
+    )
+    pv = (
+        stats.filter(F.col("b") >= 0)
+        .join(F.broadcast(obs), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                "cast(1 + sum(CASE WHEN"
+                " abs(sa * nb - sb * na) * (ona * onb)"
+                " >= abs(osa * onb - osb * ona) * (na * nb)"
+                " THEN 1 ELSE 0 END) as bigint)"
+            ).alias("p_num")
+        )
+    )
+    # bounded windows: m = |event types| rows
+    w_rank = Window.orderBy("p_num", "event_type")
+    w_all = Window.partitionBy()
+    ranked = pv.select(
+        "event_type",
+        "p_num",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.count(F.lit(1)).over(w_all).alias("m"),
+    )
+    passing = ranked.select(
+        "event_type",
+        "p_num",
+        "rnk",
+        "m",
+        F.max(
+            F.expr(
+                f"CASE WHEN p_num * m * {_BH_ALPHA_DEN}"
+                f" <= {_PERM_B + 1} * rnk * {_BH_ALPHA_NUM}"
+                " THEN rnk ELSE 0 END"
+            )
+        ).over(w_all).alias("k_max"),
+    )
+    return passing.select(
+        "event_type",
+        F.col("p_num").cast("bigint").alias("p_num"),
+        (
+            F.col("p_num").cast("double") / F.lit(float(_PERM_B + 1))
+        ).alias("p_value"),
+        F.col("rnk").cast("bigint").alias("rnk"),
+        F.col("m").cast("bigint").alias("m"),
+        (F.col("rnk") <= F.col("k_max")).alias("rejected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's paired test (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_mcnemar",
+    oracle="""
+        WITH b AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+            FROM events
+        ),
+        per_user AS (
+            SELECT event_type, user_id,
+                   max(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS act_old,
+                   max(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS act_new
+            FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type, user_id
+        )
+        SELECT event_type,
+               CAST(sum(CASE WHEN act_old = 1 AND act_new = 0
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_lost,
+               CAST(sum(CASE WHEN act_old = 0 AND act_new = 1
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_gained,
+               CAST(CAST(
+                   (sum(CASE WHEN act_old = 1 AND act_new = 0
+                        THEN 1 ELSE 0 END)
+                    - sum(CASE WHEN act_old = 0 AND act_new = 1
+                          THEN 1 ELSE 0 END))
+                   * (sum(CASE WHEN act_old = 1 AND act_new = 0
+                          THEN 1 ELSE 0 END)
+                      - sum(CASE WHEN act_old = 0 AND act_new = 1
+                            THEN 1 ELSE 0 END)) AS DOUBLE)
+                   / nullif(CAST(
+                       sum(CASE WHEN act_old = 1 AND act_new = 0
+                           THEN 1 ELSE 0 END)
+                       + sum(CASE WHEN act_old = 0 AND act_new = 1
+                             THEN 1 ELSE 0 END) AS DOUBLE), 0e0)
+                   AS DOUBLE) AS chi2
+        FROM per_user
+        GROUP BY event_type
+    """,
+    doc="McNemar's PAIRED test per event type: each user is their own"
+    " control — discordant pairs (active old half only vs new half"
+    " only) drive chi2 = (b-c)^2/(b+c), which detects churn/adoption"
+    " shifts that the unpaired tests (q_welch_ttest, q_mannwhitney)"
+    " wash out when heavy users dominate both halves. Per-user"
+    " activity flags are one conditional-max partial agg; the"
+    " statistic is exact-integer cross-multiplication with a single"
+    " mirrored double division. Complete cases on user/type.",
+)
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull() & F.col("event_type").isNotNull()
+    )
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.max(
+                F.expr(f"CASE WHEN {us} < mid THEN 1 ELSE 0 END")
+            ).alias("act_old"),
+            F.max(
+                F.expr(f"CASE WHEN {us} >= mid THEN 1 ELSE 0 END")
+            ).alias("act_new"),
+        )
+    )
+    agg = per_user.groupBy("event_type").agg(
+        F.sum(
+            F.expr("CASE WHEN act_old = 1 AND act_new = 0"
+                   " THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_lost"),
+        F.sum(
+            F.expr("CASE WHEN act_old = 0 AND act_new = 1"
+                   " THEN 1 ELSE 0 END")
+        ).cast("bigint").alias("n_gained"),
+    )
+    return agg.select(
+        "event_type",
+        "n_lost",
+        "n_gained",
+        F.expr(
+            "cast(cast((n_lost - n_gained) * (n_lost - n_gained)"
+            " as double)"
+            " / nullif(cast(n_lost + n_gained as double), 0e0)"
+            " as double)"
+        ).alias("chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Wald-Wolfowitz runs test on the daily up/down sequence (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_runs_test",
+    oracle="""
+        WITH daily AS (
+            SELECT event_type, CAST(ts AS DATE) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        diffs AS (
+            SELECT event_type, d,
+                   CASE WHEN cnt > lag(cnt) OVER w THEN 1
+                        WHEN cnt < lag(cnt) OVER w THEN 0
+                   END AS up
+            FROM daily
+            WINDOW w AS (PARTITION BY event_type ORDER BY d)
+        ),
+        seq AS (
+            -- ties (cnt equal) and the first day drop out, exactly as
+            -- in the classical up/down runs test
+            SELECT event_type, d, up,
+                   lag(up) OVER (PARTITION BY event_type ORDER BY d)
+                       AS prev_up
+            FROM diffs WHERE up IS NOT NULL
+        ),
+        agg AS (
+            SELECT event_type,
+                   CAST(sum(CASE WHEN prev_up IS NULL
+                                 OR up != prev_up
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_runs,
+                   CAST(sum(up) AS BIGINT) AS n_up,
+                   CAST(sum(1 - up) AS BIGINT) AS n_down
+            FROM seq GROUP BY event_type
+        )
+        SELECT event_type, n_runs, n_up, n_down,
+               CAST((CAST(n_runs AS DOUBLE)
+                     - (2e0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)
+                        / CAST(n_up + n_down AS DOUBLE) + 1e0))
+                    / nullif(sqrt(
+                        (2e0 * CAST(n_up AS DOUBLE)
+                         * CAST(n_down AS DOUBLE)
+                         * (2e0 * CAST(n_up AS DOUBLE)
+                            * CAST(n_down AS DOUBLE)
+                            - CAST(n_up + n_down AS DOUBLE)))
+                        / (CAST(n_up + n_down AS DOUBLE)
+                           * CAST(n_up + n_down AS DOUBLE)
+                           * (CAST(n_up + n_down AS DOUBLE) - 1e0))),
+                        0e0)
+                    AS DOUBLE) AS z_score
+        FROM agg
+        WHERE n_up + n_down >= 2
+    """,
+    doc="Wald-Wolfowitz runs test for randomness of each type's daily"
+    " up/down movement: a trending series makes FEW long runs, an"
+    " oscillating one TOO MANY — the nonparametric sanity check"
+    " behind q_mann_kendall (which measures trend direction; this"
+    " measures departure-from-randomness in either direction). Run"
+    " boundaries count via one lag window over the tiny per-type"
+    " daily table; n_runs/n_up/n_down are exact integers and the"
+    " normal-approximation z is mirrored IEEE. Ties and the first"
+    " day drop per the classical definition.",
+)
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull() & F.col("event_type").isNotNull()
+    )
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    diffs = daily.select(
+        "event_type",
+        "d",
+        F.expr(
+            "CASE WHEN cnt > lag(cnt) OVER"
+            " (PARTITION BY event_type ORDER BY d) THEN 1"
+            " WHEN cnt < lag(cnt) OVER"
+            " (PARTITION BY event_type ORDER BY d) THEN 0 END"
+        ).alias("up"),
+    ).filter(F.col("up").isNotNull())
+    seq = diffs.select(
+        "event_type",
+        "up",
+        F.lag("up").over(w).alias("prev_up"),
+    )
+    agg = seq.groupBy("event_type").agg(
+        F.sum(
+            F.expr(
+                "CASE WHEN prev_up IS NULL OR up != prev_up"
+                " THEN 1 ELSE 0 END"
+            )
+        ).cast("bigint").alias("n_runs"),
+        F.sum("up").cast("bigint").alias("n_up"),
+        F.sum(1 - F.col("up")).cast("bigint").alias("n_down"),
+    )
+    nd = "cast(n_up + n_down as double)"
+    prod = "2e0 * cast(n_up as double) * cast(n_down as double)"
+    return agg.filter(F.expr("n_up + n_down >= 2")).select(
+        "event_type",
+        "n_runs",
+        "n_up",
+        "n_down",
+        F.expr(
+            f"cast((cast(n_runs as double) - ({prod} / {nd} + 1e0))"
+            f" / nullif(sqrt(({prod} * ({prod} - {nd}))"
+            f" / ({nd} * {nd} * ({nd} - 1e0))), 0e0) as double)"
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Lincoln-Petersen / Chapman capture-recapture (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_capture_recapture",
+    oracle="""
+        WITH b AS (
+            SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id,
+                   max(CASE WHEN epoch_us(ts) < (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS in_old,
+                   max(CASE WHEN epoch_us(ts) >= (SELECT mid FROM b)
+                       THEN 1 ELSE 0 END) AS in_new
+            FROM events
+            WHERE user_id IS NOT NULL
+            GROUP BY user_id
+        )
+        SELECT CAST(sum(in_old) AS BIGINT) AS n_first,
+               CAST(sum(in_new) AS BIGINT) AS n_second,
+               CAST(sum(in_old * in_new) AS BIGINT) AS n_both,
+               CAST(count(*) AS BIGINT) AS n_observed,
+               CAST(
+                 (CAST(sum(in_old) AS DOUBLE) + 1e0)
+                 * (CAST(sum(in_new) AS DOUBLE) + 1e0)
+                 / (CAST(sum(in_old * in_new) AS DOUBLE) + 1e0) - 1e0
+                 AS DOUBLE) AS chapman_estimate
+        FROM per_user
+    """,
+    doc="Chapman-corrected Lincoln-Petersen capture-recapture over the"
+    " stream's time halves: treat each half as a 'capture' of the"
+    " user universe; the overlap estimates the TRUE population"
+    " N ~ (n1+1)(n2+1)/(m+1) - 1, including users the telemetry never"
+    " saw — the dark-traffic estimator data-quality reviews ask for"
+    " (observed distinct counts only bound N from below). One"
+    " conditional-max partial agg to per-user flags, one global sum;"
+    " the estimate is a single mirrored IEEE expression. Pairs with"
+    " q_hll_distinct (how many we SAW) by estimating what we MISSED.",
+)
+def q_capture_recapture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("user_id").isNotNull()
+    )
+    us = "unix_micros(cast(ts as timestamp))"
+    bounds = ev.agg(
+        F.expr(f"(min({us}) + max({us})) div 2").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.max(
+                F.expr(f"CASE WHEN {us} < mid THEN 1 ELSE 0 END")
+            ).alias("in_old"),
+            F.max(
+                F.expr(f"CASE WHEN {us} >= mid THEN 1 ELSE 0 END")
+            ).alias("in_new"),
+        )
+    )
+    return per_user.agg(
+        F.sum("in_old").cast("bigint").alias("n_first"),
+        F.sum("in_new").cast("bigint").alias("n_second"),
+        F.sum(F.col("in_old") * F.col("in_new"))
+        .cast("bigint")
+        .alias("n_both"),
+        F.count(F.lit(1)).cast("bigint").alias("n_observed"),
+    ).select(
+        "n_first",
+        "n_second",
+        "n_both",
+        "n_observed",
+        F.expr(
+            "cast((cast(n_first as double) + 1e0)"
+            " * (cast(n_second as double) + 1e0)"
+            " / (cast(n_both as double) + 1e0) - 1e0 as double)"
+        ).alias("chapman_estimate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Split-conformal prediction interval, exact-integer form (round 9)
+# ---------------------------------------------------------------------------
+
+# user-hash split: 0-1 train, 2 calibration, 3 test
+_CONF_SPLIT_MOD = 4
+_CONF_ALPHA_NUM, _CONF_ALPHA_DEN = 1, 10  # alpha = 0.1
+
+
+@register(
+    "q_conformal_pi",
+    oracle=f"""
+        WITH ev AS (
+            SELECT event_type,
+                   CAST(round(value * 100) AS BIGINT) AS fx,
+                   ({_h_duck("'conf' || CAST(user_id AS VARCHAR)")})
+                       % {_CONF_SPLIT_MOD} AS fold
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+              AND user_id IS NOT NULL
+        ),
+        model AS (
+            -- 'fit': per-type mean on the TRAIN folds, kept as the
+            -- exact rational s/n (never a rounded float)
+            SELECT event_type,
+                   CAST(sum(fx) AS BIGINT) AS s,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM ev WHERE fold <= 1 GROUP BY event_type
+        ),
+        cal AS (
+            -- calibration residuals scaled by n: |fx*n - s| is the
+            -- exact integer form of n*|fx - mean|
+            SELECT e.event_type,
+                   abs(e.fx * m.n - m.s) AS r_scaled,
+                   row_number() OVER (
+                       PARTITION BY e.event_type
+                       ORDER BY abs(e.fx * m.n - m.s), e.fx
+                   ) AS rk,
+                   count(*) OVER (PARTITION BY e.event_type) AS n_cal
+            FROM ev e JOIN model m ON m.event_type = e.event_type
+            WHERE e.fold = 2
+        ),
+        qhat AS (
+            -- conformal quantile: the ceil((n+1)(1-alpha))-th order
+            -- statistic, index arithmetic exact via integer ceiling
+            SELECT event_type, n_cal,
+                   min(CASE WHEN rk = least(
+                       ((n_cal + 1) * ({_CONF_ALPHA_DEN} -
+                        {_CONF_ALPHA_NUM}) + {_CONF_ALPHA_DEN} - 1)
+                       // {_CONF_ALPHA_DEN}, n_cal)
+                       THEN r_scaled END) AS q_scaled
+            FROM cal GROUP BY event_type, n_cal
+        ),
+        test AS (
+            SELECT e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_test,
+                   CAST(sum(CASE WHEN abs(e.fx * m.n - m.s)
+                                 <= q.q_scaled
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+            FROM ev e
+            JOIN model m ON m.event_type = e.event_type
+            JOIN qhat q ON q.event_type = e.event_type
+            WHERE e.fold = 3
+            GROUP BY e.event_type
+        )
+        SELECT t.event_type, q.n_cal, t.n_test, t.n_covered,
+               CAST(CAST(t.n_covered AS DOUBLE)
+                    / CAST(t.n_test AS DOUBLE) AS DOUBLE) AS coverage,
+               CAST(2e0 * CAST(q.q_scaled AS DOUBLE)
+                    / CAST(m.n AS DOUBLE) / 100e0 AS DOUBLE)
+                   AS interval_width
+        FROM test t
+        JOIN qhat q ON q.event_type = t.event_type
+        JOIN model m ON m.event_type = t.event_type
+    """,
+    doc="Split-conformal prediction interval per event type, fully"
+    " EXACT: train folds fit the per-type mean kept as the rational"
+    " s/n, calibration residuals compare as the exact integers"
+    " |fx*n - s| (n*|fx - mean| — no float residuals anywhere), the"
+    " conformal quantile is the ceil((n_cal+1)(1-alpha))-th order"
+    " statistic by integer index arithmetic, and test-fold coverage"
+    " is an integer count — the distribution-free ML-eval guarantee"
+    " (coverage >= 1-alpha in expectation) computed without a single"
+    " intermediate rounding. Seeded md5 user folds; one rank window"
+    " per type on the calibration fold only. Coverage and width"
+    " divide once each at the end, mirrored.",
+)
+def q_conformal_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull()
+            & F.col("event_type").isNotNull()
+            & F.col("user_id").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+            F.expr(
+                _h_spark("concat('conf', cast(user_id as string))")
+                + f" % {_CONF_SPLIT_MOD}"
+            ).alias("fold"),
+        )
+    )
+    model = (
+        ev.filter(F.col("fold") <= 1)
+        .groupBy("event_type")
+        .agg(
+            F.sum("fx").cast("bigint").alias("s"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.expr("abs(fx * n - s)"), "fx"
+    )
+    wn = Window.partitionBy("event_type")
+    cal = (
+        ev.filter(F.col("fold") == 2)
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            F.expr("abs(fx * n - s)").alias("r_scaled"),
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wn).alias("n_cal"),
+        )
+    )
+    k = (
+        f"least(((n_cal + 1) * ({_CONF_ALPHA_DEN} - {_CONF_ALPHA_NUM})"
+        f" + {_CONF_ALPHA_DEN} - 1) div {_CONF_ALPHA_DEN}, n_cal)"
+    )
+    qhat = (
+        cal.groupBy("event_type", "n_cal")
+        .agg(
+            F.min(
+                F.expr(f"CASE WHEN rk = {k} THEN r_scaled END")
+            ).alias("q_scaled")
+        )
+    )
+    test = (
+        ev.filter(F.col("fold") == 3)
+        .join(F.broadcast(model), "event_type")
+        .join(F.broadcast(qhat), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN abs(fx * n - s) <= q_scaled"
+                    " THEN 1 ELSE 0 END"
+                )
+            ).cast("bigint").alias("n_covered"),
+        )
+    )
+    return (
+        test.join(F.broadcast(qhat), "event_type")
+        .join(F.broadcast(model), "event_type")
+        .select(
+            "event_type",
+            "n_cal",
+            "n_test",
+            "n_covered",
+            F.expr(
+                "cast(cast(n_covered as double)"
+                " / cast(n_test as double) as double)"
+            ).alias("coverage"),
+            F.expr(
+                "cast(2e0 * cast(q_scaled as double)"
+                " / cast(n as double) / 100e0 as double)"
+            ).alias("interval_width"),
+        )
+    )

@@ -1960,3 +1960,88 @@ def q_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = prof if out is None else out.unionByName(prof)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Column concentration profile: exact Gini impurity / Simpson index
+# (round 9 — the entropy-style profiler without the banned ln())
+# ---------------------------------------------------------------------------
+
+_IMP_COLS_DUCK = (
+    ("event_type", "event_type"),
+    ("user_bucket", "CAST(user_id % 100 AS VARCHAR)"),
+    ("value_decile",
+     "CAST(least(CAST(floor(value * 10) AS BIGINT), 9) AS VARCHAR)"),
+    ("weekday", "CAST(dayofweek(CAST(ts AS DATE)) AS VARCHAR)"),
+)
+_IMP_COLS_SPARK = (
+    ("event_type", "event_type"),
+    ("user_bucket", "cast(user_id % 100 as string)"),
+    ("value_decile",
+     "cast(least(CAST(floor(value * 10) AS BIGINT), 9) as string)"),
+    ("weekday", "cast(dayofweek(cast(ts as date)) as string)"),
+)
+
+
+@register(
+    "q_column_impurity",
+    oracle=" UNION ALL ".join(
+        f"""
+        SELECT '{name}' AS col_name,
+               CAST(count(DISTINCT {expr}) AS BIGINT) AS n_distinct,
+               CAST(count({expr}) AS BIGINT) AS n_rows,
+               CAST(1e0 - (SELECT CAST(sum(CAST(c AS HUGEINT) * c)
+                                       AS DOUBLE)
+                           FROM (SELECT count(*) AS c FROM events
+                                 WHERE {expr} IS NOT NULL
+                                 GROUP BY {expr}))
+                    / (CAST(count({expr}) AS DOUBLE)
+                       * CAST(count({expr}) AS DOUBLE))
+                    AS DOUBLE) AS gini_impurity
+        FROM events
+        """
+        for name, expr in _IMP_COLS_DUCK
+    ),
+    doc="Column concentration profile for the events stream: per"
+    " derived column (type, user bucket, value decile, weekday) the"
+    " exact Gini impurity / Simpson diversity 1 - sum(c_i^2)/n^2 plus"
+    " distinct and non-null counts — the skew-at-a-glance profiler"
+    " that ranks join keys and partition candidates (impurity ~ 0"
+    " means one dominant value: broadcast or salt it; ~ (k-1)/k means"
+    " uniform). Shannon entropy is the textbook choice but its ln()"
+    " is banned engine-wide (per-libm rounding — the q_kn_bigram"
+    " precedent); the Simpson form is an exact rational from ONE"
+    " integer-moment aggregation per column, same ranking power. Each"
+    " column costs one partial-agg shuffle over its value counts.",
+)
+def q_column_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    out = None
+    for name, expr in _IMP_COLS_SPARK:
+        vals = ev.select(F.expr(expr).alias("v"))
+        counts = (
+            vals.filter(F.col("v").isNotNull())
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        row = counts.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            # coalesce: empty corpus sums to NULL, the oracle's
+            # count(expr) to 0
+            F.coalesce(F.sum("c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_rows"),
+            F.expr(
+                "cast(sum(cast(c as decimal(38,0)) * c) as double)"
+            ).alias("ss"),
+        ).select(
+            F.lit(name).alias("col_name"),
+            "n_distinct",
+            "n_rows",
+            F.expr(
+                "cast(1e0 - ss / nullif(cast(n_rows as double)"
+                " * cast(n_rows as double), 0e0) as double)"
+            ).alias("gini_impurity"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

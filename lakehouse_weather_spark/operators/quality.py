@@ -615,3 +615,56 @@ def q_text_code_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" + {_CODE_W_LONGTOK} * long_tokens as bigint)"
         ).alias("code_score_fx"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Document structure profile (round 9)
+# ---------------------------------------------------------------------------
+
+# (name, regex) — counted as split-segments minus one, the portable
+# occurrence count (Spark split(limit=-1) and DuckDB
+# regexp_split_to_array both keep trailing empties)
+_STRUCT_PATTERNS = (
+    ("n_lines", r"\n"),
+    ("n_headings", r"\n#"),
+    ("n_bullets", r"\n[-*] "),
+    ("n_code_fences", r"```"),
+    ("n_links", r"https?://"),
+)
+
+
+@register(
+    "q_doc_structure",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               {sums}
+        FROM documents
+        GROUP BY source
+    """.format(
+        sums=",\n               ".join(
+            f"CAST(sum(len(regexp_split_to_array(text, '{pat}')) - 1)"
+            f" AS BIGINT) AS {name}"
+            for name, pat in _STRUCT_PATTERNS
+        )
+    ),
+    doc="Structure-aware document profile per source: line, heading,"
+    " bullet, code-fence, and link occurrence counts — the cheap"
+    " structural features markdown/code-aware corpus filters cut on"
+    " (a 'prose' corpus full of code fences or link farms is a"
+    " composition bug q_text_quality's token ratios can't see)."
+    " Counting is the portable split-segments-minus-one idiom, one"
+    " regex pass per pattern inside the SAME projection — narrow,"
+    " shuffle-free until the per-source partial agg; scan-speed at"
+    " 100 TB.",
+)
+def q_doc_structure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_docs")]
+    for name, pat in _STRUCT_PATTERNS:
+        aggs.append(
+            F.sum(
+                F.expr(f"size(split(text, '{pat}', -1)) - 1")
+            ).cast("bigint").alias(name)
+        )
+    return docs.groupBy("source").agg(*aggs)

@@ -1064,3 +1064,224 @@ def q_mlm_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div size(split(text, ' ')) AS BIGINT)"
         ).alias("masked_pm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Hamilton (largest-remainder) proportional allocation (round 9)
+# ---------------------------------------------------------------------------
+
+_ALLOC_BUDGET = 1_000  # sample budget to apportion across sources
+
+
+@register(
+    "q_stratified_alloc",
+    oracle=f"""
+        WITH s AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n
+            FROM documents GROUP BY source
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nt FROM s),
+        quota AS (
+            SELECT s.source, s.n,
+                   (s.n * {_ALLOC_BUDGET}) // t.nt AS floor_q,
+                   (s.n * {_ALLOC_BUDGET}) % t.nt AS rem
+            FROM s CROSS JOIN tot t
+        ),
+        ranked AS (
+            SELECT source, n, floor_q, rem,
+                   row_number() OVER (ORDER BY rem DESC, source)
+                       AS rk,
+                   {_ALLOC_BUDGET} - sum(floor_q) OVER () AS leftover
+            FROM quota
+        )
+        SELECT source, n, CAST(floor_q AS BIGINT) AS floor_quota,
+               CAST(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+                    AS BIGINT) AS alloc
+        FROM ranked
+    """,
+    doc="Hamilton largest-remainder apportionment of a"
+    f" {_ALLOC_BUDGET}-row sample budget across document sources:"
+    " exact integer quotas n_i*B div N, leftover seats to the largest"
+    " remainders (deterministic source tiebreak) — the allocation"
+    " whose per-stratum counts sum EXACTLY to the budget, which"
+    " proportional rounding never guarantees (q_neyman_allocation"
+    " optimizes variance instead; this one guarantees the total)."
+    " Integer arithmetic end to end, windows on |sources| rows. Pairs"
+    " with q_sample_stratified, which consumes per-stratum counts.",
+)
+def q_stratified_alloc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = s.agg(F.sum("n").cast("bigint").alias("nt"))
+    quota = s.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"(n * {_ALLOC_BUDGET}) div nt").alias("floor_q"),
+        F.expr(f"(n * {_ALLOC_BUDGET}) % nt").alias("rem"),
+    )
+    # bounded windows: |sources| rows
+    w_rank = Window.orderBy(F.col("rem").desc(), "source")
+    w_all = Window.partitionBy()
+    ranked = quota.select(
+        "source",
+        "n",
+        "floor_q",
+        F.row_number().over(w_rank).alias("rk"),
+        (F.lit(_ALLOC_BUDGET) - F.sum("floor_q").over(w_all)).alias(
+            "leftover"
+        ),
+    )
+    return ranked.select(
+        "source",
+        "n",
+        F.col("floor_q").cast("bigint").alias("floor_quota"),
+        F.expr(
+            "cast(floor_q + CASE WHEN rk <= leftover THEN 1 ELSE 0 END"
+            " as bigint)"
+        ).alias("alloc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Priority sampling: weighted without-replacement per stratum (round 9)
+# ---------------------------------------------------------------------------
+
+_PRIO_K = 10
+# 13 hex digits = 52 bits: exactly representable in a double, so the
+# u/w division is ONE correctly-rounded IEEE op on identical inputs —
+# the ordering is bit-identical across engines (ln/exp-based Gumbel or
+# exponential-clock sampling is banned by the no-libm rule)
+_PRIO_HEX = 13
+
+
+@register(
+    "q_priority_sample",
+    oracle=f"""
+        WITH d AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(('0x' || substr(md5('prio'
+                        || CAST(doc_id AS VARCHAR)), 1, {_PRIO_HEX}))
+                        AS BIGINT) AS u
+            FROM documents
+            WHERE n_chars > 0
+        ),
+        ranked AS (
+            SELECT doc_id, source, n_chars,
+                   CAST(u AS DOUBLE) / CAST(n_chars AS DOUBLE)
+                       AS priority,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY CAST(u AS DOUBLE)
+                                / CAST(n_chars AS DOUBLE), doc_id
+                   ) AS rk
+            FROM d
+        )
+        SELECT source, doc_id, n_chars, priority
+        FROM ranked WHERE rk <= {_PRIO_K}
+    """,
+    doc="Priority sampling (Duffield-Lund-Thorup): per source, the"
+    f" {_PRIO_K} documents with smallest u/weight where u is a seeded"
+    f" 52-bit md5 uniform and weight = n_chars — weighted sampling"
+    " WITHOUT replacement whose inclusion probability tracks weight,"
+    " reproducible across reruns and cluster layouts (no rand()), and"
+    " free of transcendental noise (Gumbel/exponential clocks need"
+    " ln(); the u/w division is one correctly-rounded IEEE op on a"
+    " 52-bit-exact integer, so both engines order identically)."
+    " Key-partitioned rank window = per-stratum top-k; at 100 TB this"
+    " shape swaps to a per-partition heap + k-row merge, same"
+    " semantics. Complements q_weighted_sample (with-replacement"
+    " shares) and q_sample_stratified (uniform strata).",
+)
+def q_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars") > 0
+    )
+    d = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr(
+            f"cast(conv(substr(md5(concat('prio',"
+            f" cast(doc_id as string))), 1, {_PRIO_HEX}), 16, 10)"
+            " as bigint)"
+        ).alias("u"),
+    )
+    prio = F.expr("cast(u as double) / cast(n_chars as double)")
+    w = Window.partitionBy("source").orderBy(
+        prio.asc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "source",
+            "doc_id",
+            "n_chars",
+            prio.alias("priority"),
+            F.row_number().over(w).alias("rk"),
+        )
+        .filter(F.col("rk") <= _PRIO_K)
+        .select("source", "doc_id", "n_chars", "priority")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Effective sample size of weighted data (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ess_weights",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(n_chars) AS BIGINT) AS sum_w,
+               CAST(CAST(sum(n_chars) AS HUGEINT)
+                    * sum(n_chars) AS DOUBLE)
+                   / nullif(CAST(sum(CAST(n_chars AS HUGEINT)
+                                     * n_chars) AS DOUBLE), 0e0)
+                   AS ess,
+               CAST(CAST(sum(n_chars) AS HUGEINT)
+                    * sum(n_chars) AS DOUBLE)
+                   / nullif(CAST(sum(CAST(n_chars AS HUGEINT)
+                                     * n_chars) AS DOUBLE), 0e0)
+                   / nullif(CAST(count(*) AS DOUBLE), 0e0)
+                   AS efficiency
+        FROM documents
+        WHERE n_chars IS NOT NULL
+        GROUP BY source
+    """,
+    doc="Kish effective sample size per source for char-count-weighted"
+    " sampling: ESS = (sum w)^2 / sum(w^2) — how many EQUAL-weight"
+    " documents the weighted corpus is worth; efficiency = ESS/n"
+    " near 0 means a few huge documents dominate every estimate"
+    " (q_dsir_weights / q_sample_quality_weighted consumers read"
+    " this before trusting their weighted statistics). Both moments"
+    " are exact integer sums in one partial agg; the ratios are"
+    " mirrored IEEE divisions. Scan-shaped at any scale.",
+)
+def q_ess_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull()
+    )
+    agg = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n_chars").cast("bigint").alias("sum_w"),
+        F.expr(
+            "cast(sum(cast(n_chars as decimal(38,0)) * n_chars)"
+            " as double)"
+        ).alias("sum_w2"),
+    )
+    ess = (
+        "cast(cast(sum_w as decimal(38,0)) * sum_w as double)"
+        " / nullif(sum_w2, 0e0)"
+    )
+    return agg.select(
+        "source",
+        "n",
+        "sum_w",
+        F.expr(f"cast({ess} as double)").alias("ess"),
+        F.expr(
+            f"cast({ess} / nullif(cast(n as double), 0e0) as double)"
+        ).alias("efficiency"),
+    )

@@ -258,7 +258,22 @@ _PRIOR_VERIFIED = frozenset({
 # these are the ONLY rows without a driver record, so they occupy the
 # front of the gate window (~50 query budget).
 _ROUND9_NEW: frozenset[str] = frozenset({
-    # populated as round-9 queries land
+    "q_anova_f",
+    "q_odds_ratio",
+    "q_fdr_bh",
+    "q_heavy_change",
+    "q_column_impurity",
+    "q_stratified_alloc",
+    "q_priority_sample",
+    "q_geo_trajectory",
+    "q_doc_structure",
+    "q_stream_session_evict",
+    "q_mcnemar",
+    "q_runs_test",
+    "q_capture_recapture",
+    "q_lorenz_deciles",
+    "q_ess_weights",
+    "q_conformal_pi",
 })
 
 

@@ -38,6 +38,19 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    # Export the vendored protobuf onto PYTHONPATH BEFORE the JVM
+    # boots: transformWithState's Python workers (spawned by the JVM)
+    # inherit this env, and retrofitting after boot is impossible.
+    # No-op where protobuf is natively importable or absent entirely.
+    try:
+        from lakehouse_weather_spark.streaming.stateful import (
+            _ensure_protobuf,
+        )
+
+        _ensure_protobuf()
+    except Exception:  # noqa: BLE001 - TWS is optional; never block boot
+        pass
+
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)

@@ -1794,3 +1794,150 @@ def q_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.select(
         "view_id", "click_id", F.col("v_user").alias("user_id")
     )
+
+
+_SESS_GAP_MIN = 30
+
+
+@register(
+    "q_stream_session_evict",
+    oracle=f"""
+        WITH pts AS (
+            -- complete cases: NULL ts would desync the lag order
+            -- (NULLS FIRST in Spark vs LAST here); sentinel user -1
+            -- exists only on the stream side and is filtered there
+            SELECT user_id, ts, event_id, epoch_us(ts) AS us
+            FROM events
+            WHERE user_id IS NOT NULL AND ts IS NOT NULL
+        ),
+        marked AS (
+            SELECT user_id, us,
+                   CASE WHEN lag(us) OVER w IS NULL
+                        OR us - lag(us) OVER w
+                           > {_SESS_GAP_MIN} * 60 * 1000000
+                        THEN 1 ELSE 0 END AS new_sess,
+                   ts, event_id
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, us,
+                   sum(new_sess) OVER (PARTITION BY user_id
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                       AS sid
+            FROM marked
+        )
+        SELECT user_id,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(min(us) AS BIGINT) AS start_us,
+               CAST(max(us) AS BIGINT) AS end_us
+        FROM sess GROUP BY user_id, sid
+    """,
+    doc="TRUE timer-driven stateful sessionization through the oracle"
+    " gate: transformWithStateInPandas (RocksDB state, EventTime"
+    f" mode) sessionizes each user's stream with a {_SESS_GAP_MIN}-"
+    "minute idle gap, REGISTERED EVENT-TIME TIMERS evict closed"
+    " sessions from the store exactly once (sessions superseded by a"
+    " later event close inline; terminal sessions can ONLY flush via"
+    " a fired timer after far-future sentinel files advance the"
+    " watermark), and the emitted session set hash-matches the batch"
+    " lag/cumulative-sum sessionization. This is the state-TTL"
+    " surface SURVEY §2.10 declares, proven against SQL semantics"
+    " rather than only pytest fixtures. State is bounded: every key's"
+    " state leaves the store at watermark-passage, never accumulates.",
+)
+def q_stream_session_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lakehouse_weather_spark.streaming.stateful import (
+        stream_session_eviction,
+    )
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    base = os.path.join(
+        tempfile.gettempdir(), f"lws_sess_evict_{tag}_{os.getpid()}"
+    )
+    shutil.rmtree(base, ignore_errors=True)
+    events_dir = os.path.join(base, "events")
+    os.makedirs(events_dir)
+    src = os.path.join(sf_dir, "events.parquet")
+    srcs = (
+        sorted(glob.glob(os.path.join(src, "*.parquet")))
+        if os.path.isdir(src)
+        else [src]
+    )
+    for i, f in enumerate(srcs):
+        link = os.path.join(events_dir, f"{i:04d}.parquet")
+        os.symlink(f, link)
+    n_real = len(srcs)
+    # sentinel files (user -1, far future): each its own micro-batch
+    # so the watermark advances -> timers REGISTER -> timers FIRE;
+    # mtimes pinned because FileStreamSource breaks same-second ties
+    # arbitrarily (sentinels must process after the data, in order)
+    t0 = pq.read_table(srcs[0], columns=None).slice(0, 1)
+    ts_type = t0.schema.field("ts").type
+    import pyarrow.compute as pc
+
+    his = [
+        pc.max(pc.cast(pq.read_table(f).column("ts"), pa.int64())).as_py()
+        for f in srcs
+    ]
+    his = [h for h in his if h is not None]
+    if not his:
+        # empty corpus: nothing to sessionize — the oracle returns 0
+        # rows; skip the stream entirely (a sentinel-only stream would
+        # just churn state for user -1)
+        return spark.createDataFrame(
+            [],
+            "user_id bigint, n_events bigint,"
+            " start_us bigint, end_us bigint",
+        )
+    hi = max(his)
+    unit = ts_type.unit if pa.types.is_timestamp(ts_type) else "ns"
+    per_sec = {"s": 1, "ms": 10**3, "us": 10**6, "ns": 10**9}[unit]
+    century = 100 * 365 * 24 * 3600 * per_sec
+    year = 365 * 24 * 3600 * per_sec
+    for k in (1, 2, 3):
+        row = t0
+        row = row.set_column(
+            row.schema.get_field_index("ts"),
+            "ts",
+            # +100y/+101y/+102y: far enough to flush every real
+            # session, near enough to stay datetime64[ns]-representable
+            # (pandas overflows past year 2262)
+            pa.array(
+                [hi + century + k * year], type=pa.int64()
+            ).cast(ts_type),
+        )
+        row = row.set_column(
+            row.schema.get_field_index("user_id"),
+            "user_id",
+            pa.array([-1], type=row.schema.field("user_id").type),
+        )
+        path = os.path.join(events_dir, f"zz_sentinel_{k}.parquet")
+        pq.write_table(row, path)
+        os.utime(path, (1_800_000_000 + k * 100,) * 2)
+    for i in range(n_real):
+        os.utime(
+            os.path.join(events_dir, f"{i:04d}.parquet"),
+            (1_700_000_000 + i,) * 2,
+        )
+    sink = stream_session_eviction(
+        spark,
+        events_dir,
+        os.path.join(base, "ckpt"),
+        gap_minutes=_SESS_GAP_MIN,
+        watermark="1 minute",
+        max_files_per_trigger=max(1, n_real),
+    )
+    return sink.filter(F.col("user_id") != -1).select(
+        "user_id", "n_events", "start_us", "end_us"
+    )

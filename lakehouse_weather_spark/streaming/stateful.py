@@ -96,6 +96,28 @@ def _ensure_protobuf() -> bool:
 
 HAS_TWS_DEPS = _ensure_protobuf()
 
+# TWS additionally needs protobuf importable in the PYTHON WORKERS the
+# JVM spawns — they inherit PYTHONPATH only if the export above ran
+# BEFORE the JVM booted. Record that fact at import time: if a
+# SparkContext is already live when the export happens, this session's
+# workers never see it and TWS would crash its driver worker.
+def _tws_workers_ok() -> bool:
+    if not HAS_TWS_DEPS:
+        return False
+    import os
+
+    parts = os.environ.get("PYTHONPATH", "").split(os.pathsep)
+    native = not any(p in parts for p in _PROTOBUF_FALLBACK_ROOTS)
+    if native:
+        return True
+    from pyspark import SparkContext
+
+    # exported path: safe only if no JVM was running at export time
+    return SparkContext._active_spark_context is None
+
+
+_TWS_WORKERS_OK = _tws_workers_ok()
+
 _ROCKSDB_PROVIDER = (
     "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
 )
@@ -376,6 +398,63 @@ def _make_session_evict_processor(gap_us: int):
     return SessionEvictProcessor()
 
 
+def _gswp_session_eviction(grouped, gap_us: int):
+    """GroupState twin of the TWS session-evict processor: the same
+    inline-close + idle-eviction semantics on applyInPandasWithState's
+    EventTimeTimeout ladder rung (state.setTimeoutTimestamp arms the
+    'timer', hasTimedOut is the firing). Dependency-free — used where
+    the TWS protobuf export could not reach the JVM's workers."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def row(user_id, n, start_us, end_us, closed_by, wm_ms):
+        return pd.DataFrame(
+            [(user_id, n, start_us, end_us, closed_by, wm_ms)],
+            columns=[
+                "user_id", "n_events", "start_us", "end_us",
+                "closed_by", "wm_ms",
+            ],
+        )
+
+    def fold(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            n, start_us, end_us = state.get
+            yield row(
+                key[0], n, start_us, end_us, "timer",
+                state.getCurrentWatermarkMs(),
+            )
+            state.remove()
+            return
+        us: list[int] = []
+        for pdf in pdfs:
+            us.extend(_ts_to_us(v) for v in pdf["ts"])
+        us.sort()
+        have = state.exists
+        n, start_us, end_us = state.get if have else (0, 0, 0)
+        for t in us:
+            if have and t - end_us > gap_us:
+                yield row(
+                    key[0], n, start_us, end_us, "event",
+                    state.getCurrentWatermarkMs(),
+                )
+                have = False
+            if not have:
+                n, start_us, end_us, have = 1, t, t, True
+            else:
+                n += 1
+                end_us = max(end_us, t)
+        state.update((n, start_us, end_us))
+        state.setTimeoutTimestamp((end_us + gap_us) // 1_000)
+
+    return grouped.applyInPandasWithState(
+        fold,
+        outputStructType=SESSION_EVICT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+
+
 def stream_session_eviction(
     spark: SparkSession,
     events_dir: str,
@@ -383,19 +462,28 @@ def stream_session_eviction(
     gap_minutes: int = 30,
     watermark: str = "1 minute",
     max_files_per_trigger: int | None = None,
+    backend: str = "auto",
 ) -> DataFrame:
-    """Sessionize a user event stream with timer-driven state eviction
-    (transformWithStateInPandas, timeMode=EventTime): closed sessions
-    emit exactly once, idle keys leave the store when their event-time
-    timer fires. Requires the TWS backend (HAS_TWS_DEPS). Returns the
-    append-mode memory-sink table of closed sessions."""
-    if not HAS_TWS_DEPS:
+    """Sessionize a user event stream with timer-driven state eviction:
+    closed sessions emit exactly once, idle keys leave the store when
+    their event-time timer fires. backend: 'tws' (StatefulProcessor
+    timers, RocksDB) | 'gswp' (GroupState EventTimeTimeout) | 'auto'
+    (tws when its protobuf reached the JVM's worker env, else gswp —
+    both share the one semantics contract). Returns the append-mode
+    memory-sink table of closed sessions."""
+    if backend == "auto":
+        backend = "tws" if _TWS_WORKERS_OK else "gswp"
+    if backend == "tws" and not HAS_TWS_DEPS:
         raise RuntimeError("transformWithState needs google.protobuf")
+    if backend not in ("tws", "gswp"):
+        raise ValueError(f"unknown backend {backend!r}")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
-    )
+    if backend == "tws":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            _ROCKSDB_PROVIDER,
+        )
     static = spark.read.parquet(events_dir)
     reader = spark.readStream.schema(static.schema)
     if max_files_per_trigger is not None:
@@ -419,14 +507,16 @@ def stream_session_eviction(
         .select("user_id", "ts")
         .groupBy("user_id")
     )
-    out = grouped.transformWithStateInPandas(
-        statefulProcessor=_make_session_evict_processor(
-            gap_minutes * 60 * 1_000_000
-        ),
-        outputStructType=SESSION_EVICT_SCHEMA,
-        outputMode="Append",
-        timeMode="EventTime",
-    )
+    gap_us = gap_minutes * 60 * 1_000_000
+    if backend == "tws":
+        out = grouped.transformWithStateInPandas(
+            statefulProcessor=_make_session_evict_processor(gap_us),
+            outputStructType=SESSION_EVICT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    else:
+        out = _gswp_session_eviction(grouped, gap_us)
     import hashlib
 
     name = "sess_evict_" + hashlib.md5(

@@ -842,6 +842,13 @@ _TAIL_QUERIES = [
     "q_markov_stationary", "q_encoding_advisor", "q_weighted_quantiles",
     "q_qini_uplift", "q_group_sequential", "q_trimmed_mean",
     "q_spearman_corr", "q_version_cdf", "q_linkage_em",
+    # round-9 additions (q_stream_session_evict excluded here: the
+    # empty/single-row corpora already gate streaming lifecycles)
+    "q_anova_f", "q_odds_ratio", "q_fdr_bh", "q_heavy_change",
+    "q_column_impurity", "q_stratified_alloc", "q_priority_sample",
+    "q_geo_trajectory", "q_doc_structure", "q_mcnemar", "q_runs_test",
+    "q_capture_recapture", "q_lorenz_deciles", "q_ess_weights",
+    "q_conformal_pi",
 ]
 
 
@@ -999,6 +1006,11 @@ _NULL_EVENTS_QUERIES = [
     "q_spearman_corr", "q_mann_kendall", "q_trimmed_mean",
     "q_weighted_quantiles", "q_permutation_test", "q_dist_drift",
     "q_theilsen", "q_changepoint", "q_agg_basic", "q_histogram",
+    # round-9 events-based queries: complete-case guarded by design
+    "q_anova_f", "q_odds_ratio", "q_fdr_bh", "q_mcnemar",
+    "q_runs_test", "q_capture_recapture", "q_lorenz_deciles",
+    "q_conformal_pi", "q_geo_trajectory", "q_heavy_change",
+    "q_column_impurity",
 ]
 
 
