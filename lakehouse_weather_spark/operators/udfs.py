@@ -325,3 +325,103 @@ def q_sql_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# mapInArrow: zero-copy Arrow-batch kernel (round 9 — completes the
+# UDF API ladder: row UDF -> Arrow UDF -> pandas_udf -> mapInPandas ->
+# mapInArrow -> UDTF -> SQL UDF)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_arrow_scan_stats",
+    oracle="""
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(octet_length(encode(text))) AS BIGINT) AS n_bytes,
+               CAST(sum(len(regexp_split_to_array(text, '[ \t\n]+')) - 1)
+                    AS BIGINT) AS n_ws_runs
+        FROM documents
+        GROUP BY source
+    """,
+    doc="mapInArrow surface: per-batch byte/whitespace statistics"
+    " computed with pyarrow.compute kernels directly on the Arrow"
+    " RecordBatch — NO pandas materialization, the zero-copy rung of"
+    " the Python-UDF ladder (vs mapInPandas' Arrow->pandas->Arrow"
+    " round trip; for byte-shuffling kernels like this the conversion"
+    " IS the cost). The per-batch partials then partial-aggregate"
+    " per source, so the Python boundary moves one narrow struct per"
+    " batch, not per row. Whitespace runs count via"
+    " count_substring_regex == split-segments-minus-one, mirrored in"
+    " the oracle; byte length is binary_length on the raw buffer.",
+)
+def q_arrow_scan_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("source", StringType()),
+            StructField("n_docs", LongType()),
+            StructField("n_bytes", LongType()),
+            StructField("n_ws_runs", LongType()),
+        ]
+    )
+
+    def batch_stats(batches):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        for batch in batches:
+            tbl = pa.table(
+                {"source": batch.column(batch.schema.get_field_index("source")),
+                 "text": batch.column(batch.schema.get_field_index("text"))}
+            )
+            nbytes = pc.binary_length(
+                pc.cast(tbl.column("text"), pa.binary())
+            )
+            ws = pc.count_substring_regex(
+                tbl.column("text"), "[ \t\n]+"
+            )
+            grouped = pa.table(
+                {
+                    "source": tbl.column("source"),
+                    "one": pa.array([1] * tbl.num_rows, pa.int64())
+                    if tbl.num_rows
+                    else pa.array([], pa.int64()),
+                    "nb": pc.cast(nbytes, pa.int64()),
+                    "ws": pc.cast(ws, pa.int64()),
+                }
+            ).group_by("source").aggregate(
+                [("one", "sum"), ("nb", "sum"), ("ws", "sum")]
+            )
+            yield pa.RecordBatch.from_arrays(
+                [
+                    grouped.column("source").combine_chunks(),
+                    pc.cast(
+                        grouped.column("one_sum"), pa.int64()
+                    ).combine_chunks(),
+                    pc.cast(
+                        grouped.column("nb_sum"), pa.int64()
+                    ).combine_chunks(),
+                    pc.cast(
+                        grouped.column("ws_sum"), pa.int64()
+                    ).combine_chunks(),
+                ],
+                schema=pa.schema(
+                    [
+                        ("source", pa.string()),
+                        ("n_docs", pa.int64()),
+                        ("n_bytes", pa.int64()),
+                        ("n_ws_runs", pa.int64()),
+                    ]
+                ),
+            )
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    partials = docs.mapInArrow(batch_stats, schema=out_schema)
+    return partials.groupBy("source").agg(
+        F.sum("n_docs").cast("bigint").alias("n_docs"),
+        F.sum("n_bytes").cast("bigint").alias("n_bytes"),
+        F.sum("n_ws_runs").cast("bigint").alias("n_ws_runs"),
+    )

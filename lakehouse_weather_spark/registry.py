@@ -274,6 +274,8 @@ _ROUND9_NEW: frozenset[str] = frozenset({
     "q_lorenz_deciles",
     "q_ess_weights",
     "q_conformal_pi",
+    "q_arrow_scan_stats",
+    "q_dpp_prune",
 })
 
 

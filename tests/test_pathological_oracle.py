@@ -848,7 +848,7 @@ _TAIL_QUERIES = [
     "q_column_impurity", "q_stratified_alloc", "q_priority_sample",
     "q_geo_trajectory", "q_doc_structure", "q_mcnemar", "q_runs_test",
     "q_capture_recapture", "q_lorenz_deciles", "q_ess_weights",
-    "q_conformal_pi",
+    "q_conformal_pi", "q_arrow_scan_stats", "q_dpp_prune",
 ]
 
 

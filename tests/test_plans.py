@@ -423,9 +423,10 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
         1, "running cumulative over the per-DAY aggregate — calendar-"
            "bounded (one row per day in the corpus horizon)"),
     "operators/sampling.py": (
-        2, "q_curriculum_order's |langs|-row alphabet window; "
+        3, "q_curriculum_order's |langs|-row alphabet window; "
            "q_weighted_sample's rank over the WPS_K-row TakeOrdered "
-           "winner set"),
+           "winner set; q_stratified_alloc's largest-remainder rank "
+           "over the |sources|-row quota table"),
     "operators/timeseries.py": (
         1, "Kaplan-Meier suffix sums over the ~100-row duration-bucket "
            "table"),
@@ -469,6 +470,9 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
            "count table; q_kruskal_wallis's bucket-offset window over "
            "the value-range bucket list (range/2^20 rows), never the "
            "raw table"),
+    "operators/inference.py": (
+        1, "q_fdr_bh's BH step-up rank over the |event_types|-row "
+           "p-value table (bounded by the type vocabulary)"),
     "zorder.py": (
         1, "row_number over the SAMPLE-capped cut-point table"),
     "plans.py": (
@@ -521,3 +525,10 @@ def test_cdc_net_effect_windows_stay_user_sharded(spark, sf_dir):
     # exchange; a global window would serialize the log
     plan = _plan(spark, sf_dir, "q_cdc_net_effect")
     assert "hashpartitioning(user_id" in plan
+
+
+def test_dpp_prune_inserts_dynamic_pruning_filter(spark, sf_dir):
+    # the partitioned fact scan must carry a dynamicpruning expression
+    # in its PartitionFilters — the whole point of q_dpp_prune
+    plan = _plan(spark, sf_dir, "q_dpp_prune")
+    assert "dynamicpruning" in plan.lower(), plan[:2000]
