@@ -1200,35 +1200,40 @@ _FUNNEL_WINDOW = "INTERVAL 1 HOUR"
 def q_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
 
+    # the anchor deadline (t1 + window) rides along through every
+    # stage aggregate (user_id -> deadline is functionally dependent,
+    # so adding it to the groupBy keys is free) — each stage joins
+    # ONLY its predecessor instead of re-joining s1 for the deadline
+    # (two joins and their shuffles saved vs the first formulation)
     s1 = (
         ev.filter(F.col("event_type") == FUNNEL_STAGES[0])
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
+        .withColumn("deadline", F.expr(f"t1 + {_FUNNEL_WINDOW}"))
     )
 
     def next_stage(prev: DataFrame, prev_t: str, stage: str, out: str):
         return (
             ev.filter(F.col("event_type") == stage)
-            .join(prev, "user_id")
+            .join(
+                prev.select("user_id", prev_t, "deadline"), "user_id"
+            )
             .filter(
                 (F.col("ts") > F.col(prev_t))
-                & (F.col("ts") <= F.expr(f"t1 + {_FUNNEL_WINDOW}"))
+                & (F.col("ts") <= F.col("deadline"))
             )
-            .groupBy("user_id")
+            .groupBy("user_id", "deadline")
             .agg(F.min("ts").alias(out))
         )
 
     s2 = next_stage(s1, "t1", FUNNEL_STAGES[1], "t2")
-    s3 = next_stage(
-        s2.join(s1, "user_id"), "t2", FUNNEL_STAGES[2], "t3"
-    )
-    s4 = next_stage(
-        s3.join(s1, "user_id"), "t3", FUNNEL_STAGES[3], "t4"
-    )
+    s3 = next_stage(s2, "t2", FUNNEL_STAGES[2], "t3")
+    s4 = next_stage(s3, "t3", FUNNEL_STAGES[3], "t4")
     staged = (
-        s1.join(s2, "user_id", "left")
-        .join(s3, "user_id", "left")
-        .join(s4, "user_id", "left")
+        s1.select("user_id")
+        .join(s2.select("user_id", "t2"), "user_id", "left")
+        .join(s3.select("user_id", "t3"), "user_id", "left")
+        .join(s4.select("user_id", "t4"), "user_id", "left")
         .select(
             F.when(F.col("t4").isNotNull(), 4)
             .when(F.col("t3").isNotNull(), 3)

@@ -70,6 +70,10 @@ DEFAULT_QUERIES = [
     # pair is layout-sensitive, encoding/qini are wide aggregations
     "q_table_checksum", "q_source_overlap", "q_hilbert_prune",
     "q_zorder_prune", "q_encoding_advisor", "q_qini_uplift",
+    # round-9 scale-interesting shapes: B-fold explode grid, per-user
+    # sorted folds, type-partitioned ntile, conformal rank windows
+    "q_fdr_bh", "q_geo_trajectory", "q_lorenz_deciles",
+    "q_conformal_pi",
 ]
 
 SCALES = [0.1, 1.0]
