@@ -186,10 +186,25 @@ def test_memory_sink_names_are_stable_digests():
     )
 
 
-@pytest.mark.skipif(
-    not HAS_TWS_DEPS, reason="transformWithState needs google.protobuf"
+@pytest.mark.parametrize(
+    "backend",
+    [
+        pytest.param(
+            "tws",
+            marks=pytest.mark.skipif(
+                not HAS_TWS_DEPS,
+                reason="transformWithState needs google.protobuf",
+            ),
+        ),
+        # the dependency-free GroupState EventTimeTimeout twin must
+        # honor the same semantics contract (it is what the oracle
+        # gate runs where the protobuf export missed the JVM boot)
+        "gswp",
+    ],
 )
-def test_timer_fired_eviction_across_microbatches(spark, tmp_path):
+def test_timer_fired_eviction_across_microbatches(
+    spark, tmp_path, backend
+):
     """REAL event-time timers on transformWithStateInPandas: sessions
     with an idle gap are evicted from state by REGISTERED TIMERS firing
     as the watermark advances across micro-batches — terminal sessions
@@ -260,6 +275,7 @@ def test_timer_fired_eviction_across_microbatches(spark, tmp_path):
         gap_minutes=30,
         watermark="1 minute",
         max_files_per_trigger=1,
+        backend=backend,
     ).filter(F.col("user_id") != -1)
     rows = out.collect()
 
