@@ -48,8 +48,16 @@ from lakehouse_weather_spark.session import get_spark  # noqa: E402
 # shuffles + big joins scale differently from the blocked-pair
 # families).
 DEFAULT_QUERIES = [
+    # q_stream_dedup runs FIRST: measured in-suite at 11.6 s vs 3.0 s
+    # standalone-warm at the same sf0.1 corpus — the cache-heavy
+    # dedup/linkage queries that precede it leave the session's block
+    # manager and GC in a state that inflates the state-store run.
+    # Head position measures the query, not its neighbors; the
+    # remaining ~flat times across scales are real per-micro-batch
+    # fixed cost (state-store open/commit + checkpoint IO).
+    "q_stream_dedup",
     "q_linkage_patterns", "q_lsh_eval", "q_pagerank_neardup",
-    "q_stream_dedup", "q_fuzzy_clusters", "q_silhouette",
+    "q_fuzzy_clusters", "q_silhouette",
     "q_dedup_clusters", "q_fd_discovery", "q_row_diff", "q_coreset",
     "q_itemcf_topk", "q_bootstrap_ci", "q_prorate_revenue",
     "q_basket_pairs", "q_dedup_shingle_size", "q_kn_bigram_score",
@@ -119,24 +127,27 @@ def run(queries: list[str], scales: list[float], repeats: int = 2) -> dict:
             if spec is None:
                 continue
             if name.startswith("q_stream"):
-                # Streaming queries pay a ~8 s PER-JVM one-time cost
-                # (streaming class loading, state-store provider init,
-                # micro-batch codegen) that survives session.stop() —
-                # so whichever SCALE runs first in the process eats it
-                # and the slope inverts (measured: sf0.1 11.6/3.7/3.0 s
-                # vs sf1.0 3.3/2.7/2.8 s for q_stream_dedup across
-                # repeats in fresh sessions of one JVM). One untimed
-                # warm-up run per scale removes the artifact; the
-                # remaining near-flat times are real per-micro-batch
-                # fixed cost (state-store open/commit + checkpoint
-                # I/O), which dwarfs row work at BOTH corpus sizes.
-                try:
-                    spec.fn(spark, sf_dir).write.format("noop").mode(
-                        "overwrite"
-                    ).save()
-                except Exception as exc:  # noqa: BLE001
-                    print(f"WARN stream warmup {name}: {exc!r}",
-                          file=sys.stderr)
+                # Streaming pays a PER-JVM JIT/C2 cost that amortizes
+                # over SEVERAL executions, not one, and survives
+                # session.stop() — so whichever scale runs first in
+                # the process eats it and the slope inverts. Measured
+                # (fresh JVM, q_stream_dedup at the sf0.1 corpus):
+                # 25.2 / 8.3 / 4.0 / 2.8 s across runs, while sf1.0
+                # immediately after starts at 5.2 s. THREE untimed
+                # warm-up runs per scale put the timed repeats on the
+                # flat part of that curve; what remains is real
+                # per-micro-batch fixed cost (state-store open/commit
+                # + checkpoint IO), which dwarfs row work at both
+                # corpus sizes.
+                for _ in range(3):
+                    try:
+                        spec.fn(spark, sf_dir).write.format(
+                            "noop"
+                        ).mode("overwrite").save()
+                    except Exception as exc:  # noqa: BLE001
+                        print(f"WARN stream warmup {name}: {exc!r}",
+                              file=sys.stderr)
+                        break
             best = math.inf
             for _ in range(repeats):
                 t0 = time.time()
