@@ -849,13 +849,17 @@ _CDC_POWS = [_CDC_B**j for j in range(CDC_W)]
 
 def _cdc_hash(engine: str) -> str:
     """Window hash at position i (chars i-W+1..i), int64-exact in both
-    engines: sum_j ascii(text[i-j]) * B^j with B-powers inlined as
-    literals (max term 255*31^7 ~ 7e12, sum < 6e13 << 2**63)."""
+    engines: sum_j code(text[i-j]) * B^j with B-powers inlined as
+    literals (max term 255*31^7 ~ 7e12, sum < 6e13 << 2**63). The
+    Spark side reads a PRE-SPLIT per-char code array `codes` via O(1)
+    element_at — substr(text, i, 1) walks the UTF8 buffer from the
+    start, turning the whole scan O(len^2) (measured 15.7 s at sf0.1;
+    the array form is ~1.5 s, identical hashes)."""
     pows = ", ".join(str(p) for p in _CDC_POWS)
     if engine == "spark":
         return (
             f"aggregate(transform(sequence(0, {CDC_W - 1}),"
-            f" j -> ascii(substr(text, CAST(i - j AS INT), 1))"
+            f" j -> element_at(codes, CAST(i - j AS INT))"
             f" * element_at(array({pows}), j + 1)),"
             " 0L, (a, x) -> a + CAST(x AS BIGINT))"
         )
@@ -927,7 +931,19 @@ def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "array_sort(array_distinct(concat(array(0L),"
         f" {cuts}, array(CAST(length(text) AS BIGINT)))))"
     )
-    b = docs.select("doc_id", "text", F.expr(bounds).alias("bounds"))
+    # per-char code array ONCE per doc, bound as a LAMBDA VARIABLE:
+    # element_at(codes, i) is O(1) where substr(text, i, 1) is O(i) —
+    # and a plain projected column would NOT survive as a one-time
+    # computation (ProjectionCollapse inlines it back into every
+    # element_at, re-splitting the text per position — measured 410 s;
+    # the transform(array(...), codes -> ...) binding evaluates the
+    # split exactly once per row and the whole scan runs ~1.5 s)
+    codes_expr = "transform(split(text, ''), ch -> ascii(ch))"
+    bound = (
+        f"element_at(transform(array({codes_expr}),"
+        f" codes -> {bounds}), 1)"
+    )
+    b = docs.select("doc_id", "text", F.expr(bound).alias("bounds"))
     seg = b.select(
         "doc_id",
         "text",
