@@ -472,13 +472,23 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     part_dir = os.path.join(
         tempfile.gettempdir(), f"lws_dpp_events_{key}"
     )
+    out_schema = (
+        "event_type string, n_events bigint, sum_fx bigint"
+    )
+    nonnull = ev.filter(F.col("event_type").isNotNull())
     marker = os.path.join(part_dir, "_SUCCESS")
     if not os.path.exists(marker):
         # corpus ingest, once per corpus: the partitioned layout IS
         # the table format a lake would maintain anyway
-        ev.filter(F.col("event_type").isNotNull()).write.mode(
-            "overwrite"
-        ).partitionBy("event_type").parquet(part_dir)
+        nonnull.write.mode("overwrite").partitionBy(
+            "event_type"
+        ).parquet(part_dir)
+    import glob as _glob
+
+    if not _glob.glob(os.path.join(part_dir, "event_type=*")):
+        # empty corpus: the partitioned write emits no partition dirs
+        # (nothing to scan, schema unreadable) — the oracle is 0 rows
+        return spark.createDataFrame([], out_schema)
     fact = spark.read.parquet(part_dir)
     hot = (
         ev.filter(
