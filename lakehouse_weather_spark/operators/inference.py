@@ -2093,3 +2093,199 @@ def q_conformal_pi(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("interval_width"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B sample-size / power analysis from pilot variance (round 9)
+# ---------------------------------------------------------------------------
+
+# two-sided alpha=0.05 and power=0.80 z-quantiles as DOUBLE LITERALS:
+# constants, not computed — no normal-CDF inverse exists portably
+_Z_ALPHA = 1.959963984540054
+_Z_BETA = 0.8416212335729143
+# minimum detectable effect as a fraction of the pilot mean
+_MDE_NUM, _MDE_DEN = 5, 100  # 5%
+
+
+@register(
+    "q_ab_power",
+    oracle=f"""
+        WITH g AS (
+            -- pilot moments per event type (complete cases)
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS s,
+                   CAST(sum(CAST(round(value * 100) AS HUGEINT)
+                            * CAST(round(value * 100) AS BIGINT))
+                        AS BIGINT) AS ss
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+            GROUP BY event_type
+        )
+        SELECT event_type, n,
+               CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100e0 AS mean,
+               (CAST(ss AS DOUBLE)
+                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                  / CAST(n AS DOUBLE))
+                   / nullif(CAST(n - 1 AS DOUBLE), 0e0) / 10000e0
+                   AS variance,
+               CAST(ceil(
+                   2e0 * ({_Z_ALPHA!r} + {_Z_BETA!r})
+                       * ({_Z_ALPHA!r} + {_Z_BETA!r})
+                   * ((CAST(ss AS DOUBLE)
+                       - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                         / CAST(n AS DOUBLE))
+                      / nullif(CAST(n - 1 AS DOUBLE), 0e0) / 10000e0)
+                   / nullif(
+                       (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100e0
+                        * {_MDE_NUM}e0 / {_MDE_DEN}e0)
+                       * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE) / 100e0
+                          * {_MDE_NUM}e0 / {_MDE_DEN}e0), 0e0)
+               ) AS BIGINT) AS n_per_arm
+        FROM g
+        WHERE n >= 2
+    """,
+    doc="A/B sample-size calculation from pilot data per event type:"
+    " n_per_arm = 2(z_a+z_b)^2 sigma^2 / delta^2 for a 5%-of-mean"
+    " minimum detectable effect at alpha=0.05 two-sided, power 0.80 —"
+    " the experiment-DESIGN step preceding q_welch_ttest /"
+    " q_group_sequential (which analyze; this sizes). Pilot variance"
+    " comes from exact integer moments (n, S, SS); the z-quantiles"
+    " are double literals (no portable normal-CDF inverse exists, and"
+    " constants round identically); every float op is mirrored IEEE."
+    " One partial-agg shuffle to |types| rows.",
+)
+def q_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("fx").cast("bigint").alias("s"),
+            F.expr(
+                "cast(sum(cast(fx as decimal(38,0)) * fx) as bigint)"
+            ).alias("ss"),
+        )
+    )
+    mean = "cast(s as double) / cast(n as double) / 100e0"
+    var = (
+        "(cast(ss as double) - cast(s as double) * cast(s as double)"
+        " / cast(n as double))"
+        " / nullif(cast(n - 1 as double), 0e0) / 10000e0"
+    )
+    delta = f"({mean} * {_MDE_NUM}e0 / {_MDE_DEN}e0)"
+    return g.filter(F.col("n") >= 2).select(
+        "event_type",
+        "n",
+        F.expr(f"{mean}").alias("mean"),
+        F.expr(f"{var}").alias("variance"),
+        F.expr(
+            f"cast(ceil(2e0 * ({_Z_ALPHA!r} + {_Z_BETA!r})"
+            f" * ({_Z_ALPHA!r} + {_Z_BETA!r}) * ({var})"
+            f" / nullif({delta} * {delta}, 0e0)) as bigint)"
+        ).alias("n_per_arm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Value-at-Risk / expected shortfall (round 9)
+# ---------------------------------------------------------------------------
+
+_ES_P_NUM, _ES_P_DEN = 5, 100  # tail level: worst 5%
+
+
+@register(
+    "q_expected_shortfall",
+    oracle=f"""
+        WITH v AS (
+            SELECT event_type, event_id,
+                   CAST(round(value * 100) AS BIGINT) AS fx
+            FROM events
+            WHERE value IS NOT NULL AND event_type IS NOT NULL
+        ),
+        ranked AS (
+            SELECT event_type, fx,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY fx, event_id) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS n
+            FROM v
+        ),
+        tail AS (
+            -- the worst ceil(n*p) observations (low values = the loss
+            -- tail of the distribution)
+            SELECT event_type, n,
+                   (n * {_ES_P_NUM} + {_ES_P_DEN} - 1) // {_ES_P_DEN}
+                       AS k,
+                   CAST(sum(CASE WHEN rk <= (n * {_ES_P_NUM}
+                                 + {_ES_P_DEN} - 1) // {_ES_P_DEN}
+                            THEN fx END) AS BIGINT) AS tail_fx,
+                   CAST(min(CASE WHEN rk = (n * {_ES_P_NUM}
+                                 + {_ES_P_DEN} - 1) // {_ES_P_DEN}
+                            THEN fx END) AS BIGINT) AS var_fx
+            FROM ranked GROUP BY event_type, n
+        )
+        SELECT event_type, n, CAST(k AS BIGINT) AS k,
+               CAST(var_fx AS DOUBLE) / 100e0 AS value_at_risk,
+               CAST(tail_fx AS DOUBLE) / CAST(k AS DOUBLE) / 100e0
+                   AS expected_shortfall
+        FROM tail
+    """,
+    doc="Value-at-Risk and expected shortfall per event type at the 5%"
+    " tail: VaR is the exact ceil(n*p)-th order statistic of the"
+    " fixed-point values (integer index arithmetic — no interpolated"
+    " percentile), ES the exact integer mean of the k tail"
+    " observations — the coherent tail-risk pair (ES is subadditive"
+    " where VaR alone is not) that turns q_outlier_mad's anomaly"
+    " flags into a monitored risk number. One key-partitioned rank"
+    " window + one conditional agg; two mirrored divisions at the"
+    " end.",
+)
+def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .filter(
+            F.col("value").isNotNull() & F.col("event_type").isNotNull()
+        )
+        .select(
+            "event_type",
+            "event_id",
+            F.expr("cast(round(value * 100) as bigint)").alias("fx"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("fx", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = v.select(
+        "event_type",
+        "fx",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = f"(n * {_ES_P_NUM} + {_ES_P_DEN} - 1) div {_ES_P_DEN}"
+    tail = ranked.groupBy("event_type", "n").agg(
+        F.expr(
+            f"cast(sum(CASE WHEN rk <= {k} THEN fx END) as bigint)"
+        ).alias("tail_fx"),
+        F.expr(
+            f"cast(min(CASE WHEN rk = {k} THEN fx END) as bigint)"
+        ).alias("var_fx"),
+    )
+    return tail.select(
+        "event_type",
+        "n",
+        F.expr(f"cast({k} as bigint)").alias("k"),
+        F.expr("cast(var_fx as double) / 100e0").alias("value_at_risk"),
+        F.expr(
+            "cast(tail_fx as double)"
+            f" / cast({k} as double) / 100e0"
+        ).alias("expected_shortfall"),
+    )

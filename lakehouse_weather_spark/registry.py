@@ -276,6 +276,8 @@ _ROUND9_NEW: frozenset[str] = frozenset({
     "q_conformal_pi",
     "q_arrow_scan_stats",
     "q_dpp_prune",
+    "q_ab_power",
+    "q_expected_shortfall",
 })
 
 

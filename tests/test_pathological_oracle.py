@@ -849,6 +849,7 @@ _TAIL_QUERIES = [
     "q_geo_trajectory", "q_doc_structure", "q_mcnemar", "q_runs_test",
     "q_capture_recapture", "q_lorenz_deciles", "q_ess_weights",
     "q_conformal_pi", "q_arrow_scan_stats", "q_dpp_prune",
+    "q_ab_power", "q_expected_shortfall",
 ]
 
 
@@ -1010,7 +1011,7 @@ _NULL_EVENTS_QUERIES = [
     "q_anova_f", "q_odds_ratio", "q_fdr_bh", "q_mcnemar",
     "q_runs_test", "q_capture_recapture", "q_lorenz_deciles",
     "q_conformal_pi", "q_geo_trajectory", "q_heavy_change",
-    "q_column_impurity",
+    "q_column_impurity", "q_ab_power", "q_expected_shortfall",
 ]
 
 
