@@ -2004,6 +2004,7 @@ _HC_TOPK = 20
         WITH b AS (
             SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
             FROM events
+            WHERE user_id IS NOT NULL
         ),
         per_user AS (
             SELECT user_id,

@@ -1633,6 +1633,7 @@ def q_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (
             SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
             FROM events
+            WHERE user_id IS NOT NULL AND event_type IS NOT NULL
         ),
         per_user AS (
             SELECT event_type, user_id,
@@ -1848,6 +1849,7 @@ def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         WITH b AS (
             SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS mid
             FROM events
+            WHERE user_id IS NOT NULL
         ),
         per_user AS (
             SELECT user_id,

@@ -468,7 +468,27 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
     ev = load_table(spark, sf_dir, "events")
-    key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    # snapshot key = path + CONTENT fingerprint (file list, sizes,
+    # mtimes): a regenerated corpus at the same path gets a fresh
+    # snapshot instead of silently serving the stale one, and two
+    # processes over different corpus generations never share a dir
+    src = os.path.join(sf_dir, "events.parquet")
+    parts = []
+    if os.path.isdir(src):
+        for root, _dirs, files in os.walk(src):
+            for fn in sorted(files):
+                p = os.path.join(root, fn)
+                st = os.stat(p)
+                parts.append(
+                    f"{os.path.relpath(p, src)}:{st.st_size}"
+                    f":{st.st_mtime_ns}"
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    key = hashlib.md5(
+        "|".join([sf_dir] + sorted(parts)).encode()
+    ).hexdigest()[:16]
     part_dir = os.path.join(
         tempfile.gettempdir(), f"lws_dpp_events_{key}"
     )
@@ -479,10 +499,20 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     marker = os.path.join(part_dir, "_SUCCESS")
     if not os.path.exists(marker):
         # corpus ingest, once per corpus: the partitioned layout IS
-        # the table format a lake would maintain anyway
+        # the table format a lake would maintain anyway. Stage under a
+        # per-pid dir and rename into place so two concurrent
+        # processes never interleave writes into one snapshot (the
+        # loser of the rename race just discards its staging copy).
+        import shutil
+
+        staging = f"{part_dir}.stage{os.getpid()}"
         nonnull.write.mode("overwrite").partitionBy(
             "event_type"
-        ).parquet(part_dir)
+        ).parquet(staging)
+        try:
+            os.rename(staging, part_dir)
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
     import glob as _glob
 
     if not _glob.glob(os.path.join(part_dir, "event_type=*")):

@@ -1928,7 +1928,14 @@ def q_stream_session_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
             pa.array([-1], type=row.schema.field("user_id").type),
         )
         path = os.path.join(events_dir, f"zz_sentinel_{k}.parquet")
-        pq.write_table(row, path)
+        # coerce ns -> us on write: a Spark-written source can be
+        # INT96 (pyarrow reports timestamp[ns]), and copying that unit
+        # would emit TIMESTAMP(NANOS), which Spark cannot read back as
+        # a timestamp column. MICROS is readable alongside any source.
+        pq.write_table(
+            row, path, coerce_timestamps="us",
+            allow_truncated_timestamps=True,
+        )
         os.utime(path, (1_800_000_000 + k * 100,) * 2)
     for i in range(n_real):
         os.utime(

@@ -502,9 +502,15 @@ def stream_session_eviction(
         )
     else:
         stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    # complete cases BEFORE the stateful operator, mirroring the
+    # oracle: a NULL ts passes the watermark late-data predicate but
+    # reaches the processor as pd.NaT (where _ts_to_us would raise);
+    # a NULL user_id has no session identity. Dropping both here keeps
+    # the stream's row set equal to the oracle's `pts` CTE.
     grouped = (
         stream.withWatermark("ts", watermark)
         .select("user_id", "ts")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
         .groupBy("user_id")
     )
     gap_us = gap_minutes * 60 * 1_000_000

@@ -1012,6 +1012,10 @@ _NULL_EVENTS_QUERIES = [
     "q_runs_test", "q_capture_recapture", "q_lorenz_deciles",
     "q_conformal_pi", "q_geo_trajectory", "q_heavy_change",
     "q_column_impurity", "q_ab_power", "q_expected_shortfall",
+    # streaming lifecycle: NULL ts reaches the stateful processor as
+    # pd.NaT unless the stream filters it (the ADVICE r9 find) — the
+    # one battery entry that exercises a real streaming query
+    "q_stream_session_evict",
 ]
 
 
@@ -1030,7 +1034,9 @@ def null_events_dir(spark, patho_all_dir, tmp_path_factory):
     ev = spark.read.parquet(f"{patho_all_dir}/events.parquet")
     names = [f.name for f in ev.schema.fields]
     base = ev.orderBy("event_id").limit(1).collect()[0]
-    maxid = ev.agg(F.max("event_id")).first()[0]
+    maxid, tmin, tmax = ev.agg(
+        F.max("event_id"), F.min("ts"), F.max("ts")
+    ).first()
 
     def mk(i, **kw):
         d = {n: None for n in names}
@@ -1041,6 +1047,9 @@ def null_events_dir(spark, patho_all_dir, tmp_path_factory):
         d.update(kw)
         return tuple(d[n] for n in names)
 
+    import datetime as _dt
+
+    day = _dt.timedelta(days=1)
     extra = spark.createDataFrame(
         [
             mk(1, value=None),
@@ -1049,6 +1058,17 @@ def null_events_dir(spark, patho_all_dir, tmp_path_factory):
             mk(4, event_type=None, value=None),
             mk(5, user_id=None, value=0.5),
             mk(6, ts=None, value=0.75),
+            # NULL-keyed rows HOLDING the global ts extremes: any
+            # query whose Spark side derives min/max(ts) bounds from
+            # a complete-case-filtered set while its oracle derives
+            # them from all rows (or vice versa) shifts its time-half
+            # midpoint and diverges (the ADVICE r9 q_mcnemar class —
+            # mid-range null ts rows can never catch it)
+            mk(7, user_id=None, value=0.25, ts=tmax + day),
+            mk(8, event_type=None, value=0.125, ts=tmax + 2 * day),
+            mk(9, value=None, ts=tmin - day),
+            mk(10, user_id=None, event_type=None, value=None,
+               ts=tmin - 2 * day),
         ],
         ev.schema,
     )
