@@ -427,35 +427,18 @@ def _ivf_oracle() -> str:
     """
 
 
-@register(
-    "q_vector_topk_ivf",
-    oracle=_ivf_oracle(),
-    doc=f"IVF (inverted-file) ANN top-k: {N_CENTROIDS} coarse centroids"
-    " (md5-ordered deterministic sample of the corpus — the seeding"
-    " step of k-means), every vector assigned to its nearest centroid"
-    " by cosine, the query probes its"
-    f" {N_PROBE} best centroids and exact-reranks only those inverted"
-    " lists. Fully oracle-checked: fixed-point dots + row_number"
-    " tie-breaks make assignment and probe order bit-identical across"
-    " engines. At 100 TB the assignment is a narrow broadcast-seeds"
-    " map and the probe prunes the scan to ~nprobe/K of the corpus;"
-    " refining seeds with k-means iterations keeps the same dataflow.",
-)
-def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_assign_and_probe(spark, sf_dir: str, emb: DataFrame):
+    """The IVF model, reusable outside the arm (q_ann_arm_scorecard
+    needs the same assignment + probe list to count candidates):
+    returns (assignment DataFrame ``vec_id -> seed_id``, the query's
+    ``N_PROBE`` best cell ids). ``(None, [])`` on an empty corpus."""
     import numpy as np
 
     from lakehouse_weather_spark.functions import DOT_SCALE
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
-    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
     seed_ids, S = _codebook_for(spark, sf_dir, emb)
     if not len(seed_ids):
-        # empty corpus: no codebook, no candidates — the oracle's
-        # seeds CTE is empty the same way
-        return e.select(
-            "vec_id", F.lit(None).cast("double").alias("cosine")
-        ).limit(0)
+        return None, []
     s_nrm = np.sqrt(
         _fxround_np(S * S * DOT_SCALE).sum(axis=1).astype(np.float64) / DOT_SCALE
     )
@@ -504,6 +487,34 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     qcos = cos_to_seeds(_query_vec_for(spark, sf_dir, emb)[None, :])[0]
     order = np.lexsort((seed_ids, -qcos))
     probe_ids = [int(seed_ids[i]) for i in order[:N_PROBE]]
+    return assign, probe_ids
+
+
+@register(
+    "q_vector_topk_ivf",
+    oracle=_ivf_oracle(),
+    doc=f"IVF (inverted-file) ANN top-k: {N_CENTROIDS} coarse centroids"
+    " (md5-ordered deterministic sample of the corpus — the seeding"
+    " step of k-means), every vector assigned to its nearest centroid"
+    " by cosine, the query probes its"
+    f" {N_PROBE} best centroids and exact-reranks only those inverted"
+    " lists. Fully oracle-checked: fixed-point dots + row_number"
+    " tie-breaks make assignment and probe order bit-identical across"
+    " engines. At 100 TB the assignment is a narrow broadcast-seeds"
+    " map and the probe prunes the scan to ~nprobe/K of the corpus;"
+    " refining seeds with k-means iterations keeps the same dataflow.",
+)
+def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr("sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")")
+    e = emb.select("vec_id", "embedding", norm.alias("nrm"))
+    assign, probe_ids = _ivf_assign_and_probe(spark, sf_dir, emb)
+    if assign is None:
+        # empty corpus: no codebook, no candidates — the oracle's
+        # seeds CTE is empty the same way
+        return e.select(
+            "vec_id", F.lit(None).cast("double").alias("cosine")
+        ).limit(0)
     q = F.broadcast(
         e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
             F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
@@ -2125,3 +2136,486 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("true_label").cast("int").alias("true_label"),
         F.col("pred_label").cast("int").alias("pred_label"),
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+
+
+# ---------------------------------------------------------------------------
+# Graph-ANN (HNSW-family): bounded-degree neighbor graph + beam search
+# ---------------------------------------------------------------------------
+
+# Out-degree cap of the neighbor graph (HNSW's M): each node keeps its
+# M best same-bucket neighbors by cosine. Bounded degree bounds every
+# frontier expansion at BEAM * M candidates per hop.
+_HNSW_M = 6
+# Fixed number of beam-search hops. HNSW terminates when the beam stops
+# improving; a fixed unrolled hop count is the deterministic,
+# SQL-expressible equivalent (diameter of the bucket-blocked graph on
+# the fixture corpora is small; recall vs the exact ranking is asserted
+# in tests/test_similarity.py, and q_ann_arm_scorecard measures it).
+_HNSW_HOPS = 3
+# Entry layer: HNSW draws node levels geometrically and routes from the
+# sparse top layer down. The deterministic twin: nodes whose md5 hash
+# is 0 mod _HNSW_SEED_MOD (~1/8 of the corpus) form the entry layer;
+# the query scores exactly those and starts the beam from the best.
+_HNSW_SEED_MOD = 8
+
+
+def _hnsw_search(spark: SparkSession, sf_dir: str):
+    """Shared HNSW-family search pipeline: returns (final beam as
+    (vec_id, cosine) ordered top-k, visited-node id DataFrame — every
+    node whose exact query-cosine the search evaluated: the entry
+    layer plus every hop's candidate set). The scorecard reuses both.
+
+    Graph build is bucket-blocked (the sign-LSH codes of
+    q_vector_topk_lsh): candidate edges only between same-bucket nodes,
+    then a per-source top-M window bounds the degree. At 100 TB the
+    blocked pair set is the same substrate the MinHash band join uses
+    (bounded buckets, never corpus x corpus), the per-source window
+    shuffles once on src, and the build is offline — search touches
+    only BEAM * M vectors per hop. Production refinement (NN-descent
+    iterations over the same edge table) keeps this dataflow.
+    """
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
+    )
+    e = emb.select(
+        "vec_id",
+        "embedding",
+        norm.alias("nrm"),
+        _bucket_code_expr("embedding").alias("bucket"),
+    )
+    # the query vector is NOT an index node (HNSW searches an index the
+    # query does not belong to); both engines exclude it from the graph
+    g = e.filter(F.col("vec_id") != QUERY_VEC_ID)
+    a = g.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        "bucket",
+    )
+    b = g.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+        "bucket",
+    )
+    pdot = F.expr(_SPARK_DOT.format(a="s_emb", b="d_emb"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.try_divide(pdot, F.col("s_nrm") * F.col("d_nrm")).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    adj = (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HNSW_M)
+        .select("src", "dst")
+    )
+    # the graph is consulted once per hop: checkpoint so the bucket
+    # pair join + window run once, not _HNSW_HOPS times
+    adj = _checkpoint(adj)
+    q = F.broadcast(
+        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        )
+    )
+    qdot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
+    scored = g.crossJoin(q).select(
+        "vec_id",
+        F.try_divide(qdot, F.col("nrm") * F.col("q_nrm")).alias("cosine"),
+    )
+    seeds = g.filter(
+        F.expr(_SEED_H) % _HNSW_SEED_MOD == 0
+    ).select("vec_id")
+    beam = (
+        scored.join(seeds, "vec_id")
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(TOP_K)
+        .select("vec_id", "cosine")
+    )
+    visited = seeds
+    for _ in range(_HNSW_HOPS):
+        nbrs = adj.join(
+            beam.select(F.col("vec_id").alias("src")), "src"
+        ).select(F.col("dst").alias("vec_id"))
+        cand = beam.select("vec_id").union(nbrs).distinct()
+        visited = visited.union(cand)
+        beam = (
+            scored.join(cand, "vec_id")
+            .orderBy(F.desc("cosine"), F.asc("vec_id"))
+            .limit(TOP_K)
+            .select("vec_id", "cosine")
+        )
+    return beam, visited.distinct()
+
+
+def _hnsw_graph_sql() -> str:
+    """Shared oracle CTE chain for the HNSW-family arm: sign-LSH bucket
+    codes (identical to the LSH oracle), same-bucket pair dots, the
+    per-source top-M adjacency, exact query cosines, the md5 entry
+    layer, and the unrolled beam hops beam0..beam{_HNSW_HOPS}."""
+    bit = "CAST(CASE WHEN dot >= 0 THEN (1 << j) ELSE 0 END AS INTEGER)"
+    qnrm = f"(SELECT nrm FROM norms WHERE vec_id = {QUERY_VEC_ID})"
+    hops = []
+    for h in range(1, _HNSW_HOPS + 1):
+        hops.append(f"""
+        hcand{h} AS (
+            SELECT vec_id FROM hbeam{h - 1}
+            UNION
+            SELECT a.dst AS vec_id
+            FROM hadj a JOIN hbeam{h - 1} b ON a.src = b.vec_id
+        ),
+        hbeam{h} AS (
+            SELECT s.vec_id, s.cosine
+            FROM hscored s JOIN hcand{h} USING (vec_id)
+            ORDER BY s.cosine DESC, s.vec_id LIMIT {TOP_K}
+        )""")
+    return f"""
+        hp AS (
+            SELECT j, i + 1 AS pos,
+                   (CAST(('0x' || substr(md5('hp_' || j || '_' || i), 1, 15))
+                         AS BIGINT) % 2001 - 1000) / 1000.0 AS w
+            FROM (SELECT unnest(generate_series(0, {N_HYPERPLANES - 1})) AS j),
+                 (SELECT unnest(generate_series(0, {_DIM - 1})) AS i)
+        ),
+        hpdots AS (
+            SELECT v.vec_id, hp.j, {duck_dot_sum('v.val', 'hp.w')} AS dot
+            FROM vals v JOIN hp ON v.pos = hp.pos
+            GROUP BY v.vec_id, hp.j
+        ),
+        codes AS (
+            SELECT vec_id, CAST(sum({bit}) AS INTEGER) AS bucket
+            FROM hpdots GROUP BY vec_id
+        ),
+        hg AS (
+            SELECT vec_id, bucket FROM codes
+            WHERE vec_id <> {QUERY_VEC_ID}
+        ),
+        hpd AS (
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   {duck_dot_sum('va.val', 'vb.val')} AS dot
+            FROM hg a
+            JOIN hg b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+            JOIN vals va ON va.vec_id = a.vec_id
+            JOIN vals vb ON vb.vec_id = b.vec_id AND vb.pos = va.pos
+            GROUP BY 1, 2
+        ),
+        hadj AS (
+            SELECT src, dst FROM (
+                SELECT p.src, p.dst,
+                       row_number() OVER (
+                           PARTITION BY p.src
+                           ORDER BY p.dot / NULLIF(ns.nrm * nd.nrm, 0)
+                                    DESC, p.dst
+                       ) AS rn
+                FROM hpd p
+                JOIN norms ns ON p.src = ns.vec_id
+                JOIN norms nd ON p.dst = nd.vec_id
+            ) WHERE rn <= {_HNSW_M}
+        ),
+        hq AS (SELECT pos, val FROM vals WHERE vec_id = {QUERY_VEC_ID}),
+        hqd AS (
+            SELECT v.vec_id, {duck_dot_sum('v.val', 'hq.val')} AS dot
+            FROM vals v JOIN hq ON v.pos = hq.pos
+            WHERE v.vec_id <> {QUERY_VEC_ID}
+            GROUP BY v.vec_id
+        ),
+        hscored AS (
+            SELECT d.vec_id,
+                   d.dot / NULLIF(n.nrm * {qnrm}, 0) AS cosine
+            FROM hqd d JOIN norms n ON d.vec_id = n.vec_id
+        ),
+        hseeds AS (
+            SELECT vec_id FROM embeddings
+            WHERE vec_id <> {QUERY_VEC_ID}
+              AND ({_DUCK_SEED_H}) % {_HNSW_SEED_MOD} = 0
+        ),
+        hbeam0 AS (
+            SELECT s.vec_id, s.cosine
+            FROM hscored s JOIN hseeds USING (vec_id)
+            ORDER BY s.cosine DESC, s.vec_id LIMIT {TOP_K}
+        ),{",".join(hops)}
+    """
+
+
+def _hnsw_oracle() -> str:
+    return f"""
+        WITH {_DUCK_VEC_CTE},
+        {_hnsw_graph_sql()}
+        SELECT vec_id, cosine FROM hbeam{_HNSW_HOPS}
+        ORDER BY cosine DESC, vec_id
+    """
+
+
+@register(
+    "q_vector_topk_hnsw",
+    oracle=_hnsw_oracle(),
+    doc=f"Graph-ANN (HNSW-family) top-k — the arm production vector"
+    " stores (including the reference's Milvus,"
+    " docker-compose.yml:345-370) actually serve from. Build: a"
+    f" bounded-degree ({_HNSW_M}) neighbor graph over sign-LSH bucket"
+    " blocks (per-source top-M window, one shuffle on src — the"
+    " MinHash-band substrate shape, never corpus x corpus). Search:"
+    f" deterministic entry layer (md5 mod {_HNSW_SEED_MOD} nodes — the"
+    " collapsed twin of HNSW's geometric level draw) scored exactly,"
+    f" then {_HNSW_HOPS} unrolled beam hops of width {TOP_K}, each"
+    " expanding BEAM*M neighbors via the adjacency join and re-ranking"
+    " by exact fixed-point cosine. Fully oracle-checked: bucket codes,"
+    " adjacency tie-breaks and every beam are bit-identical in the"
+    " DuckDB replay (unrolled CTEs). At 100 TB the graph build is the"
+    " offline index; each search hop touches only beam-adjacent"
+    " vectors — the frontier-join precedent of q_bellman_ford.",
+)
+def q_vector_topk_hnsw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    beam, _visited = _hnsw_search(spark, sf_dir)
+    return beam.orderBy(F.desc("cosine"), F.asc("vec_id"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-arm ANN scorecard: recall@k + candidate cost of every arm
+# ---------------------------------------------------------------------------
+
+
+def _scorecard_oracle() -> str:
+    """One WITH chain scoring every ANN arm against the exact ranking.
+    The HNSW chain (``_hnsw_graph_sql``) supplies the shared
+    substrates: ``codes`` (sign-LSH buckets, reused by the LSH arm)
+    and ``hscored``/``hqd`` (exact query cosines/dots, reused as THE
+    exact ranking) — each arm's top-k is then `join its candidate set
+    to hscored, order, limit`, provably the same ranking as the arm's
+    standalone oracle (identical dots, identical tie-breaks)."""
+    masks = ", ".join(f"({m})" for m in _probe_masks())
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    hops_union = " UNION ".join(
+        f"SELECT vec_id FROM hcand{h}" for h in range(1, _HNSW_HOPS + 1)
+    )
+
+    def row(arm: str, top: str, cands: str) -> str:
+        hits = f"(SELECT count(*) FROM exact_top e JOIN {top} t USING (vec_id))"
+        return f"""
+        SELECT '{arm}' AS arm,
+               CAST({hits} AS BIGINT) AS n_hits,
+               CAST({hits} AS DOUBLE) / {TOP_K} AS recall_at_k,
+               CAST({cands} AS BIGINT) AS n_candidates"""
+
+    rows = " UNION ALL ".join(
+        [
+            row("exact", "exact_top", "(SELECT count(*) FROM hqd)"),
+            row(
+                "hnsw",
+                f"hbeam{_HNSW_HOPS}",
+                "(SELECT count(*) FROM hvisited)",
+            ),
+            row("ivf", "ivf_top", "(SELECT count(*) FROM ivf_cands)"),
+            row("lsh", "lsh_top", "(SELECT count(*) FROM lsh_cands)"),
+            # every non-query vector has a code in every subspace, so
+            # the ADC scan always scores n-1 rows and keeps PQ_RERANK
+            row(
+                "pq",
+                "pq_top",
+                f"LEAST({PQ_RERANK}, (SELECT count(*) FROM hqd))",
+            ),
+        ]
+    )
+    return f"""
+        WITH {_DUCK_VEC_CTE},
+        {_hnsw_graph_sql()},
+        exact_top AS (
+            SELECT vec_id FROM hscored
+            ORDER BY cosine DESC, vec_id LIMIT {TOP_K}
+        ),
+        probes AS (
+            SELECT DISTINCT xor(c.bucket, m.m) AS bucket
+            FROM codes c, (VALUES {masks}) AS m(m)
+            WHERE c.vec_id = {QUERY_VEC_ID}
+        ),
+        lsh_cands AS (
+            SELECT c.vec_id FROM codes c JOIN probes p ON c.bucket = p.bucket
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+        ),
+        lsh_top AS (
+            SELECT s.vec_id FROM hscored s JOIN lsh_cands USING (vec_id)
+            ORDER BY s.cosine DESC, s.vec_id LIMIT {TOP_K}
+        ),
+        seeds AS (
+            SELECT vec_id AS seed_id FROM embeddings
+            ORDER BY {_DUCK_SEED_H}, vec_id LIMIT {N_CENTROIDS}
+        ),
+        svals AS (
+            SELECT s.seed_id, v.pos, v.val
+            FROM vals v JOIN seeds s ON v.vec_id = s.seed_id
+        ),
+        cdots AS (
+            SELECT v.vec_id, s.seed_id,
+                   {duck_dot_sum('v.val', 's.val')} AS dot
+            FROM vals v JOIN svals s ON v.pos = s.pos
+            GROUP BY v.vec_id, s.seed_id
+        ),
+        ccos AS (
+            SELECT d.vec_id, d.seed_id,
+                   d.dot / (nv.nrm * ns.nrm) AS cos
+            FROM cdots d
+            JOIN norms nv ON d.vec_id = nv.vec_id
+            JOIN norms ns ON d.seed_id = ns.vec_id
+        ),
+        assign AS (
+            SELECT vec_id, seed_id FROM (
+                SELECT vec_id, seed_id,
+                       row_number() OVER (PARTITION BY vec_id
+                                          ORDER BY cos DESC, seed_id) AS rn
+                FROM ccos
+            ) WHERE rn = 1
+        ),
+        probe AS (
+            SELECT seed_id FROM ccos WHERE vec_id = {QUERY_VEC_ID}
+            ORDER BY cos DESC, seed_id LIMIT {N_PROBE}
+        ),
+        ivf_cands AS (
+            SELECT a.vec_id FROM assign a JOIN probe p USING (seed_id)
+            WHERE a.vec_id <> {QUERY_VEC_ID}
+        ),
+        ivf_top AS (
+            SELECT s.vec_id FROM hscored s JOIN ivf_cands USING (vec_id)
+            ORDER BY s.cosine DESC, s.vec_id LIMIT {TOP_K}
+        ),
+        psqd AS (
+            SELECT v.vec_id, s.seed_id,
+                   CAST((v.pos - 1) // {PQ_SUB} AS INTEGER) AS m,
+                   sum(CAST(round((v.val - s.val) * (v.val - s.val)
+                                  * {DOT_SCALE}) AS BIGINT)) AS d
+            FROM vals v JOIN svals s ON v.pos = s.pos
+            GROUP BY 1, 2, 3
+        ),
+        pcodes AS (
+            SELECT vec_id, m, seed_id AS code FROM (
+                SELECT vec_id, m, seed_id,
+                       row_number() OVER (PARTITION BY vec_id, m
+                                          ORDER BY d, seed_id) AS rn
+                FROM psqd
+            ) WHERE rn = 1
+        ),
+        pqtab AS (
+            SELECT m, seed_id, d FROM psqd WHERE vec_id = {QUERY_VEC_ID}
+        ),
+        papprox AS (
+            SELECT c.vec_id, sum(q.d) AS asqd
+            FROM pcodes c JOIN pqtab q ON c.m = q.m AND c.code = q.seed_id
+            WHERE c.vec_id <> {QUERY_VEC_ID}
+            GROUP BY 1
+        ),
+        pq_cands AS (
+            SELECT vec_id FROM papprox ORDER BY asqd, vec_id
+            LIMIT {PQ_RERANK}
+        ),
+        pq_top AS (
+            SELECT s.vec_id FROM hscored s JOIN pq_cands USING (vec_id)
+            ORDER BY s.cosine DESC, s.vec_id LIMIT {TOP_K}
+        ),
+        hvisited AS (
+            SELECT vec_id FROM hseeds UNION {hops_union}
+        )
+        SELECT * FROM ({rows}) ORDER BY arm
+    """
+
+
+@register(
+    "q_ann_arm_scorecard",
+    oracle=_scorecard_oracle(),
+    doc=f"Cross-arm ANN scorecard (VERDICT r9 task 3): recall@{TOP_K}"
+    " against the exact brute-force ranking AND the candidate count"
+    " (how many exact distance evaluations the arm paid) for every"
+    " registered arm — exact, LSH multiprobe, IVF nprobe, PQ+ADC"
+    " rerank, and the graph-ANN (HNSW-family) beam search — in one"
+    " result. This is the recall-vs-cost frontier every vector-store"
+    " tuning session plots; at equal candidate budget the winning arm"
+    " differs by corpus geometry, which is exactly why the scorecard"
+    " exists as a query. All five rankings are deterministic"
+    " (fixed-point dots, vec_id tie-breaks), so hit counts, recalls"
+    " and candidate counts hash-match the DuckDB replay. At 100 TB"
+    " each arm scans its own bounded candidate set; the scorecard sums"
+    " to one pass per arm over a sampled query set.",
+)
+def q_ann_arm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    nonq = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
+    exact_top = q_vector_topk(spark, sf_dir).select("vec_id")
+
+    def arm_row(arm: str, top: DataFrame, cands: DataFrame) -> DataFrame:
+        hits = exact_top.join(top, "vec_id").agg(
+            F.count(F.lit(1)).alias("n_hits")
+        )
+        n_cands = cands.agg(F.count(F.lit(1)).alias("n_candidates"))
+        return hits.crossJoin(n_cands).select(
+            F.lit(arm).alias("arm"),
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits").cast("double") / F.lit(TOP_K)).alias(
+                "recall_at_k"
+            ),
+            F.col("n_candidates").cast("bigint").alias("n_candidates"),
+        )
+
+    # LSH candidate set: non-query vectors in the query's probed buckets
+    ecodes = emb.select(
+        "vec_id", _bucket_code_expr("embedding").alias("bucket")
+    )
+    qprobe = (
+        ecodes.filter(F.col("vec_id") == QUERY_VEC_ID)
+        .select(
+            F.explode(
+                F.array(
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(m))
+                        for m in _probe_masks()
+                    ]
+                )
+            ).alias("bucket")
+        )
+        .distinct()
+    )
+    lsh_cands = (
+        ecodes.filter(F.col("vec_id") != QUERY_VEC_ID)
+        .join(F.broadcast(qprobe), "bucket")
+        .select("vec_id")
+    )
+    # IVF candidate set: non-query vectors assigned to probed cells
+    assign, probe_ids = _ivf_assign_and_probe(spark, sf_dir, emb)
+    if assign is None:
+        ivf_cands = nonq.select("vec_id").limit(0)
+    else:
+        ivf_cands = assign.filter(
+            F.col("seed_id").isin(probe_ids)
+            & (F.col("vec_id") != QUERY_VEC_ID)
+        ).select("vec_id")
+    # PQ: the ADC scan scores every coded (= every non-query) vector
+    # and keeps PQ_RERANK for exact rerank — the candidate count is
+    # min(PQ_RERANK, n-1) by construction, no need to re-encode
+    pq_cands = nonq.select("vec_id").orderBy("vec_id").limit(PQ_RERANK)
+    # HNSW: every node the beam search scored exactly
+    hnsw_top, hvisited = _hnsw_search(spark, sf_dir)
+    rows = [
+        arm_row("exact", exact_top, nonq.select("vec_id")),
+        arm_row("hnsw", hnsw_top.select("vec_id"), hvisited),
+        arm_row(
+            "ivf", q_vector_topk_ivf(spark, sf_dir).select("vec_id"),
+            ivf_cands,
+        ),
+        arm_row(
+            "lsh", q_vector_topk_lsh(spark, sf_dir).select("vec_id"),
+            lsh_cands,
+        ),
+        arm_row(
+            "pq", q_vector_topk_pq(spark, sf_dir).select("vec_id"),
+            pq_cands,
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("arm")

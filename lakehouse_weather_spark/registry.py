@@ -248,37 +248,83 @@ _PRIOR_VERIFIED = frozenset({
     "q_stream_join", "q_stream_static_enrich", "q_text_code_score",
     "q_tpch_q3_bucketed", "q_trimmed_mean", "q_version_cdf",
     "q_video_frame_neardup", "q_weighted_quantiles",
+    # --- round 9 record (50/50 green: the full round-9 batch plus 30
+    # prior-round re-samples) ---
+    "q_anova_f", "q_odds_ratio", "q_fdr_bh", "q_heavy_change",
+    "q_column_impurity", "q_stratified_alloc", "q_priority_sample",
+    "q_geo_trajectory", "q_doc_structure", "q_stream_session_evict",
+    "q_mcnemar", "q_runs_test", "q_capture_recapture",
+    "q_lorenz_deciles", "q_ess_weights", "q_conformal_pi",
+    "q_arrow_scan_stats", "q_dpp_prune", "q_ab_power",
+    "q_expected_shortfall",
 })
 
 # Rounds 4-8 registration batches all drained (every member holds a
 # driver record and moved to _PRIOR_VERIFIED; see git history for the
 # per-round membership).
 
-# Queries first registered in round 9: with the backlog fully drained
-# these are the ONLY rows without a driver record, so they occupy the
-# front of the gate window (~50 query budget).
-_ROUND9_NEW: frozenset[str] = frozenset({
-    "q_anova_f",
-    "q_odds_ratio",
-    "q_fdr_bh",
-    "q_heavy_change",
-    "q_column_impurity",
-    "q_stratified_alloc",
-    "q_priority_sample",
-    "q_geo_trajectory",
-    "q_doc_structure",
-    "q_stream_session_evict",
-    "q_mcnemar",
-    "q_runs_test",
-    "q_capture_recapture",
-    "q_lorenz_deciles",
-    "q_ess_weights",
-    "q_conformal_pi",
-    "q_arrow_scan_stats",
-    "q_dpp_prune",
-    "q_ab_power",
-    "q_expected_shortfall",
+# Queries first registered in round 10: no driver record yet, so they
+# occupy the front of the gate window (~50 query budget).
+_ROUND10_NEW: frozenset[str] = frozenset({
+    "q_vector_topk_hnsw",
+    "q_ann_arm_scorecard",
 })
+
+# Stale-record refresh queue (VERDICT r9 task 6): every registered
+# query holds a green driver record, but 129 of them last recorded in
+# r01-r03. Whatever gate budget remains after the round-10 batch
+# re-samples the STALEST families first (r01 block, then r02, then
+# r03 — insertion order within a block), so each round retires ~40 of
+# the oldest records and no query's record ages unboundedly. Members
+# re-recorded in a given round should move from the front of this
+# tuple into the matching _PRIOR_VERIFIED section comment at the next
+# rotation (membership in _PRIOR_VERIFIED is what keeps them out of
+# the never-sampled set; this tuple only orders the refresh).
+_STALE_REFRESH: tuple[str, ...] = (
+    # --- latest record r01 ---
+    "q_agg_basic", "q_agg_cube", "q_agg_distinct", "q_agg_filtered",
+    "q_agg_median", "q_agg_minmax_by", "q_agg_quantiles",
+    "q_agg_rollup", "q_coalesce_defaults", "q_count_per_source",
+    "q_date_format", "q_filter_contains", "q_filter_links",
+    "q_filter_nonempty", "q_filter_notnull", "q_filter_pred",
+    "q_histogram", "q_html_strip", "q_join_anti", "q_join_asof",
+    "q_join_broadcast", "q_join_inner", "q_join_left", "q_join_range",
+    "q_project_rename", "q_scan_documents", "q_scan_events",
+    "q_scan_parquet", "q_set_except", "q_set_intersect", "q_set_union",
+    "q_sort", "q_str_endswith", "q_str_extra", "q_str_filename",
+    "q_str_parse_url", "q_str_regex_clean", "q_str_sha2", "q_topk",
+    "q_tpch_q10", "q_tpch_q12", "q_tpch_q14", "q_tpch_q3", "q_tpch_q4",
+    "q_tpch_q5", "q_tpch_q6", "q_win_frame", "q_win_laglead",
+    "q_win_rank_stats", "q_win_rownum",
+    # --- latest record r02 ---
+    "q_bigram_novelty", "q_bitmap_distinct", "q_chunk_split",
+    "q_containment", "q_decontaminate", "q_editdist_neardup",
+    "q_fuzzy_clusters", "q_heavy_hitters", "q_keyword_extract",
+    "q_lang_doc_stats", "q_mix_temperature", "q_mix_weighted",
+    "q_negative_samples", "q_pack_sequences", "q_pii_redact",
+    "q_quality_repetition", "q_readability", "q_sample_hash",
+    "q_sample_quality_weighted", "q_sample_stratified",
+    "q_split_assign", "q_temporal_split", "q_text_fingerprint",
+    "q_text_langid", "q_text_quality", "q_text_tokens",
+    "q_token_packing", "q_type_overlap", "q_word_topk",
+    # --- latest record r03 ---
+    "q_array_explode", "q_array_ops", "q_binary_meta",
+    "q_bloom_filter", "q_chunk_recursive", "q_corr_matrix",
+    "q_countmin_words", "q_dist_drift", "q_dq_constraints",
+    "q_equidepth_hist", "q_event_pattern", "q_event_transitions",
+    "q_exists_subquery", "q_funnel", "q_group_normalize",
+    "q_interarrival_hist", "q_interval_merge", "q_join_asof_tolerance",
+    "q_join_range_naive", "q_join_salted", "q_json_roundtrip",
+    "q_map_histogram", "q_not_in_nulls", "q_null_semantics",
+    "q_outlier_mad", "q_pagerank_neardup", "q_pandas_grouped_agg",
+    "q_pivot_events", "q_profile_lineitem", "q_resample_ffill",
+    "q_retention_cohorts", "q_scalar_mix", "q_scalar_subquery",
+    "q_scd2_intervals", "q_session_window", "q_sessionize",
+    "q_skew_profile", "q_skyline", "q_time_rollup", "q_tpch_q1",
+    "q_tpch_q7", "q_udf_urljoin", "q_udtf_ngrams", "q_unpivot",
+    "q_url_canonical", "q_volume_anomaly", "q_win_range_time",
+    "q_win_tumbling", "q_winsorize",
+)
 
 
 def register(name: str, oracle: str | None = None, doc: str = ""):
@@ -304,24 +350,30 @@ def load_all() -> dict[str, QuerySpec]:
         # a batch member that has since earned a driver record belongs
         # to _PRIOR_VERIFIED (standing record — don't re-burn gate
         # budget), so subtract it from its registration batch
-        r9_new = frozenset(
-            n for n in _ROUND9_NEW
+        r10_new = frozenset(
+            n for n in _ROUND10_NEW
             if n in REGISTRY and n not in _PRIOR_VERIFIED
         )
         repair = [n for n in _RECORD_REPAIR if n in REGISTRY]
         # record-repair queries first (red driver row, fix landed),
-        # then any never-driver-sampled stragglers, then the round-9
-        # batch, then queries with a standing record
-        later = _PRIOR_VERIFIED | r9_new
+        # then any never-driver-sampled stragglers, then the round-10
+        # batch, then the stale-record refresh queue (oldest records
+        # first), then the rest of the standing records
+        later = _PRIOR_VERIFIED | r10_new
         ordered = {n: REGISTRY[n] for n in repair}
         ordered.update(
             {n: s for n, s in REGISTRY.items()
              if n not in later and n not in ordered}
         )
-        for batch in (r9_new, _PRIOR_VERIFIED):
-            ordered.update(
-                {n: s for n, s in REGISTRY.items() if n in batch}
-            )
+        ordered.update(
+            {n: REGISTRY[n] for n in REGISTRY if n in r10_new}
+        )
+        ordered.update(
+            {n: REGISTRY[n] for n in _STALE_REFRESH if n in REGISTRY}
+        )
+        ordered.update(
+            {n: s for n, s in REGISTRY.items() if n in _PRIOR_VERIFIED}
+        )
         REGISTRY.clear()
         REGISTRY.update(ordered)
         _loaded = True

@@ -184,3 +184,72 @@ def test_ndcg_bounds_and_ideal_ordering(spark, sf_dir):
     # weights are strictly decreasing (log discount) and integer
     assert all(a > b for a, b in zip(_NDCG_W, _NDCG_W[1:]))
     assert _NDCG_W[0] == 1_000_000  # rank 1: no discount
+
+
+def test_hnsw_recall_vs_brute_force(spark, sf_dir):
+    brute = [
+        r.vec_id
+        for r in load_all()["q_vector_topk"].fn(spark, sf_dir).collect()
+    ]
+    hnsw = [
+        r.vec_id
+        for r in load_all()["q_vector_topk_hnsw"].fn(spark, sf_dir).collect()
+    ]
+    # near-orthogonal fixture vectors are the graph-ANN worst case too
+    # (weak neighborhood structure); the bar pins recall above chance
+    # and regressions in graph build / beam search show up here
+    recall = len(set(brute) & set(hnsw)) / len(brute)
+    assert recall >= 0.3, (recall, brute, hnsw)
+
+
+def test_hnsw_degree_is_bounded(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.similarity import (
+        _HNSW_M,
+        _hnsw_search,
+    )
+
+    # the graph the search consults must respect the degree cap — the
+    # bound is what makes each hop's frontier BEAM*M, the 100 TB claim
+    _beam, visited = _hnsw_search(spark, sf_dir)
+    n = visited.count()
+    assert n > 0
+    # visited = entry layer + <= HOPS hops of beam expansion; with
+    # beam width K and degree cap M the expansion alone is bounded by
+    # HOPS * K * M even if every neighbor were fresh
+    from lakehouse_weather_spark.operators.similarity import (
+        _HNSW_HOPS,
+        TOP_K,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_seeds = emb.filter(
+        (F.col("vec_id") != 0)
+        & (
+            F.expr(
+                "cast(conv(substr(md5(cast(vec_id as string)), 1, 15),"
+                " 16, 10) as bigint)"
+            )
+            % 8
+            == 0
+        )
+    ).count()
+    assert n <= n_seeds + _HNSW_HOPS * TOP_K * (_HNSW_M + 1), (
+        n,
+        n_seeds,
+    )
+
+
+def test_ann_scorecard_exact_is_perfect(spark, sf_dir):
+    rows = {
+        r.arm: r
+        for r in load_all()["q_ann_arm_scorecard"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"exact", "hnsw", "ivf", "lsh", "pq"}
+    assert rows["exact"].recall_at_k == 1.0
+    # every arm's candidate budget is a strict subset of brute force
+    for arm in ("hnsw", "ivf", "lsh", "pq"):
+        assert rows[arm].n_candidates <= rows["exact"].n_candidates, arm
+        assert 0.0 <= rows[arm].recall_at_k <= 1.0, arm
