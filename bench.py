@@ -311,6 +311,16 @@ HEADLINE = [
 
 
 def main() -> None:
+    if "--streaming" in sys.argv[1:]:
+        # streaming lane (VERDICT r9 task 4): full lifecycles with
+        # pinned micro-batch counts -> STREAM_BENCH.json
+        sys.argv = [sys.argv[0]] + [
+            a for a in sys.argv[1:] if a != "--streaming"
+        ]
+        from tools.bench_stream import main as stream_main
+
+        stream_main()
+        return
     sf_dir = default_sf_dir()
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     specs = load_all()
