@@ -373,6 +373,7 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT user_id, event_type AS state, ts, event_id,
                    lag(event_type) OVER w AS prev_state
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         changes AS (
@@ -402,7 +403,11 @@ def q_not_in_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    # complete case (NULLS.md tier 1): a change record with NULL ts
+    # cannot open or close a validity interval
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     ordered = ev.select(
         "user_id",

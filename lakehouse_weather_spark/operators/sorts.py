@@ -61,6 +61,7 @@ def q_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(row_number() OVER (ORDER BY ts, event_id) AS BIGINT)
                    AS ordinal
         FROM events
+        WHERE ts IS NOT NULL
     """,
     doc="Scalable GLOBAL row numbering — the pattern that replaces the"
     " row_number()-over-no-partition anti-plan (which funnels the whole"
@@ -80,8 +81,13 @@ def q_global_ordinal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_weather_spark.sources.tables import load_table as _lt
 
-    ev = _lt(spark, sf_dir, "events").select(
-        "event_id", "ts", F.to_date("ts").alias("bucket")
+    # complete case (NULLS.md tier 1): the ordinal IS the time order —
+    # a NULL ts has no position, and its NULL day-bucket would also
+    # drop silently from the offsets equi-join on one engine only
+    ev = (
+        _lt(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select("event_id", "ts", F.to_date("ts").alias("bucket"))
     )
     counts = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("n"))
     # cumulative offsets over the BOUNDED per-day count list (#days

@@ -72,18 +72,26 @@ def q_win_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id, value,
                value - lag(value) OVER
-                     (PARTITION BY user_id ORDER BY ts, event_id) AS delta,
+                     (PARTITION BY user_id
+                      ORDER BY ts NULLS FIRST, event_id) AS delta,
                lead(event_type) OVER
-                     (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+                     (PARTITION BY user_id
+                      ORDER BY ts NULLS FIRST, event_id) AS next_type
         FROM events
     """,
     doc="lag/lead per user ordered by event time (event deltas; chunk"
     " overlap-check analogue). event_id tiebreaker keeps it deterministic;"
-    " the delta subtraction is a single IEEE op — bit-stable everywhere.",
+    " the delta subtraction is a single IEEE op — bit-stable everywhere."
+    " NULL ts placement is PINNED (NULLS FIRST on both engines, the"
+    " NULLS.md ordering rule): Spark defaults NULLS FIRST asc, DuckDB"
+    " NULLS LAST, so an unpinned NULL event-time would shift every"
+    " lag/lead in its user partition between engines.",
 )
 def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), "event_id"
+    )
     return ev.select(
         "event_id",
         "user_id",
@@ -98,13 +106,16 @@ def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id, user_id,
                CAST(sum(CAST(round(value * 10000) AS BIGINT))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id
                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS DOUBLE)
                    / 10000
-                   / count(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   / count(*) OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id
                               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS moving_avg,
                CAST(sum(CAST(round(value * 10000) AS BIGINT))
-                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        OVER (PARTITION BY user_id
+                              ORDER BY ts NULLS FIRST, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                     AS DOUBLE) / 10000 AS running_sum
         FROM events
@@ -112,11 +123,14 @@ def q_win_laglead(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Sliding-frame aggregates: 5-row moving average + running sum per"
     " user. Frame sums accumulate fixed-point (see functions.dsum) so the"
     " result is independent of the engine's frame-evaluation algorithm"
-    " (running vs segment-tree).",
+    " (running vs segment-tree). NULL ts placement pinned NULLS FIRST"
+    " on both engines (NULLS.md ordering rule).",
 )
 def q_win_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(
+        F.asc_nulls_first("ts"), "event_id"
+    )
     vfx = F.round(F.col("value") * 10000, 0).cast("bigint")
     frame5 = w.rowsBetween(-4, 0)
     running = w.rowsBetween(Window.unboundedPreceding, 0)
@@ -167,35 +181,37 @@ def q_win_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT event_id, user_id,
                first_value(event_type) OVER w AS first_type,
                last_value(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS final_type,
                nth_value(event_id, 3) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
+                   PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
                ) AS third_event_id,
                last_value(CASE WHEN value >= 0.5 THEN value END IGNORE NULLS)
                    OVER w AS last_big_value
         FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
     """,
     doc="Window navigation surface: first_value, whole-frame last_value"
     " and nth_value, and running last-non-null (IGNORE NULLS) — the"
     " carry-forward primitive — per user over a TOTAL order"
     " (ts, event_id), so every function is deterministic and"
-    " oracle-exact. One key-partitioned sort, no global window.",
+    " oracle-exact. One key-partitioned sort, no global window."
+    " NULL ts placement pinned NULLS FIRST on both engines"
+    " (NULLS.md ordering rule).",
 )
 def q_win_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     running = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_first("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     full = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.asc_nulls_first("ts"), "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     )
     big = F.when(F.col("value") >= 0.5, F.col("value"))

@@ -71,6 +71,7 @@ def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
                              - CAST(lag(ts) OVER w AS TIMESTAMP) > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -91,10 +92,15 @@ def q_win_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Gap-based sessionization (30-min inactivity gap) via lag + "
     "running-sum — the batch-SQL form of a custom stateful streaming"
-    " operator (applyInPandasWithState shape). One shuffle on user_id.",
+    " operator (applyInPandasWithState shape). One shuffle on user_id."
+    " Complete case on ts (NULLS.md tier 1), mirroring the streaming"
+    " twin: a NULL event-time has no position in the gap sequence.",
 )
 def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # complete case (NULLS.md tier 1): session order is defined by ts
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # NTZ -> epoch seconds via TIMESTAMP under the pinned-UTC session
     secs = F.col("ts").cast("timestamp").cast("long")
@@ -756,27 +762,33 @@ def stream_session_window(
                    AS bucket_start,
                event_type, count(*) AS n_events,
                {sql_dsum('value')} AS sum_value
-        FROM events GROUP BY 2, 3
+        FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
         UNION ALL
         SELECT 'day',
                CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
                event_type, count(*), {sql_dsum('value')}
-        FROM events GROUP BY 2, 3
+        FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
         UNION ALL
         SELECT 'week',
                CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS TIMESTAMP),
                event_type, count(*), {sql_dsum('value')}
-        FROM events GROUP BY 2, 3
+        FROM events WHERE ts IS NOT NULL GROUP BY 2, 3
     """,
     doc="Multi-resolution time rollup (hour/day/week) in ONE pass — the"
     " TimescaleDB-continuous-aggregate / hypertable-rollup shape."
     " GROUPING SETS over pre-computed truncations: Spark plans a single"
     " Expand + partial/final aggregate (one shuffle for all three"
     " grains) instead of three scans. At 100 TB the coarser grains"
-    " piggyback on the hour aggregation nearly for free.",
+    " piggyback on the hour aggregation nearly for free. Complete case"
+    " on ts (NULLS.md tier 1): a NULL ts truncates to NULL at EVERY"
+    " grain, which would collapse the three grain labels into one"
+    " engine-dependent 'week' row under the grouping-sets CASE.",
 )
 def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # complete case (NULLS.md tier 1): NULL ts has no rollup bucket
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     ev.createOrReplaceTempView("v_events_rollup")
     inner = (
         "SELECT event_type, value,"
@@ -813,6 +825,7 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
                              - CAST(lag(ts) OVER w AS TIMESTAMP) > INTERVAL 30 MINUTE
                         THEN 1 ELSE 0 END AS new_session
             FROM events
+            WHERE ts IS NOT NULL
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (
@@ -838,7 +851,12 @@ def q_time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     " one shuffle on (user_id, session merge).",
 )
 def q_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # complete case (NULLS.md tier 1): session membership is defined
+    # by event time; session_window would silently drop NULL ts on the
+    # Spark side only, so the filter is mirrored in the oracle
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     # session_window needs TIMESTAMP (LTZ); session tz pinned UTC makes
     # the NTZ<->LTZ casts deterministic
     ev = ev.withColumn("ts_ltz", F.col("ts").cast("timestamp"))
@@ -988,6 +1006,7 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
                        PARTITION BY user_id ORDER BY ts, event_id
                    ) AS next_type
             FROM events
+            WHERE ts IS NOT NULL
         ),
         cnt AS (
             SELECT event_type AS from_type, next_type AS to_type,
@@ -1009,7 +1028,11 @@ def q_event_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
     " however large the event log grows.",
 )
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # complete case (NULLS.md tier 1): transition order is defined by
+    # ts — a NULL event-time would take an engine-dependent position
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     pairs = (
         ev.select(
@@ -1088,6 +1111,7 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT event_type, value,
                    epoch_ns(ts) // 1000000000 AS sec
             FROM events
+            WHERE ts IS NOT NULL
         ),
         expanded AS (
             SELECT event_type, value,
@@ -1113,7 +1137,11 @@ def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     " offsets arithmetically on epoch seconds.",
 )
 def q_win_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
+    # complete case (NULLS.md tier 1): F.window assigns no windows to
+    # a NULL ts (silent Spark-side drop) — mirror the drop explicitly
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
     return (
         ev.groupBy(
             F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type"

@@ -36,7 +36,13 @@ _MIN_MARKERS = {
     "operators/sketches.py": 2,
     "operators/timeseries.py": 2,
     "operators/udfs.py": 2,
-    "streaming/events.py": 1,
+    # round-10 join-key/partition-column null battery additions
+    # (test_null_join_keys_parity): event-SEQUENCE queries are tier 1
+    # on ts — sessionize, session_window, event_transitions,
+    # win_sliding, time_rollup, global_ordinal, scd2_intervals
+    "operators/reshape.py": 1,
+    "operators/sorts.py": 1,
+    "streaming/events.py": 8,
     "streaming/stateful.py": 1,
 }
 

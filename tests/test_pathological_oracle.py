@@ -1097,3 +1097,139 @@ def test_null_events_parity(spark, null_events_dir, null_events_con, name):
     assert res["status"] in ("OK", "ROWS_ONLY"), (
         name, res.get("detail"), res,
     )
+
+
+# --- round-10 NULL join-key / partition-column corpus ------------------
+
+# The r9 null battery covered NULL MEASURES and rank order over events;
+# this one puts NULLs in the JOIN KEYS and PARTITION COLUMNS of every
+# relational table (VERDICT r9 task 7): FK columns (c_nationkey,
+# o_custkey, l_partkey/l_suppkey/l_orderkey, n_regionkey, s_nationkey),
+# window/groupBy partition columns (c_mktsegment, l_returnflag,
+# l_linestatus, lang, source), ordering columns (o_orderdate,
+# l_shipdate, ts), and measures TPC-H aggregates fold (l_quantity,
+# c_acctbal). Divergence classes exercised: NULL equi-join key drops
+# (both engines, must stay symmetric), eqNullSafe vs IS NOT DISTINCT
+# FROM, NULLS FIRST/LAST rank order under NULL ordering keys, NULL
+# groups surviving GROUP BY / window PARTITION BY, and pandas float64
+# widening of nullable oracle BIGINT columns (NULLS.md #4).
+_NULL_JOIN_QUERIES = [
+    # join family
+    "q_join_inner", "q_join_left", "q_join_anti", "q_join_broadcast",
+    "q_join_range", "q_join_range_naive", "q_join_salted",
+    "q_join_asof", "q_join_asof_tolerance", "q_join_cardinality",
+    "q_choose_join_plan", "q_selfjoin_fanout", "q_lateral_topk",
+    "q_bloom_semijoin", "q_exists_subquery", "q_scalar_subquery",
+    "q_dpp_prune", "q_not_in_nulls", "q_null_semantics",
+    "q_interval_overlap_join",
+    # full TPC-H suite over the NULL-FK star schema
+    "q_tpch_q1", "q_tpch_q2", "q_tpch_q3", "q_tpch_q3_bucketed",
+    "q_tpch_q4", "q_tpch_q5", "q_tpch_q6", "q_tpch_q7", "q_tpch_q8",
+    "q_tpch_q9", "q_tpch_q10", "q_tpch_q11", "q_tpch_q12",
+    "q_tpch_q13", "q_tpch_q14", "q_tpch_q15", "q_tpch_q16",
+    "q_tpch_q17", "q_tpch_q18", "q_tpch_q19", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22",
+    # windows / sorts / rollups over NULL partition + ordering keys
+    "q_win_rownum", "q_win_laglead", "q_win_frame", "q_win_rank_stats",
+    "q_win_distribution", "q_win_navigation", "q_win_range_time",
+    "q_sort", "q_topk", "q_agg_rollup", "q_rollup_consistency",
+    # event-SEQUENCE queries ordered by (ts, event_id) that the r9
+    # null-events battery did not cover: a NULL ts must either be
+    # complete-case filtered or its placement pinned on both engines
+    "q_global_ordinal", "q_journey_paths", "q_attribution",
+    "q_scd2_intervals", "q_interarrival_hist", "q_sessionize",
+    "q_event_transitions", "q_point_in_time_features", "q_funnel",
+    "q_event_pattern", "q_session_window", "q_retention_cohorts",
+    "q_win_sliding", "q_running_unique", "q_time_rollup",
+]
+
+
+@pytest.fixture(scope="module")
+def null_join_dir(spark, patho_all_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("null_join")
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    def inject(table: str, idcol: str | None, rows: list[dict]) -> None:
+        src = f"{patho_all_dir}/{table}.parquet"
+        df = spark.read.parquet(src)
+        names = [f.name for f in df.schema.fields]
+        base = df.limit(1).collect()[0].asDict()
+        new = []
+        if idcol is not None:
+            maxid = df.agg(F.max(idcol)).first()[0] or 0
+        for i, kw in enumerate(rows, start=1):
+            d = dict(base)
+            if idcol is not None:
+                d[idcol] = maxid + i  # fresh PK: no accidental dup keys
+            d.update(kw)
+            new.append(tuple(d[n] for n in names))
+        extra = spark.createDataFrame(new, df.schema)
+        df.unionByName(extra).coalesce(1).write.parquet(
+            f"{out}/{table}.parquet"
+        )
+
+    shutil.copytree(
+        f"{patho_all_dir}/region.parquet", f"{out}/region.parquet"
+    )
+    shutil.copytree(
+        f"{patho_all_dir}/embeddings.parquet", f"{out}/embeddings.parquet"
+    )
+    inject("nation", "n_nationkey", [{"n_regionkey": None}])
+    inject("customer", "c_custkey", [
+        {"c_nationkey": None},
+        {"c_mktsegment": None},
+        {"c_acctbal": None},
+    ])
+    inject("supplier", "s_suppkey", [{"s_nationkey": None}])
+    inject("part", "p_partkey", [
+        {"p_brand": None}, {"p_type": None}, {"p_size": None},
+    ])
+    inject("orders", "o_orderkey", [
+        {"o_custkey": None},
+        {"o_orderdate": None},
+        {"o_custkey": None, "o_orderdate": None},
+    ])
+    # lineitem: no synthetic PK — the injected rows get dangling
+    # l_orderkeys above the existing range (a referential-integrity
+    # violation both engines must drop identically on inner joins)
+    li = spark.read.parquet(f"{patho_all_dir}/lineitem.parquet")
+    max_ok = li.agg(F.max("l_orderkey")).first()[0] or 0
+    inject("lineitem", None, [
+        {"l_orderkey": None},
+        {"l_orderkey": max_ok + 1001, "l_partkey": None},
+        {"l_orderkey": max_ok + 1002, "l_suppkey": None},
+        {"l_orderkey": max_ok + 1003, "l_shipdate": None},
+        {"l_orderkey": max_ok + 1004, "l_returnflag": None},
+        {"l_orderkey": max_ok + 1005, "l_linestatus": None},
+        {"l_orderkey": max_ok + 1006, "l_quantity": None},
+        {"l_orderkey": max_ok + 1007, "l_extendedprice": None,
+         "l_discount": None},
+    ])
+    inject("events", "event_id", [
+        {"user_id": None}, {"event_type": None}, {"ts": None},
+    ])
+    inject("documents", "doc_id", [{"lang": None}, {"source": None}])
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def null_join_con(null_join_dir):
+    con = duckdb.connect()
+    for t in ("customer", "orders", "lineitem", "region", "nation",
+              "supplier", "part", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM"
+            f" read_parquet('{null_join_dir}/{t}.parquet/*.parquet')"
+        )
+    return con
+
+
+@pytest.mark.parametrize("name", _NULL_JOIN_QUERIES)
+def test_null_join_keys_parity(spark, null_join_dir, null_join_con, name):
+    spec = load_all()[name]
+    res = compare_one(name, spec, spark, null_join_con, null_join_dir)
+    assert res["status"] in ("OK", "ROWS_ONLY"), (
+        name, res.get("detail"), res,
+    )
