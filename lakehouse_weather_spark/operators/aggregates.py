@@ -1378,3 +1378,153 @@ def q_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("q").cast("double") / F.count(F.lit(1)).cast("double")
         ).alias("trimmed_mean_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: fulfillment latency + demand curve
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_ship_latency",
+    oracle="""
+        WITH lat AS (
+            SELECT o.o_orderpriority,
+                   date_diff('day', CAST(o.o_orderdate AS DATE),
+                             CAST(l.l_shipdate AS DATE)) AS days
+            FROM lineitem l JOIN orders o
+              ON l.l_orderkey = o.o_orderkey
+        )
+        SELECT o_orderpriority,
+               CAST(count(days) AS BIGINT) AS n_shipped,
+               CAST(min(days) AS BIGINT) AS min_days,
+               CAST(max(days) AS BIGINT) AS max_days,
+               CAST(sum(days) AS DOUBLE) / count(days) AS avg_days,
+               CAST(median(days) AS DOUBLE) AS median_days
+        FROM lat
+        WHERE days IS NOT NULL
+        GROUP BY o_orderpriority
+    """,
+    doc="Order-to-ship latency distribution per order priority: the"
+    " fulfillment SLA table (does 1-URGENT actually ship faster?)."
+    " One lineitem-orders equi-join on the canonical co-partition"
+    " key — at 100 TB this is the join the bucketed-fact layout"
+    " (operators/tpch.ensure_bucketed_facts) makes shuffle-free —"
+    " then a per-priority aggregate over integer day deltas: exact"
+    " min/max/avg, and an exact median (both engines average the two"
+    " middle integers, so .0/.5 halves compare bit-equal). Rows with"
+    " a NULL date drop from every aggregate identically on both"
+    " engines (count(days), not count(*)).",
+)
+def q_ship_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    lat = li.join(
+        orders, li["l_orderkey"] == orders["o_orderkey"]
+    ).select(
+        "o_orderpriority",
+        F.datediff(
+            F.col("l_shipdate").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("bigint").alias("days"),
+    )
+    return (
+        lat.filter(F.col("days").isNotNull())
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count("days").cast("bigint").alias("n_shipped"),
+            F.min("days").cast("bigint").alias("min_days"),
+            F.max("days").cast("bigint").alias("max_days"),
+            (F.sum("days").cast("double") / F.count("days"))
+            .alias("avg_days"),
+            F.median("days").cast("double").alias("median_days"),
+        )
+    )
+
+
+@register(
+    "q_price_quantity_curve",
+    oracle="""
+        WITH px AS (
+            SELECT p_partkey,
+                   CAST(round(p_retailprice * 100) AS BIGINT) AS p_fx
+            FROM part WHERE p_retailprice IS NOT NULL
+        ),
+        bounds AS (
+            SELECT min(p_fx) AS lo, max(p_fx) AS hi FROM px
+        ),
+        bucketed AS (
+            SELECT p.p_partkey,
+                   p.p_fx,
+                   least(9, ((p.p_fx - b.lo) * 10)
+                             // (b.hi - b.lo + 1)) AS bucket
+            FROM px p CROSS JOIN bounds b
+        )
+        SELECT CAST(k.bucket AS BIGINT) AS bucket,
+               CAST(min(k.p_fx) AS DOUBLE) / 100 AS min_price,
+               CAST(max(k.p_fx) AS DOUBLE) / 100 AS max_price,
+               CAST(count(l.l_quantity) AS BIGINT) AS n_lineitems,
+               CAST(sum(CAST(l.l_quantity AS BIGINT)) AS DOUBLE)
+                   / count(l.l_quantity) AS avg_quantity
+        FROM bucketed k JOIN lineitem l
+          ON l.l_partkey = k.p_partkey
+        WHERE l.l_quantity IS NOT NULL
+        GROUP BY k.bucket
+    """,
+    doc="Demand curve over ten equal-WIDTH price bands: per part-price"
+    " bucket, the average ordered quantity — the cheap observable"
+    " behind price-elasticity dashboards (a log-log regression would"
+    " hit libm ln() cross-engine drift; equal-width integer bands"
+    " keep every boundary exact). Bucket edges derive from one 1-row"
+    " min/max aggregate broadcast back over parts (the sanctioned"
+    " 1-row crossJoin shape), bucket index is pure int64 arithmetic"
+    " (floor division of positive ints matches DuckDB //), and the"
+    " part->lineitem equi-join shuffles on partkey. No window, no"
+    " collect; NULL prices/quantities drop via mirrored predicates.",
+)
+def q_price_quantity_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").filter(
+        F.col("p_retailprice").isNotNull()
+    ).select(
+        "p_partkey",
+        F.round(F.col("p_retailprice") * 100, 0)
+        .cast("bigint").alias("p_fx"),
+    )
+    bounds = part.agg(
+        F.min("p_fx").alias("lo"), F.max("p_fx").alias("hi")
+    )
+    bucketed = part.crossJoin(F.broadcast(bounds)).select(
+        "p_partkey",
+        "p_fx",
+        F.least(
+            F.lit(9),
+            F.expr("div((p_fx - lo) * 10, hi - lo + 1)"),
+        ).alias("bucket"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").isNotNull()
+    ).select("l_partkey", "l_quantity")
+    return (
+        li.join(bucketed, li["l_partkey"] == bucketed["p_partkey"])
+        .groupBy("bucket")
+        .agg(
+            (F.min("p_fx").cast("double") / 100).alias("min_price"),
+            (F.max("p_fx").cast("double") / 100).alias("max_price"),
+            F.count("l_quantity").cast("bigint").alias("n_lineitems"),
+            (
+                F.sum(F.col("l_quantity").cast("bigint")).cast("double")
+                / F.count("l_quantity")
+            ).alias("avg_quantity"),
+        )
+        .select(
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "min_price",
+            "max_price",
+            "n_lineitems",
+            "avg_quantity",
+        )
+    )

@@ -2291,3 +2291,103 @@ def q_expected_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" / cast({k} as double) / 100e0"
         ).alias("expected_shortfall"),
     )
+
+
+@register(
+    "q_kendall_tau",
+    oracle="""
+        WITH daily AS (
+            -- complete case (NULLS.md tier 1): day buckets are an
+            -- ordering by event time
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   CAST(count(*) AS BIGINT) AS cnt,
+                   CAST(sum(CAST(round(value * 10000) AS BIGINT))
+                        AS BIGINT) AS sfx
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CASE WHEN (a.cnt - b.cnt) * (a.sfx - b.sfx) > 0
+                        THEN 1 ELSE 0 END AS conc,
+                   CASE WHEN (a.cnt - b.cnt) * (a.sfx - b.sfx) < 0
+                        THEN 1 ELSE 0 END AS disc,
+                   CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS tie_x,
+                   CASE WHEN a.sfx = b.sfx THEN 1 ELSE 0 END AS tie_y
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.d < b.d
+        )
+        SELECT event_type,
+               CAST(sum(conc) AS BIGINT) AS n_concordant,
+               CAST(sum(disc) AS BIGINT) AS n_discordant,
+               CAST(sum(conc) - sum(disc) AS DOUBLE)
+                   / sqrt(CAST(count(*) - sum(tie_x) AS DOUBLE)
+                          * CAST(count(*) - sum(tie_y) AS DOUBLE))
+                   AS tau_b
+        FROM pairs
+        GROUP BY event_type
+        HAVING count(*) - sum(tie_x) > 0
+           AND count(*) - sum(tie_y) > 0
+    """,
+    doc="Kendall tau-b rank correlation between each event type's"
+    " daily count and daily fixed-point value total — the"
+    " tie-corrected, outlier-immune monotone-association test"
+    " (q_spearman_corr's robust sibling; tau has a direct"
+    " probabilistic reading: P(concordant) - P(discordant))."
+    " Concordant/discordant/tie classification is exact integer"
+    " sign arithmetic over all day PAIRS — quadratic only in the"
+    " CALENDAR-bounded day series (the raw table reduces first via"
+    " one partial-agg shuffle), so the self-join is |types| x"
+    " |days|^2 rows no matter the corpus size; tau-b's denominator"
+    " is one sqrt of exact-int products. Complete case on ts"
+    " (NULLS.md tier 1).",
+)
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    # complete case (NULLS.md tier 1): day buckets order by ts
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    fx = F.round(F.col("value") * 10000, 0).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("cnt"),
+        F.sum(fx).cast("bigint").alias("sfx"),
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    prod = (F.col("a.cnt") - F.col("b.cnt")) * (
+        F.col("a.sfx") - F.col("b.sfx")
+    )
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.d") < F.col("b.d")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        F.when(prod > 0, 1).otherwise(0).alias("conc"),
+        F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        F.when(F.col("a.cnt") == F.col("b.cnt"), 1)
+        .otherwise(0).alias("tie_x"),
+        F.when(F.col("a.sfx") == F.col("b.sfx"), 1)
+        .otherwise(0).alias("tie_y"),
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.sum("conc").cast("bigint").alias("n_concordant"),
+        F.sum("disc").cast("bigint").alias("n_discordant"),
+        (F.count(F.lit(1)) - F.sum("tie_x")).alias("nx"),
+        (F.count(F.lit(1)) - F.sum("tie_y")).alias("ny"),
+    )
+    return agg.filter((F.col("nx") > 0) & (F.col("ny") > 0)).select(
+        "event_type",
+        "n_concordant",
+        "n_discordant",
+        (
+            (F.col("n_concordant") - F.col("n_discordant")).cast("double")
+            / F.sqrt(
+                F.col("nx").cast("double") * F.col("ny").cast("double")
+            )
+        ).alias("tau_b"),
+    )

@@ -2045,3 +2045,171 @@ def q_column_impurity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# round 10: referential-integrity audit + snapshot schema drift
+# ---------------------------------------------------------------------------
+
+# (child_table, fk_column, parent_table, parent_key) for every FK edge
+# of the star schema. The audit is the data-quality twin of the
+# round-10 NULL-join-key battery: NULL FKs and dangling FKs both drop
+# silently from inner joins, so a pipeline only finds out via exactly
+# this kind of explicit orphan count.
+_FK_EDGES = (
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+)
+
+
+def _fk_oracle() -> str:
+    parts = []
+    for child, fk, parent, key in _FK_EDGES:
+        parts.append(f"""
+        SELECT '{child}.{fk}->{parent}' AS relation,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN c.{fk} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_null_fk,
+               CAST(sum(CASE WHEN c.{fk} IS NOT NULL
+                              AND p.{key} IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_orphans
+        FROM {child} c
+        LEFT JOIN (SELECT DISTINCT {key} FROM {parent}) p
+               ON c.{fk} = p.{key}""")
+    return " UNION ALL ".join(parts)
+
+
+@register(
+    "q_referential_integrity",
+    oracle=_fk_oracle(),
+    doc="Referential-integrity audit over every FK edge of the star"
+    " schema: per relation, total child rows, NULL foreign keys, and"
+    " ORPHANS (non-NULL FK with no parent — the dangling-reference"
+    " class that silently vanishes from every inner join). Each edge"
+    " is one left join against the DISTINCT parent key set plus a"
+    " count aggregate; the seven 1-row results union into one plan,"
+    " so Catalyst runs the whole audit in a single job. At 100 TB"
+    " each edge shuffles on its own key (or broadcasts the small"
+    " dimension key sets) — there is no cross-edge dependency, so"
+    " the audit parallelizes edge-by-edge.",
+)
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for child, fk, parent, key in _FK_EDGES:
+        c = load_table(spark, sf_dir, child)
+        p = load_table(spark, sf_dir, parent).select(key).distinct()
+        joined = c.join(p, c[fk] == p[key], "left")
+        row = joined.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(
+                F.when(F.col(fk).isNull(), 1).otherwise(0)
+            ).cast("bigint").alias("n_null_fk"),
+            F.sum(
+                F.when(
+                    F.col(fk).isNotNull() & F.col(key).isNull(), 1
+                ).otherwise(0)
+            ).cast("bigint").alias("n_orphans"),
+        ).select(
+            F.lit(f"{child}.{fk}->{parent}").alias("relation"),
+            "n_rows",
+            "n_null_fk",
+            "n_orphans",
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+@register(
+    "q_schema_drift",
+    oracle="""
+        WITH halves AS (
+            SELECT CASE WHEN event_id % 2 = 0 THEN 'base'
+                        ELSE 'current' END AS snapshot,
+                   user_id, event_type, value, props
+            FROM events
+        ),
+        wide AS (
+            SELECT snapshot,
+                   CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT user_id) AS BIGINT) AS d_user,
+                   CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS z_user,
+                   CAST(count(DISTINCT event_type) AS BIGINT) AS d_type,
+                   CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS z_type,
+                   CAST(count(DISTINCT value) AS BIGINT) AS d_value,
+                   CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS z_value,
+                   CAST(count(DISTINCT props) AS BIGINT) AS d_props,
+                   CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0
+                            END) AS BIGINT) AS z_props
+            FROM halves GROUP BY snapshot
+        )
+        SELECT snapshot, col, n_rows, n_distinct, n_null
+        FROM (
+            SELECT snapshot, 'user_id' AS col, n_rows,
+                   d_user AS n_distinct, z_user AS n_null FROM wide
+            UNION ALL
+            SELECT snapshot, 'event_type', n_rows, d_type, z_type
+            FROM wide
+            UNION ALL
+            SELECT snapshot, 'value', n_rows, d_value, z_value
+            FROM wide
+            UNION ALL
+            SELECT snapshot, 'props', n_rows, d_props, z_props
+            FROM wide
+        )
+    """,
+    doc="Snapshot schema-drift profile: per column of the events"
+    " table, row count, exact distinct count, and NULL count for two"
+    " deterministic snapshot halves (even/odd event_id stand in for"
+    " consecutive ingest snapshots) — the table a contract monitor"
+    " diffs to catch null-rate spikes and cardinality collapses"
+    " before they poison downstream joins. ONE scan: all eight"
+    " distinct/null aggregates compute in a single groupBy (Spark"
+    " plans multi-distinct via one Expand), then the wide row"
+    " unpivots into the long (snapshot, column) shape with zero"
+    " further shuffles. Counts are exact integers on both engines.",
+)
+def q_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.withColumn(
+            "snapshot",
+            F.when(F.pmod("event_id", F.lit(2)) == 0, "base").otherwise(
+                "current"
+            ),
+        )
+        .groupBy("snapshot")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("d_user"),
+            F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("z_user"),
+            F.countDistinct("event_type").cast("bigint").alias("d_type"),
+            F.sum(F.when(F.col("event_type").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("z_type"),
+            F.countDistinct("value").cast("bigint").alias("d_value"),
+            F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("z_value"),
+            F.countDistinct("props").cast("bigint").alias("d_props"),
+            F.sum(F.when(F.col("props").isNull(), 1).otherwise(0))
+            .cast("bigint").alias("z_props"),
+        )
+    )
+    return wide.select(
+        "snapshot",
+        F.expr(
+            "stack(4,"
+            " 'user_id', d_user, z_user,"
+            " 'event_type', d_type, z_type,"
+            " 'value', d_value, z_value,"
+            " 'props', d_props, z_props)"
+        ).alias("col", "n_distinct", "n_null"),
+        "n_rows",
+    ).select("snapshot", "col", "n_rows", "n_distinct", "n_null")

@@ -1760,3 +1760,253 @@ def q_rolling_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.lit(100.0)
         ).alias("mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: drawdown, pinball loss, rolling correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_drawdown",
+    oracle="""
+        WITH pts AS (
+            -- complete case (NULLS.md tier 1): the equity curve is an
+            -- ordering by ts; a NULL event-time has no position and a
+            -- NULL value no increment
+            SELECT user_id,
+                   CAST(round(value * 10000) AS BIGINT) AS fx,
+                   ts, event_id
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+              AND value IS NOT NULL
+        ),
+        cums AS (
+            SELECT user_id, ts, event_id,
+                   sum(fx) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS cum_fx
+            FROM pts
+        ),
+        curve AS (
+            SELECT user_id, cum_fx,
+                   max(cum_fx) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING
+                                     AND CURRENT ROW) AS peak_fx
+            FROM cums
+        )
+        SELECT user_id,
+               CAST(max(peak_fx - cum_fx) AS DOUBLE) / 10000
+                   AS max_drawdown,
+               CAST(max(peak_fx) AS DOUBLE) / 10000 AS peak_value,
+               CAST(count(*) AS BIGINT) AS n_points
+        FROM curve GROUP BY user_id
+    """,
+    doc="Maximum drawdown per user over the running fixed-point value"
+    " curve (the risk statistic behind equity-curve monitoring and"
+    " per-account spend caps): cumulative sum ordered by (ts,"
+    " event_id), running peak, max(peak - cum). Two frames over ONE"
+    " user-partitioned sort — Spark evaluates both in a single"
+    " WindowExec pass, so the cost is one shuffle on user_id and the"
+    " state per task is a row, independent of corpus size. All"
+    " arithmetic is int64 fixed point; the only doubles are final"
+    " exact-int divisions. Complete case on ts/user_id/value"
+    " (NULLS.md tier 1).",
+)
+def q_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # complete case (NULLS.md tier 1): drawdown is defined over the
+    # time order; NULL ts/user/value rows carry no curve position
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("user_id").isNotNull()
+        & F.col("value").isNotNull()
+    )
+    fx = F.round(F.col("value") * 10000, 0).cast("bigint")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    curve = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(fx).over(w).alias("cum_fx"),
+    ).withColumn("peak_fx", F.max("cum_fx").over(w))
+    return curve.groupBy("user_id").agg(
+        (
+            F.max(F.col("peak_fx") - F.col("cum_fx")).cast("double")
+            / 10000
+        ).alias("max_drawdown"),
+        (F.max("peak_fx").cast("double") / 10000).alias("peak_value"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
+
+
+@register(
+    "q_pinball_loss",
+    oracle="""
+        WITH daily AS (
+            -- complete case (NULLS.md tier 1): a NULL ts has no day
+            -- bucket, and the lag-7 pairing is an ordering by day
+            SELECT event_type, date_trunc('day', ts) AS d,
+                   sum(CAST(round(value * 10000) AS BIGINT)) AS y
+            FROM events WHERE ts IS NOT NULL
+            GROUP BY 1, 2
+        ),
+        paired AS (
+            SELECT event_type, y,
+                   lag(y, 7) OVER (PARTITION BY event_type
+                                   ORDER BY d) AS f
+            FROM daily
+        )
+        SELECT event_type,
+               CAST(count(f) AS BIGINT) AS n_evals,
+               CAST(sum(greatest((y - f), -(y - f))) AS DOUBLE)
+                   / 20000 / count(f) AS pinball50,
+               CAST(sum(greatest(9 * (y - f), -(y - f))) AS DOUBLE)
+                   / 100000 / count(f) AS pinball90
+        FROM paired WHERE f IS NOT NULL
+        GROUP BY event_type
+    """,
+    doc="Pinball (quantile) loss of the seasonal-naive forecast"
+    " (lag-7: same weekday last week) over each event type's daily"
+    " fixed-point total — the metric that grades quantile forecasts"
+    " (tau=0.5 reduces to half the MAE; tau=0.9 penalizes"
+    " under-forecasting 9x). The loss max(tau*d, (tau-1)*d) is"
+    " computed x10 in int64 (greatest(9d, -d)/10) so every sum is"
+    " exact; the only doubles are final divisions. One partial-agg"
+    " shuffle to the calendar-bounded day series, then a lag over"
+    " ~|days| rows per type. Complete case on ts (NULLS.md tier 1).",
+)
+def q_pinball_loss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # complete case (NULLS.md tier 1): day bucketing + lag-7 pairing
+    # are orderings by event time
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+    )
+    fx = F.round(F.col("value") * 10000, 0).cast("bigint")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    ).agg(F.sum(fx).alias("y"))
+    w = Window.partitionBy("event_type").orderBy("d")
+    paired = daily.select(
+        "event_type", "y", F.lag("y", 7).over(w).alias("f")
+    ).filter(F.col("f").isNotNull())
+    d = F.col("y") - F.col("f")
+    return paired.groupBy("event_type").agg(
+        F.count("f").cast("bigint").alias("n_evals"),
+        (
+            F.sum(F.greatest(d, -d)).cast("double")
+            / 20000 / F.count("f")
+        ).alias("pinball50"),
+        (
+            F.sum(F.greatest(F.lit(9) * d, -d)).cast("double")
+            / 100000 / F.count("f")
+        ).alias("pinball90"),
+    )
+
+
+@register(
+    "q_rolling_corr",
+    oracle="""
+        WITH daily AS (
+            -- complete case (NULLS.md tier 1): day buckets + a rolling
+            -- frame are orderings by event time
+            SELECT date_trunc('day', ts) AS d, event_type,
+                   sum(CAST(round(value * 10000) AS BIGINT))
+                       // count(*) AS avg_fx
+            FROM events
+            WHERE ts IS NOT NULL
+              AND event_type IN ('click', 'purchase')
+            GROUP BY 1, 2
+        ),
+        pair AS (
+            SELECT c.d, c.avg_fx AS x, p.avg_fx AS y
+            FROM daily c JOIN daily p USING (d)
+            WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+        ),
+        rolled AS (
+            SELECT d,
+                   count(*) OVER w AS n,
+                   sum(x) OVER w AS sx, sum(y) OVER w AS sy,
+                   sum(x * x) OVER w AS sxx, sum(y * y) OVER w AS syy,
+                   sum(x * y) OVER w AS sxy
+            FROM pair
+            WINDOW w AS (ORDER BY d
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        )
+        SELECT d AS day,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   AS corr_7d
+        FROM rolled
+        WHERE n = 7
+          AND n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+    """,
+    doc="7-day rolling Pearson correlation between the click and"
+    " purchase daily mean-value series — the co-movement monitor"
+    " behind 'did purchases decouple from clicks this week'. Daily"
+    " means are int64 fixed point (floor division keeps them exact"
+    " and overflow-safe: products of day MEANS stay under 2^53, where"
+    " products of day SUMS would overflow at large sf), the rolling"
+    " moments are exact integer window sums over the"
+    " calendar-bounded joined day series, and the final corr is"
+    " correctly-rounded IEEE ops (mul/sqrt/div) on identical ints —"
+    " bit-stable cross-engine. The one unpartitioned window runs on"
+    " one row per day (whitelisted, tests/test_plans.py). Complete"
+    " case on ts (NULLS.md tier 1).",
+)
+def q_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    # complete case (NULLS.md tier 1): day buckets + rolling frame
+    # are orderings by event time
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("ts").isNotNull()
+        & F.col("event_type").isin("click", "purchase")
+    )
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").alias("d"), "event_type"
+    ).agg(F.expr("div(sum(cast(round(value * 10000) as bigint)), count(*))").alias("avg_fx"))
+    clicks = daily.filter(F.col("event_type") == "click").select(
+        "d", F.col("avg_fx").alias("x")
+    )
+    buys = daily.filter(F.col("event_type") == "purchase").select(
+        "d", F.col("avg_fx").alias("y")
+    )
+    pair = clicks.join(buys, "d")
+    w = Window.orderBy("d").rowsBetween(-6, 0)
+    rolled = pair.select(
+        "d",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum("y").over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(w).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(w).alias("sxy"),
+    )
+    covn = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return (
+        rolled.filter(
+            (F.col("n") == 7) & (varx > 0) & (vary > 0)
+        )
+        .select(
+            F.col("d").alias("day"),
+            F.col("n").cast("bigint").alias("n_days"),
+            (
+                covn.cast("double")
+                / F.sqrt(varx.cast("double") * vary.cast("double"))
+            ).alias("corr_7d"),
+        )
+    )

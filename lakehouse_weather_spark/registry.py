@@ -268,6 +268,11 @@ _PRIOR_VERIFIED = frozenset({
 _ROUND10_NEW: frozenset[str] = frozenset({
     "q_vector_topk_hnsw",
     "q_ann_arm_scorecard",
+    # round-10 batch 2: operational-analytics closure
+    "q_referential_integrity", "q_schema_drift", "q_drawdown",
+    "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
+    "q_ship_latency", "q_price_quantity_curve", "q_new_vs_returning",
+    "q_bounce_rate",
 })
 
 # Stale-record refresh queue (VERDICT r9 task 6): every registered

@@ -1981,3 +1981,150 @@ def q_stream_session_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sink.filter(F.col("user_id") != -1).select(
         "user_id", "n_events", "start_us", "end_us"
     )
+
+
+# ---------------------------------------------------------------------------
+# round 10: new-vs-returning split + session bounce rate
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q_new_vs_returning",
+    oracle="""
+        WITH pts AS (
+            -- complete case (NULLS.md tier 1): day buckets order by
+            -- ts; identity matters, so NULL user_id drops too
+            -- (count(DISTINCT user_id) would skip it one-sidedly
+            -- against the NULL first-touch group)
+            SELECT user_id, date_trunc('day', ts) AS d
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        firsts AS (
+            SELECT user_id, min(d) AS first_day FROM pts GROUP BY 1
+        ),
+        active AS (
+            SELECT DISTINCT p.user_id, p.d, f.first_day
+            FROM pts p JOIN firsts f USING (user_id)
+        )
+        SELECT CAST(d AS TIMESTAMP) AS day,
+               CAST(sum(CASE WHEN d = first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(sum(CASE WHEN d > first_day THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_returning
+        FROM active GROUP BY d
+    """,
+    doc="Daily active users split into NEW (first-touch day) vs"
+    " RETURNING — the growth-accounting headline every product"
+    " dashboard leads with (q_running_unique's cumulative curve is"
+    " the integral of this table's n_new column). Each user reduces"
+    " to one first-seen day (partial-agg shuffle), the distinct"
+    " (user, day) activity joins back on user_id, and the split is"
+    " an exact integer comparison — no window at all, three narrow"
+    " shuffles, all user-sharded. Complete case on ts AND user_id"
+    " (NULLS.md tier 1): identity matters, and count-distinct skips"
+    " NULL one-sidedly against the NULL first-touch group.",
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # complete case (NULLS.md tier 1): see oracle comment
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", F.date_trunc("day", "ts").alias("d"))
+    )
+    firsts = pts.groupBy("user_id").agg(F.min("d").alias("first_day"))
+    active = pts.join(firsts, "user_id").distinct()
+    return active.groupBy(F.col("d").alias("day")).agg(
+        F.sum(
+            F.when(F.col("d") == F.col("first_day"), 1).otherwise(0)
+        ).cast("bigint").alias("n_new"),
+        F.sum(
+            F.when(F.col("d") > F.col("first_day"), 1).otherwise(0)
+        ).cast("bigint").alias("n_returning"),
+    )
+
+
+@register(
+    "q_bounce_rate",
+    oracle=f"""
+        WITH pts AS (
+            -- complete case (NULLS.md tier 1): sessions are a time
+            -- ordering per identity
+            SELECT user_id, ts, event_id
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             - CAST(lag(ts) OVER w AS TIMESTAMP)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sid
+            FROM flagged
+        ),
+        per_sess AS (
+            SELECT user_id, sid,
+                   date_trunc('day', min(ts)) AS d,
+                   count(*) AS n_events
+            FROM sess GROUP BY 1, 2
+        )
+        SELECT CAST(d AS TIMESTAMP) AS day,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_bounces,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+                    AS DOUBLE) / count(*) AS bounce_rate
+        FROM per_sess GROUP BY d
+    """,
+    doc="Daily bounce rate: fraction of 30-minute-gap sessions that"
+    " contain exactly one event, keyed by session START day — the"
+    " engagement-quality metric next to q_new_vs_returning on the"
+    " same dashboard. Reuses the q_sessionize lag/running-sum"
+    " decomposition (user-partitioned windows only), then two"
+    " partial-agg shuffles (per-session, per-day); the rate is one"
+    " IEEE division of exact counts. Complete case on ts/user_id"
+    " (NULLS.md tier 1), mirroring q_sessionize.",
+)
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # complete case (NULLS.md tier 1): mirrors q_sessionize
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("d"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    bounce = F.sum(
+        F.when(F.col("n_events") == 1, 1).otherwise(0)
+    ).cast("bigint")
+    return per_sess.groupBy(F.col("d").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        bounce.alias("n_bounces"),
+        (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
+    )

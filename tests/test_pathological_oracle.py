@@ -850,6 +850,11 @@ _TAIL_QUERIES = [
     "q_capture_recapture", "q_lorenz_deciles", "q_ess_weights",
     "q_conformal_pi", "q_arrow_scan_stats", "q_dpp_prune",
     "q_ab_power", "q_expected_shortfall",
+    # round-10 additions
+    "q_referential_integrity", "q_schema_drift", "q_drawdown",
+    "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
+    "q_ship_latency", "q_price_quantity_curve", "q_new_vs_returning",
+    "q_bounce_rate",
 ]
 
 
@@ -1016,6 +1021,9 @@ _NULL_EVENTS_QUERIES = [
     # pd.NaT unless the stream filters it (the ADVICE r9 find) — the
     # one battery entry that exercises a real streaming query
     "q_stream_session_evict",
+    # round-10 events-based additions: tier-1 guarded by design
+    "q_drawdown", "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
+    "q_new_vs_returning", "q_bounce_rate", "q_schema_drift",
 ]
 
 
@@ -1141,6 +1149,9 @@ _NULL_JOIN_QUERIES = [
     "q_event_transitions", "q_point_in_time_features", "q_funnel",
     "q_event_pattern", "q_session_window", "q_retention_cohorts",
     "q_win_sliding", "q_running_unique", "q_time_rollup",
+    # round-10 additions over the relational NULL-FK tables
+    "q_referential_integrity", "q_ship_latency",
+    "q_price_quantity_curve",
 ]
 
 

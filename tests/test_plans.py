@@ -70,6 +70,11 @@ _ARROW_KERNEL_ALLOWED = {
     # math keeps both bit-exact vs the DuckDB oracle
     "q_vector_topk_ivf": ("MapInPandas",),
     "q_vector_topk_pq": ("MapInPandas",),
+    # the cross-arm scorecard COMPOSES the sanctioned IVF/PQ codebook
+    # kernels above (it reruns every arm to score recall/candidates);
+    # it adds no Python stage of its own — exact/LSH/HNSW arms are
+    # pure JVM
+    "q_ann_arm_scorecard": ("MapInPandas",),
     # per-label integer moment matrices (X^T X in int64 BLAS) — the
     # q_power_iteration Gram kernel shape; quantization is JVM-side and
     # integer adds are associative, so the kernel is bit-exact vs the
@@ -428,8 +433,10 @@ _UNPARTITIONED_WINDOW_WHITELIST = {
            "winner set; q_stratified_alloc's largest-remainder rank "
            "over the |sources|-row quota table"),
     "operators/timeseries.py": (
-        1, "Kaplan-Meier suffix sums over the ~100-row duration-bucket "
-           "table"),
+        2, "Kaplan-Meier suffix sums over the ~100-row duration-bucket "
+           "table; q_rolling_corr's 7-day moment frame over the joined "
+           "click/purchase DAY series — one row per calendar day, "
+           "bounded by the corpus time span, never the raw table"),
     "operators/sorts.py": (
         1, "q_global_ordinal's bucket-offset window over the bucket "
            "list (value-range bucket count), never the raw table"),
