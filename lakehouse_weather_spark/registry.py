@@ -273,6 +273,9 @@ _ROUND10_NEW: frozenset[str] = frozenset({
     "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
     "q_ship_latency", "q_price_quantity_curve", "q_new_vs_returning",
     "q_bounce_rate",
+    # round-10 batch 3: robust statistics + engagement depth
+    "q_hodges_lehmann", "q_cohens_kappa", "q_poisson_dispersion",
+    "q_session_duration_stats",
 })
 
 # Stale-record refresh queue (VERDICT r9 task 6): every registered

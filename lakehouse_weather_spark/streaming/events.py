@@ -2128,3 +2128,123 @@ def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bounce.alias("n_bounces"),
         (bounce.cast("double") / F.count(F.lit(1))).alias("bounce_rate"),
     )
+
+
+@register(
+    "q_session_duration_stats",
+    oracle="""
+        WITH pts AS (
+            -- complete case (NULLS.md tier 1): sessions are a time
+            -- ordering per identity (mirrors q_sessionize)
+            SELECT user_id, ts, event_id
+            FROM events
+            WHERE ts IS NOT NULL AND user_id IS NOT NULL
+        ),
+        flagged AS (
+            SELECT user_id, ts, event_id,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                          OR CAST(ts AS TIMESTAMP)
+                             - CAST(lag(ts) OVER w AS TIMESTAMP)
+                             > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END AS new_session
+            FROM pts
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+            SELECT user_id, ts,
+                   sum(new_session) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND CURRENT ROW) AS sid
+            FROM flagged
+        ),
+        per_sess AS (
+            SELECT user_id, sid,
+                   date_trunc('day', min(ts)) AS d,
+                   epoch_ns(max(ts)) // 1000000000
+                       - epoch_ns(min(ts)) // 1000000000 AS dur_sec,
+                   count(*) AS n_events
+            FROM sess GROUP BY 1, 2
+        ),
+        ranked AS (
+            SELECT d, dur_sec, n_events,
+                   row_number() OVER (PARTITION BY d
+                       ORDER BY dur_sec, user_id, sid) AS rn,
+                   count(*) OVER (PARTITION BY d) AS n
+            FROM per_sess
+        )
+        SELECT CAST(d AS TIMESTAMP) AS day,
+               CAST(max(n) AS BIGINT) AS n_sessions,
+               CAST(min(CASE WHEN rn = greatest(1, (n * 50) // 100)
+                             THEN dur_sec END) AS BIGINT) AS p50_sec,
+               CAST(min(CASE WHEN rn = greatest(1, (n * 90) // 100)
+                             THEN dur_sec END) AS BIGINT) AS p90_sec,
+               CAST(sum(n_events) AS DOUBLE) / max(n)
+                   AS avg_events_per_session
+        FROM ranked GROUP BY d
+    """,
+    doc="Session-duration distribution per start day: exact p50/p90"
+    " duration (rank-selection idiom, q_agg_quantiles — no"
+    " interpolation, engine-portable integer seconds) and mean events"
+    " per session — the engagement-depth row next to q_bounce_rate"
+    " on the same dashboard. Reuses the q_sessionize lag/running-sum"
+    " decomposition (user-partitioned windows), then one"
+    " day-partitioned rank window over the SESSION table (thousands"
+    " of rows per day, not events). Complete case on ts/user_id"
+    " (NULLS.md tier 1), mirroring q_sessionize.",
+)
+def q_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # complete case (NULLS.md tier 1): mirrors q_sessionize
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("user_id").isNotNull())
+        .select("user_id", "ts", "event_id")
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    sess = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 30 * 60), F.lit(1)).otherwise(
+            F.lit(0)
+        ),
+    ).withColumn(
+        "sid",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    per_sess = sess.groupBy("user_id", "sid").agg(
+        F.date_trunc("day", F.min("ts")).alias("d"),
+        (
+            F.max(secs) - F.min(secs)
+        ).cast("bigint").alias("dur_sec"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wr = Window.partitionBy("d").orderBy("dur_sec", "user_id", "sid")
+    ranked = per_sess.select(
+        "d",
+        "dur_sec",
+        "n_events",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("d")).alias("n"),
+    )
+    return ranked.groupBy(F.col("d").alias("day")).agg(
+        F.max("n").cast("bigint").alias("n_sessions"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("div(n * 50, 100)")),
+                F.col("dur_sec"),
+            )
+        ).cast("bigint").alias("p50_sec"),
+        F.min(
+            F.when(
+                F.col("rn")
+                == F.greatest(F.lit(1), F.expr("div(n * 90, 100)")),
+                F.col("dur_sec"),
+            )
+        ).cast("bigint").alias("p90_sec"),
+        (F.sum("n_events").cast("double") / F.max("n"))
+        .alias("avg_events_per_session"),
+    )

@@ -854,7 +854,8 @@ _TAIL_QUERIES = [
     "q_referential_integrity", "q_schema_drift", "q_drawdown",
     "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
     "q_ship_latency", "q_price_quantity_curve", "q_new_vs_returning",
-    "q_bounce_rate",
+    "q_bounce_rate", "q_hodges_lehmann", "q_cohens_kappa",
+    "q_poisson_dispersion", "q_session_duration_stats",
 ]
 
 
@@ -1024,6 +1025,8 @@ _NULL_EVENTS_QUERIES = [
     # round-10 events-based additions: tier-1 guarded by design
     "q_drawdown", "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
     "q_new_vs_returning", "q_bounce_rate", "q_schema_drift",
+    "q_hodges_lehmann", "q_cohens_kappa", "q_poisson_dispersion",
+    "q_session_duration_stats",
 ]
 
 
