@@ -2659,3 +2659,143 @@ def q_poisson_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dispersion_index"),
         (num.cast("double") / F.col("s")).alias("chi2_stat"),
     )
+
+
+@register(
+    "q_cramers_v",
+    oracle="""
+        WITH pts AS (
+            -- complete case (NULLS.md tier 1): the contingency cell
+            -- is (category, weekday-of-ts); rows without either have
+            -- no cell. Weekday is computed engine-free from the epoch
+            -- day number (1970-01-01 = Thursday = 4) so no engine's
+            -- dayofweek() origin convention is in the gate.
+            SELECT event_type,
+                   (epoch_ns(ts) // 1000000000 // 86400 + 4) % 7
+                       AS dow
+            FROM events
+            WHERE ts IS NOT NULL AND event_type IS NOT NULL
+        ),
+        cells AS (
+            SELECT event_type, dow,
+                   CAST(count(*) AS BIGINT) AS o
+            FROM pts GROUP BY 1, 2
+        ),
+        margins AS (
+            SELECT c.event_type, c.dow, c.o,
+                   sum(c.o) OVER (PARTITION BY c.event_type) AS r,
+                   sum(c.o) OVER (PARTITION BY c.dow) AS col,
+                   sum(c.o) OVER () AS n
+            FROM cells c
+        ),
+        terms AS (
+            SELECT event_type, dow,
+                   (CAST(o AS DOUBLE)
+                    - CAST(r AS DOUBLE) * CAST(col AS DOUBLE)
+                      / CAST(n AS DOUBLE))
+                   * (CAST(o AS DOUBLE)
+                      - CAST(r AS DOUBLE) * CAST(col AS DOUBLE)
+                        / CAST(n AS DOUBLE))
+                   / (CAST(r AS DOUBLE) * CAST(col AS DOUBLE)
+                      / CAST(n AS DOUBLE)) AS term
+            FROM margins
+        ),
+        dims AS (
+            SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS nr,
+                   CAST(count(DISTINCT dow) AS BIGINT) AS nc,
+                   CAST(max(n) AS BIGINT) AS n,
+                   (SELECT list_reduce(
+                        list(term ORDER BY event_type, dow),
+                        (a, b) -> a + b) FROM terms) AS chi2
+            FROM margins
+        )
+        SELECT n, nr AS n_rows_dim, nc AS n_cols_dim, chi2,
+               sqrt(chi2 / (CAST(n AS DOUBLE)
+                            * least(nr - 1, nc - 1))) AS cramers_v
+        FROM dims
+        WHERE least(nr - 1, nc - 1) > 0
+    """,
+    doc="Cramer's V association between event type and weekday — the"
+    " normalized chi2 that answers 'does traffic mix shift by day of"
+    " week' on a 0..1 scale regardless of table size. Cell terms"
+    " (O-E)^2/E are correctly-rounded IEEE ops on exact int64"
+    " marginals, folded in SORTED cell order with the explicit"
+    " aggregate() lambda (the q_anova_f / q_levene_bf discipline —"
+    " engine-order sum(double) is the divergence the pathological"
+    " battery catches); weekday comes from epoch-day arithmetic"
+    " ((days + 4) % 7), not any engine's dayofweek() origin. The"
+    " contingency table is |types| x 7 — the only windows run over"
+    " those bounded cells. Complete case on ts/event_type (NULLS.md"
+    " tier 1: a row without a category or a time has no cell).",
+)
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    # complete case (NULLS.md tier 1): see oracle comment
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull() & F.col("event_type").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "pmod(div(cast(cast(ts as timestamp) as long),"
+                " 86400) + 4, 7)"
+            ).cast("bigint").alias("dow"),
+        )
+    )
+    cells = pts.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    )
+    margins = cells.select(
+        "event_type",
+        "dow",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("r"),
+        F.sum("o").over(Window.partitionBy("dow")).alias("col"),
+        F.sum("o").over(
+            Window.partitionBy(F.lit(1))
+        ).alias("n"),
+    )
+    e = (
+        F.col("r").cast("double")
+        * F.col("col").cast("double")
+        / F.col("n").cast("double")
+    )
+    terms = margins.select(
+        "event_type",
+        "dow",
+        "o",
+        "n",
+        (
+            (F.col("o").cast("double") - e)
+            * (F.col("o").cast("double") - e)
+            / e
+        ).alias("term"),
+    )
+    dims = terms.agg(
+        F.countDistinct("event_type").cast("bigint").alias("nr"),
+        F.countDistinct("dow").cast("bigint").alias("nc"),
+        F.max("n").cast("bigint").alias("n"),
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(event_type,"
+            " dow, term))), cast(0 as double),"
+            " (a, x) -> a + x.term)"
+        ).alias("chi2"),
+    )
+    return dims.filter(
+        F.least(F.col("nr") - 1, F.col("nc") - 1) > 0
+    ).select(
+        "n",
+        F.col("nr").alias("n_rows_dim"),
+        F.col("nc").alias("n_cols_dim"),
+        "chi2",
+        F.sqrt(
+            F.col("chi2")
+            / (
+                F.col("n").cast("double")
+                * F.least(F.col("nr") - 1, F.col("nc") - 1)
+            )
+        ).alias("cramers_v"),
+    )

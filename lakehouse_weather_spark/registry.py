@@ -276,6 +276,8 @@ _ROUND10_NEW: frozenset[str] = frozenset({
     # round-10 batch 3: robust statistics + engagement depth
     "q_hodges_lehmann", "q_cohens_kappa", "q_poisson_dispersion",
     "q_session_duration_stats",
+    # round-10 batch 4: categorical association + diurnal profile
+    "q_cramers_v", "q_peak_hour_profile",
 })
 
 # Stale-record refresh queue (VERDICT r9 task 6): every registered

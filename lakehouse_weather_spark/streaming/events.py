@@ -2248,3 +2248,75 @@ def q_session_duration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("n_events").cast("double") / F.max("n"))
         .alias("avg_events_per_session"),
     )
+
+
+@register(
+    "q_peak_hour_profile",
+    oracle="""
+        WITH pts AS (
+            -- complete case (NULLS.md tier 1): the hour-of-day cell
+            -- is derived from ts (engine-free epoch arithmetic, no
+            -- session-timezone hour() in the gate)
+            SELECT event_type,
+                   (epoch_ns(ts) // 1000000000 // 3600) % 24 AS hr
+            FROM events WHERE ts IS NOT NULL
+        ),
+        hourly AS (
+            SELECT event_type, hr, CAST(count(*) AS BIGINT) AS c
+            FROM pts GROUP BY 1, 2
+        ),
+        marked AS (
+            SELECT event_type, hr, c,
+                   max(c) OVER (PARTITION BY event_type) AS mx,
+                   sum(c) OVER (PARTITION BY event_type) AS tot
+            FROM hourly
+        )
+        SELECT event_type,
+               CAST(max(tot) AS BIGINT) AS n_events,
+               CAST(min(CASE WHEN c = mx THEN hr END) AS BIGINT)
+                   AS peak_hour,
+               CAST(max(mx) AS BIGINT) AS peak_count,
+               CAST(max(mx) AS DOUBLE) / max(tot) AS peak_share
+        FROM marked GROUP BY event_type
+    """,
+    doc="Peak-hour profile per event type: the UTC hour-of-day with"
+    " the most traffic (deterministic tie-break: smallest hour among"
+    " maxima — never an engine's arbitrary max_by pick), its count"
+    " and share — the diurnal-seasonality row capacity planning and"
+    " the q_volume_anomaly baseline read first. Hour comes from"
+    " epoch-second arithmetic ((secs // 3600) % 24), not hour()"
+    " under a session timezone; the only windows run over the"
+    " |types| x 24 hourly cells after one partial-agg shuffle."
+    " Complete case on ts (NULLS.md tier 1).",
+)
+def q_peak_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # complete case (NULLS.md tier 1): hour cell derives from ts
+    pts = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "pmod(div(cast(cast(ts as timestamp) as long),"
+                " 3600), 24)"
+            ).cast("bigint").alias("hr"),
+        )
+    )
+    hourly = pts.groupBy("event_type", "hr").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    marked = hourly.select(
+        "event_type",
+        "hr",
+        "c",
+        F.max("c").over(Window.partitionBy("event_type")).alias("mx"),
+        F.sum("c").over(Window.partitionBy("event_type")).alias("tot"),
+    )
+    return marked.groupBy("event_type").agg(
+        F.max("tot").cast("bigint").alias("n_events"),
+        F.min(
+            F.when(F.col("c") == F.col("mx"), F.col("hr"))
+        ).cast("bigint").alias("peak_hour"),
+        F.max("mx").cast("bigint").alias("peak_count"),
+        (F.max("mx").cast("double") / F.max("tot")).alias("peak_share"),
+    )

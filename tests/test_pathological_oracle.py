@@ -856,6 +856,7 @@ _TAIL_QUERIES = [
     "q_ship_latency", "q_price_quantity_curve", "q_new_vs_returning",
     "q_bounce_rate", "q_hodges_lehmann", "q_cohens_kappa",
     "q_poisson_dispersion", "q_session_duration_stats",
+    "q_cramers_v", "q_peak_hour_profile",
 ]
 
 
@@ -1026,7 +1027,7 @@ _NULL_EVENTS_QUERIES = [
     "q_drawdown", "q_pinball_loss", "q_rolling_corr", "q_kendall_tau",
     "q_new_vs_returning", "q_bounce_rate", "q_schema_drift",
     "q_hodges_lehmann", "q_cohens_kappa", "q_poisson_dispersion",
-    "q_session_duration_stats",
+    "q_session_duration_stats", "q_cramers_v", "q_peak_hour_profile",
 ]
 
 
