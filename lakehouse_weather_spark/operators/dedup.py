@@ -1634,23 +1634,38 @@ def q_dedup_savings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 SIMHASH_HAMMING_MAX = 1  # report pairs within this hamming distance
-_SIMHASH_BLOCKS = SIMHASH_HAMMING_MAX + 1  # pigeonhole blocks (2 x 8 bits)
-_SIMHASH_BLOCK_BITS = 16 // _SIMHASH_BLOCKS
+# The near-dup query signs a WIDE signature: 60 bits (the full width
+# of the 15-hex-digit md5 word hash), split into 2 pigeonhole blocks
+# of 30 bits. Block-value cardinality is what bounds the candidate
+# join: with b block bits, random collisions contribute ~n^2/2^b
+# candidate pairs. The original 16-bit signature (2 x 8-bit blocks,
+# 256 values) measured slope 1.57 on the sf1->sf10 decade - buckets
+# grow linearly with n, candidates quadratically - and at 16 bits
+# most "near-dup" pairs were random hamming<=1 collisions anyway
+# (P ~ 17/65536 per pair). At 30-bit blocks the expected random
+# candidate count is n^2/2^30: ~2e2 at sf10 (500k docs), so the join
+# output tracks the TRUE duplicate count, which the corpus bounds.
+# q_simhash (the 16-bit per-doc signature surface) is unchanged.
+_SIMHASH_NEARDUP_BITS = 60
+_SIMHASH_BLOCKS = SIMHASH_HAMMING_MAX + 1  # pigeonhole blocks (2 x 30 bits)
+_SIMHASH_BLOCK_BITS = _SIMHASH_NEARDUP_BITS // _SIMHASH_BLOCKS
 
 
 @register(
     "q_simhash_neardup",
     oracle=f"""
         WITH words AS (
-            SELECT doc_id, unnest(string_split(text, ' ')) AS word
+            SELECT doc_id,
+                   {_DUCK_H.format(expr="unnest(string_split(text, ' '))")}
+                       AS h
             FROM documents
         ),
         bits AS (
             SELECT doc_id,
                {",               ".join(
-                   f"sum(CASE WHEN (({_DUCK_H.format(expr='word')}) >> {i}) & 1 = 1"
+                   f"sum(CASE WHEN (h >> {i}) & 1 = 1"
                    f" THEN 1 ELSE -1 END) AS b{i}"
-                   for i in range(16)
+                   for i in range(_SIMHASH_NEARDUP_BITS)
                )}
             FROM words GROUP BY doc_id
         ),
@@ -1658,7 +1673,7 @@ _SIMHASH_BLOCK_BITS = 16 // _SIMHASH_BLOCKS
             SELECT doc_id,
                    CAST({" + ".join(
                        f"(CASE WHEN b{i} > 0 THEN {1 << i} ELSE 0 END)"
-                       for i in range(16)
+                       for i in range(_SIMHASH_NEARDUP_BITS)
                    )} AS BIGINT) AS simhash
             FROM bits
         )
@@ -1668,19 +1683,50 @@ _SIMHASH_BLOCK_BITS = 16 // _SIMHASH_BLOCKS
         FROM codes a JOIN codes b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_HAMMING_MAX}
     """,
-    doc=f"SimHash near-dup pairs (Manku et al., WWW'07): the 16-bit"
-    f" signatures split into {_SIMHASH_BLOCKS} blocks of"
-    f" {_SIMHASH_BLOCK_BITS} bits; any"
-    f" pair within hamming {SIMHASH_HAMMING_MAX} shares at least one"
-    " identical block (pigeonhole), so candidates come from ONE"
+    doc=f"SimHash near-dup pairs (Manku et al., WWW'07):"
+    f" {_SIMHASH_NEARDUP_BITS}-bit signatures split into"
+    f" {_SIMHASH_BLOCKS} pigeonhole blocks of {_SIMHASH_BLOCK_BITS}"
+    f" bits; any pair within hamming {SIMHASH_HAMMING_MAX} shares at"
+    " least one identical block, so candidates come from ONE"
     " equi-join on (block index, block value) and the exact"
-    " bit_count(xor) verify is narrow — no all-pairs scan. The oracle"
-    " IS the brute-force all-pairs hamming join, so a gate pass proves"
-    " the block scheme loses no pair. The signature-level complement"
-    " to MinHash: one 16-bit int per doc instead of a shingle set.",
+    " bit_count(xor) verify is narrow - no all-pairs scan. Block"
+    " width is the scale contract: random collisions add only"
+    " ~n^2/2^30 candidates, so the candidate set tracks the true"
+    " duplicate count (the 16-bit variant measured slope 1.57 over"
+    " sf1->sf10; this shape restored linearity). The oracle IS the"
+    " brute-force all-pairs hamming join, so a gate pass proves the"
+    " block scheme loses no pair.",
 )
 def q_simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    codes = q_simhash(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents")
+    # project the 60-bit word hash ONCE; the 60 bit-vote sums below
+    # all shift this single column (recomputing md5 per bit would
+    # multiply the scan cost 60x)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("word")
+    ).select(
+        "doc_id", F.expr(_SPARK_H.format(expr="word")).alias("h")
+    )
+    sums = [
+        F.sum(
+            F.expr(
+                f"CASE WHEN (shiftright(h, {i}) & 1) = 1"
+                " THEN 1 ELSE -1 END"
+            )
+        ).alias(f"b{i}")
+        for i in range(_SIMHASH_NEARDUP_BITS)
+    ]
+    bits = words.groupBy("doc_id").agg(*sums)
+    assemble = sum(
+        [
+            F.when(F.col(f"b{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+            for i in range(_SIMHASH_NEARDUP_BITS)
+        ],
+        start=F.lit(0),
+    )
+    codes = bits.select(
+        "doc_id", assemble.cast("bigint").alias("simhash")
+    )
     blocks = codes.select(
         "doc_id",
         "simhash",
