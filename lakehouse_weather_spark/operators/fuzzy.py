@@ -30,10 +30,20 @@ from pyspark.sql import functions as F
 from lakehouse_weather_spark.registry import register
 from lakehouse_weather_spark.sources.tables import fan_out, load_table
 
-KEY_LEN = 32  # comparison key: padded 32-char lowercased text prefix
+# Comparison key: padded 64-char lowercased text prefix. Segment WIDTH
+# is the scale contract: natural-language prefixes have low entropy,
+# so 8-char segments (KEY_LEN 32) produce hot blocking buckets — on
+# the sf1 scale corpus the hottest (i, s) bucket held 1,805 docs and
+# sum(c^2) was 5.4M, which at sf10 became a ~75 GB candidate shuffle
+# that filled the disk (slope >> 1, caught by the sf1->sf10 decade).
+# 16-char segments put enough words in each segment that buckets stay
+# O(1): measured max bucket 7, sum(c^2) 283k ~ n on the same corpus.
+# (Wider still regresses: at 96 chars the '~' padding of short docs
+# re-creates hot all-pad tail segments, max bucket 253.)
+KEY_LEN = 64  # comparison key: padded 64-char lowercased text prefix
 EDIT_MAX = 3  # report pairs with levenshtein <= EDIT_MAX
 N_SEG = EDIT_MAX + 1  # pigeonhole: D edits cannot touch D+1 segments
-SEG_LEN = KEY_LEN // N_SEG  # 8 chars per segment
+SEG_LEN = KEY_LEN // N_SEG  # 16 chars per segment
 _PAD = "~"
 
 _KEY_EXPR_SPARK = f"rpad(lower(substr(text, 1, {KEY_LEN})), {KEY_LEN}, '{_PAD}')"
