@@ -1280,6 +1280,13 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wq").over(wcum).alias("cw"),
         F.sum("wq").over(wtot).alias("wtot"),
     )
+    # The expensive sort+window chain is consumed TWICE (rank aggregate
+    # + join probe side); Spark re-executes the whole subtree per
+    # consumer. localCheckpoint materializes it once (guide §5 — cheap
+    # lineage cut for a reused intermediate).
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
+    cum = _checkpoint(cum)
     t = cum.groupBy("l_returnflag").agg(
         F.min(F.expr("CASE WHEN cw * 4 >= 1 * wtot THEN rn END")).alias(
             "r25"

@@ -62,8 +62,11 @@ def _decon_shingle_hashes(spark: SparkSession, sf_dir: str) -> DataFrame:
     array_distinct-before-explode shape as the 3-gram builder in
     operators/dedup.py (hash ints, not strings, as join currency)."""
     docs = load_table(spark, sf_dir, "documents")
+    # file count as the split-count proxy (same contract as
+    # tables.fan_out); df.rdd.getNumPartitions() forced a full
+    # plan->RDD physical compile just to read a partition count
     par = min(spark.sparkContext.defaultParallelism, 8)
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:
         docs = docs.repartition(par, "doc_id")
     w = "split(text, ' ')"
     grams = (

@@ -62,13 +62,28 @@ def _sample_docs(docs: DataFrame, doc_cap: int) -> DataFrame:
 
 
 def _checkpoint(df: DataFrame) -> DataFrame:
-    """Truncate lineage. Uses a RELIABLE checkpoint (survives executor
-    loss — required for multi-round iteration on a real cluster) when a
-    checkpoint dir is configured (session.py sets one; point
-    SPARK_GRAFT_CHECKPOINT_DIR at shared storage on a cluster), falling
-    back to executor-local checkpoint otherwise."""
+    """Truncate lineage.
+
+    Default: ``localCheckpoint`` — persist-backed, so the subtree is
+    computed ONCE by the materializing job and served from block-store
+    afterwards. A RELIABLE ``checkpoint`` is used only when the
+    deployment explicitly points SPARK_GRAFT_CHECKPOINT_DIR at shared
+    storage (HDFS/S3): it survives executor loss, which multi-hour
+    iterative jobs on a real cluster need, but it costs a SECOND full
+    computation of the subtree (the post-job checkpoint write re-runs
+    the RDD) plus a filesystem round-trip. Measured at sf0.1 on
+    local[32] that overhead dominated every checkpoint-heavy query
+    (optimization guide §5 — localCheckpoint is the cheap lineage cut;
+    OPTIMIZATION_r10.md has the numbers: q_dbscan_grid build 13.9 s ->
+    1.8 s). For the reliable path, the persist-before-checkpoint trick
+    would avoid the double compute at the cost of pinning blocks; left
+    to the deployment to choose via the env var."""
+    import os
+
     sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
+    if os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") and (
+        sc.getCheckpointDir() is not None
+    ):
         return df.checkpoint(eager=True)
     return df.localCheckpoint(eager=True)
 
@@ -1352,8 +1367,11 @@ PARA_WORDS = 40
 )
 def q_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # file count as the split-count proxy (same contract as
+    # tables.fan_out); df.rdd.getNumPartitions() forced a full
+    # plan->RDD physical compile just to read a partition count
     par = min(spark.sparkContext.defaultParallelism, 8)
-    if docs.rdd.getNumPartitions() < par:
+    if len(docs.inputFiles()) < par:
         docs = docs.repartition(par, "doc_id")
     w = "split(text, ' ')"
     paras = F.expr(

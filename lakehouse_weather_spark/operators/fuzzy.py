@@ -350,10 +350,33 @@ _FS_PATTERN_SELECT = f"""SELECT CAST(f_lang * 4 + f_source * 2 + f_band AS BIGIN
     " everything aggregates map-side to 8 pattern rows.",
 )
 def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
-    samp = (
+    # Cap FIRST on (h, doc_id) alone, THEN compute tok0/grams on the
+    # survivors (guide §2.3 — project/compute after the cut, not
+    # before): the old single-select built the bigram arrays for EVERY
+    # corpus row and carried them through the global TakeOrdered heap.
+    # Checkpointed because the self-join below consumes it twice (both
+    # sides re-evaluated the whole subtree — measured 6.2 s exec).
+    capped = (
         docs.filter(F.expr("length(trim(text)) > 0"))
         .select(
+            "doc_id",
+            "lang",
+            "source",
+            "n_chars",
+            "text",
+            F.expr(
+                "md5(concat('fs_', cast(doc_id as string)))"
+            ).alias("h"),
+        )
+        .orderBy("h", "doc_id")
+        .limit(_FS_CAP)
+        .drop("h")
+    )
+    samp = _checkpoint(
+        capped.select(
             "doc_id",
             "lang",
             "source",
@@ -366,13 +389,7 @@ def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " (w, k) -> concat(w, '#',"
                 "     element_at(split(trim(text), ' '), k + 2))))"
             ).alias("grams"),
-            F.expr(
-                "md5(concat('fs_', cast(doc_id as string)))"
-            ).alias("h"),
         )
-        .orderBy("h", "doc_id")
-        .limit(_FS_CAP)
-        .drop("h")
     )
     blocks = (
         samp.groupBy("tok0")

@@ -89,11 +89,36 @@ def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PAIRS_MEMO: "weakref.WeakKeyDictionary" = None  # type: ignore[assignment]
+
+
 def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(item_a, item_b, n_a, n_b, n_ab, n_baskets, ms) for every
-    frequent pair — the shared A-priori core of both queries.
+    frequent pair — the shared A-priori core of both queries,
+    materialized ONCE per (session, corpus) like the dedup substrates:
+    q_itemcf_topk consumes it twice (the symmetrized union) and
+    q_basket_pairs once more, and before the memo each consumer
+    re-executed the whole basket-collapse DAG (measured: `grouped`
+    evaluated ~9x across the two queries)."""
+    global _PAIRS_MEMO
+    import weakref
 
-    Pair generation is the dedup family's band-agg shape, not a
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+    from lakehouse_weather_spark.sources.tables import corpus_fingerprint
+
+    if _PAIRS_MEMO is None:
+        _PAIRS_MEMO = weakref.WeakKeyDictionary()
+    per = _PAIRS_MEMO.setdefault(spark, {})
+    key = (sf_dir, corpus_fingerprint(sf_dir, "lineitem"))
+    df = per.get(key)
+    if df is None:
+        df = _checkpoint(_build_frequent_pairs(spark, sf_dir))
+        per[key] = df
+    return df
+
+
+def _build_frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair generation is the dedup family's band-agg shape, not a
     basket⋈basket self-join: ONE groupBy collapses each basket to its
     sorted distinct item array, the A-priori prune drops infrequent
     items from the array (array_intersect against the broadcast
@@ -101,9 +126,15 @@ def _frequent_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     array — so the only shuffles are the basket collapse and the final
     |items|²-bounded pair count, where the self-join form shuffles the
     basket table twice more."""
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
     baskets = _baskets(spark, sf_dir)
-    grouped = baskets.groupBy("basket").agg(
-        F.sort_array(F.collect_set("item")).alias("items")
+    # checkpointed: three consumers below (n_baskets, item counts, the
+    # pair explode) each re-executed the collapse otherwise
+    grouped = _checkpoint(
+        baskets.groupBy("basket").agg(
+            F.sort_array(F.collect_set("item")).alias("items")
+        )
     )
     nb = grouped.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_baskets")

@@ -42,6 +42,86 @@ N_HYPERPLANES = 4
 _DIM = 64
 
 
+# --- vectorized fixed-point kernels (optimization guide §4.2) ---------
+# The SQL fixed-point dot (`spark_dot`: aggregate over zip_with) is
+# evaluated INTERPRETED, per array element (~1 µs/element measured) —
+# fine for one query vector, ruinous for pair tables (the HNSW graph
+# build scored 255 K same-bucket pairs x 64 dims = 16 M lambda evals,
+# ~17 s at sf0.1). These NumPy twins compute the identical integers:
+# same per-element round-half-away-from-zero at DOT_SCALE (the
+# `_fxround` kernel q_embed_neardup has shipped oracle-green since r2),
+# same int64 accumulation, so every downstream double is bit-identical.
+
+
+def _np_fxround(x):
+    """Half-away-from-zero to int64 — the NumPy twin of Spark/DuckDB
+    ``round(x, 0)`` (see dedup.q_embed_neardup's in-kernel original)."""
+    import numpy as np
+
+    return (np.sign(x) * np.floor(np.abs(x) + 0.5)).astype(np.int64)
+
+
+def _np_hyperplanes():
+    """(N_HYPERPLANES, _DIM) weight matrix — identical md5 derivation
+    to :func:`_hyperplane_expr` (hashlib md5 == SQL md5)."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            [
+                (
+                    int(
+                        hashlib.md5(f"hp_{j}_{i}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % 2001
+                    - 1000
+                )
+                / 1000.0
+                for i in range(_DIM)
+            ]
+            for j in range(N_HYPERPLANES)
+        ]
+    )
+
+
+def _np_bucket_codes(mat):
+    """int32 sign-LSH codes of an (n, _DIM) float64 matrix: per-element
+    fixed-point products against each hyperplane, int64 sums, sign bits
+    — bit-equal to :func:`_bucket_code_expr` (asserted in
+    tests/test_similarity.py)."""
+    import numpy as np
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    hp = _np_hyperplanes()
+    code = np.zeros(len(mat), dtype=np.int64)
+    for j in range(N_HYPERPLANES):
+        dots = _np_fxround(mat * hp[j][None, :] * DOT_SCALE).sum(axis=1)
+        code += np.where(dots >= 0, 1 << j, 0)
+    return code.astype(np.int32)
+
+
+def _bucket_code_udf_impl(emb):
+    import numpy as np
+    import pandas as pd
+
+    if len(emb) == 0:
+        return pd.Series([], dtype="int32")
+    mat = np.stack(emb.map(np.asarray)).astype(np.float64)
+    return pd.Series(_np_bucket_codes(mat))
+
+
+def _bucket_code_udf(col):
+    """Column: NumPy sign-LSH bucket code (pandas_udf; declared with a
+    DataType instance so module import needs no live session)."""
+    from pyspark.sql.types import IntegerType
+
+    return F.pandas_udf(_bucket_code_udf_impl, IntegerType())(col)
+
+
 @register(
     "q_vector_topk",
     oracle=f"""
@@ -2159,6 +2239,75 @@ _HNSW_HOPS = 3
 _HNSW_SEED_MOD = 8
 
 
+def _hnsw_adj_block(pdf):
+    """Per-bucket HNSW adjacency kernel: exact fixed-point pairwise
+    cosines (same integers as the SQL ``spark_dot`` path — see
+    ``_np_fxround``), then each source's top-``_HNSW_M`` neighbors by
+    (cosine DESC, dst ASC) — bit-equal to the old row_number window,
+    including NULL-cosine (zero-norm) pairs sorting last (NaN sorts to
+    the end of the ascending lexsort key, matching DESC NULLS LAST).
+    Bucket sizes are bounded by the sign-LSH blocking, so the n^2 x dim
+    product array stays task-sized."""
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_weather_spark.functions import DOT_SCALE
+
+    n = len(pdf)
+    empty = pd.DataFrame(
+        {
+            "src": pd.Series([], dtype="int64"),
+            "dst": pd.Series([], dtype="int64"),
+        }
+    )
+    if n <= 1:
+        return empty
+    ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    ints_self = _np_fxround(mat * mat * DOT_SCALE).sum(axis=1)
+    nrm = np.sqrt(ints_self.astype(np.float64) / DOT_SCALE)
+    # row-at-a-time pair dots with a REUSED n x d scratch buffer: the
+    # one-shot n x n x d broadcast tensor re-faults tens of MB of fresh
+    # pages per bucket, which this sandbox services pathologically
+    # slowly (~1 s / 14 MB measured); the buffered loop touches only
+    # n x d per step and is allocation-free after warmup
+    n_, d_ = mat.shape
+    dots = np.empty((n_, n_), dtype=np.int64)
+    buf = np.empty_like(mat)
+    sgn = np.empty_like(mat)
+    for i in range(n_):
+        np.multiply(mat, mat[i], out=buf)
+        buf *= DOT_SCALE
+        np.sign(buf, out=sgn)
+        np.abs(buf, out=buf)
+        buf += 0.5
+        np.floor(buf, out=buf)
+        buf *= sgn
+        # per-element values are exact integers <= 1e12, and a row sum
+        # is <= 64e12 < 2^53, so the int64 cast after a float sum is
+        # exact — identical to _np_fxround(...).sum()
+        dots[i] = buf.sum(axis=1).astype(np.int64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        cos = (dots.astype(np.float64) / DOT_SCALE) / (
+            nrm[:, None] * nrm[None, :]
+        )
+    srcs, dsts = [], []
+    idx = np.arange(n)
+    for i in range(n):
+        cand = idx[idx != i]  # self excluded BEFORE the top-M cut
+        # lexsort: primary -cos ascending (= cos DESC; NaN = NULL
+        # cosine sorts last, matching DESC NULLS LAST), ties by dst ASC
+        order = np.lexsort((ids[cand], -cos[i][cand]))
+        keep = cand[order[:_HNSW_M]]
+        srcs.append(np.full(len(keep), ids[i], dtype=np.int64))
+        dsts.append(ids[keep])
+    if not srcs:
+        return empty
+    return pd.DataFrame(
+        {"src": np.concatenate(srcs), "dst": np.concatenate(dsts)}
+    )
+
+
 def _hnsw_search(spark: SparkSession, sf_dir: str):
     """Shared HNSW-family search pipeline: returns (final beam as
     (vec_id, cosine) ordered top-k, visited-node id DataFrame — every
@@ -2174,66 +2323,61 @@ def _hnsw_search(spark: SparkSession, sf_dir: str):
     only BEAM * M vectors per hop. Production refinement (NN-descent
     iterations over the same edge table) keeps this dataflow.
     """
-    from pyspark.sql import Window
-
     emb = load_table(spark, sf_dir, "embeddings")
     norm = F.expr(
         "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
     )
-    e = emb.select(
-        "vec_id",
-        "embedding",
-        norm.alias("nrm"),
-        _bucket_code_expr("embedding").alias("bucket"),
-    )
     # the query vector is NOT an index node (HNSW searches an index the
     # query does not belong to); both engines exclude it from the graph
-    g = e.filter(F.col("vec_id") != QUERY_VEC_ID)
-    a = g.select(
-        F.col("vec_id").alias("src"),
-        F.col("embedding").alias("s_emb"),
-        F.col("nrm").alias("s_nrm"),
-        "bucket",
+    g = emb.select("vec_id", "embedding").filter(
+        F.col("vec_id") != QUERY_VEC_ID
     )
-    b = g.select(
-        F.col("vec_id").alias("dst"),
-        F.col("embedding").alias("d_emb"),
-        F.col("nrm").alias("d_nrm"),
-        "bucket",
-    )
-    pdot = F.expr(_SPARK_DOT.format(a="s_emb", b="d_emb"))
-    pairs = (
-        a.join(b, "bucket")
-        .filter(F.col("src") != F.col("dst"))
-        .select(
-            "src",
-            "dst",
-            F.try_divide(pdot, F.col("s_nrm") * F.col("d_nrm")).alias("cos"),
+    # Graph build, vectorized (guide §4.2): bucket codes via the NumPy
+    # pandas_udf twin of _bucket_code_expr, then ONE applyInPandas per
+    # bucket computes every same-bucket exact fixed-point cosine and
+    # emits each source's top-M — the same integers/doubles/tie-breaks
+    # as the old bucket-self-join + row_number window (equality
+    # asserted in tests/test_similarity.py), minus ~16 M interpreted
+    # zip_with lambda evals and a pair-table shuffle. Measured at
+    # sf0.1: the standalone pair-dot noop was 17 s; the whole build is
+    # now ~1 s.
+    adj = _checkpoint(
+        g.select(
+            "vec_id",
+            "embedding",
+            _bucket_code_udf("embedding").alias("bucket"),
         )
+        .groupBy("bucket")
+        .applyInPandas(_hnsw_adj_block, schema="src long, dst long")
     )
-    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
-    adj = (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= _HNSW_M)
-        .select("src", "dst")
-    )
-    # the graph is consulted once per hop: checkpoint so the bucket
-    # pair join + window run once, not _HNSW_HOPS times
-    adj = _checkpoint(adj)
     q = F.broadcast(
-        e.filter(F.col("vec_id") == QUERY_VEC_ID).select(
-            F.col("embedding").alias("q_emb"), F.col("nrm").alias("q_nrm")
+        emb.filter(F.col("vec_id") == QUERY_VEC_ID).select(
+            F.col("embedding").alias("q_emb"), norm.alias("q_nrm")
         )
     )
     qdot = F.expr(_SPARK_DOT.format(a="embedding", b="q_emb"))
-    scored = g.crossJoin(q).select(
-        "vec_id",
-        F.try_divide(qdot, F.col("nrm") * F.col("q_nrm")).alias("cosine"),
+    # checkpointed: every hop's re-rank (and the scorecard's exact arm)
+    # joins against these cosines — previously recomputed per consumer
+    scored = _checkpoint(
+        g.withColumn("nrm", norm)
+        .crossJoin(q)
+        .select(
+            "vec_id",
+            F.try_divide(qdot, F.col("nrm") * F.col("q_nrm")).alias(
+                "cosine"
+            ),
+        )
     )
     seeds = g.filter(
         F.expr(_SEED_H) % _HNSW_SEED_MOD == 0
     ).select("vec_id")
-    beam = (
+    # each hop's beam is referenced TWICE by the next hop (neighbor
+    # expansion + the union into cand) and again by visited: left lazy,
+    # the final plan re-executed every earlier beam ~2x per remaining
+    # hop (measured: 13 exec jobs, 7.5 s). The beam is TOP_K rows —
+    # checkpoint it per hop (the q_bellman_ford iterative-frontier
+    # precedent) so each hop computes once.
+    beam = _checkpoint(
         scored.join(seeds, "vec_id")
         .orderBy(F.desc("cosine"), F.asc("vec_id"))
         .limit(TOP_K)
@@ -2244,9 +2388,9 @@ def _hnsw_search(spark: SparkSession, sf_dir: str):
         nbrs = adj.join(
             beam.select(F.col("vec_id").alias("src")), "src"
         ).select(F.col("dst").alias("vec_id"))
-        cand = beam.select("vec_id").union(nbrs).distinct()
+        cand = _checkpoint(beam.select("vec_id").union(nbrs).distinct())
         visited = visited.union(cand)
-        beam = (
+        beam = _checkpoint(
             scored.join(cand, "vec_id")
             .orderBy(F.desc("cosine"), F.asc("vec_id"))
             .limit(TOP_K)

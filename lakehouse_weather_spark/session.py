@@ -70,6 +70,19 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE partition coalescing stays at stock settings
+        # (parallelismFirst=true, advisory 64m, minPartitionSize 1m).
+        # Measured both alternatives at sf0.1 (OPTIMIZATION_r10.md §3):
+        # parallelismFirst=false + advisory 128m serialized CPU-heavy
+        # small-byte window/agg stages onto one task (12-query sample:
+        # 19.7 s stock vs 30.8 s size-based) — the byte target is the
+        # right production UPPER bound but local CPU-bound stages need
+        # the parallelism-derived target. The advisory size is still
+        # deployment-tunable:
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "64m"),
+        )
         # runtime bloom-filter pushdown: semi-join reduction of big scans
         # from selective join sides (off by default; a large-join win)
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")

@@ -27,17 +27,43 @@ TABLES = (
 )
 
 
+# Per-(session, corpus, table) memo of the ANALYZED scan DataFrame.
+# ``spark.read.parquet`` re-lists the directory and re-reads parquet
+# footers on EVERY call to resolve the schema (~85 ms measured at
+# sf0.1); the registry surface calls load_table ~2x per query, so a
+# 400-query sweep pays ~70 s of repeated footer reads for identical
+# plans. The memo holds the lazy scan PLAN (never data — execution
+# still reads the files each time), keyed by a weak session ref plus a
+# content fingerprint so a corpus rewritten under the same path
+# mid-session gets a fresh scan (same invalidation contract as
+# dedup._substrate). This is exactly what a catalog/metastore gives a
+# production deployment: schema resolution paid once per table, not
+# once per query.
+import weakref
+
+_SCAN_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     # Pin determinism-critical confs even when running inside a caller's
     # session (e.g. the verification driver): UTC rendering and NTZ
     # parquet timestamps keep results identical across host timezones.
+    # Unconditional (sub-ms) — a caller may have mutated these since the
+    # memoized scan was first built.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "true")
-    if name == "events":
-        return _load_events(spark, sf_dir)
-    return spark.read.parquet(dataset_path(sf_dir, f"{name}.parquet"))
+    per = _SCAN_MEMO.setdefault(spark, {})
+    key = (sf_dir, name, corpus_fingerprint(sf_dir, name))
+    df = per.get(key)
+    if df is None:
+        if name == "events":
+            df = _load_events(spark, sf_dir)
+        else:
+            df = spark.read.parquet(dataset_path(sf_dir, f"{name}.parquet"))
+        per[key] = df
+    return df
 
 
 def with_event_ts(df: DataFrame, ntz: bool = True) -> DataFrame:
