@@ -1280,13 +1280,12 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wq").over(wcum).alias("cw"),
         F.sum("wq").over(wtot).alias("wtot"),
     )
-    # The expensive sort+window chain is consumed TWICE (rank aggregate
-    # + join probe side); Spark re-executes the whole subtree per
-    # consumer. localCheckpoint materializes it once (guide §5 — cheap
-    # lineage cut for a reused intermediate).
-    from lakehouse_weather_spark.operators.dedup import _checkpoint
-
-    cum = _checkpoint(cum)
+    # NOTE (r10): the sort+window chain is consumed twice (rank
+    # aggregate + join probe). Both a localCheckpoint of `cum` and a
+    # window-min rewrite were measured and REJECTED — materializing the
+    # corpus-sized windowed table through the block store costs more
+    # than the second window pass, at this scale and (same ratio of
+    # materialized bytes to recompute work) at any scale.
     t = cum.groupBy("l_returnflag").agg(
         F.min(F.expr("CASE WHEN cw * 4 >= 1 * wtot THEN rn END")).alias(
             "r25"

@@ -249,7 +249,7 @@ def q_data_card(spark: SparkSession, sf_dir: str) -> DataFrame:
     " basis points keep it hash-exact.",
 )
 def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_weather_spark.operators.dedup import q_minhash_neardup
+    from lakehouse_weather_spark.operators.dedup import minhash_pairs_cached
     from lakehouse_weather_spark.operators.quality import q_gopher_rules
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
@@ -262,7 +262,7 @@ def q_source_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("pass_stopwords")
         ).alias("keep"),
     )
-    pairs = q_minhash_neardup(spark, sf_dir)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     dupdocs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .unionByName(pairs.select(F.col("doc_b").alias("doc_id")))

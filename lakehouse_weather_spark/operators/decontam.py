@@ -194,10 +194,10 @@ def q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     " (q_dedup_clusters ids as the split key) instead of by doc.",
 )
 def q_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from lakehouse_weather_spark.operators.dedup import q_minhash_neardup
+    from lakehouse_weather_spark.operators.dedup import minhash_pairs_cached
     from lakehouse_weather_spark.operators.sampling import q_split_assign
 
-    pairs = q_minhash_neardup(spark, sf_dir)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     assign = q_split_assign(spark, sf_dir)
     a = assign.select(
         F.col("doc_id").alias("doc_a"), F.col("split").alias("sa")

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.operators.dedup import (
     _checkpoint,
+    minhash_pairs_cached,
     _minhash_pairs_cte,
     q_minhash_neardup,
 )
@@ -181,7 +182,7 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the (expensive) LSH pair query ONCE before the
     # symmetrizing union — both union branches and every pagerank
     # iteration read the checkpointed pair list, not the live plan
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     edges = pairs.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
     ).unionByName(
@@ -235,7 +236,7 @@ def q_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     " DuckDB replay.",
 )
 def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("doc_id")).agg(
@@ -293,7 +294,7 @@ def q_triangle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     " scale.",
 )
 def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = q_minhash_neardup(spark, sf_dir)
+    pairs = minhash_pairs_cached(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("src")).unionByName(
         pairs.select(F.col("doc_b").alias("src"))
     )
@@ -346,7 +347,7 @@ def q_degree_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     " replay.",
 )
 def q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     sym = e.unionByName(
         e.select(F.col("b").alias("a"), F.col("a").alias("b"))
@@ -457,7 +458,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from lakehouse_weather_spark.sources.tables import load_table
 
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -532,7 +533,7 @@ def q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_weather_spark.sources.tables import load_table
 
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     lab = (
         pairs.join(
@@ -615,7 +616,7 @@ _BFS_SELECT = """
     " result, memory-safe frontier per round.",
 )
 def q_bfs_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     pairs.createOrReplaceTempView("lws_bfs_pairs")
     return spark.sql(
         f"WITH RECURSIVE {_BFS_BODY.format(pairs='lws_bfs_pairs')}"
@@ -687,7 +688,7 @@ def _kcore_oracle() -> str:
     " oracle's bounded unroll replays the fixpoint exactly.",
 )
 def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = _checkpoint(q_minhash_neardup(spark, sf_dir)).select(
+    edges = minhash_pairs_cached(spark, sf_dir).select(
         F.col("doc_a").alias("a"), F.col("doc_b").alias("b")
     )
     n_prev = edges.count()
@@ -769,7 +770,7 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     " graphs define r = 0 on the zero-variance guard.",
 )
 def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     e = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     deg = sym.groupBy(F.col("a").alias("n")).agg(
@@ -869,7 +870,7 @@ def _bellman_oracle() -> str:
     " nodes beyond the horizon carry identical partial bounds.",
 )
 def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     we = pairs.select("doc_a", "doc_b", F.expr(_BF_W_SPARK).alias("w"))
     e = we.select(
         F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"), "w"
@@ -936,7 +937,7 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
     " buckets upstream), the standard guard for power-law graphs.",
 )
 def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     sym = pairs.select(
         F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
     ).unionByName(
@@ -1026,7 +1027,7 @@ def q_graph_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from lakehouse_weather_spark.sources.tables import load_table
 
-    pairs = _checkpoint(q_minhash_neardup(spark, sf_dir))
+    pairs = minhash_pairs_cached(spark, sf_dir)
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     mrow = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
     sym = pairs.select(

@@ -870,6 +870,64 @@ def _cdc_hash(engine: str) -> str:
     )
 
 
+def _cdc_kernel(batches):
+    """NumPy twin of the SQL rolling-hash chunker (guide §4.2): per
+    doc, codepoints via utf-32 decode (== Spark ascii() per split
+    char), the {CDC_W}-wide polynomial hash as W vectorized int64
+    shifted-slice adds (exact — max sum ~6e13 << 2^63, identical
+    integers to the SQL aggregate), boundaries where hash % CDC_MASK
+    == 0, chunk md5 via hashlib (== Spark md5 of the same UTF-8
+    bytes). The interpreted lambda form evaluated ~40 M per-position
+    closures per bench run (~3.5 s at sf0.1; this kernel ~1 s)."""
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    pows = np.array(_CDC_POWS, dtype=np.int64)
+    for pdf in batches:
+        out_doc: list = []
+        out_idx: list = []
+        out_start: list = []
+        out_len: list = []
+        out_md5: list = []
+        for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            n = len(text)
+            if n >= CDC_W:
+                codes = np.frombuffer(
+                    text.encode("utf-32-le"), dtype=np.uint32
+                ).astype(np.int64)
+                h = np.zeros(n - CDC_W + 1, dtype=np.int64)
+                for j in range(CDC_W):
+                    h += codes[CDC_W - 1 - j : n - j] * pows[j]
+                cuts = np.nonzero(h % CDC_MASK == 0)[0] + CDC_W
+            else:
+                cuts = np.empty(0, dtype=np.int64)
+            bounds = np.unique(
+                np.concatenate(
+                    ([0], cuts, [n])
+                ).astype(np.int64)
+            )
+            for k in range(len(bounds) - 1):
+                s, e = int(bounds[k]), int(bounds[k + 1])
+                out_doc.append(doc_id)
+                out_idx.append(k + 1)
+                out_start.append(s + 1)
+                out_len.append(e - s)
+                out_md5.append(
+                    hashlib.md5(text[s:e].encode("utf-8")).hexdigest()
+                )
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.Series(out_doc, dtype="int64"),
+                "chunk_idx": pd.Series(out_idx, dtype="int64"),
+                "start_pos": pd.Series(out_start, dtype="int64"),
+                "chunk_len": pd.Series(out_len, dtype="int64"),
+                "chunk_md5": pd.Series(out_md5, dtype="object"),
+            }
+        )
+
+
 @register(
     "q_cdc_chunks",
     oracle=f"""
@@ -916,56 +974,11 @@ def _cdc_hash(engine: str) -> str:
     " chunk hash-matches.",
 )
 def q_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    positions = (
-        f"CASE WHEN length(text) >= {CDC_W}"
-        f" THEN sequence({CDC_W}L, CAST(length(text) AS BIGINT))"
-        " ELSE array() END"
-    )
-    cuts = (
-        f"transform(filter({positions},"
-        f" i -> {_cdc_hash('spark')} % {CDC_MASK} = 0),"
-        " i -> CAST(i AS BIGINT))"
-    )
-    bounds = (
-        "array_sort(array_distinct(concat(array(0L),"
-        f" {cuts}, array(CAST(length(text) AS BIGINT)))))"
-    )
-    # per-char code array ONCE per doc, bound as a LAMBDA VARIABLE:
-    # element_at(codes, i) is O(1) where substr(text, i, 1) is O(i) —
-    # and a plain projected column would NOT survive as a one-time
-    # computation (ProjectionCollapse inlines it back into every
-    # element_at, re-splitting the text per position — measured 410 s;
-    # the transform(array(...), codes -> ...) binding evaluates the
-    # split exactly once per row and the whole scan runs ~1.5 s)
-    codes_expr = "transform(split(text, ''), ch -> ascii(ch))"
-    bound = (
-        f"element_at(transform(array({codes_expr}),"
-        f" codes -> {bounds}), 1)"
-    )
-    b = docs.select("doc_id", "text", F.expr(bound).alias("bounds"))
-    seg = b.select(
-        "doc_id",
-        "text",
-        "bounds",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(bounds) - 1),"
-                " j -> struct(bounds[j - 1] AS s, bounds[j] AS e))"
-            )
-        ).alias("j0", "seg"),
-    )
-    return seg.select(
-        "doc_id",
-        (F.col("j0") + 1).cast("bigint").alias("chunk_idx"),
-        (F.col("seg.s") + 1).alias("start_pos"),
-        (F.col("seg.e") - F.col("seg.s")).alias("chunk_len"),
-        F.md5(
-            F.expr(
-                "substr(text, CAST(seg.s + 1 AS INT),"
-                " CAST(seg.e - seg.s AS INT))"
-            )
-        ).alias("chunk_md5"),
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(
+        _cdc_kernel,
+        schema="doc_id long, chunk_idx long, start_pos long,"
+        " chunk_len long, chunk_md5 string",
     )
 
 

@@ -60,10 +60,10 @@ def test_rotation_bookkeeping_is_consistent():
     from lakehouse_weather_spark import registry as R
 
     regs = R.load_all()
-    assert set(R._ROUND9_NEW) <= set(regs)
+    assert set(R._ROUND10_NEW) <= set(regs)
     assert R._PRIOR_VERIFIED <= set(regs)
     # no overlap between buckets
-    assert not (R._PRIOR_VERIFIED & R._ROUND9_NEW)
+    assert not (R._PRIOR_VERIFIED & R._ROUND10_NEW)
     order = list(regs)
     unsampled = [i for i, n in enumerate(order)
                  if n not in R._PRIOR_VERIFIED]
