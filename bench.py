@@ -368,6 +368,23 @@ def main() -> None:
             " the first dedup-family query will time the substrate build",
             file=sys.stderr,
         )
+    # the hive-partitioned DPP snapshot is the same class of per-run
+    # ingest layout as the bucketed facts (r10: it is now keyed by
+    # applicationId, so it can never be served across runs) — pay its
+    # one-time write here so q_dpp_prune's number measures the pruned
+    # star join, not the layout write
+    try:
+        from lakehouse_weather_spark.operators.scans import (
+            ensure_dpp_snapshot,
+        )
+
+        ensure_dpp_snapshot(spark, sf_dir)
+    except Exception as exc:  # noqa: BLE001
+        print(
+            f"WARN bench warmup: ensure_dpp_snapshot failed ({exc!r});"
+            " q_dpp_prune will time the layout write",
+            file=sys.stderr,
+        )
     warm_sec = time.time() - t0
 
     # NOTE measured both ways: clearing cached state between queries

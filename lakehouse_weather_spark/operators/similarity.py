@@ -2687,9 +2687,13 @@ def _scorecard_oracle() -> str:
     " to one pass per arm over a sampled query set.",
 )
 def q_ann_arm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
     emb = load_table(spark, sf_dir, "embeddings")
     nonq = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
-    exact_top = q_vector_topk(spark, sf_dir).select("vec_id")
+    # TOP_K rows consumed by all five arm_rows — left lazy, the whole
+    # exact-ranking chain re-executed per arm
+    exact_top = _checkpoint(q_vector_topk(spark, sf_dir).select("vec_id"))
 
     def arm_row(arm: str, top: DataFrame, cands: DataFrame) -> DataFrame:
         hits = exact_top.join(top, "vec_id").agg(
@@ -2706,8 +2710,11 @@ def q_ann_arm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     # LSH candidate set: non-query vectors in the query's probed buckets
-    ecodes = emb.select(
-        "vec_id", _bucket_code_expr("embedding").alias("bucket")
+    # (codes via the NumPy pandas_udf twin — bit-equal to
+    # _bucket_code_expr, see tests/test_similarity.py — checkpointed
+    # because the probe row and the candidate join both consume it)
+    ecodes = _checkpoint(
+        emb.select("vec_id", _bucket_code_udf("embedding").alias("bucket"))
     )
     qprobe = (
         ecodes.filter(F.col("vec_id") == QUERY_VEC_ID)

@@ -253,3 +253,104 @@ def test_ann_scorecard_exact_is_perfect(spark, sf_dir):
     for arm in ("hnsw", "ivf", "lsh", "pq"):
         assert rows[arm].n_candidates <= rows["exact"].n_candidates, arm
         assert 0.0 <= rows[arm].recall_at_k <= 1.0, arm
+
+
+def test_np_bucket_codes_match_sql_expr(spark, sf_dir):
+    """The r10 NumPy pandas_udf twin of the sign-LSH bucket code must be
+    bit-equal to the SQL fixed-point expression it replaced (HNSW graph
+    build + scorecard candidate sets both key on it)."""
+    from lakehouse_weather_spark.operators.similarity import (
+        _bucket_code_expr,
+        _bucket_code_udf,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    sql_codes = sorted(
+        (r.vec_id, r.b)
+        for r in emb.select(
+            "vec_id", _bucket_code_expr("embedding").alias("b")
+        ).collect()
+    )
+    np_codes = sorted(
+        (r.vec_id, r.b)
+        for r in emb.select(
+            "vec_id", _bucket_code_udf("embedding").alias("b")
+        ).collect()
+    )
+    assert sql_codes == np_codes
+
+
+def test_hnsw_adjacency_kernel_matches_window_plan(spark, sf_dir):
+    """The r10 per-bucket NumPy adjacency kernel must reproduce the old
+    bucket-self-join + row_number window EXACTLY: same fixed-point
+    cosines, same (cos DESC, dst ASC) tie-breaks, same top-M cut."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from lakehouse_weather_spark.operators.similarity import (
+        _HNSW_M,
+        _SPARK_DOT,
+        _bucket_code_expr,
+        _bucket_code_udf,
+        _hnsw_adj_block,
+        QUERY_VEC_ID,
+    )
+    from lakehouse_weather_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    norm = F.expr(
+        "sqrt(" + _SPARK_DOT.format(a="embedding", b="embedding") + ")"
+    )
+    g = emb.select(
+        "vec_id",
+        "embedding",
+        norm.alias("nrm"),
+        _bucket_code_expr("embedding").alias("bucket"),
+    ).filter(F.col("vec_id") != QUERY_VEC_ID)
+    a = g.select(
+        F.col("vec_id").alias("src"),
+        F.col("embedding").alias("s_emb"),
+        F.col("nrm").alias("s_nrm"),
+        "bucket",
+    )
+    b = g.select(
+        F.col("vec_id").alias("dst"),
+        F.col("embedding").alias("d_emb"),
+        F.col("nrm").alias("d_nrm"),
+        "bucket",
+    )
+    pdot = F.expr(_SPARK_DOT.format(a="s_emb", b="d_emb"))
+    pairs = (
+        a.join(b, "bucket")
+        .filter(F.col("src") != F.col("dst"))
+        .select(
+            "src",
+            "dst",
+            F.try_divide(pdot, F.col("s_nrm") * F.col("d_nrm")).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.desc("cos"), F.asc("dst"))
+    old = sorted(
+        (r.src, r.dst)
+        for r in pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _HNSW_M)
+        .select("src", "dst")
+        .collect()
+    )
+    new = sorted(
+        (r.src, r.dst)
+        for r in emb.select("vec_id", "embedding")
+        .filter(F.col("vec_id") != QUERY_VEC_ID)
+        .select(
+            "vec_id",
+            "embedding",
+            _bucket_code_udf("embedding").alias("bucket"),
+        )
+        .groupBy("bucket")
+        .applyInPandas(_hnsw_adj_block, schema="src long, dst long")
+        .collect()
+    )
+    assert old == new
