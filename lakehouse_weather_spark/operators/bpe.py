@@ -167,8 +167,17 @@ VOCAB2 = (
 def _greedy_tok_udf(texts):
 
     v3, v2 = set(VOCAB3), set(VOCAB2)
+    # word-level memo: the tokenization is a pure function of the word
+    # and corpus vocabularies are heavy-tailed, so most words repeat —
+    # the greedy per-char Python loop runs once per DISTINCT word per
+    # batch series instead of once per occurrence (guide §4.5 class:
+    # amortize per-task work)
+    memo: dict[str, list[str]] = {}
 
     def tok_word(w: str) -> list[str]:
+        got = memo.get(w)
+        if got is not None:
+            return got
         out, i = [], 0
         while i < len(w):
             if w[i : i + 3] in v3:
@@ -180,6 +189,7 @@ def _greedy_tok_udf(texts):
             else:
                 out.append(w[i])
                 i += 1
+        memo[w] = out
         return out
 
     return texts.map(lambda t: [tok_word(w) for w in t.split(" ")])

@@ -121,13 +121,34 @@ def cms_estimate(sketch: DataFrame, words: DataFrame) -> DataFrame:
     " the estimates match bit-for-bit.",
 )
 def q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
     docs = load_table(spark, sf_dir, "documents")
     tokens = docs.select(F.explode(F.split("text", " ")).alias("word"))
-    sketch = cms_sketch(tokens)
+    # aggregate BEFORE hashing (guide §2.3): one word-count pass feeds
+    # both the sketch and the exact top-k probe, so the D md5 bucket
+    # hashes are computed per DISTINCT word instead of per token
+    # occurrence (fixture: ~4e5 tokens x D -> |vocab| x D evals) and
+    # the token explode runs once instead of twice. Cell values are
+    # unchanged: sum of per-word counts == count of tokens per cell.
+    # The vocab table is |vocab| rows — a cheap checkpoint that stops
+    # the two consumers re-running the explode+agg subtree.
+    wc = _checkpoint(
+        tokens.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+    )
+    depths = F.explode(
+        F.array(*[F.lit(d) for d in range(CMS_DEPTH)])
+    ).alias("d")
+    sketch = (
+        wc.select("word", "true_cnt", depths)
+        .select(
+            "true_cnt", "d", F.expr(_spark_bucket("d", "word")).alias("bucket")
+        )
+        .groupBy("d", "bucket")
+        .agg(F.sum("true_cnt").alias("c"))
+    )
     topw = (
-        tokens.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("true_cnt"))
-        .orderBy(F.desc("true_cnt"), F.asc("word"))
+        wc.orderBy(F.desc("true_cnt"), F.asc("word"))
         .limit(TOP_K)
     )
     return cms_estimate(sketch, topw)

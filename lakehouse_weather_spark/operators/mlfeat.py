@@ -652,8 +652,13 @@ def _mmd_fdiv_spark(a: str, b: str) -> str:
     " replays bit-for-bit.",
 )
 def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from lakehouse_weather_spark.operators.dedup import _checkpoint
+
     emb = load_table(spark, sf_dir, "embeddings")
-    samp = (
+    # capped sample (<= _MMD_CAP rows): checkpointed because THREE
+    # subtrees consume it (xf -> ns and s, qx -> the moment kernel) —
+    # left lazy, each consumer re-ran the corpus scan + md5 TakeOrdered
+    samp = _checkpoint(
         emb.select(
             "vec_id",
             "label",
@@ -681,8 +686,13 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ns = xf.groupBy("label").agg(
         F.countDistinct("vec_id").cast("bigint").alias("n")
     )
-    s = xf.groupBy("label", "pos").agg(
-        F.sum("x").cast("bigint").alias("s")
+    # |labels| x dim rows, consumed by BOTH sides of the sj self-join
+    # (sa, sb) whose two downstream branches (sd, lin) each re-evaluate
+    # it — checkpoint so the explode+agg runs once
+    s = _checkpoint(
+        xf.groupBy("label", "pos").agg(
+            F.sum("x").cast("bigint").alias("s")
+        )
     )
     # per-label moment matrices via the q_power_iteration Arrow kernel
     # (sanctioned, see test_plans allowlist): quantization happens
@@ -726,8 +736,6 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "i", "j")
         .agg(F.sum("g").cast("bigint").alias("m"))
     )
-    from lakehouse_weather_spark.operators.dedup import _checkpoint
-
     m = _checkpoint(m)
     dm = m.agg(
         F.expr(f"max(abs(m)) div {_MMD_VNORM} + 1").alias("d")

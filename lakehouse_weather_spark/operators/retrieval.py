@@ -546,24 +546,35 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).alias("role"),
         "text",
     )
-    uni = (
+    # Pivot the two roles into (c0, c1) per n-gram instead of building a
+    # per-role count table and self-joining it (guide §2.4 — the old
+    # plan recomputed the explode+agg subtree for each of its three
+    # consumers and paid an extra (pid, ngram)-keyed join per n-gram
+    # order). sum(least(c0, c1)) over ALL grams equals the inner-join
+    # clip: grams on one side only contribute least(c, 0) = 0, exactly
+    # the rows the join dropped / the LEFT JOIN coalesced to 0. Presence
+    # filters replace the old inner joins: every existing doc yields
+    # >= 1 word row (split returns [''] on empty text), so
+    # ref_words > 0 AND cand_words > 0 <=> both lens rows existed, and
+    # ref_bg > 0 <=> the bilens role-0 row existed.
+    wstats = (
         paired.select(
             "pid", "role", F.explode(F.split("text", " ")).alias("word")
         )
-        .groupBy("pid", "role", "word")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    lens = uni.groupBy("pid", "role").agg(
-        F.sum("c").cast("bigint").alias("n_words")
-    )
-    u0 = uni.filter(F.col("role") == 0).select("pid", "word", F.col("c").alias("c0"))
-    u1 = uni.filter(F.col("role") == 1).select("pid", "word", F.col("c").alias("c1"))
-    clip1 = (
-        u0.join(u1, ["pid", "word"])
+        .groupBy("pid", "word")
+        .agg(
+            F.sum(F.when(F.col("role") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("role") == 1, 1).otherwise(0)).alias("c1"),
+        )
         .groupBy("pid")
-        .agg(F.sum(F.least("c0", "c1")).cast("bigint").alias("clip1"))
+        .agg(
+            F.sum("c0").cast("bigint").alias("ref_words"),
+            F.sum("c1").cast("bigint").alias("cand_words"),
+            F.sum(F.least("c0", "c1")).cast("bigint").alias("clip1"),
+        )
+        .filter((F.col("ref_words") > 0) & (F.col("cand_words") > 0))
     )
-    bi = (
+    bstats = (
         paired.select(
             "pid",
             "role",
@@ -578,52 +589,35 @@ def q_rouge_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("bg"),
         )
-        .groupBy("pid", "role", "bg")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    bilens = bi.groupBy("pid", "role").agg(
-        F.sum("c").cast("bigint").alias("n_bg")
-    )
-    b0 = bi.filter(F.col("role") == 0).select("pid", "bg", F.col("c").alias("c0"))
-    b1 = bi.filter(F.col("role") == 1).select("pid", "bg", F.col("c").alias("c1"))
-    clip2 = (
-        b0.join(b1, ["pid", "bg"])
-        .groupBy("pid")
-        .agg(F.sum(F.least("c0", "c1")).cast("bigint").alias("clip2"))
-    )
-    lr = lens.filter(F.col("role") == 0).select(
-        "pid", F.col("n_words").alias("ref_words")
-    )
-    lc = lens.filter(F.col("role") == 1).select(
-        "pid", F.col("n_words").alias("cand_words")
-    )
-    br = bilens.filter(F.col("role") == 0).select(
-        "pid", F.col("n_bg").alias("ref_bg")
-    )
-    out = (
-        lr.join(lc, "pid")
-        .join(br, "pid")
-        .join(clip1, "pid", "left")
-        .join(clip2, "pid", "left")
-        .select(
-            "pid",
-            "ref_words",
-            "cand_words",
-            F.coalesce("clip1", F.lit(0)).cast("bigint").alias("rouge1_clip"),
-            F.coalesce("clip2", F.lit(0)).cast("bigint").alias("rouge2_clip"),
-            (
-                F.coalesce("clip1", F.lit(0)).cast("double") / F.col("ref_words")
-            ).alias("rouge1_recall"),
-            (
-                F.coalesce("clip1", F.lit(0)).cast("double") / F.col("cand_words")
-            ).alias("rouge1_precision"),
-            (
-                (2 * F.coalesce("clip1", F.lit(0))).cast("double")
-                / (F.col("ref_words") + F.col("cand_words"))
-            ).alias("rouge1_f1"),
-            (
-                F.coalesce("clip2", F.lit(0)).cast("double") / F.col("ref_bg")
-            ).alias("rouge2_recall"),
+        .groupBy("pid", "bg")
+        .agg(
+            F.sum(F.when(F.col("role") == 0, 1).otherwise(0)).alias("c0"),
+            F.sum(F.when(F.col("role") == 1, 1).otherwise(0)).alias("c1"),
         )
+        .groupBy("pid")
+        .agg(
+            F.sum("c0").cast("bigint").alias("ref_bg"),
+            F.sum(F.least("c0", "c1")).cast("bigint").alias("clip2"),
+        )
+        .filter(F.col("ref_bg") > 0)
     )
-    return out
+    return wstats.join(bstats, "pid").select(
+        "pid",
+        "ref_words",
+        "cand_words",
+        F.col("clip1").cast("bigint").alias("rouge1_clip"),
+        F.col("clip2").cast("bigint").alias("rouge2_clip"),
+        (F.col("clip1").cast("double") / F.col("ref_words")).alias(
+            "rouge1_recall"
+        ),
+        (F.col("clip1").cast("double") / F.col("cand_words")).alias(
+            "rouge1_precision"
+        ),
+        (
+            (2 * F.col("clip1")).cast("double")
+            / (F.col("ref_words") + F.col("cand_words"))
+        ).alias("rouge1_f1"),
+        (F.col("clip2").cast("double") / F.col("ref_bg")).alias(
+            "rouge2_recall"
+        ),
+    )

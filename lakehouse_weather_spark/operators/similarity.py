@@ -2309,6 +2309,26 @@ def _hnsw_adj_block(pdf):
 
 
 def _hnsw_search(spark: SparkSession, sf_dir: str):
+    """Memoizing front of :func:`_hnsw_search_build` — the graph build
+    plus beam search is a deterministic per-corpus artifact (the
+    OFFLINE INDEX the docstring below describes) consumed by both
+    q_vector_topk_hnsw and q_ann_arm_scorecard; building it twice per
+    session doubled the checkpoint-job bill (guide §5 / the repo's
+    substrate pattern, same keying as _codebook_for)."""
+    from lakehouse_weather_spark.sources.tables import corpus_fingerprint
+
+    per = _MODEL_MEMO.setdefault(spark, {})
+    key = ("hnsw_search", sf_dir, corpus_fingerprint(sf_dir, "embeddings"))
+    if key not in per:
+        beam, visited = _hnsw_search_build(spark, sf_dir)
+        # beam is checkpointed by the build; visited (seeds + hop
+        # candidate ids, bounded) is checkpointed here so the memo
+        # serves data, not a live plan
+        per[key] = (beam, _checkpoint(visited))
+    return per[key]
+
+
+def _hnsw_search_build(spark: SparkSession, sf_dir: str):
     """Shared HNSW-family search pipeline: returns (final beam as
     (vec_id, cosine) ordered top-k, visited-node id DataFrame — every
     node whose exact query-cosine the search evaluated: the entry

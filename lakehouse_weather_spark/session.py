@@ -38,6 +38,16 @@ def get_spark(
     if shuffle_partitions is None:
         shuffle_partitions = cpus
 
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
+    # default pre-touched initial heap: 3/8 of the driver heap (6g at
+    # the 16g default), capped so a smaller SPARK_GRAFT_DRIVER_MEM can
+    # never produce Xms > Xmx (which fails JVM boot)
+    try:
+        heap_gb = int(driver_mem.lower().rstrip("g"))
+        xms_flags = f" -Xms{max(1, min(6, heap_gb * 3 // 8))}g -XX:+AlwaysPreTouch"
+    except ValueError:  # non-"<n>g" spec: skip the pretouch default
+        xms_flags = ""
+
     # Export the vendored protobuf onto PYTHONPATH BEFORE the JVM
     # boots: transformWithState's Python workers (spawned by the JVM)
     # inherit this env, and retrofitting after boot is impossible.
@@ -59,10 +69,7 @@ def get_spark(
         # does (observed: sf1 slope bench, 32 threads). Only effective
         # when THIS process launches the JVM (true for every CLI/test
         # entry here); a cluster deployment sizes executors instead.
-        .config(
-            "spark.driver.memory",
-            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
-        )
+        .config("spark.driver.memory", driver_mem)
         # JIT code cache: a 400+-query session generates hundreds of
         # distinct whole-stage-codegen classes; the JVM default
         # (~240 MB) fills mid-run, after which the JIT flushes/stops
@@ -70,11 +77,23 @@ def get_spark(
         # (measured: uncontended tail-half of the bench 197 s -> 180 s
         # with 2g). Reservation is virtual address space, committed
         # lazily — cheap insurance for any long-lived driver.
+        #
+        # -Xms6g -XX:+AlwaysPreTouch: this sandbox services FRESH
+        # anonymous-page faults pathologically slowly (~50-300 MB/s
+        # measured; vmstat shows up to 28% hypervisor steal during
+        # fault storms), so lazy heap-capacity growth mid-run (G1 grew
+        # 2.4 -> 5.3 GB over a 421-query bench) lands multi-second
+        # stalls on whichever queries trigger expansion. Pre-touching a
+        # peak-sized heap at boot moves that one-time cost out of query
+        # time (G1 pre-touches with its parallel GC threads). Measured:
+        # full bench 492/536 s (two runs, lazy) -> 450 s (pre-touched).
+        # On a normal kernel/hypervisor this is still standard practice
+        # for latency-sensitive JVMs and costs only boot time.
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 "SPARK_GRAFT_DRIVER_JAVA_OPTS",
-                "-XX:ReservedCodeCacheSize=2g",
+                "-XX:ReservedCodeCacheSize=2g" + xms_flags,
             ),
         )
         # --- correctness / determinism ---
