@@ -452,15 +452,37 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", "embedding"
     )
-    seed = emb.filter(F.col("vec_id") == _CORESET_SEED).select(
-        F.col("embedding").alias("c_emb")
-    )
-    mind = emb.crossJoin(F.broadcast(seed)).select(
-        "vec_id", F.expr(_SQ_SPARK).alias("mind")
+    # The newest center travels as a LITERAL array (each pick is
+    # already collected for the result list; Python float -> Java
+    # double literals round-trip exactly), and the embedding column
+    # rides inside the checkpointed state, so every round is ONE
+    # narrow map + TakeOrdered — the old form re-scanned embeddings,
+    # broadcast the 1-row center, and shuffled a vec_id join per
+    # round (guide §2.4: removed outright; 34 -> ~16 jobs).
+    seed_rows = emb.filter(F.col("vec_id") == _CORESET_SEED).select(
+        "embedding"
+    ).collect()  # 1-row model fetch, same class as _query_vec
+    if not seed_rows:
+        return spark.createDataFrame(
+            [(1, _CORESET_SEED, None)],
+            "rank int, vec_id long, radius_fx long",
+        )
+
+    def lit_vec(vals) -> "F.Column":
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    state = (
+        emb.withColumn("__c", lit_vec(seed_rows[0][0]))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_SQ_SPARK.replace("c_emb", "__c")).alias("mind"),
+        )
+        .localCheckpoint()
     )
     picks = [(1, _CORESET_SEED, None)]
     for i in range(2, CORESET_K + 1):
-        top = mind.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
+        top = state.orderBy(F.desc("mind"), F.asc("vec_id")).limit(1)
         rows = top.collect()  # k-row driver fetch total, by design
         if not rows:
             # corpus smaller than the pick budget (or empty): the
@@ -470,17 +492,15 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         row = rows[0]
         picks.append((i, row.vec_id, row.mind))
         if i < CORESET_K:
-            cent = emb.filter(F.col("vec_id") == row.vec_id).select(
-                F.col("embedding").alias("c_emb")
-            )
-            nd = emb.crossJoin(F.broadcast(cent)).select(
-                "vec_id", F.expr(_SQ_SPARK).alias("nd")
-            )
-            mind = (
-                mind.join(nd, "vec_id")
+            state = (
+                state.withColumn("__c", lit_vec(row.embedding))
                 .select(
                     "vec_id",
-                    F.least(F.col("mind"), F.col("nd")).alias("mind"),
+                    "embedding",
+                    F.least(
+                        F.col("mind"),
+                        F.expr(_SQ_SPARK.replace("c_emb", "__c")),
+                    ).alias("mind"),
                 )
                 .localCheckpoint()
             )

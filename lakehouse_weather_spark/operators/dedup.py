@@ -105,14 +105,16 @@ import weakref
 _SUBSTRATE_MEMO: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
-def _substrate(spark, key, builder) -> DataFrame:
+def _substrate(spark, key, builder, table: str = "documents") -> DataFrame:
     # key[1] is the corpus dir by convention (every call site passes
-    # ("name", sf_dir, *params)); folding the documents fingerprint in
-    # invalidates the memo if the corpus is rewritten under the same
-    # path mid-session (round-6 ADVICE — stale checkpointed snapshots)
+    # ("name", sf_dir, *params)); folding the source table's
+    # fingerprint in invalidates the memo if the corpus is rewritten
+    # under the same path mid-session (round-6 ADVICE — stale
+    # checkpointed snapshots). ``table`` names the fingerprinted
+    # source (non-documents substrates pass theirs, e.g. "orders").
     from lakehouse_weather_spark.sources.tables import corpus_fingerprint
 
-    key = key + (corpus_fingerprint(key[1], "documents"),)
+    key = key + (corpus_fingerprint(key[1], table),)
     per = _SUBSTRATE_MEMO.setdefault(spark, {})
     df = per.get(key)
     if df is None:
@@ -1547,7 +1549,10 @@ def _minhash_estimate_oracle() -> str:
 )
 def q_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
-    cand = minhash_pairs_from_signatures(sig)
+    # the shared checkpointed pair substrate (identical derivation):
+    # this query's plan consumes the pair table twice, and re-deriving
+    # the band join per consumer re-ran two shuffles each time
+    cand = minhash_pairs_cached(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"a{k}") for k in range(N_HASHES)],
@@ -2058,7 +2063,8 @@ def _minhash_containment_oracle() -> str:
 )
 def q_minhash_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sig = minhash_signatures(spark, sf_dir)
-    cand = minhash_pairs_from_signatures(sig)
+    # shared checkpointed pair substrate — see q_minhash_estimate
+    cand = minhash_pairs_cached(spark, sf_dir)
     sa = sig.select(
         F.col("doc_id").alias("doc_a"),
         *[F.col(f"s{k}").alias(f"a{k}") for k in range(N_HASHES)],

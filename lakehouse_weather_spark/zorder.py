@@ -168,14 +168,28 @@ def _zp_cuts_df(orders: DataFrame, col: str) -> DataFrame:
 
 def _zp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(zc, zp, hmod) grid coordinates of every order — the shared
-    front half of both layout-effectiveness audits."""
+    front half of both layout-effectiveness audits.
+
+    The two 1-row cut tables (a deterministic sampled TakeOrdered +
+    rank window over orders each) are substrate-memoized per corpus:
+    q_zorder_prune and q_hilbert_prune both consume the identical
+    cuts, and each broadcast otherwise re-ran the sample job per
+    query (guide §5 — the repo's substrate pattern)."""
+    from lakehouse_weather_spark.operators.dedup import _substrate
+
     orders = load_table(spark, sf_dir, "orders")
-    cc = _zp_cuts_df(orders, "o_custkey").withColumnRenamed(
-        "cuts", "cuts_c"
-    )
-    cp = _zp_cuts_df(orders, "o_totalprice").withColumnRenamed(
-        "cuts", "cuts_p"
-    )
+    cc = _substrate(
+        spark,
+        ("zp_cuts", sf_dir, "o_custkey"),
+        lambda: _zp_cuts_df(orders, "o_custkey"),
+        table="orders",
+    ).withColumnRenamed("cuts", "cuts_c")
+    cp = _substrate(
+        spark,
+        ("zp_cuts", sf_dir, "o_totalprice"),
+        lambda: _zp_cuts_df(orders, "o_totalprice"),
+        table="orders",
+    ).withColumnRenamed("cuts", "cuts_p")
     return (
         orders.crossJoin(F.broadcast(cc))
         .crossJoin(F.broadcast(cp))
