@@ -385,6 +385,18 @@ def main() -> None:
             " q_dpp_prune will time the layout write",
             file=sys.stderr,
         )
+    # warm the Python worker pool (see session.warm_python_workers):
+    # pays the per-core worker fork + pandas/numpy import here,
+    # untimed, instead of inside the first Python-boundary query.
+    try:
+        from lakehouse_weather_spark.session import warm_python_workers
+
+        warm_python_workers(spark)
+    except Exception as exc:  # noqa: BLE001
+        print(
+            f"WARN bench warmup: python worker warm failed ({exc!r})",
+            file=sys.stderr,
+        )
     warm_sec = time.time() - t0
 
     # NOTE measured both ways: clearing cached state between queries

@@ -175,3 +175,31 @@ def get_spark(
             os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR", "/tmp/lws_checkpoints")
         )
     return spark
+
+
+def warm_python_workers(spark: SparkSession) -> None:
+    """Provision the Python worker pool: one trivial pandas_udf stage
+    over <cores> partitions forks a worker per core and imports
+    pandas/numpy in each. The first Python-boundary stage otherwise
+    pays that cold start inside whatever query hits it first — on
+    hosts that service fresh anonymous-page faults slowly (this
+    sandbox: ~50-300 MB/s) the 32-worker import storm is a
+    multi-second stall. Guide §4.5's init-once principle applied at
+    session level; call it from untimed warmup, never from a query."""
+    from pyspark.sql import functions as F
+
+    cpus = spark.sparkContext.defaultParallelism
+
+    @F.pandas_udf("long")
+    def _warm_py(s):
+        import numpy as _np  # noqa: F401
+
+        return s
+
+    (
+        spark.range(cpus * 4, numPartitions=cpus)
+        .select(_warm_py("id"))
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )

@@ -81,6 +81,12 @@ def main() -> None:
             warm_dedup_substrate(spark, sf_dir)
         except Exception as exc:  # noqa: BLE001
             print(f"WARN warmup substrate: {exc!r}", file=sys.stderr)
+        try:
+            from lakehouse_weather_spark.session import warm_python_workers
+
+            warm_python_workers(spark)
+        except Exception as exc:  # noqa: BLE001
+            print(f"WARN warmup python workers: {exc!r}", file=sys.stderr)
 
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
