@@ -38,7 +38,7 @@ from lakehouse_weather_spark.operators.similarity import (
     kmeans_refine,
 )
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, local_df
 
 KMEANS_ITER = 2
 SEM_THRESHOLD = 0.4  # same bar as q_embed_neardup: fixture near-dups
@@ -65,13 +65,48 @@ def _kmeans_refined(
     per = _REFINE_MEMO.setdefault(spark, {})
     # fingerprint: invalidate if the corpus is rewritten under the same
     # path mid-session (round-6 ADVICE, same as dedup._substrate)
-    key = (sf_dir, n_iter, corpus_fingerprint(sf_dir, "embeddings"))
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    key = (sf_dir, n_iter, fp)
     if key not in per:
+        mats: list = []
         cents, assignment = kmeans_refine(
-            load_table(spark, sf_dir, "embeddings"), n_iter=n_iter
+            load_table(spark, sf_dir, "embeddings"),
+            n_iter=n_iter,
+            _mats_out=mats,
         )
-        per[key] = (_checkpoint(cents), _checkpoint(assignment))
+        # cents is a driver-local Arrow table (local_df) — already
+        # data, lineage-free; checkpointing it only added a job.
+        # The assignment (a corpus-sized mapInPandas) keeps its
+        # checkpoint: >=2 consumers (kmeans_clusters + semantic_dedup).
+        per[key] = (cents, _checkpoint(assignment))
+        # side-populate the per-round codebook matrices so shallower-
+        # iteration consumers (q_silhouette needs the post-round-1
+        # codebook) skip the seeds+assign+mean build entirely
+        for i, Ci in enumerate(mats, start=1):
+            per.setdefault(("cents_mat", sf_dir, i, fp), Ci)
     return per[key]
+
+
+def _kmeans_cents_matrix(spark: SparkSession, sf_dir: str, n_iter: int):
+    """The k x dim codebook matrix after ``n_iter`` Lloyd rounds — the
+    driver-side model artifact (numpy float64, cluster_id order). Reuses
+    any deeper refinement already built this session; otherwise runs the
+    rounds without checkpointing an assignment nobody consumes."""
+    from lakehouse_weather_spark.sources.tables import corpus_fingerprint
+
+    per = _REFINE_MEMO.setdefault(spark, {})
+    fp = corpus_fingerprint(sf_dir, "embeddings")
+    ckey = ("cents_mat", sf_dir, n_iter, fp)
+    if ckey not in per:
+        mats: list = []
+        kmeans_refine(
+            load_table(spark, sf_dir, "embeddings"),
+            n_iter=n_iter,
+            _mats_out=mats,
+        )
+        for i, Ci in enumerate(mats, start=1):
+            per.setdefault(("cents_mat", sf_dir, i, fp), Ci)
+    return per[ckey]
 
 
 def _kmeans_assign_cte() -> str:
@@ -318,39 +353,52 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     " arithmetic, so every a/b/s hash-matches DuckDB.",
 )
 def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from lakehouse_weather_spark.operators.similarity import _fx_sqdist_rows
+
     emb = load_table(spark, sf_dir, "embeddings")
-    cents, _ = _kmeans_refined(spark, sf_dir, 1)
-    di = F.expr(
-        f"aggregate(zip_with(embedding, centroid, (x, y) ->"
-        f" cast(round((cast(x as double) - y) * (cast(x as double) - y)"
-        f" * {DOT_SCALE}) as bigint)), cast(0 as bigint), (a, v) -> a + v)"
+    # post-round-1 codebook as a driver-side matrix (free when the
+    # deeper q_kmeans_clusters refinement already ran this session)
+    C = _kmeans_cents_matrix(spark, sf_dir, 1)
+    e = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
     )
-    d = emb.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cluster_id", di.alias("di")
-    )
-    # nearest + second-nearest via ONE hash aggregation: sort the k
-    # (di, cluster_id) structs per vector (struct order == the (di,
-    # cluster_id) tie-break the old row_number window used) and take
-    # positions 0/1. The window version sort-shuffled all k*n rows;
-    # here the partial agg collapses each vector's k rows map-side —
-    # the exchange moves n k-element arrays, and nothing sorts more
-    # than k structs at a time (k = bounded codebook size).
-    sil = (
-        d.groupBy("vec_id")
-        .agg(
-            F.sort_array(
-                F.collect_list(F.struct("di", "cluster_id"))
-            ).alias("ds")
-        )
-        .select(
-            "vec_id",
-            F.col("ds")[0]["cluster_id"].cast("bigint").alias("cluster_id"),
-            F.col("ds")[0]["di"].cast("bigint").alias("a_fx"),
-            # try_element_at: a 1-centroid codebook (1-vector corpus)
-            # has no second-nearest — NULL, like the oracle's min over
-            # an empty other-cluster set (ds[1] would throw under ANSI)
-            F.expr("try_element_at(ds, 2).di").cast("bigint").alias("b_fx"),
-        )
+
+    # ONE narrow Arrow pass: per vector, fixed-point squared-L2 to all
+    # k codebook rows (the identical per-term round + int64 sum the
+    # IVF/PQ/k-means kernels use), stable argsort == the (di,
+    # cluster_id) tie-break, positions 0/1 are nearest/second-nearest.
+    # Replaces crossJoin(k) + interpreted aggregate(zip_with) per grid
+    # row + a groupBy(vec_id) exchange — zero shuffles left.
+    def sil_kernel(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["v"].map(np.asarray)).astype(np.float64)
+            D = _fx_sqdist_rows(X, C, DOT_SCALE)
+            order = np.argsort(D, axis=1, kind="stable")
+            rows = np.arange(len(X))
+            out = pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].to_numpy(np.int64),
+                    "cluster_id": (order[:, 0] + 1).astype(np.int64),
+                    "a_fx": D[rows, order[:, 0]],
+                }
+            )
+            if D.shape[1] >= 2:
+                out["b_fx"] = D[rows, order[:, 1]]
+            else:
+                # 1-centroid codebook (1-vector corpus): no second-
+                # nearest — NULL, like the oracle's min over an empty
+                # other-cluster set
+                out["b_fx"] = pd.array([None] * len(X), dtype="Int64")
+            yield out
+
+    sil = e.mapInPandas(
+        sil_kernel, "vec_id long, cluster_id long, a_fx long, b_fx long"
     )
     return sil.select(
         "vec_id",
@@ -463,7 +511,8 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding"
     ).collect()  # 1-row model fetch, same class as _query_vec
     if not seed_rows:
-        return spark.createDataFrame(
+        return local_df(
+            spark,
             [(1, _CORESET_SEED, None)],
             "rank int, vec_id long, radius_fx long",
         )
@@ -504,8 +553,8 @@ def q_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 .localCheckpoint()
             )
-    return emb.sparkSession.createDataFrame(
-        picks, "rank int, vec_id long, radius_fx long"
+    return local_df(
+        emb.sparkSession, picks, "rank int, vec_id long, radius_fx long"
     )
 
 
@@ -707,8 +756,8 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             lo, hi = (xa, xb) if xa < xb else (xb, xa)
             parent[hi] = lo
     clab_rows = [(v, find(v)) for v in core_ids]
-    clab = spark.createDataFrame(
-        clab_rows or [], "vec_id: long, label: long"
+    clab = local_df(
+        spark, clab_rows or [], "vec_id: long, label: long"
     )
     blab = (
         pairs.join(

@@ -61,7 +61,7 @@ def _sample_docs(docs: DataFrame, doc_cap: int) -> DataFrame:
     return docs.orderBy(order, "doc_id").limit(doc_cap)
 
 
-def _checkpoint(df: DataFrame) -> DataFrame:
+def _checkpoint(df: DataFrame, eager: bool = True) -> DataFrame:
     """Truncate lineage.
 
     Default: ``localCheckpoint`` — persist-backed, so the subtree is
@@ -77,15 +77,27 @@ def _checkpoint(df: DataFrame) -> DataFrame:
     OPTIMIZATION_r10.md has the numbers: q_dbscan_grid build 13.9 s ->
     1.8 s). For the reliable path, the persist-before-checkpoint trick
     would avoid the double compute at the cost of pinning blocks; left
-    to the deployment to choose via the env var."""
+    to the deployment to choose via the env var.
+
+    ``eager=False`` (r11, guide §5): INTRA-query multi-consumer
+    subtrees don't need a materialization job of their own — a lazy
+    localCheckpoint is still persist-backed (computed once, by
+    whichever consumer job runs first, then served from block store to
+    every other consumer) but skips the extra eager job + its fixed
+    scheduling overhead, which the r10 scaling data showed is the
+    limiting term for the whole worst-25 at sf0.1. Substrates shared
+    ACROSS queries (dedup._substrate, the kmeans/HNSW memos) stay
+    eager: their contract is to hand ready DATA to later queries, and
+    their build must land in the building query's window, not silently
+    in the first consumer's."""
     import os
 
     sc = df.sparkSession.sparkContext
     if os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR") and (
         sc.getCheckpointDir() is not None
     ):
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+        return df.checkpoint(eager=eager)
+    return df.localCheckpoint(eager=eager)
 
 
 # Shared dedup substrates per (session, key): the shingle-hash table,

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import fan_out, load_table
+from lakehouse_weather_spark.sources.tables import fan_out, load_table, local_df
 
 # Comparison key: padded 64-char lowercased text prefix. Segment WIDTH
 # is the scale contract: natural-language prefixes have low entropy,
@@ -629,7 +629,8 @@ def q_linkage_em(spark: SparkSession, sf_dir: str) -> DataFrame:
         out.append(
             (pat, n, resp, p, m[0], m[1], m[2], u[0], u[1], u[2])
         )
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         out,
         "pattern bigint, n_pairs bigint, resp_fx bigint,"
         " p_hat_fx bigint, m_lang_fx bigint, m_source_fx bigint,"

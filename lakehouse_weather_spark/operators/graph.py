@@ -1188,7 +1188,7 @@ def _mk_oracle() -> str:
 def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
-    from lakehouse_weather_spark.sources.tables import load_table
+    from lakehouse_weather_spark.sources.tables import load_table, local_df
 
     # complete cases (mirrored in the oracle): NULL event_type would
     # desync the state count between engines, NULL ts the lead order
@@ -1220,8 +1220,8 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shuffle — stays fully distributed above.
     mat = m.collect()  # bounded: |types|^2 rows, documented above
     if not mat:
-        return spark.createDataFrame(
-            [], "event_type string, pi_fx bigint, pi double"
+        return local_df(
+            spark, [], "event_type string, pi_fx bigint, pi double"
         )
     from_states = sorted({r["from_t"] for r in mat})
     n = len(from_states)
@@ -1242,6 +1242,6 @@ def q_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         (st, v[st], float(v[st]) / float(_MK_SCALE))
         for st in sorted(v)
     ]
-    return spark.createDataFrame(
-        rows, "event_type string, pi_fx bigint, pi double"
+    return local_df(
+        spark, rows, "event_type string, pi_fx bigint, pi double"
     )

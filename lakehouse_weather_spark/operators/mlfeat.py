@@ -46,7 +46,7 @@ from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.functions import SCALE
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, local_df
 
 # Number of cross-validation folds for out-of-fold encoding.
 N_FOLDS = 5
@@ -493,8 +493,8 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not rows:
         # empty embeddings: no Gram, no component — the oracle's vals
         # CTE is empty the same way
-        return spark.createDataFrame(
-            [], "dim long, v_fx long, component double"
+        return local_df(
+            spark, [], "dim long, v_fx long, component double"
         )
     dim = max(r.i for r in rows)
     G = [[0] * dim for _ in range(dim)]
@@ -510,7 +510,8 @@ def q_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
         dd = max(max(abs(x) for x in w), 1) // _PI_VNORM + 1
         v = [x // dd for x in w]
-    return spark.createDataFrame(
+    return local_df(
+        spark,
         [(i + 1, v[i], v[i] / _PI_VNORM) for i in range(dim)],
         "dim long, v_fx long, component double",
     )

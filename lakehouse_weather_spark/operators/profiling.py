@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, local_df
 
 _PROFILE_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 
@@ -794,8 +794,8 @@ def q_hash_ring(spark: SparkSession, sf_dir: str) -> DataFrame:
             for node in range(n_nodes)
             for v in range(_RING_VNODES)
         ]
-        df = ev.sparkSession.createDataFrame(
-            rows, "node string, node_i int, v int"
+        df = local_df(
+            ev.sparkSession, rows, "node string, node_i int, v int"
         )
         return df.select(
             "node",

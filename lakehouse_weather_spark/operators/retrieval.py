@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, local_df
 
 # The "query text", shared with q_hybrid_rrf's keyword side.
 BM25_TERMS = ("data", "system", "table")
@@ -451,7 +451,7 @@ def q_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             for v in maxsim:
                 maxsim[v] = max(maxsim[v], srows[(v, pick)])
     schema = "rank int, vec_id long, rel_fx long, maxsim_fx long"
-    return emb.sparkSession.createDataFrame(picks, schema)
+    return local_df(emb.sparkSession, picks, schema)
 
 
 # ---------------------------------------------------------------------------

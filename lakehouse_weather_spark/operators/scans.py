@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, local_df
 
 
 @register(
@@ -218,7 +218,7 @@ def q_delta_partitioned_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not files:
         # an empty corpus publishes an EMPTY partitioned snapshot:
         # zero data files, valid zero-add commit
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     assert n_adds_with_vals == len(files), (n_adds_with_vals, len(files))
     assert '"day"' in schema_string  # partition col in the full schema
     replayed = spark.read.option("basePath", vpath).parquet(*files)
@@ -308,7 +308,7 @@ def q_delta_external_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if tbl.num_rows == 0:
         # empty corpus: valid zero-add log, nothing to materialize
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     pdf = tbl.select(["lang", "source", "n_docs", "sum_chars"]).to_pandas()
     return spark.createDataFrame(pdf, out_schema)
 
@@ -533,7 +533,7 @@ def q_dpp_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not _glob.glob(os.path.join(part_dir, "event_type=*")):
         # empty corpus: the partitioned write emits no partition dirs
         # (nothing to scan, schema unreadable) — the oracle is 0 rows
-        return spark.createDataFrame([], out_schema)
+        return local_df(spark, [], out_schema)
     fact = spark.read.parquet(part_dir)
     hot = (
         ev.filter(

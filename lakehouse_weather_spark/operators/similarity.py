@@ -29,7 +29,7 @@ from lakehouse_weather_spark.operators.dedup import (
     _checkpoint,
 )
 from lakehouse_weather_spark.registry import register
-from lakehouse_weather_spark.sources.tables import load_table
+from lakehouse_weather_spark.sources.tables import load_table, local_df
 
 TOP_K = 10
 QUERY_VEC_ID = 0
@@ -619,7 +619,10 @@ def q_vector_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def kmeans_refine(
-    emb: DataFrame, n_iter: int = 2, k: int = N_CENTROIDS
+    emb: DataFrame,
+    n_iter: int = 2,
+    k: int = N_CENTROIDS,
+    _mats_out: list | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Deterministic Lloyd refinement of the IVF coarse centroids:
     ``n_iter`` rounds of (assign each vector to its nearest centroid by
@@ -689,8 +692,15 @@ def kmeans_refine(
         C = Ck.copy()  # empty clusters keep their previous centroid
         for r in mean_rows:
             C[r.cluster_id - 1, r.pos] = r.m
+        if _mats_out is not None:
+            # expose each round's refined codebook so callers that only
+            # need a SHALLOWER iteration's centroids (q_silhouette: the
+            # post-round-1 codebook) reuse this run instead of paying a
+            # fresh seeds+assign+mean pass (guide §5 — shared substrate)
+            _mats_out.append(C.copy())
 
-    centroids = spark.createDataFrame(
+    centroids = local_df(
+        spark,
         [(i + 1, [float(x) for x in C[i]]) for i in range(k_eff)],
         "cluster_id int, centroid array<double>",
     )
@@ -831,7 +841,8 @@ def q_vector_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     # kernel math and broadcast to every executor
     qd = sub_dists(_query_vec_for(spark, sf_dir, emb)[None, :])[0]
     qtab = F.broadcast(
-        spark.createDataFrame(
+        local_df(
+            spark,
             [
                 (m, int(seed_ids[j]), int(qd[j, m]))
                 for j in range(len(seed_ids))

@@ -1088,7 +1088,9 @@ def compact_current(
             [f"`__pv_{c}` string" for c in partition_by]
             + ["`__n_files` int"]
         )
-        mapping = F.broadcast(spark.createDataFrame(rows, map_schema))
+        from lakehouse_weather_spark.sources.tables import local_df
+
+        mapping = F.broadcast(local_df(spark, rows, map_schema))
         cond = [
             df[c].cast("string").eqNullSafe(mapping[f"__pv_{c}"])
             for c in partition_by

@@ -112,6 +112,48 @@ def fan_out(df: DataFrame, key: str, par: int = 16) -> DataFrame:
     return df
 
 
+def local_df(spark: SparkSession, rows, schema: str) -> DataFrame:
+    """Small driver-local table -> DataFrame via Arrow, bypassing the
+    pickled-RDD path.
+
+    ``spark.createDataFrame(list)`` parallelizes the rows into
+    ``defaultParallelism`` slices whose execution runs through plain
+    (non-Arrow) Python workers — a SECOND worker factory that the
+    Arrow-UDF warmup never touches. Measured at local[32]: 2.5-3.5 s
+    the first time any query hits it (32 serialized worker forks behind
+    the factory lock) and ~0.35 s per use warm (32 Python round trips
+    for a handful of rows). Building a pyarrow Table in the driver and
+    handing it to createDataFrame ships ready Arrow batches to the JVM:
+    no Python workers at execution, ~0.1 s warm, nothing to warm up
+    (guide §4 — eliminate the Python boundary; §5 — tiny lookup tables
+    are driver-side model state, not distributed data).
+
+    Supports the primitive + array column types the operator surface
+    uses; schema strings accept both ``a long`` and ``a: long`` forms
+    (same grammar as createDataFrame). Returns a DataFrame with the
+    exact schema/nullability the classic path would produce."""
+    import pyarrow as pa
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    st = (
+        schema
+        if isinstance(schema, StructType)
+        else _parse_datatype_string(schema)
+    )
+    ars = to_arrow_schema(st)
+    rows = [tuple(r) for r in rows]
+    cols = list(zip(*rows)) if rows else [() for _ in st.fields]
+    tbl = pa.Table.from_arrays(
+        [
+            pa.array(list(c), type=ars.field(i).type)
+            for i, c in enumerate(cols)
+        ],
+        schema=ars,
+    )
+    return spark.createDataFrame(tbl)
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every test table as a temp view for spark.sql use."""
     for name in TABLES:

@@ -321,8 +321,10 @@ def stream_merge_sink(
     static_schema = spark.read.parquet(events_dir).schema
 
     # seed an empty committed version with the right schema
-    empty = spark.createDataFrame(
-        [], "user_id long, event_id long, value double"
+    from lakehouse_weather_spark.sources.tables import local_df
+
+    empty = local_df(
+        spark, [], "user_id long, event_id long, value double"
     )
     publish_df(empty, target_dir)
 
@@ -1928,7 +1930,10 @@ def q_stream_session_evict(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty corpus: nothing to sessionize — the oracle returns 0
         # rows; skip the stream entirely (a sentinel-only stream would
         # just churn state for user -1)
-        return spark.createDataFrame(
+        from lakehouse_weather_spark.sources.tables import local_df
+
+        return local_df(
+            spark,
             [],
             "user_id bigint, n_events bigint,"
             " start_us bigint, end_us bigint",

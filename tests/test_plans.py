@@ -111,6 +111,20 @@ _ARROW_KERNEL_ALLOWED = {
     # the broadcast-in-closure sample — the IVF/PQ kernel pattern; the
     # interpreted zip_with crossJoin form cost 9.2 s at sf0.1
     "q_knn_confusion": ("MapInPandas",),
+    # r10 kernel rewrites whose allowlist entries were missed when the
+    # round was clock-interrupted (found in r11; the suite truncated
+    # before test_plans ran): CDC rolling-hash chunker — ~40 M
+    # interpreted per-position lambdas became one NumPy shifted-slice
+    # kernel, bit-exact (OPTIMIZATION_r10.md §7a)
+    "q_cdc_chunks": ("MapInPandas",),
+    # 64-block average-hash signature: per-byte interpreted hex/conv
+    # folds became one cumsum pass per doc (OPTIMIZATION_r10.md §7b)
+    "q_binary_ahash": ("MapInPandas",),
+    # r11: centroid-form silhouette — per-vector fixed-point squared-L2
+    # to the k-row codebook in one narrow Arrow pass (the IVF/PQ/k-means
+    # kernel pattern); replaces crossJoin(k) + interpreted zip_with +
+    # a groupBy(vec_id) exchange
+    "q_silhouette": ("MapInPandas",),
 }
 
 

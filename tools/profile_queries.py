@@ -91,7 +91,7 @@ def main() -> None:
     plans_dir = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "plans",
-        "r10",
+        os.environ.get("SPARK_GRAFT_PLANS_DIR", "r11"),
     )
     if args.plans_only and not args.plans:
         args.plans = "before"
