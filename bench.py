@@ -334,69 +334,69 @@ def main() -> None:
     warm = specs.get("q_agg_basic")
     if warm is not None:
         warm.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-    # materialize the bucketed fact layout during warmup: it is INGEST
-    # work paid once per deployment (the whole point of bucketing), so
-    # q_tpch_q3_bucketed's number measures the amortized query
-    try:
-        from lakehouse_weather_spark.operators.tpch import (
-            ensure_bucketed_facts,
-        )
 
-        ensure_bucketed_facts(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001
-        # do NOT swallow silently: if the one-time layout write fails,
-        # q_tpch_q3_bucketed pays the full ingest inside its timed run
-        # and the headline number is skewed with no indication why
-        print(
-            f"WARN bench warmup: ensure_bucketed_facts failed ({exc!r});"
-            " q_tpch_q3_bucketed will time the layout write",
-            file=sys.stderr,
-        )
-    # likewise the shared dedup substrate (shingle hashes, capped
-    # inverted index, PPJoin token arrays): corpus-snapshot ingest work
-    # consumed by ~10 dedup-family queries, paid once here so the first
-    # family member's number is the query, not the build
-    try:
+    # SUBSTRATE WARMUP POLICY (r11, one list, one place — r10 VERDICT
+    # task 6): every INGEST-SHAPED per-corpus-snapshot artifact that
+    # multiple queries consume is materialized here, untimed, so each
+    # consumer's bench number measures its query and no number depends
+    # on which family member happens to run first. Ingest-shaped means:
+    # a deterministic function of the corpus snapshot alone (a layout
+    # write, an index/model build, layout statistics) that a production
+    # deployment builds once per snapshot and serves to every reader.
+    # Everything here is rebuilt from the parquet inputs on every run
+    # (session-keyed memos; the DPP snapshot is applicationId-keyed) —
+    # nothing survives a driver restart. Query-shaped intermediates
+    # (e.g. the A-priori frequent-pair table, the k-means refinement)
+    # stay INSIDE their first consumer's timed window. Warm time is
+    # reported as warm_sec. Failures are warned, never swallowed: the
+    # affected family's first query then times the build, and the
+    # number is skewed with an indication why.
+    def _warmups():
         from lakehouse_weather_spark.operators.dedup import (
             warm_dedup_substrate,
         )
-
-        warm_dedup_substrate(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001
-        print(
-            f"WARN bench warmup: warm_dedup_substrate failed ({exc!r});"
-            " the first dedup-family query will time the substrate build",
-            file=sys.stderr,
-        )
-    # the hive-partitioned DPP snapshot is the same class of per-run
-    # ingest layout as the bucketed facts (r10: it is now keyed by
-    # applicationId, so it can never be served across runs) — pay its
-    # one-time write here so q_dpp_prune's number measures the pruned
-    # star join, not the layout write
-    try:
         from lakehouse_weather_spark.operators.scans import (
             ensure_dpp_snapshot,
         )
-
-        ensure_dpp_snapshot(spark, sf_dir)
-    except Exception as exc:  # noqa: BLE001
-        print(
-            f"WARN bench warmup: ensure_dpp_snapshot failed ({exc!r});"
-            " q_dpp_prune will time the layout write",
-            file=sys.stderr,
+        from lakehouse_weather_spark.operators.similarity import (
+            warm_ann_substrates,
         )
-    # warm the Python worker pool (see session.warm_python_workers):
-    # pays the per-core worker fork + pandas/numpy import here,
-    # untimed, instead of inside the first Python-boundary query.
-    try:
+        from lakehouse_weather_spark.operators.tpch import (
+            ensure_bucketed_facts,
+        )
         from lakehouse_weather_spark.session import warm_python_workers
+        from lakehouse_weather_spark.zorder import warm_zorder_cuts
 
-        warm_python_workers(spark)
-    except Exception as exc:  # noqa: BLE001
-        print(
-            f"WARN bench warmup: python worker warm failed ({exc!r})",
-            file=sys.stderr,
-        )
+        return [
+            # bucketed fact layout (q_tpch_q3_bucketed reads it)
+            ("bucketed_facts", ensure_bucketed_facts),
+            # hive-partitioned DPP snapshot (q_dpp_prune reads it;
+            # applicationId-keyed so it can never serve across runs)
+            ("dpp_snapshot", ensure_dpp_snapshot),
+            # dedup substrates: shingle hashes, capped inverted index,
+            # PPJoin token arrays, banded-LSH minhash pair table
+            # (~20 dedup/graph/curation consumers)
+            ("dedup_substrates", warm_dedup_substrate),
+            # ANN model artifacts: coarse codebook + query vector
+            # (IVF/PQ/k-means/SemDeDup) and the HNSW graph index
+            # (q_vector_topk_hnsw + q_ann_arm_scorecard)
+            ("ann_substrates", warm_ann_substrates),
+            # equi-depth layout cuts (q_zorder_prune + q_hilbert_prune)
+            ("zorder_cuts", warm_zorder_cuts),
+            # Python worker pool: per-core fork + pandas/numpy import
+            # (guide §4.5 init-once, applied at session level)
+            ("python_workers", lambda s, d: warm_python_workers(s)),
+        ]
+
+    for wname, fn in _warmups():
+        try:
+            fn(spark, sf_dir)
+        except Exception as exc:  # noqa: BLE001
+            print(
+                f"WARN bench warmup: {wname} failed ({exc!r}); the"
+                " first consumer query will time this build",
+                file=sys.stderr,
+            )
     warm_sec = time.time() - t0
 
     # NOTE measured both ways: clearing cached state between queries

@@ -677,6 +677,13 @@ def warm_dedup_substrate(spark, sf_dir) -> None:
         ("ppjoin_arrays", sf_dir, None, SHINGLE_WORDS),
         lambda: _ppjoin_arrays_plan(spark, sf_dir, None, SHINGLE_WORDS),
     )
+    # banded-LSH candidate pairs: the per-corpus-snapshot near-dup
+    # artifact ~13 queries consume (graph family, curation, decontam) —
+    # warmed with the other substrates so the FIRST family member's
+    # bench number measures its query, not the shared build (r10
+    # VERDICT: first-consumer absorption made per-query numbers
+    # order-dependent; the policy is now one warmup list in bench.py)
+    minhash_pairs_cached(spark, sf_dir)
 
 
 def _ppjoin_arrays_plan(

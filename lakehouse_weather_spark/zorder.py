@@ -166,6 +166,22 @@ def _zp_cuts_df(orders: DataFrame, col: str) -> DataFrame:
     )
 
 
+def warm_zorder_cuts(spark: SparkSession, sf_dir: str) -> None:
+    """Materialize the two equi-depth cut tables (o_custkey /
+    o_totalprice) that both layout audits consume — per-corpus ingest
+    layout statistics, warmed from the bench's single substrate list."""
+    from lakehouse_weather_spark.operators.dedup import _substrate
+
+    orders = load_table(spark, sf_dir, "orders")
+    for col in ("o_custkey", "o_totalprice"):
+        _substrate(
+            spark,
+            ("zp_cuts", sf_dir, col),
+            lambda col=col: _zp_cuts_df(orders, col),
+            table="orders",
+        )
+
+
 def _zp_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(zc, zp, hmod) grid coordinates of every order — the shared
     front half of both layout-effectiveness audits.
