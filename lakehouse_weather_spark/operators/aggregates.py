@@ -1280,45 +1280,28 @@ def q_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("wq").over(wcum).alias("cw"),
         F.sum("wq").over(wtot).alias("wtot"),
     )
-    # NOTE (r10): the sort+window chain is consumed twice (rank
-    # aggregate + join probe). Both a localCheckpoint of `cum` and a
-    # window-min rewrite were measured and REJECTED — materializing the
-    # corpus-sized windowed table through the block store costs more
-    # than the second window pass, at this scale and (same ratio of
-    # materialized bytes to recompute work) at any scale.
-    t = cum.groupBy("l_returnflag").agg(
-        F.min(F.expr("CASE WHEN cw * 4 >= 1 * wtot THEN rn END")).alias(
-            "r25"
-        ),
-        F.min(F.expr("CASE WHEN cw * 4 >= 2 * wtot THEN rn END")).alias(
-            "r50"
-        ),
-        F.min(F.expr("CASE WHEN cw * 4 >= 3 * wtot THEN rn END")).alias(
-            "r75"
-        ),
+    # r11 (guide §2.4): the oracle's two-step — min-rank aggregate,
+    # then a join back to fetch the price at that rank — consumed the
+    # sort+window chain TWICE (r10 measured both a localCheckpoint of
+    # `cum` and a full-frame window-min rewrite as worse). One
+    # struct-min per quantile collapses it to a single pass: rn is
+    # row_number (unique per group), so min(struct(rn, price_c)) picks
+    # exactly the min-rn row satisfying the SAME integer inequality the
+    # oracle uses, and .price_c is the price the oracle's join would
+    # fetch — bit-identical, join and second window pass gone.
+    def _q(p: int):
+        return F.min(
+            F.expr(
+                f"CASE WHEN cw * 4 >= {p} * wtot"
+                " THEN struct(rn, price_c) END"
+            )
+        )["price_c"].cast("bigint")
+
+    return cum.groupBy("l_returnflag").agg(
+        _q(1).alias("p25_price_c"),
+        _q(2).alias("p50_price_c"),
+        _q(3).alias("p75_price_c"),
         F.max("wtot").cast("bigint").alias("total_weight"),
-    )
-    return (
-        cum.join(t, "l_returnflag")
-        .groupBy("l_returnflag", "total_weight")
-        .agg(
-            F.max(
-                F.expr("CASE WHEN rn = r25 THEN price_c END")
-            ).cast("bigint").alias("p25_price_c"),
-            F.max(
-                F.expr("CASE WHEN rn = r50 THEN price_c END")
-            ).cast("bigint").alias("p50_price_c"),
-            F.max(
-                F.expr("CASE WHEN rn = r75 THEN price_c END")
-            ).cast("bigint").alias("p75_price_c"),
-        )
-        .select(
-            "l_returnflag",
-            "p25_price_c",
-            "p50_price_c",
-            "p75_price_c",
-            "total_weight",
-        )
     )
 
 
