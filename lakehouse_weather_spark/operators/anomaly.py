@@ -1914,40 +1914,70 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.round(F.col("value") * _SCALE, 0).cast("bigint").alias("vfx"),
     )
+    # r11 (guide §2.3 — aggregate before you shuffle): the raw table
+    # is scanned ONCE into the (event_type, vfx) count table; the
+    # distinct-value count map, the rank map, per-type rank sums and
+    # the tie term all derive from aggregates of it. The old shape
+    # re-derived fx per branch (vmin / per-row rank windows / ties) —
+    # four passes over raw events and two per-row windows; every
+    # window below runs on the bounded distinct-value / bucket lists.
+    tv = fx.groupBy("event_type", "vfx").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_tv")
+    )
+    cnts = tv.groupBy("vfx").agg(F.sum("n_tv").alias("c"))
     # monotone non-negative bucket key: equal vfx => equal bucket, and
     # bucket order respects vfx order (offset makes the div a floor)
-    vmin = fx.agg(F.min("vfx").alias("vmin"))
-    bucketed = fx.crossJoin(F.broadcast(vmin)).withColumn(
+    vmin = cnts.agg(F.min("vfx").alias("vmin"))
+    bcnts = cnts.crossJoin(F.broadcast(vmin)).withColumn(
         "bucket", F.expr(f"(vfx - vmin) div {_KW_BUCKET_DIV}")
-    )
-    counts = bucketed.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("bn")
     )
     # bounded offset window: one row per occupied value-range bucket
     # (range/2^20 rows), never the raw table
     w_off = Window.orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    offsets = counts.select(
-        "bucket",
-        F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
-    )
-    w_rank = Window.partitionBy("bucket").orderBy("vfx")
-    w_tie = Window.partitionBy("bucket", "vfx")
-    ranked = (
-        bucketed.join(F.broadcast(offsets), "bucket")
+    offsets = (
+        bcnts.groupBy("bucket")
+        .agg(F.sum("c").alias("bn"))
         .select(
-            "event_type",
-            "vfx",
-            (F.col("off") + F.rank().over(w_rank)).alias("min_rank"),
-            F.count(F.lit(1)).over(w_tie).alias("c"),
+            "bucket",
+            F.coalesce(F.sum("bn").over(w_off), F.lit(0)).alias("off"),
         )
     )
-    per_type = ranked.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(2 * F.col("min_rank") + F.col("c") - 1)
-        .cast("bigint")
-        .alias("r2_sum"),
+    # min rank of a value = rows in earlier buckets + smaller values'
+    # counts within its bucket + 1 — identical to the oracle's global
+    # rank() because equal vfx share a bucket and buckets are monotone
+    w_less = (
+        Window.partitionBy("bucket")
+        .orderBy("vfx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    rank_map = (
+        bcnts.join(F.broadcast(offsets), "bucket")
+        .select(
+            "vfx",
+            "c",
+            (
+                F.col("off")
+                + F.coalesce(F.sum("c").over(w_less), F.lit(0))
+                + 1
+            ).alias("min_rank"),
+        )
+    )
+    # per-type sums as exact integer products: every raw row with this
+    # (event_type, vfx) contributes the same 2*min_rank + c - 1
+    per_type = (
+        tv.join(rank_map, "vfx")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_tv").cast("bigint").alias("n"),
+            F.sum(
+                F.col("n_tv")
+                * (2 * F.col("min_rank") + F.col("c") - 1)
+            )
+            .cast("bigint")
+            .alias("r2_sum"),
+        )
     )
     q = per_type.select(
         "event_type",
@@ -1957,14 +1987,10 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             "r2_sum * (r2_sum div n) + (r2_sum * (r2_sum % n)) div n"
         ).alias("qj"),
     )
-    ties = (
-        fx.groupBy("vfx")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .agg(
-            F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
-            .cast("bigint")
-            .alias("tie_term")
-        )
+    ties = cnts.agg(
+        F.sum(F.col("c") * F.col("c") * F.col("c") - F.col("c"))
+        .cast("bigint")
+        .alias("tie_term")
     )
     tot = q.agg(
         F.sum("n").cast("bigint").alias("nt"),

@@ -78,7 +78,10 @@ def _kmeans_refined(
         # data, lineage-free; checkpointing it only added a job.
         # The assignment (a corpus-sized mapInPandas) keeps its
         # checkpoint: >=2 consumers (kmeans_clusters + semantic_dedup).
-        per[key] = (cents, _checkpoint(assignment))
+        # eager=False: the first consumer's job materializes the
+        # assignment blocks; later consumers read data (same
+        # hand-data-not-lineage contract, one job fewer)
+        per[key] = (cents, _checkpoint(assignment, eager=False))
         # side-populate the per-round codebook matrices so shallower-
         # iteration consumers (q_silhouette needs the post-round-1
         # codebook) skip the seeds+assign+mean build entirely
@@ -713,7 +716,7 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("a_id", "b_id")
     )
-    pairs = _checkpoint(pairs)
+    pairs = _checkpoint(pairs, eager=False)
     deg = (
         pts.select("vec_id")
         .join(
@@ -776,7 +779,8 @@ def q_dbscan_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused census: ONE per-point role table -> one scalar agg plus one
     # two-level cluster-size agg (never five independent subtrees)
     point_roles = _checkpoint(
-        pts.select("vec_id")
+        eager=False,
+        df=pts.select("vec_id")
         .join(core.withColumn("is_core", F.lit(1)), "vec_id", "left")
         .join(clab, "vec_id", "left")
         .unionByName(

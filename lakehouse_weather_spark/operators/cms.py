@@ -134,7 +134,8 @@ def q_countmin_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The vocab table is |vocab| rows — a cheap checkpoint that stops
     # the two consumers re-running the explode+agg subtree.
     wc = _checkpoint(
-        tokens.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt"))
+        tokens.groupBy("word").agg(F.count(F.lit(1)).alias("true_cnt")),
+        eager=False,
     )
     depths = F.explode(
         F.array(*[F.lit(d) for d in range(CMS_DEPTH)])

@@ -385,7 +385,7 @@ def minhash_pairs_from_signatures(
     bands = _band_table(sig)
     if big_bucket_cap is None:
         return _bucket_pairs(bands).distinct()
-    bands = _checkpoint(bands)
+    bands = _checkpoint(bands, eager=False)
     big = (
         bands.groupBy("band_idx", "band_hash")
         .agg(F.count(F.lit(1)).alias("n"))
@@ -921,11 +921,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # materialize the similarity graph once; otherwise every iteration's
     # join re-derives the full shingle/jaccard pipeline
-    labels = label_propagate(_checkpoint(edges))
+    labels = label_propagate(_checkpoint(edges, eager=False))
     out = labels.select("doc_id", F.col("label").alias("cluster_rep"))
     # checkpoint the bounded label table so the memo hands every later
     # consumer data, not a live plan into this call's lineage
-    out = _checkpoint(out)
+    # (eager=False: the first consumer materializes the blocks; the
+    # propagation loop's convergence collects have already run by then)
+    out = _checkpoint(out, eager=False)
     per_session[sf_dir] = out
     return out
 
@@ -986,7 +988,9 @@ def label_propagate(edges: DataFrame, seed: DataFrame | None = None) -> DataFram
         # checkpointed, so between cuts the plan grows by at most three
         # shallow join rounds (each materialized by its convergence agg)
         if rnd % 3 == 2:
-            new_labels = _checkpoint(new_labels)
+            # eager=False: the convergence collect right below
+            # materializes the blocks anyway; eager paid a second job
+            new_labels = _checkpoint(new_labels, eager=False)
         else:
             new_labels = new_labels.persist()
         changed = (
@@ -2499,9 +2503,10 @@ def q_dedup_shingle_size(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("tf").alias("n"),
         )
     )
-    # eager checkpoint, not .persist(): bounded materialization, no
-    # cache pinned for the session lifetime (r5 ADVICE leak)
-    arrays = _checkpoint(arrays)
+    # lazy checkpoint, not .persist(): bounded materialization (first
+    # consumer job computes the blocks, the prefix/pair branches read
+    # them), no cache pinned for the session lifetime (r5 ADVICE leak)
+    arrays = _checkpoint(arrays, eager=False)
     prefix_len = F.expr("n - ((n * 4 + 4) div 5) + 1")
     prefix = arrays.select(
         "w", "doc_id", "n",

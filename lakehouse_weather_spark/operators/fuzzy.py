@@ -175,7 +175,7 @@ def q_fuzzy_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
         )
     )
-    labels = label_propagate(_checkpoint(edges))
+    labels = label_propagate(_checkpoint(edges, eager=False))
     return labels.select("doc_id", F.col("label").alias("cluster_rep"))
 
 
@@ -376,7 +376,8 @@ def q_linkage_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("h")
     )
     samp = _checkpoint(
-        capped.select(
+        eager=False,
+        df=capped.select(
             "doc_id",
             "lang",
             "source",

@@ -109,7 +109,10 @@ def pagerank(
             )
         )
         if checkpoint_every and it % checkpoint_every == checkpoint_every - 1:
-            ranks = _checkpoint(ranks)
+            # eager=False: truncates the unrolled plan the same way but
+            # defers materialization to the final action — the rank
+            # chain computes once, block-backed, with no per-cut jobs
+            ranks = _checkpoint(ranks, eager=False)
     return ranks.select(
         "node", (F.col("rank_fx").cast("double") / RANK_SCALE).alias("rank")
     )
@@ -704,10 +707,13 @@ def q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("deg") >= KCORE_K)
             .select("n")
         )
+        # eager=False: the count() below materializes the round's edge
+        # blocks anyway — the eager form paid a second, identical job
         edges = _checkpoint(
             edges.join(keep.withColumnRenamed("n", "a"), "a", "left_semi")
             .join(keep.withColumnRenamed("n", "b"), "b", "left_semi")
-            .select("a", "b")
+            .select("a", "b"),
+            eager=False,
         )
         n = edges.count()
         if n == n_prev:
@@ -879,7 +885,7 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"), "w"
         )
     )
-    e = _checkpoint(e)
+    e = _checkpoint(e, eager=False)
     d = e.agg(F.min("src").alias("node")).select(
         "node", F.lit(0).cast("bigint").alias("dist")
     )
@@ -891,7 +897,8 @@ def q_bellman_ford(spark: SparkSession, sf_dir: str) -> DataFrame:
         d = _checkpoint(
             d.unionByName(relaxed)
             .groupBy("node")
-            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .agg(F.min("dist").cast("bigint").alias("dist")),
+            eager=False,
         )
     return d.select(F.col("node").cast("bigint").alias("node"), "dist")
 

@@ -658,7 +658,11 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # capped sample (<= _MMD_CAP rows): checkpointed because THREE
     # subtrees consume it (xf -> ns and s, qx -> the moment kernel) —
-    # left lazy, each consumer re-ran the corpus scan + md5 TakeOrdered
+    # without it each consumer re-ran the corpus scan + md5
+    # TakeOrdered. eager=False (r11, guide §5): the first consumer's
+    # job materializes the blocks and the other two read them — same
+    # single computation, minus the dedicated materialization job the
+    # r10 driver data showed dominates this query at sf0.1
     samp = _checkpoint(
         emb.select(
             "vec_id",
@@ -670,7 +674,8 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("h", "vec_id")
         .limit(_MMD_CAP)
-        .drop("h")
+        .drop("h"),
+        eager=False,
     )
     xf = samp.select(
         "vec_id",
@@ -693,7 +698,8 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = _checkpoint(
         xf.groupBy("label", "pos").agg(
             F.sum("x").cast("bigint").alias("s")
-        )
+        ),
+        eager=False,
     )
     # per-label moment matrices via the q_power_iteration Arrow kernel
     # (sanctioned, see test_plans allowlist): quantization happens
@@ -737,7 +743,7 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "i", "j")
         .agg(F.sum("g").cast("bigint").alias("m"))
     )
-    m = _checkpoint(m)
+    m = _checkpoint(m, eager=False)
     dm = m.agg(
         F.expr(f"max(abs(m)) div {_MMD_VNORM} + 1").alias("d")
     )
@@ -747,7 +753,7 @@ def q_mmd_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j",
         F.expr(f"CAST({_mmd_fdiv_spark('m', 'd')} AS BIGINT)").alias("m"),
     )
-    m2 = _checkpoint(m2)
+    m2 = _checkpoint(m2, eager=False)
     frob = m2.groupBy("label").agg(
         F.sum(F.col("m") * F.col("m")).cast("bigint").alias("ff")
     )

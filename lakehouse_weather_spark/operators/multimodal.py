@@ -587,7 +587,7 @@ def q_binary_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # materialize the signature table once: both sides of the pigeonhole
     # self-join read the tiny (doc_id, ahash) checkpoint instead of
     # re-deriving the byte-fold expression per branch
-    sig = _checkpoint(q_binary_ahash(spark, sf_dir))
+    sig = _checkpoint(q_binary_ahash(spark, sf_dir), eager=False)
     blocks = sig.select(
         "doc_id",
         "ahash",

@@ -232,18 +232,26 @@ def q_lsh_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE checkpointed shingle table feeds both arms — the signature
     # path and the exact-truth path previously re-shingled the sample
     # independently (two md5 explodes over the same docs)
+    # eager=False on all three (r11, guide §5): each subtree still
+    # computes exactly once into the block store (the first consumer
+    # materializes, the remaining aggregates read blocks) but the
+    # three dedicated materialization jobs are gone — the r10 scaling
+    # data showed this query is job-overhead-bound at sf0.1
     sh = _checkpoint(
-        _spark_shingle_hashes(spark, sf_dir, LSH_EVAL_DOC_CAP)
+        _spark_shingle_hashes(spark, sf_dir, LSH_EVAL_DOC_CAP),
+        eager=False,
     )
     cand = _checkpoint(
         minhash_pairs_from_signatures(
             minhash_signatures(spark, sf_dir, shingles=sh)
-        )
+        ),
+        eager=False,
     )
     truth = _checkpoint(
         _jaccard_pairs(spark, sf_dir, shingles=sh)
         .filter(F.col("jaccard") >= LSH_EVAL_T)
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b"),
+        eager=False,
     )
     n_cand = cand.agg(F.count(F.lit(1)).alias("n_candidates"))
     n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))

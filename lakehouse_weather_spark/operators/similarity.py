@@ -2182,7 +2182,8 @@ def q_knn_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     samp = _checkpoint(
         emb.orderBy(order, "vec_id")
         .limit(_KNN_CAP)
-        .select("vec_id", "embedding", "label")
+        .select("vec_id", "embedding", "label"),
+        eager=False,
     )
     rows = samp.collect()  # bounded model fetch (<= _KNN_CAP rows)
     rows.sort(key=lambda r: r.vec_id)  # nid-ascending for tie-breaks
@@ -2739,7 +2740,9 @@ def q_ann_arm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonq = emb.filter(F.col("vec_id") != QUERY_VEC_ID)
     # TOP_K rows consumed by all five arm_rows — left lazy, the whole
     # exact-ranking chain re-executed per arm
-    exact_top = _checkpoint(q_vector_topk(spark, sf_dir).select("vec_id"))
+    exact_top = _checkpoint(
+        q_vector_topk(spark, sf_dir).select("vec_id"), eager=False
+    )
 
     def arm_row(arm: str, top: DataFrame, cands: DataFrame) -> DataFrame:
         hits = exact_top.join(top, "vec_id").agg(
@@ -2760,7 +2763,8 @@ def q_ann_arm_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # _bucket_code_expr, see tests/test_similarity.py — checkpointed
     # because the probe row and the candidate join both consume it)
     ecodes = _checkpoint(
-        emb.select("vec_id", _bucket_code_udf("embedding").alias("bucket"))
+        emb.select("vec_id", _bucket_code_udf("embedding").alias("bucket")),
+        eager=False,
     )
     qprobe = (
         ecodes.filter(F.col("vec_id") == QUERY_VEC_ID)

@@ -1067,32 +1067,22 @@ def q_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("p")
         .rowsBetween(Window.currentRow, WINNOW_W - 1)
     )
-    starts = (
-        grams.withColumn("wmin", F.min("h").over(win))
-        .filter(
-            F.col("p")
-            <= F.greatest(F.lit(1), F.col("n_grams") - (WINNOW_W - 1))
-        )
-        .select("doc_id", F.col("p").alias("sp"), "wmin")
+    # r11 (guide §2.4): the rightmost-minimal gram per window needs no
+    # band self-join — min(struct(h, -p)) over the SAME following-rows
+    # frame is lexicographic (smallest hash first, ties to the largest
+    # p), so one window pass yields both the oracle's wmin and its
+    # max-position fetch. The old shape re-derived the whole explode+
+    # md5 gram subtree as the join probe and shuffled it twice more
+    # (join + groupBy); plan drops to scan -> window -> distinct.
+    ms = F.min(F.struct(F.col("h"), (-F.col("p")).alias("np"))).over(win)
+    starts = grams.withColumn("ms", ms).filter(
+        F.col("p")
+        <= F.greatest(F.lit(1), F.col("n_grams") - (WINNOW_W - 1))
     )
-    g = grams.select(
-        F.col("doc_id").alias("gd"),
-        F.col("p").alias("gp"),
-        F.col("h").alias("gh"),
-    )
-    sel = (
-        starts.join(
-            g,
-            (F.col("gd") == F.col("doc_id"))
-            & (F.col("gp") >= F.col("sp"))
-            & (F.col("gp") <= F.col("sp") + (WINNOW_W - 1))
-            & (F.col("gh") == F.col("wmin")),
-        )
-        .groupBy("gd", "sp", "wmin")
-        .agg(F.max("gp").alias("pos"))
-    )
-    return sel.select(
-        F.col("gd").alias("doc_id"), "pos", F.col("wmin").alias("fingerprint")
+    return starts.select(
+        "doc_id",
+        (-F.col("ms.np")).alias("pos"),
+        F.col("ms.h").alias("fingerprint"),
     ).distinct()
 
 

@@ -39,12 +39,21 @@ def get_spark(
         shuffle_partitions = cpus
 
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
-    # default pre-touched initial heap: 3/8 of the driver heap (6g at
-    # the 16g default), capped so a smaller SPARK_GRAFT_DRIVER_MEM can
-    # never produce Xms > Xmx (which fails JVM boot)
+    # default pre-touched initial heap: 7/8 of the driver heap (14g at
+    # the 16g default), floored/capped so a smaller
+    # SPARK_GRAFT_DRIVER_MEM can never produce Xms > Xmx (fails JVM
+    # boot). r11 A/B at sf0.1 local[32]: the r10 default (3/8 = 6g)
+    # left the rest of the heap to grow lazily mid-run, and on hosts
+    # that service fresh anonymous pages slowly (~450 MB/s here) that
+    # growth taxed EVERY query a little — full-bench timed total
+    # 359/361 s (6g, two runs) vs 283/330 s (14g, two runs). Peak G1
+    # heap over a 421-query session is ~12-14 GB, so 7/8 pre-touches
+    # the whole working heap at boot (a one-time, untimed cost).
     try:
         heap_gb = int(driver_mem.lower().rstrip("g"))
-        xms_flags = f" -Xms{max(1, min(6, heap_gb * 3 // 8))}g -XX:+AlwaysPreTouch"
+        xms_flags = (
+            f" -Xms{max(1, heap_gb * 7 // 8)}g -XX:+AlwaysPreTouch"
+        )
     except ValueError:  # non-"<n>g" spec: skip the pretouch default
         xms_flags = ""
 
